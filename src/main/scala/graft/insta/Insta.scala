@@ -1,0 +1,240 @@
+package graft.insta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Role-mapped "Instacart" model over the TPC-H-ish testdata (FIXTURES.md §B
+  * role mapping): orders ≙ reference orders (F.py:24–26), lineitem ≙
+  * order_products basket lines (F.py:16–22), part ≙ products dim (F.py:28–30),
+  * o_custkey ≙ userID.
+  *
+  * Everything stays a distributed DataFrame — the reference's driver-side
+  * pandas collapse (F.py:57–65) is deliberately absent. Derived integer
+  * columns are cast to LongType and ratios rounded to 4 decimals so outputs
+  * hash-match the DuckDB oracle byte-for-byte (SURVEY.md §7.4 determinism).
+  */
+object Insta {
+
+  /** Reference orders table semantics (F.py:24–26): categorical eval_set
+    * encode ("prior"→0,"train"→1,else→2 ≙ o_orderstatus F/O/P), per-user
+    * order_number sequence, day-of-week / hour-of-day ints, days-since-prior
+    * with the ""→0 null rule (lag with coalesce-0 here).
+    *
+    * Scale note: the two window functions share one (userID)-partitioned
+    * shuffle; order_number/days_since are per-user sequences, exactly the
+    * layout a later groupBy(userID) reuses.
+    */
+  def ordersI(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("orderID"),
+      col("o_custkey").as("userID"),
+      when(col("o_orderstatus") === "F", 0L)
+        .when(col("o_orderstatus") === "O", 1L)
+        .otherwise(2L).as("eval_set"),
+      row_number().over(w).cast("long").as("order_number"),
+      (dayofweek(col("o_orderdate")) - 1).cast("long").as("order_dow"),
+      hour(col("o_orderdate")).cast("long").as("order_hod"),
+      coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)), lit(0))
+        .cast("long").as("days_since"))
+  }
+
+  /** Products dim (F.py:28–30): productID + two int attributes; the
+    * reference drops product_name at scan (column pruning), mirrored here by
+    * never selecting p_name. dep_id parses the numeric suffix of p_brand.
+    */
+  def productsDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("productID"),
+      col("p_size").cast("long").as("aisle_id"),
+      substring(col("p_brand"), 7, 10).cast("long").as("dep_id"))
+
+  /** Basket lines ≙ order_products (F.py:16–22): one row per (order,
+    * product) with cart position, eval_set and a derived `reordered` flag —
+    * 1 when the same user already bought the product in an earlier order
+    * (min-order_number per (user, product) window; the Instacart CSV carries
+    * this flag pre-computed).
+    *
+    * Scale: fact-fact join lineitem⋈orders on orderID (AQE picks
+    * sort-merge/shuffled-hash); the reordered window shuffles once on
+    * (userID, productID) — the same key the user×product aggregation
+    * (userProductFeatures) consumes.
+    */
+  def basket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("orderID"),
+      col("l_partkey").as("productID"),
+      col("l_linenumber").cast("long").as("cart_order"))
+    val oi = ordersI(spark, dir).select("orderID", "userID", "eval_set", "order_number")
+    val wUP = Window.partitionBy(col("userID"), col("productID"))
+    li.join(oi, "orderID")
+      .withColumn("reordered",
+        when(col("order_number") > min(col("order_number")).over(wUP), 1L).otherwise(0L))
+      .select("orderID", "userID", "productID", "cart_order", "eval_set",
+        "order_number", "reordered")
+  }
+
+  def priorBasket(spark: SparkSession, dir: String): DataFrame =
+    basket(spark, dir).filter(col("eval_set") === 0)
+
+  /** Per-product features (F.py:69–74, A1–A3): order count, reorder count,
+    * reorder ratio. Single hash-aggregate with map-side partials.
+    */
+  def productFeatures(spark: SparkSession, dir: String): DataFrame =
+    priorBasket(spark, dir)
+      .groupBy("productID")
+      .agg(
+        count(lit(1)).as("numorders"),
+        sum(col("reordered")).cast("double").as("numreorders"))
+      .withColumn("reorder_ratio", round(col("numreorders") / col("numorders"), 4))
+
+  /** Per-user ordering-history features (F.py:89–91, A4–A5). */
+  def userOrderFeatures(spark: SparkSession, dir: String): DataFrame =
+    ordersI(spark, dir)
+      .groupBy("userID")
+      .agg(
+        round(avg(col("days_since")), 4).as("avg_orderingGap"),
+        count(lit(1)).as("total_orders"))
+
+  /** Per-user prior-product features (F.py:96–100, A6–A8): item count,
+    * sorted distinct-product array (the reference's set-valued column),
+    * distinct count. array_sort pins determinism (SURVEY.md §7.4).
+    */
+  def userPriorFeatures(spark: SparkSession, dir: String): DataFrame =
+    priorBasket(spark, dir)
+      .groupBy("userID")
+      .agg(
+        count(lit(1)).as("items_purchased_total"),
+        array_sort(collect_set(col("productID"))).as("all_items"),
+        countDistinct(col("productID")).as("distinct_items"))
+
+  /** Combined user features (F.py:104–106, J3 + A9): left join mirrors
+    * pandas `.join` (how='left' from the prior side) + derived average_items.
+    */
+  def usersFinal(spark: SparkSession, dir: String): DataFrame =
+    userPriorFeatures(spark, dir)
+      .join(userOrderFeatures(spark, dir), Seq("userID"), "left_outer")
+      .withColumn("average_items",
+        round(col("items_purchased_total") / col("total_orders"), 4))
+
+  /** User×product features (F.py:110–118, A10/A11/W1/W2): count,
+    * last-order-containing-the-product, summed cart position. `max_by`
+    * replaces the reference's sort + groupby-last; the multi-column group key
+    * replaces its overflow-prone synthetic userID*100000+productID key.
+    */
+  def userProductFeatures(spark: SparkSession, dir: String): DataFrame =
+    priorBasket(spark, dir)
+      .groupBy("userID", "productID")
+      .agg(
+        count(lit(1)).as("up_numorders"),
+        max_by(col("orderID"), col("order_number")).as("final_orderId"),
+        sum(col("cart_order")).as("sum_cartOrder"))
+
+  /** Candidate generation (F.py:128–141, J6): every (order, prior-product-
+    * of-its-user) pair for the given eval sets — the reference's driver-side
+    * Python loop becomes a distributed join + explode.
+    */
+  def candidates(spark: SparkSession, dir: String, evalSets: Seq[Long]): DataFrame = {
+    val oi = ordersI(spark, dir)
+      .filter(col("eval_set").isin(evalSets: _*))
+      .select("orderID", "userID", "order_dow", "order_hod", "days_since")
+    val items = userPriorFeatures(spark, dir).select("userID", "all_items")
+    oi.join(items, "userID")
+      .select(col("orderID"), col("userID"), explode(col("all_items")).as("productID"),
+        col("order_dow"), col("order_hod"), col("days_since"))
+  }
+
+  /** Existence-join label (F.py:124,138, J5): left join + flag — NOT a
+    * semi-join, the label=0 rows must survive (SURVEY.md §7.4).
+    */
+  def withLabel(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val trainPairs = basket(spark, dir)
+      .filter(col("eval_set") === 1)
+      .select("orderID", "productID").distinct()
+      .withColumn("in_train", lit(1L))
+    cand.join(trainPairs, Seq("orderID", "productID"), "left_outer")
+      .withColumn("label", when(col("in_train").isNotNull, 1L).otherwise(0L))
+      .drop("in_train")
+  }
+
+  /** The 17-feature training/test matrix (F.py:128–162 `datasetFeatures`):
+    * the reference's 14 driver-side `Series.map` lookups collapse into 4
+    * distributed equi-joins (J4). Feature names follow F.py:181–185,
+    * including the reference's duplicated feature (userProduct_
+    * reorderProportion ≡ userProduct_ordersRatio, F.py:157 vs 160 — kept
+    * deliberately for parity).
+    *
+    * Scale: candidates is the one explosive intermediate (Σ|user baskets|
+    * rows); all feature inputs are pre-aggregated (user-, product-,
+    * user×product-grain) and joined on their grain keys, so AQE can
+    * broadcast the small sides and the big join keys stay aligned with the
+    * candidate partitioning.
+    */
+  def featureMatrix(spark: SparkSession, dir: String, evalSets: Seq[Long]): DataFrame = {
+    val cand = candidates(spark, dir, evalSets)
+    val uf = usersFinal(spark, dir).select(
+      col("userID"),
+      col("total_orders").as("user_SumOrders"),
+      col("items_purchased_total").as("user_items_purchased_total"),
+      col("distinct_items"),
+      col("avg_orderingGap").as("user_avg_orderingGap"),
+      col("average_items").as("user_average_items"))
+    val pf = productFeatures(spark, dir).select(
+      col("productID"), col("numorders"), col("numreorders"),
+      col("reorder_ratio").as("prod_reorderProportion"))
+    val oiNum = ordersI(spark, dir).select(
+      col("orderID").as("final_orderId"), col("order_number").as("final_order_number"))
+    val up = userProductFeatures(spark, dir)
+      .join(oiNum, "final_orderId")
+      .select(col("userID"), col("productID"),
+        col("up_numorders").as("userProduct_orders"),
+        col("final_order_number"))
+
+    val safeDiv = (n: Column, d: Column) =>
+      when(d === 0.0, 0.0).otherwise(round(n / d, 4))
+
+    val upCart = userProductFeatures(spark, dir)
+      .select(col("userID"), col("productID"), col("sum_cartOrder"))
+
+    withLabel(spark, dir,
+      cand
+        .join(uf, "userID")
+        .join(pf, "productID")
+        .join(up, Seq("userID", "productID"))
+        .join(upCart, Seq("userID", "productID")))
+      .withColumn("days_sinceProportion", safeDiv(col("days_since"), col("user_avg_orderingGap")))
+      .withColumn("userProduct_ordersRatio", round(col("userProduct_orders") / col("user_SumOrders"), 4))
+      .withColumn("userProduct_average_cartOrder", round(col("sum_cartOrder") / col("userProduct_orders"), 4))
+      .withColumn("userProduct_reorderProportion", round(col("userProduct_orders") / col("user_SumOrders"), 4))
+      .withColumn("userProduct_orders_sinceFinal", col("user_SumOrders") - col("final_order_number"))
+      .select("orderID", "productID", "label",
+        "user_SumOrders", "user_items_purchased_total", "distinct_items",
+        "user_avg_orderingGap", "user_average_items", "order_dow", "order_hod",
+        "days_since", "days_sinceProportion", "numorders", "numreorders",
+        "prod_reorderProportion", "userProduct_orders", "userProduct_ordersRatio",
+        "userProduct_average_cartOrder", "userProduct_reorderProportion",
+        "userProduct_orders_sinceFinal")
+  }
+
+  /** Submission format (F.py:296–315, P9/F3/A12/J8/F4): threshold a score at
+    * 0.19, space-join the surviving productIDs per order (numerically
+    * sorted), left-join back onto all test orders and fill 'None'. The
+    * score column is parameterized — the deterministic oracle-checked query
+    * uses prod reorder_ratio; the ML queries pass model predictions.
+    */
+  def submission(testOrders: DataFrame, scored: DataFrame,
+                 scoreCol: String, threshold: Double = 0.19): DataFrame = {
+    val agg = scored
+      .filter(col(scoreCol) > threshold)
+      .groupBy("orderID")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("productID"))), _.cast("string")),
+        " ").as("products"))
+    testOrders.select("orderID")
+      .join(agg, Seq("orderID"), "left_outer")
+      .withColumn("products", coalesce(col("products"), lit("None")))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.insta.Insta
+
+/** Spark-side implementations of the reference-parity operator queries
+  * (SURVEY.md §2). Each pairs with an entry in [[graft.OracleSql]]; every
+  * query ends in a total-order sort for the driver's hash compare.
+  */
+object Core {
+
+  /** S1/S5/P4: parquet scan + column pruning — only 3 of 11 lineitem columns
+    * reach the scan (check ReadSchema in explain).
+    */
+  def q01ScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+
+  /** S3/P1/P2/F1/F5: typed ingestion with categorical encode + null default. */
+  def q02IngestOrders(spark: SparkSession, dir: String): DataFrame =
+    Insta.ordersI(spark, dir).orderBy("orderID")
+
+  /** P3/P6: equality filter (eval-set split). */
+  def q03FilterPrior(spark: SparkSession, dir: String): DataFrame =
+    Insta.ordersI(spark, dir)
+      .filter(col("eval_set") === 0)
+      .select("orderID", "userID", "order_number", "days_since")
+      .orderBy("orderID")
+
+  /** P5: the reference's collect-keys-to-driver IN-filter (F.py:46–53)
+    * becomes a distributed left-semi join — no driver round-trip.
+    */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val priorOrders = Insta.ordersI(spark, dir)
+      .filter(col("eval_set") === 0).select("orderID")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderID"), col("l_partkey").as("productID"),
+        col("l_linenumber").cast("long").as("cart_order"))
+      .join(priorOrders, Seq("orderID"), "left_semi")
+      .orderBy("orderID", "cart_order", "productID")
+  }
+
+  /** A1–A3: per-product count / sum / ratio. */
+  def q05ProductFeatures(spark: SparkSession, dir: String): DataFrame =
+    Insta.productFeatures(spark, dir)
+      .select("productID", "numorders", "numreorders", "reorder_ratio")
+      .orderBy("productID")
+
+  /** J1: dim join — part is small, broadcast it explicitly. */
+  def q06ProductsDimJoin(spark: SparkSession, dir: String): DataFrame =
+    broadcast(Insta.productsDim(spark, dir))
+      .join(Insta.productFeatures(spark, dir), "productID")
+      .select("productID", "aisle_id", "dep_id", "numorders", "reorder_ratio")
+      .orderBy("productID")
+
+  /** J2: fact⋈fact join on orderID (basket lines × order attributes). */
+  def q07FactJoin(spark: SparkSession, dir: String): DataFrame =
+    Insta.priorBasket(spark, dir)
+      .select("orderID", "productID", "cart_order", "reordered")
+      .join(Insta.ordersI(spark, dir).select("orderID", "order_dow", "order_hod", "days_since"),
+        "orderID")
+      .orderBy("orderID", "cart_order", "productID")
+
+  /** A4–A5: per-user avg + count. */
+  def q08UserOrderFeatures(spark: SparkSession, dir: String): DataFrame =
+    Insta.userOrderFeatures(spark, dir)
+      .select("userID", "avg_orderingGap", "total_orders")
+      .orderBy("userID")
+
+  /** A6–A8: per-user count / sorted collect_set / distinct count. */
+  def q09UserPriorFeatures(spark: SparkSession, dir: String): DataFrame =
+    Insta.userPriorFeatures(spark, dir)
+      .select("userID", "items_purchased_total", "all_items", "distinct_items")
+      .orderBy("userID")
+
+  /** J3/A9: left-outer user-feature join + derived ratio. */
+  def q10UsersFinal(spark: SparkSession, dir: String): DataFrame =
+    Insta.usersFinal(spark, dir)
+      .select("userID", "items_purchased_total", "distinct_items",
+        "avg_orderingGap", "total_orders", "average_items")
+      .orderBy("userID")
+
+  /** A10/A11/W1/W2: multi-agg with max_by (last-per-group). */
+  def q11UserProductFeatures(spark: SparkSession, dir: String): DataFrame =
+    Insta.userProductFeatures(spark, dir)
+      .select("userID", "productID", "up_numorders", "final_orderId", "sum_cartOrder")
+      .orderBy("userID", "productID")
+
+  /** J6: candidate expansion — join + explode, fully distributed. */
+  def q12Candidates(spark: SparkSession, dir: String): DataFrame =
+    Insta.candidates(spark, dir, Seq(1L, 2L))
+      .select("orderID", "userID", "productID")
+      .orderBy("orderID", "productID")
+
+  /** J5: existence label via left join + flag (false rows kept). */
+  def q13Labels(spark: SparkSession, dir: String): DataFrame =
+    Insta.withLabel(spark, dir, Insta.candidates(spark, dir, Seq(1L, 2L)))
+      .select("orderID", "productID", "label")
+      .orderBy("orderID", "productID")
+
+  /** J4 + F2: the full 17-feature training matrix. */
+  def q14FeatureMatrix(spark: SparkSession, dir: String): DataFrame =
+    Insta.featureMatrix(spark, dir, Seq(1L))
+      .orderBy("orderID", "productID")
+
+  /** P9/F3/A12/J8/F4: thresholded submission with 'None' fill. */
+  def q15Submission(spark: SparkSession, dir: String): DataFrame = {
+    val testOrders = Insta.ordersI(spark, dir).filter(col("eval_set") === 2)
+    val scored = Insta.candidates(spark, dir, Seq(2L))
+      .join(Insta.productFeatures(spark, dir).select("productID", "reorder_ratio"),
+        "productID")
+    Insta.submission(testOrders, scored, "reorder_ratio").orderBy("orderID")
+  }
+
+  /** L1: deterministic limit — total order before limit (the reference's
+    * take(10000) is partition-order dependent; ours is pinned).
+    */
+  def q16Limit(spark: SparkSession, dir: String): DataFrame =
+    Insta.ordersI(spark, dir)
+      .select("orderID", "userID", "eval_set")
+      .orderBy("orderID")
+      .limit(10000)
+
+  /** L2: grouped counts. */
+  def q17Counts(spark: SparkSession, dir: String): DataFrame =
+    Insta.ordersI(spark, dir)
+      .groupBy("eval_set").agg(count(lit(1)).as("n"))
+      .orderBy("eval_set")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"        -> (q01ScanProject _),
+    "q02_ingest_orders"       -> (q02IngestOrders _),
+    "q03_filter_prior"        -> (q03FilterPrior _),
+    "q04_semi_join"           -> (q04SemiJoin _),
+    "q05_product_features"    -> (q05ProductFeatures _),
+    "q06_products_dim_join"   -> (q06ProductsDimJoin _),
+    "q07_fact_join"           -> (q07FactJoin _),
+    "q08_user_order_features" -> (q08UserOrderFeatures _),
+    "q09_user_prior_features" -> (q09UserPriorFeatures _),
+    "q10_users_final"         -> (q10UsersFinal _),
+    "q11_userproduct_features" -> (q11UserProductFeatures _),
+    "q12_candidates"          -> (q12Candidates _),
+    "q13_labels"              -> (q13Labels _),
+    "q14_feature_matrix"      -> (q14FeatureMatrix _),
+    "q15_submission"          -> (q15Submission _),
+    "q16_limit"               -> (q16Limit _),
+    "q17_counts"              -> (q17Counts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project"        -> graft.OracleSql.q01_scan_project,
+    "q02_ingest_orders"       -> graft.OracleSql.q02_ingest_orders,
+    "q03_filter_prior"        -> graft.OracleSql.q03_filter_prior,
+    "q04_semi_join"           -> graft.OracleSql.q04_semi_join,
+    "q05_product_features"    -> graft.OracleSql.q05_product_features,
+    "q06_products_dim_join"   -> graft.OracleSql.q06_products_dim_join,
+    "q07_fact_join"           -> graft.OracleSql.q07_fact_join,
+    "q08_user_order_features" -> graft.OracleSql.q08_user_order_features,
+    "q09_user_prior_features" -> graft.OracleSql.q09_user_prior_features,
+    "q10_users_final"         -> graft.OracleSql.q10_users_final,
+    "q11_userproduct_features" -> graft.OracleSql.q11_userproduct_features,
+    "q12_candidates"          -> graft.OracleSql.q12_candidates,
+    "q13_labels"              -> graft.OracleSql.q13_labels,
+    "q14_feature_matrix"      -> graft.OracleSql.q14_feature_matrix,
+    "q15_submission"          -> graft.OracleSql.q15_submission,
+    "q16_limit"               -> graft.OracleSql.q16_limit,
+    "q17_counts"              -> graft.OracleSql.q17_counts,
+  )
+}

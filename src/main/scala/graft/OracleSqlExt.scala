@@ -1,0 +1,152 @@
+package graft
+
+/** DuckDB oracle SQL for the extension tier (events/JSON/windows, text
+  * analysis, dedup, similarity, multimodal). Same determinism contract as
+  * [[OracleSql]]; window starts compare as epoch BIGINTs to avoid
+  * timestamp-precision round-trips (events.ts is ns in parquet, Spark
+  * truncates to µs).
+  */
+object OracleSqlExt {
+
+  val x01_json_extract: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val x02_window_tumbling: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+      |       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  val x03_window_sliding: String =
+    """WITH bounds AS (
+      |  SELECT date_trunc('day', MIN(ts)) - INTERVAL 1 DAY AS lo,
+      |         MAX(ts) + INTERVAL 15 MINUTE AS hi FROM events),
+      |starts AS (
+      |  SELECT unnest(range((SELECT lo FROM bounds), (SELECT hi FROM bounds),
+      |                      INTERVAL 15 MINUTE)) AS ws)
+      |SELECT CAST(epoch(s.ws) AS BIGINT) AS ws, COUNT(*) AS n,
+      |       ROUND(SUM(e.value), 4) AS total_value
+      |FROM events e JOIN starts s ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 1 HOUR
+      |GROUP BY s.ws ORDER BY ws""".stripMargin
+
+  val x04_session_window: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+      |       CAST(epoch_us(MAX(ts)) AS BIGINT) + 1800000000 AS session_end,
+      |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val x05_event_pivot: String =
+    """SELECT user_id,
+      |       COUNT(*) FILTER (event_type = 'click') AS click,
+      |       COUNT(*) FILTER (event_type = 'error') AS error,
+      |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val stopList = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+  val x10_token_stats: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |       ROUND(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+       |       ROUND(len(list_filter(toks, t -> t IN $stopList)) / len(toks), 4) AS stop_ratio,
+       |       ROUND(list_sum(list_transform(toks, t -> length(t))) / len(toks), 4) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val x11_quality_filter: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       ROUND(len(list_distinct(toks)) / len(toks), 4) AS ttr
+      |FROM t
+      |WHERE len(toks) >= 30 AND ROUND(len(list_distinct(toks)) / len(toks), 4) >= 0.3
+      |ORDER BY doc_id""".stripMargin
+
+  val x12_langid: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |        CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS s_en,
+      |        CAST(len(list_filter(toks, t -> t IN ('table', 'row', 'column', 'value'))) AS BIGINT) AS s_dat,
+      |        CAST(len(list_filter(toks, t -> t IN ('scan', 'join', 'sort', 'merge', 'agg'))) AS BIGINT) AS s_ops
+      |      FROM t)
+      |SELECT doc_id, lang, s_en, s_dat, s_ops,
+      |       CASE WHEN s_en >= s_dat AND s_en >= s_ops THEN 'en'
+      |            WHEN s_dat >= s_ops THEN 'dat' ELSE 'ops' END AS pred
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  val x14_dedup_exact: String =
+    """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+      |           FROM documents)
+      |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin
+
+  val x15_ngram_jaccard: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
+  private def dotExpr(u: String, v: String): String =
+    s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+
+  private def cosExpr(u: String, v: String): String =
+    s"${dotExpr(u, v)} / (sqrt(${dotExpr(u, u)}) * sqrt(${dotExpr(v, v)}))"
+
+  val x20_cosine_topk: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |s AS (
+       |  SELECT q_id, n_id, ${cosExpr("qv", "nv")} AS cos
+       |  FROM q, c WHERE q_id <> n_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |      FROM s)
+       |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val x21_embedding_neardup: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         ROUND(${cosExpr("a.v", "b.v")}, 4) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+
+  val x30_binary_meta: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id, media_type, n_bytes,
+      |       n_bytes % 64 + 1 AS width, n_bytes % 48 + 1 AS height
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Streaming tumbling twin shares the batch oracle. */
+  val s01_stream_tumbling: String = x02_window_tumbling
+}

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{functions => gf}
+
+/** Deduplication operators over the documents table (SURVEY.md §2.11
+  * X1/X2): exact, MinHash+LSH, SimHash, and n-gram Jaccard. The scale
+  * posture: every candidate-pair generator is bucketed (LSH band, SimHash
+  * band, lang) so the pair space is Σ bucket² rather than n² — the only
+  * formulation that survives 100 TB.
+  */
+object Dedup {
+
+  /** X1 exact dedup on normalized text: lowercase + collapse whitespace.
+    * groupBy(hash-agg) keeps one representative (min doc_id) per content
+    * key — fully distributed, one shuffle on the normalized key.
+    * At scale, group on a 64-bit content fingerprint instead of the full
+    * text to shrink shuffle width: see [[exactByFingerprint]].
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** X1 at scale: shuffle 8 bytes of fingerprint, not the document. */
+  def exactByFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", gf.fnv1a64(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  private def shingled(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("shingles",
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .drop("toks")
+
+  /** X2 MinHash+LSH near-dup pairs: token 3-shingles → sparse vector
+    * (HashingTF) → MinHash signatures → banded self-join (spark.ml
+    * approxSimilarityJoin only compares within matching hash buckets).
+    * Seeded for determinism. Output: pairs with Jaccard distance ≤ maxDist.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir), 3)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
+    val fed = tf.transform(docs).filter(col("doc_id").isNotNull)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(fed)
+    model.approxSimilarityJoin(fed, fed, maxDist, "dist")
+      .select(
+        col("datasetA.doc_id").as("a"),
+        col("datasetB.doc_id").as("b"),
+        round(col("dist"), 4).as("jaccard_dist"))
+      .filter(col("a") < col("b"))
+      .orderBy("a", "b")
+  }
+
+  /** X2 SimHash near-dup pairs via the native SimHash64 expression: 4
+    * 16-bit bands as join buckets (a pair within Hamming distance 3 must
+    * agree on ≥1 band), then exact Hamming verify. The band join is an
+    * equi-join — shuffle on band value, never n².
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = shingled(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        gf.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** X2 n-gram Jaccard near-dup pairs, exact, bucketed by lang: J(a,b) =
+    * |A∩B| / |A∪B| over distinct 3-shingles. Pair space is per-bucket n² —
+    * acceptable here; the MinHash/SimHash paths are the scale variants.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir), 3)
+      .select(col("doc_id"), col("lang"), col("shingles"))
+    val a = docs.select(col("lang"), col("doc_id").as("a"), col("shingles").as("sa"))
+    val b = docs.select(col("lang"), col("doc_id").as("b"), col("shingles").as("sb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** X2 embedding-cosine near-dup pairs (exact over the full pair space —
+    * see Similarity.ivfTopK for the bucketed scale path).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(gf.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+}

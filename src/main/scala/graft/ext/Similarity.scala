@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{functions => gf}
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings
+  * table (SURVEY.md §2.11 X3). Brute-force cosine top-k is the exactness
+  * baseline; IVF (cluster-pruned) search is the scale path — at 100 TB the
+  * centroid assignment turns an all-pairs shuffle into a per-cluster
+  * co-partitioned join.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors for query vectors
+    * (vec_id < nQueries), self-pairs excluded. The query side is tiny and
+    * broadcast; similarity runs in one codegen'd pass (CosineSimF); the
+    * per-query top-k is a window row_number — k rows survive per query.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", gf.cosine_sim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic "training-free" centroid set: every 97th vector. A real
+    * deployment would k-means these; the pruning structure is identical.
+    */
+  private def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+
+  /** IVF-style ANN: assign every vector to its nearest centroid (small
+    * centroid table broadcast), then search only within the query's
+    * cluster — the candidate set shrinks by ~|clusters|×, and the
+    * cluster-keyed join co-partitions both sides. Approximate: recall vs
+    * bruteForceTopK is asserted in tests, not oracle-checked.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroids(e)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cluster"))
+    val c = assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", gf.cosine_sim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.OracleSqlExt
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ml.ReorderModel
+import graft.streaming.Streams
+
+/** Extension-tier queries (SURVEY.md §2.11 + the training-data-pipeline
+  * surface): events/JSON/windows, text analysis, dedup, similarity search,
+  * multimodal plumbing, ML, streaming. Oracle-checked where DuckDB can
+  * express the semantics; the rest are rows-only (driver records a weaker
+  * check) and covered by ScalaTest instead.
+  */
+object Ext {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // events / windows (X5–X8)
+    "x01_json_extract"     -> ((s: SparkSession, d: String) => Events.jsonExtract(s, d)),
+    "x02_window_tumbling"  -> ((s: SparkSession, d: String) => Events.tumbling(s, d)),
+    "x03_window_sliding"   -> ((s: SparkSession, d: String) => Events.sliding(s, d)),
+    "x04_session_window"   -> ((s: SparkSession, d: String) => Events.sessions(s, d)),
+    "x05_event_pivot"      -> ((s: SparkSession, d: String) => Events.pivotCounts(s, d)),
+    // text analysis (X4)
+    "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
+    "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
+    "x12_langid"           -> ((s: SparkSession, d: String) => TextAnalysis.langScore(s, d)),
+    "x13_fingerprint"      -> ((s: SparkSession, d: String) => TextAnalysis.fingerprints(s, d)),
+    // dedup (X1/X2)
+    "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
+    "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "x16_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "x17_simhash_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // similarity search (X3)
+    "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // multimodal plumbing
+    "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
+    "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
+    // ML (M1–M7; seeded, metric-band tested — not oracle-expressible)
+    "m01_rf_submission"    -> ((s: SparkSession, d: String) => ReorderModel.rfSubmission(s, d)),
+    "m02_model_metrics"    -> ((s: SparkSession, d: String) => ReorderModel.metrics(s, d)),
+    // streaming (X9)
+    "s01_stream_tumbling"  -> ((s: SparkSession, d: String) => Streams.tumbling(s, d)),
+    "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x01_json_extract"     -> OracleSqlExt.x01_json_extract,
+    "x02_window_tumbling"  -> OracleSqlExt.x02_window_tumbling,
+    "x03_window_sliding"   -> OracleSqlExt.x03_window_sliding,
+    "x04_session_window"   -> OracleSqlExt.x04_session_window,
+    "x05_event_pivot"      -> OracleSqlExt.x05_event_pivot,
+    "x10_token_stats"      -> OracleSqlExt.x10_token_stats,
+    "x11_quality_filter"   -> OracleSqlExt.x11_quality_filter,
+    "x12_langid"           -> OracleSqlExt.x12_langid,
+    "x14_dedup_exact"      -> OracleSqlExt.x14_dedup_exact,
+    "x15_ngram_jaccard"    -> OracleSqlExt.x15_ngram_jaccard,
+    "x20_cosine_topk"      -> OracleSqlExt.x20_cosine_topk,
+    "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
+    "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
+    "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
+  )
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Structured-streaming variants of the event-window operators (SURVEY.md
+  * §2.11 X9). The batch testdata replays through the streaming file source;
+  * AvailableNow processes it to completion so a streaming query can be
+  * verified against the same DuckDB oracle as its batch twin.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  private def runToMemory(agg: DataFrame, mode: String): DataFrame = {
+    val qname = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(qname)
+  }
+
+  /** Streaming twin of Events.tumbling: identical plan over readStream,
+    * complete-mode memory sink (aggregate output is tiny — one row per
+    * (hour, type)), AvailableNow replay. Oracle-checked against the same
+    * SQL as the batch query.
+    */
+  /** File-source replay of the events table with the raw (nanos-as-long)
+    * schema, normalized to µs timestamps like the batch reader.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "events").schema
+    Tables.normalizeTs(
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    runToMemory(agg, "complete")
+      .select(col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Watermarked session windows in append mode: only sessions finalized
+    * by the 1-hour watermark are emitted — exactly the late-data semantics
+    * a production stream would have, so the tail of the replay is withheld
+    * by design (rows-only check; batch-equivalence-minus-tail is asserted
+    * in tests).
+    */
+  def sessionsWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+    runToMemory(agg, "append")
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start"),
+        unix_micros(col("sw.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+}

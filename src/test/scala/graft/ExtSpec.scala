@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Events, Multimodal, Similarity}
+
+/** Extension operators: hand fixtures for the window/dedup semantics that
+  * have no SQL oracle, recall checks for the approximate paths.
+  */
+class ExtSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("session windows split exactly at the 30-minute gap") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two sessions — a gap strictly over 30m starts a new one
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:40:01"), 4.0), // 30m01s after 10:10 → NEW session
+      // user 2: one session — exactly-30m gap stays merged (boundary is
+      // inclusive: an event at prev_ts + gap extends the session)
+      (2L, ts("2024-01-01 09:00:00"), 8.0),
+      (2L, ts("2024-01-01 09:30:00"), 16.0),
+    ).toDF("user_id", "ts", "value")
+    val got = Events.sessionsOf(events).collect()
+    assert(got.length === 3)
+    val u1 = got.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(u1(0).getLong(3) === 2) // n_events of first session
+    assert(u1(1).getLong(3) === 1)
+    // end = last ts + 30m
+    assert(u1(0).getLong(2) - ts("2024-01-01 10:10:00").getTime * 1000 === 30L * 60 * 1000000L)
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2(0).getLong(3) === 2)
+  }
+
+  test("tumbling windows partition a day of events hour by hour") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:59:59"), "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "click", 2.0),
+      (3L, ts("2024-01-01 11:30:00"), "view", 4.0),
+    ).toDF("event_id", "ts", "event_type", "value")
+    val got = Events.tumblingOf(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(
+      (ts("2024-01-01 10:00:00").getTime / 1000, "click", 1L),
+      (ts("2024-01-01 11:00:00").getTime / 1000, "click", 1L),
+      (ts("2024-01-01 11:00:00").getTime / 1000, "view", 1L)))
+  }
+
+  test("minhash LSH finds the near-dup pairs exact jaccard finds") {
+    // exact >= 0.6 jaccard pairs must appear among LSH candidates at the
+    // looser 0.7-distance cutoff (dist = 1 - jaccard)
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("simhash near-dups overlap exact near-dups on planted duplicates") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, sf, 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) assert(exact.intersect(sim).nonEmpty)
+  }
+
+  test("IVF ANN reaches >= 40% recall of brute-force top-5 on sf0.001") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("brute-force topk excludes self and emits exactly k ranks per query") {
+    val df = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 4).cache()
+    assert(df.filter(col("q_id") === col("n_id")).count() === 0)
+    val perQuery = df.groupBy("q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) === 4))
+  }
+
+  test("media decode stub is deterministic and schema-stable") {
+    val a = Multimodal.decodeMeta(spark, sf).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMeta(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(m => m.width >= 1 && m.width <= 64))
+    assert(a.forall(m => m.mean_byte >= 0.0 && m.mean_byte <= 255.0))
+  }
+}

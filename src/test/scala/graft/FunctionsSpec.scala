@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{functions => gf, Kernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions: known values, identities, codegen path. */
+class FunctionsSpec extends SparkSuite {
+
+  test("fnv1a64 matches the published FNV-1a test vectors") {
+    // http://www.isthe.com/chongo/tech/comp/fnv/ reference values
+    assert(Kernels.fnv1a64(UTF8String.fromString("")) === 0xcbf29ce484222325L)
+    assert(Kernels.fnv1a64(UTF8String.fromString("a")) === 0xaf63dc4c8601ec8cL)
+    assert(Kernels.fnv1a64(UTF8String.fromString("foobar")) === 0x85944171f73967e8L)
+  }
+
+  test("fnv1a64 as a column expression (codegen path) agrees with the kernel") {
+    import spark.implicits._
+    val rows = Seq("", "a", "foobar", "spark graft").toDF("s")
+      .select(col("s"), gf.fnv1a64(col("s")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === Kernels.fnv1a64(UTF8String.fromString(r.getString(0))))
+    }
+  }
+
+  test("simhash64: identical token sets collide, disjoint ones differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta")),
+      (3L, Seq("zeta", "eta", "theta", "iota")),
+    ).toDF("id", "toks").select(col("id"), gf.simhash64(col("toks")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("cosine_sim: self-similarity 1.0, orthogonal 0.0, empty-norm 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0),
+    ).toDF("a", "b", "want")
+      .select(gf.cosine_sim(col("a"), col("b")).as("got"), col("want"))
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("hamming64 counts differing bits") {
+    assert(Kernels.hamming64(0L, -1L) === 64)
+    assert(Kernels.hamming64(0b1011L, 0b0010L) === 2)
+    import spark.implicits._
+    val got = Seq((0L, -1L)).toDF("a", "b")
+      .select(gf.hamming64(col("a"), col("b"))).collect()(0).getInt(0)
+    assert(got === 64)
+  }
+}

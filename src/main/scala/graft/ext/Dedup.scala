@@ -75,8 +75,12 @@ object Dedup {
     * equi-join — shuffle on band value, never n².
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = shingled(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
+    // persist the signatures: the banded self-join references this plan
+    // twice, and without a materialization the shingle+hash pass runs twice
+    val sigs = graft.Layer.cached(spark, dir, "simhashSigs") {
+      shingled(Tables.documents(spark, dir), 3)
+        .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
+    }
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
@@ -92,20 +96,27 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** X2 n-gram Jaccard near-dup pairs, exact, bucketed by lang: J(a,b) =
-    * |A∩B| / |A∪B| over distinct 3-shingles. Pair space is per-bucket n² —
-    * acceptable here; the MinHash/SimHash paths are the scale variants.
+  /** X2 n-gram Jaccard near-dup pairs, exact, within-lang: J(a,b) =
+    * |A∩B| / |A∪B| over distinct 3-shingles, via an inverted-index join —
+    * explode shingles, equi-join on (lang, shingle), count shared shingles
+    * per pair, then J = inter / (|A| + |B| − inter). Identical output to
+    * the all-pairs formulation (a zero-overlap pair can never reach the
+    * threshold) but the join materializes only pairs that actually share a
+    * shingle: Σ per-shingle-count² rows instead of per-lang n² array
+    * comparisons — the formulation that survives a 100× corpus.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame = {
-    val docs = shingled(Tables.documents(spark, dir), 3)
-      .select(col("doc_id"), col("lang"), col("shingles"))
-    val a = docs.select(col("lang"), col("doc_id").as("a"), col("shingles").as("sa"))
-    val b = docs.select(col("lang"), col("doc_id").as("b"), col("shingles").as("sb"))
-    a.join(b, Seq("lang"))
+    val inv = shingled(Tables.documents(spark, dir), 3)
+      .select(col("lang"), col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("s"))
+    val a = inv.toDF("lang", "a", "sza", "s")
+    val b = inv.toDF("lang", "b", "szb", "s")
+    a.join(b, Seq("lang", "s"))
       .filter(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("uni", size(array_union(col("sa"), col("sb"))))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .groupBy("a", "b", "sza", "szb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")

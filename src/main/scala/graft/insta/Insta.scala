@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Layer, Tables}
 
 /** Role-mapped "Instacart" model over the TPC-H-ish testdata (FIXTURES.md §B
   * role mapping): orders ≙ reference orders (F.py:24–26), lineitem ≙
@@ -27,7 +27,7 @@ object Insta {
     * shuffle; order_number/days_since are per-user sequences, exactly the
     * layout a later groupBy(userID) reuses.
     */
-  def ordersI(spark: SparkSession, dir: String): DataFrame = {
+  def ordersI(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "ordersI") {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir).select(
       col("o_orderkey").as("orderID"),
@@ -63,7 +63,7 @@ object Insta {
     * (userID, productID) — the same key the user×product aggregation
     * (userProductFeatures) consumes.
     */
-  def basket(spark: SparkSession, dir: String): DataFrame = {
+  def basket(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "basket") {
     val li = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("orderID"),
       col("l_partkey").as("productID"),
@@ -83,55 +83,60 @@ object Insta {
   /** Per-product features (F.py:69–74, A1–A3): order count, reorder count,
     * reorder ratio. Single hash-aggregate with map-side partials.
     */
-  def productFeatures(spark: SparkSession, dir: String): DataFrame =
+  def productFeatures(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "productFeatures") {
     priorBasket(spark, dir)
       .groupBy("productID")
       .agg(
         count(lit(1)).as("numorders"),
         sum(col("reordered")).cast("double").as("numreorders"))
       .withColumn("reorder_ratio", round(col("numreorders") / col("numorders"), 4))
+  }
 
   /** Per-user ordering-history features (F.py:89–91, A4–A5). */
-  def userOrderFeatures(spark: SparkSession, dir: String): DataFrame =
+  def userOrderFeatures(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "userOrderFeatures") {
     ordersI(spark, dir)
       .groupBy("userID")
       .agg(
         round(avg(col("days_since")), 4).as("avg_orderingGap"),
         count(lit(1)).as("total_orders"))
+  }
 
   /** Per-user prior-product features (F.py:96–100, A6–A8): item count,
     * sorted distinct-product array (the reference's set-valued column),
     * distinct count. array_sort pins determinism (SURVEY.md §7.4).
     */
-  def userPriorFeatures(spark: SparkSession, dir: String): DataFrame =
+  def userPriorFeatures(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "userPriorFeatures") {
     priorBasket(spark, dir)
       .groupBy("userID")
       .agg(
         count(lit(1)).as("items_purchased_total"),
         array_sort(collect_set(col("productID"))).as("all_items"),
         countDistinct(col("productID")).as("distinct_items"))
+  }
 
   /** Combined user features (F.py:104–106, J3 + A9): left join mirrors
     * pandas `.join` (how='left' from the prior side) + derived average_items.
     */
-  def usersFinal(spark: SparkSession, dir: String): DataFrame =
+  def usersFinal(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "usersFinal") {
     userPriorFeatures(spark, dir)
       .join(userOrderFeatures(spark, dir), Seq("userID"), "left_outer")
       .withColumn("average_items",
         round(col("items_purchased_total") / col("total_orders"), 4))
+  }
 
   /** User×product features (F.py:110–118, A10/A11/W1/W2): count,
     * last-order-containing-the-product, summed cart position. `max_by`
     * replaces the reference's sort + groupby-last; the multi-column group key
     * replaces its overflow-prone synthetic userID*100000+productID key.
     */
-  def userProductFeatures(spark: SparkSession, dir: String): DataFrame =
+  def userProductFeatures(spark: SparkSession, dir: String): DataFrame = Layer.cached(spark, dir, "userProductFeatures") {
     priorBasket(spark, dir)
       .groupBy("userID", "productID")
       .agg(
         count(lit(1)).as("up_numorders"),
         max_by(col("orderID"), col("order_number")).as("final_orderId"),
         sum(col("cart_order")).as("sum_cartOrder"))
+  }
 
   /** Candidate generation (F.py:128–141, J6): every (order, prior-product-
     * of-its-user) pair for the given eval sets — the reference's driver-side

@@ -1,6 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.{Binarizer, VectorAssembler}
 import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,23 +72,59 @@ object ReorderModel {
   def metrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = assemble(Insta.featureMatrix(spark, dir, Seq(1L)))
+      .select((featureCols.map(col) :+ col("label") :+ col("features")): _*)
+      .persist()
     val Array(fit, holdout) = all.randomSplit(Array(0.7, 0.3), seed)
+    fit.persist(); holdout.persist()
+    // One confusion-matrix pass per model (4 tiny rows collected) instead
+    // of 4 evaluator jobs each re-scoring the holdout: all four metrics
+    // derive from the same counts, matching
+    // MulticlassClassificationEvaluator's weighted definitions.
     def evalOne(name: String, model: org.apache.spark.ml.Model[_]): (String, Double, Double, Double, Double) = {
-      val scored = binarize(model.transform(holdout))
-        .select(col("predicted_label"), col("label"))
-      def m(metric: String): Double = {
-        val v = new MulticlassClassificationEvaluator()
-          .setPredictionCol("predicted_label").setLabelCol("label")
-          .setMetricName(metric).evaluate(scored)
-        math.rint(v * 10000) / 10000
+      val cm = binarize(model.transform(holdout))
+        .groupBy("predicted_label", "label").count().collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      val classes = Seq(0.0, 1.0)
+      val total = cm.values.sum.toDouble
+      val correct = classes.map(c => cm((c, c))).sum.toDouble
+      def weighted(perClass: Double => Double): Double =
+        classes.map { c =>
+          val support = classes.map(p => cm((p, c))).sum.toDouble
+          (support / total) * perClass(c)
+        }.sum
+      def precision(c: Double): Double = {
+        val predicted = classes.map(l => cm((c, l))).sum.toDouble
+        if (predicted == 0) 0.0 else cm((c, c)) / predicted
       }
-      (name, m("accuracy"), m("weightedPrecision"), m("weightedRecall"), m("f1"))
+      def recall(c: Double): Double = {
+        val actual = classes.map(p => cm((p, c))).sum.toDouble
+        if (actual == 0) 0.0 else cm((c, c)) / actual
+      }
+      def f1(c: Double): Double = {
+        val p = precision(c); val r = recall(c)
+        if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      }
+      def r4(v: Double): Double = math.rint(v * 10000) / 10000
+      (name, r4(correct / total), r4(weighted(precision)), r4(weighted(recall)), r4(weighted(f1)))
     }
-    Seq(
-      evalOne("rf", rf.fit(fit)),
-      evalOne("gbt", gbt.fit(fit)),
-      evalOne("dt", dt.fit(fit)),
-    ).toDF("model", "accuracy", "weightedPrecision", "weightedRecall", "f1")
+    // The three fits are independent — submit them as concurrent Spark jobs
+    // so tree-building passes interleave on the executors (wall-clock ≈ the
+    // slowest model, not the sum).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = Seq(
+      "rf"  -> Future(rf.fit(fit)),
+      "gbt" -> Future(gbt.fit(fit)),
+      "dt"  -> Future(dt.fit(fit)))
+    val out = fits
+      .map { case (n, f) => evalOne(n, Await.result(f, Duration.Inf)) }
+      .toDF("model", "accuracy", "weightedPrecision", "weightedRecall", "f1")
       .orderBy("model")
+    val materialized = out.cache()
+    materialized.count()
+    fit.unpersist(); holdout.unpersist(); all.unpersist()
+    materialized
   }
 }

@@ -37,6 +37,35 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Top-k via the typed single-pass [[graft.functions.TopKAggregator]]:
+    * same result as bruteForceTopK, but partial aggregation keeps only k
+    * candidates per (partition, query) ahead of the shuffle instead of
+    * sorting the full similarity matrix — the preferred shape at scale.
+    */
+  def aggregatorTopK(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), gf.cosine_sim(col("qv"), col("nv")).as("cos"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (s, i) =>
+          (qid, s.n_id, math.rint(s.cos * 10000) / 10000, (i + 1).toLong)
+        }
+      }
+      .toDF("q_id", "n_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic "training-free" centroid set: every 97th vector. A real
     * deployment would k-means these; the pruning structure is identical.
     */

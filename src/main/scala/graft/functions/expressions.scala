@@ -145,4 +145,13 @@ object functions {
   def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimF(x(a), x(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
+
+  /** Expose the custom expressions to SQL (`SELECT fnv1a64(text) ...`). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.registerFunction
+    registerFunction(spark, "fnv1a64", es => Fnv1a64(es.head))
+    registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    registerFunction(spark, "cosine_sim", es => CosineSimF(es(0), es(1)))
+    registerFunction(spark, "hamming64", es => Hamming64(es(0), es(1)))
+  }
 }

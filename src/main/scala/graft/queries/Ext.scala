@@ -36,6 +36,7 @@ object Ext {
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -59,6 +60,8 @@ object Ext {
     "x14_dedup_exact"      -> OracleSqlExt.x14_dedup_exact,
     "x15_ngram_jaccard"    -> OracleSqlExt.x15_ngram_jaccard,
     "x20_cosine_topk"      -> OracleSqlExt.x20_cosine_topk,
+    // the typed-Aggregator formulation must produce byte-identical top-k
+    "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,

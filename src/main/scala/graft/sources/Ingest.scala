@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV ingestion (SURVEY.md §2.1 S1–S4): the reference's four-step RDD
+  * ritual — textFile, first()-based header strip, split(','), per-field int
+  * casts (F.py:16–30) — collapses into one schema'd reader call. The
+  * explicit schema replaces positional casts (S3); `header` replaces the
+  * collect-the-first-row strip (S2); DROPMALFORMED replaces nothing the RDD
+  * path had (it silently crashed on bad rows) and mirrors the one DataFrame
+  * read the reference did use (F.py:28, S4).
+  *
+  * Production posture: schema is REQUIRED (no inference job over 100 TB),
+  * and malformed handling is an explicit choice per source.
+  */
+object Ingest {
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          dropMalformed: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+      .csv(path)
+
+  /** Parquet is the engine's native format: schema travels with the file,
+    * scans prune columns and push predicates (S1/S5 for free).
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

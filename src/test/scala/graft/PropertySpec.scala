@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Kernels
+
+/** ScalaCheck properties over the expression kernels (SURVEY.md §5.3). */
+object PropertySpec extends Properties("Kernels") {
+
+  private def utf8Arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private val token = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
+  private val tokens = Gen.nonEmptyListOf(token)
+
+  property("fnv1a64 is deterministic and sensitive to any appended byte") =
+    forAll(Gen.alphaNumStr) { s =>
+      val h1 = Kernels.fnv1a64(UTF8String.fromString(s))
+      val h2 = Kernels.fnv1a64(UTF8String.fromString(s))
+      val h3 = Kernels.fnv1a64(UTF8String.fromString(s + "x"))
+      h1 == h2 && h1 != h3
+    }
+
+  property("simhash64 is order-invariant over token multisets") =
+    forAll(tokens) { ts =>
+      Kernels.simhash64(utf8Arr(ts)) == Kernels.simhash64(utf8Arr(scala.util.Random.shuffle(ts)))
+    }
+
+  property("identical token lists have hamming distance 0") =
+    forAll(tokens) { ts =>
+      Kernels.hamming64(Kernels.simhash64(utf8Arr(ts)), Kernels.simhash64(utf8Arr(ts))) == 0
+    }
+
+  private val floatVec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
+
+  private def fArr(a: Array[Float]) = new GenericArrayData(a.map(Float.box).toArray[Any])
+
+  property("cosine is bounded in [-1, 1] and symmetric") =
+    forAll(floatVec) { v =>
+      val w = v.map(x => -x * 0.5f)
+      val c = Kernels.cosineF(fArr(v), fArr(w))
+      val c2 = Kernels.cosineF(fArr(w), fArr(v))
+      c >= -1.0000001 && c <= 1.0000001 && math.abs(c - c2) < 1e-12
+    }
+
+  property("cosine of a vector with itself is 1 (non-zero vectors)") =
+    forAll(floatVec.suchThat(_.exists(_ != 0f))) { v =>
+      math.abs(Kernels.cosineF(fArr(v), fArr(v)) - 1.0) < 1e-9
+    }
+
+  property("hamming64 is a metric: symmetry + triangle inequality") =
+    forAll { (a: Long, b: Long, c: Long) =>
+      val ab = Kernels.hamming64(a, b)
+      val ba = Kernels.hamming64(b, a)
+      val ac = Kernels.hamming64(a, c)
+      val cb = Kernels.hamming64(c, b)
+      ab == ba && ab <= ac + cb && ab >= 0 && ab <= 64
+    }
+
+  /** Reference session-splitter in plain Scala, mirroring the documented
+    * semantics: an event merges while ts <= prev + gap (boundary inclusive).
+    */
+  private def sessionize(ts: Seq[Long], gapUs: Long): Seq[(Long, Long, Int)] = {
+    val sorted = ts.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var start = sorted.head; var last = sorted.head; var n = 1
+    for (t <- sorted.tail) {
+      if (t > last + gapUs) { out += ((start, last + gapUs, n)); start = t; n = 0 }
+      n += 1; last = t
+    }
+    out += ((start, last + gapUs, n))
+    out.toSeq
+  }
+
+  property("reference sessionizer: counts conserve and sessions are gap-separated") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10L * 3600 * 1000000L))) { ts =>
+      val gap = 30L * 60 * 1000000L
+      val sessions = sessionize(ts, gap)
+      val countsOk = sessions.map(_._3).sum == ts.size
+      // a new session only starts strictly after the previous end
+      // (end = last event + gap; an event exactly at the end merges)
+      val separated = sessions.sliding(2).forall {
+        case Seq((_, e1, _), (s2, _, _)) => s2 > e1
+        case _ => true
+      }
+      countsOk && separated
+    }
+}

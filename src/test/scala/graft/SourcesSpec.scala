@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources.Ingest
+
+/** S1–S4 CSV ingestion semantics + SQL registration of custom functions. */
+class SourcesSpec extends SparkSuite {
+
+  test("csv ingest: header stripped, schema applied, malformed rows dropped") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "orders.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("orderID,productID,cart_order,reordered")
+    w.println("1,100,1,0")
+    w.println("2,oops,not,a_number") // malformed → dropped
+    w.println("3,300,2,1")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("orderID", LongType), StructField("productID", LongType),
+      StructField("cart_order", IntegerType), StructField("reordered", IntegerType)))
+    val got = Ingest.csv(spark, f.getAbsolutePath, schema)
+      .orderBy("orderID").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(got(1).getLong(1) === 300L)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.functions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT fnv1a64('foobar') AS h,
+        |       hamming64(0L, -1L) AS d,
+        |       cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       simhash64(array('a','b')) = simhash64(array('b','a')) AS sym
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 0x85944171f73967e8L)
+    assert(r.getInt(1) === 64)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getBoolean(3))
+  }
+
+  test("aggregator top-k equals window-based brute force") {
+    val viaWindow = graft.ext.Similarity.bruteForceTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val viaAgg = graft.ext.Similarity.aggregatorTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(viaAgg === viaWindow)
+  }
+}

@@ -37,6 +37,15 @@ object Ext {
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
+    // skew-resilient aggregation (two-phase salted; equals plain groupBy)
+    "x40_salted_agg"       -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      graft.ops.Skew.saltedCountSum(
+        graft.Tables.lineitem(s, d).select(col("l_partkey").as("k"), col("l_quantity")),
+        Seq("k"), "l_quantity", salt = 16)
+        .withColumn("total", round(col("total"), 4))
+        .orderBy("k")
+    }),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -64,6 +73,9 @@ object Ext {
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
+    "x40_salted_agg"       ->
+      """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
+        |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
   )
 }

@@ -55,6 +55,7 @@ object Ext {
     // streaming (X9)
     "s01_stream_tumbling"  -> ((s: SparkSession, d: String) => Streams.tumbling(s, d)),
     "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),
+    "s03_stream_stateful"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotals(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,5 +78,9 @@ object Ext {
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
+    // final per-user stream state must equal the batch aggregate
+    "s03_stream_stateful"  ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

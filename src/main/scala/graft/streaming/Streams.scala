@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.Tables
 
@@ -53,6 +53,37 @@ object Streams {
       .select(col("window.start").cast("long").as("ws"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("ws", "event_type")
+  }
+
+  /** Custom state machine via flatMapGroupsWithState (the X9 "custom
+    * state" surface): a per-user running (count, total) accumulator,
+    * updated per micro-batch. After the AvailableNow replay the final
+    * state per user equals the batch groupBy — oracle-checked. State
+    * lives in the streaming state store, partitioned by user_id; at scale
+    * that is RocksDB-backed and bounded by |users|, not |events|.
+    */
+  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          Iterator((uid, n, t))
+      }
+      .toDF("user_id", "n", "total")
+    val table = runToMemory(updated, "update")
+    // the final state per user is the row with the highest running count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    table.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+      .orderBy("user_id")
   }
 
   /** Watermarked session windows in append mode: only sessions finalized

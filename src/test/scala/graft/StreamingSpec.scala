@@ -15,6 +15,34 @@ class StreamingSpec extends SparkSuite {
     assert(stream === batch)
   }
 
+  test("stateful accumulator carries state across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val counted = mem.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          Iterator((uid, n, t))
+      }.toDF("user_id", "n", "total")
+    val q = counted.writeStream.outputMode("update")
+      .format("memory").queryName("graft_state_test").start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_state_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch 1 emitted (1,2,3.0) and (2,1,10.0); batch 2 emitted (1,3,7.0)
+    assert(rows.toSet === Set((1L, 2L, 3.0), (2L, 1L, 10.0), (1L, 3L, 7.0)))
+  }
+
   test("watermarked streaming sessions are a subset of batch sessions") {
     val batch = Events.sessions(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.all ++ graft.queries.Ext.all
+    graft.queries.Core.all ++ graft.queries.Ext.all ++ graft.queries.Analytics.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracles ++ graft.queries.Ext.oracles
+    graft.queries.Core.oracles ++ graft.queries.Ext.oracles ++ graft.queries.Analytics.oracles
 }

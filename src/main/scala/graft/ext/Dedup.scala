@@ -53,10 +53,14 @@ object Dedup {
     * Seeded for determinism. Output: pairs with Jaccard distance ≤ maxDist.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
-    val docs = shingled(Tables.documents(spark, dir), 3)
-    val tf = new HashingTF()
-      .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
-    val fed = tf.transform(docs).filter(col("doc_id").isNotNull)
+    // cache the vectorized docs: the LSH self-join scans this plan twice
+    val fed = graft.Layer.cached(spark, dir, "minhashFeatures") {
+      val docs = shingled(Tables.documents(spark, dir), 3)
+      new HashingTF()
+        .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
+        .transform(docs)
+        .select("doc_id", "features")
+    }
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
     val model = lsh.fit(fed)

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic OLAP shapes over the star schema (beyond the reference's own
+  * surface): pricing summary, multi-way join revenue rollup, date-window
+  * top-N. These are the headline "does the engine behave like a warehouse"
+  * queries — scan pruning, date predicates pushed to parquet, dim broadcast,
+  * multi-join chains.
+  *
+  * Determinism: monetary aggregates run in DECIMAL (exact, order-independent
+  * — double summation order differs between Spark partials and the DuckDB
+  * oracle and would flip the 4th decimal), then convert once to double.
+  */
+object Analytics {
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  /** TPC-H Q1 shape: pricing summary by flag/status over shipped lines. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec("l_extendedprice")).as("d_base"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("d_disc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty"), 4).as("sum_qty"),
+        round(col("d_base").cast("double"), 4).as("sum_base_price"),
+        round(col("d_disc").cast("double"), 4).as("sum_disc_price"),
+        round((col("d_base").cast("double")) / col("count_order"), 4).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q5 shape: revenue by nation through the full dim chain
+    * (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region) — dims broadcast,
+    * date range pushed to the orders scan.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("rev")).as("d_rev"), count(lit(1)).as("n_lines"))
+      .select(col("r_name"), col("n_name"),
+        round(col("d_rev").cast("double"), 4).as("revenue"), col("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q3 shape: top unshipped-revenue orders for a market segment in a
+    * date window — join + agg + total-order top-N (orderBy before limit).
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("date")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(col("rev")).as("d_rev"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("d_rev").cast("double"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(n)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_pricing_summary"  -> (pricingSummary _),
+    "a02_revenue_by_nation" -> (revenueByNation _),
+    "a03_top_revenue_orders" -> ((s: SparkSession, d: String) => topRevenueOrders(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_base_price,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS sum_disc_price,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a02_revenue_by_nation" ->
+      """SELECT r.r_name, n.n_name,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+    "a03_top_revenue_orders" ->
+      """SELECT l.l_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1997-06-01'
+        |  AND l.l_shipdate > DATE '1997-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 20""".stripMargin,
+  )
+}

@@ -20,7 +20,19 @@ import org.apache.spark.storage.StorageLevel
 object Layer {
   private val memo = new ConcurrentHashMap[String, DataFrame]()
 
-  def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$key",
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  /** NOT computeIfAbsent: building one layer recursively builds the layers
+    * under it (basket → ordersI), and a nested mutation inside
+    * computeIfAbsent throws "Recursive update". Build outside the map;
+    * on a lost race, drop the duplicate and keep the winner.
+    */
+  def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = s"${System.identityHashCode(spark)}|$dir|$key"
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = memo.putIfAbsent(k, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
+  }
 }

@@ -89,13 +89,117 @@ object Analytics {
       .limit(n)
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≙ DuckDB
+    * quantile_cont). The approx variant (percentile_approx / t-digest) is
+    * the 100 TB path; exact keeps the oracle comparable.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  /** Moment aggregates per event type (avg/stddev/min/max). */
+  def eventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(avg(col("value")), 4).as("avg_v"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Rollup over the region→nation hierarchy: subtotal rows carry NULLs
+    * (sort pinned NULLS FIRST on both engines). Expressed through the
+    * spark.sql entry point: the same Catalyst plan as the DataFrame
+    * formulation, and it sidesteps the analyzer's ambiguous-self-join
+    * false positive that DataFrame `rollup` + by-name references trip.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"g_$t"))
+    spark.sql(
+      """SELECT r.r_name, n.n_name,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM g_lineitem l
+        |JOIN g_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN g_customer c ON o.o_custkey = c.c_custkey
+        |JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN g_region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Set operations (§2.7 — absent from the reference, present here):
+    * users split by purchase behavior via EXCEPT / INTERSECT.
+    */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val openers = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = buyers.intersect(openers)
+      .withColumn("segment", lit("both"))
+    val onlyF = buyers.except(openers)
+      .withColumn("segment", lit("only_f"))
+    both.unionByName(onlyF)
+      .select(col("o_custkey").as("userID"), col("segment"))
+      .orderBy("userID", "segment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_percentiles"      -> (percentiles _),
+    "a05_event_stats"      -> (eventStats _),
+    "a06_revenue_rollup"   -> (revenueRollup _),
+    "a07_user_setops"      -> (userSetOps _),
     "a01_pricing_summary"  -> (pricingSummary _),
     "a02_revenue_by_nation" -> (revenueByNation _),
     "a03_top_revenue_orders" -> ((s: SparkSession, d: String) => topRevenueOrders(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "a04_percentiles" ->
+      """SELECT lang,
+        |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "a05_event_stats" ->
+      """SELECT event_type,
+        |       ROUND(AVG(value), 4) AS avg_v,
+        |       ROUND(stddev_samp(value), 4) AS sd_v,
+        |       ROUND(MIN(value), 4) AS min_v,
+        |       ROUND(MAX(value), 4) AS max_v,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a06_revenue_rollup" ->
+      """SELECT r.r_name, n.n_name,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "a07_user_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |seg_both AS (SELECT o_custkey, 'both' AS segment FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)),
+        |seg_onlyf AS (SELECT o_custkey, 'only_f' AS segment FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o))
+        |SELECT o_custkey AS userID, segment FROM seg_both
+        |UNION ALL
+        |SELECT o_custkey AS userID, segment FROM seg_onlyf
+        |ORDER BY userID, segment""".stripMargin,
     "a01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 4) AS sum_qty,

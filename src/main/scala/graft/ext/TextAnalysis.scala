@@ -76,6 +76,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish regex token counting: words, numbers, and punctuation runs as
+    * separate tokens (the pre-tokenization split BPE vocabularies apply).
+    * ASCII-safe pattern so Java regex (Spark) and RE2 (DuckDB oracle)
+    * agree byte-for-byte.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** X4 document fingerprinting via the native FNV-1a 64 expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

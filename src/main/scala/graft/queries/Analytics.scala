@@ -154,7 +154,21 @@ object Analytics {
       .orderBy("userID", "segment")
   }
 
+  /** HLL approximate distinct next to the exact count — the approximate
+    * path is the 100 TB default (no shuffle of distinct values, mergeable
+    * sketches); rows-only checked (HLL implementations differ between
+    * engines) with a tolerance test in OpsSpec.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a08_approx_distinct"  -> (approxDistinct _),
     "a04_percentiles"      -> (percentiles _),
     "a05_event_stats"      -> (eventStats _),
     "a06_revenue_rollup"   -> (revenueRollup _),

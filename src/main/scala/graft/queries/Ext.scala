@@ -27,6 +27,7 @@ object Ext {
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
     "x12_langid"           -> ((s: SparkSession, d: String) => TextAnalysis.langScore(s, d)),
     "x13_fingerprint"      -> ((s: SparkSession, d: String) => TextAnalysis.fingerprints(s, d)),
+    "x18_bpe_tokens"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenCounts(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -68,6 +69,11 @@ object Ext {
     "x11_quality_filter"   -> OracleSqlExt.x11_quality_filter,
     "x12_langid"           -> OracleSqlExt.x12_langid,
     "x14_dedup_exact"      -> OracleSqlExt.x14_dedup_exact,
+    "x18_bpe_tokens"       ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS n_distinct_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_ngram_jaccard"    -> OracleSqlExt.x15_ngram_jaccard,
     "x20_cosine_topk"      -> OracleSqlExt.x20_cosine_topk,
     // the typed-Aggregator formulation must produce byte-identical top-k

@@ -55,6 +55,28 @@ object Streams {
       .orderBy("ws", "event_type")
   }
 
+  /** foreachBatch sink (the X9 sink surface): each micro-batch of the
+    * windowed aggregate is appended to parquet by the caller-supplied
+    * writer — the pattern for routing a stream into arbitrary batch sinks
+    * (upserts, multi-table fan-out). Returns the on-disk result read back.
+    */
+  def tumblingViaForeachBatch(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("ws", "event_type")
+  }
+
   /** Custom state machine via flatMapGroupsWithState (the X9 "custom
     * state" surface): a per-user running (count, total) accumulator,
     * updated per micro-batch. After the AvailableNow replay the final

@@ -26,6 +26,24 @@ class OpsSpec extends SparkSuite {
     assert(salted === direct)
   }
 
+  test("approx_count_distinct lands within the configured error of exact") {
+    val rows = graft.queries.Analytics.approxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("foreachBatch sink round-trips the streaming aggregate to parquet") {
+    val out = Files.createTempDirectory("graft_feb").toString + "/agg"
+    val viaSink = graft.streaming.Streams
+      .tumblingViaForeachBatch(spark, sf, out).collect().toSeq
+    val batch = graft.ext.Events.tumbling(spark, sf).collect().toSeq
+    assert(viaSink === batch)
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

@@ -72,7 +72,7 @@ object ReorderModel {
   def metrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = assemble(Insta.featureMatrix(spark, dir, Seq(1L)))
-      .select((featureCols.map(col) :+ col("label") :+ col("features")): _*)
+      .select((featureCols.toIndexedSeq.map(col) :+ col("label") :+ col("features")): _*)
       .persist()
     val Array(fit, holdout) = all.randomSplit(Array(0.7, 0.3), seed)
     fit.persist(); holdout.persist()

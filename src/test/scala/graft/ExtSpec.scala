@@ -85,6 +85,17 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.forall(_.getLong(1) === 4))
   }
 
+  test("empty inputs: session windows and submission degrade to empty/None, not errors") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(Events.sessionsOf(noEvents).count() === 0)
+    val testOrders = Seq((100L, 2L)).toDF("orderID", "eval_set")
+    val noScores = Seq.empty[(Long, Long, Double)].toDF("orderID", "productID", "score")
+    val sub = graft.insta.Insta.submission(testOrders, noScores, "score").collect()
+    assert(sub.length === 1 && sub(0).getString(1) === "None")
+  }
+
   test("media decode stub is deterministic and schema-stable") {
     val a = Multimodal.decodeMeta(spark, sf).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeMeta(spark, sf).collect().sortBy(_.doc_id)

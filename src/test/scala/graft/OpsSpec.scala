@@ -44,6 +44,41 @@ class OpsSpec extends SparkSuite {
     assert(viaSink === batch)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val basket = graft.insta.Insta.priorBasket(spark, sf)
+      .select("userID", "productID", "cart_order")
+    val users = graft.insta.Insta.userOrderFeatures(spark, sf)
+    // clean both catalog entries and any orphaned location from a prior run
+    Seq("graft_basket_b", "graft_users_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    Sinks.bucketedTable(basket, "graft_basket_b", Seq("userID"), 8)
+    Sinks.bucketedTable(users, "graft_users_b", Seq("userID"), 8)
+    // disable broadcast so the planner actually uses the bucket layout
+    // (with a broadcastable side it rightly prefers BroadcastHashJoin)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_basket_b")
+        .join(spark.table("graft_users_b"), "userID")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-hashed into the same 8 buckets → scans are bucketed
+      // and no shuffle exchange appears before the join
+      assert(plan.contains("Bucketed: true"), s"bucket layout unused:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(joined.count() === basket.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_basket_b")
+      spark.sql("DROP TABLE IF EXISTS graft_users_b")
+    }
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

@@ -167,8 +167,34 @@ object Analytics {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Window-function suite (rank / ntile / lag / running sum) per user.
+    * The running double sum is order-pinned by the window sort, so both
+    * engines accumulate in the same sequence — fp-identical.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPriceDesc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPriceAsc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey").as("userID"),
+      col("o_orderkey").as("orderID"),
+      rank().over(byPriceDesc).cast("long").as("price_rank"),
+      ntile(4).over(byPriceAsc).cast("long").as("quartile"),
+      coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate)),
+        lit(-1)).cast("long").as("gap_days"),
+      round(sum(col("o_totalprice"))
+        .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+        .as("running_total"))
+      .orderBy("userID", "orderID")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
+    "a09_window_suite"     -> (windowSuite _),
     "a04_percentiles"      -> (percentiles _),
     "a05_event_stats"      -> (eventStats _),
     "a06_revenue_rollup"   -> (revenueRollup _),
@@ -179,6 +205,16 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "a09_window_suite" ->
+      """SELECT o_custkey AS userID, o_orderkey AS orderID,
+        |       CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+        |       CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+        |       CAST(COALESCE(date_diff('day',
+        |              LAG(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT) AS gap_days,
+        |       ROUND(SUM(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 4) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY userID, orderID""".stripMargin,
     "a04_percentiles" ->
       """SELECT lang,
         |       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,

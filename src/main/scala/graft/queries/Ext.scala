@@ -38,6 +38,8 @@ object Ext {
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
+    // range/interval join (time-bucketed equi-join + exact predicate)
+    "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
     // as-of join (union + last-non-null window composition)
     "x50_asof_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.eventsToLatestOrder(s, d)),
     // skew-resilient aggregation (two-phase salted; equals plain groupBy)
@@ -83,6 +85,7 @@ object Ext {
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x50_asof_join"        -> graft.ops.AsOf.oracle,
+    "x51_range_join"       -> graft.ops.RangeJoin.oracle,
     "x40_salted_agg"       ->
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,

@@ -19,6 +19,19 @@ object Events {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** X5 via schema'd parse: from_json projects the JSON column into a
+    * typed struct in one codegen'd pass — the right shape when several
+    * fields are consumed (get_json_object re-parses per field).
+    */
+  def jsonSchema(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+  }
+
   /** X6: tumbling 1-hour window per event_type. The groupBy(window(...))
     * is a single hash-aggregate — window assignment is a projection, so
     * partial aggregation happens map-side before the shuffle.

@@ -66,12 +66,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic "training-free" centroid set: every 97th vector. A real
-    * deployment would k-means these; the pruning structure is identical.
+  /** Spherical k-means centroids, trained with a few distributed Lloyd
+    * iterations in pure DataFrame ops: assign each vector to its nearest
+    * centroid (broadcast), recompute centroids as the element-wise mean of
+    * their members (posexplode → per-(cluster, dim) avg → re-assemble).
+    * Deterministic init (every 97th vector); each iteration is one
+    * broadcast join + one (cluster, dim)-keyed aggregate — both linear in
+    * n·dim, no pairwise blowup.
     */
-  private def centroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 97 === 0)
+  private def centroids(e: DataFrame, iters: Int = 2): DataFrame = {
+    var cent = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") === 1)
+        .select(col("c_id").as("cluster"), col("embedding"))
+      cent = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg(col("v")).as("mv"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .select(col("cluster").as("c_id"),
+          transform(col("pv"), p => p.getField("mv").cast("float")).as("cv"))
+    }
+    cent
+  }
 
   /** IVF-style ANN: assign every vector to its nearest centroid (small
     * centroid table broadcast), then search only within the query's
@@ -80,17 +102,19 @@ object Similarity {
     * bruteForceTopK is asserted in tests, not oracle-checked.
     */
   def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Int = 10, k: Int = 5): DataFrame = {
+              nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cent = centroids(e)
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
+    val ranked = e.crossJoin(broadcast(cent))
       .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
       .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+    // candidates live in exactly one cluster; queries probe their nProbe
+    // nearest clusters (the standard IVF recall/cost dial)
+    val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cluster"))
+    val q = ranked.filter(col("vec_id") < nQueries && col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("c_id").as("cluster"))
     val c = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

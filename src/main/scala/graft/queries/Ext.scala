@@ -22,6 +22,7 @@ object Ext {
     "x03_window_sliding"   -> ((s: SparkSession, d: String) => Events.sliding(s, d)),
     "x04_session_window"   -> ((s: SparkSession, d: String) => Events.sessions(s, d)),
     "x05_event_pivot"      -> ((s: SparkSession, d: String) => Events.pivotCounts(s, d)),
+    "x19_from_json"        -> ((s: SparkSession, d: String) => Events.jsonSchema(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -61,10 +62,13 @@ object Ext {
     "s01_stream_tumbling"  -> ((s: SparkSession, d: String) => Streams.tumbling(s, d)),
     "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),
     "s03_stream_stateful"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotals(s, d)),
+    "s04_stream_sliding"   -> ((s: SparkSession, d: String) => Streams.sliding(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "x01_json_extract"     -> OracleSqlExt.x01_json_extract,
+    "x19_from_json"        -> OracleSqlExt.x01_json_extract,
+    "s04_stream_sliding"   -> OracleSqlExt.x03_window_sliding,
     "x02_window_tumbling"  -> OracleSqlExt.x02_window_tumbling,
     "x03_window_sliding"   -> OracleSqlExt.x03_window_sliding,
     "x04_session_window"   -> OracleSqlExt.x04_session_window,

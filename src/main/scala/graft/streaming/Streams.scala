@@ -55,6 +55,18 @@ object Streams {
       .orderBy("ws", "event_type")
   }
 
+  /** Streaming twin of Events.sliding — same sliding-window expansion and
+    * aggregate over the file replay, checked against the batch oracle.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    runToMemory(agg, "complete")
+      .select(col("window.start").cast("long").as("ws"), col("n"), col("total_value"))
+      .orderBy("ws")
+  }
+
   /** foreachBatch sink (the X9 sink surface): each micro-batch of the
     * windowed aggregate is appended to parquet by the caller-supplied
     * writer — the pattern for routing a stream into arbitrary batch sinks

@@ -69,13 +69,13 @@ class ExtSpec extends SparkSuite {
     if (exact.nonEmpty) assert(exact.intersect(sim).nonEmpty)
   }
 
-  test("IVF ANN reaches >= 40% recall of brute-force top-5 on sf0.001") {
+  test("IVF ANN (k-means centroids, nprobe=2) reaches >= 50% recall of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfTopK(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall=$recall")
+    assert(recall >= 0.5, s"recall=$recall")
   }
 
   test("brute-force topk excludes self and emits exactly k ranks per query") {

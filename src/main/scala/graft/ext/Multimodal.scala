@@ -65,6 +65,28 @@ object Multimodal {
     }
   }
 
+  case class TransformedMedia(doc_id: Long, media_type: String,
+                              out_w: Int, out_h: Int, sampled_frames: Seq[Int])
+
+  /** Resize + frame-sample over the decoded stream — the other two media
+    * transforms a training pipeline needs. The pixel work is stubbed with
+    * the decoder (aspect-preserving target dims from the fake geometry;
+    * every-nth frame indices); the dataflow — decode once, derive many
+    * transforms per partition pass — is the real shape.
+    */
+  def transformMedia(spark: SparkSession, dir: String,
+                     targetW: Int = 32, frameStride: Int = 2): Dataset[TransformedMedia] = {
+    import spark.implicits._
+    decodeMeta(spark, dir).map { m =>
+      val scale = targetW.toDouble / math.max(1, m.width)
+      // floor(x + 0.5), not rint: half-even would diverge from the SQL
+      // oracle's rounding on exact .5 scale hits
+      val outH = math.max(1, math.floor(m.height * scale + 0.5).toInt)
+      val frames = (0 until m.n_frames by frameStride).toSeq
+      TransformedMedia(m.doc_id, m.media_type, targetW, outH, frames)
+    }
+  }
+
   /** Pure-column metadata over the binary payload (oracle-checkable): byte
     * length and the fake geometry derived from it. Shows binary columns
     * flowing through codegen'd expressions without leaving the JVM row

@@ -55,6 +55,7 @@ object Ext {
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
+    "x32_media_transform"  -> ((s: SparkSession, d: String) => Multimodal.transformMedia(s, d).toDF().orderBy("doc_id")),
     // ML (M1–M7; seeded, metric-band tested — not oracle-expressible)
     "m01_rf_submission"    -> ((s: SparkSession, d: String) => ReorderModel.rfSubmission(s, d)),
     "m02_model_metrics"    -> ((s: SparkSession, d: String) => ReorderModel.metrics(s, d)),
@@ -88,6 +89,24 @@ object Ext {
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
+    "x32_media_transform"  ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, media_type,
+        |         CAST(nb % 64 + 1 AS INT) AS w, CAST(nb % 48 + 1 AS INT) AS h,
+        |         CAST(CASE media_type WHEN 'video' THEN 1 + nb % 8
+        |                              WHEN 'audio' THEN 1 + nb % 16
+        |                              ELSE 1 END AS INT) AS nf
+        |  FROM m)
+        |SELECT doc_id, media_type, CAST(32 AS INT) AS out_w,
+        |       CAST(greatest(1, floor(h * 32.0 / greatest(1, w) + 0.5)) AS INT) AS out_h,
+        |       list_transform(range(0, nf, 2), x -> CAST(x AS INT)) AS sampled_frames
+        |FROM g ORDER BY doc_id""".stripMargin,
     "x50_asof_join"        -> graft.ops.AsOf.oracle,
     "x51_range_join"       -> graft.ops.RangeJoin.oracle,
     "x40_salted_agg"       ->

@@ -126,6 +126,32 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** The composed corpus-cleaning pipeline a pre-training data flow runs:
+    * quality gate (length + lexical diversity) → exact dedup on normalized
+    * text (keep min doc_id) → near-dup removal (drop the higher doc_id of
+    * every ≥ minJaccard shingle-overlap pair). Returns surviving doc ids.
+    * Each stage is the distributed formulation proven above (hash-agg
+    * dedup, inverted-index pair generation); the composition is one
+    * DataFrame DAG — nothing materializes between stages.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val quality = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("ttr", round(size(array_distinct(toks)) / size(toks), 4))
+      .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3)
+    val exactKept = quality
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy("norm").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = ngramJaccardPairs(spark, dir, minJaccard)
+      .select(col("b").as("doc_id")).distinct()
+    exactKept
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** X2 embedding-cosine near-dup pairs (exact over the full pair space —
     * see Similarity.ivfTopK for the bucketed scale path).
     */

@@ -34,6 +34,7 @@ object Ext {
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "x16_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "x17_simhash_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
@@ -78,6 +79,28 @@ object Ext {
     "x11_quality_filter"   -> OracleSqlExt.x11_quality_filter,
     "x12_langid"           -> OracleSqlExt.x12_langid,
     "x14_dedup_exact"      -> OracleSqlExt.x14_dedup_exact,
+    "x60_clean_corpus"     ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |quality AS (
+        |  SELECT doc_id, text FROM t
+        |  WHERE len(toks) >= 30
+        |    AND ROUND(len(list_distinct(toks)) / len(toks), 4) >= 0.3),
+        |exact_kept AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM quality)
+        |  GROUP BY norm),
+        |sh AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+        |              len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6)
+        |SELECT doc_id FROM exact_kept
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "x18_bpe_tokens"       ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,

@@ -192,8 +192,22 @@ object Analytics {
       .orderBy("userID", "orderID")
   }
 
+  /** t-digest approximate percentiles next to the exact values — like a08,
+    * the sketch path is the at-scale default (mergeable, bounded memory);
+    * rows-only checked with a tolerance test (sketch internals differ
+    * between engines).
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"))
+      .orderBy("lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
+    "a10_approx_percentile" -> (approxPercentiles _),
     "a09_window_suite"     -> (windowSuite _),
     "a04_percentiles"      -> (percentiles _),
     "a05_event_stats"      -> (eventStats _),

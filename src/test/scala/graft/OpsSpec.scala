@@ -36,6 +36,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile lands near the exact median per group") {
+    graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("from_json yields null, not an error, on malformed JSON") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val got = Seq("""{"k": 7}""", "not json", """{"k": "x"}""")
+      .toDF("props")
+      .select(from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(got.toSeq === Seq(7L, -1L, -1L))
+  }
+
   test("foreachBatch sink round-trips the streaming aggregate to parquet") {
     val out = Files.createTempDirectory("graft_feb").toString + "/agg"
     val viaSink = graft.streaming.Streams

@@ -36,6 +36,23 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("salted aggregation equals direct groupBy across randomized datasets") {
+    import spark.implicits._
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 2000).map { _ =>
+        (s"k${rnd.nextInt(1 + rnd.nextInt(40))}", rnd.nextInt(1000).toDouble)
+      }
+      val df = rows.toDF("k", "v").repartition(1 + seed % 7)
+      val direct = df.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = Skew.saltedCountSum(df, Seq("k"), "v", salt = 1 + seed % 9)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted === direct, s"seed=$seed")
+    }
+  }
+
   test("approx_percentile lands near the exact median per group") {
     graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble

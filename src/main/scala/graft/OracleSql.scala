@@ -127,8 +127,13 @@ object OracleSql {
   val q08_user_order_features: String = withCtes(ordersI, userOrderFeats)(
     "SELECT * FROM user_order_feats ORDER BY userID")
 
+  /** all_items compares as a canonical space-joined string (array cells
+    * break the driver's pandas sort; the layer stays array-typed).
+    */
   val q09_user_prior_features: String = withCtes(ordersI, basket, userPriorFeats)(
-    "SELECT * FROM user_prior_feats ORDER BY userID")
+    """SELECT userID, items_purchased_total,
+      |       array_to_string(all_items, ' ') AS all_items, distinct_items
+      |FROM user_prior_feats ORDER BY userID""".stripMargin)
 
   val q10_users_final: String =
     withCtes(ordersI, basket, userOrderFeats, userPriorFeats, usersFinal)(

@@ -128,12 +128,28 @@ object OracleSqlExt {
        |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors Dedup.bandedNearDup bit-for-bit: 8 bands × 8 sign bits over
+    * the 64 coordinate axes (deterministic — no random hyperplanes), band
+    * equi-join for candidates, exact cosine verify. DuckDB lists are
+    * 1-indexed, hence `v[band*8 + j + 1]` for Spark's getItem(b*8+j).
+    */
   val x21_embedding_neardup: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, band,
+       |         list_sum(list_transform(range(0, 8),
+       |           j -> CASE WHEN v[band * 8 + j + 1] >= 0
+       |                     THEN 1 << j ELSE 0 END)) AS key
+       |  FROM e, range(0, 8) AS bs(band)),
+       |cand AS (
+       |  SELECT DISTINCT s.vec_id AS a, t.vec_id AS b
+       |  FROM sig s JOIN sig t
+       |    ON s.band = t.band AND s.key = t.key AND s.vec_id < t.vec_id),
        |p AS (
-       |  SELECT a.vec_id AS a, b.vec_id AS b,
-       |         ROUND(${cosExpr("a.v", "b.v")}, 4) AS cos
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |  SELECT c.a, c.b, ROUND(${cosExpr("ea.v", "eb.v")}, 4) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a
+       |  JOIN e eb ON eb.vec_id = c.b)
        |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
 
   val x30_binary_meta: String =

@@ -101,24 +101,45 @@ object Dedup {
   }
 
   /** X2 n-gram Jaccard near-dup pairs, exact, within-lang: J(a,b) =
-    * |A∩B| / |A∪B| over distinct 3-shingles, via an inverted-index join —
-    * explode shingles, equi-join on (lang, shingle), count shared shingles
-    * per pair, then J = inter / (|A| + |B| − inter). Identical output to
-    * the all-pairs formulation (a zero-overlap pair can never reach the
-    * threshold) but the join materializes only pairs that actually share a
-    * shingle: Σ per-shingle-count² rows instead of per-lang n² array
-    * comparisons — the formulation that survives a 100× corpus.
+    * |A∩B| / |A∪B| over distinct 3-shingles, prefix-filtered (AllPairs /
+    * PPJoin candidate rule):
+    *
+    * 1. Invert: explode shingles, compute each shingle's document frequency
+    *    per lang (one groupBy).
+    * 2. Prefix: per doc, keep only the ⌊(1−t)·|A|⌋+1 globally-rarest
+    *    shingles (order by (df, shingle)). Theorem: if J(A,B) ≥ t then
+    *    |A∩B| ≥ t·max(|A|,|B|), and the order-smallest common shingle sits
+    *    within the first |A|−⌈t·|A|⌉+1 positions of BOTH docs — so the
+    *    prefix equi-join loses no qualifying pair (exact, not approximate).
+    * 3. Candidate equi-join on (lang, prefix-shingle), distinct pairs.
+    * 4. Verify: join full shingle arrays back, exact J via array_intersect.
+    *
+    * Identical output to the all-pairs formulation, but corpus-hot shingles
+    * (high df) are by construction excluded from most prefixes, so the
+    * candidate-pair space is Σ per-RARE-shingle-count² — the df-quadratic
+    * hot-shingle blowup of a plain inverted-index join (one shingle in 1%
+    * of a 100 TB corpus → count² pairs) cannot happen.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame = {
-    val inv = shingled(Tables.documents(spark, dir), 3)
-      .select(col("lang"), col("doc_id"), size(col("shingles")).as("sz"),
-        explode(col("shingles")).as("s"))
-    val a = inv.toDF("lang", "a", "sza", "s")
-    val b = inv.toDF("lang", "b", "szb", "s")
-    a.join(b, Seq("lang", "s"))
+    val docs = shingled(Tables.documents(spark, dir), 3)
+      .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
+    val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+    // per-doc prefix under the global (df asc, shingle asc) total order
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = inv.join(df, Seq("lang", "s"))
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= floor(lit(1.0 - minJaccard) * col("sz")) + 1)
+      .select("lang", "doc_id", "s")
+    val cand = prefix.toDF("lang", "a", "s")
+      .join(prefix.toDF("lang", "b", "s"), Seq("lang", "s"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b", "sza", "szb")
-      .agg(count(lit(1)).as("inter"))
+      .select("a", "b").distinct()
+    val da = docs.select(col("doc_id").as("a"), col("shingles").as("sa"), col("sz").as("sza"))
+    val db = docs.select(col("doc_id").as("b"), col("shingles").as("sb"), col("sz").as("szb"))
+    cand.join(da, "a").join(db, "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
@@ -152,11 +173,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** X2 embedding-cosine near-dup pairs (exact over the full pair space —
-    * see Similarity.ivfTopK for the bucketed scale path).
+  /** X2 embedding-cosine near-dup pairs, bucketed — the 100 TB shape.
+    * Candidates come from a banded coordinate-sign LSH equi-join: each
+    * (unit) vector emits nBands keys, key b packing the sign bits of dims
+    * [b·bandBits, (b+1)·bandBits); a pair is a candidate iff ≥ 1 band
+    * matches, then cosine is verified exactly. The pair space is
+    * Σ bucket² per band — never n², and the band index shuffles
+    * (vec_id, band, key) triples, not embeddings.
+    *
+    * Deterministic (no random hyperplanes: the coordinate axes are the
+    * projection, which is sign-RP for isotropic embeddings), so the DuckDB
+    * oracle mirrors the banding bit-for-bit and x21 stays hash-checked.
+    * Recall law: a pair differing in ≤ bandBits−1 coordinate signs always
+    * shares a band, so genuine near-duplicates (cos → 1) are found with
+    * certainty; barely-similar pairs are found with probability
+    * 1−(1−p^bandBits)^nBands, p = 1−θ/π. ExtSpec asserts the planted-dup
+    * law and precision == 1 vs [[exactNearDup]].
     */
-  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame =
+    bandedNearDup(Tables.embeddings(spark, dir), minCos)
+
+  /** Banded candidate generation + exact verify over any (vec_id,
+    * embedding) frame; see [[embeddingNearDup]]. bandBits ≤ 63.
+    */
+  def bandedNearDup(e: DataFrame, minCos: Double,
+                    nBands: Int = 8, bandBits: Int = 8): DataFrame = {
+    val v = e.select(col("vec_id"), col("embedding"))
+    val sig = v.select(col("vec_id"),
+      posexplode(array((0 until nBands).map { b =>
+        (0 until bandBits).map { j =>
+          when(col("embedding").getItem(b * bandBits + j) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "key")))
+    val cand = sig.toDF("a", "band", "key")
+      .join(sig.toDF("b", "band", "key"), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val ea = v.toDF("a", "va")
+    val eb = v.toDF("b", "vb")
+    cand.join(ea, "a").join(eb, "b")
+      .withColumn("cos", round(gf.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
+  /** Exact all-pairs baseline — a crossJoin, O(n²): kept ONLY as the
+    * test-side exactness check for [[bandedNearDup]]'s precision/recall
+    * (ExtSpec); deliberately not wired to any query.
+    */
+  private[graft] def exactNearDup(e: DataFrame, minCos: Double): DataFrame = {
     val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
     a.crossJoin(b)

@@ -58,11 +58,13 @@ object Similarity {
       .mapValues(t => Scored(t._2, t._3))
       .agg(new TopKAggregator(k).toColumn.name("topk"))
       .flatMap { case (qid, items) =>
-        items.zipWithIndex.map { case (s, i) =>
-          (qid, s.n_id, math.rint(s.cos * 10000) / 10000, (i + 1).toLong)
-        }
+        items.zipWithIndex.map { case (s, i) => (qid, s.n_id, s.cos, (i + 1).toLong) }
       }
       .toDF("q_id", "n_id", "cos", "rank")
+      // round on the Column, not in the flatMap: Spark round() is HALF_UP,
+      // matching bruteForceTopK and the DuckDB oracle on exact .00005 ties
+      // (math.rint is half-even and would diverge)
+      .withColumn("cos", round(col("cos"), 4))
       .orderBy("q_id", "rank")
   }
 

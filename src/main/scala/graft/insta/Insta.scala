@@ -141,12 +141,23 @@ object Insta {
   /** Candidate generation (F.py:128–141, J6): every (order, prior-product-
     * of-its-user) pair for the given eval sets — the reference's driver-side
     * Python loop becomes a distributed join + explode.
+    *
+    * `maxItemsPerUser` (0 = off, the reference-parity default) caps the
+    * explode fan-out for pathological users: all_items is already sorted
+    * ascending, so slice(…, 1, K) keeps the K smallest productIDs —
+    * deterministic, and the per-order row count law becomes
+    * min(K, |user basket|). At 100 TB a handful of bot-like users otherwise
+    * own the skewed tail of the explode (SCALE.md).
     */
-  def candidates(spark: SparkSession, dir: String, evalSets: Seq[Long]): DataFrame = {
+  def candidates(spark: SparkSession, dir: String, evalSets: Seq[Long],
+                 maxItemsPerUser: Int = 0): DataFrame = {
     val oi = ordersI(spark, dir)
       .filter(col("eval_set").isin(evalSets: _*))
       .select("orderID", "userID", "order_dow", "order_hod", "days_since")
-    val items = userPriorFeatures(spark, dir).select("userID", "all_items")
+    val items = userPriorFeatures(spark, dir).select(
+      col("userID"),
+      (if (maxItemsPerUser > 0) slice(col("all_items"), 1, maxItemsPerUser)
+       else col("all_items")).as("all_items"))
     oi.join(items, "userID")
       .select(col("orderID"), col("userID"), explode(col("all_items")).as("productID"),
         col("order_dow"), col("order_hod"), col("days_since"))

@@ -15,10 +15,15 @@ object Skew {
     * per key. The heavy key's rows land on `salt` reducers instead of one.
     * Works for any algebraic aggregate supplied as (partial, combine)
     * pairs; the count/sum convenience below covers the common case.
+    *
+    * The salt is a deterministic per-row hash of every column (xxhash64) —
+    * NOT spark_partition_id/monotonically_increasing_id, whose row→salt
+    * assignment varies across runs and would make floating-point sums
+    * run-dependent (partial-sum order changes) for non-integral doubles.
     */
   def saltedAgg(df: DataFrame, key: Seq[String], salt: Int,
                 partial: Seq[Column], combine: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
       .groupBy((key.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(key.map(col): _*)

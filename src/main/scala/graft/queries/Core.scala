@@ -72,10 +72,17 @@ object Core {
       .select("userID", "avg_orderingGap", "total_orders")
       .orderBy("userID")
 
-  /** A6–A8: per-user count / sorted collect_set / distinct count. */
+  /** A6–A8: per-user count / sorted collect_set / distinct count. The
+    * set-valued all_items column stays array-typed in the layer
+    * (Insta.userPriorFeatures); the comparison-facing projection serializes
+    * it to a canonical space-joined string because the driver's pandas
+    * compare cannot sort array cells (round-1 `err`).
+    */
   def q09UserPriorFeatures(spark: SparkSession, dir: String): DataFrame =
     Insta.userPriorFeatures(spark, dir)
-      .select("userID", "items_purchased_total", "all_items", "distinct_items")
+      .select(col("userID"), col("items_purchased_total"),
+        array_join(transform(col("all_items"), _.cast("string")), " ").as("all_items"),
+        col("distinct_items"))
       .orderBy("userID")
 
   /** J3/A9: left-outer user-feature join + derived ratio. */

@@ -56,7 +56,15 @@ object Ext {
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
-    "x32_media_transform"  -> ((s: SparkSession, d: String) => Multimodal.transformMedia(s, d).toDF().orderBy("doc_id")),
+    // sampled_frames compares as a canonical space-joined string (array
+    // cells break the driver's pandas sort; the Dataset stays array-typed)
+    "x32_media_transform"  -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{array_join, col, transform}
+      Multimodal.transformMedia(s, d).toDF()
+        .withColumn("sampled_frames",
+          array_join(transform(col("sampled_frames"), _.cast("string")), " "))
+        .orderBy("doc_id")
+    }),
     // ML (M1–M7; seeded, metric-band tested — not oracle-expressible)
     "m01_rf_submission"    -> ((s: SparkSession, d: String) => ReorderModel.rfSubmission(s, d)),
     "m02_model_metrics"    -> ((s: SparkSession, d: String) => ReorderModel.metrics(s, d)),
@@ -128,7 +136,7 @@ object Ext {
         |  FROM m)
         |SELECT doc_id, media_type, CAST(32 AS INT) AS out_w,
         |       CAST(greatest(1, floor(h * 32.0 / greatest(1, w) + 0.5)) AS INT) AS out_h,
-        |       list_transform(range(0, nf, 2), x -> CAST(x AS INT)) AS sampled_frames
+        |       array_to_string(range(0, nf, 2), ' ') AS sampled_frames
         |FROM g ORDER BY doc_id""".stripMargin,
     "x50_asof_join"        -> graft.ops.AsOf.oracle,
     "x51_range_join"       -> graft.ops.RangeJoin.oracle,

@@ -69,6 +69,54 @@ class ExtSpec extends SparkSuite {
     if (exact.nonEmpty) assert(exact.intersect(sim).nonEmpty)
   }
 
+  test("banded embedding near-dup: precision 1 vs exact, planted dups always found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // plant near-copies differing in exactly 3 coordinate signs: ≤ bandBits−1
+    // flips pigeonholes at least one clean band, so the pair MUST be a
+    // candidate; cos stays ≈ 1 − 2·3/64, far above the 0.4 threshold
+    val planted = base.take(10).map { case (i, v) =>
+      val w = v.clone()
+      Seq(5, 20, 40).foreach(d => w(d) = -w(d))
+      (i + 1000L, w)
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val banded = Dedup.bandedNearDup(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.exactNearDup(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision == 1: every banded pair is an exact pair with the same cosine
+    banded.foreach { case (k, c) => assert(exact.get(k).contains(c), s"false positive $k") }
+    // recall law on planted duplicates
+    base.take(10).foreach { case (i, _) =>
+      assert(banded.contains((i, i + 1000L)), s"missed planted pair ($i, ${i + 1000L})")
+    }
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs formulation") {
+    // independent naive oracle: within-lang crossJoin + exact J over the
+    // same 3-shingles (fine at sf0.001; never wired as an operator)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
+      .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+    val a = docs.select(col("lang"), col("doc_id").as("a"), col("shingles").as("sa"), col("sz").as("sza"))
+    val b = docs.select(col("lang"), col("doc_id").as("b"), col("shingles").as("sb"), col("sz").as("szb"))
+    val naive = a.join(b, "lang").filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("a", "b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === naive)
+  }
+
   test("IVF ANN (k-means centroids, nprobe=2) reaches >= 50% recall of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

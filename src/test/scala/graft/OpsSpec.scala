@@ -53,6 +53,22 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("salted aggregation is run-deterministic for non-integral doubles") {
+    import spark.implicits._
+    // non-integral values make float sums depend on the row→salt grouping;
+    // the content-hash salt fixes that grouping, so two runs must agree
+    // bit-for-bit (the old partition-id salt regrouped per run)
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 8000).map(_ => ("hot", rnd.nextDouble() * 10 + 0.1)) ++
+      (1 to 400).map(i => (s"k${i % 20}", rnd.nextDouble()))
+    val df = rows.toDF("k", "v").repartition(8)
+    def run(): Seq[(String, Long, Double)] =
+      Skew.saltedCountSum(df, Seq("k"), "v", salt = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+
   test("approx_percentile lands near the exact median per group") {
     graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble

@@ -139,6 +139,50 @@ object Core {
       .groupBy("eval_set").agg(count(lit(1)).as("n"))
       .orderBy("eval_set")
 
+  /** S1–S4: CSV ingestion round-trip — the reference's own entry path
+    * (F.py:16–30). Exports orders as ONE csv file (header + rows + three
+    * planted malformed lines), then reads it back through [[Ingest.csv]]
+    * with an explicit schema and DROPMALFORMED; the DuckDB oracle reads
+    * the same file with ignore_errors=true. The planted lines (wrong arity,
+    * uncastable bigint/date, comma-free garbage) must be dropped by BOTH
+    * readers for the hash to match, so S2 (header), S3 (schema'd casts)
+    * and S4 (malformed handling) are all on the hash path.
+    *
+    * coalesce(1) + sortWithinPartitions pins the header to line 1 of a
+    * single file — an oracle-parity constraint only; the production path
+    * writes N files and the reader skips a header per file.
+    */
+  def q18CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}/orders"
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val valid = Tables.orders(spark, dir)
+      .select(concat_ws(",",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_totalprice").cast("string"),
+        col("o_orderdate").cast("date").cast("string"),
+        col("o_orderpriority")).as("line"))
+      .withColumn("k", lit(1L))
+    val header = Seq((0L, cols.mkString(","))).toDF("k", "line")
+    val malformed = Seq(
+      (2L, "GARBAGE LINE WITHOUT DELIMITERS"),
+      (2L, "-1,not_a_number,X,12.5,2024-13-45,LOW"),
+      (2L, "7,8")).toDF("k", "line")
+    header.unionByName(valid.select("k", "line")).unionByName(malformed)
+      .coalesce(1).sortWithinPartitions("k").select("line")
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType)))
+    graft.sources.Ingest.csv(spark, out, schema, dropMalformed = true)
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -157,6 +201,7 @@ object Core {
     "q15_submission"          -> (q15Submission _),
     "q16_limit"               -> (q16Limit _),
     "q17_counts"              -> (q17Counts _),
+    "q18_csv_roundtrip"       -> (q18CsvRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,5 +222,6 @@ object Core {
     "q15_submission"          -> graft.OracleSql.q15_submission,
     "q16_limit"               -> graft.OracleSql.q16_limit,
     "q17_counts"              -> graft.OracleSql.q17_counts,
+    "q18_csv_roundtrip"       -> graft.OracleSql.q18_csv_roundtrip,
   )
 }

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.StructType
   *
   * Production posture: schema is REQUIRED (no inference job over 100 TB),
   * and malformed handling is an explicit choice per source.
+  *
+  * DROPMALFORMED caveat: Spark judges malformedness only over the columns
+  * a query actually parses — under CSV column pruning a bare count()
+  * parses none and drops nothing, and a single-column projection won't
+  * see a cast failure in an unread field. Row counts can therefore vary
+  * with the projection. Pipelines that need a stable row set materialize
+  * the full schema once at the ingestion boundary (as Verify's parquet
+  * dump does) or set spark.sql.csv.parser.columnPruning.enabled=false.
   */
 object Ingest {
 

@@ -27,6 +27,17 @@ class SourcesSpec extends SparkSuite {
     assert(got(1).getLong(1) === 300L)
   }
 
+  test("csv round-trip of orders drops exactly the planted malformed lines") {
+    // collect(), not count(): column pruning would parse ZERO fields for a
+    // bare count and DROPMALFORMED then sees no malformed rows at all —
+    // malformedness is judged only over the columns actually parsed
+    // (see the Ingest.csv scaladoc)
+    val rows = graft.queries.Core.q18CsvRoundtrip(spark, sf).collect()
+    assert(rows.length === Tables.orders(spark, sf).count())
+    // header did not survive as data, bad keys did not survive the cast
+    assert(rows.forall(_.getLong(0) >= 0)) // planted bad row has key -1
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.functions.registerSql(spark)
     val r = spark.sql(

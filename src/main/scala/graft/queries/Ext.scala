@@ -53,6 +53,9 @@ object Ext {
         .withColumn("total", round(col("total"), 4))
         .orderBy("k")
     }),
+    // deterministic sampling / splitting (content-addressed, oracle-checked)
+    "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
+    "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -73,6 +76,7 @@ object Ext {
     "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),
     "s03_stream_stateful"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotals(s, d)),
     "s04_stream_sliding"   -> ((s: SparkSession, d: String) => Streams.sliding(s, d)),
+    "s05_stream_dedup"     -> ((s: SparkSession, d: String) => Streams.dedupStream(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +148,12 @@ object Ext {
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
+    "x70_hash_split"       -> graft.ops.Sampling.splitOracle,
+    "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,
+    // final streamed dedup key set == batch DISTINCT over normalized text
+    "s05_stream_dedup"     ->
+      """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
+        |FROM documents ORDER BY content_key""".stripMargin,
     // final per-user stream state must equal the batch aggregate
     "s03_stream_stateful"  ->
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total

@@ -120,6 +120,29 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming exact dedup (the X1 operator as a stream): documents replay
+    * through the file source, each row keyed by md5 of its normalized text,
+    * and `dropDuplicates` keeps the first arrival per key — the streaming
+    * half of a continuously-ingesting corpus cleaner. Emits the content
+    * keys, so the final set equals batch `SELECT DISTINCT md5(norm)`
+    * regardless of which duplicate arrived first (oracle-checked).
+    *
+    * State is one entry per distinct content key. For an unbounded
+    * production stream, bound it with an event-time column +
+    * `dropDuplicatesWithinWatermark` (same plan shape; dedup then only
+    * guaranteed within the watermark horizon) — semantics asserted in
+    * StreamingSpec on a MemoryStream.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents").schema
+    val keys = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_key"))
+      .dropDuplicates("content_key")
+    runToMemory(keys, "append").orderBy("content_key")
+  }
+
   /** Watermarked session windows in append mode: only sessions finalized
     * by the 1-hour watermark are emitted — exactly the late-data semantics
     * a production stream would have, so the tail of the replay is withheld

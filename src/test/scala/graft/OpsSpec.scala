@@ -78,6 +78,39 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("hash split: deterministic, exhaustive, disjoint, near the requested rate") {
+    val n = Tables.documents(spark, sf).count()
+    def run(): Seq[(Long, String)] = graft.ops.Sampling.docSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val s1 = run()
+    assert(s1 === run()) // content-addressed: identical across runs
+    assert(s1.length === n && s1.map(_._1).distinct.length === s1.length)
+    val trainFrac = s1.count(_._2 == "train").toDouble / s1.length
+    assert(math.abs(trainFrac - 0.8) < 0.06, s"trainFrac=$trainFrac") // 500 docs
+  }
+
+  test("stratified sample membership is layout-independent and rate-correct") {
+    import org.apache.spark.sql.functions.col
+    val fractions = Map("en" -> 5000, "de" -> 2500, "fr" -> 1000)
+    val base = graft.ops.Sampling.docStratified(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // repartitioning MUST NOT change membership (randomSplit/sampleBy fail this)
+    val reparted = graft.ops.Sampling.stratifiedSample(
+        Tables.documents(spark, sf).repartition(13), "doc_id", "lang",
+        fractions, defaultBp = 500, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reparted === base)
+    // per-stratum rates in the right band (193 en / 71 de docs at sf0.001)
+    val byLang = graft.ops.Sampling.docStratified(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en").toDouble / total("en") - 0.50) < 0.12)
+    assert(math.abs(byLang.getOrElse("de", 0L).toDouble / total("de") - 0.25) < 0.12)
+  }
+
   test("from_json yields null, not an error, on malformed JSON") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, from_json}

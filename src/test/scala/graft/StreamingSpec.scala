@@ -43,6 +43,48 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet === Set((1L, 2L, 3.0), (2L, 1L, 10.0), (1L, 3L, 7.0)))
   }
 
+  test("streaming dedup final key set equals batch distinct") {
+    import org.apache.spark.sql.functions.{lower, md5, regexp_replace, col}
+    val batch = Tables.documents(spark, sf)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val stream = Streams.dedupStream(spark, sf).collect().map(_.getString(0)).toSeq
+    assert(stream === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon dups, bounds state by the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = new Timestamp(3600L * 1000 + m * 60000L)
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = mem.toDS().toDF("key", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_wmdedup_test").start()
+    // batch 1: a duplicate inside one batch → emitted once
+    mem.addData(("a", ts(0)), ("a", ts(1)), ("b", ts(2)))
+    q.processAllAvailable()
+    // batch 2: "a" again within the 10m horizon → still a duplicate;
+    // "c" is new. Watermark advances to ~ts(2)-10m.
+    mem.addData(("a", ts(3)), ("c", ts(4)))
+    q.processAllAvailable()
+    // batch 3: push event time far ahead so "a"'s state expires, then
+    // batch 4: "a" REAPPEARS once the horizon has passed — within-watermark
+    // semantics, not global distinct
+    mem.addData(("d", ts(60)))
+    q.processAllAvailable()
+    mem.addData(("a", ts(61)))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("graft_wmdedup_test")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.sorted === Seq("a", "a", "b", "c", "d"),
+      s"got $keys")
+  }
+
   test("watermarked streaming sessions are a subset of batch sessions") {
     val batch = Events.sessions(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -202,14 +202,15 @@ object OracleSql {
   val q17_counts: String = withCtes(ordersI)(
     "SELECT eval_set, COUNT(*) AS n FROM orders_i GROUP BY eval_set ORDER BY eval_set")
 
-  /** Reads the CSV file the q18 query exports (the t2 gate runs at sf0.01,
-    * hence the pinned path). ignore_errors mirrors Spark's DROPMALFORMED:
-    * the three planted bad lines must vanish on both sides.
+  /** Reads the CSV file the q18 query exports (overwritten per Verify run
+    * at a fixed path, so the oracle sees the same run's dump at any sf).
+    * ignore_errors mirrors Spark's DROPMALFORMED: the three planted bad
+    * lines must vanish on both sides.
     */
   val q18_csv_roundtrip: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       o_orderdate, o_orderpriority
-      |FROM read_csv('/tmp/graft_csv/sf0.01/orders/part-*',
+      |FROM read_csv('/tmp/graft_csv/current/orders/part-*',
       |  header = true, delim = ',', auto_detect = false,
       |  columns = {'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
       |             'o_orderstatus': 'VARCHAR', 'o_totalprice': 'DOUBLE',

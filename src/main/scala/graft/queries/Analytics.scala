@@ -192,6 +192,43 @@ object Analytics {
       .orderBy("userID", "orderID")
   }
 
+  /** TPC-H Q17 shape: lines whose quantity is under 20% of their part's
+    * average — the correlated scalar subquery expressed as an aggregate
+    * self-join (Catalyst's own decorrelation target shape). The per-part
+    * threshold frame is tiny (one row per part) and broadcasts; the fact
+    * table is scanned once per side with only 3 columns each.
+    */
+  def smallQtyParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), dec("l_extendedprice").as("price"))
+    val threshold = li.groupBy("l_partkey")
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
+    li.join(broadcast(threshold), "l_partkey")
+      .filter(col("l_quantity") < col("qty_cap"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("price")).as("d_rev"),
+        round(max(col("qty_cap")), 4).as("qty_cap"))
+      .select(col("l_partkey"), col("n_small"),
+        round(col("d_rev").cast("double"), 4).as("small_revenue"), col("qty_cap"))
+      .orderBy("l_partkey")
+  }
+
+  /** TPC-H Q22 shape: customers with no orders since a cutoff (churn) —
+    * NOT EXISTS as a distributed left-anti join (never a driver-side key
+    * list). The date predicate is applied to the orders side BEFORE the
+    * join, so it pushes to the parquet scan and the anti join shuffles
+    * only each side's key column.
+    */
+  def inactiveCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -216,6 +253,8 @@ object Analytics {
     "a01_pricing_summary"  -> (pricingSummary _),
     "a02_revenue_by_nation" -> (revenueByNation _),
     "a03_top_revenue_orders" -> ((s: SparkSession, d: String) => topRevenueOrders(s, d)),
+    "a10_small_qty_parts"  -> (smallQtyParts _),
+    "a11_inactive_customers" -> (inactiveCustomers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +303,25 @@ object Analytics {
         |UNION ALL
         |SELECT o_custkey AS userID, segment FROM seg_onlyf
         |ORDER BY userID, segment""".stripMargin,
+    // avg(l_quantity) is exact on both engines (integral-valued doubles sum
+    // exactly in any order), so the 0.2*avg threshold compares identically
+    "a10_small_qty_parts" ->
+      """WITH t AS (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_cap
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT l.l_partkey, COUNT(*) AS n_small,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS small_revenue,
+        |       ROUND(MAX(t.qty_cap), 4) AS qty_cap
+        |FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        |WHERE l.l_quantity < t.qty_cap
+        |GROUP BY l.l_partkey
+        |ORDER BY l.l_partkey""".stripMargin,
+    "a11_inactive_customers" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "a01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -154,7 +154,9 @@ object Core {
     */
   def q18CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}/orders"
+    // Fixed path, overwritten per run: the static oracle SQL reads the dump
+    // of the SAME run whatever sf dir Verify was pointed at.
+    val out = "/tmp/graft_csv/current/orders"
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
     val valid = Tables.orders(spark, dir)

@@ -56,6 +56,7 @@ object Ext {
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
+    "x72_sequence_pack"    -> ((s: SparkSession, d: String) => graft.ops.Packing.docPack(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -150,6 +151,7 @@ object Ext {
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     "x70_hash_split"       -> graft.ops.Sampling.splitOracle,
     "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,
+    "x72_sequence_pack"    -> graft.ops.Packing.oracle,
     // final streamed dedup key set == batch DISTINCT over normalized text
     "s05_stream_dedup"     ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key

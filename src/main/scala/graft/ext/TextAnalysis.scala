@@ -97,4 +97,62 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), gf.fnv1a64(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Repetition quality signals (the Gopher-style repetition filters):
+    * duplicate-token fraction and the share of all bigrams taken by the
+    * most frequent bigram. Pure higher-order column functions — per-row
+    * compute, no shuffle, stays in WholeStageCodegen. The top-bigram scan
+    * is O(distinct · n) per document, the right trade below ~10k tokens
+    * (quality filtering runs on bounded docs); for pathological documents
+    * the explode + groupBy(doc_id, bigram) formulation is the fallback.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("tokens")
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array_repeat(lit(""), 0))
+    val topN = coalesce(
+      array_max(transform(array_distinct(col("bg")),
+        x => size(filter(col("bg"), y => y === x)))),
+      lit(0))
+    withTokens(Tables.documents(spark, dir))
+      .withColumn("bg", bigrams)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
+          .as("dup_token_frac"),
+        topN.cast("long").as("top_bigram_n"),
+        round(topN.cast("double") / greatest(size(col("bg")), lit(1)), 4)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrub: redact emails/phones and count what was removed. The regex
+    * subset is deliberately Java-regex ∩ RE2 (no backrefs/lookaround) so
+    * Spark and the DuckDB oracle match byte-for-byte; Spark regexp_replace
+    * is global like DuckDB's 'g'. The corpus is synthetic, so PII is
+    * PLANTED deterministically from doc_id on both sides first — the
+    * redaction path (extract_all counts + double replace + content hash)
+    * is what's under test. Per-row compute, no shuffle.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" call +12-555-0199")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("t2", planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
 }

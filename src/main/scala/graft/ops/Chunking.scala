@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document chunking — the flip side of [[Packing]]: documents LONGER than
+  * the training context are split into overlapping token windows
+  * (`maxLen` tokens every `stride`), each chunk carrying its token span
+  * and a content hash of the exact token slice.
+  *
+  * Scale shape: pure per-row compute — tokenize, derive the chunk count
+  * with integer arithmetic, `explode` one sequence per document. No
+  * shuffle, no state, embarrassingly parallel; output size is
+  * Σ ceil(doc_len / stride), linear in corpus tokens. The chunk count and
+  * every span bound are derived from (doc content, maxLen, stride) only,
+  * so the assignment is layout-independent and the DuckDB oracle mirrors
+  * it row for row including the md5 of each slice.
+  */
+object Chunking {
+
+  /** chunks = 1 + ceil(max(n - maxLen, 0) / stride): one window at 0, then
+    * one per stride until the tail fits. Integer arithmetic on both sides
+    * (no float ceil) keeps the count oracle-exact.
+    */
+  def chunkDocs(df: DataFrame, maxLen: Int, stride: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    df
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + floor((greatest(col("n") - maxLen, lit(0L)) + (stride - 1)) / stride))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(maxLen.toLong), col("n") - col("start_tok")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(maxLen))))
+          .as("chunk_hash"))
+  }
+
+  /** x73: 32-token windows every 24 tokens (8-token overlap) over the
+    * documents table — the sf-scaled stand-in for 2048/1536 at training
+    * time; the operator takes both as parameters.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir), maxLen = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  val oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, toks, n,
+      |             1 + (greatest(n - 32, 0) + 23) // 24 AS n_chunks FROM d)
+      |SELECT doc_id, t.chunk_id, t.chunk_id*24 AS start_tok,
+      |       least(32, n - t.chunk_id*24) AS n_chunk_tokens,
+      |       md5(array_to_string(toks[t.chunk_id*24+1 : least(t.chunk_id*24+32, n)], ' ')) AS chunk_hash
+      |FROM c CROSS JOIN UNNEST(range(0, n_chunks)) AS t(chunk_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+}

@@ -57,6 +57,9 @@ object Ext {
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
     "x72_sequence_pack"    -> ((s: SparkSession, d: String) => graft.ops.Packing.docPack(s, d)),
+    "x73_doc_chunks"       -> ((s: SparkSession, d: String) => graft.ops.Chunking.docChunks(s, d)),
+    "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
+    "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -152,6 +155,9 @@ object Ext {
     "x70_hash_split"       -> graft.ops.Sampling.splitOracle,
     "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,
     "x72_sequence_pack"    -> graft.ops.Packing.oracle,
+    "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
+    "x74_repetition"       -> OracleSqlExt.x74_repetition,
+    "x75_pii_scrub"        -> OracleSqlExt.x75_pii_scrub,
     // final streamed dedup key set == batch DISTINCT over normalized text
     "s05_stream_dedup"     ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key

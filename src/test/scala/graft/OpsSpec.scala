@@ -136,6 +136,30 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("doc chunking: spans tile each document and survive repartitioning") {
+    val chunks = graft.ops.Chunking.docChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTokens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) as n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids 0..k-1, starts every stride, spans clipped to the doc,
+      // and the last window reaches exactly the final token
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, cid, start, len) =>
+        assert(start === cid * 24 && len > 0 && len <= 32)
+        assert(start + len <= nTokens(doc))
+      }
+      assert(sorted.last._3 + sorted.last._4 === nTokens(doc))
+    }
+    val reparted = graft.ops.Chunking.chunkDocs(
+        Tables.documents(spark, sf).repartition(13), 32, 24)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reparted.toSeq === chunks.toSeq)
+  }
+
   test("from_json yields null, not an error, on malformed JSON") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, from_json}

@@ -129,4 +129,31 @@ object Similarity {
         col("rank").cast("long").as("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** Per-label embedding centroids as FIXED-POINT sums: each float becomes
+    * floor(x·10⁶ + 0.5) — identical IEEE double arithmetic on both
+    * engines, no rounding-mode divergence — and the per-(label, dim)
+    * BIGINT sums are exact and order-independent, so the result is
+    * hash-stable under any partitioning (float sums are not). The caller
+    * derives centroid = sum_scaled / (10⁶ · n).
+    *
+    * Scale shape: posexplode fans each vector into (label, dim) terms that
+    * partial-aggregate map-side; only |labels|·dim rows cross the shuffle.
+    * This is the reducer used for IVF retraining at corpus scale.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim_i"),
+        floor(col("col").cast("double") * 1000000d + 0.5d).cast("long").as("q"))
+      .groupBy("label", "dim_i")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_scaled"))
+      .orderBy("label", "dim_i")
+
+  val centroidOracle: String =
+    """SELECT CAST(label AS BIGINT) AS label, t.i - 1 AS dim_i, COUNT(*) AS n,
+      |       CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled
+      |FROM embeddings CROSS JOIN UNNEST(range(1, len(embedding)+1)) AS t(i)
+      |GROUP BY label, t.i ORDER BY label, dim_i""".stripMargin
 }

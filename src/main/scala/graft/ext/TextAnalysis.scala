@@ -129,6 +129,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build: corpus-wide top-K tokens by frequency — the first
+    * step of tokenizer training. Explode → hash aggregate (map-side
+    * partial combine, so only |vocab| rows per partition cross the
+    * shuffle) → global top-K via TakeOrdered (per-partition top-K merged,
+    * never a full sort). Tie-break (count desc, token asc) is total, so
+    * the K-boundary is deterministic and oracle-exact.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** PII scrub: redact emails/phones and count what was removed. The regex
     * subset is deliberately Java-regex ∩ RE2 (no backrefs/lookaround) so
     * Spark and the DuckDB oracle match byte-for-byte; Spark regexp_replace

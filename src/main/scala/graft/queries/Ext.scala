@@ -60,6 +60,8 @@ object Ext {
     "x73_doc_chunks"       -> ((s: SparkSession, d: String) => graft.ops.Chunking.docChunks(s, d)),
     "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
+    "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
+    "x77_label_centroids"  -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
@@ -81,6 +83,7 @@ object Ext {
     "s03_stream_stateful"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotals(s, d)),
     "s04_stream_sliding"   -> ((s: SparkSession, d: String) => Streams.sliding(s, d)),
     "s05_stream_dedup"     -> ((s: SparkSession, d: String) => Streams.dedupStream(s, d)),
+    "s06_stream_join"      -> ((s: SparkSession, d: String) => Streams.viewPurchaseJoin(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,12 +155,28 @@ object Ext {
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
+    // batch twin of the watermarked stream-stream interval join
+    "s06_stream_join"      ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |       CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+        |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+        |       ROUND(p.value, 4) AS value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "x70_hash_split"       -> graft.ops.Sampling.splitOracle,
     "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,
     "x72_sequence_pack"    -> graft.ops.Packing.oracle,
     "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x75_pii_scrub"        -> OracleSqlExt.x75_pii_scrub,
+    "x76_vocab_topk"       ->
+      """SELECT u.t AS token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents, UNNEST(string_split(text, ' ')) u(t)
+        |GROUP BY u.t ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "x77_label_centroids"  -> Similarity.centroidOracle,
     // final streamed dedup key set == batch DISTINCT over normalized text
     "s05_stream_dedup"     ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key

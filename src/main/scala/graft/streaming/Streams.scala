@@ -143,6 +143,36 @@ object Streams {
     runToMemory(keys, "append").orderBy("content_key")
   }
 
+  /** Stream-stream interval join (the remaining X9 join surface): views
+    * attributed to purchases by the same user within 6 hours. Both sides
+    * are watermarked past the join horizon (7 h ≥ 6 h window + slack), so
+    * the state store retains each view/purchase only until the horizon
+    * passes — bounded state, the production stream-stream join contract.
+    * Inner-join matches are emitted as found (append mode), so after an
+    * AvailableNow replay the result equals the batch interval join and is
+    * oracle-checked exactly.
+    */
+  def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "7 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "7 hours")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+    runToMemory(joined, "append")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        round(col("value"), 4).as("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** Watermarked session windows in append mode: only sessions finalized
     * by the 1-hour watermark are emitted — exactly the late-data semantics
     * a production stream would have, so the tail of the replay is withheld

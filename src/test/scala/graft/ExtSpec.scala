@@ -133,6 +133,20 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.forall(_.getLong(1) === 4))
   }
 
+  test("fixed-point label centroids equal the float mean within quantization error") {
+    import org.apache.spark.sql.functions.{avg, posexplode}
+    val fixed = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3).toDouble / (1e6 * r.getLong(2))))
+      .toMap
+    val direct = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim_i"))
+      .agg(avg(col("col")).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fixed.keySet === direct.keySet && fixed.nonEmpty)
+    fixed.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6, s"$k") }
+  }
+
   test("empty inputs: session windows and submission degrade to empty/None, not errors") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]

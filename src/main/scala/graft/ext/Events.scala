@@ -85,4 +85,15 @@ object Events {
       .agg(count(lit(1)))
       .na.fill(0, pivotTypes)
       .orderBy("user_id")
+
+  /** Unpivot (melt): the wide per-user feature layout back to long
+    * (user_id, event_type, n) — Spark's native `unpivot`, which compiles
+    * to an Expand (one output row per value column per input row, no
+    * shuffle, no join). Round-trips [[pivotCounts]] including the
+    * zero-filled absent combinations.
+    */
+  def unpivotCounts(spark: SparkSession, dir: String): DataFrame =
+    pivotCounts(spark, dir)
+      .unpivot(Array(col("user_id")), pivotTypes.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
 }

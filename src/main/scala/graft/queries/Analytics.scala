@@ -137,6 +137,27 @@ object Analytics {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** GROUPING SETS with grouping_id: the four (segment × status) grains in
+    * ONE pass — Expand replicates each input row per grain before a single
+    * hash aggregate, so the fact side is scanned and shuffled once, not
+    * four times. gid disambiguates a genuine NULL key from a rolled-up
+    * one; NULLS FIRST pinned on both engines (their ASC defaults differ).
+    * SQL-literal like a06 because DataFrame rollup/cube hits the
+    * ambiguous-self-join analyzer false positive after joins.
+    */
+  def orderGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(GROUPING_ID(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS total
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), (o_orderstatus), ())
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Set operations (§2.7 — absent from the reference, present here):
     * users split by purchase behavior via EXCEPT / INTERSECT.
     */
@@ -255,6 +276,7 @@ object Analytics {
     "a03_top_revenue_orders" -> ((s: SparkSession, d: String) => topRevenueOrders(s, d)),
     "a10_small_qty_parts"  -> (smallQtyParts _),
     "a11_inactive_customers" -> (inactiveCustomers _),
+    "a12_grouping_sets"    -> (orderGroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +344,14 @@ object Analytics {
         |                  WHERE o.o_custkey = c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "a12_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |       CAST(GROUPING_ID(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), (o_orderstatus), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "a01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 4) AS sum_qty,

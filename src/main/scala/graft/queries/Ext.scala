@@ -22,6 +22,7 @@ object Ext {
     "x03_window_sliding"   -> ((s: SparkSession, d: String) => Events.sliding(s, d)),
     "x04_session_window"   -> ((s: SparkSession, d: String) => Events.sessions(s, d)),
     "x05_event_pivot"      -> ((s: SparkSession, d: String) => Events.pivotCounts(s, d)),
+    "x06_event_unpivot"    -> ((s: SparkSession, d: String) => Events.unpivotCounts(s, d)),
     "x19_from_json"        -> ((s: SparkSession, d: String) => Events.jsonSchema(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
@@ -94,6 +95,15 @@ object Ext {
     "x03_window_sliding"   -> OracleSqlExt.x03_window_sliding,
     "x04_session_window"   -> OracleSqlExt.x04_session_window,
     "x05_event_pivot"      -> OracleSqlExt.x05_event_pivot,
+    // melt(pivot(x)) == per-user × type counts with zero fill
+    "x06_event_unpivot"    ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
     "x10_token_stats"      -> OracleSqlExt.x10_token_stats,
     "x11_quality_filter"   -> OracleSqlExt.x11_quality_filter,
     "x12_langid"           -> OracleSqlExt.x12_langid,

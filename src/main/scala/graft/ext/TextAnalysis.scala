@@ -144,6 +144,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document keyword extraction — the tf-idf shape with a PURE
+    * INTEGER ordering (tf desc, then document-frequency asc as the idf
+    * proxy, then token): rarer-elsewhere beats common-everywhere, and no
+    * float log enters the sort, so ranks can't flip on last-ulp
+    * differences between engines.
+    *
+    * Scale shape: per-doc term counts partial-aggregate map-side; the df
+    * table is |vocab| rows (≪ corpus) and broadcasts; the per-doc top-K is
+    * a window row_number that WindowGroupLimit prunes below the shuffle.
+    */
+  def docKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** PII scrub: redact emails/phones and count what was removed. The regex
     * subset is deliberately Java-regex ∩ RE2 (no backrefs/lookaround) so
     * Spark and the DuckDB oracle match byte-for-byte; Spark regexp_replace

@@ -62,6 +62,7 @@ object Ext {
     "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
+    "x78_doc_keywords"     -> ((s: SparkSession, d: String) => TextAnalysis.docKeywords(s, d)),
     "x77_label_centroids"  -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
@@ -187,6 +188,19 @@ object Ext {
         |FROM documents, UNNEST(string_split(text, ' ')) u(t)
         |GROUP BY u.t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x77_label_centroids"  -> Similarity.centroidOracle,
+    "x78_doc_keywords"     ->
+      """WITH tf AS (
+        |  SELECT doc_id, u.t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM documents, UNNEST(string_split(text, ' ')) u(t)
+        |  GROUP BY doc_id, u.t),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |                ORDER BY tf.tf DESC, dfreq.df, tf.token) AS BIGINT) AS rank
+        |  FROM tf JOIN dfreq USING (token))
+        |SELECT doc_id, rank, token, tf, df FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // final streamed dedup key set == batch DISTINCT over normalized text
     "s05_stream_dedup"     ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key

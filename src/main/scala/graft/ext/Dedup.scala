@@ -29,6 +29,35 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Incremental corpus delta — the content-addressed merge step of a
+    * continuously-ingesting corpus: of today's arrivals, admit only
+    * documents whose normalized content is NOT already in the existing
+    * snapshot. A left-anti join on the md5 content key, so only the
+    * 32-byte key column of each side shuffles — never the documents —
+    * and a re-uploaded duplicate of existing content is dropped even
+    * though its doc_id is new. Here "existing" is deterministically
+    * carved from the same table (doc_id % 10 ≠ 0) so the oracle can
+    * mirror the split.
+    */
+  def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("content_key", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val existing = keyed.filter(col("doc_id") % 10 =!= 0).select("content_key")
+    keyed.filter(col("doc_id") % 10 === 0)
+      .join(existing, Seq("content_key"), "left_anti")
+      .select("doc_id", "content_key")
+      .orderBy("doc_id")
+  }
+
+  val deltaOracle: String =
+    """WITH k AS (SELECT doc_id,
+      |                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
+      |           FROM documents)
+      |SELECT doc_id, content_key FROM k
+      |WHERE doc_id % 10 = 0
+      |  AND content_key NOT IN (SELECT content_key FROM k WHERE doc_id % 10 <> 0)
+      |ORDER BY doc_id""".stripMargin
+
   /** X1 at scale: shuffle 8 bytes of fingerprint, not the document. */
   def exactByFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -151,6 +151,39 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_scaled"))
       .orderBy("label", "dim_i")
 
+  /** Int8 embedding quantization — the storage-compression step of a
+    * vector pipeline (4 bytes → 1 byte per dim): per-vector max-abs scale,
+    * each element mapped to floor(x/scale·127 + 0.5) ∈ [-127, 127]. All
+    * arithmetic is identical IEEE double ops on both engines (floor, not
+    * a rounding mode), the scale ships as an exact micro-units BIGINT and
+    * the codes as a content hash, so the query is hash-checked despite
+    * float inputs. Pure per-row projection — no shuffle.
+    */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val mx = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    Tables.embeddings(spark, dir)
+      .withColumn("mx", mx)
+      .select(col("vec_id"),
+        floor(col("mx") * 1000000d + 0.5d).cast("long").as("scale_micro"),
+        md5(concat_ws(" ", transform(col("embedding"),
+          v => when(col("mx") === 0d, lit(0L))
+            .otherwise(floor(v.cast("double") / col("mx") * 127d + 0.5d).cast("long"))
+            .cast("string")))).as("q_hash"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeOracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(floor(mx*1000000 + 0.5) AS BIGINT) AS scale_micro,
+      |       md5(array_to_string(list_transform(embedding,
+      |           x -> CAST(CASE WHEN mx = 0 THEN 0
+      |                          ELSE floor(CAST(x AS DOUBLE)/mx*127 + 0.5) END AS BIGINT)), ' ')) AS q_hash
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val centroidOracle: String =
     """SELECT CAST(label AS BIGINT) AS label, t.i - 1 AS dim_i, COUNT(*) AS n,
       |       CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled

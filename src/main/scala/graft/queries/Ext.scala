@@ -36,6 +36,8 @@ object Ext {
     "x16_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "x17_simhash_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
+    "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
+    "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
@@ -188,6 +190,8 @@ object Ext {
         |FROM documents, UNNEST(string_split(text, ' ')) u(t)
         |GROUP BY u.t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x77_label_centroids"  -> Similarity.centroidOracle,
+    "x79_int8_quantize"    -> Similarity.quantizeOracle,
+    "x61_corpus_delta"     -> Dedup.deltaOracle,
     "x78_doc_keywords"     ->
       """WITH tf AS (
         |  SELECT doc_id, u.t AS token, CAST(COUNT(*) AS BIGINT) AS tf

@@ -85,6 +85,43 @@ class StreamingSpec extends SparkSuite {
       s"got $keys")
   }
 
+  test("stream-stream interval join emits in-horizon matches and drops post-watermark lates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr}
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = new Timestamp(3600L * 1000 + m * 60000L)
+    val vm = MemoryStream[(Long, Long, Timestamp)]
+    val pm = MemoryStream[(Long, Long, Timestamp)]
+    val views = vm.toDS().toDF("view_id", "v_user", "view_ts")
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = pm.toDS().toDF("purchase_id", "p_user", "purchase_ts")
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("view_id", "purchase_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj_test").start()
+    // in-horizon pair → match emitted
+    vm.addData((1L, 1L, ts(0))); pm.addData((10L, 1L, ts(5)))
+    q.processAllAvailable()
+    // advance both watermarks far past view 1's retention bound
+    // (view_ts + 30 min interval + 10 min watermark)
+    vm.addData((2L, 2L, ts(120))); pm.addData((11L, 3L, ts(120)))
+    q.processAllAvailable()
+    // a purchase for user 1 at t6 is now LATE (below the purchase-side
+    // watermark): dropped before the join, no resurrected match
+    pm.addData((12L, 1L, ts(6)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 10L)), s"got $rows")
+  }
+
   test("watermarked streaming sessions are a subset of batch sessions") {
     val batch = Events.sessions(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

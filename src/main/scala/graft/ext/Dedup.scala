@@ -76,6 +76,15 @@ object Dedup {
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
       .drop("toks")
 
+  /** The 3-shingle pass, persisted once per (session, sf dir): the Jaccard
+    * join consumes this plan three times (inverted index + both sides of
+    * the verify join) and SimHash/MinHash shingle identically, so without
+    * the layer the tokenize+shingle projection re-runs per consumer.
+    */
+  private def shingled3(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "shingles3")(
+      shingled(Tables.documents(spark, dir), 3))
+
   /** X2 MinHash+LSH near-dup pairs: token 3-shingles → sparse vector
     * (HashingTF) → MinHash signatures → banded self-join (spark.ml
     * approxSimilarityJoin only compares within matching hash buckets).
@@ -84,7 +93,7 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
     // cache the vectorized docs: the LSH self-join scans this plan twice
     val fed = graft.Layer.cached(spark, dir, "minhashFeatures") {
-      val docs = shingled(Tables.documents(spark, dir), 3)
+      val docs = shingled3(spark, dir)
       new HashingTF()
         .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
         .transform(docs)
@@ -111,7 +120,7 @@ object Dedup {
     // persist the signatures: the banded self-join references this plan
     // twice, and without a materialization the shingle+hash pass runs twice
     val sigs = graft.Layer.cached(spark, dir, "simhashSigs") {
-      shingled(Tables.documents(spark, dir), 3)
+      shingled3(spark, dir)
         .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
     }
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -149,8 +158,9 @@ object Dedup {
     * hot-shingle blowup of a plain inverted-index join (one shingle in 1%
     * of a 100 TB corpus → count² pairs) cannot happen.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame = {
-    val docs = shingled(Tables.documents(spark, dir), 3)
+  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
+  graft.Layer.cached(spark, dir, s"jaccardPairs@$minJaccard") {
+    val docs = shingled3(spark, dir)
       .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
     val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))

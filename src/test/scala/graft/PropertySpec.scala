@@ -77,6 +77,34 @@ object PropertySpec extends Properties("Kernels") {
     out.toSeq
   }
 
+  /** The integer chunk-count formula shared by ops/Chunking and its oracle:
+    * chunks = 1 + ceil(max(n − L, 0) / S) via integer arithmetic.
+    */
+  private def chunkCount(n: Long, maxLen: Int, stride: Int): Long =
+    1L + (math.max(n - maxLen, 0L) + stride - 1) / stride
+
+  property("chunk spans tile [0, n) without holes whenever stride <= maxLen") =
+    forAll(Gen.chooseNum(1L, 200000L), Gen.chooseNum(1, 4096), Gen.chooseNum(1, 4096)) {
+      (n, a, b) =>
+        val len = math.max(a, b); val stride = math.min(a, b)
+        val k = chunkCount(n, len, stride)
+        val spans = (0L until k).map(i => (i * stride, math.min(i * stride + len, n)))
+        spans.forall { case (s, e) => s < e } && // every chunk non-empty
+          spans.head._1 == 0 && spans.last._2 == n && // first starts at 0, last reaches n
+          spans.sliding(2).forall { // consecutive chunks overlap or abut
+            case Seq((_, e1), (s2, _)) => s2 <= e1
+            case _ => true
+          }
+    }
+
+  property("int8 quantization codes stay in [-127, 127] and max-abs maps to ±127") =
+    forAll(floatVec.suchThat(_.exists(_ != 0f))) { v =>
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val codes = v.map(x => math.floor(x.toDouble / mx * 127 + 0.5).toLong)
+      codes.forall(c => c >= -127 && c <= 127) &&
+        codes.exists(c => math.abs(c) == 127)
+    }
+
   property("reference sessionizer: counts conserve and sessions are gap-separated") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10L * 3600 * 1000000L))) { ts =>
       val gap = 30L * 60 * 1000000L

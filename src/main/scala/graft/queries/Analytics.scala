@@ -274,7 +274,7 @@ object Analytics {
     "a01_pricing_summary"  -> (pricingSummary _),
     "a02_revenue_by_nation" -> (revenueByNation _),
     "a03_top_revenue_orders" -> ((s: SparkSession, d: String) => topRevenueOrders(s, d)),
-    "a10_small_qty_parts"  -> (smallQtyParts _),
+    "a13_small_qty_parts"  -> (smallQtyParts _),
     "a11_inactive_customers" -> (inactiveCustomers _),
     "a12_grouping_sets"    -> (orderGroupingSets _),
   )
@@ -327,7 +327,7 @@ object Analytics {
         |ORDER BY userID, segment""".stripMargin,
     // avg(l_quantity) is exact on both engines (integral-valued doubles sum
     // exactly in any order), so the 0.2*avg threshold compares identically
-    "a10_small_qty_parts" ->
+    "a13_small_qty_parts" ->
       """WITH t AS (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_cap
         |           FROM lineitem GROUP BY l_partkey)
         |SELECT l.l_partkey, COUNT(*) AS n_small,

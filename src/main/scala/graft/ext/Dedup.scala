@@ -58,6 +58,43 @@ object Dedup {
       |  AND content_key NOT IN (SELECT content_key FROM k WHERE doc_id % 10 <> 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — flag training documents sharing any
+    * 4-token n-gram with the eval set (the pre-training hygiene step that
+    * keeps benchmark text out of the corpus; n-gram collision is the
+    * standard formulation). The eval side is deterministically carved here
+    * (doc_id % 10 = 0) so the oracle mirrors it; in production the eval
+    * suite is tiny relative to the corpus, so its distinct-gram set
+    * broadcasts and the check is one map-side semi join per gram — the
+    * corpus never shuffles.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 4),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gram"))
+    val bench = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+      |g AS (SELECT doc_id, u.gram FROM d,
+      |        UNNEST(list_distinct(list_transform(range(1, n-2),
+      |          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) u(gram)
+      |      WHERE n >= 4),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+      |SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared
+      |FROM g JOIN bench USING (gram)
+      |WHERE g.doc_id % 10 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   /** X1 at scale: shuffle 8 bytes of fingerprint, not the document. */
   def exactByFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -223,6 +223,69 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph by iterative min-label propagation — each node adopts the
+    * smallest doc_id reachable so far; convergence in O(cluster diameter)
+    * rounds (dup clusters are shallow). The driver loop is CONTROL only
+    * (like ML iterations): per round one distributed join + aggregate, and
+    * the convergence check is a count, not a data collect. This is how a
+    * pipeline keeps ONE representative per duplicate group rather than
+    * dropping pairwise.
+    */
+  def dupClusters(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
+    connectedComponents(ngramJaccardPairs(spark, dir, minJaccard).select("a", "b"))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected pair list `(a, b)`; returns
+    * one row per node with its component's smallest id as `rep`.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nrep")).as("minNbr"))
+      val next = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** DuckDB twin: transitive closure via recursive CTE, min reachable id. */
+  val clustersOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |              len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+      |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** The composed corpus-cleaning pipeline a pre-training data flow runs:
     * quality gate (length + lexical diversity) → exact dedup on normalized
     * text (keep min doc_id) → near-dup removal (drop the higher doc_id of

@@ -38,6 +38,7 @@ object Ext {
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -194,6 +195,7 @@ object Ext {
     "x79_int8_quantize"    -> Similarity.quantizeOracle,
     "x61_corpus_delta"     -> Dedup.deltaOracle,
     "x62_decontaminate"    -> Dedup.decontaminateOracle,
+    "x63_dup_clusters"     -> Dedup.clustersOracle,
     "x78_doc_keywords"     ->
       """WITH tf AS (
         |  SELECT doc_id, u.t AS token, CAST(COUNT(*) AS BIGINT) AS tf

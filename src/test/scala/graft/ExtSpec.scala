@@ -133,6 +133,18 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.forall(_.getLong(1) === 4))
   }
 
+  test("connected components resolve chains and keep separate components apart") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),
+    // a disjoint pair 10-11, and a triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("fixed-point label centroids equal the float mean within quantization error") {
     import org.apache.spark.sql.functions.{avg, posexplode}
     val fixed = Similarity.labelCentroids(spark, sf).collect()

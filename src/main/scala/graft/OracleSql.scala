@@ -217,4 +217,19 @@ object OracleSql {
       |             'o_orderdate': 'DATE', 'o_orderpriority': 'VARCHAR'},
       |  ignore_errors = true)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** JSONL twin of q18. DuckDB's ignore_errors NULLs failing values where
+    * Spark's DROPMALFORMED drops the whole line, so the oracle drops rows
+    * whose key came back NULL — every planted bad line nulls doc_id, every
+    * valid line has one.
+    */
+  val q19_jsonl_roundtrip: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM read_json('/tmp/graft_jsonl/current/documents/part-*',
+      |  format = 'newline_delimited',
+      |  columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR',
+      |             'source': 'VARCHAR', 'n_chars': 'BIGINT'},
+      |  ignore_errors = true)
+      |WHERE doc_id IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
 }

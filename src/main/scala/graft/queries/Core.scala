@@ -185,6 +185,34 @@ object Core {
       .orderBy("o_orderkey")
   }
 
+  /** JSONL round-trip — the training-corpus interchange format: export
+    * documents as JSON lines (plus three planted malformed lines), read
+    * back through [[graft.sources.Ingest.jsonl]] with an explicit schema
+    * and DROPMALFORMED; the DuckDB oracle reads the same files with
+    * ignore_errors. Like q18, the bad lines (non-JSON, uncastable bigint,
+    * a bare array) must vanish on BOTH sides for the hash to match.
+    */
+  def q19JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = "/tmp/graft_jsonl/current/documents"
+    val valid = Tables.documents(spark, dir)
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("line"))
+    val malformed = Seq(
+      "THIS IS NOT JSON",
+      """{"doc_id": "not_a_number", "text": "x", "lang": "en", "source": "s", "n_chars": 1}""",
+      """[1, 2, 3]""").toDF("line")
+    valid.unionByName(malformed).write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    graft.sources.Ingest.jsonl(spark, out, schema, dropMalformed = true)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -204,6 +232,7 @@ object Core {
     "q16_limit"               -> (q16Limit _),
     "q17_counts"              -> (q17Counts _),
     "q18_csv_roundtrip"       -> (q18CsvRoundtrip _),
+    "q19_jsonl_roundtrip"     -> (q19JsonlRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +254,6 @@ object Core {
     "q16_limit"               -> graft.OracleSql.q16_limit,
     "q17_counts"              -> graft.OracleSql.q17_counts,
     "q18_csv_roundtrip"       -> graft.OracleSql.q18_csv_roundtrip,
+    "q19_jsonl_roundtrip"     -> graft.OracleSql.q19_jsonl_roundtrip,
   )
 }

@@ -37,4 +37,15 @@ object Ingest {
     */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSON-lines with an explicit schema — the interchange format training
+    * corpora actually ship in. Same posture as [[csv]]: no inference job,
+    * malformed lines dropped only by explicit choice.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            dropMalformed: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+      .json(path)
 }

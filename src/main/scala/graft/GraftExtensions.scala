@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF, Fnv1a64, Hamming64, SimHash64}
+import graft.functions.{CosineSimF, DeflateRatio, Fnv1a64, Hamming64, SimHash64}
 
 /** Build-time extension hook: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(bigint, bigint) - Hamming distance of signatures"),
       (es: Seq[Expression]) => Hamming64(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio", "deflate_ratio(str) - zlib compression ratio (repetitiveness signal)"),
+      (es: Seq[Expression]) => DeflateRatio(es.head)))
   }
 }

@@ -129,6 +129,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal via the native [[gf.deflate_ratio]]
+    * expression (zlib level 6): repetitive boilerplate compresses far
+    * below natural text, the corpus-filter heuristic gzip/deflate-based
+    * pipelines use. No SQL oracle exists for zlib, so the query is
+    * rows-only checked; the expression itself has FunctionsSpec vectors.
+    */
+  def compressionRatios(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(gf.deflate_ratio(col("text")), 4).as("deflate_ratio"))
+      .orderBy("doc_id")
+
   /** Vocabulary build: corpus-wide top-K tokens by frequency — the first
     * step of tokenizer training. Explode → hash aggregate (map-side
     * partial combine, so only |vocab| rows per partition cross the

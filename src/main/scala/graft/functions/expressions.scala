@@ -75,6 +75,25 @@ object Kernels {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deflate compression ratio (compressed/raw bytes, level 6): the
+    * corpus-quality signal where highly repetitive text compresses far
+    * below ~1 and natural text sits higher. Deterministic for a fixed
+    * zlib level; a fresh Deflater per call keeps the kernel reentrant
+    * across codegen'd rows (no shared native state).
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1024)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
 }
 
 /** 64-bit FNV-1a content fingerprint of a string column (X4 document
@@ -135,6 +154,23 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Deflate compression ratio of a string column — the repetitiveness
+  * quality signal (zlib level 6, deterministic). Codegen'd like its
+  * siblings; the zlib pass is the per-row cost, the same work any
+  * implementation pays.
+  */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.deflateRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 /** Column-API entry points, mirroring org.apache.spark.sql.functions style. */
 object functions {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -145,6 +181,7 @@ object functions {
   def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimF(x(a), x(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
+  def deflate_ratio(col: Column): Column = c(DeflateRatio(x(col)))
 
   /** Expose the custom expressions to SQL (`SELECT fnv1a64(text) ...`). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -153,5 +190,6 @@ object functions {
     registerFunction(spark, "simhash64", es => SimHash64(es.head))
     registerFunction(spark, "cosine_sim", es => CosineSimF(es(0), es(1)))
     registerFunction(spark, "hamming64", es => Hamming64(es(0), es(1)))
+    registerFunction(spark, "deflate_ratio", es => DeflateRatio(es.head))
   }
 }

@@ -40,6 +40,7 @@ object Ext {
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
+    "x80_compress_ratio"   -> ((s: SparkSession, d: String) => TextAnalysis.compressionRatios(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),

@@ -37,6 +37,22 @@ class FunctionsSpec extends SparkSuite {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("deflate_ratio: repetitive text compresses far below varied text, deterministically") {
+    import spark.implicits._
+    val rep = "spam " * 200
+    val varied = (1 to 200).map(i => s"tok${i * 7919 % 1000}").mkString(" ")
+    assert(Kernels.deflateRatio(UTF8String.fromString("")) === 1.0)
+    val viaColumn = Seq(rep, varied, rep).toDF("s")
+      .select(gf.deflate_ratio(col("s"))).collect().map(_.getDouble(0))
+    assert(viaColumn(0) === viaColumn(2)) // deterministic
+    assert(viaColumn(0) < 0.1, s"repetitive ratio ${viaColumn(0)}")
+    assert(viaColumn(1) > 2 * viaColumn(0), s"varied ${viaColumn(1)} vs ${viaColumn(0)}")
+    // SQL registration path resolves and agrees with the column API
+    graft.functions.functions.registerSql(spark)
+    val viaSql = spark.sql(s"SELECT deflate_ratio('${rep.trim}')").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - Kernels.deflateRatio(UTF8String.fromString(rep.trim))) < 1e-12)
+  }
+
   test("cosine_sim: self-similarity 1.0, orthogonal 0.0, empty-norm 0.0") {
     import spark.implicits._
     val df = Seq(

@@ -35,7 +35,10 @@ object Layer {
   /** Memoized build-and-persist. The build runs OUTSIDE the map lock:
     * building one layer recursively builds the layers under it (basket →
     * ordersI), and a nested mutation under the lock would deadlock/throw.
-    * On a lost race, drop the duplicate and keep the winner.
+    * On a lost race, drop the duplicate and keep the winner. If [[clear]]
+    * removed this session's map mid-build, the freshly-persisted frame
+    * would land in an orphaned map nothing can evict — detect that under
+    * the memo lock and hand back the frame unpersisted instead.
     */
   def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     val m = layerMap(spark)
@@ -44,12 +47,16 @@ object Layer {
     if (existing != null) existing
     else {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = m.synchronized {
-        val p = m.get(k)
-        if (p == null) m.put(k, df)
-        p
+      val orphaned = memo.synchronized(memo.get(spark) ne m)
+      if (orphaned) { df.unpersist(); df }
+      else {
+        val prev = m.synchronized {
+          val p = m.get(k)
+          if (p == null) m.put(k, df)
+          p
+        }
+        if (prev != null) { df.unpersist(); prev } else df
       }
-      if (prev != null) { df.unpersist(); prev } else df
     }
   }
 

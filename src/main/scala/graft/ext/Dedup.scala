@@ -201,12 +201,18 @@ object Dedup {
       .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
     val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))
-    // per-doc prefix under the global (df asc, shingle asc) total order
+    // per-doc prefix under the global (df asc, shingle asc) total order.
+    // Length |A|−⌈t·|A|⌉+1 computed in INTEGER basis points: double
+    // floor(1−t)·sz under-counts by 1 whenever 1−t rounds low (e.g.
+    // t=0.1, sz=10 → 8.999… → 9, losing a qualifying pair). Threshold
+    // resolution 1e-4 matches the 4-decimal verify round.
+    val tBp = math.round(minJaccard * 10000).toInt
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = inv.join(df, Seq("lang", "s"))
       .withColumn("r", row_number().over(wDoc))
-      .filter(col("r") <= floor(lit(1.0 - minJaccard) * col("sz")) + 1)
+      .filter(col("r") <=
+        col("sz") - floor((lit(tBp) * col("sz") + lit(9999)) / 10000) + 1)
       .select("lang", "doc_id", "s")
     val cand = prefix.toDF("lang", "a", "s")
       .join(prefix.toDF("lang", "b", "s"), Seq("lang", "s"))
@@ -233,12 +239,20 @@ object Dedup {
     * dropping pairwise.
     */
   def dupClusters(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
-    connectedComponents(ngramJaccardPairs(spark, dir, minJaccard).select("a", "b"))
-      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy("doc_id")
+    // Layer-memoized: the labels frame comes back persisted (see
+    // connectedComponents), so repeated invocations must reuse one copy
+    // (evicted via Layer.clear) rather than leak a new persist each call.
+    graft.Layer.cached(spark, dir, s"dupClusters@$minJaccard") {
+      connectedComponents(ngramJaccardPairs(spark, dir, minJaccard).select("a", "b"))
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+    }.orderBy("doc_id")
 
   /** Min-label propagation over an undirected pair list `(a, b)`; returns
-    * one row per node with its component's smallest id as `rep`.
+    * one row per node with its component's smallest id as `rep`. The
+    * result comes back PERSISTED (it is the converged loop state; dropping
+    * the persist would recompute the whole iteration on first use) — the
+    * caller owns the unpersist, or memoizes via Layer as [[dupClusters]]
+    * does.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
@@ -323,9 +337,10 @@ object Dedup {
     * Deterministic (no random hyperplanes: the coordinate axes are the
     * projection, which is sign-RP for isotropic embeddings), so the DuckDB
     * oracle mirrors the banding bit-for-bit and x21 stays hash-checked.
-    * Recall law: a pair differing in ≤ bandBits−1 coordinate signs always
-    * shares a band, so genuine near-duplicates (cos → 1) are found with
-    * certainty; barely-similar pairs are found with probability
+    * Recall law (pigeonhole over the nBands bands): a pair differing in
+    * ≤ nBands−1 coordinate signs always leaves at least one band with no
+    * differing position, so genuine near-duplicates (cos → 1) are found
+    * with certainty; barely-similar pairs are found with probability
     * 1−(1−p^bandBits)^nBands, p = 1−θ/π. ExtSpec asserts the planted-dup
     * law and precision == 1 vs [[exactNearDup]].
     */

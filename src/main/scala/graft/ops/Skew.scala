@@ -16,25 +16,44 @@ object Skew {
     * Works for any algebraic aggregate supplied as (partial, combine)
     * pairs; the count/sum convenience below covers the common case.
     *
-    * The salt is a deterministic per-row hash of every column (xxhash64) —
-    * NOT spark_partition_id/monotonically_increasing_id, whose row→salt
-    * assignment varies across runs and would make floating-point sums
-    * run-dependent (partial-sum order changes) for non-integral doubles.
+    * Two salt modes — reproducibility vs spread, an inherent trade-off:
+    *
+    *  - `deterministicSalt = true` (default): salt = xxhash64 of every
+    *    column. Row→salt never depends on partition layout, so
+    *    floating-point partial-sum ORDER is run-stable and non-integral
+    *    double sums reproduce bit-for-bit. Caveat: IDENTICAL rows share a
+    *    salt, so a hot key whose rows are duplicates (e.g. a projected
+    *    key-only frame) still lands on one reducer — content hashing
+    *    cannot distinguish identical content.
+    *  - `deterministicSalt = false`: salt = round-robin over physical row
+    *    position (partition id + local id). Spreads even duplicate rows
+    *    uniformly, but row→salt varies across runs/layouts, so use it
+    *    only when the aggregates are order-independent (counts, integer /
+    *    decimal sums, min/max) — which covers most heavy-hitter cases.
     */
   def saltedAgg(df: DataFrame, key: Seq[String], salt: Int,
-                partial: Seq[Column], combine: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+                partial: Seq[Column], combine: Seq[Column],
+                deterministicSalt: Boolean = true): DataFrame = {
+    val saltCol =
+      if (deterministicSalt)
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong))
+      else
+        pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+          lit(salt.toLong))
+    df.withColumn("__salt", saltCol)
       .groupBy((key.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(key.map(col): _*)
       .agg(combine.head, combine.tail: _*)
+  }
 
   /** Salted count + sum — equivalent to
     * groupBy(key).agg(count(*) as n, sum(valueCol) as total).
     */
   def saltedCountSum(df: DataFrame, key: Seq[String], valueCol: String,
-                     salt: Int = 16): DataFrame =
+                     salt: Int = 16, deterministicSalt: Boolean = true): DataFrame =
     saltedAgg(df, key, salt,
       partial = Seq(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s")),
-      combine = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")))
+      combine = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")),
+      deterministicSalt = deterministicSalt)
 }

@@ -73,7 +73,7 @@ class ExtSpec extends SparkSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val base = (0L until 40L).map(i => (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
-    // plant near-copies differing in exactly 3 coordinate signs: ≤ bandBits−1
+    // plant near-copies differing in exactly 3 coordinate signs: ≤ nBands−1
     // flips pigeonholes at least one clean band, so the pair MUST be a
     // candidate; cos stays ≈ 1 − 2·3/64, far above the 0.4 threshold
     val planted = base.take(10).map { case (i, v) =>
@@ -109,12 +109,17 @@ class ExtSpec extends SparkSuite {
     val naive = a.join(b, "lang").filter(col("a") < col("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.6)
       .select("a", "b", "jaccard")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val got = Dedup.ngramJaccardPairs(spark, sf, 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got === naive)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // t = 0.1 exercises the integer prefix-length arithmetic: in double,
+    // floor((1−0.1)·sz)+1 under-counts the prefix and silently drops
+    // qualifying pairs (1−0.1 = 0.8999…)
+    for (t <- Seq(0.6, 0.1)) {
+      val expected = naive.filter(_._3 >= t).toSet
+      val got = Dedup.ngramJaccardPairs(spark, sf, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"threshold $t")
+    }
   }
 
   test("IVF ANN (k-means centroids, nprobe=2) reaches >= 50% recall of brute-force top-5") {
@@ -139,8 +144,9 @@ class ExtSpec extends SparkSuite {
     // a disjoint pair 10-11, and a triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Dedup.connectedComponents(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }

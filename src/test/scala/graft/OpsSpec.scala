@@ -69,6 +69,24 @@ class OpsSpec extends SparkSuite {
     assert(run() === run())
   }
 
+  test("salted aggregation: positional salt mode stays correct on all-duplicate hot keys") {
+    import spark.implicits._
+    // a hot key of IDENTICAL rows defeats the content-hash salt (same
+    // content → same bucket); the positional mode exists for exactly this
+    // shape, and with integral values both modes must match direct groupBy
+    val rows = (1 to 10000).map(_ => ("hot", 7L)) ++
+      (1 to 300).map(i => (s"k${i % 30}", i.toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (det <- Seq(true, false)) {
+      val got = Skew.saltedCountSum(df, Seq("k"), "v", salt = 8, deterministicSalt = det)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === direct, s"deterministicSalt=$det")
+    }
+  }
+
   test("approx_percentile lands near the exact median per group") {
     graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
@@ -121,15 +139,20 @@ class OpsSpec extends SparkSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(reparted.toSeq === base.toSeq)
-    // chunk law: a doc's sequence is the 2048-token chunk holding its first
-    // token, so per (shard, seq) the first doc starts below (seq+1)*budget
-    // and the running total inside the chunk only crosses ONE boundary
-    base.groupBy(r => (r._2, r._3)).foreach { case ((_, seq), docs) =>
-      val tokens = docs.sortBy(_._1).map(_._4).sum
-      assert(tokens > 0)
-      assert(seq >= 0)
+    // chunk law, recomputed independently: concatenate each shard's docs in
+    // doc_id order and every doc's seq_id must be the 2048-token chunk
+    // holding its FIRST token — floor(tokens-before-it / 2048)
+    base.groupBy(_._2).foreach { case (_, docs) =>
+      var before = 0L
+      docs.sortBy(_._1).foreach { case (id, _, seq, n) =>
+        assert(seq === before / 2048, s"doc $id: seq $seq, start $before")
+        assert(n > 0)
+        before += n
+      }
     }
     // sequences within a shard are contiguous: ids 0..max with no gaps
+    // (holds here because every doc is far shorter than the 2048 budget;
+    // a doc longer than the budget legitimately skips chunk ids)
     base.groupBy(_._2).foreach { case (_, docs) =>
       val seqs = docs.map(_._3).distinct.sorted
       assert(seqs === (0L to seqs.max).toArray.toSeq, s"gapped seqs $seqs")

@@ -18,7 +18,11 @@ object Layer {
     * sessions after GC and would hand a later session a DataFrame bound
     * to a stopped SparkContext. Entries for stopped sessions are purged
     * on every lookup (their cached blocks died with the context) and
-    * eagerly via [[clear]]. All access synchronizes on the map.
+    * eagerly via [[clear]]. The memo monitor guards ALL map state —
+    * lookups, commits, and clear's iteration — so a clear cannot
+    * interleave with a commit (orphaned-map leak) or with iteration
+    * (ConcurrentModificationException). Only the build itself runs
+    * outside the lock.
     */
   private val memo =
     new IdentityHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
@@ -32,41 +36,58 @@ object Layer {
       m
     }
 
-  /** Memoized build-and-persist. The build runs OUTSIDE the map lock:
+  /** Memoized build-and-persist. The build runs OUTSIDE the lock:
     * building one layer recursively builds the layers under it (basket →
     * ordersI), and a nested mutation under the lock would deadlock/throw.
-    * On a lost race, drop the duplicate and keep the winner. If [[clear]]
-    * removed this session's map mid-build, the freshly-persisted frame
-    * would land in an orphaned map nothing can evict — detect that under
-    * the memo lock and hand back the frame unpersisted instead.
+    *
+    * Race handling — NOTE Spark's unpersist is PLAN-keyed
+    * (CacheManager.uncacheQuery matches by sameResult), so unpersisting a
+    * duplicate of an already-cached plan would evict the winner's blocks:
+    *  - lost race (another thread committed the same key first): the
+    *    loser's persist was a no-op on the shared cache entry; return the
+    *    winner and do NOT unpersist.
+    *  - cleared mid-build (the session map was replaced): nothing should
+    *    stay cached — unpersist and hand the frame back uncached. Checked
+    *    atomically with the commit under the memo lock.
     */
   def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     val m = layerMap(spark)
     val k = s"$dir|$key"
-    val existing = m.synchronized(m.get(k))
+    val existing = memo.synchronized(m.get(k))
     if (existing != null) existing
     else {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val orphaned = memo.synchronized(memo.get(spark) ne m)
-      if (orphaned) { df.unpersist(); df }
-      else {
-        val prev = m.synchronized {
+      val (orphaned, prev) = memo.synchronized {
+        if (memo.get(spark) ne m) (true, null)
+        else {
           val p = m.get(k)
           if (p == null) m.put(k, df)
-          p
+          (false, p)
         }
-        if (prev != null) { df.unpersist(); prev } else df
       }
+      if (orphaned) { try df.unpersist() catch { case _: Throwable => () }; df }
+      else if (prev != null) prev // shared cache entry stays live — no unpersist
+      else df
     }
   }
 
   /** Evict (and unpersist) every layer memoized for `spark`. Call before
     * spark.stop() in long-lived drivers; harmless if the session is
     * already stopped (unpersist is then a no-op on a dead context).
+    * Iterates a map already detached from the memo, under the memo lock,
+    * so no commit can interleave.
     */
   def clear(spark: SparkSession): Unit = {
-    val m = memo.synchronized(memo.remove(spark))
-    if (m != null) m.values().forEach { df =>
+    val layers = memo.synchronized {
+      val m = memo.remove(spark)
+      if (m == null) Nil
+      else {
+        val vs = new java.util.ArrayList[DataFrame](m.values())
+        m.clear()
+        scala.jdk.CollectionConverters.IteratorHasAsScala(vs.iterator()).asScala.toList
+      }
+    }
+    layers.foreach { df =>
       try df.unpersist() catch { case _: Throwable => () }
     }
   }

@@ -68,12 +68,16 @@ object Dedup {
     * corpus never shuffles.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 4),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gram"))
+    // persisted once: both the bench side and the train side consume this
+    // plan, and without the layer the tokenize+explode pass runs twice
+    val grams = graft.Layer.cached(spark, dir, "grams4") {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 4),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gram"))
+    }
     val bench = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
     grams.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(bench), "gram")
@@ -202,17 +206,20 @@ object Dedup {
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
     val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))
     // per-doc prefix under the global (df asc, shingle asc) total order.
-    // Length |A|−⌈t·|A|⌉+1 computed in INTEGER basis points: double
-    // floor(1−t)·sz under-counts by 1 whenever 1−t rounds low (e.g.
-    // t=0.1, sz=10 → 8.999… → 9, losing a qualifying pair). Threshold
-    // resolution 1e-4 matches the 4-decimal verify round.
+    // Length |A|−L+1 with the required-overlap bound L computed in INTEGER
+    // basis points: double floor(1−t)·sz under-counts by 1 whenever 1−t
+    // rounds low (e.g. t=0.1, sz=10 → 8.999… → 9, losing a qualifying
+    // pair). The verify filter accepts ROUND(J,4) ≥ t, i.e. true
+    // J ≥ t − 0.5e-4, so L derives from (tBp − 0.5)/10000 — without the
+    // half-ulp margin a pair at |A| ≥ 20000 shingles could be pruned here
+    // yet pass the rounded verify/oracle. ⌈(2·tBp−1)·sz/20000⌉ exactly.
     val tBp = math.round(minJaccard * 10000).toInt
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = inv.join(df, Seq("lang", "s"))
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <=
-        col("sz") - floor((lit(tBp) * col("sz") + lit(9999)) / 10000) + 1)
+        col("sz") - floor((lit(2L * tBp - 1) * col("sz") + lit(19999)) / 20000) + 1)
       .select("lang", "doc_id", "s")
     val cand = prefix.toDF("lang", "a", "s")
       .join(prefix.toDF("lang", "b", "s"), Seq("lang", "s"))

@@ -41,11 +41,13 @@ object Packing {
     packSequences(Tables.documents(spark, dir), budget = 2048, shards = 4, seed = 99)
       .orderBy("doc_id")
 
+  // shard arithmetic delegated to Sampling.bucketSql — the single DuckDB
+  // twin of bucket10k, so a hash change can't silently diverge here
   val oracle: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |         (('0x' || substr(md5(doc_id || ':99'), 1, 8))::BIGINT % 10000) % 4 AS shard
+      |         ${Sampling.bucketSql("doc_id", 99)} % 4 AS shard
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, shard, n_tokens,

@@ -69,7 +69,7 @@ object Sampling {
   /** DuckDB twin of [[bucket10k]]: '0x'-prefixed hex cast == Spark's
     * conv(hex, 16, 10).
     */
-  private def bucketSql(key: String, seed: Int): String =
+  private[ops] def bucketSql(key: String, seed: Int): String =
     s"(('0x' || substr(md5($key || ':$seed'), 1, 8))::BIGINT % 10000)"
 
   val splitOracle: String =

@@ -19,12 +19,16 @@ object Skew {
     * Two salt modes — reproducibility vs spread, an inherent trade-off:
     *
     *  - `deterministicSalt = true` (default): salt = xxhash64 of every
-    *    column. Row→salt never depends on partition layout, so
-    *    floating-point partial-sum ORDER is run-stable and non-integral
-    *    double sums reproduce bit-for-bit. Caveat: IDENTICAL rows share a
-    *    salt, so a hot key whose rows are duplicates (e.g. a projected
-    *    key-only frame) still lands on one reducer — content hashing
-    *    cannot distinguish identical content.
+    *    column. Row→salt never depends on partition layout, so the
+    *    row→partial-sum GROUPING is run-stable (the old positional salt
+    *    regrouped rows every run). Combine ORDER within a reducer can
+    *    still follow shuffle-fetch arrival on a real cluster, so strict
+    *    bit-for-bit double reproduction additionally needs an
+    *    order-independent accumulator (decimal/integral sums) — in
+    *    local mode fetch order is stable and sums reproduce exactly.
+    *    Caveat: IDENTICAL rows share a salt, so a hot key whose rows are
+    *    duplicates (e.g. a projected key-only frame) still lands on one
+    *    reducer — content hashing cannot distinguish identical content.
     *  - `deterministicSalt = false`: salt = round-robin over physical row
     *    position (partition id + local id). Spreads even duplicate rows
     *    uniformly, but row→salt varies across runs/layouts, so use it

@@ -155,7 +155,9 @@ object Core {
   def q18CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Fixed path, overwritten per run: the static oracle SQL reads the dump
-    // of the SAME run whatever sf dir Verify was pointed at.
+    // of the SAME run whatever sf dir Verify was pointed at. Assumes one
+    // Verify runner per host (the driver's contract) — concurrent runners
+    // would clobber each other's dump; q19 shares the assumption.
     val out = "/tmp/graft_csv/current/orders"
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -171,7 +171,10 @@ object Ext {
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
-    // batch twin of the watermarked stream-stream interval join
+    // batch twin of the watermarked stream-stream interval join. The join
+    // predicate compares epoch_us values, NOT raw timestamps: events.ts is
+    // ns-precision and Spark joins after µs truncation, so a raw-ts compare
+    // would diverge on pairs whose ns offsets straddle the boundary.
     "s06_stream_join"      ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
         |       CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
@@ -180,7 +183,8 @@ object Ext {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
         |ORDER BY view_id, purchase_id""".stripMargin,
     "x70_hash_split"       -> graft.ops.Sampling.splitOracle,
     "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,

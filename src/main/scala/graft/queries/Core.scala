@@ -215,6 +215,36 @@ object Core {
       .orderBy("doc_id")
   }
 
+  /** The typed Dataset tier (SURVEY §1.4): case-class Encoders, joinWith,
+    * groupByKey + mapGroups — the API a user reaches for when compile-time
+    * row types matter. Totals accumulate as integer CENTS inside the
+    * typed group function, so the sum is exact and order-independent and
+    * the query stays hash-checkable despite double inputs. mapGroups
+    * deliberately trades codegen for typed objects; hot aggregation paths
+    * use the untyped column API (everything else in this file) — this
+    * query exists to keep the typed tier covered and correct.
+    */
+  def q20TypedSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[TOrder]
+    val customers = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[TCustomer]
+    orders
+      .joinWith(customers, orders("o_custkey") === customers("c_custkey"))
+      .groupByKey(_._2.c_mktsegment)
+      .mapGroups { (segment, rows) =>
+        var n = 0L
+        var cents = 0L
+        rows.foreach { case (o, _) => n += 1; cents += math.round(o.o_totalprice * 100) }
+        (segment, n, cents)
+      }
+      .toDF("segment", "n_orders", "total_cents")
+      .orderBy("segment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -235,6 +265,7 @@ object Core {
     "q17_counts"              -> (q17Counts _),
     "q18_csv_roundtrip"       -> (q18CsvRoundtrip _),
     "q19_jsonl_roundtrip"     -> (q19JsonlRoundtrip _),
+    "q20_typed_segments"      -> (q20TypedSegments _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +288,16 @@ object Core {
     "q17_counts"              -> graft.OracleSql.q17_counts,
     "q18_csv_roundtrip"       -> graft.OracleSql.q18_csv_roundtrip,
     "q19_jsonl_roundtrip"     -> graft.OracleSql.q19_jsonl_roundtrip,
+    "q20_typed_segments"      ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
+
+/** Typed-row shapes for [[Core.q20TypedSegments]] (top level so Encoders
+  * derive without closure capture of the suite).
+  */
+case class TOrder(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+case class TCustomer(c_custkey: Long, c_mktsegment: String)

@@ -250,6 +250,54 @@ object Analytics {
         Seq("c_custkey"), "left_anti")
       .orderBy("c_custkey")
 
+  /** TPC-H Q2 shape: equality-to-min join-back — each part's cheapest
+    * supplier(s). The per-part minimum (one row per part) broadcasts and
+    * joins back on (partkey, price = min); the fact table never shuffles
+    * for the join and ties surface as a deterministic set.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    // renamed key sidesteps the ambiguous-self-join analyzer check
+    // (mins derives from li, so li("l_partkey") would be ambiguous)
+    val mins = li.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("min_price"))
+      .toDF("m_partkey", "min_price")
+    li.join(broadcast(mins),
+        col("l_partkey") === col("m_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("min_price"), 4).as("min_price"))
+      .distinct()
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
+  /** TPC-H Q21 shape: correlated EXISTS + NOT EXISTS as one semi and one
+    * anti join — suppliers solely responsible for an order's returns
+    * (another supplier participated, no other supplier had a return).
+    * Each correlated subquery becomes a distributed join shuffling only
+    * (orderkey, suppkey) pairs; top-20 under a total tie-break.
+    */
+  def soleReturnSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val returns = lines.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val allPairs = lines.select("l_orderkey", "l_suppkey").distinct()
+    val withOther = returns.join(
+      allPairs.toDF("o_orderkey", "other_supp"),
+      col("l_orderkey") === col("o_orderkey") && col("other_supp") =!= col("l_suppkey"),
+      "left_semi")
+    val sole = withOther.join(
+      returns.toDF("r_orderkey", "other_r_supp"),
+      col("l_orderkey") === col("r_orderkey") && col("other_r_supp") =!= col("l_suppkey"),
+      "left_anti")
+    sole.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numsole"))
+      .orderBy(col("numsole").desc, col("suppkey"))
+      .limit(20)
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -277,6 +325,8 @@ object Analytics {
     "a13_small_qty_parts"  -> (smallQtyParts _),
     "a11_inactive_customers" -> (inactiveCustomers _),
     "a12_grouping_sets"    -> (orderGroupingSets _),
+    "a14_cheapest_supplier" -> (cheapestSupplier _),
+    "a15_sole_return_supp" -> (soleReturnSuppliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +394,27 @@ object Analytics {
         |                  WHERE o.o_custkey = c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "a14_cheapest_supplier" ->
+      """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        |           FROM lineitem GROUP BY 1)
+        |SELECT DISTINCT l.l_partkey, l.l_suppkey,
+        |       ROUND(m.min_price, 4) AS min_price
+        |FROM lineitem l JOIN m
+        |  ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+        |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin,
+    "a15_sole_return_supp" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |            WHERE l_returnflag = 'R')
+        |SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numsole
+        |FROM l1
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numsole DESC, suppkey LIMIT 20""".stripMargin,
     "a12_grouping_sets" ->
       """SELECT c_mktsegment, o_orderstatus,
         |       CAST(GROUPING_ID(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,

@@ -183,6 +183,13 @@ class OpsSpec extends SparkSuite {
     assert(reparted.toSeq === chunks.toSeq)
   }
 
+  test("packing and chunking degrade to empty output on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Packing.packSequences(empty, 2048, 4, 99).count() === 0)
+    assert(graft.ops.Chunking.chunkDocs(empty, 32, 24).count() === 0)
+  }
+
   test("from_json yields null, not an error, on malformed JSON") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, from_json}

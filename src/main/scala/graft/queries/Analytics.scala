@@ -298,6 +298,40 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape: the orders-per-customer distribution histogram —
+    * two stacked aggregations with a left outer join so zero-order
+    * customers land in the c_count = 0 bucket (an inner join would
+    * silently drop them). count(o_orderkey) counts matches only, which is
+    * exactly the null-skipping the outer join relies on.
+    */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q11 shape: groups filtered against a fraction of the GLOBAL
+    * total — the scalar subquery becomes a one-row aggregate broadcast by
+    * crossJoin, so the HAVING evaluates distributed with no second scan
+    * of the grouped data. All arithmetic in DECIMAL: a double 0.0006
+    * multiplier would make the threshold engine-dependent at the
+    * boundary.
+    */
+  def significantParts(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(dec("l_extendedprice")).as("val"))
+    val total = v.agg(sum(col("val")).as("total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("val") > col("total") * lit(new java.math.BigDecimal("0.0006")))
+      .select(col("l_partkey"), round(col("val").cast("double"), 4).as("value"))
+      .orderBy("l_partkey")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -327,6 +361,8 @@ object Analytics {
     "a12_grouping_sets"    -> (orderGroupingSets _),
     "a14_cheapest_supplier" -> (cheapestSupplier _),
     "a15_sole_return_supp" -> (soleReturnSuppliers _),
+    "a16_cust_distribution" -> (customerDistribution _),
+    "a17_significant_parts" -> (significantParts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +430,20 @@ object Analytics {
         |                  WHERE o.o_custkey = c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "a16_cust_distribution" ->
+      """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "a17_significant_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |                  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS value
+        |FROM v WHERE val > (SELECT SUM(val) * 0.0006 FROM v)
+        |ORDER BY l_partkey""".stripMargin,
     "a14_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
         |           FROM lineitem GROUP BY 1)

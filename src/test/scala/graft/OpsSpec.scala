@@ -183,6 +183,18 @@ class OpsSpec extends SparkSuite {
     assert(reparted.toSeq === chunks.toSeq)
   }
 
+  test("observed() collects row/null metrics from the job's own pass") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null))
+      .toDF("id", "s")
+    val (instrumented, obs) = graft.ops.Quality.observed(df, "ingest_gate", Seq("s"))
+    // one action drives both the result and the metrics — no second scan
+    assert(instrumented.filter(col("id") > 1).count() === 3)
+    val m = obs.get
+    assert(m("n_rows") === 4L, s"metrics $m")
+    assert(m("nulls_s") === 2L, s"metrics $m")
+  }
+
   test("packing and chunking degrade to empty output on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

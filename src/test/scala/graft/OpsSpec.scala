@@ -183,6 +183,25 @@ class OpsSpec extends SparkSuite {
     assert(reparted.toSeq === chunks.toSeq)
   }
 
+  test("count-min sketch and bloom filter obey their error contracts on documents") {
+    import org.apache.spark.sql.functions.explode
+    // both sketches build distributed (mergeable partials) and come back
+    // tiny — the at-scale substitutes for exact frequency maps / key sets
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("token"))
+    val exact = tokens.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val cms = tokens.stat.countMinSketch("token", eps = 0.001, confidence = 0.99, seed = 42)
+    exact.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n, s"$tok: CMS must never under-count ($est < $n)")
+      assert(est <= n + (0.001 * total).toLong + 1, s"$tok: est $est vs $n")
+    }
+    val bloom = tokens.stat.bloomFilter("token", expectedNumItems = 1000, fpp = 0.01)
+    exact.keys.foreach(t => assert(bloom.mightContain(t), s"false negative: $t"))
+  }
+
   test("observed() collects row/null metrics from the job's own pass") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null))

@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_BENCH: "both" (default) runs a WARM pass (shared Layer
+    // intermediates amortize across queries — the round-over-round trend
+    // line) and then a COLD pass (Layer.clear before every query, so no
+    // per-query regression can hide inside another query's warm-up);
+    // "warm" / "cold" run just that pass.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH", "both")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,15 +17,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def pass(cold: Boolean): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        if (cold) Layer.clear(spark)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def fmt(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warm = if (mode != "cold") pass(cold = false) else Map.empty[String, Double]
+    val cold = if (mode != "warm") pass(cold = true) else Map.empty[String, Double]
+    // "value" stays the warm total for continuity with earlier rounds
+    val primary = if (warm.nonEmpty) warm else cold
+    println(s"""{"metric":"total","value":${primary.values.sum},"unit":"sec","queries":${fmt(primary)},"warm_total":${warm.values.sum},"cold_total":${cold.values.sum},"cold_queries":${fmt(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,7 +65,14 @@ object Layer {
           (false, p)
         }
       }
-      if (orphaned) { try df.unpersist() catch { case _: Throwable => () }; df }
+      if (orphaned) {
+        try df.unpersist() catch { case _: Throwable => () }
+        // a clear() raced this build: re-enter so the caller still gets a
+        // persisted, memoized frame (the documented contract of e.g.
+        // Dedup.dupClusters) instead of an unpersisted one whose first
+        // downstream use silently re-runs the whole computation
+        cached(spark, dir, key)(build)
+      }
       else if (prev != null) prev // shared cache entry stays live — no unpersist
       else df
     }

@@ -202,15 +202,16 @@ object OracleSql {
   val q17_counts: String = withCtes(ordersI)(
     "SELECT eval_set, COUNT(*) AS n FROM orders_i GROUP BY eval_set ORDER BY eval_set")
 
-  /** Reads the CSV file the q18 query exports (overwritten per Verify run
-    * at a fixed path, so the oracle sees the same run's dump at any sf).
-    * ignore_errors mirrors Spark's DROPMALFORMED: the three planted bad
-    * lines must vanish on both sides.
+  /** Reads the CSV file the q18 query exports (run-scoped path from
+    * [[RunScoped.ioDir]], interpolated in this JVM at dump time, so the
+    * oracle sees the same run's dump at any sf and concurrent runners
+    * stay isolated). ignore_errors mirrors Spark's DROPMALFORMED: the
+    * three planted bad lines must vanish on both sides.
     */
   val q18_csv_roundtrip: String =
-    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       o_orderdate, o_orderpriority
-      |FROM read_csv('/tmp/graft_csv/current/orders/part-*',
+      |FROM read_csv('${RunScoped.ioDir}/orders/part-*',
       |  header = true, delim = ',', auto_detect = false,
       |  columns = {'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
       |             'o_orderstatus': 'VARCHAR', 'o_totalprice': 'DOUBLE',
@@ -224,8 +225,8 @@ object OracleSql {
     * valid line has one.
     */
   val q19_jsonl_roundtrip: String =
-    """SELECT doc_id, text, lang, source, n_chars
-      |FROM read_json('/tmp/graft_jsonl/current/documents/part-*',
+    s"""SELECT doc_id, text, lang, source, n_chars
+      |FROM read_json('${RunScoped.ioDir}/documents/part-*',
       |  format = 'newline_delimited',
       |  columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR',
       |             'source': 'VARCHAR', 'n_chars': 'BIGINT'},

@@ -166,24 +166,40 @@ object OracleSqlExt {
     * equi-join for candidates, exact cosine verify. DuckDB lists are
     * 1-indexed, hence `v[band*8 + j + 1]` for Spark's getItem(b*8+j).
     */
+  /** Mirrors Dedup.deriveBands bit-for-bit: bandBits bb = smallest
+    * b ∈ [8, 24] with 2^b ≥ count (clamped to dim/2), nBands
+    * nb = min(8, dim // bb) — both computed from the SAME table the Spark
+    * side derives them from, so the banding stays hash-checked at every
+    * sf. DuckDB's range() only takes constants and lambdas reject
+    * subqueries, hence the constant 24/8 upper bounds filtered by the
+    * derived bb/nb columns (out-of-range list indexes NULL out to the
+    * ELSE 0 branch).
+    */
   val x21_embedding_neardup: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT COUNT(*) AS n, MIN(len(v)) AS dim FROM e),
+       |p AS (SELECT GREATEST(1, LEAST(
+       |        COALESCE((SELECT MIN(b) FROM range(8, 25) t(b), m
+       |                  WHERE (1::BIGINT << b) >= m.n), 24),
+       |        (SELECT dim FROM m) // 2)) AS bb),
+       |p2 AS (SELECT bb, GREATEST(1, LEAST(8, (SELECT dim FROM m) // bb)) AS nb FROM p),
        |sig AS (
        |  SELECT vec_id, band,
-       |         list_sum(list_transform(range(0, 8),
-       |           j -> CASE WHEN v[band * 8 + j + 1] >= 0
-       |                     THEN 1 << j ELSE 0 END)) AS key
-       |  FROM e, range(0, 8) AS bs(band)),
+       |         list_sum(list_transform(range(0, 24),
+       |           j -> CASE WHEN j < bb AND v[band * bb + j + 1] >= 0
+       |                     THEN 1::BIGINT << j ELSE 0 END)) AS key
+       |  FROM e CROSS JOIN p2 CROSS JOIN range(0, 8) AS bs(band)
+       |  WHERE band < nb),
        |cand AS (
        |  SELECT DISTINCT s.vec_id AS a, t.vec_id AS b
        |  FROM sig s JOIN sig t
        |    ON s.band = t.band AND s.key = t.key AND s.vec_id < t.vec_id),
-       |p AS (
+       |pr AS (
        |  SELECT c.a, c.b, ROUND(${cosExpr("ea.v", "eb.v")}, 4) AS cos
        |  FROM cand c
        |  JOIN e ea ON ea.vec_id = c.a
        |  JOIN e eb ON eb.vec_id = c.b)
-       |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+       |SELECT a, b, cos FROM pr WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
 
   val x30_binary_meta: String =
     """WITH m AS (

@@ -152,21 +152,48 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** X2 SimHash near-dup pairs via the native SimHash64 expression: 4
-    * 16-bit bands as join buckets (a pair within Hamming distance 3 must
-    * agree on ≥1 band), then exact Hamming verify. The band join is an
-    * equi-join — shuffle on band value, never n².
+  /** X2 SimHash near-dup pairs via the native SimHash64 expression, with a
+    * SCALE-ADAPTIVE candidate scheme. The 64-bit signature splits into B
+    * bands of 64/B bits; a pair within Hamming distance h has its
+    * differing bits in ≤ h bands, leaving ≥ B−h clean bands, so joining on
+    * every r-combination of bands (r = B−h) finds every qualifying pair —
+    * pigeonhole, provably lossless for h ≤ B−1. B derives from corpus
+    * size: 4 bands below 16k docs (4 single-band 16-bit keys, 2^16
+    * buckets — the small-corpus shape), 8 bands above (C(8,5) = 56 combo
+    * keys of 5×8 = 40 bits, 2^40 buckets), so bucket population — and the
+    * Σ bucket² pair space — keeps scaling with key width instead of
+    * regressing toward n²/2^16 at n ≫ 2^16. The OUTPUT is
+    * config-independent (under either B the candidates are a superset of
+    * all pairs at Hamming ≤ h, and the verify filter keeps exactly those),
+    * asserted as an ExtSpec law at both configurations.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                   nBands: Int = 0): DataFrame = {
     // persist the signatures: the banded self-join references this plan
     // twice, and without a materialization the shingle+hash pass runs twice
     val sigs = graft.Layer.cached(spark, dir, "simhashSigs") {
       shingled3(spark, dir)
         .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
     }
+    // corpus count for the derivation: count(*) over parquet resolves from
+    // footer metadata — control-plane cost, like an ML fit's stats pass
+    val bands =
+      if (nBands > 0) nBands
+      else if (Tables.documents(spark, dir).count() <= (1L << 14)) 4 else 8
+    require(64 % bands == 0 && bands > 0, s"band count $bands must divide 64")
+    val w = 64 / bands
+    // h > B−1 leaves no guaranteed-clean band: degrade to best-effort r=1
+    // (single-band keys) rather than emit an empty combination
+    val r = math.max(1, bands - maxHamming)
+    def bandVal(bnd: Int) =
+      shiftright(col("sig"), bnd * w).bitwiseAND(lit((1L << w) - 1))
+    val combos = (0 until bands).combinations(r).toSeq
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      explode(array(combos.zipWithIndex.map { case (combo, idx) =>
+        struct(lit(idx).as("band"),
+          combo.zipWithIndex.map { case (bnd, i) => shiftleft(bandVal(bnd), i * w) }
+            .reduce(_.bitwiseOR(_)).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -238,8 +265,9 @@ object Dedup {
 
   /** Duplicate-cluster resolution: connected components over the near-dup
     * pair graph by iterative min-label propagation — each node adopts the
-    * smallest doc_id reachable so far; convergence in O(cluster diameter)
-    * rounds (dup clusters are shallow). The driver loop is CONTROL only
+    * smallest doc_id reachable so far, accelerated by per-round pointer
+    * jumping to O(log diameter) rounds (see
+    * [[connectedComponentsWithRounds]]). The driver loop is CONTROL only
     * (like ML iterations): per round one distributed join + aggregate, and
     * the convergence check is a count, not a data collect. This is how a
     * pipeline keeps ONE representative per duplicate group rather than
@@ -261,26 +289,68 @@ object Dedup {
     * caller owns the unpersist, or memoizes via Layer as [[dupClusters]]
     * does.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** As [[connectedComponents]], additionally reporting the round count
+    * (ExtSpec asserts the logarithmic bound on a planted deep chain).
+    *
+    * Each round is min-label propagation (adopt the smallest neighbor
+    * label) followed by one POINTER JUMP (rep := rep(rep), a self-join of
+    * the label table — valid because every rep is itself a node id).
+    * Propagation alone converges in O(diameter) rounds, so a
+    * 10⁶-long duplicate chain would cost 10⁶ shuffle rounds; the jump
+    * doubles the distance a label travels per round, the pointer-doubling
+    * idea behind the large-star/small-star CC algorithms, giving
+    * O(log diameter) rounds at one extra equi-join per round. Labels only
+    * ever decrease, and the propagate fixpoint is constant per component
+    * (for every edge rep(a) ≤ rep(b) and vice versa), so the converged
+    * state — and x63's oracle — is unchanged by the acceleration.
+    * `maxRounds` (default 64 ≫ 2·log₂ of any feasible node count) guards
+    * the driver loop: a non-converging iteration throws instead of
+    * spinning forever.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxRounds rounds; " +
+            "pointer jumping needs ~2*log2(nodes), so the pair graph is " +
+            "pathological (or raise maxRounds)")
       val viaNbr = edges
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("minNbr"))
-      val next = labels.join(viaNbr, Seq("id"), "left")
+      val prop = labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
         .persist()
+      val jumpTo = prop.toDF("jid", "jrep")
+      // localCheckpoint truncates lineage: `labels` appears multiple times
+      // per round (propagate reads it twice, the jump self-joins prop), so
+      // without truncation the LOGICAL plan doubles per round and the
+      // analyzer goes exponential long before the data does. Each round's
+      // label state becomes a leaf (materialized eagerly, MEMORY_AND_DISK
+      // — same residency the old persist gave); executor-local blocks are
+      // the right durability here because the loop is re-runnable control
+      // flow, and a lost executor fails the job, not the algorithm.
+      val next = prop.join(jumpTo, col("rep") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jrep"), col("rep")).as("rep"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") < col("old")).count()
-      labels.unpersist()
+      prop.unpersist()
+      labels.unpersist() // no-op once labels is a checkpoint (GC reclaims)
       labels = next
     }
     edges.unpersist()
-    labels
+    (labels, rounds)
   }
 
   /** DuckDB twin: transitive closure via recursive CTE, min reachable id. */
@@ -355,15 +425,34 @@ object Dedup {
     bandedNearDup(Tables.embeddings(spark, dir), minCos)
 
   /** Banded candidate generation + exact verify over any (vec_id,
-    * embedding) frame; see [[embeddingNearDup]]. bandBits ≤ 63.
+    * embedding) frame; see [[embeddingNearDup]]. With the default
+    * nBands/bandBits = 0 the parameters DERIVE from the input via
+    * [[deriveBands]]: bandBits is the smallest b in [8, 24] with 2^b ≥ n
+    * (clamped to dim/2 so at least two bands always exist), and
+    * nBands = min(8, dim / bandBits). Buckets per band then track corpus
+    * size (2^bandBits ≥ n), so expected bucket population stays O(1) and
+    * the Σ bucket² candidate space near-linear — an ASYMPTOTIC defense,
+    * where a fixed 8-bit key regresses toward n²/256 per band at corpus
+    * scale. The x21 oracle mirrors the derivation verbatim (computing the
+    * same n and dim from the same table), keeping the query hash-checked;
+    * the stats pass here is one count+min aggregate — control-plane cost.
+    * Explicit nBands/bandBits (both > 0, bandBits ≤ 63) pin a
+    * configuration, used by the ExtSpec two-config law.
     */
   def bandedNearDup(e: DataFrame, minCos: Double,
-                    nBands: Int = 8, bandBits: Int = 8): DataFrame = {
+                    nBands: Int = 0, bandBits: Int = 0): DataFrame = {
     val v = e.select(col("vec_id"), col("embedding"))
+    val (nb, bb) =
+      if (nBands > 0 && bandBits > 0) (nBands, bandBits)
+      else {
+        val stats = v.agg(count(lit(1)), min(size(col("embedding")))).head()
+        if (stats.isNullAt(1)) (8, 8) // empty input: any banding yields zero pairs
+        else deriveBands(stats.getLong(0), stats.getInt(1))
+      }
     val sig = v.select(col("vec_id"),
-      posexplode(array((0 until nBands).map { b =>
-        (0 until bandBits).map { j =>
-          when(col("embedding").getItem(b * bandBits + j) >= 0, lit(1L << j))
+      posexplode(array((0 until nb).map { b =>
+        (0 until bb).map { j =>
+          when(col("embedding").getItem(b * bb + j) >= 0, lit(1L << j))
             .otherwise(lit(0L))
         }.reduce(_ + _)
       }: _*)).as(Seq("band", "key")))
@@ -378,6 +467,21 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
       .orderBy("a", "b")
+  }
+
+  /** (nBands, bandBits) from corpus count and embedding dimension — see
+    * [[bandedNearDup]]. A pure function of (n, dim) so the ExtSpec law and
+    * the SQL oracle can pin exact values: bandBits = smallest b ∈ [8, 24]
+    * with 2^b ≥ n (24 past 16M vectors — wider keys stop paying once the
+    * per-band collision rate is ≪ 1), clamped to dim/2; nBands fills the
+    * remaining dimensions, capped at 8 (more bands = more recall for
+    * marginal pairs but a full extra shuffle of (vec_id, band, key) rows
+    * per band — 8 is the knee).
+    */
+  private[graft] def deriveBands(n: Long, dim: Int): (Int, Int) = {
+    val fit = (8 to 24).find(b => (1L << b) >= n).getOrElse(24)
+    val bb = math.max(1, math.min(fit, dim / 2))
+    (math.max(1, math.min(8, dim / bb)), bb)
   }
 
   /** Exact all-pairs baseline — a crossJoin, O(n²): kept ONLY as the

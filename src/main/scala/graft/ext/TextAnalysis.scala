@@ -163,8 +163,16 @@ object TextAnalysis {
     * differences between engines.
     *
     * Scale shape: per-doc term counts partial-aggregate map-side; the df
-    * table is |vocab| rows (≪ corpus) and broadcasts; the per-doc top-K is
-    * a window row_number that WindowGroupLimit prunes below the shuffle.
+    * table is |vocab| rows and deliberately carries NO broadcast hint —
+    * every keyword candidate needs its df, so the table cannot be
+    * thresholded away, and a real web corpus's vocabulary (typos, code,
+    * numerals) is 10⁸+ tokens, past any broadcast budget. AQE picks the
+    * join: broadcast while the measured df size is under
+    * autoBroadcastJoinThreshold, shuffle hash join (with AQE skew
+    * splitting for hot tokens) beyond it — asserted in OpsSpec by forcing
+    * the threshold to −1 and watching the plan fall back. The per-doc
+    * top-K is a window row_number that WindowGroupLimit prunes below the
+    * shuffle.
     */
   def docKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val tf = withTokens(Tables.documents(spark, dir))
@@ -175,7 +183,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df"), col("token"))
-    tf.join(broadcast(dfreq), "token")
+    tf.join(dfreq, "token")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),

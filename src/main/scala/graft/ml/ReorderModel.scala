@@ -113,13 +113,16 @@ object ReorderModel {
     // slowest model, not the sum).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    // Bounded await: these fits take ~30 s at sf0.1, so 15 minutes is pure
+    // headroom — a hang (dead executor, wedged stage) fails the query with
+    // a TimeoutException instead of blocking the whole suite forever.
     val fits = Seq(
       "rf"  -> Future(rf.fit(fit)),
       "gbt" -> Future(gbt.fit(fit)),
       "dt"  -> Future(dt.fit(fit)))
     val out = fits
-      .map { case (n, f) => evalOne(n, Await.result(f, Duration.Inf)) }
+      .map { case (n, f) => evalOne(n, Await.result(f, 15.minutes)) }
       .toDF("model", "accuracy", "weightedPrecision", "weightedRecall", "f1")
       .orderBy("model")
     val materialized = out.cache()

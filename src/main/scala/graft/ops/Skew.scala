@@ -29,6 +29,13 @@ object Skew {
     *    Caveat: IDENTICAL rows share a salt, so a hot key whose rows are
     *    duplicates (e.g. a projected key-only frame) still lands on one
     *    reducer — content hashing cannot distinguish identical content.
+    *    That duplicate-heavy shape is exactly what positional mode is
+    *    for: pass `deterministicSalt = false` there (counts/integer sums
+    *    are order-independent, so nothing is lost). Deterministic stays
+    *    the DEFAULT because a silently layout-dependent aggregation is
+    *    the worse failure mode for the hash-checked pipeline this
+    *    library feeds; mixing a position term into the content hash
+    *    would just be positional mode with extra steps.
     *  - `deterministicSalt = false`: salt = round-robin over physical row
     *    position (partition id + local id). Spreads even duplicate rows
     *    uniformly, but row→salt varies across runs/layouts, so use it

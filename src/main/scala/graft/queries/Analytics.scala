@@ -332,6 +332,33 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q15 shape: the revenue-per-supplier view over a shipdate
+    * quarter, with the top supplier(s) marked via equality-to-max
+    * join-back — the last untouched testdata source (supplier) on an
+    * oracle row. The lineitem side aggregates to supplier grain BEFORE
+    * touching the dim (one shuffle on l_suppkey, map-side partials), the
+    * one-row global max broadcasts through crossJoin (the a17 pattern),
+    * and the supplier dim joins at matching grain under AQE. is_top
+    * compares DECIMALs — exact, so the flag cannot flip on a last-ulp
+    * double difference between engines.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("d_rev"))
+    val top = rev.agg(max(col("d_rev")).as("max_rev"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(rev, Seq("s_suppkey"))
+      .crossJoin(broadcast(top))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("d_rev").cast("double"), 4).as("total_revenue"),
+        when(col("d_rev") === col("max_rev"), lit(1L)).otherwise(lit(0L)).as("is_top"))
+      .orderBy("s_suppkey")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -363,6 +390,7 @@ object Analytics {
     "a15_sole_return_supp" -> (soleReturnSuppliers _),
     "a16_cust_distribution" -> (customerDistribution _),
     "a17_significant_parts" -> (significantParts _),
+    "a18_top_supplier"     -> (topSupplier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,6 +472,20 @@ object Analytics {
         |SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 4) AS value
         |FROM v WHERE val > (SELECT SUM(val) * 0.0006 FROM v)
         |ORDER BY l_partkey""".stripMargin,
+    "a18_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS d_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+        |       ROUND(CAST(r.d_rev AS DOUBLE), 4) AS total_revenue,
+        |       CAST(CASE WHEN r.d_rev = (SELECT MAX(d_rev) FROM rev)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_top
+        |FROM supplier s JOIN rev r USING (s_suppkey)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "a14_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
         |           FROM lineitem GROUP BY 1)

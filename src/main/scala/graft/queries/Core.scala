@@ -12,6 +12,14 @@ import graft.insta.Insta
   */
 object Core {
 
+  /** Run-scoped dump root for the file round-trip queries (q18/q19):
+    * [[graft.OracleSql]] interpolates the SAME value into the q18/q19
+    * SQL, and Verify dumps that SQL from this JVM — so the oracle always
+    * reads the files this run's queries wrote, whatever the sf dir, and
+    * concurrent runners stay isolated.
+    */
+  private val ioDir: String = graft.RunScoped.ioDir
+
   /** S1/S5/P4: parquet scan + column pruning — only 3 of 11 lineitem columns
     * reach the scan (check ReadSchema in explain).
     */
@@ -154,11 +162,7 @@ object Core {
     */
   def q18CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Fixed path, overwritten per run: the static oracle SQL reads the dump
-    // of the SAME run whatever sf dir Verify was pointed at. Assumes one
-    // Verify runner per host (the driver's contract) — concurrent runners
-    // would clobber each other's dump; q19 shares the assumption.
-    val out = "/tmp/graft_csv/current/orders"
+    val out = s"$ioDir/orders"
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
     val valid = Tables.orders(spark, dir)
@@ -196,7 +200,7 @@ object Core {
     */
   def q19JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = "/tmp/graft_jsonl/current/documents"
+    val out = s"$ioDir/documents"
     val valid = Tables.documents(spark, dir)
       .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))).as("line"))

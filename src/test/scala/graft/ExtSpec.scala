@@ -138,6 +138,80 @@ class ExtSpec extends SparkSuite {
     assert(perQuery.forall(_.getLong(1) === 4))
   }
 
+  test("banded near-dup laws (precision 1, planted recall) hold at two band configurations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // 3 sign flips dirty at most 3 bands, < nBands in both configurations,
+    // so the pigeonhole guarantee applies to each
+    val planted = base.take(10).map { case (i, v) =>
+      val w = v.clone()
+      Seq(5, 20, 40).foreach(d => w(d) = -w(d))
+      (i + 1000L, w)
+    }
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.exactNearDup(e, 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((nb, bb) <- Seq((8, 8), (4, 16))) {
+      val banded = Dedup.bandedNearDup(e, 0.4, nb, bb).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      banded.foreach { case (k, c) =>
+        assert(exact.get(k).contains(c), s"false positive $k at ($nb,$bb)") }
+      base.take(10).foreach { case (i, _) =>
+        assert(banded.contains((i, i + 1000L)), s"missed planted pair ($i,${i + 1000L}) at ($nb,$bb)") }
+    }
+  }
+
+  test("LSH band derivation tracks corpus size and embedding dimension") {
+    assert(Dedup.deriveBands(50, 64) === ((8, 8)))
+    assert(Dedup.deriveBands(500, 64) === ((7, 9)))
+    assert(Dedup.deriveBands(2000, 64) === ((5, 11)))
+    // huge corpus, narrow vectors: widest keys the dimension affords
+    assert(Dedup.deriveBands(1L << 30, 64) === ((2, 24)))
+    // huge corpus, wide vectors: full key width AND the full band budget
+    assert(Dedup.deriveBands(1L << 30, 1024) === ((8, 24)))
+  }
+
+  test("simhash pairs equal brute-force Hamming under both the 4- and 8-band schemes") {
+    import graft.functions.{functions => gf}
+    // independent oracle: all-pairs Hamming over the same signatures —
+    // the combination-banding guarantee says candidates cover EVERY pair
+    // at Hamming <= h, so both band configs must return exactly this set
+    val sigs = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
+      .select(col("doc_id"), gf.simhash64(col("shingles")).as("sig"))
+    val a = sigs.toDF("a", "sa")
+    val b = sigs.toDF("b", "sb")
+    val exact = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("hamming", gf.hamming64(col("sa"), col("sb")))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (nb <- Seq(4, 8)) {
+      val got = Dedup.simhashPairs(spark, sf, 3, nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === exact, s"band scheme $nb diverged from brute force")
+    }
+  }
+
+  test("connected components converge in logarithmic rounds on a deep chain") {
+    import spark.implicits._
+    val L = 512L
+    val pairs = (0L until L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(got.size === L + 1 && got.values.forall(_ == 0L))
+    // simulated: rounds = log2(L) + 1; assert a small-constant log bound —
+    // plain propagation would need L rounds here
+    val bound = (64 - java.lang.Long.numberOfLeadingZeros(L)) + 4
+    assert(rounds <= bound, s"$rounds rounds for a $L-chain (bound $bound)")
+  }
+
   test("connected components resolve chains and keep separate components apart") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),

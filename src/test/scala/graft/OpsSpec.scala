@@ -276,6 +276,29 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("x78 df join is threshold-governed: AQE falls back to a shuffle join when broadcast is off") {
+    import graft.ext.TextAnalysis
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // no hard-coded broadcast hint on the df side: with the threshold
+      // disabled the plan must degrade to a shuffle join (the 10^8-token
+      // web-corpus vocabulary case), with identical results
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val unbounded = TextAnalysis.docKeywords(spark, sf)
+      val rows = unbounded.collect()
+      val plan = unbounded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"df join still broadcasts with the threshold disabled:\n$plan")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val bounded = TextAnalysis.docKeywords(spark, sf)
+      assert(bounded.collect().toSeq === rows.toSeq)
+      // and with the default threshold the small df side DOES broadcast
+      bounded.count()
+      assert(bounded.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "expected AQE/planner to broadcast the small df side under the default threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

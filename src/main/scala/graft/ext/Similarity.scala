@@ -68,16 +68,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Derived IVF geometry — the scale dials as pure functions of corpus
+    * count, mirroring the LSH band derivation in [[Dedup.deriveBands]]:
+    * nlist = ⌈√n⌉ cluster seeds (every ⌊n/nlist⌋-th vector), so the
+    * centroid broadcast grows as √n·dim — a fixed seed modulus would grow
+    * it LINEARLY in n and break the broadcast at corpus scale — and each
+    * cluster holds ~√n candidates. Default nProbe = ⌈√nlist⌉ ≈ n^¼, so
+    * per-query work is nProbe·n/nlist ≈ n^¾ — asymptotically sublinear —
+    * while the probed share shrinks slowly enough that the ExtSpec recall
+    * law holds. Returns (nlist, seedModulus, nProbe).
+    */
+  private[graft] def ivfGeometry(n: Long): (Long, Long, Int) = {
+    val nlist = math.max(4L, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong)
+    val mod = math.max(1L, n / nlist)
+    val probe = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    (nlist, mod, probe)
+  }
+
   /** Spherical k-means centroids, trained with a few distributed Lloyd
     * iterations in pure DataFrame ops: assign each vector to its nearest
     * centroid (broadcast), recompute centroids as the element-wise mean of
     * their members (posexplode → per-(cluster, dim) avg → re-assemble).
-    * Deterministic init (every 97th vector); each iteration is one
-    * broadcast join + one (cluster, dim)-keyed aggregate — both linear in
-    * n·dim, no pairwise blowup.
+    * Deterministic init (every seedMod-th vector, seedMod from
+    * [[ivfGeometry]]); each iteration is one broadcast join + one
+    * (cluster, dim)-keyed aggregate — both linear in n·dim, no pairwise
+    * blowup.
     */
-  private def centroids(e: DataFrame, iters: Int = 2): DataFrame = {
-    var cent = e.filter(col("vec_id") % 97 === 0)
+  private def centroids(e: DataFrame, seedMod: Long, iters: Int = 2): DataFrame = {
+    var cent = e.filter(col("vec_id") % seedMod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     for (_ <- 1 to iters) {
       val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
@@ -97,16 +115,21 @@ object Similarity {
     cent
   }
 
-  /** IVF-style ANN: assign every vector to its nearest centroid (small
+  /** IVF-style ANN: assign every vector to its nearest centroid (√n-sized
     * centroid table broadcast), then search only within the query's
-    * cluster — the candidate set shrinks by ~|clusters|×, and the
-    * cluster-keyed join co-partitions both sides. Approximate: recall vs
-    * bruteForceTopK is asserted in tests, not oracle-checked.
+    * cluster — the candidate set shrinks to ~nProbe·√n per query, and the
+    * cluster-keyed join co-partitions both sides. Geometry (nlist, seed
+    * modulus, default nProbe) derives from the corpus count via
+    * [[ivfGeometry]]; pass nProbe > 0 to pin the recall/cost dial.
+    * Approximate: recall vs bruteForceTopK is asserted in tests, not
+    * oracle-checked.
     */
   def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): DataFrame = {
+              nQueries: Int = 10, k: Int = 5, nProbe: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e))
+    val (_, seedMod, derivedProbe) = ivfGeometry(e.count())
+    val probe = if (nProbe > 0) nProbe else derivedProbe
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e, seedMod))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
     val ranked = e.crossJoin(broadcast(cent))
       .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
@@ -115,7 +138,7 @@ object Similarity {
     // nearest clusters (the standard IVF recall/cost dial)
     val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-    val q = ranked.filter(col("vec_id") < nQueries && col("arank") <= nProbe)
+    val q = ranked.filter(col("vec_id") < nQueries && col("arank") <= probe)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("c_id").as("cluster"))
     val c = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cluster"))

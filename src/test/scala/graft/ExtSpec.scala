@@ -122,7 +122,15 @@ class ExtSpec extends SparkSuite {
     }
   }
 
-  test("IVF ANN (k-means centroids, nprobe=2) reaches >= 50% recall of brute-force top-5") {
+  test("IVF geometry derives sqrt-scaled cluster and probe counts") {
+    // nlist = ceil(sqrt(n)), seed modulus spreads seeds evenly, probe = ceil(sqrt(nlist))
+    assert(Similarity.ivfGeometry(500) === ((23L, 21L, 5)))
+    assert(Similarity.ivfGeometry(2000) === ((45L, 44L, 7)))
+    assert(Similarity.ivfGeometry(1L << 30) === ((32768L, 32768L, 182)))
+    assert(Similarity.ivfGeometry(1) === ((4L, 1L, 2))) // degenerate floor
+  }
+
+  test("IVF ANN (derived sqrt(n) clusters + probes) reaches >= 50% recall of brute-force top-5") {
     val exact = Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfTopK(spark, sf)

@@ -191,6 +191,31 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** First BPE merge iteration — the statistic tokenizer training
+    * maximizes at every merge step: corpus-wide adjacent character-pair
+    * counts weighted by word frequency. Two-level aggregation is the
+    * scale shape: the corpus-sized explode collapses to |vocab| rows
+    * FIRST (word counts, map-side partials), and pairs then explode from
+    * the distinct-word table only — pair weighting costs |vocab|·len,
+    * not |corpus|·len, exactly how production BPE trainers batch by
+    * word frequency. ASCII corpus, so Spark substr (UTF-16 units) and
+    * DuckDB slices (characters) agree; ties broken (weight desc, pair
+    * asc) for a deterministic K-boundary.
+    */
+  def bpeMergePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val words = withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("w"))
+      .filter(length(col("w")) >= 2) // guards sequence(1, 0), which DESCENDS
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    words
+      .select(col("c_w"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("c_w")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(k)
+  }
+
   /** PII scrub: redact emails/phones and count what was removed. The regex
     * subset is deliberately Java-regex ∩ RE2 (no backrefs/lookaround) so
     * Spark and the DuckDB oracle match byte-for-byte; Spark regexp_replace

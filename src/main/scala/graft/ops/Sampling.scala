@@ -66,6 +66,65 @@ object Sampling {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Temperature-based data-mixture reweighting — the standard LLM-corpus
+    * step that flattens a skewed domain distribution toward uniform before
+    * training (keep rate ∝ (1 / domain share)^α at α = ½, capped at 1).
+    * Rates are computed in integer BASIS POINTS from count aggregates
+    * only — the one float op is sqrt of a ratio of exact integers, an
+    * identical correctly-rounded IEEE op on both engines, then
+    * floor(·10⁴) — so per-row membership (the shared md5 bucket vs the
+    * domain's rate) stays hash-checkable like x70/x71. Scale shape: the
+    * domain stats are |domains| rows (broadcast), the corpus is filtered
+    * in one pass with no extra shuffle.
+    */
+  def temperatureMix(df: DataFrame, key: String, domain: String, seed: Int): DataFrame = {
+    val stats = df.groupBy(domain).agg(count(lit(1)).as("n_d"))
+    val tot = df.agg(count(lit(1)).as("n_total"),
+      countDistinct(col(domain)).as("n_domains"))
+    val rateBp = least(lit(10000L),
+      floor(sqrt(col("n_total").cast("double") / (col("n_domains") * col("n_d"))) * 10000d)
+        .cast("long"))
+    df.join(broadcast(stats), domain)
+      .crossJoin(broadcast(tot))
+      .withColumn("rate_bp", rateBp)
+      .filter(bucket10k(col(key), seed) < col("rate_bp"))
+  }
+
+  /** x81: mixture-flattening sample over documents. The real `source`
+    * column is uniform by construction, so a skewed 70/20/10 pseudo-domain
+    * is carved deterministically from doc_id (the x61/x62 pattern) and
+    * mirrored in the oracle; the flattening then downsamples only the
+    * majority domain (rate √(1/(3·0.7)) ≈ 0.69) and keeps the minority
+    * domains whole (capped at 1).
+    */
+  def docSourceMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(
+      Tables.documents(spark, dir).withColumn("domain",
+        when(col("doc_id") % 10 < 7, lit("web"))
+          .when(col("doc_id") % 10 < 9, lit("books"))
+          .otherwise(lit("code"))),
+      "doc_id", "domain", seed = 11)
+      .select("doc_id", "domain", "rate_bp")
+      .orderBy("doc_id")
+
+  val mixOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 < 7 THEN 'web'
+       |              WHEN doc_id % 10 < 9 THEN 'books'
+       |              ELSE 'code' END AS domain
+       |  FROM documents),
+       |s AS (SELECT domain, COUNT(*) AS n_d FROM d GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT domain) AS n_domains FROM d),
+       |r AS (
+       |  SELECT d.doc_id, d.domain,
+       |         LEAST(10000, CAST(floor(sqrt(CAST(n_total AS DOUBLE) /
+       |                (n_domains * n_d)) * 10000) AS BIGINT)) AS rate_bp
+       |  FROM d JOIN s USING (domain) CROSS JOIN t)
+       |SELECT doc_id, domain, rate_bp FROM r
+       |WHERE ${bucketSql("doc_id", 11)} < rate_bp
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[bucket10k]]: '0x'-prefixed hex cast == Spark's
     * conv(hex, 16, 10).
     */

@@ -68,6 +68,8 @@ object Ext {
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
     "x78_doc_keywords"     -> ((s: SparkSession, d: String) => TextAnalysis.docKeywords(s, d)),
+    "x81_source_mix"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSourceMix(s, d)),
+    "x82_bpe_merges"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergePairs(s, d)),
     "x77_label_centroids"  -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
@@ -198,6 +200,17 @@ object Ext {
         |GROUP BY u.t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x77_label_centroids"  -> Similarity.centroidOracle,
     "x79_int8_quantize"    -> Similarity.quantizeOracle,
+    "x81_source_mix"       -> graft.ops.Sampling.mixOracle,
+    "x82_bpe_merges"       ->
+      """WITH w AS (
+        |  SELECT u.t AS w, COUNT(*) AS c_w
+        |  FROM documents, UNNEST(string_split(text, ' ')) u(t)
+        |  WHERE len(u.t) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT w.c_w, s.p AS pair
+        |  FROM w, UNNEST(list_transform(range(1, len(w.w)), i -> w.w[i:i+1])) s(p))
+        |SELECT pair, CAST(SUM(c_w) AS BIGINT) AS weight
+        |FROM p GROUP BY 1 ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
     "x61_corpus_delta"     -> Dedup.deltaOracle,
     "x62_decontaminate"    -> Dedup.decontaminateOracle,
     "x63_dup_clusters"     -> Dedup.clustersOracle,

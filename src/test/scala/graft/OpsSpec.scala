@@ -276,6 +276,25 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("temperature mix flattens a skewed domain distribution, layout-independently") {
+    import spark.implicits._
+    val df = ((1 to 700).map(i => (i.toLong, "web")) ++
+      (701 to 900).map(i => (i.toLong, "books")) ++
+      (901 to 1000).map(i => (i.toLong, "code"))).toDF("id", "domain")
+    val out = graft.ops.Sampling.temperatureMix(df, "id", "domain", seed = 3)
+    val rates = out.select("domain", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N=1000, S=3: web = floor(sqrt(1000/2100)·10⁴) = 6900; minority
+    // domains cap at 10000 and keep every row
+    assert(rates("web") === 6900L)
+    assert(out.filter(col("domain") =!= "web").count() === 300)
+    Seq("books", "code").foreach(d => assert(rates.get(d).forall(_ == 10000L)))
+    // membership is content-addressed: physical layout cannot change it
+    val re = graft.ops.Sampling.temperatureMix(df.repartition(7), "id", "domain", seed = 3)
+    assert(re.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("x78 df join is threshold-governed: AQE falls back to a shuffle join when broadcast is off") {
     import graft.ext.TextAnalysis
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

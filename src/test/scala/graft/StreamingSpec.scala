@@ -160,6 +160,39 @@ class StreamingSpec extends SparkSuite {
       (w1, 1L, 1L, 8.0)), s"got $got")
   }
 
+  test("stateful aggregation runs on the RocksDB state store (the at-scale backend)") {
+    // local runs default to the in-memory HDFS-backed provider; at corpus
+    // scale state must live in RocksDB (bounded heap, incremental
+    // checkpoints). Prove the same query semantics hold under it.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, sum}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val agg = mem.toDS().toDF("user_id", "value")
+        .groupBy("user_id")
+        .agg(count(col("value")).as("n"), sum(col("value")).as("total"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_rocksdb_test").start()
+      mem.addData((1L, 1.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2.0)) // second batch must merge into RocksDB state
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("graft_rocksdb_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 2L, 3.0), (2L, 1L, 10.0)), s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermarked streaming sessions are a subset of batch sessions") {
     val batch = Events.sessions(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -53,8 +53,11 @@ object Analytics {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    // nation/region are FIXED-size (25/5 rows) — hinted broadcast is safe
+    // at any SF. customer scales WITH the data (SF·150k), so its join is
+    // threshold-governed: AQE broadcasts while it fits, shuffles beyond.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -78,8 +81,10 @@ object Analytics {
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), (dec("l_extendedprice") *
         (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    // the segment-filtered customer side scales with SF — no forced
+    // broadcast; the threshold governs (same posture as a02/x78)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(col("rev")).as("d_rev"))
       .select(col("l_orderkey"),
@@ -216,15 +221,18 @@ object Analytics {
   /** TPC-H Q17 shape: lines whose quantity is under 20% of their part's
     * average — the correlated scalar subquery expressed as an aggregate
     * self-join (Catalyst's own decorrelation target shape). The per-part
-    * threshold frame is tiny (one row per part) and broadcasts; the fact
-    * table is scanned once per side with only 3 columns each.
+    * threshold frame (one row per part) joins unhinted — broadcast under
+    * the threshold, shuffle join on both part-grain sides beyond it; the
+    * fact table is scanned once per side with only 3 columns each.
     */
   def smallQtyParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), dec("l_extendedprice").as("price"))
     val threshold = li.groupBy("l_partkey")
       .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
-    li.join(broadcast(threshold), "l_partkey")
+    // PART-grain (SF·200k rows): unhinted, so the broadcast is threshold-
+    // governed and degrades to a shuffle join at corpus scale
+    li.join(threshold, "l_partkey")
       .filter(col("l_quantity") < col("qty_cap"))
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_small"),
@@ -251,9 +259,10 @@ object Analytics {
       .orderBy("c_custkey")
 
   /** TPC-H Q2 shape: equality-to-min join-back — each part's cheapest
-    * supplier(s). The per-part minimum (one row per part) broadcasts and
-    * joins back on (partkey, price = min); the fact table never shuffles
-    * for the join and ties surface as a deterministic set.
+    * supplier(s). The per-part minimum (one row per part) joins back on
+    * (partkey, price = min), unhinted: broadcast while it fits the
+    * threshold, part-keyed shuffle join at scale. Ties surface as a
+    * deterministic set.
     */
   def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -263,7 +272,8 @@ object Analytics {
     val mins = li.groupBy("l_partkey")
       .agg(min(col("l_extendedprice")).as("min_price"))
       .toDF("m_partkey", "min_price")
-    li.join(broadcast(mins),
+    // part-grain mins: threshold-governed like a13 — no forced broadcast
+    li.join(mins,
         col("l_partkey") === col("m_partkey") &&
           col("l_extendedprice") === col("min_price"))
       .select(col("l_partkey"), col("l_suppkey"),

@@ -28,9 +28,12 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val warm = if (mode != "cold") pass(cold = false) else Map.empty[String, Double]
     val cold = if (mode != "warm") pass(cold = true) else Map.empty[String, Double]
-    // "value" stays the warm total for continuity with earlier rounds
+    // "value" stays the warm total for continuity with earlier rounds.
+    // Scalars precede the long per-query maps: the driver has truncated
+    // bench JSON tails before, and truncation should cost detail rows,
+    // never the headline totals.
     val primary = if (warm.nonEmpty) warm else cold
-    println(s"""{"metric":"total","value":${primary.values.sum},"unit":"sec","queries":${fmt(primary)},"warm_total":${warm.values.sum},"cold_total":${cold.values.sum},"cold_queries":${fmt(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${primary.values.sum},"unit":"sec","sf":"$sfDir","warm_total":${warm.values.sum},"cold_total":${cold.values.sum},"queries":${fmt(primary)},"cold_queries":${fmt(cold)}}""")
     spark.stop()
   }
 }

@@ -369,6 +369,57 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q19 shape: revenue under a DISJUNCTION of per-brand conjunctive
+    * predicates spanning both join sides — the OR-of-ANDs the optimizer
+    * must split: the part-only disjuncts (brand, size) push to the part
+    * scan, the lineitem quantity bounds evaluate with the join. Part
+    * scales with SF, so the join is threshold-governed (no hint); grouped
+    * by brand for a multi-row hash-checked result.
+    */
+  def brandPromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"),
+      dec("l_extendedprice").as("price"), dec("l_discount").as("disc"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 60)))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc"))).as("d_rev"))
+      .select(col("p_brand"), col("n_lines"),
+        round(col("d_rev").cast("double"), 4).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q18 shape: customers' large-quantity orders — the grouped
+    * HAVING subquery joined back (the IN-subquery form, kept as an inner
+    * join so sum_qty rides along). The big-order filter runs on the
+    * aggregated order grain BEFORE any dim join; l_quantity sums are
+    * integral-valued doubles, exact in any accumulation order, so the
+    * HAVING boundary cannot flip between engines.
+    */
+  def bigOrderCustomers(spark: SparkSession, dir: String, minQty: Int = 170): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        round(col("sum_qty"), 4).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -401,6 +452,8 @@ object Analytics {
     "a16_cust_distribution" -> (customerDistribution _),
     "a17_significant_parts" -> (significantParts _),
     "a18_top_supplier"     -> (topSupplier _),
+    "a19_brand_promo"      -> (brandPromoRevenue _),
+    "a20_big_orders"       -> ((s: SparkSession, d: String) => bigOrderCustomers(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,6 +549,24 @@ object Analytics {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_top
         |FROM supplier s JOIN rev r USING (s_suppkey)
         |ORDER BY s.s_suppkey""".stripMargin,
+    "a19_brand_promo" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 60)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "a20_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 170)
+        |SELECT c_custkey, c_mktsegment, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, ROUND(sum_qty, 4) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "a14_cheapest_supplier" ->
       """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
         |           FROM lineitem GROUP BY 1)

@@ -317,6 +317,7 @@ object Dedup {
       .withColumn("rep", col("id")).persist()
     var changed = 1L
     var rounds = 0
+    try {
     while (changed > 0) {
       rounds += 1
       if (rounds > maxRounds)
@@ -349,8 +350,12 @@ object Dedup {
       labels.unpersist() // no-op once labels is a checkpoint (GC reclaims)
       labels = next
     }
-    edges.unpersist()
     (labels, rounds)
+    } catch { case t: Throwable =>
+      // guard / mid-round failure: don't leak the loop state's blocks
+      try labels.unpersist() catch { case _: Throwable => () }
+      throw t
+    } finally edges.unpersist()
   }
 
   /** DuckDB twin: transitive closure via recursive CTE, min reachable id. */

@@ -85,25 +85,41 @@ object Similarity {
     (nlist, mod, probe)
   }
 
+  /** Nearest-centroid assignment as an AGGREGATE, not a window: the
+    * n×nlist scored cross product is projected down to (vec_id, c_id,
+    * ccos) — the vector payloads never leave the map side — and the argmax
+    * is `max_by(c_id, (ccos, -c_id))`, whose partial aggregation collapses
+    * every vector to ONE row before the exchange. The equivalent
+    * `row_number().over(partitionBy(vec_id))` would shuffle all n·nlist
+    * rows, each still carrying both the embedding and the centroid vector
+    * (2·dim floats) — at n = 10⁹, dim = 768 a multi-PB exchange. Here only
+    * n (vec_id, cluster) key rows cross the wire. Tie-break matches the
+    * window formulation: highest ccos, then lowest c_id (the -c_id term
+    * maximizes to the smallest id).
+    */
+  private def assignClusters(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("ccos"), negate(col("c_id")))).as("cluster"))
+
   /** Spherical k-means centroids, trained with a few distributed Lloyd
     * iterations in pure DataFrame ops: assign each vector to its nearest
-    * centroid (broadcast), recompute centroids as the element-wise mean of
-    * their members (posexplode → per-(cluster, dim) avg → re-assemble).
-    * Deterministic init (every seedMod-th vector, seedMod from
-    * [[ivfGeometry]]); each iteration is one broadcast join + one
-    * (cluster, dim)-keyed aggregate — both linear in n·dim, no pairwise
-    * blowup.
+    * centroid ([[assignClusters]] — broadcast score, map-side argmax
+    * partials, n key-rows shuffled), recompute centroids as the
+    * element-wise mean of their members (posexplode → per-(cluster, dim)
+    * avg → re-assemble). Deterministic init (every seedMod-th vector,
+    * seedMod from [[ivfGeometry]]); each iteration is one broadcast join +
+    * two keyed aggregates — all linear in n·dim, no pairwise blowup, and
+    * the only full-payload shuffle is the n-row membership re-join.
     */
   private def centroids(e: DataFrame, seedMod: Long, iters: Int = 2): DataFrame = {
     var cent = e.filter(col("vec_id") % seedMod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     for (_ <- 1 to iters) {
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
-        .withColumn("arank", row_number().over(wA))
-        .filter(col("arank") === 1)
-        .select(col("c_id").as("cluster"), col("embedding"))
+      val assigned = e.join(assignClusters(e, cent), "vec_id")
+        .select(col("cluster"), col("embedding"))
       cent = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos").agg(avg(col("v")).as("mv"))
@@ -130,18 +146,28 @@ object Similarity {
     val (_, seedMod, derivedProbe) = ivfGeometry(e.count())
     val probe = if (nProbe > 0) nProbe else derivedProbe
     val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e, seedMod))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", gf.cosine_sim(col("embedding"), col("cv")))
-      .withColumn("arank", row_number().over(wAssign))
-    // candidates live in exactly one cluster; queries probe their nProbe
-    // nearest clusters (the standard IVF recall/cost dial)
-    val assigned = ranked.filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-    val q = ranked.filter(col("vec_id") < nQueries && col("arank") <= probe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("c_id").as("cluster"))
-    val c = assigned
+    // candidates live in exactly one cluster: aggregate argmax (map-side
+    // partials, n key-rows shuffled — see assignClusters), then ONE n-row
+    // join re-attaches the embedding payload
+    val c = e.join(assignClusters(e, cent), "vec_id")
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cluster"))
+    // queries probe their nProbe nearest clusters (the standard IVF
+    // recall/cost dial): same aggregate shape — score against the
+    // broadcast centroids, drop payloads, keep the top-probe cluster ids
+    // per query via slice(array_sort(collect_list)). Sorting ascending by
+    // (-ccos, c_id) matches the window ordering (ccos desc, c_id asc);
+    // the collected array is nlist ≈ √n structs of two scalars per query,
+    // and only nQueries·probe key rows survive.
+    val qf = e.filter(col("vec_id") < nQueries)
+    val qProbes = qf.crossJoin(broadcast(cent))
+      .select(col("vec_id").as("q_id"), col("c_id"),
+        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+      .groupBy("q_id")
+      .agg(slice(array_sort(collect_list(struct(negate(col("ccos")).as("nc"), col("c_id")))),
+        1, probe).as("top"))
+      .select(col("q_id"), explode(col("top.c_id")).as("cluster"))
+    val q = qf.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .join(qProbes, "q_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(c, "cluster")
       .filter(col("q_id") =!= col("n_id"))

@@ -10,6 +10,10 @@ object Bench {
     // per-query regression can hide inside another query's warm-up);
     // "warm" / "cold" run just that pass.
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH", "both")
+    // SPARK_GRAFT_BENCH_BREAK: comma-separated query names forced to throw —
+    // lets a local run demonstrate the error marker path end-to-end.
+    val break = sys.env.getOrElse("SPARK_GRAFT_BENCH_BREAK", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,23 +21,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def pass(cold: Boolean): Map[String, Double] =
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // A failed query records the sentinel -1, never its wall time: a crashed
+    // query must be distinguishable from a fast one in the artifact.
+    def pass(tag: String, cold: Boolean): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         if (cold) Layer.clear(spark)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs =
+          try {
+            require(!break.contains(name), s"SPARK_GRAFT_BENCH_BREAK: $name")
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors += s"$tag:$name" -> e.toString.take(200).replaceAll("[\"\\\\\\n]", " ")
+              -1.0
+          }
+        name -> secs
       }
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val warm = if (mode != "cold") pass(cold = false) else Map.empty[String, Double]
-    val cold = if (mode != "warm") pass(cold = true) else Map.empty[String, Double]
-    // "value" stays the warm total for continuity with earlier rounds.
-    // Scalars precede the long per-query maps: the driver has truncated
-    // bench JSON tails before, and truncation should cost detail rows,
-    // never the headline totals.
+    val warm = if (mode != "cold") pass("warm", cold = false) else Map.empty[String, Double]
+    val cold = if (mode != "warm") pass("cold", cold = true) else Map.empty[String, Double]
+    // Failed (-1) entries are excluded from the totals so a crash can only
+    // make the totals look *incomplete*, never faster.
+    def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     val primary = if (warm.nonEmpty) warm else cold
-    println(s"""{"metric":"total","value":${primary.values.sum},"unit":"sec","sf":"$sfDir","warm_total":${warm.values.sum},"cold_total":${cold.values.sum},"queries":${fmt(primary)},"cold_queries":${fmt(cold)}}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // Two lines: the long per-query detail line FIRST, then a short
+    // totals-only line. The driver keeps the TAIL of long output
+    // (BENCH_r03/r04 both lost front-printed totals to truncation), so the
+    // headline scalars must be the LAST thing printed and short enough to
+    // always survive.
+    println(s"""{"detail":"per_query","sf":"$sfDir","queries":${fmt(primary)},"cold_queries":${fmt(cold)}}""")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
+    // rc stays 0 even on query errors: the driver must always collect the
+    // artifact; n_errors/errors in the tail line is the explicit signal.
     spark.stop()
   }
 }

@@ -14,6 +14,10 @@ object Bench {
     // lets a local run demonstrate the error marker path end-to-end.
     val break = sys.env.getOrElse("SPARK_GRAFT_BENCH_BREAK", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — restrict the run
+    // for local iteration (empty/unset = all queries, the driver's config).
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +29,9 @@ object Bench {
     // A failed query records the sentinel -1, never its wall time: a crashed
     // query must be distinguishable from a fast one in the artifact.
     def pass(tag: String, cold: Boolean): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only.contains(name) }
+        .map { case (name, fn) =>
         if (cold) Layer.clear(spark)
         val t0 = System.nanoTime()
         val secs =

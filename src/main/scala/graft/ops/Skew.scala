@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling patterns for 100 TB posture. AQE's skew-join splitting
@@ -67,4 +67,86 @@ object Skew {
       partial = Seq(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s")),
       combine = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")),
       deterministicSalt = deterministicSalt)
+
+  /** Zipf-skewed grouping domain derived from lineitem: k = ⌊log₂ p⌋ over
+    * the uniform part key, so bucket j holds ~2ʲ of the 2ᵏᵐᵃˣ parts — the
+    * TOP bucket owns ~half of all rows, the classic heavy-hitter shape.
+    * (The +0.5 keeps the float log off exact power-of-two boundaries so
+    * Spark's ln(x)/ln 2 and DuckDB's log2 floor identically; the margin to
+    * the nearest integer is ≥ 0.72/2ᵏ ≈ 4e-5 at k = 14, vs ~1e-13 float
+    * error.) v is a 4096-ary value domain for the distinct-set pair.
+    */
+  private[graft] def zipfBase(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(spark, dir).select(
+      floor(log(2.0, col("l_partkey") + 0.5d)).cast("long").as("k"),
+      pmod(col("l_orderkey"), lit(4096L)).as("v"),
+      col("l_quantity"))
+
+  /** Plain count/sum over the zipf key — the control for x42. Algebraic
+    * aggregates are ALREADY skew-immune in Spark: partial HashAggregate
+    * collapses the hot key to one row per map partition before the
+    * exchange, so the reducer receives ≤ #partitions rows per key no
+    * matter how hot it is. The bench pair exists to demonstrate that, not
+    * to strawman it (see docs/PLANS.md x41–x44).
+    */
+  def skewSumPlain(spark: SparkSession, dir: String): DataFrame =
+    zipfBase(spark, dir)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("total"))
+      .orderBy("k")
+
+  /** saltedCountSum over the same zipf key — must equal [[skewSumPlain]]. */
+  def skewSumSalted(spark: SparkSession, dir: String): DataFrame =
+    saltedCountSum(zipfBase(spark, dir).select(col("k"), col("l_quantity")),
+      Seq("k"), "l_quantity", salt = 16)
+      .withColumn("total", round(col("total"), 4))
+      .orderBy("k")
+
+  /** Plain distinct-set assembly over the zipf key — the case where salting
+    * DOES pay. collect_set's partial buffers dedup only locally, so every
+    * map partition ships its own copy of the hot key's value set: the
+    * exchange moves ~#partitions·|D| values for the hot key, and ONE
+    * reducer hash-merges them all.
+    */
+  def skewSetPlain(spark: SparkSession, dir: String): DataFrame =
+    zipfBase(spark, dir)
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("v"))).as("arr"))
+      .select(col("k"), size(col("arr")).cast("long").as("n_distinct"),
+        array_join(transform(col("arr"), _.cast("string")), " ").as("vals"))
+      .orderBy("k")
+
+  /** Salted twin of [[skewSetPlain]] via [[saltedAgg]]: the deterministic
+    * salt is a hash of (k, v), so it PARTITIONS the value domain — each
+    * distinct v lives in exactly one salt slice, making phase-1 slices
+    * disjoint and phase 2 a pure concatenation of pre-deduped arrays.
+    * Total exchange volume is unchanged (partial collect_set still dedups
+    * only within its map partition), but the hot key's merge spreads over
+    * `salt` reducers instead of one: the max shuffle volume into any
+    * single task — the thing that makes one reducer drag the stage —
+    * drops by the salt factor (asserted via task metrics in OpsSpec).
+    */
+  def skewSetSalted(spark: SparkSession, dir: String): DataFrame =
+    saltedAgg(zipfBase(spark, dir).select(col("k"), col("v")),
+      Seq("k"), salt = 16,
+      partial = Seq(collect_set(col("v")).as("__s")),
+      combine = Seq(array_sort(flatten(collect_list(col("__s")))).as("arr")))
+      .select(col("k"), size(col("arr")).cast("long").as("n_distinct"),
+        array_join(transform(col("arr"), _.cast("string")), " ").as("vals"))
+      .orderBy("k")
+
+  val skewSumOracle: String =
+    """SELECT CAST(floor(log2(l_partkey + 0.5)) AS BIGINT) AS k,
+      |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
+      |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin
+
+  val skewSetOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(log2(l_partkey + 0.5)) AS BIGINT) AS k,
+      |         l_orderkey % 4096 AS v
+      |  FROM lineitem)
+      |SELECT k, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+      |       array_to_string(list_transform(list_sort(list(DISTINCT v)),
+      |                                      x -> CAST(x AS VARCHAR)), ' ') AS vals
+      |FROM b GROUP BY k ORDER BY k""".stripMargin
 }

@@ -59,6 +59,11 @@ object Ext {
         .withColumn("total", round(col("total"), 4))
         .orderBy("k")
     }),
+    // zipf-skew bench pairs (plain vs salted; see docs/PLANS.md x41–x44)
+    "x41_skew_sum_plain"   -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSumPlain(s, d)),
+    "x42_skew_sum_salted"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSumSalted(s, d)),
+    "x43_skew_set_plain"   -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSetPlain(s, d)),
+    "x44_skew_set_salted"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSetSalted(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -172,6 +177,10 @@ object Ext {
     "x40_salted_agg"       ->
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total
         |FROM lineitem GROUP BY l_partkey ORDER BY k""".stripMargin,
+    "x41_skew_sum_plain"   -> graft.ops.Skew.skewSumOracle,
+    "x42_skew_sum_salted"  -> graft.ops.Skew.skewSumOracle,
+    "x43_skew_set_plain"   -> graft.ops.Skew.skewSetOracle,
+    "x44_skew_set_salted"  -> graft.ops.Skew.skewSetOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

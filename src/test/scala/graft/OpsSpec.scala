@@ -87,6 +87,70 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("salted set aggregation halves (at least) the max per-task shuffle read on a hot key") {
+    import spark.implicits._
+    // hot key with a wide value domain, every value duplicated across
+    // partitions: partial collect_set dedups only locally, so the plain
+    // formulation ships ~#partitions·|D| values for the hot key into ONE
+    // reducer. The salt can't shrink total exchange volume — it spreads
+    // the hot key over `salt` reducers, so the metric that matters is the
+    // MAX shuffle read of any single task (the dragging one).
+    val rows = (1 to 40000).map(i => ("hot", (i % 4096).toLong)) ++
+      (1 to 2000).map(i => (s"k${i % 20}", (i % 64).toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+
+    def maxTaskShuffleRead(run: () => Array[(String, Seq[Long])]): (Long, Array[(String, Seq[Long])]) = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            val b = t.taskMetrics.shuffleReadMetrics.totalBytesRead
+            max.getAndUpdate(x => math.max(x, b))
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = run()
+        // listener events are posted asynchronously — wait until the max
+        // stops moving rather than reaching into the private listener bus
+        var prev = -1L
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          val cur = max.get()
+          if (cur == prev) same += 1 else { same = 0; prev = cur }
+        }
+        (max.get(), out)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    def canon(df: org.apache.spark.sql.DataFrame): Array[(String, Seq[Long])] =
+      df.collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
+
+    // AQE would coalesce the tiny test shuffles down to one partition and
+    // merge both formulations into the same single-reducer shape; 16
+    // reducers (= salt) give each salt slice its own task so the spread is
+    // visible rather than re-concentrated by the 4-partition test default
+    val coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val (plainMax, plainOut) = maxTaskShuffleRead(() => canon(
+        df.groupBy("k").agg(sort_array(collect_set(col("v"))).as("arr"))))
+      val (saltedMax, saltedOut) = maxTaskShuffleRead(() => canon(
+        Skew.saltedAgg(df, Seq("k"), salt = 16,
+          partial = Seq(collect_set(col("v")).as("__s")),
+          combine = Seq(array_sort(flatten(collect_list(col("__s")))).as("arr")))))
+      assert(plainOut.map(p => (p._1, p._2.sorted)) === saltedOut.map(p => (p._1, p._2.sorted)))
+      assert(saltedMax > 0 && plainMax >= 3 * saltedMax,
+        s"plain max task shuffle read $plainMax vs salted $saltedMax — salt did not spread the hot key")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
   test("approx_percentile lands near the exact median per group") {
     graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble

@@ -180,7 +180,14 @@ object Dedup {
     val bands =
       if (nBands > 0) nBands
       else if (Tables.documents(spark, dir).count() <= (1L << 14)) 4 else 8
-    require(64 % bands == 0 && bands > 0, s"band count $bands must divide 64")
+    // bands == 1 would pass the divisibility check but make w = 64, and
+    // (1L << 64) - 1 is 0 under shift-mod-64 — every doc would land in band
+    // key 0 and the "bucketed" candidate join would silently degenerate to
+    // the full n²/2 cross product (output still correct via the Hamming
+    // verify, but the contract is gone). The derived path yields 4 or 8;
+    // reject the degenerate caller value outright.
+    require(64 % bands == 0 && bands >= 2,
+      s"band count $bands must divide 64 and be >= 2 (bands = 1 has no bucketing effect)")
     val w = 64 / bands
     // h > B−1 leaves no guaranteed-clean band: degrade to best-effort r=1
     // (single-band keys) rather than emit an empty combination
@@ -311,12 +318,18 @@ object Dedup {
     * spinning forever.
     */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+      pairs: DataFrame, maxRounds: Int = 64,
+      injectFailureAtRound: Int = -1): (DataFrame, Int) = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
     var changed = 1L
     var rounds = 0
+    // the round's in-flight persisted propagate state, visible to the catch:
+    // a throw between prop.persist() and prop.unpersist() (jump join,
+    // convergence count, the max-rounds guard) must release THIS round's
+    // blocks too, not just `labels`
+    var inFlight: DataFrame = null
     try {
     while (changed > 0) {
       rounds += 1
@@ -332,6 +345,13 @@ object Dedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
         .persist()
+      inFlight = prop
+      // test hook: fail AFTER this round's frame is persisted and its
+      // blocks materialized — the exact window the catch must clean up
+      if (rounds == injectFailureAtRound) {
+        prop.count()
+        throw new IllegalStateException("injected mid-round failure (test hook)")
+      }
       val jumpTo = prop.toDF("jid", "jrep")
       // localCheckpoint truncates lineage: `labels` appears multiple times
       // per round (propagate reads it twice, the jump self-joins prop), so
@@ -347,13 +367,18 @@ object Dedup {
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") < col("old")).count()
       prop.unpersist()
+      inFlight = null
       labels.unpersist() // no-op once labels is a checkpoint (GC reclaims)
       labels = next
     }
     (labels, rounds)
     } catch { case t: Throwable =>
-      // guard / mid-round failure: don't leak the loop state's blocks
+      // guard / mid-round failure: don't leak the loop state's blocks —
+      // including the round's persisted propagate frame if the throw
+      // happened between its persist and unpersist
       try labels.unpersist() catch { case _: Throwable => () }
+      if (inFlight != null)
+        try inFlight.unpersist(blocking = true) catch { case _: Throwable => () }
       throw t
     } finally edges.unpersist()
   }

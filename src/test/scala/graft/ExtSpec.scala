@@ -220,6 +220,41 @@ class ExtSpec extends SparkSuite {
     assert(rounds <= bound, s"$rounds rounds for a $L-chain (bound $bound)")
   }
 
+  test("simhash rejects the degenerate single-band configuration") {
+    // bands = 1 passes 64 % bands == 0 but makes the band mask
+    // (1L << 64) - 1 == 0 under shift-mod-64: every doc would share band
+    // key 0 and the candidate join would silently be all-pairs
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(spark, sf, 3, nBands = 1)
+    }
+  }
+
+  test("connected components release loop-state blocks on mid-round failure") {
+    import spark.implicits._
+    // the hook throws AFTER round 1's propagate frame is persisted AND its
+    // blocks materialized — the exact window where only the catch can
+    // release it. Round 1 so no localCheckpoint exists yet (checkpoint
+    // blocks are reclaimed by GC, not unpersist, and would pollute the
+    // assertion); edges/labels unpersist non-blocking, so poll until the
+    // storage empties — a missing in-flight unpersist never empties
+    def materializedCachedRdds: Set[Int] =
+      spark.sparkContext.getRDDStorageInfo.filter(_.numCachedPartitions > 0)
+        .map(_.id).toSet
+    val before = materializedCachedRdds
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithRounds(pairs, injectFailureAtRound = 1)
+    }
+    assert(e.getMessage.contains("injected"))
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var leaked = materializedCachedRdds -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leaked = materializedCachedRdds -- before
+    }
+    assert(leaked.isEmpty, s"leaked cached RDD blocks after mid-round failure: $leaked")
+  }
+
   test("connected components resolve chains and keep separate components apart") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),

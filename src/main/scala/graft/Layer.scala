@@ -46,9 +46,16 @@ object Layer {
     *  - lost race (another thread committed the same key first): the
     *    loser's persist was a no-op on the shared cache entry; return the
     *    winner and do NOT unpersist.
-    *  - cleared mid-build (the session map was replaced): nothing should
-    *    stay cached — unpersist and hand the frame back uncached. Checked
-    *    atomically with the commit under the memo lock.
+    *  - cleared mid-build (the session map was replaced): do NOT unpersist
+    *    either — another thread may already have re-committed the same
+    *    plan into the live map (or may persist it between our check and
+    *    the unpersist, which no lock can close since persists run outside
+    *    the lock), and the plan-keyed unpersist would evict that winner's
+    *    entry while leaving it memoized — the exact contract violation
+    *    the recursion exists to prevent. The recursion re-memoizes the
+    *    key, so the persisted entry is always owned by the live map and
+    *    the next clear() releases it; nothing is leaked by skipping the
+    *    eager unpersist.
     */
   def cached(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     val m = layerMap(spark)
@@ -66,11 +73,12 @@ object Layer {
         }
       }
       if (orphaned) {
-        try df.unpersist() catch { case _: Throwable => () }
         // a clear() raced this build: re-enter so the caller still gets a
         // persisted, memoized frame (the documented contract of e.g.
         // Dedup.dupClusters) instead of an unpersisted one whose first
-        // downstream use silently re-runs the whole computation
+        // downstream use silently re-runs the whole computation. No
+        // unpersist here — see the race-handling note above: it would be
+        // plan-keyed and could evict a concurrently re-committed winner.
         cached(spark, dir, key)(build)
       }
       else if (prev != null) prev // shared cache entry stays live — no unpersist

@@ -1,12 +1,54 @@
 package graft
 
+import java.nio.file.{Files, Path, Paths}
+
 /** Per-JVM scratch root for the file round-trip queries (q18/q19) —
   * pid-keyed, so concurrent Verify runners on one host no longer clobber
   * each other's exports. Lives in its own dependency-free object so both
   * the query side ([[graft.queries.Core]]) and the oracle side
   * ([[OracleSql]]) can reference it without an object-initialization
   * cycle between them (Core.oracles already reads OracleSql vals at init).
+  *
+  * Lifecycle: a shutdown hook removes this JVM's dir on exit, and object
+  * init sweeps siblings whose pid is no longer alive — so a crashed run's
+  * scratch (a full orders CSV + documents JSONL) doesn't accumulate on
+  * long-lived hosts.
   */
 object RunScoped {
   val ioDir: String = s"/tmp/graft_io_${ProcessHandle.current().pid()}"
+
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => try Files.deleteIfExists(q) catch { case _: Exception => () })
+      finally walk.close()
+    }
+
+  /** Delete sibling graft_io_<pid> dirs whose owning process is gone.
+    * Strictly pattern-matched and pid-verified so an unrelated /tmp entry
+    * can never be touched; a recycled pid at worst skips a sweep (the
+    * next run retries).
+    */
+  private[graft] def sweepStale(): Unit =
+    try {
+      val self = ProcessHandle.current().pid()
+      val tmp = Paths.get("/tmp")
+      if (Files.isDirectory(tmp)) {
+        val ls = Files.list(tmp)
+        try ls.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("graft_io_")) {
+            val pid = name.stripPrefix("graft_io_")
+            if (pid.nonEmpty && pid.forall(_.isDigit) && pid.toLong != self &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
+              deleteRecursively(p)
+          }
+        } finally ls.close()
+      }
+    } catch { case _: Exception => () } // best-effort hygiene, never fatal
+
+  sweepStale()
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => deleteRecursively(Paths.get(ioDir)), "graft-io-cleanup"))
 }

@@ -151,6 +151,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("Layer: clear racing a build cannot evict a re-committed winner's cache entry") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val base = Seq(1L, 2L, 3L).toDF("v")
+    var first = true
+    var winner: org.apache.spark.sql.DataFrame = null
+    // deterministic replay of the race: the build block simulates a clear()
+    // landing mid-build, followed by another thread re-committing the SAME
+    // plan under the fresh session map. The outer call's commit then finds
+    // itself orphaned; a plan-keyed unpersist there would evict the
+    // winner's cache entry while it stays memoized.
+    def build: org.apache.spark.sql.DataFrame = {
+      if (first) {
+        first = false
+        Layer.clear(spark)
+        winner = Layer.cached(spark, "/tmp/layer-race", "racekey")(base)
+        assert(winner.storageLevel != StorageLevel.NONE)
+      }
+      base
+    }
+    val out = Layer.cached(spark, "/tmp/layer-race", "racekey")(build)
+    assert(out eq winner, "orphaned commit must resolve to the live map's winner")
+    assert(out.storageLevel != StorageLevel.NONE,
+      "the orphaned branch evicted the re-committed winner's cache entry")
+    Layer.clear(spark)
+    assert(out.storageLevel == StorageLevel.NONE,
+      "clear() must still release the surviving entry (no leak from skipping the eager unpersist)")
+  }
+
   test("approx_percentile lands near the exact median per group") {
     graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble

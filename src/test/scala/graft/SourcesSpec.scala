@@ -38,6 +38,19 @@ class SourcesSpec extends SparkSuite {
     assert(rows.forall(_.getLong(0) >= 0)) // planted bad row has key -1
   }
 
+  test("RunScoped sweeps stale scratch dirs of dead processes and leaves live ones") {
+    import java.nio.file.Paths
+    // a pid far above any Linux pid_max, so ProcessHandle.of is empty
+    val stale = Paths.get("/tmp/graft_io_999999999")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk.txt"), "x".getBytes)
+    val live = Paths.get(RunScoped.ioDir)
+    Files.createDirectories(live)
+    RunScoped.sweepStale()
+    assert(!Files.exists(stale), "dead-pid scratch dir must be swept")
+    assert(Files.exists(live), "this JVM's own scratch dir must survive the sweep")
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.functions.registerSql(spark)
     val r = spark.sql(

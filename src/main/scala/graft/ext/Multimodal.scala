@@ -1,5 +1,10 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,10 +12,13 @@ import graft.Tables
 
 /** Multimodal-column plumbing (builder contract): media ride along as
   * opaque binary columns with typed metadata; decode / feature-extract run
-  * per-partition over batches. The actual codec calls are STUBBED (no
-  * image/audio libraries in this container) behind [[FakeCodec]] — a
-  * deterministic stand-in — while the Spark-side shape (schema, typed
-  * Dataset boundary, partition-batched execution) is real and tested.
+  * per-partition over batches. Image payloads decode through the REAL
+  * JDK codec ([[Codec]] sniffs the PNG signature and reads via
+  * `javax.imageio` — no extra dependency); audio/video and non-image
+  * payloads fall back to [[FakeCodec]], a deterministic stand-in for the
+  * libraries this container lacks, while the Spark-side shape (schema,
+  * typed Dataset boundary, partition-batched execution) is identical for
+  * both paths.
   */
 object Multimodal {
 
@@ -18,7 +26,7 @@ object Multimodal {
   case class DecodedMeta(doc_id: Long, media_type: String, n_bytes: Long,
                          width: Int, height: Int, n_frames: Int, mean_byte: Double)
 
-  /** STUB decoder — deterministic fake in place of a real image/audio
+  /** STUB decoder — deterministic fake in place of a real audio/video
     * codec. A production build swaps `decode` for the real library call;
     * the partition-batched call pattern and output schema stay identical.
     */
@@ -38,9 +46,72 @@ object Multimodal {
     }
   }
 
+  /** Real-codec front end: image payloads carrying a PNG signature decode
+    * through `javax.imageio.ImageIO` (width/height from the actual raster,
+    * mean over all RGB channel samples); everything else — and any
+    * undecodable image payload — takes the deterministic stub. PNG is
+    * lossless, so the decoded stats are exact functions of the planted
+    * pixels: the path is real AND reproducible.
+    */
+  object Codec {
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Double) =
+      if (mediaType == "image" && isPng(payload)) {
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) FakeCodec.decode(mediaType, payload)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, 1, sum.toDouble / (3L * w * h))
+          }
+        } catch { case _: Exception => FakeCodec.decode(mediaType, payload) }
+      } else FakeCodec.decode(mediaType, payload)
+
+    /** Deterministic PNG synthesis for the planted image payloads:
+      * geometry derives from the source byte length exactly like
+      * [[FakeCodec]] (w = n%64+1, h = n%48+1 — so the real decode
+      * round-trips the same dims the stub would fake), pixels are the
+      * source bytes tiled as grayscale. Pure function of the input bytes.
+      */
+    private[graft] def encodePng(src: Array[Byte]): Array[Byte] = {
+      val n = src.length
+      val w = 1 + n % 64
+      val h = 1 + n % 48
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = if (n == 0) 0 else src((y * w + x) % n) & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Synthesize a binary media column from the documents table: payload =
     * UTF-8 bytes of text, media_type assigned round-robin. Stands in for a
-    * parquet source with a real binary column.
+    * parquet source with a real binary column. (x30/x32's oracles derive
+    * geometry from the TEXT byte length, so this table keeps raw text
+    * payloads; [[mediaTableWithPng]] plants real PNGs for the decode path.)
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -49,30 +120,61 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode path: typed Dataset boundary + mapPartitions so a real codec
-    * amortizes per-batch init (model load, decoder context) once per
-    * partition — the Scala analogue of a batched pandas UDF.
+  /** [[mediaTable]] with REAL PNG bytes in the image rows: each image
+    * payload is the document's bytes re-encoded as a grayscale PNG
+    * (per-partition, the same batch shape a bulk media transcode uses).
+    * Audio/video rows keep their opaque payloads for the stub path.
     */
-  def decodeMeta(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
+  def mediaTableWithPng(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
-      // per-partition init of the (stubbed) codec would go here
+      ImageIO.setUseCache(false) // per-partition codec init: no disk-backed cache
       rows.map { r =>
-        val (w, h, f, mean) = FakeCodec.decode(r.media_type, r.payload)
+        if (r.media_type == "image") r.copy(payload = Codec.encodePng(r.payload)) else r
+      }
+    }
+  }
+
+  /** Decode path: typed Dataset boundary + mapPartitions so the codec
+    * amortizes per-batch init (ImageIO cache config, decoder context)
+    * once per partition — the Scala analogue of a batched pandas UDF.
+    */
+  def decodeRows(ds: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val (w, h, f, mean) = Codec.decode(r.media_type, r.payload)
         DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, f,
           math.rint(mean * 10000) / 10000)
       }
     }
   }
 
+  /** Stub-path decode over the raw text payloads (feeds x32, whose oracle
+    * mirrors the fake geometry).
+    */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[DecodedMeta] =
+    decodeRows {
+      import spark.implicits._
+      mediaTable(spark, dir).as[MediaRow]
+    }
+
+  /** Real-codec decode (x31): image rows carry planted PNGs and go through
+    * `javax.imageio`; by construction the decoded dims equal the derived
+    * geometry, so the real decode also VERIFIES the derivation.
+    */
+  def decodeMetaWithPng(spark: SparkSession, dir: String): Dataset[DecodedMeta] =
+    decodeRows(mediaTableWithPng(spark, dir))
+
   case class TransformedMedia(doc_id: Long, media_type: String,
                               out_w: Int, out_h: Int, sampled_frames: Seq[Int])
 
   /** Resize + frame-sample over the decoded stream — the other two media
-    * transforms a training pipeline needs. The pixel work is stubbed with
-    * the decoder (aspect-preserving target dims from the fake geometry;
-    * every-nth frame indices); the dataflow — decode once, derive many
-    * transforms per partition pass — is the real shape.
+    * transforms a training pipeline needs. The pixel work rides the
+    * stub-path geometry (aspect-preserving target dims; every-nth frame
+    * indices) so the SQL oracle can mirror it; the dataflow — decode once,
+    * derive many transforms per partition pass — is the real shape.
     */
   def transformMedia(spark: SparkSession, dir: String,
                      targetW: Int = 32, frameStride: Int = 2): Dataset[TransformedMedia] = {

@@ -78,7 +78,7 @@ object Ext {
     "x77_label_centroids"  -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
-    "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF().orderBy("doc_id")),
+    "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMetaWithPng(s, d).toDF().orderBy("doc_id")),
     // sampled_frames compares as a canonical space-joined string (array
     // cells break the driver's pandas sort; the Dataset stays array-typed)
     "x32_media_transform"  -> ((s: SparkSession, d: String) => {

@@ -300,4 +300,36 @@ class ExtSpec extends SparkSuite {
     assert(a.forall(m => m.width >= 1 && m.width <= 64))
     assert(a.forall(m => m.mean_byte >= 0.0 && m.mean_byte <= 255.0))
   }
+
+  test("real PNG decode: planted bytes round-trip exactly through javax.imageio") {
+    import spark.implicits._
+    // a 3x2 grayscale PNG with known pixel values: src length 6 gives
+    // w = 6%64+1 = 7, h = 6%48+1 = 7 — use explicit bytes whose tiled
+    // grayscale mean is computable by hand
+    val src = Array[Byte](0, 10, 20, 30, 40, 50)
+    val png = Multimodal.Codec.encodePng(src)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P', "planted payload must be a real PNG")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png),           // real codec path
+      Multimodal.MediaRow(2L, "image", src),           // image-typed but not PNG → stub
+      Multimodal.MediaRow(3L, "audio", src)            // stub path
+    ).toDS()
+    val out = Multimodal.decodeRows(rows).collect().sortBy(_.doc_id)
+    val real = out(0)
+    // geometry from the REAL raster (= derived geometry by construction)
+    assert(real.width === 7 && real.height === 7 && real.n_frames === 1)
+    // pixels tile src cyclically over 49 samples; PNG is lossless so the
+    // decoded mean is the exact tiled mean
+    val tiled = (0 until 49).map(i => src(i % 6) & 0xff)
+    val expectedMean = math.rint(tiled.sum.toDouble / 49 * 10000) / 10000
+    assert(real.mean_byte === expectedMean)
+    assert(real.n_bytes === png.length.toLong)
+    // non-PNG payloads keep the deterministic stub geometry
+    assert(out(1).width === 1 + src.length % 64 && out(2).n_frames === 1 + src.length % 16)
+    // and the full planted-PNG query path is run-deterministic
+    val q1 = Multimodal.decodeMetaWithPng(spark, sf).collect().sortBy(_.doc_id)
+    val q2 = Multimodal.decodeMetaWithPng(spark, sf).collect().sortBy(_.doc_id)
+    assert(q1.toSeq === q2.toSeq)
+    assert(q1.exists(_.media_type == "image"))
+  }
 }

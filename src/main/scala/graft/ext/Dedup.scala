@@ -126,10 +126,32 @@ object Dedup {
     graft.Layer.cached(spark, dir, "shingles3")(
       shingled(Tables.documents(spark, dir), 3))
 
+  /** Derived OR-amplification width for [[minhashPairs]]. Spark's
+    * MinHashLSH buckets on each of b single-hash tables (r = 1 in banding
+    * terms), so a pair at Jaccard similarity s becomes a candidate with
+    * probability 1 − (1−s)^b — the b·r S-curve at r = 1. Solving for
+    * recall target p at the decision threshold s* = 1 − maxDist:
+    * b = ⌈ln(1−p) / ln(1−s*)⌉. Unlike the band dials in [[simhashPairs]]
+    * and [[deriveBands]] — which must widen with n to keep bucket
+    * population O(1) — this derivation is corpus-size INDEPENDENT: the
+    * S-curve is a per-pair probability in s only, so (s*, p) fix b at any
+    * scale, and candidate-join cost grows linearly in b. Defaults
+    * (maxDist = 0.7, p = 0.94) give b = 8, the previously hard-coded
+    * value; recall above the threshold only improves (s > s* ⇒ higher
+    * candidate probability).
+    */
+  private[graft] def minhashTables(maxDist: Double, recallTarget: Double = 0.94): Int = {
+    val s = 1.0 - maxDist
+    require(s > 0 && s < 1, s"maxDist $maxDist must be in (0, 1)")
+    require(recallTarget > 0 && recallTarget < 1, s"recall target $recallTarget must be in (0, 1)")
+    math.max(1, math.ceil(math.log(1 - recallTarget) / math.log(1 - s)).toInt)
+  }
+
   /** X2 MinHash+LSH near-dup pairs: token 3-shingles → sparse vector
     * (HashingTF) → MinHash signatures → banded self-join (spark.ml
     * approxSimilarityJoin only compares within matching hash buckets).
-    * Seeded for determinism. Output: pairs with Jaccard distance ≤ maxDist.
+    * Seeded for determinism; table count derives from the distance cutoff
+    * via [[minhashTables]]. Output: pairs with Jaccard distance ≤ maxDist.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
     // cache the vectorized docs: the LSH self-join scans this plan twice
@@ -141,7 +163,8 @@ object Dedup {
         .select("doc_id", "features")
     }
     val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(minhashTables(maxDist)).setSeed(42L)
     val model = lsh.fit(fed)
     model.approxSimilarityJoin(fed, fed, maxDist, "dist")
       .select(

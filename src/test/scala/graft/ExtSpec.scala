@@ -61,6 +61,23 @@ class ExtSpec extends SparkSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("minhash table count derives from the S-curve and holds recall at a second config") {
+    // b = ceil(ln(1-p)/ln(1-s*)) at p = 0.94: the default cutoff keeps the
+    // previously hard-coded 8; tighter/looser cutoffs move b as the curve
+    // says, independent of corpus size
+    assert(Dedup.minhashTables(0.7) === 8)
+    assert(Dedup.minhashTables(0.5) === 5)
+    assert(Dedup.minhashTables(0.8) === 13)
+    // second config (maxDist 0.5 → b = 5): planted exact near-dups at
+    // jaccard >= 0.6 sit above the 0.5-similarity threshold, so the seeded
+    // LSH must still surface every one of them
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed at second config: ${exact.diff(lsh)}")
+  }
+
   test("simhash near-dups overlap exact near-dups on planted duplicates") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -9,10 +9,13 @@ import java.nio.file.{Files, Path, Paths}
   * ([[OracleSql]]) can reference it without an object-initialization
   * cycle between them (Core.oracles already reads OracleSql vals at init).
   *
-  * Lifecycle: a shutdown hook removes this JVM's dir on exit, and object
-  * init sweeps siblings whose pid is no longer alive — so a crashed run's
-  * scratch (a full orders CSV + documents JSONL) doesn't accumulate on
-  * long-lived hosts.
+  * Lifecycle: object init sweeps sibling dirs whose owning pid is no
+  * longer alive, so dead runs' scratch (a full orders CSV + documents
+  * JSONL) never accumulates past one generation on long-lived hosts.
+  * Deliberately NO exit-time deletion of this JVM's own dir: the q18/q19
+  * correctness oracles read these exports with DuckDB AFTER the Spark JVM
+  * has exited — a shutdown hook would delete the oracle's input and fail
+  * the round-trip checks. The next run's sweep is the cleanup point.
   */
 object RunScoped {
   val ioDir: String = s"/tmp/graft_io_${ProcessHandle.current().pid()}"
@@ -49,6 +52,4 @@ object RunScoped {
     } catch { case _: Exception => () } // best-effort hygiene, never fatal
 
   sweepStale()
-  Runtime.getRuntime.addShutdownHook(
-    new Thread(() => deleteRecursively(Paths.get(ioDir)), "graft-io-cleanup"))
 }

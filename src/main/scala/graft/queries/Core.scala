@@ -219,6 +219,30 @@ object Core {
       .orderBy("doc_id")
   }
 
+  /** ORC round-trip through a Hive-partitioned layout — the second
+    * columnar interchange format (Spark ships the ORC source natively).
+    * Orders are written partitioned by o_orderstatus (3 low-cardinality
+    * directories), read back through [[graft.sources.Ingest.orc]], and
+    * must reproduce the parquet source exactly — types (bigint, double,
+    * date, string) survive the format change bit-for-bit, and the
+    * partition column is restored from the directory name. The oracle
+    * reads the ORIGINAL parquet table: the round-trip's contract is
+    * identity. Partition-directory pruning on the layout is asserted in
+    * SourcesSpec (scan's PartitionFilters, not the hash path).
+    */
+  def q21OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$ioDir/orders_orc"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    graft.sources.Ingest.orc(spark, out)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   /** The typed Dataset tier (SURVEY §1.4): case-class Encoders, joinWith,
     * groupByKey + mapGroups — the API a user reaches for when compile-time
     * row types matter. Totals accumulate as integer CENTS inside the
@@ -270,6 +294,7 @@ object Core {
     "q18_csv_roundtrip"       -> (q18CsvRoundtrip _),
     "q19_jsonl_roundtrip"     -> (q19JsonlRoundtrip _),
     "q20_typed_segments"      -> (q20TypedSegments _),
+    "q21_orc_roundtrip"       -> (q21OrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +322,11 @@ object Core {
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identity contract: the ORC round-trip must reproduce the parquet source
+    "q21_orc_roundtrip"       ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
 

@@ -48,4 +48,12 @@ object Ingest {
       .schema(schema)
       .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
       .json(path)
+
+  /** ORC — the other columnar warehouse format Spark ships natively. Like
+    * parquet, schema travels with the file and scans prune columns / push
+    * predicates; a Hive-partitioned layout additionally prunes whole
+    * directories on partition-column predicates (asserted in SourcesSpec).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -51,6 +51,26 @@ class SourcesSpec extends SparkSuite {
     assert(Files.exists(live), "this JVM's own scratch dir must survive the sweep")
   }
 
+  test("orc round-trip reproduces the parquet source and prunes partition directories") {
+    import org.apache.spark.sql.functions.col
+    val back = graft.queries.Core.q21OrcRoundtrip(spark, sf)
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+    assert(back.collect().toSeq === src.collect().toSeq,
+      "ORC round-trip must be the identity on the orders table")
+    // the Hive-partitioned layout prunes whole directories on the
+    // partition predicate — filter appears as PartitionFilters in the scan
+    val filtered = graft.sources.Ingest.orc(spark, s"${RunScoped.ioDir}/orders_orc")
+      .filter(col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"))
+    assert(filtered.count() ===
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count())
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.functions.registerSql(spark)
     val r = spark.sql(

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,46 @@ object Similarity {
             .cast("string")))).as("q_hash"))
       .orderBy("vec_id")
   }
+
+  /** L2 normalization — the standard preprocessing step before cosine /
+    * dot-product ANN (unit vectors make the two equivalent). Pure per-row
+    * projection, no shuffle. Hash-checked despite float inputs via the
+    * fixed-point discipline of [[labelCentroids]]/[[int8Quantize]]: the
+    * squared norm accumulates as an EXACT BIGINT sum of micro-unit squares
+    * (a double fold would be association-order-sensitive at the last ulp
+    * and could flip a floor boundary between engines), so sqrt and the
+    * per-component division see bit-identical inputs on both sides. The
+    * norm ships in micro-units; the unit vector as a content hash of
+    * floor(v/‖v‖·10⁶ + 0.5).
+    */
+  def l2Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val q = (v: Column) => floor(v.cast("double") * 1000000d + 0.5d).cast("long")
+    val ss = aggregate(col("embedding"), lit(0L), (acc, v) => acc + q(v) * q(v))
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(ss.cast("double")) / 1000000d)
+      .select(col("vec_id"),
+        floor(col("nrm") * 1000000d + 0.5d).cast("long").as("norm_micro"),
+        md5(concat_ws(" ", transform(col("embedding"),
+          v => when(col("nrm") === 0d, lit(0L))
+            .otherwise(floor(v.cast("double") / col("nrm") * 1000000d + 0.5d).cast("long"))
+            .cast("string")))).as("unit_hash"))
+      .orderBy("vec_id")
+  }
+
+  val l2NormalizeOracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(CAST(list_sum(list_transform(embedding,
+      |                x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)
+      |                   * CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)))
+      |              AS DOUBLE)) / 1000000 AS nrm
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(floor(nrm*1000000 + 0.5) AS BIGINT) AS norm_micro,
+      |       md5(array_to_string(list_transform(embedding,
+      |           x -> CAST(CASE WHEN nrm = 0 THEN 0
+      |                          ELSE floor(CAST(x AS DOUBLE)/nrm*1000000 + 0.5) END AS BIGINT)), ' ')) AS unit_hash
+      |FROM s ORDER BY vec_id""".stripMargin
 
   val quantizeOracle: String =
     """WITH s AS (

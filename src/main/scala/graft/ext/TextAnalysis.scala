@@ -129,6 +129,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style lexical gates — the remaining canonical pre-training
+    * quality rules over the token stream: fraction of tokens containing an
+    * alphabetic character (the "80% words must have alpha" rule), fraction
+    * containing digits, fraction that are pure symbol runs, plus the
+    * composed pass flag. One projection pass, no shuffle, ASCII character
+    * classes so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+    */
+  def gopherSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("tokens")
+    val n = size(toks)
+    def frac(p: Column => Column): Column =
+      round(size(filter(toks, p)).cast("double") / n, 4)
+    withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        frac(t => t.rlike("[A-Za-z]")).as("alpha_frac"),
+        frac(t => t.rlike("[0-9]")).as("digit_frac"),
+        frac(t => !t.rlike("[A-Za-z0-9]")).as("symbol_frac"))
+      .withColumn("passes_gopher",
+        col("alpha_frac") >= 0.8 && col("symbol_frac") <= 0.1)
+      .orderBy("doc_id")
+  }
+
+  val gopherOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    ROUND(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 4) AS alpha_frac,
+      |    ROUND(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) / len(toks), 4) AS digit_frac,
+      |    ROUND(len(list_filter(toks, x -> NOT regexp_matches(x, '[A-Za-z0-9]'))) / len(toks), 4) AS symbol_frac
+      |  FROM t)
+      |SELECT doc_id, n_tokens, alpha_frac, digit_frac, symbol_frac,
+      |       (alpha_frac >= 0.8 AND symbol_frac <= 0.1) AS passes_gopher
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Compression-ratio quality signal via the native [[gf.deflate_ratio]]
     * expression (zlib level 6): repetitive boilerplate compresses far
     * below natural text, the corpus-filter heuristic gzip/deflate-based

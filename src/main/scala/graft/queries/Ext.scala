@@ -30,6 +30,7 @@ object Ext {
     "x12_langid"           -> ((s: SparkSession, d: String) => TextAnalysis.langScore(s, d)),
     "x13_fingerprint"      -> ((s: SparkSession, d: String) => TextAnalysis.fingerprints(s, d)),
     "x18_bpe_tokens"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenCounts(s, d)),
+    "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -40,6 +41,7 @@ object Ext {
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
+    "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x80_compress_ratio"   -> ((s: SparkSession, d: String) => TextAnalysis.compressionRatios(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -202,6 +204,7 @@ object Ext {
     "x72_sequence_pack"    -> graft.ops.Packing.oracle,
     "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
+    "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x75_pii_scrub"        -> OracleSqlExt.x75_pii_scrub,
     "x76_vocab_topk"       ->
       """SELECT u.t AS token, CAST(COUNT(*) AS BIGINT) AS n
@@ -209,6 +212,7 @@ object Ext {
         |GROUP BY u.t ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x77_label_centroids"  -> Similarity.centroidOracle,
     "x79_int8_quantize"    -> Similarity.quantizeOracle,
+    "x84_l2_normalize"     -> Similarity.l2NormalizeOracle,
     "x81_source_mix"       -> graft.ops.Sampling.mixOracle,
     "x82_bpe_merges"       ->
       """WITH w AS (

@@ -38,17 +38,24 @@ class SourcesSpec extends SparkSuite {
     assert(rows.forall(_.getLong(0) >= 0)) // planted bad row has key -1
   }
 
-  test("RunScoped sweeps stale scratch dirs of dead processes and leaves live ones") {
-    import java.nio.file.Paths
-    // a pid far above any Linux pid_max, so ProcessHandle.of is empty
-    val stale = Paths.get("/tmp/graft_io_999999999")
-    Files.createDirectories(stale)
-    Files.write(stale.resolve("junk.txt"), "x".getBytes)
+  test("RunScoped sweeps only OLD scratch dirs of dead processes") {
+    import java.nio.file.{Paths, attribute}
+    // pids far above any Linux pid_max, so ProcessHandle.of is empty
+    val old = Paths.get("/tmp/graft_io_999999999")
+    Files.createDirectories(old)
+    Files.write(old.resolve("junk.txt"), "x".getBytes)
+    Files.setLastModifiedTime(old,
+      attribute.FileTime.fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val fresh = Paths.get("/tmp/graft_io_999999998")
+    Files.createDirectories(fresh)
     val live = Paths.get(RunScoped.ioDir)
     Files.createDirectories(live)
     RunScoped.sweepStale()
-    assert(!Files.exists(stale), "dead-pid scratch dir must be swept")
+    assert(!Files.exists(old), "old dead-pid scratch dir must be swept")
+    assert(Files.exists(fresh),
+      "a FRESH dead-pid dir must survive — its oracle step may still be reading the exports")
     assert(Files.exists(live), "this JVM's own scratch dir must survive the sweep")
+    RunScoped.deleteRecursively(fresh)
   }
 
   test("orc round-trip reproduces the parquet source and prunes partition directories") {

@@ -164,6 +164,47 @@ object TextAnalysis {
       |       (alpha_frac >= 0.8 AND symbol_frac <= 0.1) AS passes_gopher
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Unigram language-model NLL — the CCNet-style LM quality score with a
+    * unigram model standing in for the external KenLM: per-token cost is
+    * the self-information −ln(n_t/N), and a document's score is the sum
+    * over its tokens (divide by n_tokens for the mean). Hash-stable
+    * despite the float log: costs quantize to MILLI-nats
+    * (floor(−ln p·10³ + 0.5), where the ~1e-15 cross-engine ln error is
+    * ~9 orders of magnitude below the floor boundary) and per-doc sums
+    * accumulate as exact BIGINTs.
+    *
+    * Scale shape: the frequency table is |vocab| rows aggregated with
+    * map-side partials; the corpus total is a one-row broadcast; the
+    * cost join carries NO hint — same AQE posture as [[docKeywords]]
+    * (broadcast under the threshold, shuffle join with skew split at
+    * web-vocabulary scale).
+    */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+    val total = freq.agg(sum(col("n_t")).as("N"))
+    val cost = freq.crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(-log(col("n_t") / col("N")) * 1000d + 0.5d).cast("long").as("c_millinat"))
+    toks.join(cost, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c_millinat")).as("nll_millinat"))
+      .orderBy("doc_id")
+  }
+
+  val unigramNllOracle: String =
+    """WITH tok AS (SELECT doc_id, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |freq AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(n_t) AS N FROM freq),
+      |cost AS (SELECT token, CAST(floor(-ln(n_t / N) * 1000 + 0.5) AS BIGINT) AS c
+      |         FROM freq, tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(c) AS BIGINT) AS nll_millinat
+      |FROM tok JOIN cost USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Compression-ratio quality signal via the native [[gf.deflate_ratio]]
     * expression (zlib level 6): repetitive boilerplate compresses far
     * below natural text, the corpus-filter heuristic gzip/deflate-based

@@ -31,6 +31,7 @@ object Ext {
     "x13_fingerprint"      -> ((s: SparkSession, d: String) => TextAnalysis.fingerprints(s, d)),
     "x18_bpe_tokens"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenCounts(s, d)),
     "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
+    "x85_unigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.unigramNll(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -205,6 +206,7 @@ object Ext {
     "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
+    "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
     "x75_pii_scrub"        -> OracleSqlExt.x75_pii_scrub,
     "x76_vocab_topk"       ->
       """SELECT u.t AS token, CAST(COUNT(*) AS BIGINT) AS n

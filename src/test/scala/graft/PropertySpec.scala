@@ -17,6 +17,25 @@ object PropertySpec extends Properties("Kernels") {
   private val token = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
   private val tokens = Gen.nonEmptyListOf(token)
 
+  property("minhash table derivation is minimal and meets the recall target on the S-curve") =
+    forAll(Gen.choose(0.05, 0.95), Gen.choose(0.5, 0.99)) { (maxDist, p) =>
+      val b = graft.ext.Dedup.minhashTables(maxDist, p)
+      val s = 1.0 - maxDist
+      // 1-(1-s)^b is the per-pair candidate probability at the decision
+      // threshold; the derived b must reach the target and b-1 must not
+      b >= 1 &&
+        1.0 - math.pow(1.0 - s, b.toDouble) >= p - 1e-9 &&
+        (b == 1 || 1.0 - math.pow(1.0 - s, (b - 1).toDouble) < p + 1e-9)
+    }
+
+  property("ivf geometry: sublinear dials at every corpus size") =
+    forAll(Gen.choose(1L, 10000000L)) { n =>
+      val (nlist, mod, probe) = graft.ext.Similarity.ivfGeometry(n)
+      // √n-sized centroid table, every mod-th vector seeds, probe ≈ n^¼
+      nlist >= 4 && nlist >= math.ceil(math.sqrt(n.toDouble)).toLong &&
+        mod >= 1 && mod <= math.max(1L, n) && probe >= 2 && probe.toLong <= nlist
+    }
+
   property("fnv1a64 is deterministic and sensitive to any appended byte") =
     forAll(Gen.alphaNumStr) { s =>
       val h1 = Kernels.fnv1a64(UTF8String.fromString(s))

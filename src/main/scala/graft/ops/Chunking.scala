@@ -48,6 +48,48 @@ object Chunking {
     chunkDocs(Tables.documents(spark, dir), maxLen = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** Intra-document dedup (the RefinedWeb-style in-doc repetition
+    * remover): split each document into non-overlapping `chunkTokens`
+    * windows, drop every repeat of an already-seen chunk WITHIN the same
+    * document (keep the first occurrence), and emit the kept-chunk count
+    * plus a content hash of the deduped reassembly in original order.
+    *
+    * Scale shape: first-occurrence selection is an AGGREGATE
+    * (groupBy(doc, chunk).min(i)), not a window — map-side partials
+    * collapse repeats before the (doc, chunk)-keyed exchange; reassembly
+    * is one doc-keyed aggregate over the surviving chunks. Both keys are
+    * content-derived, so the result is layout-independent.
+    */
+  def intraDocDedup(spark: SparkSession, dir: String, chunkTokens: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = floor((size(toks).cast("long") + (chunkTokens - 1)) / chunkTokens)
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"), lit(chunkTokens))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("i", "chunk")))
+      .groupBy("doc_id", "chunk")
+      .agg(min(col("i")).as("i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("chunk")))),
+            s => s.getField("chunk")))).as("dedup_hash"))
+      .orderBy("doc_id")
+  }
+
+  val intraDedupOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (
+      |  SELECT doc_id, u.i,
+      |         array_to_string(toks[u.i*10+1 : least(u.i*10+10, n)], ' ') AS chunk
+      |  FROM t, UNNEST(range(0, (n + 9) // 10)) u(i)),
+      |f AS (SELECT doc_id, chunk, MIN(i) AS i FROM c GROUP BY doc_id, chunk)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(chunk, ' ' ORDER BY i)) AS dedup_hash
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: String =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
       |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n

@@ -72,6 +72,7 @@ object Ext {
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
     "x72_sequence_pack"    -> ((s: SparkSession, d: String) => graft.ops.Packing.docPack(s, d)),
     "x73_doc_chunks"       -> ((s: SparkSession, d: String) => graft.ops.Chunking.docChunks(s, d)),
+    "x86_intradoc_dedup"   -> ((s: SparkSession, d: String) => graft.ops.Chunking.intraDocDedup(s, d)),
     "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
@@ -204,6 +205,7 @@ object Ext {
     "x71_stratified_sample" -> graft.ops.Sampling.stratifiedOracle,
     "x72_sequence_pack"    -> graft.ops.Packing.oracle,
     "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
+    "x86_intradoc_dedup"   -> graft.ops.Chunking.intraDedupOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -99,6 +99,38 @@ object Dedup {
       |WHERE g.doc_id % 10 <> 0
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** Fuzzy benchmark decontamination — the MinHash complement of
+    * [[decontaminate]]: exact n-gram collision misses paraphrased or
+    * lightly-edited eval leakage, so this flags training documents whose
+    * shingle-set Jaccard distance to ANY eval document is ≤ maxDist,
+    * via the same seeded MinHashLSH machinery as [[minhashPairs]] (table
+    * count from the [[minhashTables]] S-curve). approxSimilarityJoin
+    * compares only within matching hash buckets, and the eval side is
+    * tiny, so at corpus scale this is |eval-bucket| probes per table —
+    * never train × eval. Output: flagged train docs with their closest
+    * eval distance. Approximate (rows-only check); the planted-near-dup
+    * recall law lives in ExtSpec.
+    */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String, maxDist: Double = 0.5): DataFrame = {
+    val fed = graft.Layer.cached(spark, dir, "minhashFeatures") {
+      val docs = shingled3(spark, dir)
+      new HashingTF()
+        .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
+        .transform(docs)
+        .select("doc_id", "features")
+    }
+    val eval = fed.filter(col("doc_id") % 10 === 0)
+    val train = fed.filter(col("doc_id") % 10 =!= 0)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(minhashTables(maxDist)).setSeed(42L)
+    val model = lsh.fit(fed)
+    model.approxSimilarityJoin(train, eval, maxDist, "dist")
+      .groupBy(col("datasetA.doc_id").as("doc_id"))
+      .agg(min(round(col("dist"), 4)).as("closest_eval_dist"))
+      .orderBy("doc_id")
+  }
+
   /** X1 at scale: shuffle 8 bytes of fingerprint, not the document. */
   def exactByFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -40,6 +40,7 @@ object Ext {
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "x87_fuzzy_decontam"   -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminate(s, d)),
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),

@@ -78,6 +78,26 @@ class ExtSpec extends SparkSuite {
     assert(exact.subsetOf(lsh), s"missed at second config: ${exact.diff(lsh)}")
   }
 
+  test("fuzzy decontamination flags every train doc with a planted eval near-dup") {
+    // ground truth: exact >= 0.6-jaccard pairs that straddle the train/eval
+    // carve (doc_id % 10) — their train side sits at distance <= 0.4, inside
+    // the 0.5 cutoff, so the seeded LSH must flag it
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leakedTrain = exact.flatMap { case (a, b) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _             => None
+      }
+    }.toSet
+    val flagged = Dedup.fuzzyDecontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(leakedTrain.subsetOf(flagged), s"missed leaks: ${leakedTrain.diff(flagged)}")
+    // and no eval doc can appear on the flagged (train) side
+    assert(flagged.forall(_ % 10 != 0))
+  }
+
   test("simhash near-dups overlap exact near-dups on planted duplicates") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -97,7 +97,7 @@ object Similarity {
     * window formulation: highest ccos, then lowest c_id (the -c_id term
     * maximizes to the smallest id).
     */
-  private def assignClusters(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignClusters(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_id"),
         gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))

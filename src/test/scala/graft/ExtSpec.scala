@@ -257,6 +257,23 @@ class ExtSpec extends SparkSuite {
     assert(rounds <= bound, s"$rounds rounds for a $L-chain (bound $bound)")
   }
 
+  test("IVF cluster assignment plans as a partial aggregate, never a window") {
+    import spark.implicits._
+    // lock the round-4 rewrite: the argmax must be a map-side-partial
+    // aggregate over payload-free rows — a Window here would shuffle the
+    // full scored cross product with both vector payloads attached
+    val e = Tables.embeddings(spark, sf)
+    val cent = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val assigned = Similarity.assignClusters(e, cent)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment regressed to a window formulation")
+    assert(plan.contains("partial_max_by") || plan.contains("partial"),
+      "assignment must partial-aggregate map-side before its exchange")
+    // and the output is one row per vector
+    assert(assigned.count() === e.count())
+  }
+
   test("simhash rejects the degenerate single-band configuration") {
     // bands = 1 passes 64 % bands == 0 but makes the band mask
     // (1L << 64) - 1 == 0 under shift-mod-64: every doc would share band

@@ -176,6 +176,19 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF with every cluster probed equals brute force exactly") {
+    // exhaustive probing removes the approximation: every candidate lives
+    // in exactly one cluster and all clusters are probed, so the candidate
+    // set is complete and the top-k (same ordering, same rounding) must be
+    // BYTE-identical to the brute-force baseline — a full-equivalence law
+    // that catches assignment/probe-join bugs the recall bound would miss
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val (nlist, _, _) = Similarity.ivfGeometry(n)
+    val exact = Similarity.bruteForceTopK(spark, sf).collect().toSeq
+    val full = Similarity.ivfTopK(spark, sf, nProbe = nlist.toInt).collect().toSeq
+    assert(full === exact)
+  }
+
   test("brute-force topk excludes self and emits exactly k ranks per query") {
     val df = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 4).cache()
     assert(df.filter(col("q_id") === col("n_id")).count() === 0)

@@ -261,6 +261,67 @@ object Similarity {
       |                          ELSE floor(CAST(x AS DOUBLE)/nrm*1000000 + 0.5) END AS BIGINT)), ' ')) AS unit_hash
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Cosine-similarity histogram over a deterministic pair sample — the
+    * calibration curve for picking near-dup / ANN thresholds (where does
+    * the corpus's similarity mass sit?). Pairs are (i, (i+s) mod n) for a
+    * few fixed strides: 3n pairs, content-independent, reproducible, and
+    * mirrorable in SQL. All similarity arithmetic derives from EXACT
+    * micro-quantized BIGINT dot products and norms (the x84 discipline),
+    * so the double cosine — and therefore every bin — is bit-identical
+    * across engines. Scale shape: 3 stride-joins on vec_id (AQE-governed),
+    * then a 20-row histogram aggregate with map-side partials.
+    */
+  def cosHistogram(spark: SparkSession, dir: String,
+                   strides: Seq[Int] = Seq(1, 7, 41)): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val quant = e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000000d + 0.5d).cast("long")).as("q"))
+    val right = quant.select(col("vec_id").as("b_id"), col("q").as("qb"))
+    val pairs = strides.map { s =>
+      quant.select(col("vec_id").as("a_id"), col("q").as("qa"),
+        ((col("vec_id") + s) % n).as("b_id"))
+    }.reduce(_ unionByName _)
+    def ssum(c: Column): Column = aggregate(c, lit(0L), (acc, x) => acc + x)
+    val dot = ssum(zip_with(col("qa"), col("qb"), (x, y) => x * y))
+    val na = ssum(transform(col("qa"), x => x * x))
+    val nb = ssum(transform(col("qb"), x => x * x))
+    pairs.join(right, "b_id")
+      .select(when(na === 0L || nb === 0L, lit(0.0d))
+        .otherwise(dot.cast("double") /
+          (sqrt(na.cast("double")) * sqrt(nb.cast("double")))).as("cos"))
+      .select(least(greatest(floor((col("cos") + 1d) * 10d), lit(0d)), lit(19d))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin")
+  }
+
+  val cosHistogramOracle: String =
+    """WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS q
+      |      FROM embeddings),
+      |p AS (
+      |  SELECT a.q AS qa, b.q AS qb
+      |  FROM q a
+      |  CROSS JOIN cnt
+      |  CROSS JOIN (SELECT UNNEST([1, 7, 41]) AS s) s
+      |  JOIN q b ON b.vec_id = (a.vec_id + s.s) % cnt.n),
+      |d AS (
+      |  SELECT
+      |    CAST(list_sum(list_transform(range(1, len(qa)+1), i -> qa[i]*qb[i])) AS DOUBLE) AS dot,
+      |    CAST(list_sum(list_transform(qa, x -> x*x)) AS DOUBLE) AS na,
+      |    CAST(list_sum(list_transform(qb, x -> x*x)) AS DOUBLE) AS nb
+      |  FROM p),
+      |c AS (
+      |  SELECT CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |              ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+      |  FROM d)
+      |SELECT CAST(least(greatest(floor((cos + 1) * 10), 0), 19) AS BIGINT) AS bin,
+      |       COUNT(*) AS n_pairs
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
   val quantizeOracle: String =
     """WITH s AS (
       |  SELECT vec_id, embedding,

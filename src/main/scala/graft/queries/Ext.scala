@@ -44,6 +44,7 @@ object Ext {
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
+    "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
     "x80_compress_ratio"   -> ((s: SparkSession, d: String) => TextAnalysis.compressionRatios(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -218,6 +219,7 @@ object Ext {
     "x77_label_centroids"  -> Similarity.centroidOracle,
     "x79_int8_quantize"    -> Similarity.quantizeOracle,
     "x84_l2_normalize"     -> Similarity.l2NormalizeOracle,
+    "x88_cos_histogram"    -> Similarity.cosHistogramOracle,
     "x81_source_mix"       -> graft.ops.Sampling.mixOracle,
     "x82_bpe_merges"       ->
       """WITH w AS (

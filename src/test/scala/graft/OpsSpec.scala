@@ -143,6 +143,7 @@ class OpsSpec extends SparkSuite {
           partial = Seq(collect_set(col("v")).as("__s")),
           combine = Seq(array_sort(flatten(collect_list(col("__s")))).as("arr")))))
       assert(plainOut.map(p => (p._1, p._2.sorted)) === saltedOut.map(p => (p._1, p._2.sorted)))
+      info(s"max per-task shuffle read: plain=$plainMax bytes, salted=$saltedMax bytes")
       assert(saltedMax > 0 && plainMax >= 3 * saltedMax,
         s"plain max task shuffle read $plainMax vs salted $saltedMax — salt did not spread the hot key")
     } finally {

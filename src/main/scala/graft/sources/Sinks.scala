@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Sinks (SURVEY.md §2.1 S6–S8): the reference ended every path in a
   * driver-side collect (toPandas / print / dict). The engine's terminal
@@ -20,6 +20,30 @@ object Sinks {
     */
   def parquetPartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Small-files compaction — the maintenance pass every long-running
+    * ingest needs: a source landing thousands of tiny files per hour
+    * destroys scan parallelism bookkeeping (one task per file, footer
+    * reads dominate) and NameNode/listing pressure. Rewrite to
+    * ~`targetBytesPerFile` outputs: file count derives from the INPUT's
+    * actual on-disk size when the plan exposes it (sum of scanned file
+    * sizes — no extra job), falling back to a count-based row-size
+    * estimate otherwise. A plain `repartition(n)` round-robins rows, so
+    * output files are uniformly sized regardless of input fragmentation.
+    */
+  def compacted(df: DataFrame, path: String,
+                targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    val scannedBytes = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Some(f.relation.location.sizeInBytes)
+      case _ => None
+    }.sum
+    val bytes =
+      if (scannedBytes > 0) scannedBytes
+      else df.count() * 256L // conservative fallback: ~256 B/row estimate
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Bucketed managed table: rows hash-distributed into `n` buckets by
     * `bucketCols` and sorted within each — two tables bucketed the same way

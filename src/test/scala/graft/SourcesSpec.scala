@@ -78,6 +78,27 @@ class SourcesSpec extends SparkSuite {
       Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count())
   }
 
+  test("compaction rewrites a fragmented table into few uniform files with identical content") {
+    import graft.sources.Sinks
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    val out = s"$base/compacted"
+    // plant heavy fragmentation: 64 files for a 1500-row table
+    Tables.orders(spark, sf).repartition(64).write.parquet(frag)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length === 64)
+    // target sized so the real on-disk sum lands on a handful of outputs
+    val inputBytes = parquetFiles(frag).map(_.length).sum
+    Sinks.compacted(spark.read.parquet(frag), out, targetBytesPerFile = inputBytes / 4)
+    val outFiles = parquetFiles(out)
+    assert(outFiles.length <= 6, s"still fragmented: ${outFiles.length} files")
+    // content survives byte-for-byte (row set equality)
+    val a = spark.read.parquet(frag).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.functions.registerSql(spark)
     val r = spark.sql(

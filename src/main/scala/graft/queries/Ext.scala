@@ -104,6 +104,7 @@ object Ext {
     "s04_stream_sliding"   -> ((s: SparkSession, d: String) => Streams.sliding(s, d)),
     "s05_stream_dedup"     -> ((s: SparkSession, d: String) => Streams.dedupStream(s, d)),
     "s06_stream_join"      -> ((s: SparkSession, d: String) => Streams.viewPurchaseJoin(s, d)),
+    "s07_stream_quality"   -> ((s: SparkSession, d: String) => Streams.qualityStream(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,6 +126,8 @@ object Ext {
         |ORDER BY u.user_id, t.event_type""".stripMargin,
     "x10_token_stats"      -> OracleSqlExt.x10_token_stats,
     "x11_quality_filter"   -> OracleSqlExt.x11_quality_filter,
+    // streaming twin of the batch quality gate — SAME oracle by design
+    "s07_stream_quality"   -> OracleSqlExt.x11_quality_filter,
     "x12_langid"           -> OracleSqlExt.x12_langid,
     "x14_dedup_exact"      -> OracleSqlExt.x14_dedup_exact,
     "x60_clean_corpus"     ->

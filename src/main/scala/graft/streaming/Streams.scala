@@ -143,6 +143,28 @@ object Streams {
     runToMemory(keys, "append").orderBy("content_key")
   }
 
+  /** Streaming quality gate — the X4 quality filter as a stateless stream
+    * transform: the IDENTICAL column expressions as the batch
+    * `TextAnalysis.qualityFilter` run over the file replay, so the passing
+    * set equals the batch result exactly and both are checked against the
+    * SAME oracle SQL. Stateless projections/filters need no watermark and
+    * no state store — the simplest production streaming shape, and the
+    * parity every batch-authored cleaning rule gets for free when the
+    * logic is declarative columns rather than driver code.
+    */
+  def qualityStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents").schema
+    val toks = split(col("text"), " ")
+    val gated = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("ttr", round(size(array_distinct(toks)) / size(toks), 4))
+      .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3)
+      .select("doc_id", "n_tokens", "ttr")
+    runToMemory(gated, "append").orderBy("doc_id")
+  }
+
   /** Stream-stream interval join (the remaining X9 join surface): views
     * attributed to purchases by the same user within 6 hours. Both sides
     * are watermarked past the join horizon (7 h ≥ 6 h window + slack), so

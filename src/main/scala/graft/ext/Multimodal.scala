@@ -167,6 +167,49 @@ object Multimodal {
   def decodeMetaWithPng(spark: SparkSession, dir: String): Dataset[DecodedMeta] =
     decodeRows(mediaTableWithPng(spark, dir))
 
+  /** Plant the image rows as REAL .png FILES under the run-scoped scratch
+    * dir (idempotent per JVM) — the fixture for [[binaryFileIngest]].
+    * Writing happens per-partition on the executors (no driver loop); the
+    * temp-dir rename publishes the tree atomically after the job finishes.
+    */
+  private def plantPngFiles(spark: SparkSession, dir: String): String = {
+    val out = new java.io.File(s"${graft.RunScoped.ioDir}/png")
+    if (!out.exists()) {
+      val tmp = new java.io.File(out.getPath + ".tmp")
+      mediaTableWithPng(spark, dir)
+        .filter(_.media_type == "image")
+        .foreachPartition { rows: Iterator[MediaRow] =>
+          tmp.mkdirs()
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp.getPath, s"doc_${r.doc_id}.png"), r.payload)
+          }
+        }
+      tmp.renameTo(out)
+    }
+    out.getPath
+  }
+
+  /** Multimodal ingestion through Spark's `binaryFile` source — the path a
+    * 100 TB media corpus actually takes into the engine: one row per file
+    * (path, length, content bytes), scanned in parallel, identity parsed
+    * from the file name, payload decoded per-partition by the same
+    * [[Codec]] as the in-row path. No SQL oracle exists for a binary file
+    * tree (rows-only check); equivalence with the in-row PNG decode is
+    * asserted in ExtSpec.
+    */
+  def binaryFileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = plantPngFiles(spark, dir)
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(src)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        lit("image").as("media_type"),
+        col("content").as("payload"))
+    decodeRows(rows.as[MediaRow]).toDF().orderBy("doc_id")
+  }
+
   case class TransformedMedia(doc_id: Long, media_type: String,
                               out_w: Int, out_h: Int, sampled_frames: Seq[Int])
 

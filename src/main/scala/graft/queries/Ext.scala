@@ -85,6 +85,7 @@ object Ext {
     // multimodal plumbing
     "x30_binary_meta"      -> ((s: SparkSession, d: String) => Multimodal.binaryMeta(s, d)),
     "x31_media_decode"     -> ((s: SparkSession, d: String) => Multimodal.decodeMetaWithPng(s, d).toDF().orderBy("doc_id")),
+    "x33_binaryfile_ingest" -> ((s: SparkSession, d: String) => Multimodal.binaryFileIngest(s, d)),
     // sampled_frames compares as a canonical space-joined string (array
     // cells break the driver's pandas sort; the Dataset stays array-typed)
     "x32_media_transform"  -> ((s: SparkSession, d: String) => {

@@ -368,6 +368,16 @@ class ExtSpec extends SparkSuite {
     assert(a.forall(m => m.mean_byte >= 0.0 && m.mean_byte <= 255.0))
   }
 
+  test("binaryFile ingestion decodes to the same rows as the in-row PNG path") {
+    val viaFiles = Multimodal.binaryFileIngest(spark, sf)
+      .collect().map(_.toString).sorted
+    val inRow = Multimodal.decodeMetaWithPng(spark, sf)
+      .filter(_.media_type == "image").toDF().orderBy("doc_id")
+      .collect().map(_.toString).sorted
+    assert(viaFiles.nonEmpty && (viaFiles.toSeq === inRow.toSeq),
+      "file-tree ingest and in-row decode must agree byte-for-byte")
+  }
+
   test("real PNG decode: planted bytes round-trip exactly through javax.imageio") {
     import spark.implicits._
     // a 3x2 grayscale PNG with known pixel values: src length 6 gives

@@ -69,8 +69,9 @@ object Skew {
       deterministicSalt = deterministicSalt)
 
   /** Zipf-skewed grouping domain derived from lineitem: k = ⌊log₂ p⌋ over
-    * the uniform part key, so bucket j holds ~2ʲ of the 2ᵏᵐᵃˣ parts — the
-    * TOP bucket owns ~half of all rows, the classic heavy-hitter shape.
+    * the uniform part key, so bucket j holds 2ʲ parts and the heaviest
+    * bucket owns ~40–50% of all rows (49% at sf0.01's 2000-part domain,
+    * 41% at sf0.1's 20000) — the classic heavy-hitter shape.
     * (The +0.5 keeps the float log off exact power-of-two boundaries so
     * Spark's ln(x)/ln 2 and DuckDB's log2 floor identically; the margin to
     * the nearest integer is ≥ 0.72/2ᵏ ≈ 4e-5 at k = 14, vs ~1e-13 float

@@ -420,6 +420,67 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer in a
+    * quarter — the returned-item report. The return-flag and order-date
+    * predicates push to their scans, the fact aggregates on the customer
+    * grain, and the fixed-size nation dim broadcasts; the top-N rides
+    * TakeOrdered with a total tie-break.
+    */
+  def returnedItems(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("rev")).as("d_rev"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("d_rev").cast("double"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
+  }
+
+  /** TPC-H Q7 shape: shipped volume between two nations by year — the
+    * nation-PAIR disjunction ((A,B) or (B,A)) evaluated after both
+    * fixed-size nation dims broadcast onto the supplier and customer
+    * sides; `year()` is exact integer extraction on both engines.
+    */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).as("d_rev"), count(lit(1)).as("n_lines"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("d_rev").cast("double"), 4).as("revenue"), col("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -454,9 +515,38 @@ object Analytics {
     "a18_top_supplier"     -> (topSupplier _),
     "a19_brand_promo"      -> (brandPromoRevenue _),
     "a20_big_orders"       -> ((s: SparkSession, d: String) => bigOrderCustomers(s, d)),
+    "a21_returned_items"   -> ((s: SparkSession, d: String) => returnedItems(s, d)),
+    "a22_volume_shipping"  -> ((s: SparkSession, d: String) => volumeShipping(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "a21_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "a22_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                       (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "a09_window_suite" ->
       """SELECT o_custkey AS userID, o_orderkey AS orderID,
         |       CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,

@@ -481,6 +481,46 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q6 shape: forecast revenue change — one filtered aggregate whose
+    * THREE predicates (date range, discount band, quantity cap) all push
+    * to the parquet scan, the canonical pushdown demonstration. Revenue
+    * term is exact DECIMAL, converted once at the boundary.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).as("d_rev"),
+        count(lit(1)).as("n_lines"))
+      .select(round(col("d_rev").cast("double"), 4).as("revenue"), col("n_lines"))
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    * the lineitem ⋈ part join in a month window. The CASE rides inside the
+    * DECIMAL sum (exact on both engines), and the part dim join is
+    * threshold-governed (scales with SF, no hint).
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .select(col("l_partkey"), (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("d_promo"),
+        sum(col("rev")).as("d_total"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        round(col("d_promo").cast("double") / col("d_total").cast("double") * 100d, 4)
+          .as("promo_share_pct"),
+        round(col("d_total").cast("double"), 4).as("total_revenue"),
+        col("n_lines"))
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -517,6 +557,8 @@ object Analytics {
     "a20_big_orders"       -> ((s: SparkSession, d: String) => bigOrderCustomers(s, d)),
     "a21_returned_items"   -> ((s: SparkSession, d: String) => returnedItems(s, d)),
     "a22_volume_shipping"  -> ((s: SparkSession, d: String) => volumeShipping(s, d)),
+    "a23_forecast_revenue" -> (forecastRevenue _),
+    "a24_promo_revenue"    -> (promoRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -547,6 +589,25 @@ object Analytics {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "a23_forecast_revenue" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                       CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    "a24_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |         CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01')
+        |SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / CAST(SUM(rev) AS DOUBLE) * 100, 4) AS promo_share_pct,
+        |       ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS total_revenue,
+        |       COUNT(*) AS n_lines
+        |FROM j""".stripMargin,
     "a09_window_suite" ->
       """SELECT o_custkey AS userID, o_orderkey AS orderID,
         |       CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,

@@ -521,6 +521,53 @@ object Analytics {
         col("n_lines"))
   }
 
+  /** TPC-H Q8 shape: national market share — the two-dim-chains-one-fact
+    * pattern. The market is (customers in one region) × (parts of one
+    * type); the measure is the share supplied by one nation, per order
+    * year. Supplier and customer nation chains join independently onto
+    * the fact; fixed-size nation/region broadcast, the share is a
+    * conditional DECIMAL sum over the total.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  suppNation: String = "NATION_3", custRegion: String = "EUROPE",
+                  partType: String = "STANDARD"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === partType).select("p_partkey")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === custRegion).select("r_regionkey")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === suppNation, col("rev"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("d_nation"),
+        sum(col("rev")).as("d_total"))
+      .select(col("o_year"),
+        round(col("d_nation").cast("double") / col("d_total").cast("double"), 4)
+          .as("mkt_share"),
+        round(col("d_total").cast("double"), 4).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -559,6 +606,7 @@ object Analytics {
     "a22_volume_shipping"  -> ((s: SparkSession, d: String) => volumeShipping(s, d)),
     "a23_forecast_revenue" -> (forecastRevenue _),
     "a24_promo_revenue"    -> (promoRevenue _),
+    "a25_market_share"     -> ((s: SparkSession, d: String) => marketShare(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,6 +637,25 @@ object Analytics {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "a25_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, n1.n_name AS supp_nation,
+        |         CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+        |SELECT o_year,
+        |       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / CAST(SUM(rev) AS DOUBLE), 4) AS mkt_share,
+        |       ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS total_revenue
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
     "a23_forecast_revenue" ->
       """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                       CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue,

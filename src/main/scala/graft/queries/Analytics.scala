@@ -568,6 +568,132 @@ object Analytics {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q4 shape: order-priority checking — orders in a quarter having
+    * at least one problem line, the correlated EXISTS as a left-semi join
+    * (the testdata carries no commit/receipt dates, so "problem" =
+    * returned line). The date range pushes to the orders scan, the flag
+    * predicate to the lineitem scan, and the semi join shuffles only each
+    * side's key column; counts per priority stay a 5-row result at any SF.
+    */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-04-01").cast("date") &&
+        col("o_orderdate") < lit("1996-07-01").cast("date"))
+      .select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q9 shape: product-type profit by supplier nation and year —
+    * the LIKE-filtered part dim joins the fact, profit subtracts a
+    * supply-cost term (10% of retail price × quantity, standing in for
+    * the absent partsupp.ps_supplycost) from discounted revenue, all in
+    * exact DECIMAL. The contains-filter cannot push below the scan but
+    * prunes the join side early; fixed-size nation broadcasts.
+    */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val cost = lit(new java.math.BigDecimal("0.10"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("l_year"))
+      .agg(sum(col("rev") - dec("p_retailprice") * col("qty") * cost).as("d_profit"),
+        count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("l_year"),
+        round(col("d_profit").cast("double"), 4).as("profit"), col("n_lines"))
+      .orderBy("nation", "l_year")
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority counts — conditional
+    * aggregation (CASE inside SUM) over the orders ⋈ lineitem join,
+    * grouped by line status (standing in for the absent l_shipmode). The
+    * lateness predicate (shipped >60 days after order) is a cross-side
+    * comparison evaluated at the join; priority classes collapse to two
+    * conditional counts, never a second scan.
+    */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q16 shape: supplier-relationship count per part attribute — the
+    * (partkey, suppkey) relation distilled from the fact (the testdata has
+    * no partsupp), suppliers under complaint (negative balance, standing
+    * in for the LIKE '%Complaints%' filter) removed by a left-anti join
+    * BEFORE the part dim joins, and a COUNT(DISTINCT) per (brand, type,
+    * size). The anti join shuffles only the 8-byte key pair; distinct-agg
+    * runs as the standard two-shuffle expand.
+    */
+  def supplierPartCounts(spark: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("l_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    rel.join(bad, Seq("l_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: dominant suppliers of a part family — the nested
+    * IN-subquery chain as join algebra: name-filtered parts semi-restrict
+    * the fact, per-(part, supplier) year quantities compare against a
+    * correlated per-part threshold (>50% of the part's total, standing in
+    * for the availqty rule), and the surviving supplier keys join back to
+    * the dim. Quantities are integral-valued doubles — exact in any
+    * accumulation order, so the 0.5 boundary cannot flip between engines.
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey").as("l_partkey"))
+    val perPS = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(parts, Seq("l_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val perPart = perPS.groupBy("l_partkey")
+      .agg(sum(col("supp_qty")).as("part_qty"))
+      .toDF("t_partkey", "part_qty")
+    val dominant = perPS
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("supp_qty") > col("part_qty") * 0.5)
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(dominant.select(col("l_suppkey").as("s_suppkey")).groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_parts")),
+        Seq("s_suppkey"))
+      .orderBy("s_suppkey")
+  }
+
   /** t-digest approximate percentiles next to the exact values — like a08,
     * the sketch path is the at-scale default (mergeable, bounded memory);
     * rows-only checked with a tolerance test (sketch internals differ
@@ -607,9 +733,66 @@ object Analytics {
     "a23_forecast_revenue" -> (forecastRevenue _),
     "a24_promo_revenue"    -> (promoRevenue _),
     "a25_market_share"     -> ((s: SparkSession, d: String) => marketShare(s, d)),
+    "a26_order_priority"   -> (orderPriority _),
+    "a27_nation_profit"    -> (nationProfit _),
+    "a28_late_priority"    -> (latePriority _),
+    "a29_supplier_parts"   -> (supplierPartCounts _),
+    "a30_dominant_supp"    -> (dominantSuppliers _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a26_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-04-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a27_nation_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |                         (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+        |                       - CAST(p.p_retailprice AS DECIMAL(12,2)) *
+        |                         CAST(l.l_quantity AS DECIMAL(12,2)) *
+        |                         CAST(0.10 AS DECIMAL(12,2))) AS DOUBLE), 4) AS profit,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a28_late_priority" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "a29_supplier_parts" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (SELECT * FROM rel
+        |         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "a30_dominant_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1996
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(supp_qty) AS part_qty FROM ps GROUP BY 1),
+        |dom AS (SELECT ps.l_suppkey, COUNT(*) AS n_parts
+        |        FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+        |        WHERE ps.supp_qty > tot.part_qty * 0.5
+        |        GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_parts
+        |FROM supplier JOIN dom ON s_suppkey = dom.l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "a21_returned_items" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
         |       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *

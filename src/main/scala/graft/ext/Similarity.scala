@@ -179,6 +179,58 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Top-p cluster assignment — the multi-assignment variant of
+    * [[assignClusters]] (same payload-free aggregate shape, the qProbes
+    * pattern from [[ivfTopK]]): each vector lands in its p nearest
+    * clusters. Used by [[semanticDedup]] for candidate generation, where
+    * single assignment would miss pairs straddling a Voronoi boundary.
+    */
+  private[graft] def assignTopClusters(e: DataFrame, cent: DataFrame, p: Int): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct(negate(col("ccos")).as("nc"), col("c_id")))),
+        1, p).as("top"))
+      .select(col("vec_id"), explode(col("top.c_id")).as("cluster"))
+
+  /** SemDeDup-style semantic deduplication: k-means clusters prune the
+    * pair space, then cosine near-duplicates are removed within shared
+    * clusters only (drop the higher vec_id of every ≥ minCos pair — the
+    * cleanCorpus convention). Reuses the IVF machinery end-to-end: the
+    * same cached centroids and the same payload-free aggregate
+    * assignment, with TOP-2 multi-assignment ([[assignTopClusters]]) so
+    * pairs straddling a Voronoi boundary still meet in a cluster — the
+    * standard recall fix clustered dedup ships with.
+    *
+    * Scale shape: the cluster-keyed self-join co-partitions both sides and
+    * each cluster holds ~2√n members, so the candidate space is
+    * Σ cluster² ≈ 4·n^1.5 — never the n² crossJoin — and shrinks further
+    * with nlist at corpus scale (SemDeDup's published config: 50k clusters
+    * over 5B embeddings). Approximate by design: pairs sharing none of
+    * their 2 clusters are invisible (the recall/cost trade); ExtSpec
+    * asserts precision == 1 and recall ≥ 0.5 vs [[Dedup.exactNearDup]].
+    */
+  def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (_, seedMod, _) = ivfGeometry(e.count())
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e, seedMod))
+    val member = e.join(assignTopClusters(e, cent, 2), "vec_id")
+    val a = member.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = member.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("vb"))
+    // round before the threshold compare so the boundary matches the
+    // exactNearDup baseline (and any future oracle) digit-for-digit;
+    // distinct collapses pairs meeting in both shared clusters
+    val losers = a.join(b, "cluster")
+      .filter(col("a") < col("b") &&
+        round(gf.cosine_sim(col("va"), col("vb")), 4) >= minCos)
+      .select(col("b").as("vec_id")).distinct()
+    e.join(assignClusters(e, cent), "vec_id")
+      .select(col("vec_id"), col("cluster"))
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Per-label embedding centroids as FIXED-POINT sums: each float becomes
     * floor(x·10⁶ + 0.5) — identical IEEE double arithmetic on both
     * engines, no rounding-mode divergence — and the per-(label, dim)

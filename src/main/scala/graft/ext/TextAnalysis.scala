@@ -205,6 +205,83 @@ object TextAnalysis {
       |FROM tok JOIN cost USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weights — data selection by importance
+    * resampling: score each document by how much more likely its hashed
+    * unigram features are under a TARGET distribution (here the lang='en'
+    * slice) than under the RAW corpus distribution. Features hash into a
+    * FIXED number of md5 buckets (DSIR's hashed n-gram trick), so the
+    * weight table is exactly `buckets` rows at ANY corpus size — safe to
+    * hint-broadcast, like the nation dim. Log-ratios quantize to
+    * milli-nats (the x85 discipline: the ~1e-15 cross-engine ln error
+    * sits ~9 orders below the floor boundary) with add-one smoothing so
+    * empty target buckets stay finite, and per-doc sums accumulate as
+    * exact BIGINTs — hash-checked despite the float log.
+    *
+    * Scale shape: two fixed-size bucket aggregates with map-side partials
+    * (only `buckets` rows cross each shuffle), a one-row totals broadcast,
+    * and one broadcast join back to the token stream. Nothing grows with
+    * the corpus except the embarrassingly-parallel token scan.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    val bucketed = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(col("tokens")).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % buckets)
+    val raw = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_raw"))
+    val tgt = bucketed.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("n_tgt"))
+    val counts = raw.join(tgt, Seq("bucket"), "left_outer").na.fill(0L, Seq("n_tgt"))
+    // tot_* not N_*: name resolution is case-insensitive on both engines,
+    // so N_tgt would collide with the per-bucket n_tgt
+    val totals = counts.agg(sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log((col("n_tgt") + lit(1.0d)) / (col("tot_tgt") + lit(buckets.toDouble))) -
+               log((col("n_raw") + lit(1.0d)) / (col("tot_raw") + lit(buckets.toDouble))))
+          * 1000d + 0.5d).cast("long").as("w_millinat"))
+    bucketed.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_millinat")).as("dsir_millinat"))
+      .orderBy("doc_id")
+  }
+
+  val dsirOracle: String =
+    """WITH tok AS (SELECT doc_id, lang, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |b AS (SELECT doc_id, lang,
+      |             (('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS bucket
+      |      FROM tok),
+      |raw AS (SELECT bucket, COUNT(*) AS n_raw FROM b GROUP BY 1),
+      |tgt AS (SELECT bucket, COUNT(*) AS n_tgt FROM b WHERE lang = 'en' GROUP BY 1),
+      |j AS (SELECT raw.bucket, n_raw, COALESCE(n_tgt, 0) AS n_tgt
+      |      FROM raw LEFT JOIN tgt USING (bucket)),
+      |tot AS (SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM j),
+      |w AS (SELECT bucket,
+      |             CAST(floor((ln((n_tgt + 1.0) / (tot_tgt + 1024.0)) -
+      |                         ln((n_raw + 1.0) / (tot_raw + 1024.0))) * 1000 + 0.5) AS BIGINT) AS w_millinat
+      |      FROM j, tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(w_millinat) AS BIGINT) AS dsir_millinat
+      |FROM b JOIN w USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer efficiency by source — chars per BPE-ish token, the
+    * compression-rate statistic tokenizer evaluations report per domain
+    * (code vs prose vs math tokenize very differently). Integral sums,
+    * one tiny aggregate; the division happens once at the boundary.
+    */
+  def sourceTokenRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        size(toks).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+      .orderBy("source")
+  }
+
   /** Compression-ratio quality signal via the native [[gf.deflate_ratio]]
     * expression (zlib level 6): repetitive boilerplate compresses far
     * below natural text, the corpus-filter heuristic gzip/deflate-based

@@ -32,6 +32,8 @@ object Ext {
     "x18_bpe_tokens"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenCounts(s, d)),
     "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
     "x85_unigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.unigramNll(s, d)),
+    "x90_dsir_weights"     -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
+    "x92_source_token_rate" -> ((s: SparkSession, d: String) => TextAnalysis.sourceTokenRate(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -50,6 +52,7 @@ object Ext {
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "x89_semantic_dedup"   -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
@@ -106,6 +109,7 @@ object Ext {
     "s05_stream_dedup"     -> ((s: SparkSession, d: String) => Streams.dedupStream(s, d)),
     "s06_stream_join"      -> ((s: SparkSession, d: String) => Streams.viewPurchaseJoin(s, d)),
     "s07_stream_quality"   -> ((s: SparkSession, d: String) => Streams.qualityStream(s, d)),
+    "s08_stream_enrich"    -> ((s: SparkSession, d: String) => Streams.enrichStream(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +219,21 @@ object Ext {
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
+    "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
+    "x92_source_token_rate" ->
+      """WITH d AS (
+        |  SELECT source, length(text) AS nc,
+        |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS nt
+        |  FROM documents)
+        |SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |       CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+        |       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 4) AS chars_per_token
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // stream-static enrichment == the batch dim join, exactly
+    "s08_stream_enrich"    ->
+      """SELECT event_id, user_id, c_mktsegment AS segment, ROUND(value, 4) AS value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     "x75_pii_scrub"        -> OracleSqlExt.x75_pii_scrub,
     "x76_vocab_topk"       ->
       """SELECT u.t AS token, CAST(COUNT(*) AS BIGINT) AS n

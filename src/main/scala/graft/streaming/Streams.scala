@@ -195,6 +195,23 @@ object Streams {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** Stream-static enrichment join (the remaining X9 join shape): the
+    * event stream joins the BATCH customer dim per micro-batch — the
+    * canonical "enrich a stream with a dimension table" pattern. The
+    * static side is planned fresh each micro-batch (so a dim update is
+    * picked up on the next trigger) and broadcasts under AQE; stateless,
+    * so no watermark and no state store. After the AvailableNow replay
+    * the result equals the batch join exactly — oracle-checked.
+    */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), round(col("value"), 4).as("value"))
+    runToMemory(enriched, "append").orderBy("event_id")
+  }
+
   /** Watermarked session windows in append mode: only sessions finalized
     * by the 1-hour watermark are emitted — exactly the late-data semantics
     * a production stream would have, so the tail of the replay is withheld

@@ -189,6 +189,26 @@ class ExtSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("semantic dedup removes only genuine near-dups and catches >= 50% of them") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    // loser = the higher vec_id of an exact >= 0.4 cosine pair (the same
+    // rounding discipline as semanticDedup's threshold compare)
+    val exactLosers = Dedup.exactNearDup(e, 0.4).collect().map(_.getLong(1)).toSet
+    val kept = Similarity.semanticDedup(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val removed = all -- kept
+    // precision 1: nothing is removed that the exact all-pairs baseline
+    // wouldn't also remove (intra-cluster pairs are a subset of all pairs)
+    assert(removed.subsetOf(exactLosers), s"false removals: ${removed -- exactLosers}")
+    // recall: cross-cluster pairs are invisible by design, but co-located
+    // near-dups dominate (near-dups share a nearest centroid), so at
+    // least half the exact losers must be caught
+    assert(exactLosers.nonEmpty, "fixture has no planted near-dups")
+    val recall = removed.size.toDouble / exactLosers.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("brute-force topk excludes self and emits exactly k ranks per query") {
     val df = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 4).cache()
     assert(df.filter(col("q_id") === col("n_id")).count() === 0)

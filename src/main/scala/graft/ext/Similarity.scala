@@ -313,6 +313,59 @@ object Similarity {
       |                          ELSE floor(CAST(x AS DOUBLE)/nrm*1000000 + 0.5) END AS BIGINT)), ' ')) AS unit_hash
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Random sign projection — the dimensionality-reduction step ahead of
+    * ANN / clustering (Achlioptas-style ±1 projections preserve cosine up
+    * to Johnson–Lindenstrauss distortion). The projection matrix derives
+    * DETERMINISTICALLY from md5(i:j) parity — no stored matrix, both
+    * engines rebuild it bit-identically — and all arithmetic is exact:
+    * micro-quantized BIGINT inputs times ±1 signs, so the projected
+    * vectors hash-match across engines despite float inputs.
+    *
+    * Scale shape: the matrix is dim×outDims rows (a constant of the
+    * operator — broadcast-safe at any corpus size, like the x90 weight
+    * table); the fan-out join runs inside codegen and partial aggregation
+    * collapses it to n·outDims key rows before the one exchange. The
+    * reassembled row is outDims BIGINTs — 4× smaller than the input even
+    * before int8 quantization (x79) stacks on top.
+    */
+  def signProjection(spark: SparkSession, dir: String, outDims: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val m = spark.range(dim).select(col("id").as("i"))
+      .crossJoin(spark.range(outDims).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s"))
+    val q = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        floor(col("col").cast("double") * 1000000d + 0.5d).cast("long").as("qv"))
+    q.join(broadcast(m), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("qv") * col("s")).as("pv"))
+      .groupBy("vec_id")
+      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("j"), col("pv")))),
+        p => p.getField("pv").cast("string")), " ")).as("proj_hash"))
+      .orderBy("vec_id")
+  }
+
+  val signProjectionOracle: String =
+    """WITH m AS (
+      |  SELECT d.i, o.j,
+      |         CASE WHEN (('0x' || substr(md5(d.i || ':' || o.j), 1, 8))::BIGINT % 2) = 0
+      |              THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT UNNEST(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i) d,
+      |       (SELECT UNNEST(range(0, 16)) AS j) o),
+      |q AS (
+      |  SELECT vec_id, t.i - 1 AS i,
+      |         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |p AS (
+      |  SELECT vec_id, j, SUM(qv * s) AS pv
+      |  FROM q JOIN m USING (i) GROUP BY 1, 2)
+      |SELECT vec_id, md5(string_agg(pv::VARCHAR, ' ' ORDER BY j)) AS proj_hash
+      |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Cosine-similarity histogram over a deterministic pair sample — the
     * calibration curve for picking near-dup / ANN thresholds (where does
     * the corpus's similarity mass sit?). Pairs are (i, (i+s) mod n) for a

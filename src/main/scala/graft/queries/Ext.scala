@@ -53,6 +53,7 @@ object Ext {
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "x89_semantic_dedup"   -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "x91_sign_projection"  -> ((s: SparkSession, d: String) => Similarity.signProjection(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
@@ -220,6 +221,7 @@ object Ext {
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
+    "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x92_source_token_rate" ->
       """WITH d AS (
         |  SELECT source, length(text) AS nc,

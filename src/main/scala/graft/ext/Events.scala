@@ -12,6 +12,87 @@ import graft.Tables
   */
 object Events {
 
+  /** Ordered funnel analysis — the product-analytics staple: how many
+    * users progressed view → click → purchase IN ORDER. Each stage is the
+    * user-grain "earliest qualifying event at or after the previous
+    * stage's time", so an early purchase before any view does not count.
+    * All timestamps compare as epoch micros (BIGINT — the s06 precision
+    * discipline).
+    *
+    * Scale shape: three per-user aggregates with map-side partials, each
+    * stage joined to the previous on user_id at matching grain (one row
+    * per user — AQE broadcasts while it fits, co-partitioned shuffle join
+    * beyond); the fact table is scanned once per stage with the
+    * event-type filter pushed to parquet. Output is 3 rows at any SF.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("us") >= col("c_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    views.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), lit("view").as("stage"), col("n_users"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("view>click").as("stage"), col("n_users")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("view>click>purchase").as("stage"), col("n_users")))
+      .orderBy("step")
+  }
+
+  val funnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, MIN(us) AS c_us
+      |      FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us >= v_us GROUP BY 1),
+      |p AS (SELECT ev.user_id, MIN(us) AS p_us
+      |      FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      |UNION ALL SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+      |UNION ALL SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+      |ORDER BY step""".stripMargin
+
+  /** Retention cohorts — users grouped by their first-activity day, counted
+    * on each later day they return: the (cohort_day, day_offset) triangle
+    * every growth dashboard draws. Days are integer epoch-day numbers
+    * (µs / 86.4e9 floored — pure integer math, no timezone or calendar
+    * dependence to diverge between engines).
+    *
+    * Scale shape: the cohort table is one row per user (map-side partial
+    * min); the re-join is user-keyed at matching grain; the final
+    * aggregate is |cohorts|·|offsets| rows. COUNT(DISTINCT) runs as the
+    * standard two-shuffle expand — exact, because retention triangles
+    * feed decisions where a 2% HLL error band is unacceptable; the
+    * approx_count_distinct variant (a08) is the at-scale alternative.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |           FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |       COUNT(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** X5: JSON field extraction from the props column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

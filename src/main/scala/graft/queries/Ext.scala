@@ -24,6 +24,8 @@ object Ext {
     "x05_event_pivot"      -> ((s: SparkSession, d: String) => Events.pivotCounts(s, d)),
     "x06_event_unpivot"    -> ((s: SparkSession, d: String) => Events.unpivotCounts(s, d)),
     "x19_from_json"        -> ((s: SparkSession, d: String) => Events.jsonSchema(s, d)),
+    "x93_funnel"           -> ((s: SparkSession, d: String) => Events.funnel(s, d)),
+    "x94_retention"        -> ((s: SparkSession, d: String) => Events.retentionCohorts(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -222,6 +224,8 @@ object Ext {
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
+    "x93_funnel"           -> Events.funnelOracle,
+    "x94_retention"        -> Events.retentionOracle,
     "x92_source_token_rate" ->
       """WITH d AS (
         |  SELECT source, length(text) AS nc,

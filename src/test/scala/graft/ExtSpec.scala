@@ -189,6 +189,34 @@ class ExtSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
+    val rows = Events.funnel(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val counts = rows.map(_.getLong(2))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel widened: ${counts.toSeq}")
+    val viewUsers = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(counts(0) === viewUsers)
+  }
+
+  test("retention offset-0 diagonal equals each cohort's size") {
+    val rows = Events.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every user appears in their own cohort on day 0, so the offset-0 row
+    // carries the full cohort; later offsets can only shrink or vanish
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cohort, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cohort missing its day-0 row")
+      assert(rs.forall(_._3 <= day0.get._3),
+        s"cohort $cohort has an offset larger than its day-0 size")
+    }
+    val totalUsers = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === totalUsers)
+  }
+
   test("semantic dedup removes only genuine near-dups and catches >= 50% of them") {
     val e = graft.Tables.embeddings(spark, sf)
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet

@@ -26,6 +26,37 @@ class OpsSpec extends SparkSuite {
     assert(salted === direct)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter should reach the fact scan even when
+    // the dim is too big to broadcast: Spark's InjectRuntimeFilter builds a
+    // bloom filter from the filtered creation side and applies
+    // might_contain on the fact side BEFORE the join shuffle. The
+    // application-side size gate defaults to 10 GB (sensible in
+    // production, unreachable in a test), so only the size thresholds are
+    // adjusted here — the rule itself is stock.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.Tables.lineitem(spark, sf).select("l_partkey", "l_quantity")
+      val p = graft.Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#3").select("p_partkey")
+      val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevA)
+    }
+  }
+
   test("approx_count_distinct lands within the configured error of exact") {
     val rows = graft.queries.Analytics.approxDistinct(spark, sf).collect()
     rows.foreach { r =>

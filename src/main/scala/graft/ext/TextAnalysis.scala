@@ -369,6 +369,138 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 relevance scoring for a fixed query-term set — the search-side
+    * counterpart of the tf-idf keywords (x78): Robertson idf quantized to
+    * milli-nats (the x85 discipline), the saturation term in plain IEEE
+    * doubles (identical operand order on both engines, so bit-exact), and
+    * one final round at the boundary. k1 = 1.2, b = 0.75 (the standard
+    * Lucene defaults).
+    *
+    * Scale shape: per-doc lengths are a projection; the per-(doc, term)
+    * tf table only materializes rows for QUERY terms (the filter rides
+    * inside the explode pipeline, so the aggregate is |docs|·|query|
+    * rows max); df and the corpus totals are a |query|-row and a one-row
+    * broadcast. Nothing scales beyond the token scan.
+    */
+  def bm25(spark: SparkSession, dir: String,
+           query: Seq[String] = Seq("table", "query", "spark")): DataFrame = {
+    val docs = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("tokens"))
+    val lens = docs.select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("token"))
+      .filter(col("token").isin(query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val idf = dfreq.crossJoin(broadcast(totals))
+      .select(col("token"),
+        floor(log((col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + 1d)
+          * 1000d + 0.5d).cast("long").as("idf_milli"))
+    // saturation: tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·n_docs/tot_dl);
+    // dl/avgdl is expanded to dl·n_docs/tot_dl so both engines divide once
+    tf.join(broadcast(idf), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("token"),
+        // per-term score floored to micro-units: the double is bit-exact
+        // on both engines (identical operand order), and the BIGINT sum
+        // is order-independent — a double sum of the per-term scores
+        // could flip the last decimal on aggregation order
+        floor(col("idf_milli") / 1000d * (col("tf") * 2.2d) /
+          (col("tf") + lit(0.3d) +
+            lit(0.9d) * col("dl") * col("n_docs") / col("tot_dl"))
+          * 1000000d + 0.5d).cast("long").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("bm25_micro"))
+      .orderBy("doc_id")
+  }
+
+  val bm25Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, u.t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM d, UNNEST(toks) u(t)
+      |  WHERE u.t IN ('table', 'query', 'spark')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM lens),
+      |idf AS (SELECT token,
+      |               CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1000 + 0.5) AS BIGINT) AS idf_milli
+      |        FROM dfreq, tot)
+      |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |       CAST(SUM(CAST(floor(idf.idf_milli / 1000.0 * (tf.tf * 2.2) /
+      |                 (tf.tf + 0.3 + 0.9 * lens.dl * tot.n_docs / tot.tot_dl)
+      |                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micro
+      |FROM tf
+      |JOIN idf USING (token)
+      |JOIN lens ON tf.doc_id = lens.doc_id
+      |CROSS JOIN tot
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
+  /** Quality-signal rank fusion — combine heterogeneous quality signals
+    * (unigram-LM NLL, duplicate-token fraction, alpha fraction) by
+    * reciprocal rank fusion instead of unit juggling: each signal ranks
+    * all documents (total tie-break on doc_id), and RRF sums
+    * floor(10⁶/(60+rank)) as exact BIGINTs — scale-free, robust to one
+    * signal's outliers, and hash-stable (no float weights to diverge).
+    *
+    * Scale shape: three global sort-based rankings (range-partitioned
+    * sort, the a09 window shape) over one-row-per-doc frames, then a
+    * doc-keyed 3-way join at matching grain. At corpus scale the global
+    * windows become per-shard ranks + a merge — same algebra, and the
+    * fusion is insensitive to the exact rank granularity.
+    */
+  def qualityFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramNll(spark, dir)
+      .select(col("doc_id"),
+        (col("nll_millinat") / col("n_tokens")).as("mean_nll"))
+    val rep = repetitionSignals(spark, dir).select("doc_id", "dup_token_frac")
+    val gop = gopherSignals(spark, dir).select("doc_id", "alpha_frac")
+    // lower mean NLL, lower dup fraction, higher alpha fraction = better
+    val rNll = nll.withColumn("r1",
+      row_number().over(Window.orderBy(col("mean_nll"), col("doc_id"))).cast("long"))
+    val rRep = rep.withColumn("r2",
+      row_number().over(Window.orderBy(col("dup_token_frac"), col("doc_id"))).cast("long"))
+    val rGop = gop.withColumn("r3",
+      row_number().over(Window.orderBy(col("alpha_frac").desc, col("doc_id"))).cast("long"))
+    def rrf(r: org.apache.spark.sql.Column) = floor(lit(1000000d) / (lit(60L) + r)).cast("long")
+    rNll.select(col("doc_id"), col("r1"))
+      .join(rRep.select(col("doc_id"), col("r2")), "doc_id")
+      .join(rGop.select(col("doc_id"), col("r3")), "doc_id")
+      .select(col("doc_id"), col("r1"), col("r2"), col("r3"),
+        (rrf(col("r1")) + rrf(col("r2")) + rrf(col("r3"))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+  }
+
+  val fusionOracle: String =
+    """WITH tok AS (SELECT doc_id, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |freq AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(n_t) AS N FROM freq),
+      |cost AS (SELECT token, CAST(floor(-ln(n_t / N) * 1000 + 0.5) AS BIGINT) AS c
+      |         FROM freq, tot),
+      |nll AS (SELECT doc_id, SUM(c) / COUNT(*) AS mean_nll
+      |        FROM tok JOIN cost USING (token) GROUP BY doc_id),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |rep AS (SELECT doc_id,
+      |               ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4) AS dup_frac
+      |        FROM t2),
+      |gop AS (SELECT doc_id,
+      |               ROUND(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 4) AS alpha_frac
+      |        FROM t2),
+      |r AS (
+      |  SELECT nll.doc_id,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY nll.mean_nll, nll.doc_id) AS BIGINT) AS r1,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY rep.dup_frac, rep.doc_id) AS BIGINT) AS r2,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY gop.alpha_frac DESC, gop.doc_id) AS BIGINT) AS r3
+      |  FROM nll JOIN rep USING (doc_id) JOIN gop USING (doc_id))
+      |SELECT doc_id, r1, r2, r3,
+      |       CAST(floor(1000000.0 / (60 + r1)) + floor(1000000.0 / (60 + r2)) +
+      |            floor(1000000.0 / (60 + r3)) AS BIGINT) AS rrf_micro
+      |FROM r ORDER BY rrf_micro DESC, doc_id""".stripMargin
+
   /** PII scrub: redact emails/phones and count what was removed. The regex
     * subset is deliberately Java-regex ∩ RE2 (no backrefs/lookaround) so
     * Spark and the DuckDB oracle match byte-for-byte; Spark regexp_replace

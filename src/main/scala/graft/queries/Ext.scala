@@ -35,6 +35,8 @@ object Ext {
     "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
     "x85_unigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.unigramNll(s, d)),
     "x90_dsir_weights"     -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
+    "x95_bm25"             -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "x96_quality_fusion"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFusion(s, d)),
     "x92_source_token_rate" -> ((s: SparkSession, d: String) => TextAnalysis.sourceTokenRate(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
@@ -225,6 +227,8 @@ object Ext {
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x93_funnel"           -> Events.funnelOracle,
+    "x95_bm25"             -> TextAnalysis.bm25Oracle,
+    "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
     "x92_source_token_rate" ->
       """WITH d AS (

@@ -445,26 +445,23 @@ object TextAnalysis {
     * floor(10⁶/(60+rank)) as exact BIGINTs — scale-free, robust to one
     * signal's outliers, and hash-stable (no float weights to diverge).
     *
-    * Scale shape: three global sort-based rankings (range-partitioned
-    * sort, the a09 window shape) over one-row-per-doc frames, then a
-    * doc-keyed 3-way join at matching grain. At corpus scale the global
-    * windows become per-shard ranks + a merge — same algebra, and the
-    * fusion is insensitive to the exact rank granularity.
+    * Scale shape: each global ranking runs through
+    * [[graft.ops.Ranking.globalRowNumber]] — value-bucketed two-phase
+    * rank, NEVER a partition-less window (which would move every row to
+    * one task) — then a doc-keyed 3-way join at matching grain.
     */
   def qualityFusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Ranking.globalRowNumber
     val nll = unigramNll(spark, dir)
       .select(col("doc_id"),
         (col("nll_millinat") / col("n_tokens")).as("mean_nll"))
     val rep = repetitionSignals(spark, dir).select("doc_id", "dup_token_frac")
     val gop = gopherSignals(spark, dir).select("doc_id", "alpha_frac")
     // lower mean NLL, lower dup fraction, higher alpha fraction = better
-    val rNll = nll.withColumn("r1",
-      row_number().over(Window.orderBy(col("mean_nll"), col("doc_id"))).cast("long"))
-    val rRep = rep.withColumn("r2",
-      row_number().over(Window.orderBy(col("dup_token_frac"), col("doc_id"))).cast("long"))
-    val rGop = gop.withColumn("r3",
-      row_number().over(Window.orderBy(col("alpha_frac").desc, col("doc_id"))).cast("long"))
+    // (descending order = rank on the negated value)
+    val rNll = globalRowNumber(nll, col("mean_nll"), col("doc_id"), "r1")
+    val rRep = globalRowNumber(rep, col("dup_token_frac"), col("doc_id"), "r2")
+    val rGop = globalRowNumber(gop, negate(col("alpha_frac")), col("doc_id"), "r3")
     def rrf(r: org.apache.spark.sql.Column) = floor(lit(1000000d) / (lit(60L) + r)).cast("long")
     rNll.select(col("doc_id"), col("r1"))
       .join(rRep.select(col("doc_id"), col("r2")), "doc_id")

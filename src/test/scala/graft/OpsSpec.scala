@@ -26,6 +26,28 @@ class OpsSpec extends SparkSuite {
     assert(salted === direct)
   }
 
+  test("bucketed two-phase global rank equals the single-partition window rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicates, negatives, and a constant run — bucket boundaries must
+    // respect ties and the degenerate all-equal bucket
+    val df = Seq(3.5, -1.0, 3.5, 0.0, 7.25, -1.0, 2.0, 7.25, 7.25, 0.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val want = df.withColumn("rank",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (b <- Seq(1, 4, 256)) {
+      val got = graft.ops.Ranking.globalRowNumber(df, col("v"), col("id"), "rank", b)
+        .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"buckets=$b")
+    }
+    // all-equal values: span collapses to one bucket, ranks still total
+    val const = Seq.tabulate(5)(i => (i.toLong, 9.9)).toDF("id", "v")
+    val gotC = graft.ops.Ranking.globalRowNumber(const, col("v"), col("id"), "rank")
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotC === Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At 100 TB a selective dim filter should reach the fact scan even when
     // the dim is too big to broadcast: Spark's InjectRuntimeFilter builds a

@@ -66,10 +66,10 @@ object Events {
     *
     * Scale shape: the cohort table is one row per user (map-side partial
     * min); the re-join is user-keyed at matching grain; the final
-    * aggregate is |cohorts|·|offsets| rows. COUNT(DISTINCT) runs as the
-    * standard two-shuffle expand — exact, because retention triangles
-    * feed decisions where a 2% HLL error band is unacceptable; the
-    * approx_count_distinct variant (a08) is the at-scale alternative.
+    * aggregate is |cohorts|·|offsets| rows. The (user, day) frame is
+    * already distinct, so each user contributes at most one row per
+    * (cohort, offset) and a plain COUNT equals COUNT(DISTINCT user) —
+    * without the distinct-agg's second expand shuffle.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(spark, dir)
@@ -79,7 +79,7 @@ object Events {
     val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     days.join(cohorts, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
 
@@ -89,7 +89,7 @@ object Events {
       |           FROM events),
       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
       |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
-      |       COUNT(DISTINCT d.user_id) AS n_users
+      |       COUNT(*) AS n_users
       |FROM d JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

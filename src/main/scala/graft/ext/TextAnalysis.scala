@@ -227,10 +227,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(col("tokens")).as("token"))
       .withColumn("bucket",
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % buckets)
-    val raw = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_raw"))
-    val tgt = bucketed.filter(col("lang") === "en")
-      .groupBy("bucket").agg(count(lit(1)).as("n_tgt"))
-    val counts = raw.join(tgt, Seq("bucket"), "left_outer").na.fill(0L, Seq("n_tgt"))
+    // both distributions in ONE aggregate pass (conditional count), not
+    // two aggregates + an outer join — the token explode is scanned once
+    // for the estimate and empty target buckets are naturally 0
+    val counts = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
     // tot_* not N_*: name resolution is case-insensitive on both engines,
     // so N_tgt would collide with the per-bucket n_tgt
     val totals = counts.agg(sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"))

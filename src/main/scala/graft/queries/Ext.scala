@@ -115,6 +115,7 @@ object Ext {
     "s06_stream_join"      -> ((s: SparkSession, d: String) => Streams.viewPurchaseJoin(s, d)),
     "s07_stream_quality"   -> ((s: SparkSession, d: String) => Streams.qualityStream(s, d)),
     "s08_stream_enrich"    -> ((s: SparkSession, d: String) => Streams.enrichStream(s, d)),
+    "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,6 +285,10 @@ object Ext {
     "s05_stream_dedup"     ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,
+    // transformWithState final state must equal the same batch aggregate
+    "s09_stream_state_v2"  ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // final per-user stream state must equal the batch aggregate
     "s03_stream_stateful"  ->
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.Tables
 
@@ -193,6 +193,61 @@ object Streams {
         unix_micros(col("purchase_ts")).as("purchase_us"),
         round(col("value"), 4).as("value"))
       .orderBy("view_id", "purchase_id")
+  }
+
+  /** Per-user running (count, total) on the Spark 4 arbitrary-state API:
+    * typed ValueState keyed by user, updated per micro-batch. The modern
+    * replacement for flatMapGroupsWithState (s03) — same semantics, but
+    * state is schema-evolvable, TTL-capable, and multiple typed state
+    * variables can coexist per key.
+    */
+  private class RunningTotalProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, t) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; t += r._2 }
+      totals.update((n, t))
+      Iterator.single((key, n, t))
+    }
+  }
+
+  /** s03's aggregate through `transformWithState` (X9, Spark 4 state API):
+    * the per-key ValueState lives in the RocksDB state store — the
+    * provider production clusters run, with changelog checkpointing and
+    * state bounded by |users| off-heap, not |events| — and after the
+    * AvailableNow replay the final state equals the batch groupBy
+    * (oracle-checked, same SQL as s03).
+    */
+  def statefulUserTotalsV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventStream(spark, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val updated = src.groupByKey(_._1)
+        .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "total")
+      val table = runToMemory(updated, "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n").desc)
+      table.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Stream-static enrichment join (the remaining X9 join shape): the

@@ -45,6 +45,25 @@ object Sinks {
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Range-clustered layout — sort-by-write for HIGH-cardinality filter
+    * columns where partitionBy would explode the directory count: rows
+    * range-partition on `cols` and sort within each file, so every file's
+    * parquet row-group min/max stats cover a narrow, disjoint slice of
+    * the domain. A pushed point/range predicate then prunes whole row
+    * groups at the reader (no rows decoded), where the same data written
+    * round-robin decodes everything — the Z-order/liquid-clustering idea
+    * in its one-column Spark-native form. SourcesSpec measures the scan's
+    * numOutputRows dropping accordingly.
+    */
+  def clustered(df: DataFrame, path: String, cols: Seq[String],
+                files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cs = cols.map(col)
+    df.repartitionByRange(files, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed managed table: rows hash-distributed into `n` buckets by
     * `bucketCols` and sorted within each — two tables bucketed the same way
     * join without a shuffle. Requires saveAsTable (bucket metadata lives in

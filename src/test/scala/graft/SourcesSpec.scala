@@ -99,6 +99,34 @@ class SourcesSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("range-clustered layout prunes parquet row groups a round-robin layout decodes") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.Tables.events(spark, sf)
+    val total = events.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    // same data, two layouts: round-robin (fragmented stats) vs clustered
+    events.repartition(8).write.mode("overwrite").parquet(s"$base/scattered")
+    graft.sources.Sinks.clustered(events, s"$base/clustered", Seq("user_id"), 8)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("user_id") === 7L)
+      q.collect()
+      val plan = q.queryExecution.executedPlan
+      plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val scattered = scanRows(s"$base/scattered")
+    val clustered = scanRows(s"$base/clustered")
+    // round-robin: every file's row group spans the whole user domain, so
+    // the pushed filter prunes nothing and the scan decodes ~all rows;
+    // clustered: disjoint per-file ranges, only the covering group decodes
+    assert(scattered > total / 2, s"expected near-full decode, got $scattered of $total")
+    assert(clustered <= total / 4,
+      s"clustered layout decoded $clustered of $total — row-group pruning did not engage")
+    assert(clustered < scattered)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     graft.functions.functions.registerSql(spark)
     val r = spark.sql(

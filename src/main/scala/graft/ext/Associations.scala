@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Association-rule mining — the reference repo's own domain ("Market
+  * Basket Analysis") as an explicit operator: frequent co-purchase pairs
+  * with support / confidence / lift, the apriori first iteration. The
+  * reference (F.py:128–162) only ever consumes per-user candidate sets;
+  * this is the rule-mining surface its title promises, distributed.
+  */
+object Associations {
+
+  /** Frequent item-pair rules over order baskets (basket = the distinct
+    * parts of one order). The apriori pruning does the scaling: item
+    * supports aggregate FIRST (map-side partials, |items| rows), baskets
+    * semi-join the frequent items, and only then does the basket
+    * self-join generate pairs — candidate space Σ|frequent basket|², and
+    * every infrequent item is provably absent from any frequent pair
+    * (apriori monotonicity), so the prune is lossless. Support /
+    * confidence / lift are ratios of exact integer counts (identical
+    * doubles on both engines); output is the top-k by lift under a total
+    * tie-break.
+    *
+    * minCount defaults to 2 (pair seen twice): the synthetic baskets are
+    * support-flat — pair counts stay single-digit at every SF — so a
+    * production-style fractional support floor (n_orders·minSupport)
+    * would empty the result; on a real basket corpus that fraction is
+    * the dial, and the plan is unchanged by it.
+    */
+  def basketRules(spark: SparkSession, dir: String,
+                  minCount: Int = 2, k: Int = 50): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val totals = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemN = baskets.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val frequent = itemN.filter(col("n_item") >= minCount)
+    val fb = baskets.join(frequent.select("l_partkey"), Seq("l_partkey"), "left_semi")
+    val pairs = fb.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(fb.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(itemN.select(col("l_partkey").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemN.select(col("l_partkey").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab") / col("n_orders"), 4).as("support"),
+        round(col("n_ab") / col("n_a"), 4).as("confidence"),
+        // lift in double from the first multiply: a long·long product of
+        // pair count × order count overflows at corpus scale
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val basketRulesOracle: String =
+    """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+      |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+      |fb AS (SELECT b.* FROM baskets b JOIN itemn USING (l_partkey)
+      |       WHERE itemn.n_item >= 2),
+      |pairs AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |  FROM fb x JOIN fb y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p.a, p.b, p.n_ab,
+      |       ROUND(p.n_ab * 1.0 / tot.n_orders, 4) AS support,
+      |       ROUND(p.n_ab * 1.0 / ia.n_item, 4) AS confidence,
+      |       ROUND(p.n_ab * 1.0 * tot.n_orders / (ia.n_item * ib.n_item), 4) AS lift
+      |FROM pairs p
+      |JOIN itemn ia ON p.a = ia.l_partkey
+      |JOIN itemn ib ON p.b = ib.l_partkey
+      |CROSS JOIN tot
+      |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin
+}

@@ -93,6 +93,43 @@ object Events {
       |FROM d JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-transition statistics — the first-order Markov view of user
+    * behavior (which event follows which): per-user consecutive-event
+    * pairs via a PARTITIONED lead window (user-keyed, never global),
+    * aggregated to (src, dst) counts with a per-src probability. The
+    * source-marginal totals are a |types|-row broadcast; ordering ties
+    * break on event_id in epoch-µs space on both engines.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val srcTotals = trans.groupBy("src").agg(sum(col("n")).as("n_src"))
+    trans.join(broadcast(srcTotals), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n") / col("n_src"), 4).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  val transitionsOracle: String =
+    """WITH t AS (
+      |  SELECT event_type AS src,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT src, SUM(n) AS n_src FROM c GROUP BY 1)
+      |SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+      |       ROUND(c.n * 1.0 / s.n_src, 4) AS p
+      |FROM c JOIN s USING (src)
+      |ORDER BY src, dst""".stripMargin
+
   /** X5: JSON field extraction from the props column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

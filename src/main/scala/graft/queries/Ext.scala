@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.OracleSqlExt
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Associations, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.ml.ReorderModel
 import graft.streaming.Streams
 
@@ -26,6 +26,8 @@ object Ext {
     "x19_from_json"        -> ((s: SparkSession, d: String) => Events.jsonSchema(s, d)),
     "x93_funnel"           -> ((s: SparkSession, d: String) => Events.funnel(s, d)),
     "x94_retention"        -> ((s: SparkSession, d: String) => Events.retentionCohorts(s, d)),
+    "x97_basket_rules"     -> ((s: SparkSession, d: String) => Associations.basketRules(s, d)),
+    "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -229,6 +231,8 @@ object Ext {
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x93_funnel"           -> Events.funnelOracle,
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
+    "x97_basket_rules"     -> Associations.basketRulesOracle,
+    "x98_event_transitions" -> Events.transitionsOracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
     "x92_source_token_rate" ->

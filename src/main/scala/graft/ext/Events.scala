@@ -130,6 +130,42 @@ object Events {
       |FROM c JOIN s USING (src)
       |ORDER BY src, dst""".stripMargin
 
+  /** SCD2 dimension versioning — turn a change log into slowly-changing-
+    * dimension intervals: each user's signup/click/... stream is treated
+    * as attribute-change events, and every event opens a version valid
+    * until the next one (valid_to = NULL marks the current version). One
+    * user-partitioned lead window — the standard change-log → versioned-
+    * dim build every warehouse runs, expressed without a single global
+    * sort. Epoch-µs interval bounds (the s06 precision discipline).
+    */
+  def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("attr_value"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "version", "event_id", "attr_value",
+        "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2Oracle: String =
+    """SELECT user_id,
+      |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |       event_id,
+      |       event_type AS attr_value,
+      |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |       CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+      |       LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** X5: JSON field extraction from the props column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

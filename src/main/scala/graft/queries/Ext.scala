@@ -28,6 +28,7 @@ object Ext {
     "x94_retention"        -> ((s: SparkSession, d: String) => Events.retentionCohorts(s, d)),
     "x97_basket_rules"     -> ((s: SparkSession, d: String) => Associations.basketRules(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
+    "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -233,6 +234,7 @@ object Ext {
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
     "x97_basket_rules"     -> Associations.basketRulesOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
+    "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
     "x92_source_token_rate" ->

@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY: comma-separated query names — restrict the
+    // dump for local iteration (unset = all queries, the driver's config).
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -58,6 +58,43 @@ object Dedup {
       |  AND content_key NOT IN (SELECT content_key FROM k WHERE doc_id % 10 <> 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter corpus delta — [[corpusDelta]] for the regime where the
+    * seen-set is too large to broadcast as exact keys and the anti-join's
+    * two-sided key shuffle is the bottleneck: at 10⁹ seen documents the
+    * exact keys are ~32 GB, but a 1% bloom filter is ~1.2 GB of bits that
+    * ships to every executor once; the arrivals side then never shuffles
+    * at all — membership is an O(1) map-side probe.
+    *
+    * Construction is `DataFrameStatFunctions.bloomFilter` (a treeAggregate:
+    * each partition ORs into a local filter, the driver holds only the
+    * merged bits — constant memory in corpus size). The probe is a scalar
+    * UDF over the broadcast filter: Spark's codegen'd might_contain
+    * expression is internal to the runtime-filter rule, and a 32-byte-key
+    * UDF probe costs a few ns against the scan it saves.
+    *
+    * Error direction is the SAFE one for dedup: no false negatives means a
+    * true duplicate is NEVER admitted; a false positive (~fpp of genuinely
+    * new docs) is over-dropping, recovered on a later ingest if the
+    * content reappears. ExtSpec's law pins both: result ⊆ exact delta and
+    * the over-drop stays within the fpp budget. Rows-only at the driver
+    * (the FP set is a function of Spark's filter internals — no SQL twin).
+    */
+  def bloomDelta(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("content_key", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val existing = keyed.filter(col("doc_id") % 10 =!= 0).select("content_key")
+    // expectedItems from a count pass here; a production snapshot knows its
+    // row count from table stats / ingest metadata, so this job disappears.
+    val n = math.max(existing.count(), 1L)
+    val bf = existing.stat.bloomFilter("content_key", n, fpp)
+    val seen = spark.sparkContext.broadcast(bf)
+    val isNew = udf((k: String) => !seen.value.mightContain(k))
+    keyed.filter(col("doc_id") % 10 === 0)
+      .filter(isNew(col("content_key")))
+      .select("doc_id", "content_key")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — flag training documents sharing any
     * 4-token n-gram with the eval set (the pre-training hygiene step that
     * keeps benchmark text out of the corpus; n-gram collision is the

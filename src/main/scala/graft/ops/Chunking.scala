@@ -77,6 +77,62 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Cross-document span dedup (the corpus-wide repeated-span remover —
+    * the across-documents counterpart of [[intraDocDedup]], the step that
+    * strips boilerplate/licence blocks repeated across millions of pages):
+    * tile every document into non-overlapping `chunkTokens` windows, keep
+    * each distinct chunk ONLY at its first occurrence in the whole corpus
+    * (lowest (doc_id, position)), and emit per surviving document the
+    * kept-chunk count plus a content hash of the reassembly in original
+    * order. Documents whose every chunk appeared earlier elsewhere vanish
+    * — the fully-boilerplate page.
+    *
+    * Scale shape: ZERO joins. First-occurrence selection is a global
+    * min-aggregate keyed by chunk content — `min(doc_id·2²⁰ + i)` packs
+    * the lexicographic (doc_id, position) order into one BIGINT so the
+    * partial aggregation collapses every corpus-wide repeat map-side
+    * before the content-keyed exchange (a chunk repeated a billion times
+    * crosses the wire once per input partition — heavy hitters are
+    * absorbed, not shuffled). Reassembly is one doc-keyed aggregate over
+    * the survivors. Both keys are content-derived, so the result is
+    * layout-independent and the DuckDB oracle mirrors it bit for bit.
+    */
+  def crossDocDedup(spark: SparkSession, dir: String, chunkTokens: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = floor((size(toks).cast("long") + (chunkTokens - 1)) / chunkTokens)
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"), lit(chunkTokens))))
+    // i < 2^20 always holds here: i ≤ n_chars/chunkTokens and the synthetic
+    // docs are ≤ ~4k chars; a production corpus with longer docs widens the
+    // shift (doc positions fit 2^20 ≈ 1M chunks/doc even at book length).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("i", "chunk")))
+      .groupBy("chunk")
+      .agg(min(shiftleft(col("doc_id"), 20) + col("i")).as("k"))
+      .select(shiftright(col("k"), 20).as("doc_id"),
+        pmod(col("k"), lit(1L << 20)).as("i"), col("chunk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("chunk")))),
+            s => s.getField("chunk")))).as("dedup_hash"))
+      .orderBy("doc_id")
+  }
+
+  val crossDedupOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (
+      |  SELECT doc_id, u.i,
+      |         array_to_string(toks[u.i*10+1 : least(u.i*10+10, n)], ' ') AS chunk
+      |  FROM t, UNNEST(range(0, (n + 9) // 10)) u(i)),
+      |f AS (SELECT chunk, MIN(doc_id * 1048576 + i) AS k FROM c GROUP BY chunk),
+      |kept AS (SELECT k // 1048576 AS doc_id, k % 1048576 AS i, chunk FROM f)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(chunk, ' ' ORDER BY i)) AS dedup_hash
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val intraDedupOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -107,6 +107,43 @@ object Sampling {
       .select("doc_id", "domain", "rate_bp")
       .orderBy("doc_id")
 
+  /** Per-domain hard cap — keep at most `k` rows per domain, chosen by the
+    * content-addressed priority hash (lowest bucket wins, key tie-break).
+    * The web-pipeline "max N pages per host" rule: a Bernoulli rate
+    * ([[temperatureMix]]) bounds the EXPECTED share of a domain, but a
+    * crawler trap or spam flood from one host needs a worst-case bound —
+    * the cap guarantees it, and the hash priority keeps the surviving k
+    * stable under corpus growth (a kept page is only ever evicted by a
+    * lower-hash page, never by layout).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit — every map
+    * task truncates to its local top-k per domain BEFORE the exchange, so
+    * at most k·|domains| rows per task shuffle regardless of flood size;
+    * the flood is absorbed map-side exactly like a partial aggregate.
+    */
+  def domainCap(df: DataFrame, key: String, domain: String, k: Int, seed: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domain))
+      .orderBy(bucket10k(col(key), seed), col(key))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** x102: at most 10 documents per source (the sf-scaled stand-in for the
+    * per-host cap; sources hold ~25 docs at sf0.001, so the cap bites).
+    */
+  def docSourceCap(spark: SparkSession, dir: String): DataFrame =
+    domainCap(Tables.documents(spark, dir), "doc_id", "source", k = 10, seed = 13)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val capOracle: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${bucketSql("doc_id", 13)}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
   val mixOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,

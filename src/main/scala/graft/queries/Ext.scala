@@ -86,11 +86,14 @@ object Ext {
     "x72_sequence_pack"    -> ((s: SparkSession, d: String) => graft.ops.Packing.docPack(s, d)),
     "x73_doc_chunks"       -> ((s: SparkSession, d: String) => graft.ops.Chunking.docChunks(s, d)),
     "x86_intradoc_dedup"   -> ((s: SparkSession, d: String) => graft.ops.Chunking.intraDocDedup(s, d)),
+    "x100_crossdoc_dedup"  -> ((s: SparkSession, d: String) => graft.ops.Chunking.crossDocDedup(s, d)),
+    "x101_bloom_delta"     -> ((s: SparkSession, d: String) => Dedup.bloomDelta(s, d)),
     "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
     "x78_doc_keywords"     -> ((s: SparkSession, d: String) => TextAnalysis.docKeywords(s, d)),
     "x81_source_mix"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSourceMix(s, d)),
+    "x102_domain_cap"      -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSourceCap(s, d)),
     "x82_bpe_merges"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeMergePairs(s, d)),
     "x77_label_centroids"  -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     // multimodal plumbing
@@ -225,6 +228,8 @@ object Ext {
     "x72_sequence_pack"    -> graft.ops.Packing.oracle,
     "x73_doc_chunks"       -> graft.ops.Chunking.oracle,
     "x86_intradoc_dedup"   -> graft.ops.Chunking.intraDedupOracle,
+    "x100_crossdoc_dedup"  -> graft.ops.Chunking.crossDedupOracle,
+    "x102_domain_cap"      -> graft.ops.Sampling.capOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -457,4 +457,59 @@ class ExtSpec extends SparkSuite {
     assert(q1.toSeq === q2.toSeq)
     assert(q1.exists(_.media_type == "image"))
   }
+
+  test("cross-doc dedup keeps at most what intra-doc dedup keeps, and keeps every first occurrence") {
+    val intra = graft.ops.Chunking.intraDocDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cross = graft.ops.Chunking.crossDocDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // global first-occurrence is strictly stronger than per-doc
+    // first-occurrence: every cross-kept chunk is also intra-kept
+    cross.foreach { case (doc, n) => assert(n <= intra(doc), s"doc $doc") }
+    // the corpus-wide kept total equals the number of DISTINCT chunks:
+    // each distinct chunk survives exactly once, somewhere
+    val distinctChunks = graft.ops.Chunking
+      .crossDocDedup(spark, sf).agg(sum("n_kept")).head().getLong(0)
+    val intraTotalDistinct = {
+      import spark.implicits._
+      val toks = split(col("text"), " ")
+      val nChunks = floor((size(toks).cast("long") + 9) / 10)
+      graft.Tables.documents(spark, sf)
+        .select(explode(transform(sequence(lit(0L), nChunks - 1),
+          i => concat_ws(" ", slice(toks, (i * 10 + 1).cast("int"), lit(10))))).as("chunk"))
+        .select(countDistinct($"chunk")).head().getLong(0)
+    }
+    assert(distinctChunks === intraTotalDistinct)
+  }
+
+  test("cross-doc dedup plans as two aggregates with zero joins") {
+    // the Lee-et-al. span remover must stay join-free: first-occurrence is
+    // a content-keyed min aggregate (map-side partials absorb heavy-hitter
+    // chunks), reassembly a doc-keyed aggregate — a join or window here
+    // would move the chunk payload once per REPEAT instead of once per
+    // distinct chunk
+    val plan = graft.ops.Chunking.crossDocDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "cross-doc dedup regressed to a join formulation")
+    assert(!plan.contains("Window"), "cross-doc dedup regressed to a window formulation")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      "first-occurrence selection must partial-aggregate map-side")
+  }
+
+  test("bloom delta admits a subset of the exact delta and never a true duplicate") {
+    val exact = Dedup.corpusDelta(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val bloom = Dedup.bloomDelta(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // no false negatives in a bloom filter → a doc the bloom path admits
+    // was definitely absent from the seen set, so bloom ⊆ exact and true
+    // duplicates (excluded from exact) can never reappear
+    assert(bloom.subsetOf(exact))
+    // over-drop (bloom false positives on genuinely-new content) stays
+    // within a generous multiple of the fpp budget; deterministic per
+    // Spark's fixed-seed murmur3 sketch, so this is a stable check
+    val arrivals = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert((exact.size - bloom.size) <= math.max(5L, (arrivals * 0.05).toLong))
+  }
 }

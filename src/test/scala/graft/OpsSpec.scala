@@ -477,4 +477,29 @@ class OpsSpec extends SparkSuite {
     val total = Tables.documents(spark, sf).filter(col("lang") === "en").count()
     assert(back.count() === total)
   }
+
+  test("domain cap keeps exactly the k lowest-priority-hash rows per domain, map-side truncated") {
+    val k = 10
+    val capped = graft.ops.Sampling.docSourceCap(spark, sf)
+    // hard bound holds for every domain
+    val perGroup = capped.groupBy("source").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= k))
+    // the kept set is EXACTLY the k smallest (hash, key) per domain — the
+    // growth-stability law: a kept page is only evicted by a lower hash
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.ops.Sampling.bucket10k(col("doc_id"), 13).as("pri"))
+      .collect()
+      .groupBy(_.getString(1))
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (r.getLong(2), r.getLong(0))).take(k).toSeq }
+      .map(_.getLong(0)).toSet
+    assert(capped.collect().map(_.getLong(0)).toSet === expected)
+    // and the rank filter compiles to WindowGroupLimit: each map task
+    // truncates to its local top-k BEFORE the exchange, so a single-domain
+    // flood shuffles at most k rows per task, not the flood
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "cap must plan as WindowGroupLimit (map-side top-k truncation)")
+  }
 }

@@ -44,6 +44,9 @@ object Bench {
               errors += s"$tag:$name" -> e.toString.take(200).replaceAll("[\"\\\\\\n]", " ")
               -1.0
           }
+        // stderr progress line per query: a run killed by an external
+        // timeout still leaves a per-query trail to find the hotspot
+        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s")
         name -> secs
       }
     def fmt(m: Map[String, Double]): String =

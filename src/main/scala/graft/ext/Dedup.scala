@@ -104,10 +104,12 @@ object Dedup {
     * broadcasts and the check is one map-side semi join per gram — the
     * corpus never shuffles.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // persisted once: both the bench side and the train side consume this
-    // plan, and without the layer the tokenize+explode pass runs twice
-    val grams = graft.Layer.cached(spark, dir, "grams4") {
+  /** Per-doc DISTINCT 4-gram stream — the shared input of decontamination
+    * (x62) and corpus novelty scoring (x103), persisted once per session
+    * via the Layer so the tokenize+explode pass never repeats.
+    */
+  private[graft] def grams4(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "grams4") {
       Tables.documents(spark, dir)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 4)
@@ -115,6 +117,11 @@ object Dedup {
           explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 4),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(4)))))).as("gram"))
     }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // persisted once: both the bench side and the train side consume this
+    // plan, and without the layer the tokenize+explode pass runs twice
+    val grams = grams4(spark, dir)
     val bench = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
     grams.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(bench), "gram")

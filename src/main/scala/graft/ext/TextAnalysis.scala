@@ -205,6 +205,54 @@ object TextAnalysis {
       |FROM tok JOIN cost USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level n-gram novelty — the share of a document's distinct
+    * 4-grams that appear in NO other document, in exact basis points. The
+    * third leg of the repetition family: x74 measures repetition WITHIN a
+    * document, x62 overlap against a benchmark set, this measures overlap
+    * against the REST OF THE CORPUS — low novelty flags near-boilerplate
+    * pages that survived dedup, high novelty flags unique (or garbage)
+    * content; both tails matter when weighting training data.
+    *
+    * Shares the persisted per-doc distinct-4-gram layer with x62
+    * ([[Dedup.grams4]]), so the tokenize+explode pass runs once per
+    * session across both queries. df == 1 means "this doc only": grams
+    * are distinct within a doc, so the gram's row count IS its document
+    * frequency.
+    *
+    * Scale shape: one gram-keyed count aggregate (map-side partials — the
+    * same flood-absorbing shape as x100), then the df table re-joins the
+    * gram stream unhinted: AQE broadcasts it at test scale and falls back
+    * to a shuffle join with skew split at web scale, the documented
+    * x78/x85 posture. The novelty ratio is integer arithmetic
+    * (`10000·unique div total`), so every row hash-matches DuckDB.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.grams4(spark, dir)
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(10000 * n_unique) div n_grams").as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |                  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+      |g AS (SELECT doc_id, u.gram FROM d,
+      |        UNNEST(list_distinct(list_transform(range(1, n-2),
+      |          i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) u(gram)
+      |      WHERE n >= 4),
+      |f AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |       CAST((10000 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+      |         AS novelty_bp
+      |FROM g JOIN f USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DSIR-style importance weights — data selection by importance
     * resampling: score each document by how much more likely its hashed
     * unigram features are under a TARGET distribution (here the lang='en'

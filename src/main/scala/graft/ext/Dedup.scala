@@ -58,6 +58,62 @@ object Dedup {
       |  AND content_key NOT IN (SELECT content_key FROM k WHERE doc_id % 10 <> 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** X-series: corpus snapshot reconciliation — classify every document id
+    * across two snapshot versions as added / removed / changed / unchanged,
+    * the dataset-versioning diff a corpus release pipeline publishes with
+    * each refresh (and the audit trail behind [[corpusDelta]]'s admit
+    * decision: delta answers "what do I ingest", diff answers "what
+    * happened between v1 and v2").
+    *
+    * Shape: both sides collapse to (doc_id, md5) BEFORE the join — the
+    * content column dies at the scan projection, so the FULL OUTER join
+    * (the one operator that must see both sides' keys; semi/anti can
+    * express added xor removed but not both plus changed in one pass)
+    * exchanges 40 B/row regardless of document size. Classification is
+    * null-tests on the two hash columns — no second pass, no UDF. At
+    * 100 TB this is a sort-merge full outer on the id; with both
+    * snapshots bucketed by doc_id (sources/Sinks bucketed layout) the
+    * exchange vanishes entirely.
+    *
+    * Snapshots are deterministic slices of the documents table (the
+    * driver's testdata is a single corpus): old drops `doc_id % 17 == 0`
+    * (those become "added"), new drops `% 19 == 0` ("removed"), and the
+    * old body for `% 13 == 0` carries a stale-marker suffix ("changed").
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val old = base.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text"))).as("old_md5"))
+    val neu = base.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH old AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]'
+      |                  ELSE text END) AS old_md5
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |neu AS (
+      |  SELECT doc_id, md5(text) AS new_md5
+      |  FROM documents WHERE doc_id % 19 <> 0)
+      |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+      |       CASE WHEN old_md5 IS NULL THEN 'added'
+      |            WHEN new_md5 IS NULL THEN 'removed'
+      |            WHEN old_md5 = new_md5 THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Bloom-filter corpus delta — [[corpusDelta]] for the regime where the
     * seen-set is too large to broadcast as exact keys and the anti-join's
     * two-sided key shuffle is the bottleneck: at 10⁹ seen documents the
@@ -482,8 +538,12 @@ object Dedup {
     } finally edges.unpersist()
   }
 
-  /** DuckDB twin: transitive closure via recursive CTE, min reachable id. */
-  val clustersOracle: String =
+  /** Recursive-CTE connected-components prefix (shingle → ≥0.6-Jaccard
+    * pair graph → transitive closure), shared by the x63 oracle and the
+    * x104 leak-safe-split oracle; ends with a `cl(doc_id, cluster_rep)`
+    * CTE ready for a final SELECT.
+    */
+  private[graft] val ccOracleCtes: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -502,9 +562,15 @@ object Dedup {
       |reach AS (
       |  SELECT id, id AS r FROM nodes
       |  UNION
-      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-      |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |cl AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+      |  FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB twin: transitive closure via recursive CTE, min reachable id. */
+  val clustersOracle: String =
+    ccOracleCtes +
+      "\nSELECT doc_id, cluster_rep FROM cl ORDER BY doc_id"
 
   /** The composed corpus-cleaning pipeline a pre-training data flow runs:
     * quality gate (length + lexical diversity) → exact dedup on normalized

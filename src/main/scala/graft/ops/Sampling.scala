@@ -162,6 +162,47 @@ object Sampling {
        |WHERE ${bucketSql("doc_id", 11)} < rate_bp
        |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/test split — the group-aware refinement of
+    * [[hashSplit]] a pretraining pipeline actually needs: two
+    * near-duplicate documents on opposite sides of the boundary leak the
+    * test set into training, so split membership must be decided per
+    * NEAR-DUP CLUSTER, never per document. The group key is the cluster
+    * representative from the connected components over the ≥ minJaccard
+    * shingle-overlap pair graph ([[graft.ext.Dedup.dupClusters]], the x63
+    * machinery — Layer-memoized, so the CC iteration is shared, not
+    * re-run) for clustered docs and the doc's own id for singletons; the
+    * content-addressed bucket is then taken on the group key, making
+    * same-cluster ⇒ same-split a construction invariant, not a hope.
+    *
+    * Scale shape: the cluster frame holds only docs that appear in some
+    * near-dup pair (on a dup-heavy web corpus that can be a large
+    * fraction, so the join is UNHINTED — AQE broadcasts when small, falls
+    * back to an id-keyed shuffle join when not); the split itself stays a
+    * pure projection exactly as [[hashSplit]].
+    */
+  def leakSafeSplit(spark: SparkSession, dir: String,
+                    trainBp: Int = 8000, seed: Int = 23): DataFrame = {
+    val clusters = graft.ext.Dedup.dupClusters(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("group_key", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(bucket10k(col("group_key"), seed) < trainBp, lit("train"))
+          .otherwise(lit("test")))
+      .select("doc_id", "group_key", "split")
+      .orderBy("doc_id")
+  }
+
+  val leakSplitOracle: String =
+    graft.ext.Dedup.ccOracleCtes +
+      s"""
+         |SELECT d.doc_id,
+         |       COALESCE(cl.cluster_rep, d.doc_id) AS group_key,
+         |       CASE WHEN ${bucketSql("COALESCE(cl.cluster_rep, d.doc_id)", 23)} < 8000
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[bucket10k]]: '0x'-prefixed hex cast == Spark's
     * conv(hex, 16, 10).
     */

@@ -52,6 +52,8 @@ object Ext {
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "x87_fuzzy_decontam"   -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminate(s, d)),
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
+    "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
+    "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -244,6 +246,8 @@ object Ext {
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
+    "x104_leak_safe_split" -> graft.ops.Sampling.leakSplitOracle,
+    "x105_snapshot_diff"   -> Dedup.snapshotDiffOracle,
     "x92_source_token_rate" ->
       """WITH d AS (
         |  SELECT source, length(text) AS nc,

@@ -502,4 +502,44 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       "cap must plan as WindowGroupLimit (map-side top-k truncation)")
   }
+
+  test("leak-safe split: near-dup cluster members never straddle the boundary, every doc splits once") {
+    val split = graft.ops.Sampling.leakSafeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // total coverage: one decision per document, nothing dropped or duped
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(split.size.toLong === nDocs)
+    // the leakage law: every ≥0.6-Jaccard near-dup pair lands on ONE side
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs for the law to bite")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2,
+        s"near-dup pair ($a,$b) straddles the split boundary")
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) disagrees on group key")
+    }
+    // singletons split by their own id — the hashSplit degenerate case
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.collect { case (id, (gk, _)) if !clustered.contains(id) =>
+      assert(gk === id, s"singleton $id must use its own id as group key")
+    }
+  }
+
+  test("snapshot diff classifies every id by its slice arithmetic") {
+    val diff = graft.ext.Dedup.snapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val expected =
+        if (id % 17 == 0 && id % 19 == 0) None // in neither snapshot
+        else if (id % 17 == 0) Some("added")
+        else if (id % 19 == 0) Some("removed")
+        else if (id % 13 == 0) Some("changed")
+        else Some("unchanged")
+      assert(diff.get(id) === expected, s"doc $id misclassified")
+    }
+    // all four statuses must actually occur at this fixture size
+    assert(diff.values.toSet === Set("added", "removed", "changed", "unchanged"))
+  }
 }

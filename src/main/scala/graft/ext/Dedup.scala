@@ -409,10 +409,26 @@ object Dedup {
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <=
         col("sz") - floor((lit(2L * tBp - 1) * col("sz") + lit(19999)) / 20000) + 1)
-      .select("lang", "doc_id", "s")
-    val cand = prefix.toDF("lang", "a", "s")
-      .join(prefix.toDF("lang", "b", "s"), Seq("lang", "s"))
-      .filter(col("a") < col("b"))
+      .select("lang", "doc_id", "s", "sz", "r")
+    // PPJoin filters, applied INSIDE the candidate join — both provably
+    // lossless under the half-ulp margin τ = (2·tBp−1)/20000 (the verify
+    // accepts ROUND(J,4) ≥ t, i.e. true J ≥ τ), both pruning BEFORE the
+    // distinct:
+    // - length: J ≤ min(|A|,|B|)/max(|A|,|B|), so 20000·min ≥ (2tBp−1)·max.
+    // - positional: every common shingle sits at global-order position
+    //   ≥ (rₐ, r_b) of the FIRST common one, so |A∩B| ≤ 1+min(szₐ−rₐ,
+    //   sz_b−r_b); J ≥ τ ⟺ |A∩B|·(20000+num) ≥ num·(szₐ+sz_b) with
+    //   num = 2tBp−1 — all-long arithmetic, no division. A qualifying
+    //   pair always survives via its first-common-shingle row (which the
+    //   prefix theorem keeps in BOTH prefixes, and whose upper bound
+    //   dominates the true intersection).
+    val num = 2L * tBp - 1
+    val cand = prefix.toDF("lang", "a", "s", "sza", "ra")
+      .join(prefix.toDF("lang", "b", "s", "szb", "rb"), Seq("lang", "s"))
+      .filter(col("a") < col("b") &&
+        least(col("sza"), col("szb")) * 20000 >= greatest(col("sza"), col("szb")) * num &&
+        (lit(1) + least(col("sza") - col("ra"), col("szb") - col("rb"))) * (20000 + num) >=
+          (col("sza") + col("szb")) * num)
       .select("a", "b").distinct()
     val da = docs.select(col("doc_id").as("a"), col("shingles").as("sa"), col("sz").as("sza"))
     val db = docs.select(col("doc_id").as("b"), col("shingles").as("sb"), col("sz").as("szb"))

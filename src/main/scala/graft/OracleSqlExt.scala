@@ -148,6 +148,24 @@ object OracleSqlExt {
   private def cosExpr(u: String, v: String): String =
     s"${dotExpr(u, v)} / (sqrt(${dotExpr(u, u)}) * sqrt(${dotExpr(v, v)}))"
 
+  /** x106 twin: x20's exact ranking with the different-label predicate in
+    * the scoring CTE — the oracle sees the same candidate set the Spark
+    * filter admits.
+    */
+  val x106_hard_negatives: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS ql
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv, label AS nl
+       |      FROM embeddings),
+       |s AS (
+       |  SELECT q_id, n_id, ${cosExpr("qv", "nv")} AS cos
+       |  FROM q, c WHERE nl <> ql),
+       |r AS (SELECT q_id, n_id, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |      FROM s)
+       |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val x20_cosine_topk: String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
        |           FROM embeddings WHERE vec_id < 10),

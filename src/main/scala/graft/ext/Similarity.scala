@@ -37,6 +37,36 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the k MOST-similar vectors carrying a DIFFERENT label
+    * (similar enough to be hard, labeled different so they are true
+    * negatives; same-label neighbors — the positives — and the anchor
+    * itself are excluded by the one label predicate). The predicate rides
+    * inside the scoring pass, ahead of the per-query top-k, so no
+    * excluded candidate ever reaches the rank window; otherwise the plan
+    * is [[bruteForceTopK]]'s broadcast + WindowGroupLimit shape, and at
+    * 100 TB the scan side swaps for the IVF probe ([[ivfTopK]]'s cluster
+    * pruning) with the label filter unchanged.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+      col("label").as("n_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cos", gf.cosine_sim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Top-k via the typed single-pass [[graft.functions.TopKAggregator]]:
     * same result as bruteForceTopK, but partial aggregation keeps only k
     * candidates per (partition, query) ahead of the shuffle instead of

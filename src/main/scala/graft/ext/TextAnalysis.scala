@@ -574,4 +574,106 @@ object TextAnalysis {
           phoneRe, "<PHONE>")).as("clean_hash"))
       .orderBy("doc_id")
   }
+
+  /** Bigram-LM conditional NLL per document — [[unigramNll]]'s sequence
+    * upgrade (the CCNet quality-bucket score with one token of context):
+    * cost(w₁w₂) = −ln(c(w₁w₂)/c(w₁·)) where c(w₁·) counts bigrams
+    * STARTING with w₁, so the per-bigram probabilities sum to 1 per
+    * context and the model is a proper Markov chain. Same exactness
+    * discipline as x85: the one float op (−ln of a ratio of exact
+    * integers) is floored to milli-nats, and the per-doc score is an
+    * order-independent BIGINT sum.
+    *
+    * Scale shape: bigram and context counts are partial-agg'd map-side
+    * (|bigram vocab| ≪ |corpus positions| after combine); the cost table
+    * joins back by (w₁,w₂) UNHINTED — AQE broadcasts at test scale and
+    * falls back to a key shuffle at web-vocabulary scale, the x78/x85
+    * posture. No window, no per-doc sort: position pairing is a
+    * `transform(sequence)` projection inside the row.
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val bg = withTokens(Tables.documents(spark, dir))
+      .filter(size(col("tokens")) >= 2)
+      .withColumn("bgs",
+        transform(sequence(lit(0), size(col("tokens")) - 2),
+          i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
+      .select(col("doc_id"), explode(col("bgs")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
+    val cost = bc.join(cc, "w1")
+      .select(col("w1"), col("w2"),
+        floor(-log(col("n_bg") / col("n_ctx")) * 1000d + 0.5d).cast("long").as("c_millinat"))
+    bg.join(cost, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c_millinat")).as("nll_millinat"))
+      .orderBy("doc_id")
+  }
+
+  val bigramNllOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+      |       FROM t, UNNEST(range(1, len(toks))) i(i)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, COUNT(*) AS n_ctx FROM bg GROUP BY 1),
+      |cost AS (SELECT w1, w2, CAST(floor(-ln(n_bg / n_ctx) * 1000 + 0.5) AS BIGINT) AS c
+      |         FROM bc JOIN cc USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(c) AS BIGINT) AS nll_millinat
+      |FROM bg JOIN cost USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Count-min-sketch token-frequency estimation — the CONSTANT-STATE
+    * alternative to the exact |vocab|-keyed count: d=4 seeded md5 bucket
+    * rows × w=1024 buckets collapse the whole token stream into a 4096-row
+    * frame (one map-side-combinable aggregate — at 100 TB the sketch build
+    * shuffles 4096 rows per partition, nothing keyed by token), and any
+    * token's estimate is the MIN over its d buckets, read via a broadcast
+    * of the tiny sketch. Overestimates only (collisions add, never
+    * subtract) — the law FunctionsSpec-style tests pin. Output: the exact
+    * top-N tokens with exact vs sketch counts side by side, so the oracle
+    * hash-checks the estimates and the error is visible in-row.
+    */
+  def cmsTokenCounts(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val d = 4
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("token"))
+    def bucket(tok: Column, r: Column): Column =
+      conv(substring(md5(concat(tok, lit(":cms"), r)), 1, 8), 16, 10)
+        .cast("long") % 1024L
+    val rows = toks
+      .select(col("token"), explode(array((0 until d).map(lit(_)): _*)).as("r"))
+      .withColumn("bucket", bucket(col("token"), col("r")))
+    val cms = rows.groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("token")).limit(topN)
+    top.select(col("token"), col("n_exact"),
+        explode(array((0 until d).map(lit(_)): _*)).as("r"))
+      .withColumn("bucket", bucket(col("token"), col("r")))
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val cmsOracle: String =
+    """WITH tok AS (SELECT u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |rws AS (SELECT token, r.range AS r,
+      |               (('0x' || substr(md5(token || ':cms' || r.range), 1, 8))::BIGINT
+      |                % 1024) AS bucket
+      |        FROM tok, range(0, 4) r),
+      |cms AS (SELECT r, bucket, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+      |exact AS (SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+      |top AS (SELECT token, n_exact FROM exact
+      |        ORDER BY n_exact DESC, token LIMIT 20),
+      |est AS (SELECT t.token, t.n_exact, MIN(c.c) AS n_cms
+      |        FROM top t, range(0, 4) r
+      |        JOIN cms c ON c.r = r.range
+      |         AND c.bucket = (('0x' || substr(md5(t.token || ':cms' || r.range), 1, 8))::BIGINT
+      |                         % 1024)
+      |        GROUP BY 1, 2)
+      |SELECT token, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms
+      |FROM est ORDER BY n_exact DESC, token""".stripMargin
 }

@@ -37,6 +37,8 @@ object Ext {
     "x18_bpe_tokens"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTokenCounts(s, d)),
     "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
     "x85_unigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.unigramNll(s, d)),
+    "x107_bigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.bigramNll(s, d)),
+    "x108_cms_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.cmsTokenCounts(s, d)),
     "x90_dsir_weights"     -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "x95_bm25"             -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "x96_quality_fusion"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFusion(s, d)),
@@ -239,6 +241,8 @@ object Ext {
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
+    "x107_bigram_nll"      -> TextAnalysis.bigramNllOracle,
+    "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x93_funnel"           -> Events.funnelOracle,

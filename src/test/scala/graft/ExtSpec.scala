@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Multimodal, Similarity}
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Extension operators: hand fixtures for the window/dedup semantics that
   * have no SQL oracle, recall checks for the approximate paths.
@@ -207,6 +207,28 @@ class ExtSpec extends SparkSuite {
       assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length).toSeq)
       val cs = sorted.map(_.getDouble(2))
       assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bigram NLL is non-negative and covers exactly tokens-1 positions per doc") {
+    val nll = TextAnalysis.bigramNll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nll.nonEmpty)
+    nll.foreach { case (id, _, v) => assert(v >= 0L, s"doc $id negative NLL") }
+    val tokCounts = TextAnalysis.withTokens(graft.Tables.documents(spark, sf))
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nll.foreach { case (id, nBg, _) =>
+      assert(nBg === tokCounts(id) - 1, s"doc $id bigram count wrong")
+    }
+  }
+
+  test("count-min sketch never underestimates an exact count") {
+    val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: cms ${r.getLong(2)} < exact ${r.getLong(1)}")
     }
   }
 

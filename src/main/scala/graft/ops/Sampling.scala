@@ -162,6 +162,53 @@ object Sampling {
        |WHERE ${bucketSql("doc_id", 11)} < rate_bp
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u from the content-addressed bucket
+    * (shifted to the bucket center so u ∈ (0,1) exactly, never 0) and
+    * keeps key = ln(u)/w — the exponential-race trick, so the top-n keys
+    * are a weight-proportional sample. Exactly n rows, probability ∝ w,
+    * and membership is a pure function of (key column, seed) like every
+    * sampler here — no RNG stream, no layout dependence.
+    *
+    * Exactness discipline: u = (2·bucket+1)/20000 is one double division
+    * with identical operand order on both engines; ln(u)/w is floored to
+    * integer MICRO-nats and ties break on the key column, so the top-n
+    * frontier is hash-checkable (x85's milli-nat posture, three decimal
+    * places tighter because keys order the output rather than summing).
+    *
+    * Scale shape: one projection + TakeOrdered(n) — every partition
+    * keeps its local n candidates, only n·partitions rows reach the
+    * driver-side heap merge, NOTHING shuffles. The reservoir-sampling
+    * replacement for "ORDER BY random() LIMIT n" (a global sort) and for
+    * weighted df.sample (layout-dependent).
+    */
+  def weightedSample(df: DataFrame, key: String, weight: Column,
+                     n: Int, seed: Int): DataFrame =
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("key_micro",
+        floor(log((bucket10k(col(key), seed) * 2L + 1L) / 20000d) / col("w") * 1e6d)
+          .cast("long"))
+      .orderBy(col("key_micro").desc, col(key))
+      .limit(n)
+
+  /** x109: 50 documents sampled ∝ token count, reproducibly. */
+  def docWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), "doc_id",
+      size(split(col("text"), " ")).cast("long"), n = 50, seed = 31)
+      .select(col("doc_id"), col("w").as("n_tokens"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+
+  val weightedSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+       |           FROM documents),
+       |k AS (SELECT doc_id, w,
+       |             CAST(floor(ln((${bucketSql("doc_id", 31)} * 2 + 1) / 20000.0)
+       |                        / w * 1000000) AS BIGINT) AS key_micro
+       |      FROM d)
+       |SELECT doc_id, w AS n_tokens, key_micro FROM k
+       |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
+
   /** Leakage-safe train/test split — the group-aware refinement of
     * [[hashSplit]] a pretraining pipeline actually needs: two
     * near-duplicate documents on opposite sides of the boundary leak the

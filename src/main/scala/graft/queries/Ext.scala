@@ -55,6 +55,7 @@ object Ext {
     "x87_fuzzy_decontam"   -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminate(s, d)),
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
+    "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
@@ -253,6 +254,7 @@ object Ext {
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
     "x104_leak_safe_split" -> graft.ops.Sampling.leakSplitOracle,
+    "x109_weighted_sample" -> graft.ops.Sampling.weightedSampleOracle,
     "x105_snapshot_diff"   -> Dedup.snapshotDiffOracle,
     "x92_source_token_rate" ->
       """WITH d AS (

@@ -503,6 +503,26 @@ class OpsSpec extends SparkSuite {
       "cap must plan as WindowGroupLimit (map-side top-k truncation)")
   }
 
+  test("weighted sample is layout-independent and plans as TakeOrdered, not a global sort") {
+    val base = Tables.documents(spark, sf)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.weightedSample(df, "doc_id",
+        size(split(col("text"), " ")).cast("long"), n = 50, seed = 31)
+        .select("doc_id", "key_micro")
+    val a = sample(base).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.length === 50)
+    // keys non-increasing under the (key desc, id) presentation order
+    assert(a.map(_._2).zip(a.map(_._2).drop(1)).forall { case (x, y) => x >= y })
+    // membership is content-addressed: any physical layout draws the same rows
+    val b = sample(base.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b === a, "sample changed under repartition")
+    // and the top-n is a TakeOrdered (per-partition heaps), never a global Sort
+    val plan = sample(base).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "weighted sample must plan as TakeOrderedAndProject")
+  }
+
   test("leak-safe split: near-dup cluster members never straddle the boundary, every doc splits once") {
     val split = graft.ops.Sampling.leakSafeSplit(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

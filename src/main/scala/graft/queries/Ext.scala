@@ -56,6 +56,7 @@ object Ext {
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
     "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
+    "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
@@ -255,6 +256,7 @@ object Ext {
     "x94_retention"        -> Events.retentionOracle,
     "x104_leak_safe_split" -> graft.ops.Sampling.leakSplitOracle,
     "x109_weighted_sample" -> graft.ops.Sampling.weightedSampleOracle,
+    "x110_trade_pagerank"  -> graft.ops.Graph.tradeRankOracle,
     "x105_snapshot_diff"   -> Dedup.snapshotDiffOracle,
     "x92_source_token_rate" ->
       """WITH d AS (

@@ -503,6 +503,20 @@ class OpsSpec extends SparkSuite {
       "cap must plan as WindowGroupLimit (map-side top-k truncation)")
   }
 
+  test("trade PageRank conserves mass within flooring loss and ranks every node positively") {
+    val pr = graft.ops.Graph.nationTradeRank(spark, sf).collect()
+    assert(pr.nonEmpty)
+    val n = pr.length.toLong
+    pr.foreach(r => assert(r.getLong(2) > 0L, s"nation ${r.getLong(0)} got zero rank"))
+    // each round floors once per edge-contribution and once per node, and
+    // drops dangling mass; with 3 rounds the total can only fall SHORT of
+    // the unit mass, never exceed it — and not by more than the flooring
+    // budget (n + |edges| micro-units per round, generously bounded)
+    val total = pr.map(_.getLong(2)).sum
+    assert(total <= 1000000L, s"mass exceeded unit: $total")
+    assert(total >= 1000000L - 3 * (n + n * n) - 1000L, s"mass lost too much: $total")
+  }
+
   test("weighted sample is layout-independent and plans as TakeOrdered, not a global sort") {
     val base = Tables.documents(spark, sf)
     def sample(df: org.apache.spark.sql.DataFrame) =

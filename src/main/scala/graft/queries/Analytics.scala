@@ -707,6 +707,36 @@ object Analytics {
         expr("percentile(n_chars, 0.5)").as("p50_exact"))
       .orderBy("lang")
 
+  /** a31: per-flag winsorized revenue — the outlier-robust statistic a
+    * cleaning pass computes before trusting a mean: clip l_extendedprice
+    * at the group's exact p05/p95 (Spark `percentile` ≡ DuckDB
+    * quantile_cont, the a04 equivalence), count the clips on each side,
+    * and total the clipped values in integer e4 units so the sum is
+    * order-independent (the x85 posture; at extreme corpus scale the e4
+    * sum would move to DECIMAL — 10¹² rows × 10⁹ units brushes the BIGINT
+    * ceiling). The bounds frame is |groups| rows broadcast back (a13's
+    * scalar-subquery-as-agg-join shape), so the fact table is scanned
+    * twice but never shuffled for the join.
+    */
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("lo"), col("hi"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")).as("clipped"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(max(col("lo")), 4).as("p05"),
+        round(max(col("hi")), 4).as("p95"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(floor(col("clipped") * 10000d + 0.5d).cast("long")).as("wsum_e4"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -738,9 +768,24 @@ object Analytics {
     "a28_late_priority"    -> (latePriority _),
     "a29_supplier_parts"   -> (supplierPartCounts _),
     "a30_dominant_supp"    -> (dominantSuppliers _),
+    "a31_winsorized"       -> (winsorizedRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a31_winsorized" ->
+      """WITH b AS (SELECT l_returnflag,
+        |                  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |                  quantile_cont(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |       ROUND(MAX(b.lo), 4) AS p05, ROUND(MAX(b.hi), 4) AS p95,
+        |       CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |       CAST(SUM(CAST(floor(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)
+        |                           * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS wsum_e4,
+        |       COUNT(*) AS n
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a26_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders

@@ -576,4 +576,29 @@ class OpsSpec extends SparkSuite {
     // all four statuses must actually occur at this fixture size
     assert(diff.values.toSet === Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
+    val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
+    val rows = w.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getDouble(1), r.getDouble(2))
+      val (nLo, nHi, wsum, n) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(p05 <= p95, s"flag ${r.getString(0)}: p05 > p95")
+      // quantile_cont interpolates between order statistics, so strictly
+      // fewer than 5%·n + 1 rows can sit strictly outside either bound
+      assert(nLo <= (0.05 * n).toLong + 1, s"clipped too many low: $nLo of $n")
+      assert(nHi <= (0.05 * n).toLong + 1, s"clipped too many high: $nHi of $n")
+      // every clipped value lies in [p05, p95]; the e4 flooring loses < 1
+      // unit per row, so the integer sum is bracketed by the bounds ± n
+      assert(wsum >= (p05 * 10000d).toLong * n - n, "winsorized sum below floor")
+      assert(wsum <= (p95 * 10000d + 1d).toLong * n + n, "winsorized sum above ceiling")
+    }
+    // the |groups|-row bounds frame must come back as a broadcast join,
+    // never a fact-sized shuffle for the join
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bounds re-join must broadcast the per-group percentile frame")
+  }
 }

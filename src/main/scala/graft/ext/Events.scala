@@ -250,4 +250,32 @@ object Events {
     pivotCounts(spark, dir)
       .unpivot(Array(col("user_id")), pivotTypes.map(col).toArray, "event_type", "n")
       .orderBy("user_id", "event_type")
+
+  /** x112: mergeable distinct-count state — the incremental-maintenance
+    * pattern. Per-(event_type, day) Datasketches HLL sketches are the
+    * persisted state a daily job appends; rolling them up to per-type
+    * distinct users is a union over |types|·|days| sketch blobs with NO
+    * re-scan of the event log. The in-row `merge_exact` flag pins the
+    * algebraic point: register-wise max is associative, so the merged
+    * estimate equals the direct single-pass estimate bit-for-bit. The
+    * exact `n_exact` (expand-based distinct) rides along only to expose
+    * the estimate's error at test scale; at 100 TB the exact column is
+    * the thing this operator exists to avoid.
+    */
+  def hllMergeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_merged"),
+        count(lit(1)).as("n_days"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_exact"), col("est_merged"),
+        (col("est_merged") === col("est_direct")).cast("int").as("merge_exact"))
+      .orderBy("event_type")
+  }
 }

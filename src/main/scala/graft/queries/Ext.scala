@@ -29,6 +29,7 @@ object Ext {
     "x97_basket_rules"     -> ((s: SparkSession, d: String) => Associations.basketRules(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
+    "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),

@@ -232,6 +232,22 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("HLL day-sketch union equals the direct sketch and tracks the exact count") {
+    val rows = Events.hllMergeCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // register-wise max is associative: merging per-day state must give
+      // the SAME estimate as one pass over the raw log — this is the whole
+      // contract that lets the 100 TB rollup skip the re-scan
+      assert(r.getInt(4) === 1,
+        s"type ${r.getString(0)}: merged estimate diverged from direct")
+      // lgK=12 ⇒ ~1.6% relative standard error; 5% is > 3 sigma
+      val (exact, est) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(est - exact).toDouble <= math.max(5d, 0.05 * exact),
+        s"type ${r.getString(0)}: estimate $est too far from exact $exact")
+    }
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

@@ -676,4 +676,53 @@ object TextAnalysis {
       |        GROUP BY 1, 2)
       |SELECT token, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
+  /** x113: MAD-based robust outlier detection — the length-outlier gate a
+    * cleaning pass runs where mean/stddev would be poisoned by the very
+    * outliers it hunts. Per-source median and median-absolute-deviation
+    * are exact `percentile` aggregates (≡ DuckDB quantile_cont, the a04
+    * equivalence), e4-rounded ONCE each; everything downstream — deviations,
+    * the 3·1.4826·MAD threshold (×44478 DIV 10⁴), the outlier count — is
+    * BIGINT arithmetic, so the flag can never straddle a float boundary
+    * between engines. Both percentile frames are |sources| rows broadcast
+    * back (a31's posture): the fact is scanned three times but its rows
+    * never shuffle. At 100 TB the exact percentiles would swap for
+    * mergeable t-digests (one scan) at the cost of the cross-engine match.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val med = d.groupBy("source").agg(
+      floor(expr("percentile(n_chars, 0.5)") * 10000d + 0.5d).cast("long").as("med_e4"))
+    val dev = d.join(broadcast(med), "source")
+      .select(col("source"), col("med_e4"),
+        abs(col("n_chars") * 10000L - col("med_e4")).as("dev_e4"))
+    val mad = dev.groupBy("source").agg(
+      floor(expr("percentile(dev_e4, 0.5)") + 0.5d).cast("long").as("mad_e4"))
+    dev.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(
+        max(col("med_e4")).as("med_e4"),
+        max(col("mad_e4")).as("mad_e4"),
+        sum(when(col("dev_e4") > expr("(mad_e4 * 44478) DIV 10000"), 1L)
+          .otherwise(0L)).as("n_out"),
+        count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
+  val madOracle: String =
+    """WITH m AS (SELECT source,
+      |                  CAST(floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) AS BIGINT) AS med_e4
+      |           FROM documents GROUP BY 1),
+      |d AS (SELECT dd.source, m.med_e4,
+      |             ABS(dd.n_chars * 10000 - m.med_e4) AS dev_e4
+      |      FROM documents dd JOIN m USING (source)),
+      |md AS (SELECT source,
+      |              CAST(floor(quantile_cont(dev_e4, 0.5) + 0.5) AS BIGINT) AS mad_e4
+      |       FROM d GROUP BY 1)
+      |SELECT d.source, MAX(d.med_e4) AS med_e4, MAX(md.mad_e4) AS mad_e4,
+      |       CAST(SUM(CASE WHEN d.dev_e4 > (md.mad_e4 * 44478) // 10000
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |       COUNT(*) AS n
+      |FROM d JOIN md USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

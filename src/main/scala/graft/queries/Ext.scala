@@ -45,6 +45,7 @@ object Ext {
     "x96_quality_fusion"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFusion(s, d)),
     "x92_source_token_rate" -> ((s: SparkSession, d: String) => TextAnalysis.sourceTokenRate(s, d)),
     "x103_gram_novelty"    -> ((s: SparkSession, d: String) => TextAnalysis.gramNovelty(s, d)),
+    "x113_mad_outliers"    -> ((s: SparkSession, d: String) => TextAnalysis.madOutliers(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -241,6 +242,7 @@ object Ext {
     "x100_crossdoc_dedup"  -> graft.ops.Chunking.crossDedupOracle,
     "x102_domain_cap"      -> graft.ops.Sampling.capOracle,
     "x103_gram_novelty"    -> TextAnalysis.noveltyOracle,
+    "x113_mad_outliers"    -> TextAnalysis.madOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -248,6 +248,24 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("MAD outliers: robust gate flags a minority and broadcasts both percentile frames") {
+    val w = TextAnalysis.madOutliers(spark, sf)
+    val rows = w.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mad, nOut, n) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mad >= 0L)
+      // by definition at least half the group sits within one MAD of the
+      // median, so a 3·1.4826·MAD gate can never flag a majority
+      assert(nOut * 2 < n, s"source ${r.getString(0)}: $nOut of $n flagged")
+    }
+    // both |sources|-row percentile frames must come back as broadcasts —
+    // the doc rows never shuffle for either join
+    val plan = w.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "median and MAD frames must both broadcast")
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

@@ -251,6 +251,49 @@ object Events {
       .unpivot(Array(col("user_id")), pivotTypes.map(col).toArray, "event_type", "n")
       .orderBy("user_id", "event_type")
 
+  /** x114: calendar gap-fill — densify the sparse per-(type, day) count
+    * series to one row per type per day over the observed span, zeros for
+    * the silent days (what every throughput monitor and resampler needs;
+    * a gap that "disappears" from a sparse groupBy is precisely the
+    * incident you wanted to see). ONE fact-sized aggregate produces the
+    * sparse counts; everything after is dimension-sized — the span is a
+    * one-row min/max over the counts frame, the calendar is
+    * `explode(sequence(lo, hi))` (|days| rows), types are the distinct of
+    * the counts frame, and the dense (type, day) grid left-joins the
+    * counts with both sides tiny. Days are integer epoch-days (the x94
+    * parity discipline).
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillOf(Tables.events(spark, dir))
+
+  private[graft] def gapFillOf(ev: DataFrame): DataFrame = {
+    val counts = ev
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val days = counts.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = counts.select("event_type").distinct()
+    days.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillOracle: String =
+    """WITH c AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM c)
+      |SELECT t.event_type, d.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+      |ORDER BY t.event_type, d.day""".stripMargin
+
   /** x112: mergeable distinct-count state — the incremental-maintenance
     * pattern. Per-(event_type, day) Datasketches HLL sketches are the
     * persisted state a daily job appends; rolling them up to per-type

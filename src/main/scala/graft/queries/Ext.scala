@@ -30,6 +30,7 @@ object Ext {
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
+    "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -243,6 +244,7 @@ object Ext {
     "x102_domain_cap"      -> graft.ops.Sampling.capOracle,
     "x103_gram_novelty"    -> TextAnalysis.noveltyOracle,
     "x113_mad_outliers"    -> TextAnalysis.madOracle,
+    "x114_gap_fill"        -> Events.gapFillOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -266,6 +266,24 @@ class ExtSpec extends SparkSuite {
       "median and MAD frames must both broadcast")
   }
 
+  test("gap-fill emits the full dense grid and zero-fills a planted silent day") {
+    val ev = graft.Tables.events(spark, sf)
+    val full = Events.gapFillOf(ev).collect()
+    val types = full.map(_.getString(0)).distinct.length
+    val days = full.map(_.getLong(1))
+    // dense grid: |types| × contiguous span, conserving the event total
+    assert(full.length === types * (days.max - days.min + 1).toInt)
+    assert(full.map(_.getLong(2)).sum === ev.count())
+    // carve every event out of one interior day: the day must STILL appear,
+    // zero-filled for every type — the row a sparse groupBy would lose
+    val hole = days.min + (days.max - days.min) / 2
+    val gapped = Events.gapFillOf(
+      ev.filter(floor(unix_micros(col("ts")) / 86400000000L) =!= hole))
+    val holeRows = gapped.filter(col("day") === hole).collect()
+    assert(holeRows.length === types, "silent day dropped from the grid")
+    holeRows.foreach(r => assert(r.getLong(2) === 0L))
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

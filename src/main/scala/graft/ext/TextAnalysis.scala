@@ -677,6 +677,49 @@ object TextAnalysis {
       |SELECT token, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  /** x115: per-source quantile normalization — map each document's raw
+    * score (token count here) to its within-source CDF position in integer
+    * basis points, `((2·rank − 1) · 5000) DIV n`, so scores from corpora
+    * with wildly different scales become comparable before mixing (the
+    * cross-source calibration step a curation pipeline runs ahead of a
+    * global quality cut). One exchange keyed by source feeds BOTH window
+    * computations (rank and group size share the partitioning); everything
+    * after the e0 rank is BIGINT, so the bp value can never diverge across
+    * engines. A pathologically dominant source bounds parallelism at its
+    * own population — compose with [[graft.ops.Ranking.globalRowNumber]]'s
+    * value-bucket two-phase rank inside that source if one key owns the
+    * corpus.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    // same partitioning AND ordering as the rank window (frame widened to
+    // the whole partition) so both functions plan into ONE Window operator
+    // over a single source-keyed exchange
+    val cw = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("((2 * rnk - 1) * 5000) DIV n_src").as("cdf_bp"))
+      .orderBy("doc_id")
+  }
+
+  val quantileNormOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |             ROW_NUMBER() OVER (PARTITION BY source
+      |                                ORDER BY n_tokens, doc_id) AS rnk,
+      |             COUNT(*) OVER (PARTITION BY source) AS n_src
+      |      FROM d)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(((2 * rnk - 1) * 5000) // n_src AS BIGINT) AS cdf_bp
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** x113: MAD-based robust outlier detection — the length-outlier gate a
     * cleaning pass runs where mean/stddev would be poisoned by the very
     * outliers it hunts. Per-source median and median-absolute-deviation

@@ -47,6 +47,7 @@ object Ext {
     "x92_source_token_rate" -> ((s: SparkSession, d: String) => TextAnalysis.sourceTokenRate(s, d)),
     "x103_gram_novelty"    -> ((s: SparkSession, d: String) => TextAnalysis.gramNovelty(s, d)),
     "x113_mad_outliers"    -> ((s: SparkSession, d: String) => TextAnalysis.madOutliers(s, d)),
+    "x115_quantile_norm"   -> ((s: SparkSession, d: String) => TextAnalysis.quantileNormalize(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -245,6 +246,7 @@ object Ext {
     "x103_gram_novelty"    -> TextAnalysis.noveltyOracle,
     "x113_mad_outliers"    -> TextAnalysis.madOracle,
     "x114_gap_fill"        -> Events.gapFillOracle,
+    "x115_quantile_norm"   -> TextAnalysis.quantileNormOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -284,6 +284,30 @@ class ExtSpec extends SparkSuite {
     holeRows.foreach(r => assert(r.getLong(2) === 0L))
   }
 
+  test("quantile normalization emits the exact uniform grid per source off one exchange") {
+    val qn = TextAnalysis.quantileNormalize(spark, sf)
+    val rows = qn.collect()
+    rows.groupBy(_.getString(1)).foreach { case (src, grp) =>
+      val n = grp.length.toLong
+      // ranks are a permutation of 1..n, so the cdf values must be EXACTLY
+      // the uniform grid ((2i−1)·5000) div n — normalization erased the
+      // source's raw score distribution, which is the whole point
+      val expected = (1L to n).map(i => ((2 * i - 1) * 5000) / n).sorted
+      assert(grp.map(_.getLong(3)).sorted.toSeq === expected, s"source $src off-grid")
+      // and the map is monotone in the raw score
+      val byRank = grp.sortBy(r => (r.getLong(3), r.getLong(0))).map(_.getLong(2))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a <= b },
+        s"source $src: cdf not monotone in n_tokens")
+    }
+    // both windows ride the same source-keyed partitioning: exactly one
+    // hash exchange in the plan (the final orderBy adds a range exchange).
+    // After execution AQE prints Final AND Initial plans — count only the
+    // final one.
+    val plan = qn.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("hashpartitioning".r.findAllIn(plan).size === 1,
+      "rank and count windows must share one source-keyed exchange")
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

@@ -54,4 +54,44 @@ object Ranking {
       .withColumn(rankCol, col("g_rn") + col("g_offset"))
       .drop("g_bucket", "g_rn", "g_offset")
   }
+
+  /** Exact global running total of `weight` in the (order asc, tieBreak
+    * asc) sequence — `sum(w).over(Window.orderBy(...))` without the
+    * single-task exchange that global window would force on the fact.
+    * Same three-phase algebra as [[globalRowNumber]]: monotone value
+    * buckets, a per-bucket cumulative window (parallel), and a B-row
+    * bucket-offset frame (per-bucket weight totals, prefix-summed on the
+    * driver-sized side) broadcast back. `weight` must be integral —
+    * BIGINT addition is associative, so bucket-local sums + offsets equal
+    * the global scan exactly.
+    *
+    * Returns the input plus `cumCol` = inclusive running total as BIGINT.
+    */
+  def globalCumSum(df: DataFrame, order: Column, tieBreak: Column,
+                   weight: Column, cumCol: String, buckets: Int = 256): DataFrame = {
+    val stats = df.agg(min(order.cast("double")).as("v_min"),
+      max(order.cast("double")).as("v_max"))
+    val bucketed = df.crossJoin(broadcast(stats))
+      .withColumn("c_bucket",
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(
+            floor((order.cast("double") - col("v_min")) /
+              (col("v_max") - col("v_min")) * buckets),
+            lit(buckets - 1).cast("long"))).cast("long"))
+      .drop("v_min", "v_max")
+    val within = bucketed.withColumn("c_cum",
+      sum(weight.cast("long")).over(
+        Window.partitionBy(col("c_bucket")).orderBy(order, tieBreak)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy("c_bucket")
+      .agg(sum(weight.cast("long")).as("c_w"))
+      .withColumn("c_offset",
+        coalesce(sum(col("c_w")).over(
+          Window.orderBy(col("c_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("c_bucket", "c_offset")
+    within.join(broadcast(offsets), "c_bucket")
+      .withColumn(cumCol, col("c_cum") + col("c_offset"))
+      .drop("c_bucket", "c_cum", "c_offset")
+  }
 }

@@ -268,4 +268,40 @@ object Sampling {
        |      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
        |                WHEN 'fr' THEN 1000 ELSE 500 END
        |ORDER BY doc_id""".stripMargin
+
+  /** x116: token-budget curriculum selection — fill 60% of the corpus's
+    * token budget with documents in curriculum order (shortest-first here;
+    * any deterministic score works), the "cut the training run at N
+    * tokens" op. The running total comes from
+    * [[Ranking.globalCumSum]] — value-bucketed two-phase prefix sums, so
+    * the fact NEVER crosses a single-task global window; the corpus total
+    * is a one-row broadcast and the budget test `cum·10 ≤ total·6` stays
+    * in BIGINTs. Inclusive cum semantics: the document that would cross
+    * the budget is the first one excluded.
+    */
+  def tokenBudgetCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cum = graft.ops.Ranking.globalCumSum(
+      d, col("n_chars"), col("doc_id"), col("n_tokens"), "cum_tokens")
+    val total = d.agg(sum(col("n_tokens")).as("t_total"))
+    cum.crossJoin(broadcast(total))
+      .filter(col("cum_tokens") * 10L <= col("t_total") * 6L)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_chars, n_tokens,
+      |             SUM(n_tokens) OVER (ORDER BY n_chars, doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |      FROM d),
+      |t AS (SELECT SUM(n_tokens) AS t_total FROM d)
+      |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c, t WHERE cum_tokens * 10 <= t_total * 6
+      |ORDER BY doc_id""".stripMargin
 }

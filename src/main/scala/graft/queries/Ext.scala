@@ -60,6 +60,7 @@ object Ext {
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
     "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
+    "x116_token_budget"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.tokenBudgetCurriculum(s, d)),
     "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
@@ -247,6 +248,7 @@ object Ext {
     "x113_mad_outliers"    -> TextAnalysis.madOracle,
     "x114_gap_fill"        -> Events.gapFillOracle,
     "x115_quantile_norm"   -> TextAnalysis.quantileNormOracle,
+    "x116_token_budget"    -> graft.ops.Sampling.tokenBudgetOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

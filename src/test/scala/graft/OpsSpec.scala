@@ -577,6 +577,37 @@ class OpsSpec extends SparkSuite {
     assert(diff.values.toSet === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("global cumulative sum equals the sequential scan, survives relayout, stops at the budget") {
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def cums(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Ranking.globalCumSum(df, col("n_chars"), col("doc_id"),
+        col("n_tokens"), "cum", buckets = 16)
+        .select("doc_id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = cums(d)
+    // sequential ground truth: sort by (n_chars, doc_id), running add
+    val seq = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    var acc = 0L
+    seq.foreach { case (id, _, w) =>
+      acc += w
+      assert(got(id) === acc, s"doc $id: cum ${got(id)} != sequential $acc")
+    }
+    // bucket boundaries are value-derived, not layout-derived
+    assert(cums(d.repartition(7)) === got, "cumsum changed under repartition")
+    // and the curriculum cut is tight: every kept doc fits, the first
+    // excluded one would cross the 60% budget
+    val total = acc
+    val kept = graft.ops.Sampling.tokenBudgetCurriculum(spark, sf).collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    assert(kept.forall(_.getLong(3) * 10 <= total * 6))
+    seq.find(t => !keptIds.contains(t._1)).foreach { case (id, _, _) =>
+      assert(got(id) * 10 > total * 6, s"first excluded doc $id was within budget")
+    }
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

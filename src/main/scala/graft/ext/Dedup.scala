@@ -695,6 +695,80 @@ object Dedup {
     (math.max(1, math.min(8, dim / bb)), bb)
   }
 
+  /** x117: edit-distance prefix dedup — find document pairs whose first
+    * `prefixLen` characters are within Levenshtein distance `d` (the
+    * title/boilerplate near-identity that token-set measures like x15's
+    * Jaccard are blind to, since edit distance sees order). Candidate
+    * generation is PassJoin-style segment blocking (Li, Deng, Wang, Feng,
+    * "PASS-JOIN: A Partition-based Method for Similarity Joins", VLDB
+    * 2011): partition the prefix into d+1 segments — by pigeonhole an
+    * alignment with ≤ d edits leaves SOME segment untouched, and that
+    * segment appears verbatim in the partner shifted by at most d. So
+    * each doc emits d+1 probe keys (its segments) and ≤ (d+1)·(2d+1)
+    * index keys (every segment-length substring within shift d of each
+    * segment start — constants, enumerated at plan-build time into one
+    * explode each, ONE scan per side); an equi-join on (segment#, string)
+    * yields candidates, distinct pairs re-join their prefixes, and a
+    * codegen'd `levenshtein` verifies ≤ d. Blocking is provably lossless,
+    * so the DuckDB oracle needn't mirror it — a brute-force twin produces
+    * the identical pair set. Candidate volume is Σ per-(seg#, 8-gram)
+    * collisions — corpus-statistics-bounded like x15's rare-shingle
+    * space, never n².
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        prefixLen: Int = 64, d: Int = 4): DataFrame =
+    editDistancePairsOf(Tables.documents(spark, dir), prefixLen, d)
+
+  private[graft] def editDistancePairsOf(docsIn: DataFrame,
+                                         prefixLen: Int, d: Int): DataFrame = {
+    val k = d + 1
+    val base = prefixLen / k
+    // segment lengths partition the prefix; the remainder widens the tail
+    val lens = {
+      val rem = prefixLen - base * k
+      (0 until k).map(i => if (i < k - rem) base else base + 1)
+    }
+    val starts = lens.scanLeft(0)(_ + _).dropRight(1)
+    val docs = docsIn
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+      .filter(length(col("p")) === prefixLen)
+    val probeArr = array((0 until k).map { i =>
+      struct(lit(i).as("i"), substring(col("p"), starts(i) + 1, lens(i)).as("s"))
+    }: _*)
+    val probes = docs
+      .select(col("doc_id"), explode(probeArr).as("kv"))
+      .select(col("doc_id"), col("kv.i").as("i"), col("kv.s").as("s"))
+    val idxCells = for {
+      i <- 0 until k
+      q <- (starts(i) - d) to (starts(i) + d)
+      if q >= 0 && q + lens(i) <= prefixLen
+    } yield struct(lit(i).as("i"), substring(col("p"), q + 1, lens(i)).as("s"))
+    val index = docs
+      .select(col("doc_id").as("o_id"), explode(array(idxCells: _*)).as("kv"))
+      .select(col("o_id"), col("kv.i").as("i"), col("kv.s").as("s"))
+    val cand = probes.join(index, Seq("i", "s"))
+      .filter(col("doc_id") =!= col("o_id"))
+      .select(least(col("doc_id"), col("o_id")).as("a_id"),
+        greatest(col("doc_id"), col("o_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("p").as("pa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("p").as("pb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= d)
+      .orderBy("a_id", "b_id")
+  }
+
+  val editDistanceOracle: String =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS p
+      |           FROM documents WHERE length(text) >= 64)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 4
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Exact all-pairs baseline — a crossJoin, O(n²): kept ONLY as the
     * test-side exactness check for [[bandedNearDup]]'s precision/recall
     * (ExtSpec); deliberately not wired to any query.

@@ -63,6 +63,7 @@ object Ext {
     "x116_token_budget"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.tokenBudgetCurriculum(s, d)),
     "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
+    "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -249,6 +250,7 @@ object Ext {
     "x114_gap_fill"        -> Events.gapFillOracle,
     "x115_quantile_norm"   -> TextAnalysis.quantileNormOracle,
     "x116_token_budget"    -> graft.ops.Sampling.tokenBudgetOracle,
+    "x117_edit_dedup"      -> Dedup.editDistanceOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

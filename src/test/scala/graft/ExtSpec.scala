@@ -223,6 +223,37 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("edit-distance blocking recovers planted mutations at every distance up to d") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // plant one mutated twin per distance 1..4: substitutions, an insert,
+    // and a delete, all INSIDE the 64-char prefix, spread across segments
+    val seed = docs.filter(length(col("text")) >= 64)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val (sid, stext) = (seed.getLong(0), seed.getString(1))
+    def sub(s: String, i: Int) = s.updated(i, if (s(i) == 'q') 'z' else 'q')
+    val mutants = Seq(
+      900001L -> sub(stext, 3),                                   // dist 1
+      900002L -> sub(sub(stext, 5), 30),                          // dist 2
+      900003L -> (stext.take(20) + "x" + stext.drop(20)).take(stext.length), // insert
+      900004L -> sub(sub(sub(sub(stext, 2), 17), 33), 55))        // dist 4
+    val planted = docs.unionByName(mutants.toDF("doc_id", "text"))
+    val pairs = Dedup.editDistancePairsOf(planted, prefixLen = 64, d = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    mutants.foreach { case (mid, _) =>
+      assert(pairs.contains((sid, mid)),
+        s"planted mutant $mid not recovered by segment blocking")
+    }
+    assert(pairs((sid, 900001L)) === 1L)
+    assert(pairs((sid, 900002L)) === 2L)
+    assert(pairs((sid, 900004L)) === 4L)
+    // and the candidate path is an equi-join, never a cartesian product
+    val plan = Dedup.editDistancePairsOf(planted, 64, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "edit-distance candidates must come from the segment equi-join")
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

@@ -294,6 +294,46 @@ object Events {
       |LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
       |ORDER BY t.event_type, d.day""".stripMargin
 
+  /** x118: rolling 7-day totals per event type — the trailing-window
+    * trend line every monitor draws. Composes [[gapFill]]: on the DENSE
+    * grid a `ROWS 6 PRECEDING` frame IS seven calendar days, so the
+    * rolling sum stays pure BIGINT; over the raw sparse counts the same
+    * frame would silently span weeks across gaps (the bug this
+    * composition exists to kill — a RANGE frame would be needed, and
+    * Spark's RANGE frames don't take multi-column ordering). The window
+    * is type-partitioned — |days| rows per partition after the x114
+    * densification, never a global sort.
+    */
+  def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    gapFillOf(Tables.events(spark, dir))
+      .select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w).as("n_7d"),
+        max(col("n")).over(w).as("peak_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollingOracle: String =
+    """WITH c AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |dense AS (SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      |          FROM days d CROSS JOIN types t
+      |          LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+      |       CAST(MAX(n) OVER w AS BIGINT) AS peak_7d
+      |FROM dense
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   /** x112: mergeable distinct-count state — the incremental-maintenance
     * pattern. Per-(event_type, day) Datasketches HLL sketches are the
     * persisted state a daily job appends; rolling them up to per-type

@@ -31,6 +31,7 @@ object Ext {
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
+    "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -251,6 +252,7 @@ object Ext {
     "x115_quantile_norm"   -> TextAnalysis.quantileNormOracle,
     "x116_token_budget"    -> graft.ops.Sampling.tokenBudgetOracle,
     "x117_edit_dedup"      -> Dedup.editDistanceOracle,
+    "x118_rolling_7d"      -> Events.rollingOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

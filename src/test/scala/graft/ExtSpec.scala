@@ -339,6 +339,27 @@ class ExtSpec extends SparkSuite {
       "rank and count windows must share one source-keyed exchange")
   }
 
+  test("rolling 7-day totals match a recomputed trailing window on the dense grid") {
+    val rows = Events.rollingDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byKey = rows.map(t => (t._1, t._2) -> t._3).toMap
+    rows.foreach { case (tpe, day, _, n7, peak) =>
+      val win = (day - 6 to day).flatMap(d => byKey.get((tpe, d)))
+      assert(n7 === win.sum, s"($tpe, $day): rolling sum $n7 != ${win.sum}")
+      assert(peak === win.max, s"($tpe, $day): rolling max $peak != ${win.max}")
+    }
+    // the composition exists because a ROWS frame over the SPARSE counts
+    // is wrong the moment a gap exists: carve out a day and the dense
+    // rolling sum at the day after the hole must still count only the
+    // 7-calendar-day window (the sparse frame would reach a day further back)
+    val hole = rows.map(_._2).min + 10
+    val gapped = Events.gapFillOf(
+      graft.Tables.events(spark, sf)
+        .filter(floor(unix_micros(col("ts")) / 86400000000L) =!= hole))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gapped.filter(_._1._2 == hole).values.forall(_ == 0L))
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

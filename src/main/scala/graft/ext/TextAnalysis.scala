@@ -677,6 +677,62 @@ object TextAnalysis {
       |SELECT token, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms
       |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  /** x119: per-source KL divergence from the corpus token distribution —
+    * the domain-shift diagnostic a data-mixing pass reads before choosing
+    * weights (a source whose unigram distribution sits far from the blend
+    * shifts the mix more per token). KL(p_s‖q) = Σ_t p_s(t)·ln(p_s(t)/q(t)),
+    * carried as the integer numerator Σ_t c_{s,t}·⌊1000·ln((c_{s,t}·N)/(C_s·n_t))+0.5⌋
+    * (count·milli-nat units, order-independent BIGINT sum — the x85
+    * discipline) divided once by C_s at the end. Per-(source, token)
+    * counts are ONE map-combinable aggregate over the exploded tokens;
+    * corpus marginals re-aggregate THAT frame (|vocab|·|sources| rows, not
+    * the corpus); source totals are a |sources|-row broadcast. The log's
+    * operand order is pinned identically in both engines so the floor
+    * cannot split.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceKlOf(docs: DataFrame): DataFrame = {
+    val st = withTokens(docs)
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val marginal = st.groupBy("token").agg(sum(col("c_st")).as("n_t"))
+    val srcTotal = st.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+    val grand = marginal.agg(sum(col("n_t")).as("n_corpus"))
+    st.join(marginal, "token")
+      .join(broadcast(srcTotal), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("c_s"),
+        (col("c_st") *
+          floor(log((col("c_st") * col("n_corpus")) / (col("c_s") * col("n_t"))) * 1000d + 0.5d)
+            .cast("long")).as("term"))
+      .groupBy("source")
+      .agg(max(col("c_s")).as("n_tokens"),
+        sum(col("term")).as("kl_num"))
+      // clamp before the division: true KL ≥ 0, but flooring could leave a
+      // tiny negative numerator, and Spark DIV (truncate) and DuckDB //
+      // (floor) disagree exactly there
+      .select(col("source"), col("n_tokens"),
+        expr("greatest(kl_num, 0L) DIV n_tokens").as("kl_millinat"))
+      .orderBy("source")
+  }
+
+  val sourceKlOracle: String =
+    """WITH tok AS (SELECT source, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |st AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+      |m AS (SELECT token, SUM(c_st) AS n_t FROM st GROUP BY 1),
+      |s AS (SELECT source, SUM(c_st) AS c_s FROM st GROUP BY 1),
+      |g AS (SELECT SUM(n_t) AS n_corpus FROM m),
+      |terms AS (SELECT st.source, s.c_s,
+      |                 st.c_st * CAST(floor(ln((st.c_st * g.n_corpus) /
+      |                                         (s.c_s * m.n_t)) * 1000 + 0.5) AS BIGINT) AS term
+      |          FROM st JOIN m USING (token) JOIN s USING (source), g)
+      |SELECT source, CAST(MAX(c_s) AS BIGINT) AS n_tokens,
+      |       CAST(GREATEST(SUM(term), 0) // MAX(c_s) AS BIGINT) AS kl_millinat
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x115: per-source quantile normalization — map each document's raw
     * score (token count here) to its within-source CDF position in integer
     * basis points, `((2·rank − 1) · 5000) DIV n`, so scores from corpora

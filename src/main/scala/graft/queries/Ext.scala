@@ -49,6 +49,7 @@ object Ext {
     "x103_gram_novelty"    -> ((s: SparkSession, d: String) => TextAnalysis.gramNovelty(s, d)),
     "x113_mad_outliers"    -> ((s: SparkSession, d: String) => TextAnalysis.madOutliers(s, d)),
     "x115_quantile_norm"   -> ((s: SparkSession, d: String) => TextAnalysis.quantileNormalize(s, d)),
+    "x119_source_kl"       -> ((s: SparkSession, d: String) => TextAnalysis.sourceKl(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -253,6 +254,7 @@ object Ext {
     "x116_token_budget"    -> graft.ops.Sampling.tokenBudgetOracle,
     "x117_edit_dedup"      -> Dedup.editDistanceOracle,
     "x118_rolling_7d"      -> Events.rollingOracle,
+    "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -254,6 +254,23 @@ class ExtSpec extends SparkSuite {
       "edit-distance candidates must come from the segment equi-join")
   }
 
+  test("source KL: a planted skewed source dominates every natural source") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source", "text")
+    // a source whose distribution is a single made-up token sits maximally
+    // far from the corpus blend — its KL must exceed every natural source's
+    val planted = docs.unionByName(Seq(
+      (910001L, "skewed", ("zzqx " * 200).trim),
+      (910002L, "skewed", ("zzqx " * 150).trim)).toDF("doc_id", "source", "text"))
+    val kl = TextAnalysis.sourceKlOf(planted).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val natural = kl.filterNot(_._1 == "skewed").values
+    assert(kl("skewed") > natural.max,
+      s"skewed source KL ${kl("skewed")} not above natural max ${natural.max}")
+    // and KL is non-negative for every source by construction
+    kl.values.foreach(v => assert(v >= 0L))
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

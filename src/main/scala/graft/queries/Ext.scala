@@ -138,6 +138,7 @@ object Ext {
     "s07_stream_quality"   -> ((s: SparkSession, d: String) => Streams.qualityStream(s, d)),
     "s08_stream_enrich"    -> ((s: SparkSession, d: String) => Streams.enrichStream(s, d)),
     "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
+    "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,6 +256,7 @@ object Ext {
     "x117_edit_dedup"      -> Dedup.editDistanceOracle,
     "x118_rolling_7d"      -> Events.rollingOracle,
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
+    "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

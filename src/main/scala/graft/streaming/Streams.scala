@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.Tables
 
@@ -215,6 +215,91 @@ object Streams {
       Iterator.single((key, n, t))
     }
   }
+
+
+  /** Detects silences in a keyed event stream: a row per consecutive-event
+    * pair more than `gapUs` apart (emitted when the closing event ARRIVES —
+    * batch-layout-independent, so the replay hash-matches the batch lead
+    * window), plus an event-time TIMER armed at lastSeen + gap whose
+    * expiry emits an open-ended alert (gap_end_us = -1) for keys that go
+    * silent and stay silent — the alert a monitor actually pages on. The
+    * oracle-checked query keeps only the closed pairs; the timer path is
+    * pinned by StreamingSpec with a two-batch replay (timers fire when the
+    * watermark passes the armed expiry, which no batch query can express).
+    */
+  private[graft] class GapDetectProcessor(gapUs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var lastSeen: ValueState[Long] = _
+    @transient private var armedMs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      armedMs = getHandle.getValueState[Long]("armedMs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val ts = rows.map(_._2).toArray.sorted
+      val all = (if (lastSeen.exists()) Array(lastSeen.get()) else Array.empty[Long]) ++ ts
+      val gaps = all.sliding(2).collect {
+        case Array(a, b) if b - a > gapUs => (key, a, b)
+      }.toVector
+      lastSeen.update(all.last)
+      // re-arm the tail-silence timer at lastSeen + gap (ms domain); the
+      // previously armed expiry is tracked in state so it can be disarmed
+      if (armedMs.exists()) getHandle.deleteTimer(armedMs.get())
+      val exp = all.last / 1000L + gapUs / 1000L
+      getHandle.registerTimer(exp)
+      armedMs.update(exp)
+      gaps.iterator
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, Long, Long)] =
+      Iterator.single((key, if (lastSeen.exists()) lastSeen.get() else -1L, -1L))
+  }
+
+  /** s10: the closed-gap report over the file replay (2 h threshold) —
+    * equals the batch per-type lead-window gap query exactly; open-ended
+    * timer alerts are filtered here (their presence depends on where the
+    * watermark lands relative to the replay tail) and asserted in
+    * StreamingSpec instead.
+    */
+  def silentGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 2L * 3600 * 1000000
+      val src = eventStream(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        .as[(String, Long)]
+      val gaps = src.groupByKey(_._1)
+        .transformWithState(new GapDetectProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("event_type", "gap_start_us", "gap_end_us")
+      runToMemory(gaps, "append")
+        .filter(col("gap_end_us") > 0L)
+        .orderBy("event_type", "gap_start_us")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  val silentGapsOracle: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts FROM events),
+      |g AS (SELECT event_type, ts,
+      |             LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt
+      |      FROM e)
+      |SELECT event_type, CAST(ts AS BIGINT) AS gap_start_us,
+      |       CAST(nxt AS BIGINT) AS gap_end_us
+      |FROM g WHERE nxt - ts > 7200000000
+      |ORDER BY event_type, gap_start_us""".stripMargin
 
   /** s03's aggregate through `transformWithState` (X9, Spark 4 state API):
     * the per-key ValueState lives in the RocksDB state store — the

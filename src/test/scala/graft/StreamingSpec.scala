@@ -202,4 +202,52 @@ class StreamingSpec extends SparkSuite {
     assert(stream.subsetOf(batch),
       s"streaming emitted sessions absent from batch: ${stream.diff(batch).take(3)}")
   }
+
+  test("gap detector: closed gaps emit on arrival, timer alert fires when the watermark passes the silence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(h: Double) = new java.sql.Timestamp(t0.getTime + (h * 3600 * 1000).toLong)
+      def us(h: Double) = ts(h).getTime * 1000L
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val gaps = mem.toDS().toDF("k", "ts")
+        .withWatermark("ts", "0 seconds")
+        .select(col("k"), unix_micros(col("ts")).as("ts_us")).as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new Streams.GapDetectProcessor(2L * 3600 * 1000000),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("k", "gap_start_us", "gap_end_us")
+      val q = gaps.writeStream.outputMode("append")
+        .format("memory").queryName("graft_gap_test").start()
+      // batch 1: both keys alive; batch 2+3: only "busy" keeps reporting,
+      // advancing the watermark past "lone"'s armed expiry (t0 + 2h)
+      mem.addData(("lone", ts(0)), ("busy", ts(0))); q.processAllAvailable()
+      mem.addData(("busy", ts(3.0))); q.processAllAvailable()
+      mem.addData(("busy", ts(3.1))); q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("graft_gap_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the 3h hole in "busy" closes when the t0+3h event ARRIVES
+      assert(rows.contains(("busy", us(0), us(3.0))), s"closed gap missing: $rows")
+      // "lone" never reports again: only the event-time timer can surface
+      // it — the open-ended alert carries its last sighting
+      assert(rows.contains(("lone", us(0), -1L)), s"timer alert missing: $rows")
+      // and "busy" is still live at the final watermark: no false alert
+      assert(!rows.exists(r => r._1 == "busy" && r._3 == -1L),
+        s"false tail alert for live key: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -334,6 +334,60 @@ object Events {
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+
+  /** x120: per-type daily trend — the least-squares slope of the daily
+    * count series, the "is this source growing or dying" number. Runs on
+    * [[gapFill]]'s DENSE grid (silent days must pull the slope DOWN — on
+    * the sparse counts they'd simply vanish). Days are shifted to the span
+    * origin so every sum stays small; the five per-type sums (n, Σx, Σy,
+    * Σxy, Σx²) are ONE aggregate over the |types|·|days| grid — the only
+    * fact-sized work is gapFill's own count. The slope numerator/denominator
+    * n·Σxy − Σx·Σy and n·Σx² − (Σx)² are exact BIGINTs; the single e4
+    * division is IEEE double with pinned operand order (num/den < 2^53, so
+    * the quotient is correctly rounded and identical in both engines —
+    * the a04 percentile argument).
+    */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dense = gapFillOf(Tables.events(spark, dir))
+    val lo = dense.agg(min("day").as("lo"))
+    val sums = dense.crossJoin(broadcast(lo))
+      .select(col("event_type"), (col("day") - col("lo")).as("x"), col("n").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    sums.select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        col("sy"))
+      .select(col("event_type"), col("n_days"),
+        floor(lit(10000d) * col("slope_num") / col("slope_den") + 0.5d)
+          .cast("long").as("slope_e4"),
+        expr("(10000 * sy) DIV n_days").as("mean_e4"))
+      .orderBy("event_type")
+  }
+
+  val trendOracle: String =
+    """WITH c AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |dense AS (SELECT t.event_type, d.day - s.lo AS x, COALESCE(c.n, 0) AS y
+      |          FROM days d CROSS JOIN types t CROSS JOIN span s
+      |          LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+      |sums AS (SELECT event_type, COUNT(*) AS n_days,
+      |                SUM(x) AS sx, SUM(y) AS sy,
+      |                SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |         FROM dense GROUP BY 1)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(floor(10000.0 * (n_days * sxy - sx * sy)
+      |                  / (n_days * sxx - sx * sx) + 0.5) AS BIGINT) AS slope_e4,
+      |       CAST((10000 * sy) // n_days AS BIGINT) AS mean_e4
+      |FROM sums ORDER BY event_type""".stripMargin
+
   /** x112: mergeable distinct-count state — the incremental-maintenance
     * pattern. Per-(event_type, day) Datasketches HLL sketches are the
     * persisted state a daily job appends; rolling them up to per-type

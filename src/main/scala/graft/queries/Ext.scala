@@ -32,6 +32,7 @@ object Ext {
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
     "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
+    "x120_daily_trend"     -> ((s: SparkSession, d: String) => Events.dailyTrend(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -257,6 +258,7 @@ object Ext {
     "x118_rolling_7d"      -> Events.rollingOracle,
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
+    "x120_daily_trend"     -> Events.trendOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -377,6 +377,29 @@ class ExtSpec extends SparkSuite {
     assert(gapped.filter(_._1._2 == hole).values.forall(_ == 0L))
   }
 
+  test("daily trend slopes equal least squares recomputed from the dense grid") {
+    val grid = Events.gapFillOf(graft.Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = grid.map(_._2).min
+    val got = Events.dailyTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    grid.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.map(_._2 - lo); val ys = rows.map(_._3)
+      val n = rows.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = math.floor(10000d * (n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5d).toLong
+      val (nDays, slopeE4, meanE4) = got(tpe)
+      assert(nDays === n)
+      assert(slopeE4 === slope, s"$tpe: slope $slopeE4 != recomputed $slope")
+      assert(meanE4 === 10000 * sy / n)
+    }
+    // slopes must not all agree in sign on this fixture (negative flooring
+    // is exercised, the DIV-vs-floor trap x119 documents)
+    assert(got.values.map(_._2).exists(_ < 0) && got.values.map(_._2).exists(_ > 0))
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

@@ -588,6 +588,61 @@ object Dedup {
     ccOracleCtes +
       "\nSELECT doc_id, cluster_rep FROM cl ORDER BY doc_id"
 
+  /** x121: entity resolution across evidence channels — the step past
+    * single-signal dedup: two docs are the "same entity" if they match on
+    * EITHER token-set overlap (x15's lossless PPJoin pairs, word-order
+    * blind) OR prefix edit distance (x117's lossless PassJoin pairs,
+    * word-order aware), and entity ids come from connected components over
+    * the union evidence graph (x63's pointer-jumping CC — transitivity is
+    * the point: A≈B by Jaccard and B≈C by edit distance put A and C in one
+    * entity although NO channel links them directly). Every stage is a
+    * formulation already proven lossless/oracle-green above; the
+    * composition is one DAG and the CC loop is the only iteration.
+    */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "entityClusters") {
+      val jac = ngramJaccardPairs(spark, dir, 0.6).select("a", "b")
+      val ed = editDistancePairs(spark, dir)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      connectedComponents(jac.unionByName(ed).distinct())
+        .select(col("id").as("doc_id"), col("rep").as("entity_id"))
+    }.orderBy("doc_id")
+
+  /** DuckDB twin: both evidence channels brute-force (the right plan
+    * single-node), transitive closure via recursive CTE.
+    */
+  val entityOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |              len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |dpre AS (SELECT doc_id, substr(text, 1, 64) AS pfx
+      |         FROM documents WHERE length(text) >= 64),
+      |pe AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM dpre a JOIN dpre b ON a.doc_id < b.doc_id
+      |  WHERE levenshtein(a.pfx, b.pfx) <= 4),
+      |edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+      |          UNION SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |cl AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS entity_id
+      |  FROM reach GROUP BY id)
+      |SELECT doc_id, entity_id FROM cl ORDER BY doc_id""".stripMargin
+
   /** The composed corpus-cleaning pipeline a pre-training data flow runs:
     * quality gate (length + lexical diversity) → exact dedup on normalized
     * text (keep min doc_id) → near-dup removal (drop the higher doc_id of

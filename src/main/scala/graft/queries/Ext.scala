@@ -67,6 +67,7 @@ object Ext {
     "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
+    "x121_entity_clusters" -> ((s: SparkSession, d: String) => Dedup.entityClusters(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -259,6 +260,7 @@ object Ext {
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "x120_daily_trend"     -> Events.trendOracle,
+    "x121_entity_clusters" -> Dedup.entityOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -271,6 +271,34 @@ class ExtSpec extends SparkSuite {
     kl.values.foreach(v => assert(v >= 0L))
   }
 
+  test("entity clusters equal a local union-find over both evidence channels") {
+    val jac = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ed = Dedup.editDistancePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (jac ++ ed).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (jac ++ ed).flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val got = Dedup.entityClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected,
+      "distributed CC over the union evidence graph diverged from local union-find")
+    // the union must be doing real work at this fixture: at least one
+    // entity needs both channels (members beyond any single channel's pairs)
+    val jacIds = jac.flatMap(p => Seq(p._1, p._2)).toSet
+    val edIds = ed.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((jacIds -- edIds).nonEmpty && (edIds -- jacIds).nonEmpty,
+      "fixture exercises only one evidence channel")
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

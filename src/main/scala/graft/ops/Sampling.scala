@@ -292,6 +292,43 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** x122: per-source budget cut — x116's curriculum fill applied INSIDE
+    * each source (every corpus keeps its own shortest-first half, by
+    * tokens), the grouped variant a mixing pipeline runs so no source is
+    * globally crowded out. Here the source IS the partition key, so the
+    * idiomatic plan is a partitioned window — and both the running total
+    * and the per-source total ride ONE source-keyed exchange (same
+    * partitioning and ordering, frames widened per function — the x115
+    * fusion discipline). All BIGINT; the cut is `cum·2 ≤ total`.
+    */
+  def sourceBudgetCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW))
+      .withColumn("tot", sum(col("n_tokens")).over(totW))
+      .filter(col("cum_tokens") * 2L <= col("tot"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  val sourceBudgetOracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |             SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+      |             SUM(n_tokens) OVER (PARTITION BY source) AS tot
+      |      FROM d)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens * 2 <= tot
+      |ORDER BY doc_id""".stripMargin
+
   val tokenBudgetOracle: String =
     """WITH d AS (SELECT doc_id, n_chars,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -64,6 +64,7 @@ object Ext {
     "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
     "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
     "x116_token_budget"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.tokenBudgetCurriculum(s, d)),
+    "x122_source_budget"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.sourceBudgetCut(s, d)),
     "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
@@ -261,6 +262,7 @@ object Ext {
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
+    "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

@@ -608,6 +608,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("source budget cut keeps at most half of each source's tokens off one exchange") {
+    val cut = graft.ops.Sampling.sourceBudgetCut(spark, sf)
+    val rows = cut.collect()
+    val totals = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (src, grp) =>
+      val kept = grp.map(_.getLong(2)).sum
+      assert(kept * 2 <= totals(src), s"$src kept $kept of ${totals(src)} tokens")
+      // boundary tight: max cum is within one doc of the budget
+      assert(grp.map(_.getLong(3)).max * 2 <= totals(src))
+    }
+    // every source survives the cut (no source crowded out — the point
+    // of the grouped variant) and both windows share one hash exchange
+    assert(rows.map(_.getString(1)).distinct.length === totals.size)
+    val plan = cut.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("hashpartitioning".r.findAllIn(plan).size === 1,
+      "running and total windows must share one source-keyed exchange")
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

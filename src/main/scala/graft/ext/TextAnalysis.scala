@@ -733,6 +733,62 @@ object TextAnalysis {
       |       CAST(GREATEST(SUM(term), 0) // MAX(c_s) AS BIGINT) AS kl_millinat
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x123: held-out LM scoring — the leakage-disciplined version of x85:
+    * the unigram model is fit ONLY on the content-addressed 80% train
+    * split (x70's md5 bucket, so membership is reproducible and
+    * layout-free), Laplace-smoothed over train vocab ∪ {unk}, and scores
+    * ONLY the held-out 20% — per-source mean NLL in milli-nats, the
+    * "which source does a model find surprising" number that in-sample
+    * scoring (x85) biases low. Costs are the x85 integer discipline; the
+    * unseen-token cost −ln(1/(N+V)) comes from the same broadcast one-row
+    * constants frame via coalesce after the left cost join. Fact-sized
+    * work: the token explode and one train-side count aggregate; the cost
+    * table is |train vocab| rows, AQE-governed on the join back.
+    */
+  def heldoutPpl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), explode(col("tokens")).as("token"))
+      .withColumn("b", graft.ops.Sampling.bucket10k(col("doc_id"), 42))
+    val train = toks.filter(col("b") < 8000)
+    val test = toks.filter(col("b") >= 8000)
+    val freq = train.groupBy("token").agg(count(lit(1)).as("n_t"))
+    val consts = freq.agg(sum(col("n_t")).as("N"), (count(lit(1)) + 1L).as("V"))
+    val cost = freq.crossJoin(broadcast(consts))
+      .select(col("token"),
+        floor(-log((col("n_t") + 1L) / (col("N") + col("V"))) * 1000d + 0.5d)
+          .cast("long").as("c"))
+    test.join(cost, Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"),
+        coalesce(col("c"),
+          floor(-log(lit(1L) / (col("N") + col("V"))) * 1000d + 0.5d).cast("long"))
+          .as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test_tokens"), sum(col("c")).as("nll_sum"))
+      .select(col("source"), col("n_test_tokens"),
+        expr("nll_sum DIV n_test_tokens").as("mean_nll_millinat"))
+      .orderBy("source")
+  }
+
+  val heldoutOracle: String =
+    """WITH tok AS (SELECT d.doc_id, d.source, u.t AS token,
+      |                    (('0x' || substr(md5(d.doc_id || ':42'), 1, 8))::BIGINT
+      |                     % 10000) AS b
+      |             FROM documents d, UNNEST(string_split(d.text, ' ')) u(t)),
+      |tr AS (SELECT token FROM tok WHERE b < 8000),
+      |te AS (SELECT source, token FROM tok WHERE b >= 8000),
+      |freq AS (SELECT token, COUNT(*) AS n_t FROM tr GROUP BY 1),
+      |k AS (SELECT SUM(n_t) AS N, COUNT(*) + 1 AS V FROM freq),
+      |cost AS (SELECT token,
+      |                CAST(floor(-ln((n_t + 1) / (N + V)) * 1000 + 0.5) AS BIGINT) AS c
+      |         FROM freq, k)
+      |SELECT te.source, COUNT(*) AS n_test_tokens,
+      |       CAST(SUM(COALESCE(cost.c,
+      |                CAST(floor(-ln(1 / (N + V)) * 1000 + 0.5) AS BIGINT)))
+      |            // COUNT(*) AS BIGINT) AS mean_nll_millinat
+      |FROM te LEFT JOIN cost USING (token), k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x115: per-source quantile normalization — map each document's raw
     * score (token count here) to its within-source CDF position in integer
     * basis points, `((2·rank − 1) · 5000) DIV n`, so scores from corpora

@@ -51,6 +51,7 @@ object Ext {
     "x113_mad_outliers"    -> ((s: SparkSession, d: String) => TextAnalysis.madOutliers(s, d)),
     "x115_quantile_norm"   -> ((s: SparkSession, d: String) => TextAnalysis.quantileNormalize(s, d)),
     "x119_source_kl"       -> ((s: SparkSession, d: String) => TextAnalysis.sourceKl(s, d)),
+    "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -263,6 +264,7 @@ object Ext {
     "x120_daily_trend"     -> Events.trendOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
+    "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

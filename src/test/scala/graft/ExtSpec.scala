@@ -299,6 +299,27 @@ class ExtSpec extends SparkSuite {
       "fixture exercises only one evidence channel")
   }
 
+  test("held-out scoring covers every test token and stays within the smoothed cost range") {
+    val rows = TextAnalysis.heldoutPpl(spark, sf).collect()
+    // coverage: the left cost join + unk fallback must score EVERY token of
+    // every test-split document — nothing silently dropped
+    val testTotal = TextAnalysis.withTokens(graft.Tables.documents(spark, sf))
+      .filter(graft.ops.Sampling.bucket10k(col("doc_id"), 42) >= 8000)
+      .select(explode(col("tokens"))).count()
+    assert(rows.map(_.getLong(1)).sum === testTotal, "test tokens dropped in scoring")
+    // the Laplace-smoothed per-token cost is bounded by the unseen-token
+    // cost, so every per-source mean must be too (and positive)
+    rows.foreach { r =>
+      val nll = r.getLong(2)
+      assert(nll > 0L, s"${r.getString(0)}: non-positive NLL")
+    }
+    val maxMean = rows.map(_.getLong(2)).max
+    val minMean = rows.map(_.getLong(2)).min
+    // all sources draw from one corpus distribution: means cluster (a 2×
+    // spread would mean the split leaked or the unk path misfired)
+    assert(maxMean < 2 * minMean, s"NLL spread implausible: $minMean..$maxMean")
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

@@ -52,6 +52,8 @@ object Ext {
     "x115_quantile_norm"   -> ((s: SparkSession, d: String) => TextAnalysis.quantileNormalize(s, d)),
     "x119_source_kl"       -> ((s: SparkSession, d: String) => TextAnalysis.sourceKl(s, d)),
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
+    "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
+      graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -265,6 +267,14 @@ object Ext {
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
+    "x124_column_stats"    -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+      s"""SELECT '$c' AS column_name,
+         |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       MIN(CAST($c AS VARCHAR)) AS min_str,
+         |       MAX(CAST($c AS VARCHAR)) AS max_str
+         |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
     "x74_repetition"       -> OracleSqlExt.x74_repetition,
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,

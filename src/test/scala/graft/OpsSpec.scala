@@ -629,6 +629,25 @@ class OpsSpec extends SparkSuite {
       "running and total windows must share one source-keyed exchange")
   }
 
+  test("column stats detect planted nulls and count distincts exactly in one pass") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("lang2", when(col("doc_id") % 10 === 0, lit(null: String))
+        .otherwise(col("lang")))
+      .withColumn("const", lit("k"))
+    val stats = graft.ops.Quality.columnStats(docs, Seq("doc_id", "lang2", "const"))
+    val byCol = stats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val expectedNulls = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(byCol("lang2")._1 === expectedNulls, "planted nulls missed")
+    assert(byCol("const") === ((0L, 1L, "k")), "constant column stats wrong")
+    assert(byCol("doc_id")._2 === docs.count(), "doc_id ndv must equal row count")
+    // all columns' stats come from ONE aggregate pass: the multi-distinct
+    // compiles to a single Expand over a single scan
+    val plan = stats.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(plan).size === 1, "expected one Expand (one pass)")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1, "stats must not rescan the table")
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

@@ -59,4 +59,90 @@ object Quality {
         col("s.min_str"), col("s.max_str"))
       .orderBy("column_name")
   }
+
+  /** x125: constraint audit — the referential-integrity / key-uniqueness /
+    * domain-rule sweep a warehouse runs before trusting a load: FK orphan
+    * counts (key-projected LEFT ANTI joins — AQE broadcasts the dim key
+    * set while it fits, co-partitioned shuffle join beyond), PK duplicate
+    * counts (rows − exact distinct keys, one aggregate each), and row-level
+    * domain rules (conditional counts, no shuffle). Each check emits
+    * (check_name, n_violations, n_checked); a clean corpus reports zeros
+    * WITH its checked denominators — "0 of 60000" is evidence, "0" alone
+    * is a silent skip. OpsSpec proves the checks actually fire by feeding
+    * corrupted inputs through this same body.
+    */
+  def constraintAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    constraintAuditOf(Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.lineitem(spark, dir), Tables.part(spark, dir), Tables.supplier(spark, dir))
+  }
+
+  private[graft] def constraintAuditOf(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    def check(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(checked.agg(count(lit(1)).as("n_checked")))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    def fk(name: String, fact: DataFrame, key: String,
+           dim: DataFrame, dimKey: String): DataFrame =
+      check(name,
+        fact.select(col(key)).join(dim.select(col(dimKey)),
+          col(key) === col(dimKey), "left_anti"),
+        fact)
+    def pkDup(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg((count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    Seq(
+      fk("fk_lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      fk("fk_lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+      fk("fk_lineitem_supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      fk("fk_orders_customer", orders, "o_custkey", customer, "c_custkey"),
+      pkDup("pk_orders", orders, Seq("o_orderkey")),
+      pkDup("pk_lineitem", lineitem, Seq("l_orderkey", "l_linenumber")),
+      check("chk_lineitem_qty_positive",
+        lineitem.filter(col("l_quantity") <= 0), lineitem),
+      check("chk_lineitem_discount_range",
+        lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1), lineitem))
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  val auditOracle: String =
+    """SELECT 'chk_lineitem_qty_positive' AS check_name,
+      |       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT) AS n_violations,
+      |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+      |UNION ALL
+      |SELECT 'chk_lineitem_discount_range',
+      |       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1),
+      |       (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'fk_lineitem_orders',
+      |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+      |       (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'fk_lineitem_part',
+      |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+      |          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+      |       (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'fk_lineitem_supplier',
+      |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+      |          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+      |       (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'fk_orders_customer',
+      |       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+      |       (SELECT COUNT(*) FROM orders)
+      |UNION ALL
+      |SELECT 'pk_lineitem',
+      |       (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+      |       (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'pk_orders',
+      |       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+      |       (SELECT COUNT(*) FROM orders)
+      |ORDER BY check_name""".stripMargin
 }

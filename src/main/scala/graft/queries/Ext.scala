@@ -54,6 +54,7 @@ object Ext {
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
     "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
       graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
+    "x125_constraint_audit" -> ((s: SparkSession, d: String) => graft.ops.Quality.constraintAudit(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
@@ -267,6 +268,7 @@ object Ext {
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
+    "x125_constraint_audit" -> graft.ops.Quality.auditOracle,
     "x124_column_stats"    -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
       s"""SELECT '$c' AS column_name,
          |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -648,6 +648,34 @@ class OpsSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(plan).size <= 1, "stats must not rescan the table")
   }
 
+  test("constraint audit fires on planted orphans, duplicates, and domain breaks") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val part = Tables.part(spark, sf)
+    val supplier = Tables.supplier(spark, sf)
+    def audit(o: org.apache.spark.sql.DataFrame, li: org.apache.spark.sql.DataFrame) =
+      graft.ops.Quality.constraintAuditOf(o, customer, li, part, supplier)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = audit(orders, lineitem)
+    // corrupt: 3 orders pointing at a customer that doesn't exist, one
+    // duplicated order row, 2 lineitems with non-positive quantity
+    val badOrders = orders.unionByName(
+      orders.limit(3).withColumn("o_custkey", lit(-999L).cast(
+        orders.schema("o_custkey").dataType)))
+      .unionByName(orders.limit(1))
+    val badLi = lineitem.unionByName(
+      lineitem.limit(2).withColumn("l_quantity", lit(-5).cast(
+        lineitem.schema("l_quantity").dataType)))
+    val dirty = audit(badOrders, badLi)
+    assert(dirty("fk_orders_customer") === clean("fk_orders_customer") + 3)
+    assert(dirty("pk_orders") === clean("pk_orders") + 1 + 3,
+      "duplicated row + re-keyed copies must all count as PK dups")
+    assert(dirty("chk_lineitem_qty_positive") === clean("chk_lineitem_qty_positive") + 2)
+    // untouched checks stay untouched except denominators
+    assert(dirty("fk_lineitem_part") === clean("fk_lineitem_part"))
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

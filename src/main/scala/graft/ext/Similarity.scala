@@ -161,6 +161,32 @@ object Similarity {
     cent
   }
 
+  /** x126: k-means cluster report — the spherical-k-means trainer the IVF
+    * index (x22) and SemDeDup (x89) already run, surfaced as a first-class
+    * clustering operator: per cluster, member count and mean member-to-
+    * centroid cosine (cohesion) in e4 integer units (each cosine floors
+    * once, the mean is an integer DIV — deterministic despite double
+    * centroids). Training is [[centroids]]' Lloyd loop: per iteration one
+    * broadcast score + map-side argmax partials (n key rows shuffle, never
+    * payloads) + a per-(cluster, dim) mean. No oracle — DuckDB has no
+    * k-means to mirror — so ExtSpec pins the laws: membership partitions
+    * the corpus, cohesion bounded, cluster count within geometry.
+    */
+  def kmeansReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (_, mod, _) = ivfGeometry(e.count())
+    val cent = centroids(e, mod)
+    e.join(assignClusters(e, cent), "vec_id")
+      .join(broadcast(cent), col("cluster") === col("c_id"))
+      .select(col("cluster"),
+        floor(gf.cosine_sim(col("embedding"), col("cv")) * 10000d + 0.5d)
+          .cast("long").as("cos_e4"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(cos_e4) DIV count(1)").as("mean_cohesion_e4"))
+      .orderBy("cluster")
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid (√n-sized
     * centroid table broadcast), then search only within the query's
     * cluster — the candidate set shrinks to ~nProbe·√n per query, and the

@@ -83,6 +83,7 @@ object Ext {
     "x21_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "x22_ann_ivf"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "x89_semantic_dedup"   -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "x126_kmeans_report"   -> ((s: SparkSession, d: String) => Similarity.kmeansReport(s, d)),
     "x91_sign_projection"  -> ((s: SparkSession, d: String) => Similarity.signProjection(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)

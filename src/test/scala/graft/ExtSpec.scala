@@ -320,6 +320,26 @@ class ExtSpec extends SparkSuite {
     assert(maxMean < 2 * minMean, s"NLL spread implausible: $minMean..$maxMean")
   }
 
+  test("k-means report partitions the corpus with bounded cohesion") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val rows = Similarity.kmeansReport(spark, sf).collect()
+    // membership is a partition of the corpus: every vector in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum === n)
+    val (_, mod, _) = Similarity.ivfGeometry(n)
+    val nSeeds = e.filter(col("vec_id") % mod === 0).count()
+    assert(rows.length <= nSeeds.toInt, "more clusters than Lloyd seeds")
+    rows.foreach { r =>
+      val coh = r.getLong(2)
+      assert(coh >= -10000L && coh <= 10000L, s"cluster ${r.getLong(0)}: cohesion $coh")
+      assert(r.getLong(1) > 0L)
+    }
+    // cohesion must beat the random-direction baseline on average: members
+    // sit NEAR their centroid (weighted mean strictly positive)
+    val weighted = rows.map(r => r.getLong(1) * r.getLong(2)).sum
+    assert(weighted > 0L, "clustering produced no cohesion at all")
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

@@ -588,6 +588,53 @@ object Dedup {
     ccOracleCtes +
       "\nSELECT doc_id, cluster_rep FROM cl ORDER BY doc_id"
 
+  /** x127: incremental near-dup ADMISSION — the third leg of the
+    * incremental family: x61 rejects exact re-ingests (content hash),
+    * x101 does it with O(1) bloom probes, and this rejects arrivals that
+    * NEAR-duplicate the existing corpus (≥ 0.6 shingle Jaccard against
+    * any resident doc). The arrival batch is the doc_id % 10 == 0 slice
+    * (the x61/x101 fixture convention). Reuses [[ngramJaccardPairs]]'s
+    * lossless PPJoin formulation wholesale — Layer-shared with
+    * x15/x63/x121, so in a session the pair generation runs ONCE — and
+    * classifies each cross pair (one arrival, one resident); intra-batch
+    * pairs don't block admission (they resolve in the next dedup round).
+    * Admission is then a key-projected left anti join.
+    */
+  def nearDupAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val newSide = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val cross = ngramJaccardPairs(spark, dir, 0.6)
+      .filter(newSide(col("a")) =!= newSide(col("b")))
+    val blocked = cross
+      .select(when(newSide(col("a")), col("a")).otherwise(col("b")).as("doc_id"))
+      .distinct()
+    Tables.documents(spark, dir)
+      .filter(newSide(col("doc_id")))
+      .select("doc_id")
+      .join(blocked, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: brute-force arrival-vs-resident Jaccard, anti-joined. */
+  val admitOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM t),
+      |blocked AS (
+      |  SELECT DISTINCT n.doc_id
+      |  FROM sh n JOIN sh o ON n.lang = o.lang
+      |   AND n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      |  WHERE ROUND(len(list_filter(n.s, x -> list_contains(o.s, x))) /
+      |              len(list_distinct(list_concat(n.s, o.s))), 4) >= 0.6)
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.doc_id % 10 = 0
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM blocked)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** x121: entity resolution across evidence channels — the step past
     * single-signal dedup: two docs are the "same entity" if they match on
     * EITHER token-set overlap (x15's lossless PPJoin pairs, word-order

@@ -73,6 +73,7 @@ object Ext {
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "x121_entity_clusters" -> ((s: SparkSession, d: String) => Dedup.entityClusters(s, d)),
+    "x127_neardup_admit"   -> ((s: SparkSession, d: String) => Dedup.nearDupAdmit(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -267,6 +268,7 @@ object Ext {
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
+    "x127_neardup_admit"   -> Dedup.admitOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,

@@ -340,6 +340,28 @@ class ExtSpec extends SparkSuite {
     assert(weighted > 0L, "clustering produced no cohesion at all")
   }
 
+  test("near-dup admission blocks exactly the arrivals with a resident partner") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isNew(id: Long) = id % 10 == 0
+    val expectedBlocked = pairs.collect {
+      case (a, b) if isNew(a) != isNew(b) => if (isNew(a)) a else b
+    }.toSet
+    val arrivals = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val admitted = Dedup.nearDupAdmit(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(admitted === arrivals -- expectedBlocked,
+      "admission diverged from the cross-pair classification")
+    // intra-batch near-dups must NOT block admission
+    val intraNew = pairs.collect { case (a, b) if isNew(a) && isNew(b) => Seq(a, b) }
+      .flatten.toSet
+    assert((intraNew -- expectedBlocked).forall(admitted.contains),
+      "an intra-batch pair wrongly blocked admission")
+    // and the fixture exercises the path: something was actually blocked
+    assert(expectedBlocked.nonEmpty)
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

@@ -63,6 +63,34 @@ object ReorderModel {
     Insta.submission(testOrders, scored, "prediction", threshold).orderBy("orderID")
   }
 
+  /** m03: calibration buckets for the RF reorder scores — the reliability
+    * diagram's data: holdout predictions bucketed by floor(p·10), each
+    * bucket reporting its population, positive count, and mean predicted
+    * probability in e4 integers. Read bucket-by-bucket against
+    * n_pos/n: a well-calibrated score has mean_p ≈ realized rate, and the
+    * 0.19 production threshold (F.py:241–244) should sit where the rate
+    * crosses the cost tradeoff. Distributed shape: scoring is the model's
+    * own transform; the report is ONE tiny aggregate (≤ 11 buckets). No
+    * oracle (seeded tree fit — DuckDB can't mirror it); MlSpec pins
+    * partition/monotonicity laws and the run-to-run determinism the
+    * seeded split guarantees.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val all = assemble(Insta.featureMatrix(spark, dir, Seq(1L)))
+    val Array(fit, holdout) = all.randomSplit(Array(0.7, 0.3), seed)
+    val scored = rf.fit(fit).transform(holdout)
+      .select(col("label"), col("prediction"))
+    scored
+      .select(col("label"),
+        least(floor(col("prediction") * 10d), lit(9d)).cast("long").as("bucket"),
+        floor(col("prediction") * 10000d + 0.5d).cast("long").as("p_e4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pos"),
+        expr("sum(p_e4) DIV count(1)").as("mean_p_e4"))
+      .orderBy("bucket")
+  }
+
   /** M7: train RF/GBT/DT on a seeded 0.7/0.3 split of the train matrix
     * (F.py:214) and report per-model metrics on the holdout. The
     * reference's no-arg MulticlassMetrics precision()/recall()/fMeasure()

@@ -137,6 +137,7 @@ object Ext {
     // ML (M1–M7; seeded, metric-band tested — not oracle-expressible)
     "m01_rf_submission"    -> ((s: SparkSession, d: String) => ReorderModel.rfSubmission(s, d)),
     "m02_model_metrics"    -> ((s: SparkSession, d: String) => ReorderModel.metrics(s, d)),
+    "m03_calibration"      -> ((s: SparkSession, d: String) => ReorderModel.calibration(s, d)),
     // streaming (X9)
     "s01_stream_tumbling"  -> ((s: SparkSession, d: String) => Streams.tumbling(s, d)),
     "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),

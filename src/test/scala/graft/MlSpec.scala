@@ -30,4 +30,25 @@ class MlSpec extends SparkSuite {
     assert(sub.filter(col("products") =!= "None")
       .filter(!col("products").rlike("^[0-9]+( [0-9]+)*$")).count() === 0)
   }
+
+  test("calibration buckets partition the holdout with in-range means, deterministically") {
+    val a = graft.ml.ReorderModel.calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // buckets partition the seeded holdout: same split, same total
+    val holdout = graft.ml.ReorderModel.assemble(
+      graft.insta.Insta.featureMatrix(spark, sf, Seq(1L)))
+      .randomSplit(Array(0.7, 0.3), graft.ml.ReorderModel.seed)(1).count()
+    assert(a.map(_._2).sum === holdout)
+    a.foreach { case (b, n, nPos, meanP) =>
+      assert(nPos >= 0 && nPos <= n)
+      // the bucket's mean predicted prob must lie in the bucket's range
+      // (half-ulp slack for the e4 rounding at the edges)
+      assert(meanP >= b * 1000 - 1 && meanP <= (b + 1) * 1000 + 1,
+        s"bucket $b mean $meanP out of range")
+    }
+    // seeded fit + seeded split ⇒ byte-identical report on a second run
+    val b2 = graft.ml.ReorderModel.calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(b2.toSeq === a.toSeq, "calibration not deterministic under the seed")
+  }
 }

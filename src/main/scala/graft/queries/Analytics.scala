@@ -737,6 +737,40 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** a32: exact weighted median — the quantity-weighted median unit price
+    * per return flag, the statistic neither engine ships natively (DuckDB's
+    * quantile_cont is unweighted; so is Spark's percentile). Formulation:
+    * order rows by price within each flag, fuse the running weight and the
+    * total weight into ONE window exchange (the x115/x122 discipline —
+    * same spec, frames widened), and the lower weighted median is the
+    * MINIMUM price whose running weight reaches half the total. Intra-tie
+    * ordering between equal prices is engine-dependent, but the LAST row
+    * of a price level always carries that level's full cumulative weight,
+    * so "some row at price p qualifies" ⟺ cum-through-p ≥ W/2 — a
+    * deterministic property of the price level; the min over qualifying
+    * rows is therefore engine-stable with NO tie-break column needed.
+    * Weights stay integral (l_quantity is whole), the comparison is the
+    * cross-multiplied `2·cumw ≥ W`, and the median lands as e2 integer
+    * cents.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("cumw", sum(col("qty")).over(cumW))
+      .withColumn("totw", sum(col("qty")).over(totW))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(
+        floor(min(col("l_extendedprice")) * 100d + 0.5d).cast("long").as("wmedian_e2"),
+        max(col("totw")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -769,9 +803,24 @@ object Analytics {
     "a29_supplier_parts"   -> (supplierPartCounts _),
     "a30_dominant_supp"    -> (dominantSuppliers _),
     "a31_winsorized"       -> (winsorizedRevenue _),
+    "a32_weighted_median"  -> (weightedMedian _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a32_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice,
+        |                  CAST(l_quantity AS BIGINT) AS qty,
+        |                  SUM(CAST(l_quantity AS BIGINT)) OVER
+        |                    (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |                  SUM(CAST(l_quantity AS BIGINT)) OVER
+        |                    (PARTITION BY l_returnflag) AS totw
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(floor(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT) AS wmedian_e2,
+        |       CAST(MAX(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a31_winsorized" ->
       """WITH b AS (SELECT l_returnflag,
         |                  quantile_cont(l_extendedprice, 0.05) AS lo,

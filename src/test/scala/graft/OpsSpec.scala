@@ -676,6 +676,31 @@ class OpsSpec extends SparkSuite {
     assert(dirty("fk_lineitem_part") === clean("fk_lineitem_part"))
   }
 
+  test("weighted median balances the weight on each side and fuses its windows") {
+    val wm = graft.queries.Analytics.weightedMedian(spark, sf)
+    val got = wm.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val total = grp.map(_._3).sum
+      val (medE2, gotTotal) = got(flag)
+      assert(gotTotal === total)
+      val med = medE2 / 100d
+      // defining property of the lower weighted median: weight strictly
+      // below it is < half, weight at-or-below reaches half
+      val below = grp.filter(t => math.floor(t._2 * 100 + 0.5) < medE2).map(_._3).sum
+      val atOrBelow = grp.filter(t => math.floor(t._2 * 100 + 0.5) <= medE2).map(_._3).sum
+      assert(below * 2 < total, s"$flag: $below of $total strictly below median $med")
+      assert(atOrBelow * 2 >= total, s"$flag: median $med too low")
+    }
+    // running and total weights ride one flag-keyed exchange (x115 fusion)
+    val plan = wm.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("hashpartitioning".r.findAllIn(plan).size === 1,
+      "cumulative and total weight windows must share one exchange")
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

@@ -269,6 +269,55 @@ object Sampling {
        |                WHEN 'fr' THEN 1000 ELSE 500 END
        |ORDER BY doc_id""".stripMargin
 
+  /** x129: Poissonized bootstrap — distributed uncertainty quantification
+    * for a corpus statistic (mean tokens per doc here): R replicas, each
+    * giving every document an independent Poisson(1) multiplicity, so a
+    * replica is a with-replacement resample without any coordination —
+    * each (doc, replica) cell draws its multiplicity from the
+    * content-addressed md5 bucket against the Poisson(1) CDF in e4 basis
+    * points (P(0)=.3679, ≤1=.7358, ≤2=.9197, ≤3=.9810, else 4 — capped,
+    * the tail beyond 4 is 0.37%). Deterministic, layout-free, and
+    * embarrassingly parallel: the plan is one explode(sequence(1, R))
+    * projection and one (replica)-keyed aggregate; nothing resembles the
+    * driver-side loop a naive bootstrap runs. Per replica: effective
+    * sample size and the weighted mean in e4 integers.
+    */
+  def bootstrapMeans(spark: SparkSession, dir: String, replicas: Int = 32): DataFrame = {
+    val m = {
+      val u = bucket10k(concat(col("doc_id").cast("string"), lit("#"),
+        col("replica").cast("string")), seed = 77)
+      when(u < 3679L, 0L).when(u < 7358L, 1L).when(u < 9197L, 2L)
+        .when(u < 9810L, 3L).otherwise(4L)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(1L), lit(replicas.toLong))).as("replica"))
+      .withColumn("m", m)
+      .groupBy("replica")
+      .agg(sum(col("m")).as("n_eff"),
+        expr("(10000 * sum(m * nt)) DIV sum(m)").as("mean_tokens_e4"))
+      .orderBy("replica")
+  }
+
+  val bootstrapOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents),
+      |cells AS (SELECT d.doc_id, d.nt, r.range AS replica,
+      |                 (('0x' || substr(md5(d.doc_id || '#' || r.range || ':77'), 1, 8))::BIGINT
+      |                  % 10000) AS u
+      |          FROM d, range(1, 33) r),
+      |w AS (SELECT replica, nt,
+      |             CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+      |                  WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+      |                  ELSE 4 END AS m
+      |      FROM cells)
+      |SELECT CAST(replica AS BIGINT) AS replica,
+      |       CAST(SUM(m) AS BIGINT) AS n_eff,
+      |       CAST((10000 * SUM(m * nt)) // SUM(m) AS BIGINT) AS mean_tokens_e4
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x116: token-budget curriculum selection — fill 60% of the corpus's
     * token budget with documents in curriculum order (shortest-first here;
     * any deterministic score works), the "cut the training run at N

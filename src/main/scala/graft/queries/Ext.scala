@@ -69,6 +69,7 @@ object Ext {
     "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
     "x116_token_budget"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.tokenBudgetCurriculum(s, d)),
     "x122_source_budget"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.sourceBudgetCut(s, d)),
+    "x129_bootstrap"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.bootstrapMeans(s, d)),
     "x110_trade_pagerank"  -> ((s: SparkSession, d: String) => graft.ops.Graph.nationTradeRank(s, d)),
     "x105_snapshot_diff"   -> ((s: SparkSession, d: String) => Dedup.snapshotDiff(s, d)),
     "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
@@ -270,6 +271,7 @@ object Ext {
     "x120_daily_trend"     -> Events.trendOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
+    "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,

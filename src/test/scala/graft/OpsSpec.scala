@@ -676,6 +676,30 @@ class OpsSpec extends SparkSuite {
     assert(dirty("fk_lineitem_part") === clean("fk_lineitem_part"))
   }
 
+  test("bootstrap replicas resample around the point estimate, layout-free") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val pointMean = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum.toDouble / n
+    val rows = graft.ops.Sampling.bootstrapMeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 32)
+    // Poisson(1) multiplicities: each replica's effective size concentrates
+    // near n (±5·sqrt(n) is > 5 sigma for the capped tail)
+    rows.foreach { case (rep, nEff, _) =>
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble) + 5,
+        s"replica $rep: n_eff $nEff far from $n")
+    }
+    // replica means scatter AROUND the point estimate: the point mean must
+    // sit inside the replica range, and the replicas must actually vary
+    val means = rows.map(_._3 / 10000d)
+    assert(means.min <= pointMean && pointMean <= means.max,
+      s"point mean $pointMean outside replica range ${means.min}..${means.max}")
+    assert(means.distinct.length > 1, "replicas degenerate: no resampling variance")
+    // determinism is content-addressed: a relayout draws identical replicas
+    // (bucket10k is a pure function of (doc_id, replica))
+  }
+
   test("weighted median balances the weight on each side and fuses its windows") {
     val wm = graft.queries.Analytics.weightedMedian(spark, sf)
     val got = wm.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -733,6 +733,49 @@ object TextAnalysis {
       |       CAST(GREATEST(SUM(term), 0) // MAX(c_s) AS BIGINT) AS kl_millinat
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x130: per-source unigram entropy — the corpus-diversity index next to
+    * x119's divergence: H(p_s) = −Σ_t p·ln p in milli-nats, carried as the
+    * integer numerator Σ_t c_{s,t}·⌊−1000·ln(c_{s,t}/C_s)+0.5⌋ divided
+    * once by C_s (all-positive DIV). Low entropy flags template/boilerplate
+    * sources; the theoretical ceiling is ln(vocab). Same plan spine as
+    * x119: ONE map-combinable aggregate over the exploded corpus builds
+    * the (source, token) frame, source totals re-aggregate that frame and
+    * broadcast back; the corpus is scanned once.
+    */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame =
+    sourceEntropyOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceEntropyOf(docs: DataFrame): DataFrame = {
+    val st = withTokens(docs)
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val totals = st.groupBy("source").agg(
+      sum(col("c_st")).as("c_s"), count(lit(1)).as("n_types"))
+    st.join(broadcast(totals), "source")
+      .select(col("source"), col("c_s"), col("n_types"),
+        (col("c_st") *
+          floor(-log(col("c_st") / col("c_s")) * 1000d + 0.5d).cast("long")).as("term"))
+      .groupBy("source")
+      .agg(max(col("c_s")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(col("term")).as("h_num"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("h_num DIV n_tokens").as("entropy_millinat"))
+      .orderBy("source")
+  }
+
+  val entropyOracle: String =
+    """WITH tok AS (SELECT source, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |st AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+      |s AS (SELECT source, SUM(c_st) AS c_s, COUNT(*) AS n_types FROM st GROUP BY 1),
+      |terms AS (SELECT st.source, s.c_s, s.n_types,
+      |                 st.c_st * CAST(floor(-ln(st.c_st / s.c_s) * 1000 + 0.5) AS BIGINT) AS term
+      |          FROM st JOIN s USING (source))
+      |SELECT source, CAST(MAX(c_s) AS BIGINT) AS n_tokens,
+      |       CAST(MAX(n_types) AS BIGINT) AS n_types,
+      |       CAST(SUM(term) // MAX(c_s) AS BIGINT) AS entropy_millinat
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x123: held-out LM scoring — the leakage-disciplined version of x85:
     * the unigram model is fit ONLY on the content-addressed 80% train
     * split (x70's md5 bucket, so membership is reproducible and

@@ -362,6 +362,28 @@ class ExtSpec extends SparkSuite {
     assert(expectedBlocked.nonEmpty)
   }
 
+  test("source entropy is bounded by ln(types) and collapses for a planted template source") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val planted = docs.unionByName(Seq(
+      (920001L, "template", ("lorem ipsum " * 100).trim),
+      (920002L, "template", ("lorem ipsum " * 80).trim)).toDF("doc_id", "source", "text"))
+    val rows = TextAnalysis.sourceEntropyOf(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (src, (_, nTypes, h)) =>
+      assert(h >= 0L)
+      // H ≤ ln(|types|), with milli-nat flooring slack of 1 per type share
+      val cap = math.ceil(math.log(nTypes.toDouble) * 1000).toLong + 1
+      assert(h <= cap, s"$src: entropy $h above ln(types) cap $cap")
+    }
+    // a two-word template source collapses toward ln 2 ≈ 693 milli-nats,
+    // far below any natural source
+    val naturalMin = rows.filterNot(_._1 == "template").values.map(_._3).min
+    assert(rows("template")._3 < naturalMin,
+      s"template entropy ${rows("template")._3} not below natural min $naturalMin")
+    assert(rows("template")._3 <= 694L)
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

@@ -776,6 +776,58 @@ object TextAnalysis {
       |       CAST(SUM(term) // MAX(c_s) AS BIGINT) AS entropy_millinat
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x131: Wilson confidence bounds on per-source quality-pass rates —
+    * the small-n discipline for ranking sources: a source passing 3/3 docs
+    * must NOT outrank one passing 95/100, and the Wilson lower bound is
+    * the standard fix (rank by lower bound, not point rate). The pass
+    * gate is x11's (n_tokens ≥ 30 ∧ ttr ≥ 0.3); (k, n) are one aggregate;
+    * the z = 1.96 interval is pure double arithmetic over two integers
+    * with the operand order written IDENTICALLY in the DuckDB twin — each
+    * IEEE op is correctly rounded, so the e4-floored bounds hash-match
+    * (the a04/x120 argument; Catalyst never reassociates float math).
+    */
+  def wilsonBounds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("tokens")
+    val passes = (size(toks) >= 30) &&
+      (round(size(array_distinct(toks)) / size(toks), 4) >= 0.3)
+    val kn = withTokens(Tables.documents(spark, dir))
+      .select(col("source"), when(passes, 1L).otherwise(0L).as("pass"))
+      .groupBy("source")
+      .agg(sum(col("pass")).as("k"), count(lit(1)).as("n"))
+    val p = col("k").cast("double") / col("n")
+    val nD = col("n").cast("double")
+    val z2 = lit(3.8416d)
+    val denom = lit(1.0d) + z2 / nD
+    val center = (p + z2 / (lit(2.0d) * nD)) / denom
+    val half = (lit(1.96d) *
+      sqrt(p * (lit(1.0d) - p) / nD + z2 / (lit(4.0d) * nD * nD))) / denom
+    kn.select(col("source"), col("k"), col("n"),
+        floor((center - half) * 10000d + 0.5d).cast("long").as("lower_e4"),
+        floor((center + half) * 10000d + 0.5d).cast("long").as("upper_e4"))
+      .orderBy("source")
+  }
+
+  val wilsonOracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |kn AS (SELECT source,
+      |              SUM(CASE WHEN len(toks) >= 30
+      |                        AND ROUND(len(list_distinct(toks)) / len(toks), 4) >= 0.3
+      |                       THEN 1 ELSE 0 END) AS k,
+      |              COUNT(*) AS n
+      |       FROM t GROUP BY 1)
+      |SELECT source, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(floor(((k / CAST(n AS DOUBLE) + 3.8416 / (2.0 * n))
+      |                   / (1.0 + 3.8416 / n)
+      |                   - (1.96 * sqrt(k / CAST(n AS DOUBLE) * (1.0 - k / CAST(n AS DOUBLE)) / n
+      |                                  + 3.8416 / (4.0 * n * n)))
+      |                     / (1.0 + 3.8416 / n)) * 10000 + 0.5) AS BIGINT) AS lower_e4,
+      |       CAST(floor(((k / CAST(n AS DOUBLE) + 3.8416 / (2.0 * n))
+      |                   / (1.0 + 3.8416 / n)
+      |                   + (1.96 * sqrt(k / CAST(n AS DOUBLE) * (1.0 - k / CAST(n AS DOUBLE)) / n
+      |                                  + 3.8416 / (4.0 * n * n)))
+      |                     / (1.0 + 3.8416 / n)) * 10000 + 0.5) AS BIGINT) AS upper_e4
+      |FROM kn ORDER BY source""".stripMargin
+
   /** x123: held-out LM scoring — the leakage-disciplined version of x85:
     * the unigram model is fit ONLY on the content-addressed 80% train
     * split (x70's md5 bucket, so membership is reproducible and

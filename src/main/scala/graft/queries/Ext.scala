@@ -52,6 +52,7 @@ object Ext {
     "x115_quantile_norm"   -> ((s: SparkSession, d: String) => TextAnalysis.quantileNormalize(s, d)),
     "x119_source_kl"       -> ((s: SparkSession, d: String) => TextAnalysis.sourceKl(s, d)),
     "x130_source_entropy"  -> ((s: SparkSession, d: String) => TextAnalysis.sourceEntropy(s, d)),
+    "x131_wilson_bounds"   -> ((s: SparkSession, d: String) => TextAnalysis.wilsonBounds(s, d)),
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
     "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
       graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
@@ -274,6 +275,7 @@ object Ext {
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,
     "x130_source_entropy"  -> TextAnalysis.entropyOracle,
+    "x131_wilson_bounds"   -> TextAnalysis.wilsonOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,

@@ -384,6 +384,25 @@ class ExtSpec extends SparkSuite {
     assert(rows("template")._3 <= 694L)
   }
 
+  test("Wilson bounds bracket the point rate and match a local recomputation") {
+    val rows = TextAnalysis.wilsonBounds(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, k, n, lo, hi) =>
+      val p = k.toDouble / n
+      val z2 = 3.8416d; val nD = n.toDouble
+      val denom = 1.0 + z2 / nD
+      val center = (p + z2 / (2.0 * nD)) / denom
+      val half = (1.96 * math.sqrt(p * (1.0 - p) / nD + z2 / (4.0 * nD * nD))) / denom
+      assert(lo === math.floor((center - half) * 10000 + 0.5).toLong, s"$src lower")
+      assert(hi === math.floor((center + half) * 10000 + 0.5).toLong, s"$src upper")
+      // the interval brackets the point rate and stays in [0, 1]
+      val pE4 = math.floor(p * 10000 + 0.5).toLong
+      assert(lo <= pE4 && pE4 <= hi, s"$src: point $pE4 outside [$lo, $hi]")
+      assert(lo >= 0L && hi <= 10001L)
+    }
+  }
+
   test("count-min sketch never underestimates an exact count") {
     val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
     assert(rows.length === 20)

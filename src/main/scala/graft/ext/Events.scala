@@ -388,6 +388,49 @@ object Events {
       |       CAST((10000 * sy) // n_days AS BIGINT) AS mean_e4
       |FROM sums ORDER BY event_type""".stripMargin
 
+  /** x132: time-weighted average of the event value per type — the
+    * metrics/finance staple where a plain mean lies: a value that held for
+    * six hours must weigh more than one that lasted a minute. Each
+    * reading's weight is its holding duration (epoch-µs `lead` minus own
+    * timestamp, a type-partitioned window — the last reading of a type
+    * carries no duration and drops out, standard TWA convention). Values
+    * are 2-decimal doubles, so `floor(v·100 + 0.5)` makes them exact e2
+    * integers; the weighted sum Σ(v_e2·dur_µs) stays within BIGINT at any
+    * plausible event density, and TWA = weighted-sum DIV total-duration
+    * lands back in e2 with no float ever crossing engines.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("total_us"),
+        expr("sum(v_e2 * dur) DIV sum(dur)").as("twa_e2"))
+      .orderBy("event_type")
+  }
+
+  val twaOracle: String =
+    """WITH e AS (SELECT event_type, event_id,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |d AS (SELECT event_type, v_e2,
+      |             LEAD(us) OVER (PARTITION BY event_type
+      |                            ORDER BY us, event_id) - us AS dur
+      |      FROM e)
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |       CAST(SUM(dur) AS BIGINT) AS total_us,
+      |       CAST(SUM(v_e2 * dur) // SUM(dur) AS BIGINT) AS twa_e2
+      |FROM d WHERE dur IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x112: mergeable distinct-count state — the incremental-maintenance
     * pattern. Per-(event_type, day) Datasketches HLL sketches are the
     * persisted state a daily job appends; rolling them up to per-type

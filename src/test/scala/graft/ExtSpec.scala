@@ -532,6 +532,28 @@ class ExtSpec extends SparkSuite {
     assert(got.values.map(_._2).exists(_ < 0) && got.values.map(_._2).exists(_ > 0))
   }
 
+  test("time-weighted average matches a sequential recomputation and stays in value range") {
+    val rows = Events.timeWeightedAvg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+        floor(col("value") * 100d + 0.5d).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (tpe, grp) =>
+      val seq = grp.sortBy(t => (t._3, t._2))
+      val pairs = seq.zip(seq.drop(1))
+      val totalDur = pairs.map { case (a, b) => b._3 - a._3 }.sum
+      val wsum = pairs.map { case (a, b) => a._4 * (b._3 - a._3) }.sum
+      val got = rows.find(_._1 == tpe).get
+      assert(got._2 === pairs.length, s"$tpe intervals")
+      assert(got._3 === totalDur, s"$tpe duration")
+      assert(got._4 === wsum / totalDur, s"$tpe TWA")
+      // TWA is a convex combination of observed values
+      val vs = seq.dropRight(1).map(_._4)
+      assert(got._4 >= vs.min && got._4 <= vs.max)
+    }
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

@@ -635,6 +635,50 @@ object Dedup {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM blocked)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x133: cross-source contamination matrix — WHERE the near-dups live:
+    * the x15 pair set rolled up to (source, source) counts, the heatmap a
+    * curation team reads to find mirror sites, syndication, and pipeline
+    * double-ingests (a heavy diagonal means intra-source boilerplate; a
+    * heavy off-diagonal cell means two feeds ship the same content).
+    * Layer-shared pairs (generated once per session across
+    * x15/x63/x121/x127); the rollup joins the 8-byte doc→source lookup
+    * twice and canonicalizes the pair with least/greatest so (A,B) and
+    * (B,A) land in one cell.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    ngramJaccardPairs(spark, dir, 0.6)
+      .join(src.toDF("a", "source_of_a"), "a")
+      .join(src.toDF("b", "source_of_b"), "b")
+      .select(least(col("source_of_a"), col("source_of_b")).as("src_lo"),
+        greatest(col("source_of_a"), col("source_of_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  /** DuckDB twin: brute-force Jaccard pairs rolled up by source pair. */
+  val dupMatrixOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |  FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |              len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6)
+      |SELECT LEAST(da.source, db.source) AS src_lo,
+      |       GREATEST(da.source, db.source) AS src_hi,
+      |       COUNT(*) AS n_pairs
+      |FROM p JOIN documents da ON p.a = da.doc_id
+      |       JOIN documents db ON p.b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** x121: entity resolution across evidence channels — the step past
     * single-signal dedup: two docs are the "same entity" if they match on
     * EITHER token-set overlap (x15's lossless PPJoin pairs, word-order

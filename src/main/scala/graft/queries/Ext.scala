@@ -78,6 +78,7 @@ object Ext {
     "x117_edit_dedup"      -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
     "x121_entity_clusters" -> ((s: SparkSession, d: String) => Dedup.entityClusters(s, d)),
     "x127_neardup_admit"   -> ((s: SparkSession, d: String) => Dedup.nearDupAdmit(s, d)),
+    "x133_dup_matrix"      -> ((s: SparkSession, d: String) => Dedup.sourceDupMatrix(s, d)),
     "x79_int8_quantize"    -> ((s: SparkSession, d: String) => Similarity.int8Quantize(s, d)),
     "x84_l2_normalize"     -> ((s: SparkSession, d: String) => Similarity.l2Normalize(s, d)),
     "x88_cos_histogram"    -> ((s: SparkSession, d: String) => Similarity.cosHistogram(s, d)),
@@ -278,6 +279,7 @@ object Ext {
     "x130_source_entropy"  -> TextAnalysis.entropyOracle,
     "x131_wilson_bounds"   -> TextAnalysis.wilsonOracle,
     "x132_time_weighted"   -> Events.twaOracle,
+    "x133_dup_matrix"      -> Dedup.dupMatrixOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,

@@ -340,6 +340,24 @@ class ExtSpec extends SparkSuite {
     assert(weighted > 0L, "clustering produced no cohesion at all")
   }
 
+  test("dup matrix mass equals the pair count with canonical source ordering") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = Dedup.sourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // conservation: every pair lands in exactly one cell
+    assert(cells.values.sum === pairs.length.toLong)
+    // canonical ordering holds and each cell equals its recomputed count
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    assert(cells === expected, "matrix cells diverged from recomputed rollup")
+    cells.keys.foreach { case (lo, hi) => assert(lo <= hi) }
+  }
+
   test("near-dup admission blocks exactly the arrivals with a resident partner") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -431,6 +431,50 @@ object Events {
       |FROM d WHERE dur IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x134: equi-width value histogram per event type — the generic numeric
+    * profiler (x88 is its cosine-specialized sibling): ten bins spanning
+    * [0, max], all binning in integers — values floor once to e2, the
+    * global max arrives as a one-row broadcast, and the bin index is
+    * `least(9, (v_e2 · 10) DIV (max_e2 + 1))` so no division boundary can
+    * float-drift between engines. Dense output: the (type × bin) grid is
+    * built like x114 (tiny cross join, left-join counts, zero-fill), so a
+    * bin with no mass still shows — the shape a profiler reads. Two
+    * fact-sized passes (max + counts), both map-combinable.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val mx = ev.agg(max(col("v_e2")).as("max_e2"))
+    val counts = ev.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        least(lit(9L), expr("(v_e2 * 10) DIV (max_e2 + 1)")).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+    val bins = counts.sparkSession.range(0, 10).select(col("id").as("bin"))
+    val types = counts.select("event_type").distinct()
+    bins.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  val histogramOracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |m AS (SELECT MAX(v_e2) AS max_e2 FROM e),
+      |c AS (SELECT event_type,
+      |             LEAST(9, (v_e2 * 10) // (max_e2 + 1)) AS bin, COUNT(*) AS n
+      |      FROM e, m GROUP BY 1, 2),
+      |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      |types AS (SELECT DISTINCT event_type FROM c)
+      |SELECT t.event_type, CAST(b.bin AS BIGINT) AS bin,
+      |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM bins b CROSS JOIN types t
+      |LEFT JOIN c ON c.event_type = t.event_type AND c.bin = b.bin
+      |ORDER BY t.event_type, b.bin""".stripMargin
+
   /** x112: mergeable distinct-count state — the incremental-maintenance
     * pattern. Per-(event_type, day) Datasketches HLL sketches are the
     * persisted state a daily job appends; rolling them up to per-type

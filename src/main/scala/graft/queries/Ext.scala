@@ -33,6 +33,7 @@ object Ext {
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
     "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
     "x132_time_weighted"   -> ((s: SparkSession, d: String) => Events.timeWeightedAvg(s, d)),
+    "x134_value_histogram" -> ((s: SparkSession, d: String) => Events.valueHistogram(s, d)),
     "x120_daily_trend"     -> ((s: SparkSession, d: String) => Events.dailyTrend(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
@@ -280,6 +281,7 @@ object Ext {
     "x131_wilson_bounds"   -> TextAnalysis.wilsonOracle,
     "x132_time_weighted"   -> Events.twaOracle,
     "x133_dup_matrix"      -> Dedup.dupMatrixOracle,
+    "x134_value_histogram" -> Events.histogramOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,

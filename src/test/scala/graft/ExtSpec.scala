@@ -572,6 +572,22 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("value histogram conserves mass over a dense ten-bin grid") {
+    val rows = Events.valueHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = rows.map(_._1).distinct
+    // dense grid: every (type, bin) cell present, bins exactly 0..9
+    assert(rows.length === types.length * 10)
+    types.foreach { t =>
+      assert(rows.filter(_._1 == t).map(_._2).sorted.toSeq === (0L to 9L))
+    }
+    // mass conservation: every event lands in exactly one bin
+    assert(rows.map(_._3).sum === graft.Tables.events(spark, sf).count())
+    // the top bin is populated (the max value itself lands there via the
+    // least(9, ·) clamp — the off-by-one the (max+1) denominator guards)
+    assert(rows.filter(_._2 == 9L).map(_._3).sum > 0L)
+  }
+
   test("funnel stages shrink monotonically and stage 1 counts view users exactly") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))

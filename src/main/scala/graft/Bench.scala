@@ -58,12 +58,21 @@ object Bench {
     def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     val primary = if (warm.nonEmpty) warm else cold
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    // Two lines: the long per-query detail line FIRST, then a short
-    // totals-only line. The driver keeps the TAIL of long output
-    // (BENCH_r03/r04 both lost front-printed totals to truncation), so the
-    // headline scalars must be the LAST thing printed and short enough to
-    // always survive.
-    println(s"""{"detail":"per_query","sf":"$sfDir","queries":${fmt(primary)},"cold_queries":${fmt(cold)}}""")
+    // Per-query detail goes out as MANY SHORT LINES (~25 queries each,
+    // tagged per_query_part with pass + part index), then a short
+    // totals-only line LAST. The driver keeps the TAIL of long output
+    // (BENCH_r03/r04 lost front-printed totals to truncation; r05's single
+    // packed detail line lost the warm map entirely), so every line must
+    // individually be short enough to survive and the headline scalars
+    // must be the final print.
+    def emitParts(pass: String, m: Map[String, Double]): Unit = {
+      val chunks = m.toSeq.grouped(25).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        println(s"""{"detail":"per_query_part","pass":"$pass","part":${i + 1},"n_parts":${chunks.size},"sf":"$sfDir","queries":${fmt(chunk.toMap)}}""")
+      }
+    }
+    emitParts("warm", warm)
+    emitParts("cold", cold)
     println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.

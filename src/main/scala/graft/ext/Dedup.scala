@@ -491,7 +491,15 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxRounds: Int = 64,
       injectFailureAtRound: Int = -1): (DataFrame, Int) = {
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    // Symmetrize with ONE pass over `pairs` (explode of the two
+    // orientations), not union(pairs, pairs.reversed): the input pair DAG
+    // is typically unpersisted and can be expensive (PPJoin / PassJoin
+    // candidate generation) — a two-branch union would evaluate that whole
+    // DAG twice when `edges` materializes.
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")).persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
     var changed = 1L
@@ -509,11 +517,16 @@ object Dedup {
           s"connected components did not converge within $maxRounds rounds; " +
             "pointer jumping needs ~2*log2(nodes), so the pair graph is " +
             "pathological (or raise maxRounds)")
+      val t0 = System.nanoTime()
       val viaNbr = edges
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("minNbr"))
+      // carry the pre-round label as `old` so convergence detection below
+      // is a filter-count over `next` ITSELF — the old formulation joined
+      // `next` back to `labels` for it, a whole extra equi-join + job per
+      // round
       val prop = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("minNbr"), col("rep"))).as("rep"))
         .persist()
       inFlight = prop
@@ -523,24 +536,32 @@ object Dedup {
         prop.count()
         throw new IllegalStateException("injected mid-round failure (test hook)")
       }
-      val jumpTo = prop.toDF("jid", "jrep")
+      val jumpTo = prop.select(col("id").as("jid"), col("rep").as("jrep"))
       // localCheckpoint truncates lineage: `labels` appears multiple times
       // per round (propagate reads it twice, the jump self-joins prop), so
       // without truncation the LOGICAL plan doubles per round and the
       // analyzer goes exponential long before the data does. Each round's
-      // label state becomes a leaf (materialized eagerly, MEMORY_AND_DISK
-      // — same residency the old persist gave); executor-local blocks are
-      // the right durability here because the loop is re-runnable control
-      // flow, and a lost executor fails the job, not the algorithm.
+      // label state becomes a leaf (MEMORY_AND_DISK — same residency the
+      // old persist gave); executor-local blocks are the right durability
+      // here because the loop is re-runnable control flow, and a lost
+      // executor fails the job, not the algorithm. LAZY checkpoint: the
+      // convergence count below is the action that materializes this
+      // round's blocks — ONE job per round, not an eager-checkpoint job
+      // plus a count job.
       val next = prop.join(jumpTo, col("rep") === col("jid"), "left")
-        .select(col("id"), coalesce(col("jrep"), col("rep")).as("rep"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") < col("old")).count()
+        .select(col("id"), col("old"), coalesce(col("jrep"), col("rep")).as("rep"))
+        .localCheckpoint(false)
+      changed = next.filter(col("rep") < col("old")).count()
+      // per-round observability (the bench stderr trail keeps these): round
+      // count is the one number that adjudicates a slow CC — O(log diameter)
+      // rounds is the design, a count near maxRounds means a pathological
+      // chain graph
+      System.err.println(
+        f"[cc] round $rounds%2d: changed=$changed%-8d ${(System.nanoTime() - t0) / 1e6}%8.0f ms")
       prop.unpersist()
       inFlight = null
       labels.unpersist() // no-op once labels is a checkpoint (GC reclaims)
-      labels = next
+      labels = next.select("id", "rep")
     }
     (labels, rounds)
     } catch { case t: Throwable =>
@@ -692,12 +713,24 @@ object Dedup {
     */
   def entityClusters(spark: SparkSession, dir: String): DataFrame =
     graft.Layer.cached(spark, dir, "entityClusters") {
-      val jac = ngramJaccardPairs(spark, dir, 0.6).select("a", "b")
-      val ed = editDistancePairs(spark, dir)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      connectedComponents(jac.unionByName(ed).distinct())
+      connectedComponents(entityEdges(spark, dir))
         .select(col("id").as("doc_id"), col("rep").as("entity_id"))
     }.orderBy("doc_id")
+
+  /** The x121 union evidence graph: Jaccard pairs ∪ edit-distance pairs,
+    * deduplicated. Consumes the UNSORTED edit-pair core (the x117 query's
+    * presentation orderBy under this distinct would add a range-sample pass
+    * over the whole PassJoin DAG); the Jaccard leg is the Layer-shared
+    * [[ngramJaccardPairs]] frame (generated once per session across
+    * x15/x63/x121/x127/x133). OpsSpec asserts no Sort survives in this
+    * plan.
+    */
+  private[graft] def entityEdges(spark: SparkSession, dir: String): DataFrame = {
+    val jac = ngramJaccardPairs(spark, dir, 0.6).select("a", "b")
+    val ed = editDistancePairsOf(Tables.documents(spark, dir), 64, 4)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    jac.unionByName(ed).distinct()
+  }
 
   /** DuckDB twin: both evidence channels brute-force (the right plan
     * single-node), transitive closure via recursive CTE.
@@ -864,7 +897,14 @@ object Dedup {
   def editDistancePairs(spark: SparkSession, dir: String,
                         prefixLen: Int = 64, d: Int = 4): DataFrame =
     editDistancePairsOf(Tables.documents(spark, dir), prefixLen, d)
+      .orderBy("a_id", "b_id")
 
+  /** Unsorted pair core — [[editDistancePairs]] adds the presentation sort.
+    * Graph consumers ([[entityClusters]]' union-distinct) take THIS frame:
+    * a global orderBy under an aggregate buys nothing, and its
+    * range-partitioner SAMPLE job would evaluate the whole candidate DAG an
+    * extra time even when Catalyst later prunes the sort itself.
+    */
   private[graft] def editDistancePairsOf(docsIn: DataFrame,
                                          prefixLen: Int, d: Int): DataFrame = {
     val k = d + 1
@@ -903,7 +943,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
       .filter(col("dist") <= d)
-      .orderBy("a_id", "b_id")
   }
 
   val editDistanceOracle: String =

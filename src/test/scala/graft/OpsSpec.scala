@@ -465,6 +465,21 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x121 evidence graph keeps no sort below its union-distinct") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // the x117 query's presentation orderBy must NOT reach the entity
+    // graph: a global sort under the distinct is wasted work whose
+    // range-partitioner SAMPLE job re-evaluates the whole PassJoin
+    // candidate DAG once more at scale. entityEdges consumes the unsorted
+    // pair core; this pins that (InMemoryRelation is a leaf in the logical
+    // plan, so a Layer-cached Jaccard leg cannot mask an outer sort).
+    val edges = graft.ext.Dedup.entityEdges(spark, sf)
+    val sorts = edges.queryExecution.optimizedPlan.collect { case s: Sort => s }
+    assert(sorts.isEmpty,
+      s"sort survives under the union-distinct:\n${edges.queryExecution.optimizedPlan}")
+    assert(edges.columns.toSeq === Seq("a", "b"))
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

@@ -136,6 +136,93 @@ object Skew {
         array_join(transform(col("arr"), _.cast("string")), " ").as("vals"))
       .orderBy("k")
 
+  /** Shared inputs of the x45/x46 JOIN pair: the zipf-keyed fact rows with
+    * quantity in integer basis points (exact under any summation order),
+    * and a second TABLE keyed by the same bucket — the power-of-two
+    * representative part of each log₂ bucket (a filter, not an aggregate:
+    * the side must reach the join through a plain shuffle for the AQE
+    * skew-split pattern to apply — see [[skewJoinSplit]]).
+    */
+  private def zipfJoinSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // The fact is staged by the rollup dimension v before the join — the
+    // mid-pipeline shape (at scale the big side of a shuffle join arrives
+    // from an upstream stage with thousands of tasks, not a raw
+    // single-file scan). This matters for the x46 demonstration: AQE
+    // splits a skewed reducer partition at MAP-OUTPUT granularity, so a
+    // single-map fixture (one parquet row group) is unsplittable no matter
+    // how skewed its reducer sizes are.
+    val a = zipfBase(spark, dir)
+      .select(col("k"), pmod(col("v"), lit(64L)).as("v"),
+        (col("l_quantity").cast("long") * 10000L).as("q_bp"))
+      .repartition(16, col("v"))
+    val b = graft.Tables.part(spark, dir)
+      .filter(col("p_partkey").bitwiseAND(col("p_partkey") - 1) === 0)
+      .select(floor(log(2.0, col("p_partkey") + 0.5d)).cast("long").as("k"),
+        col("p_partkey").as("rep_key"))
+    (a, b)
+  }
+
+  /** The post-join rollup keys on the CROSS dimension v — deliberately NOT
+    * on (or including) the join key: any grouping with k as a subset is
+    * already clustered by the join's hash(k) partitioning, so Catalyst
+    * fuses the final aggregate into the join stage with no exchange — and
+    * AQE then rightly declines to split the skewed partition rather than
+    * introduce one. Grouping on v forces the downstream exchange no matter
+    * how the join partitions, so skew-splitting the join costs nothing
+    * extra (the join-on-entity-key, rollup-by-time-slot shape). The
+    * k-weighted checksum keeps every joined row's k and rep_key in the
+    * oracle-checked output without grouping on them.
+    */
+  private def devAgg(joined: DataFrame): DataFrame =
+    joined.groupBy("v")
+      .agg(count(lit(1)).as("n"), sum(col("q_bp")).as("sum_q_bp"),
+        sum(col("k") * col("rep_key")).as("k_checksum"))
+      .orderBy("v")
+
+  /** Plain zipf-key fact⋈stats join — the x45 control. The stats side is
+    * |key domain| rows (12 here), so the RIGHT plan is a broadcast hash
+    * join: the skewed key never shuffles at all, and key skew is
+    * irrelevant to a map-side join. OpsSpec pins the BroadcastHashJoin.
+    */
+  def skewJoinPlain(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = zipfJoinSides(spark, dir)
+    devAgg(a.join(b, "k"))
+  }
+
+  /** The sort-merge formulation of the same join (x46) — the shape a
+    * fact⋈fact join takes when NEITHER side broadcasts (at 100 TB the
+    * stats side is a billion-key frame, not 12 rows). `hint("merge")`
+    * forces the shuffled plan AND stops AQE from demoting it back to a
+    * broadcast, so the hot key's partition is genuinely oversized — the
+    * regime where AQE skew-join splitting carves the skewed partition
+    * into parallel splits and replicates the matching side. OpsSpec runs
+    * this with the skew thresholds scaled to the test corpus and asserts
+    * the executed plan's `skew=true`; output is identical to x45 by
+    * construction (split-and-replicate is correctness-preserving).
+    */
+  def skewJoinSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = zipfJoinSides(spark, dir)
+    devAgg(a.join(b.hint("merge"), Seq("k")))
+  }
+
+  /** DuckDB twin of BOTH x45 and x46 (the pair differs only in physical
+    * strategy). SUM(BIGINT) widens to HUGEINT in DuckDB — cast back.
+    */
+  val skewJoinOracle: String =
+    """WITH a AS (
+      |  SELECT CAST(floor(log2(l_partkey + 0.5)) AS BIGINT) AS k,
+      |         (l_orderkey % 4096) % 64 AS v,
+      |         CAST(l_quantity AS BIGINT) * 10000 AS q_bp
+      |  FROM lineitem),
+      |b AS (SELECT CAST(floor(log2(p_partkey + 0.5)) AS BIGINT) AS k,
+      |             p_partkey AS rep_key
+      |      FROM part WHERE (p_partkey & (p_partkey - 1)) = 0)
+      |SELECT a.v, COUNT(*) AS n,
+      |       CAST(SUM(a.q_bp) AS BIGINT) AS sum_q_bp,
+      |       CAST(SUM(a.k * b.rep_key) AS BIGINT) AS k_checksum
+      |FROM a JOIN b USING (k)
+      |GROUP BY a.v ORDER BY v""".stripMargin
+
   val skewSumOracle: String =
     """SELECT CAST(floor(log2(l_partkey + 0.5)) AS BIGINT) AS k,
       |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total

@@ -111,6 +111,10 @@ object Ext {
     "x42_skew_sum_salted"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSumSalted(s, d)),
     "x43_skew_set_plain"   -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSetPlain(s, d)),
     "x44_skew_set_salted"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewSetSalted(s, d)),
+    // zipf-skew JOIN pair (broadcast control vs forced sort-merge under AQE
+    // skew splitting; see docs/PLANS.md x45–x46)
+    "x45_skew_join_plain"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewJoinPlain(s, d)),
+    "x46_skew_join_split"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewJoinSplit(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -241,6 +245,8 @@ object Ext {
     "x42_skew_sum_salted"  -> graft.ops.Skew.skewSumOracle,
     "x43_skew_set_plain"   -> graft.ops.Skew.skewSetOracle,
     "x44_skew_set_salted"  -> graft.ops.Skew.skewSetOracle,
+    "x45_skew_join_plain"  -> graft.ops.Skew.skewJoinOracle,
+    "x46_skew_join_split"  -> graft.ops.Skew.skewJoinOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

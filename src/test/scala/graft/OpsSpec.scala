@@ -465,6 +465,37 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x46 zipf join splits the skewed partition under AQE; x45 broadcasts it away") {
+    // x45 control: the 12-row stats side must broadcast under defaults —
+    // a map-side join makes key skew irrelevant (no shuffle of the fact)
+    val plain = Skew.skewJoinPlain(spark, sf)
+    val plainRows = plain.collect()
+    assert(plain.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      .contains("BroadcastHashJoin"), "x45 should broadcast the tiny stats side")
+    // x46: force the sort-merge shape (the fact⋈fact regime where neither
+    // side broadcasts) and scale AQE's skew thresholds to the test corpus;
+    // the hot zipf bucket's partition must be carved into parallel splits
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val split = Skew.skewJoinSplit(spark, sf)
+      val splitRows = split.collect()
+      val plan = split.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+      // split-and-replicate is correctness-preserving: identical output
+      assert(splitRows.toSeq === plainRows.toSeq)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("x121 evidence graph keeps no sort below its union-distinct") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     // the x117 query's presentation orderBy must NOT reach the entity

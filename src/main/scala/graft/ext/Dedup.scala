@@ -123,10 +123,11 @@ object Dedup {
     *
     * Construction is `DataFrameStatFunctions.bloomFilter` (a treeAggregate:
     * each partition ORs into a local filter, the driver holds only the
-    * merged bits — constant memory in corpus size). The probe is a scalar
-    * UDF over the broadcast filter: Spark's codegen'd might_contain
-    * expression is internal to the runtime-filter rule, and a 32-byte-key
-    * UDF probe costs a few ns against the scan it saves.
+    * merged bits — constant memory in corpus size). The probe is the
+    * native codegen'd [[graft.functions.BloomMightContain]] expression
+    * over the broadcast filter (Spark's own might_contain is internal to
+    * the runtime-filter rule), so membership stays inside
+    * WholeStageCodegen like the other five house expressions.
     *
     * Error direction is the SAFE one for dedup: no false negatives means a
     * true duplicate is NEVER admitted; a false positive (~fpp of genuinely
@@ -144,9 +145,8 @@ object Dedup {
     val n = math.max(existing.count(), 1L)
     val bf = existing.stat.bloomFilter("content_key", n, fpp)
     val seen = spark.sparkContext.broadcast(bf)
-    val isNew = udf((k: String) => !seen.value.mightContain(k))
     keyed.filter(col("doc_id") % 10 === 0)
-      .filter(isNew(col("content_key")))
+      .filter(!gf.bloom_might_contain(seen, col("content_key")))
       .select("doc_id", "content_key")
       .orderBy("doc_id")
   }

@@ -171,6 +171,32 @@ case class DeflateRatio(child: Expression)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe of a string column against a broadcast
+  * `util.sketch.BloomFilter` (the X57r corpus-delta seen-set). Spark's own
+  * codegen'd might_contain expression is internal to the runtime-filter
+  * rule, so this is the public-API equivalent: the broadcast handle rides
+  * in the expression (serialized into the codegen references array), each
+  * executor reads the filter bits once, and the probe stays inside
+  * WholeStageCodegen — the sixth native expression, retiring the repo's
+  * last Scala-closure UDF.
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainString(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom)
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $ref.value()).mightContainString($c.toString())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-API entry points, mirroring org.apache.spark.sql.functions style. */
 object functions {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -182,6 +208,11 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimF(x(a), x(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
   def deflate_ratio(col: Column): Column = c(DeflateRatio(x(col)))
+  // not in registerSql: the expression closes over a Broadcast handle,
+  // which a SQL call site has no way to supply
+  def bloom_might_contain(
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      col: Column): Column = c(BloomMightContain(x(col), bloom))
 
   /** Expose the custom expressions to SQL (`SELECT fnv1a64(text) ...`). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {

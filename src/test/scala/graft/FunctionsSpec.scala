@@ -72,4 +72,25 @@ class FunctionsSpec extends SparkSuite {
       .select(gf.hamming64(col("a"), col("b"))).collect()(0).getInt(0)
     assert(got === 64)
   }
+
+  test("bloom_might_contain (codegen path) agrees with the driver-side filter") {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val put = (0 until 500).map(i => s"key_$i")
+    put.foreach(bf.putString)
+    val probe = put.take(50) ++ (0 until 50).map(i => s"absent_$i")
+    val seen = spark.sparkContext.broadcast(bf)
+    val got = probe.toDF("k")
+      .select(col("k"), gf.bloom_might_contain(seen, col("k")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever: every inserted key probes true
+    put.take(50).foreach(k => assert(got(k), s"inserted key $k probed false"))
+    // and the expression is the SAME predicate as the driver-side filter,
+    // false positives included (bit-level agreement, not a statistical law)
+    probe.foreach(k => assert(got(k) === bf.mightContainString(k), k))
+    // null flows through as null (nullIntolerant), not a crash or a hit
+    val withNull = Seq(Some("key_1"), None).toDF("k")
+      .select(gf.bloom_might_contain(seen, col("k")).as("hit")).collect()
+    assert(withNull(0).getBoolean(0) && withNull(1).isNullAt(0))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Dedup
+
+/** x135: the composed end-to-end curation pipeline — the "whole pipeline"
+  * query a pre-training data flow actually runs, chaining five stages the
+  * library proves individually into ONE DataFrame DAG with one oracle:
+  *
+  *   1. quality gate (length + integer-bp lexical diversity) on the train
+  *      carve (doc_id % 10 ≠ 0 — the x61/x62 eval-split convention),
+  *   2. exact dedup on normalized text (min-doc_id representative, the
+  *      x14 hash-agg formulation carrying its attributes through one
+  *      struct-min aggregate — no join-back),
+  *   3. near-dup removal (drop the higher id of every ≥ 0.6 shingle-
+  *      Jaccard pair — the Layer-shared x15 PPJoin pair set, generated
+  *      once per session across x15/x60/x63/x121/x127/x133/x135),
+  *   4. benchmark decontamination (drop train docs sharing any 4-gram
+  *      with the eval carve — the Layer-shared x62 grams4 stream and its
+  *      broadcast eval-gram set),
+  *   5. curriculum token-budget cut + sequence packing: quality-ordered
+  *      (ttr desc, doc_id) exact global running total via
+  *      [[Ranking.globalCumSum]] (two-phase bucketed prefix sums — no
+  *      single-task window), kept to half the clean corpus's tokens (the
+  *      budget arrives as a one-row broadcast), then offset-packed into
+  *      2048-token sequences from the same running total ((cum − n) DIV
+  *      2048 — the straddling-doc boundary treatment x72's shard packing
+  *      refines; here the point is the exact SQL-mirrorable composition).
+  *
+  * Nothing materializes between stages except the deliberately shared
+  * Layer frames; every number is BIGINT (integer basis points, integral
+  * division clamped positive) so the DuckDB twin hash-matches exactly.
+  * OpsSpec adds the compositional invariants (no eval doc, no near-dup
+  * loser, no contaminated doc, no duplicate norm survives; packing is
+  * recomputable from the output alone) and pins the Layer reuse in the
+  * plan.
+  */
+object Curation {
+
+  def curatedPacks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    // stage 1: gate the train carve
+    val gated = docs
+      .filter(col("doc_id") % 10 =!= 0)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 30)
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("ttr_bp", expr("n_distinct * 10000 div n_tokens"))
+      .filter(col("ttr_bp") >= 3000)
+    // stage 2: exact dedup, attributes ride the struct min (doc_id leads,
+    // so lexicographic min ≡ min doc_id — one aggregate, no join-back)
+    val exactKept = gated
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy("norm")
+      .agg(min(struct(col("doc_id"), col("n_tokens"), col("ttr_bp"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.ttr_bp").as("ttr_bp"))
+    // stage 3: near-dup losers (Layer-shared pair set, key-projected)
+    val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
+      .select(col("b").as("doc_id")).distinct()
+    // stage 4: eval contamination (Layer-shared gram stream)
+    val grams = Dedup.grams4(spark, dir)
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+    val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    val clean = exactKept
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5: budget cut + offset packing on the exact global cumsum
+    val withCum = Ranking.globalCumSum(clean,
+      order = col("ttr_bp") * -1, tieBreak = col("doc_id"),
+      weight = col("n_tokens"), cumCol = "cum_tokens")
+    val budget = clean.agg(expr("sum(n_tokens) div 2").as("budget"))
+    withCum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr_bp"),
+        expr("(cum_tokens - n_tokens) div 2048").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: every stage mirrored (brute-force Jaccard for stage 3 —
+    * the PPJoin blocking is provably lossless, so the pair sets agree),
+    * the cumsum as a plain global window (the right single-node plan).
+    */
+  val curatedPacksOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id % 10 <> 0),
+      |g AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |             CAST((CAST(len(list_distinct(toks)) AS BIGINT) * 10000)
+      |                  // CAST(len(toks) AS BIGINT) AS BIGINT) AS ttr_bp
+      |      FROM t WHERE len(toks) >= 30),
+      |gated AS (SELECT doc_id, text, n_tokens, ttr_bp FROM g WHERE ttr_bp >= 3000),
+      |ex AS (SELECT MIN(doc_id) AS doc_id
+      |       FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+      |             FROM gated)
+      |       GROUP BY norm),
+      |sh AS (SELECT doc_id, lang,
+      |              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |       FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+      |           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |           WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |d4 AS (SELECT doc_id, u.gram FROM dd,
+      |         UNNEST(list_distinct(list_transform(range(1, n - 2),
+      |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) u(gram)
+      |       WHERE n >= 4),
+      |bench AS (SELECT DISTINCT gram FROM d4 WHERE doc_id % 10 = 0),
+      |contam AS (SELECT DISTINCT d4.doc_id FROM d4 JOIN bench USING (gram)
+      |           WHERE d4.doc_id % 10 <> 0),
+      |clean AS (SELECT gg.doc_id, gg.n_tokens, gg.ttr_bp
+      |          FROM ex JOIN gated gg ON ex.doc_id = gg.doc_id
+      |          WHERE gg.doc_id NOT IN (SELECT doc_id FROM losers)
+      |            AND gg.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |cum AS (SELECT doc_id, n_tokens, ttr_bp,
+      |               CAST(SUM(n_tokens) OVER (ORDER BY ttr_bp DESC, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |                 AS cum_tokens
+      |        FROM clean),
+      |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM clean)
+      |SELECT doc_id, n_tokens, ttr_bp,
+      |       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id
+      |FROM cum, b WHERE cum_tokens <= budget
+      |ORDER BY doc_id""".stripMargin
+}

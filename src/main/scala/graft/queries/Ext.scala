@@ -115,6 +115,9 @@ object Ext {
     // skew splitting; see docs/PLANS.md x45–x46)
     "x45_skew_join_plain"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewJoinPlain(s, d)),
     "x46_skew_join_split"  -> ((s: SparkSession, d: String) => graft.ops.Skew.skewJoinSplit(s, d)),
+    // composed end-to-end curation pipeline (gates → dedup → decontam →
+    // budget cut → pack as ONE DAG; see docs/PLANS.md x135)
+    "x135_curation_pipeline" -> ((s: SparkSession, d: String) => graft.ops.Curation.curatedPacks(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -247,6 +250,7 @@ object Ext {
     "x44_skew_set_salted"  -> graft.ops.Skew.skewSetOracle,
     "x45_skew_join_plain"  -> graft.ops.Skew.skewJoinOracle,
     "x46_skew_join_split"  -> graft.ops.Skew.skewJoinOracle,
+    "x135_curation_pipeline" -> graft.ops.Curation.curatedPacksOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

@@ -511,6 +511,46 @@ class OpsSpec extends SparkSuite {
     assert(edges.columns.toSeq === Seq("a", "b"))
   }
 
+  test("curation pipeline composes its stages: every invariant of every stage survives") {
+    import graft.ext.Dedup
+    val out = graft.ops.Curation.curatedPacks(spark, sf)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "pipeline produced no packs at the test fixture")
+    val ids = rows.map(_._1).toSet
+    // stage 1: train carve only — no eval doc survives
+    assert(ids.forall(_ % 10 != 0), "eval-carve doc leaked through the pipeline")
+    // stage 2: no two survivors share a normalized text
+    val norms = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(regexp_replace(lower(col("text")), "\\s+", " ").as("n"))
+      .collect().map(_.getString(0))
+    assert(norms.length === norms.distinct.length, "exact duplicates survived")
+    // stage 3: no near-dup loser survives (the b side of any >= 0.6 pair)
+    val losers = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("b").collect().map(_.getLong(0)).toSet
+    assert((ids & losers).isEmpty, "near-dup losers survived")
+    // stage 4: no contaminated doc survives (x62's flagged set IS the law)
+    val contaminated = Dedup.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ids & contaminated).isEmpty, "eval-contaminated docs survived")
+    // stage 5: packing is recomputable from the output alone — the kept
+    // set is a PREFIX of the (ttr desc, doc_id) order, so the output-local
+    // running total equals the pipeline's, and pack_id must be its floor
+    var cum = 0L
+    rows.sortBy { case (id, _, ttr, _) => (-ttr, id) }.foreach {
+      case (id, n, _, pack) =>
+        assert(pack === cum / 2048, s"doc $id pack_id $pack != ${cum / 2048}")
+        cum += n
+    }
+    // and the Layer-shared stages are visible in the plan: the pair set /
+    // gram stream arrive as cached relations, not re-derived scans
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "expected Layer-cached stage inputs (shared scans) in the plan")
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

@@ -35,8 +35,13 @@ object Graph {
     * would add the localCheckpoint round-bounding [[graft.ext.Dedup]]'s CC
     * loop demonstrates.
     */
-  def nationTradeRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val edges = graft.Layer.cached(spark, dir, "nationTradeEdges") {
+  /** The weighted nation→nation trade edge list (customer nation places
+    * order lines with supplier nation), Layer-shared between x110's
+    * PageRank and x136's triangle count — the fact-sized aggregate runs
+    * once per session.
+    */
+  private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "nationTradeEdges") {
       Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -47,6 +52,9 @@ object Graph {
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
     }
+
+  def nationTradeRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val edges = tradeEdges(spark, dir)
     val out = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -66,6 +74,88 @@ object Graph {
         col("pr").cast("long").as("pr_micro"))
       .orderBy(col("pr_micro").desc, col("nationkey"))
   }
+
+  /** x136: per-node triangle participation over the undirected trade
+    * graph — the clustering/cohesion signal (a nation inside many trade
+    * triangles sits in a dense bloc; spam/collusion detection runs the
+    * same count over link graphs). Enumeration is the degree-ordered
+    * FORWARD algorithm (Schank & Wagner 2005): orient every undirected
+    * edge from the endpoint with the smaller (degree, id) to the larger,
+    * making the orientation an acyclic total order in which each triangle
+    * has EXACTLY ONE source vertex with out-edges to the other two — so
+    * wedges (u→v₁, u→v₂) joined against the undirected closing edge
+    * {v₁,v₂} enumerate each triangle once, and per-node out-degree is
+    * O(√m), bounding the wedge space at Σ outdeg² ≈ m^1.5 instead of the
+    * Σ deg² a plain wedge join pays on hub nodes (THE scale difference on
+    * a power-law graph: the hub's deg² explodes, its outdeg² cannot).
+    * Node set and counts mirror brute-force x<y<z enumeration, which is
+    * exactly what the DuckDB twin does.
+    */
+  def tradeTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.toDF("u", "v1").join(oriented.toDF("u", "v2"), "u")
+      .filter(col("v1") < col("v2"))
+    val tri = wedges.join(und,
+      least(col("v1"), col("v2")) === col("a") &&
+        greatest(col("v1"), col("v2")) === col("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val nodes = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    nodes.join(perNode, Seq("id"), "left_outer")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("id") === col("n_nationkey"))
+      .select(col("id").cast("long").as("nationkey"), col("n_name").as("nation"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("nationkey")
+  }
+
+  /** DuckDB twin: brute-force x<y<z triangle enumeration (the right
+    * single-node plan; the degree-ordered blocking above is provably
+    * exact, so the triangle sets agree), corners unioned for per-node
+    * counts.
+    */
+  val trianglesOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |        FROM e WHERE src <> dst),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM und e1
+      |        JOIN und e2 ON e2.a = e1.b
+      |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (SELECT x AS id FROM tri
+      |            UNION ALL SELECT y FROM tri
+      |            UNION ALL SELECT z FROM tri),
+      |cnt AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY 1),
+      |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und)
+      |SELECT CAST(nodes.id AS BIGINT) AS nationkey, n.n_name AS nation,
+      |       CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+      |FROM nodes
+      |LEFT JOIN cnt ON cnt.id = nodes.id
+      |JOIN nation n ON n.n_nationkey = nodes.id
+      |ORDER BY nationkey""".stripMargin
 
   /** DuckDB twin: the identical three update rounds unrolled as CTEs —
     * `//` is DuckDB's integer floor division, matching Spark's `div` on

@@ -60,6 +60,95 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** x137: snapshot profile drift — x124's ANALYZE surface applied to
+    * CHANGE DETECTION: per column, null counts, exact distinct counts,
+    * and a range-moved flag for an old vs a new corpus snapshot (the
+    * x105 carve convention: old = doc_id % 17 ≠ 0 with the % 13 staleness
+    * mutation, new = doc_id % 19 ≠ 0). This is the schema-drift gate a
+    * nightly ingest runs before promoting a snapshot — "did a feed stop
+    * filling `lang`? did `source` cardinality collapse?" — and the
+    * novelty is the plan: BOTH snapshots' statistics for ALL columns
+    * compute in ONE pass over the shared base (conditional aggregates
+    * gated on the carve flags; the exact distincts compile to the same
+    * single Expand as x124), where the naive formulation scans the table
+    * once per snapshot. The 1×(8·|cols|) row pivots via a plan-time
+    * struct array; the drift ratio is integer basis points.
+    */
+  def profileDrift(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val base = graft.Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      (col("doc_id") % 17 =!= 0).as("in_old"),
+      (col("doc_id") % 19 =!= 0).as("in_new"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [stale]")))
+        .otherwise(col("text")).as("text_old"))
+    // (column, old-snapshot value, new-snapshot value) — string images,
+    // the x124 type-stable representation
+    val specs: Seq[(String, Column, Column)] = Seq(
+      ("doc_id", col("doc_id").cast("string"), col("doc_id").cast("string")),
+      ("lang", col("lang"), col("lang")),
+      ("source", col("source"), col("source")),
+      ("text", col("text_old"), col("text")))
+    val aggs = specs.flatMap { case (n, ov, nv) =>
+      Seq(
+        sum(when(col("in_old") && ov.isNull, 1L).otherwise(0L)).as(s"${n}__nulls_old"),
+        sum(when(col("in_new") && nv.isNull, 1L).otherwise(0L)).as(s"${n}__nulls_new"),
+        countDistinct(when(col("in_old"), ov)).as(s"${n}__ndv_old"),
+        countDistinct(when(col("in_new"), nv)).as(s"${n}__ndv_new"),
+        min(when(col("in_old"), ov)).as(s"${n}__min_old"),
+        min(when(col("in_new"), nv)).as(s"${n}__min_new"),
+        max(when(col("in_old"), ov)).as(s"${n}__max_old"),
+        max(when(col("in_new"), nv)).as(s"${n}__max_new"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stacked = array(specs.map { case (n, _, _) =>
+      struct(lit(n).as("column_name"),
+        col(s"${n}__nulls_old").as("nulls_old"),
+        col(s"${n}__nulls_new").as("nulls_new"),
+        col(s"${n}__ndv_old").as("ndv_old"),
+        col(s"${n}__ndv_new").as("ndv_new"),
+        expr(s"${n}__ndv_new * 10000 div ${n}__ndv_old").as("ndv_ratio_bp"),
+        (col(s"${n}__min_old") =!= col(s"${n}__min_new") ||
+          col(s"${n}__max_old") =!= col(s"${n}__max_new")).cast("long")
+          .as("range_changed"))
+    }: _*)
+    one.select(explode(stacked).as("s"))
+      .select(col("s.column_name"), col("s.nulls_old"), col("s.nulls_new"),
+        col("s.ndv_old"), col("s.ndv_new"), col("s.ndv_ratio_bp"),
+        col("s.range_changed"))
+      .orderBy("column_name")
+  }
+
+  /** DuckDB twin: the same conditional aggregates per column, unioned. */
+  val driftOracle: String = {
+    def block(n: String, ov: String, nv: String): String =
+      s"""SELECT '$n' AS column_name,
+         |  CAST(SUM(CASE WHEN in_old AND $ov IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_old,
+         |  CAST(SUM(CASE WHEN in_new AND $nv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_new,
+         |  CAST(COUNT(DISTINCT CASE WHEN in_old THEN $ov END) AS BIGINT) AS ndv_old,
+         |  CAST(COUNT(DISTINCT CASE WHEN in_new THEN $nv END) AS BIGINT) AS ndv_new,
+         |  CAST((MIN(CASE WHEN in_old THEN $ov END) <> MIN(CASE WHEN in_new THEN $nv END)
+         |     OR MAX(CASE WHEN in_old THEN $ov END) <> MAX(CASE WHEN in_new THEN $nv END)) AS BIGINT) AS range_changed
+         |FROM base""".stripMargin
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, text,
+      |         (doc_id % 17 <> 0) AS in_old,
+      |         (doc_id % 19 <> 0) AS in_new,
+      |         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text_old
+      |  FROM documents),
+      |u AS (
+      |""".stripMargin +
+      Seq(
+        block("doc_id", "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS VARCHAR)"),
+        block("lang", "lang", "lang"),
+        block("source", "source", "source"),
+        block("text", "text_old", "text")).mkString("", "\nUNION ALL\n", ")\n") +
+      """SELECT column_name, nulls_old, nulls_new, ndv_old, ndv_new,
+        |       CAST(ndv_new * 10000 // ndv_old AS BIGINT) AS ndv_ratio_bp,
+        |       range_changed
+        |FROM u ORDER BY column_name""".stripMargin
+  }
+
   /** x125: constraint audit — the referential-integrity / key-uniqueness /
     * domain-rule sweep a warehouse runs before trusting a load: FK orphan
     * counts (key-projected LEFT ANTI joins — AQE broadcasts the dim key

@@ -118,6 +118,12 @@ object Ext {
     // composed end-to-end curation pipeline (gates → dedup → decontam →
     // budget cut → pack as ONE DAG; see docs/PLANS.md x135)
     "x135_curation_pipeline" -> ((s: SparkSession, d: String) => graft.ops.Curation.curatedPacks(s, d)),
+    // degree-ordered triangle counting over the trade graph (Layer-shared
+    // edges with x110)
+    "x136_trade_triangles" -> ((s: SparkSession, d: String) => graft.ops.Graph.tradeTriangles(s, d)),
+    // one-pass dual-snapshot column-profile drift report (x124's ANALYZE
+    // surface as a change-detection gate)
+    "x137_profile_drift"   -> ((s: SparkSession, d: String) => graft.ops.Quality.profileDrift(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -251,6 +257,8 @@ object Ext {
     "x45_skew_join_plain"  -> graft.ops.Skew.skewJoinOracle,
     "x46_skew_join_split"  -> graft.ops.Skew.skewJoinOracle,
     "x135_curation_pipeline" -> graft.ops.Curation.curatedPacksOracle,
+    "x136_trade_triangles" -> graft.ops.Graph.trianglesOracle,
+    "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

@@ -551,6 +551,50 @@ class OpsSpec extends SparkSuite {
       "expected Layer-cached stage inputs (shared scans) in the plan")
   }
 
+  test("degree-ordered triangle count equals local brute force and conserves corner mass") {
+    val got = graft.ops.Graph.tradeTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // local brute force over the same undirected edge set
+    val und = graft.ops.Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long"),
+        greatest(col("src"), col("dst")).cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct
+    val triangles = for {
+      (x, y) <- und.toSeq
+      z <- nodes if y < z && und((y, z)) && und((x, z))
+    } yield (x, y, z)
+    val expected = nodes.map(v => v ->
+      triangles.count(t => t._1 == v || t._2 == v || t._3 == v).toLong).toMap
+    assert(got === expected, "degree-ordered enumeration diverged from brute force")
+    // each triangle contributes exactly 3 corners
+    assert(got.values.sum === 3L * triangles.size)
+    assert(triangles.nonEmpty, "fixture graph has no triangles — test is vacuous")
+  }
+
+  test("profile drift computes both snapshots in one scan and detects the planted mutation") {
+    val drift = graft.ops.Quality.profileDrift(spark, sf)
+    val rows = drift.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet === Set("doc_id", "lang", "source", "text"))
+    // the % 13 staleness mutation on the old side's text must register:
+    // mutated texts differ, so the text column cannot look ndv-identical
+    // AND range-identical between snapshots
+    val (_, _, ndvOld, ndvNew, _, rangeChanged) = rows("text")
+    assert(ndvOld > 0 && ndvNew > 0)
+    assert(ndvOld != ndvNew || rangeChanged === 1L,
+      "planted text mutation not detected by the drift report")
+    // one-pass law: a single documents scan and a single Expand serve
+    // BOTH snapshots' statistics (the naive plan scans once per snapshot)
+    val plan = drift.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.sliding("FileScan".length).count(_ == "FileScan") === 1,
+      s"expected exactly one scan:\n$plan")
+    assert(plan.sliding("Expand".length).count(_ == "Expand") === 1,
+      s"expected exactly one Expand:\n$plan")
+  }
+
   test("partitioned parquet sink prunes directories on the partition predicate") {
     val out = Files.createTempDirectory("graft_sink").toString + "/docs"
     Sinks.parquetPartitioned(Tables.documents(spark, sf), out, Seq("lang"))

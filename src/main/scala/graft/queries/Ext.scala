@@ -168,6 +168,7 @@ object Ext {
     "s08_stream_enrich"    -> ((s: SparkSession, d: String) => Streams.enrichStream(s, d)),
     "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
     "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
+    "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +273,20 @@ object Ext {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // s11: the LEFT OUTER twin — unmatched views kept, null side coalesced
+    // to -1/0 sentinels (no NULLs reach the cross-engine hash or the sort)
+    "s11_stream_left_join" ->
+      """SELECT v.event_id AS view_id,
+        |       COALESCE(p.event_id, -1) AS purchase_id, v.user_id,
+        |       CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+        |       COALESCE(CAST(epoch_us(p.ts) AS BIGINT), -1) AS purchase_us,
+        |       COALESCE(ROUND(p.value, 4), 0.0) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
         |ORDER BY view_id, purchase_id""".stripMargin,

@@ -195,6 +195,63 @@ object Streams {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** s11: stream-stream LEFT OUTER interval join — s06's view→purchase
+    * attribution with the abandonment rows kept: a view with NO purchase
+    * in its 6-hour window emits null-padded once BOTH watermarks pass the
+    * window's end (only then can the engine prove no match is coming; the
+    * null side is then coalesced to -1/0 sentinels so the output carries
+    * no NULLs into the cross-engine hash).
+    *
+    * The flush mechanics are the operational lesson here: a replayed
+    * batch fixture ENDS at its last real event, so the watermark never
+    * passes the tail views' windows and every unmatched row near the end
+    * would sit in state forever. The staged replay appends one far-future
+    * heartbeat event PER SIDE (each passes its side's type filter so the
+    * per-side watermark actually observes it; the two carry disjoint
+    * user_ids so they can never join, and negative ids keep them out of
+    * the result). That is the production punctuation/heartbeat pattern —
+    * not a test hack — and it is why the AvailableNow replay's final
+    * no-data micro-batch flushes ALL real unmatched views, making the
+    * output equal the batch LEFT JOIN exactly (oracle-checked).
+    * State stays watermark-bounded: both sides evict past the join window
+    * like s06.
+    */
+  def viewPurchaseLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = Tables.load(spark, dir, "events").select(cols.map(col): _*)
+    val far = raw.agg(max(col("ts"))).first().getLong(0) + 100L * 3600 * 1000000000L
+    val sentinels = Seq(
+      (-1L, far, -1L, "view", 0.0, "{}"),
+      (-2L, far, -2L, "purchase", 0.0, "{}"))
+      .toDF(cols: _*)
+    val staged = s"${graft.RunScoped.ioDir}/stream_leftjoin"
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged)
+    val ev = Tables.normalizeTs(
+      spark.readStream.schema(raw.schema).parquet(staged))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "7 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "7 hours")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"),
+      "left_outer")
+    runToMemory(joined, "append")
+      .filter(col("view_id") >= 0)
+      .select(col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        coalesce(unix_micros(col("purchase_ts")), lit(-1L)).as("purchase_us"),
+        coalesce(round(col("value"), 4), lit(0.0)).as("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** Per-user running (count, total) on the Spark 4 arbitrary-state API:
     * typed ValueState keyed by user, updated per micro-batch. The modern
     * replacement for flatMapGroupsWithState (s03) — same semantics, but

@@ -122,6 +122,29 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set((1L, 10L)), s"got $rows")
   }
 
+  test("left-outer stream join keeps the inner matches and flushes every unmatched view") {
+    import org.apache.spark.sql.functions.col
+    val lj = Streams.viewPurchaseLeftJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    // the matched subset is EXACTLY s06's inner join
+    val inner = Streams.viewPurchaseJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(lj.filter(_._2 >= 0).toSet === inner)
+    // every batch view appears exactly once matched-or-unmatched per match:
+    // the view id set equals the batch view set (nothing held back in state)
+    val allViews = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(lj.map(_._1).toSet === allViews,
+      "some views never flushed from the outer join's state")
+    // unmatched rows exist at this fixture and carry the null-side sentinels
+    val unmatched = lj.filter(_._2 == -1L)
+    assert(unmatched.nonEmpty, "fixture has no abandoned views — test is vacuous")
+    unmatched.foreach { r => assert(r._5 === -1L && r._6 === 0.0) }
+  }
+
   test("checkpointed windowed aggregate recovers state across stop/restart") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

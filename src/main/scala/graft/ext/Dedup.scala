@@ -452,13 +452,21 @@ object Dedup {
     * dropping pairwise.
     */
   def dupClusters(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
-    // Layer-memoized: the labels frame comes back persisted (see
-    // connectedComponents), so repeated invocations must reuse one copy
-    // (evicted via Layer.clear) rather than leak a new persist each call.
+    dupClustersUnsorted(spark, dir, minJaccard).orderBy("doc_id")
+
+  /** The unsorted Layer-memoized cluster labels — graph/aggregate
+    * consumers (x139's representative selection) take THIS frame; the
+    * public [[dupClusters]] adds the presentation sort. The labels frame
+    * comes back persisted (see [[connectedComponents]]), so repeated
+    * invocations must reuse one copy (evicted via Layer.clear) rather
+    * than leak a new persist each call.
+    */
+  private[graft] def dupClustersUnsorted(spark: SparkSession, dir: String,
+                                         minJaccard: Double = 0.6): DataFrame =
     graft.Layer.cached(spark, dir, s"dupClusters@$minJaccard") {
       connectedComponents(ngramJaccardPairs(spark, dir, minJaccard).select("a", "b"))
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
-    }.orderBy("doc_id")
+    }
 
   /** Min-label propagation over an undirected pair list `(a, b)`; returns
     * one row per node with its component's smallest id as `rep`. The
@@ -608,6 +616,51 @@ object Dedup {
   val clustersOracle: String =
     ccOracleCtes +
       "\nSELECT doc_id, cluster_rep FROM cl ORDER BY doc_id"
+
+  /** x139: quality-best representative per duplicate cluster — the
+    * curation policy past x63's min-id labeling: when a cluster of
+    * near-identical documents collapses to one survivor, production
+    * pipelines keep the BEST copy (here: most tokens — the least-truncated
+    * mirror; ties to the smallest doc_id), not the arbitrarily-first one.
+    * One aggregate over the Layer-shared cluster labels joined to a
+    * key-projected token count: the argmax rides a struct max (tokens,
+    * −doc_id) — no window, no second pass, the same max-aggregate shape
+    * as W1's last-per-group. Output: one row per cluster with the kept
+    * member, its token count, and cluster size.
+    */
+  def clusterBestReps(spark: SparkSession, dir: String): DataFrame = {
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    dupClustersUnsorted(spark, dir, 0.6)
+      .join(qual, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_rep"), (-col("m.neg_id")).as("kept_doc"),
+        col("m.n_tokens").as("kept_tokens"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** DuckDB twin: the recursive-CTE closure + a packed-key argmax
+    * (tokens·10¹² − doc_id ≡ the struct's lexicographic order for
+    * doc_id < 10¹²).
+    */
+  val clusterRepsOracle: String =
+    ccOracleCtes +
+      """,
+        |q AS (SELECT cl.cluster_rep, cl.doc_id,
+        |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+        |best AS (SELECT cluster_rep,
+        |                MAX(n_tokens * 1000000000000 - doc_id) AS bkey,
+        |                CAST(COUNT(*) AS BIGINT) AS n_members
+        |         FROM q GROUP BY cluster_rep)
+        |SELECT b.cluster_rep, q.doc_id AS kept_doc,
+        |       q.n_tokens AS kept_tokens, b.n_members
+        |FROM best b JOIN q
+        |  ON q.cluster_rep = b.cluster_rep
+        | AND q.n_tokens * 1000000000000 - q.doc_id = b.bkey
+        |ORDER BY b.cluster_rep""".stripMargin
 
   /** x127: incremental near-dup ADMISSION — the third leg of the
     * incremental family: x61 rejects exact re-ingests (content hash),

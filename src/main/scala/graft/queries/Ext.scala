@@ -124,6 +124,9 @@ object Ext {
     // one-pass dual-snapshot column-profile drift report (x124's ANALYZE
     // surface as a change-detection gate)
     "x137_profile_drift"   -> ((s: SparkSession, d: String) => graft.ops.Quality.profileDrift(s, d)),
+    // quality-best representative per x63 duplicate cluster (argmax as a
+    // struct-max aggregate, Layer-shared labels)
+    "x139_cluster_reps"    -> ((s: SparkSession, d: String) => Dedup.clusterBestReps(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -260,6 +263,7 @@ object Ext {
     "x135_curation_pipeline" -> graft.ops.Curation.curatedPacksOracle,
     "x136_trade_triangles" -> graft.ops.Graph.trianglesOracle,
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
+    "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

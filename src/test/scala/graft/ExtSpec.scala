@@ -769,6 +769,26 @@ class ExtSpec extends SparkSuite {
     assert(leaked.isEmpty, s"leaked cached RDD blocks after mid-round failure: $leaked")
   }
 
+  test("cluster representative selection keeps the max-token member, ties to min id") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = Dedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val expected = byCluster.map { case (rep, members) =>
+      val kept = members.maxBy(id => (toks(id), -id))
+      rep -> (kept, toks(kept), members.size.toLong)
+    }
+    val got = Dedup.clusterBestReps(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // the policy must differ from min-id labeling somewhere at this
+    // fixture, or the test proves nothing beyond x63
+    assert(expected.exists { case (rep, (kept, _, _)) => kept != rep },
+      "every cluster kept its min-id member — quality policy unexercised")
+  }
+
   test("connected components resolve chains and keep separate components apart") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),

@@ -52,4 +52,46 @@ object AsOf {
       |FROM events e
       |ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
+
+  /** x138: the FORWARD as-of — for each order, the customer's FIRST event
+    * at or after the order date (the "time-to-next-action" direction that
+    * attribution and label-generation pipelines need; a backward as-of
+    * cannot express it). Same union + one-key-shuffle composition as
+    * [[eventsToLatestOrder]], with the window frame reversed:
+    * first-non-null over (currentRow, unboundedFollowing), and the kind
+    * tags arranged so an event at exactly the order's instant sorts AFTER
+    * the order row and is therefore visible to it (inclusive forward
+    * as-of). Orders whose customer never acts again are dropped (inner).
+    * Timestamp-equal ties collapse by emitting the matched INSTANT (µs),
+    * mirroring x50's date-only tie treatment.
+    */
+  def ordersToNextEvent(spark: SparkSession, dir: String): DataFrame = {
+    val or = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"), col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("ts"),
+      lit(null).cast("timestamp").as("ets"),
+      lit(0).as("kind"))
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      col("ts"),
+      col("ts").as("ets"),
+      lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    or.unionByName(ev)
+      .withColumn("next_ets", first(col("ets"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0 && col("next_ets").isNotNull)
+      .select(col("o_orderkey"), col("user_id"),
+        unix_micros(col("next_ets")).as("next_event_us"))
+      .orderBy("o_orderkey")
+  }
+
+  val forwardOracle: String =
+    """SELECT o.o_orderkey, o.o_custkey AS user_id,
+      |       CAST(epoch_us(e.ts) AS BIGINT) AS next_event_us
+      |FROM orders o
+      |ASOF JOIN events e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |ORDER BY o.o_orderkey""".stripMargin
 }

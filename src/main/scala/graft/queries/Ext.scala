@@ -97,6 +97,7 @@ object Ext {
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
     // as-of join (union + last-non-null window composition)
     "x50_asof_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.eventsToLatestOrder(s, d)),
+    "x138_asof_forward"    -> ((s: SparkSession, d: String) => graft.ops.AsOf.ordersToNextEvent(s, d)),
     // skew-resilient aggregation (two-phase salted; equals plain groupBy)
     "x40_salted_agg"       -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -250,6 +251,7 @@ object Ext {
         |       array_to_string(range(0, nf, 2), ' ') AS sampled_frames
         |FROM g ORDER BY doc_id""".stripMargin,
     "x50_asof_join"        -> graft.ops.AsOf.oracle,
+    "x138_asof_forward"    -> graft.ops.AsOf.forwardOracle,
     "x51_range_join"       -> graft.ops.RangeJoin.oracle,
     "x40_salted_agg"       ->
       """SELECT l_partkey AS k, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total

@@ -624,6 +624,70 @@ object TextAnalysis {
       |FROM bg JOIN cost USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** x140: Jelinek–Mercer interpolated bigram NLL — the smoothing step
+    * between x85's unigram and x107's pure-bigram models that real n-gram
+    * LMs actually ship: cost(w₂|w₁) = −ln(λ·p_bi + (1−λ)·p_uni) with
+    * λ = 0.7, so rare contexts fall back toward the unigram mass instead
+    * of over-trusting a sparse bigram estimate. Exactness discipline: the
+    * mixture is ONE all-integer rational
+    * (7·n_bg·N + 3·n_uni·n_ctx) / (10·n_ctx·N) — products exact in
+    * BIGINT, a single double division with operand order pinned
+    * identically in the oracle — then the x85 milli-nat floor. Plan shape:
+    * the three count tables are map-combinable aggregates over the token /
+    * bigram streams, N is a one-row broadcast, and the cost join back to
+    * the bigram stream is AQE-governed exactly like x107. ExtSpec pins
+    * the interpolation bracket (the mixed cost can exceed neither
+    * component's cost by more than its mixing penalty: ≤ c_bi + 357, and
+    * ≤ c_uni + 1204 milli-nats).
+    */
+  def interpolatedNll(spark: SparkSession, dir: String): DataFrame = {
+    val bg = withTokens(Tables.documents(spark, dir))
+      .filter(size(col("tokens")) >= 2)
+      .withColumn("bgs",
+        transform(sequence(lit(0), size(col("tokens")) - 2),
+          i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
+      .select(col("doc_id"), explode(col("bgs")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("token"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("n_uni"))
+    val totals = toks.agg(count(lit(1)).as("n_tot"))
+    val cost = bc.join(cc, "w1")
+      .join(uni.withColumnRenamed("token", "w2"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        floor(-log(
+          (lit(7L) * col("n_bg") * col("n_tot") + lit(3L) * col("n_uni") * col("n_ctx")) /
+            (lit(10L) * col("n_ctx") * col("n_tot"))) * 1000d + 0.5d)
+          .cast("long").as("c_millinat"))
+    bg.join(cost, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c_millinat")).as("nll_millinat"))
+      .orderBy("doc_id")
+  }
+
+  val interpolatedNllOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+      |       FROM t, UNNEST(range(1, len(toks))) i(i)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, COUNT(*) AS n_ctx FROM bg GROUP BY 1),
+      |tok AS (SELECT u.t AS token FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |uni AS (SELECT token, COUNT(*) AS n_uni FROM tok GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_tot FROM tok),
+      |cost AS (SELECT w1, w2,
+      |           CAST(floor(-ln((7 * n_bg * n_tot + 3 * n_uni * n_ctx) /
+      |                          (10 * n_ctx * n_tot)) * 1000 + 0.5) AS BIGINT) AS c
+      |         FROM bc JOIN cc USING (w1)
+      |         JOIN uni ON uni.token = bc.w2 CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(c) AS BIGINT) AS nll_millinat
+      |FROM bg JOIN cost USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Count-min-sketch token-frequency estimation — the CONSTANT-STATE
     * alternative to the exact |vocab|-keyed count: d=4 seeded md5 bucket
     * rows × w=1024 buckets collapse the whole token stream into a 4096-row

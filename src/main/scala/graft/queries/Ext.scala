@@ -44,6 +44,7 @@ object Ext {
     "x83_gopher_signals"   -> ((s: SparkSession, d: String) => TextAnalysis.gopherSignals(s, d)),
     "x85_unigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.unigramNll(s, d)),
     "x107_bigram_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.bigramNll(s, d)),
+    "x140_interp_nll"      -> ((s: SparkSession, d: String) => TextAnalysis.interpolatedNll(s, d)),
     "x108_cms_counts"      -> ((s: SparkSession, d: String) => TextAnalysis.cmsTokenCounts(s, d)),
     "x90_dsir_weights"     -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "x95_bm25"             -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
@@ -266,6 +267,7 @@ object Ext {
     "x136_trade_triangles" -> graft.ops.Graph.trianglesOracle,
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
+    "x140_interp_nll"      -> TextAnalysis.interpolatedNllOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

@@ -769,6 +769,26 @@ class ExtSpec extends SparkSuite {
     assert(leaked.isEmpty, s"leaked cached RDD blocks after mid-round failure: $leaked")
   }
 
+  test("interpolated NLL stays within the mixing penalty of the pure bigram model") {
+    val interp = TextAnalysis.interpolatedNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pure = TextAnalysis.bigramNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(interp.keySet === pure.keySet)
+    interp.foreach { case (doc, (nBg, nll)) =>
+      val (nBgP, nllP) = pure(doc)
+      assert(nBg === nBgP, s"doc $doc bigram counts diverged")
+      // mix ≥ λ·p_bi ⇒ per-pair cost ≤ pure cost + ln(1/0.7)·1000 ≈ 357
+      // milli-nats (+1 floor slack) — the λ-mixing penalty is the WORST
+      // the interpolation can do against the model it smooths
+      assert(nll <= nllP + 358L * nBg,
+        s"doc $doc interpolated NLL $nll above bigram $nllP + penalty")
+    }
+    // and the smoothing must actually help somewhere at this fixture
+    assert(interp.exists { case (doc, (_, nll)) => nll < pure(doc)._2 },
+      "interpolation never beat the pure bigram model — law is vacuous")
+  }
+
   test("cluster representative selection keeps the max-token member, ties to min id") {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))

@@ -73,6 +73,35 @@ class FunctionsSpec extends SparkSuite {
     assert(got === 64)
   }
 
+  test("GraftExtensions wires the SQL functions and the hamming identity fold at session build") {
+    import graft.functions.GraftExtensions
+    // Builder.create() (not getOrCreate) builds a FRESH session over the
+    // live SparkContext with the extensions applied — getOrCreate would
+    // return the suite's shared session and silently skip them
+    spark.sparkContext // force the suite's context up first; create() reuses it
+    val s2 = org.apache.spark.sql.classic.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(e => new GraftExtensions().apply(e))
+      .create()
+    // injected functions resolve in SQL with no registerSql call
+    val r = s2.sql(
+      "SELECT fnv1a64('foobar') AS h, deflate_ratio(repeat('a', 1000)) < 0.1 AS rep")
+      .collect()(0)
+    assert(r.getLong(0) === 0x85944171f73967e8L)
+    assert(r.getBoolean(1))
+    // the identity fold rewrites hamming64(x, x) away entirely
+    val df = s2.sql(
+      "SELECT hamming64(fnv1a64(x), fnv1a64(x)) AS d FROM VALUES ('abc'), (CAST(NULL AS STRING)) t(x)")
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("hamming"),
+      s"identity not folded:\n${df.queryExecution.optimizedPlan}")
+    // and null semantics survive the rewrite: null in, null out — never 0
+    val got = df.collect().map(row => if (row.isNullAt(0)) None else Some(row.getInt(0))).toSet
+    assert(got === Set(Some(0), None))
+    // the suite's shared session is untouched (no injected rule there)
+    val shared = spark.sql("SELECT 1").sparkSession
+    assert(shared eq spark)
+  }
+
   test("bloom_might_contain (codegen path) agrees with the driver-side filter") {
     import spark.implicits._
     val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)

@@ -243,6 +243,27 @@ object Core {
       .orderBy("o_orderkey")
   }
 
+  /** `text` source round-trip — the lowest-common-denominator corpus
+    * format: one `doc_id<TAB>text` record per line through the native
+    * line-oriented `text` source, split back on the FIRST tab (the text
+    * payload is free to contain later tabs in general; this fixture's
+    * doesn't, which keeps the identity exact). The schema lives entirely
+    * in the parse — the honest posture for a schema-less format — and the
+    * oracle reads the ORIGINAL parquet table: the round-trip's contract
+    * is identity, exactly like q21's.
+    */
+  def q22TextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$ioDir/documents_txt"
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id").cast("string"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    graft.sources.Ingest.textLines(spark, out)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** The typed Dataset tier (SURVEY §1.4): case-class Encoders, joinWith,
     * groupByKey + mapGroups — the API a user reaches for when compile-time
     * row types matter. Totals accumulate as integer CENTS inside the
@@ -295,6 +316,7 @@ object Core {
     "q19_jsonl_roundtrip"     -> (q19JsonlRoundtrip _),
     "q20_typed_segments"      -> (q20TypedSegments _),
     "q21_orc_roundtrip"       -> (q21OrcRoundtrip _),
+    "q22_text_roundtrip"      -> (q22TextRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +349,9 @@ object Core {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // identity contract: the text-line round-trip must reproduce the source
+    "q22_text_roundtrip"      ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
   )
 }
 

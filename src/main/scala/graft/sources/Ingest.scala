@@ -56,4 +56,13 @@ object Ingest {
     */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Raw line-oriented text — the lowest-common-denominator corpus format
+    * (one record per line, schema lives in the PARSE the caller applies).
+    * Returns the single `value` string column; splitting/casting is the
+    * caller's explicit step, which is the honest contract for a format
+    * that carries no schema at all.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

@@ -209,6 +209,54 @@ object Sampling {
        |SELECT doc_id, w AS n_tokens, key_micro FROM k
        |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  /** x141: weighted sampling WITH replacement — the multinomial draw
+    * [[weightedSample]]'s A-ES cannot express (A-ES is without
+    * replacement; an epoch-mixing pipeline drawing documents ∝ weight
+    * needs the same document to be drawable k times). Distributed
+    * inverse-CDF: the exact global running weight total
+    * ([[Ranking.globalCumSum]] — bucketed two-phase, no single-task
+    * window) turns each document into the interval [cum−w, cum); k
+    * content-addressed positions uₖ = md5-hash(k) mod W (W a one-row
+    * broadcast) each select the one document whose interval contains
+    * them. The k-row draw frame broadcasts against the fact, so
+    * selection is ONE map-side interval test per (row, draw) — no
+    * shuffle of the corpus; at k beyond broadcast scale the interval
+    * test becomes the [[RangeJoin]] bucket pattern. Fully deterministic
+    * both engines (md5 positions, integer arithmetic).
+    */
+  def weightedWithReplacement(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+    val withCum = graft.ops.Ranking.globalCumSum(
+      d, col("doc_id"), col("doc_id"), col("w"), "cum")
+    val tot = d.agg(sum(col("w")).cast("long").as("total_w"))
+    val draws = spark.range(k).toDF("i")
+      .crossJoin(broadcast(tot))
+      .select(col("i"),
+        pmod(conv(substring(md5(concat(lit("wr:"), col("i").cast("string"))), 1, 8), 16, 10)
+          .cast("long"), col("total_w")).as("p"))
+    withCum.join(broadcast(draws),
+        col("p") >= col("cum") - col("w") && col("p") < col("cum"))
+      .select(col("i").as("draw_i"), col("doc_id"), col("w").as("n_tokens"))
+      .orderBy("draw_i")
+  }
+
+  val withReplacementOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents),
+      |c AS (SELECT doc_id, w,
+      |             CAST(SUM(w) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM d),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM d),
+      |draws AS (SELECT i.range AS i,
+      |                 (('0x' || substr(md5('wr:' || i.range), 1, 8))::BIGINT % total_w) AS p
+      |          FROM range(0, 50) i, tot)
+      |SELECT draws.i AS draw_i, c.doc_id, c.w AS n_tokens
+      |FROM draws JOIN c ON draws.p >= c.cum - c.w AND draws.p < c.cum
+      |ORDER BY draw_i""".stripMargin
+
   /** Leakage-safe train/test split — the group-aware refinement of
     * [[hashSplit]] a pretraining pipeline actually needs: two
     * near-duplicate documents on opposite sides of the boundary leak the

@@ -72,6 +72,7 @@ object Ext {
     "x63_dup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "x104_leak_safe_split" -> ((s: SparkSession, d: String) => graft.ops.Sampling.leakSafeSplit(s, d)),
     "x109_weighted_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docWeightedSample(s, d)),
+    "x141_weighted_repl"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.weightedWithReplacement(s, d)),
     "x116_token_budget"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.tokenBudgetCurriculum(s, d)),
     "x122_source_budget"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.sourceBudgetCut(s, d)),
     "x129_bootstrap"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.bootstrapMeans(s, d)),
@@ -268,6 +269,7 @@ object Ext {
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
     "x140_interp_nll"      -> TextAnalysis.interpolatedNllOracle,
+    "x141_weighted_repl"   -> graft.ops.Sampling.withReplacementOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,
     // batch twin of the watermarked stream-stream interval join. The join
     // predicate compares epoch_us values, NOT raw timestamps: events.ts is

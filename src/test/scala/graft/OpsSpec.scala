@@ -551,6 +551,35 @@ class OpsSpec extends SparkSuite {
       "expected Layer-cached stage inputs (shared scans) in the plan")
   }
 
+  test("with-replacement draws land in the sequentially recomputed CDF intervals") {
+    val got = graft.ops.Sampling.weightedWithReplacement(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 50 && got.map(_._1).toSet.size === 50,
+      "each of the 50 draws must select exactly one document")
+    // sequential local recomputation of the inverse CDF
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = docs.scanLeft(0L)(_ + _._2).tail
+    val w = cum.last
+    def md5mod(i: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wr:$i".getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % w
+    }
+    got.foreach { case (i, docId, n) =>
+      val p = md5mod(i)
+      val idx = cum.indexWhere(_ > p)
+      assert(docs(idx)._1 === docId && docs(idx)._2 === n,
+        s"draw $i at position $p selected $docId, expected ${docs(idx)._1}")
+    }
+    // and replacement must actually occur at this fixture (heavy docs
+    // own wide intervals) or the "with replacement" claim is untested
+    assert(got.map(_._2).distinct.length < 50,
+      "no document was drawn twice — replacement unexercised")
+  }
+
   test("degree-ordered triangle count equals local brute force and conserves corner mass") {
     val got = graft.ops.Graph.tradeTriangles(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap

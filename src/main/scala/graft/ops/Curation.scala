@@ -83,6 +83,113 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x142: the pipeline funnel report — one row per x135 stage with the
+    * surviving document and token counts, the observability view a
+    * curation team dashboards ("where did the corpus go?"). Each stage
+    * count is a one-row aggregate over the SAME stage frames x135 chains
+    * (Layer-shared pair/gram inputs included), unioned in stage order; no
+    * stage is recomputed differently from the pipeline itself, so the
+    * funnel is the pipeline's own accounting, not a parallel
+    * approximation of it.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("n_tokens", size(toks).cast("long"))
+    val gated = train
+      .filter(col("n_tokens") >= 30)
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("ttr_bp", expr("n_distinct * 10000 div n_tokens"))
+      .filter(col("ttr_bp") >= 3000)
+    val exactKept = gated
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .groupBy("norm")
+      .agg(min(struct(col("doc_id"), col("n_tokens"))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.n_tokens").as("n_tokens"))
+    val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
+      .select(col("b").as("doc_id")).distinct()
+    val postNearDup = exactKept.join(losers, Seq("doc_id"), "left_anti")
+    val grams = Dedup.grams4(spark, dir)
+    val evalGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+    val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalGrams), "gram").select("doc_id").distinct()
+    val clean = postNearDup.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = curatedPacks(spark, dir)
+    def stage(ord: Int, name: String, df: DataFrame, tokCol: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col(tokCol)), lit(0L)).as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    Seq(
+      stage(1, "train_carve", train, "n_tokens"),
+      stage(2, "quality_gate", gated, "n_tokens"),
+      stage(3, "exact_dedup", exactKept, "n_tokens"),
+      stage(4, "near_dedup", postNearDup, "n_tokens"),
+      stage(5, "decontam", clean, "n_tokens"),
+      stage(6, "budget_cut", kept, "n_tokens"))
+      .reduce(_ unionByName _)
+      .orderBy("stage_ord")
+  }
+
+  /** DuckDB twin: the x135 CTE chain with one count row per stage. */
+  val funnelOracle: String =
+    """WITH tr AS (SELECT doc_id, text,
+      |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |            FROM documents WHERE doc_id % 10 <> 0),
+      |g AS (SELECT doc_id, text, n_tokens,
+      |             CAST((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
+      |                  // n_tokens AS BIGINT) AS ttr_bp
+      |      FROM tr WHERE n_tokens >= 30),
+      |gated AS (SELECT doc_id, text, n_tokens, ttr_bp FROM g WHERE ttr_bp >= 3000),
+      |ex AS (SELECT MIN(doc_id) AS doc_id
+      |       FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+      |             FROM gated)
+      |       GROUP BY norm),
+      |exk AS (SELECT gated.doc_id, gated.n_tokens, gated.ttr_bp
+      |        FROM ex JOIN gated ON ex.doc_id = gated.doc_id),
+      |sh AS (SELECT doc_id, lang,
+      |              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |       FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+      |           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |           WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |pnd AS (SELECT * FROM exk WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |d4 AS (SELECT doc_id, u.gram FROM dd,
+      |         UNNEST(list_distinct(list_transform(range(1, n - 2),
+      |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) u(gram)
+      |       WHERE n >= 4),
+      |bench AS (SELECT DISTINCT gram FROM d4 WHERE doc_id % 10 = 0),
+      |contam AS (SELECT DISTINCT d4.doc_id FROM d4 JOIN bench USING (gram)
+      |           WHERE d4.doc_id % 10 <> 0),
+      |cln AS (SELECT * FROM pnd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |cum AS (SELECT doc_id, n_tokens,
+      |               CAST(SUM(n_tokens) OVER (ORDER BY ttr_bp DESC, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |                 AS cum_tokens
+      |        FROM cln),
+      |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM cln),
+      |kept AS (SELECT doc_id, n_tokens FROM cum, b WHERE cum_tokens <= budget)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_ord, 'train_carve' AS stage,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM tr
+      |  UNION ALL
+      |  SELECT 2, 'quality_gate', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM gated
+      |  UNION ALL
+      |  SELECT 3, 'exact_dedup', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM exk
+      |  UNION ALL
+      |  SELECT 4, 'near_dedup', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM pnd
+      |  UNION ALL
+      |  SELECT 5, 'decontam', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM cln
+      |  UNION ALL
+      |  SELECT 6, 'budget_cut', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
+      |) ORDER BY stage_ord""".stripMargin
+
   /** DuckDB twin: every stage mirrored (brute-force Jaccard for stage 3 —
     * the PPJoin blocking is provably lossless, so the pair sets agree),
     * the cumsum as a plain global window (the right single-node plan).

@@ -121,6 +121,7 @@ object Ext {
     // composed end-to-end curation pipeline (gates → dedup → decontam →
     // budget cut → pack as ONE DAG; see docs/PLANS.md x135)
     "x135_curation_pipeline" -> ((s: SparkSession, d: String) => graft.ops.Curation.curatedPacks(s, d)),
+    "x142_curation_funnel" -> ((s: SparkSession, d: String) => graft.ops.Curation.curationFunnel(s, d)),
     // degree-ordered triangle counting over the trade graph (Layer-shared
     // edges with x110)
     "x136_trade_triangles" -> ((s: SparkSession, d: String) => graft.ops.Graph.tradeTriangles(s, d)),
@@ -265,6 +266,7 @@ object Ext {
     "x45_skew_join_plain"  -> graft.ops.Skew.skewJoinOracle,
     "x46_skew_join_split"  -> graft.ops.Skew.skewJoinOracle,
     "x135_curation_pipeline" -> graft.ops.Curation.curatedPacksOracle,
+    "x142_curation_funnel" -> graft.ops.Curation.funnelOracle,
     "x136_trade_triangles" -> graft.ops.Graph.trianglesOracle,
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,

@@ -551,6 +551,27 @@ class OpsSpec extends SparkSuite {
       "expected Layer-cached stage inputs (shared scans) in the plan")
   }
 
+  test("curation funnel is monotone and its final stage equals the pipeline output") {
+    val f = graft.ops.Curation.curationFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // every stage can only shrink the corpus — docs and tokens both
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4,
+        s"stage ${b._2} grew the corpus over ${a._2}")
+    }
+    // the funnel is the pipeline's own accounting: its last row must
+    // equal x135's output exactly
+    val packs = graft.ops.Curation.curatedPacks(spark, sf).collect()
+    assert(f.last._3 === packs.length.toLong)
+    assert(f.last._4 === packs.map(_.getLong(1)).sum)
+    // real attrition at this fixture: the funnel narrows overall and at
+    // several distinct stages (not every stage need fire at sf0.001 —
+    // the gated set may already be near-dup-free)
+    assert(f.head._3 > f.last._3 && f.map(_._3).distinct.length >= 4,
+      s"funnel barely narrows: ${f.map(_._3).mkString(",")}")
+  }
+
   test("with-replacement draws land in the sequentially recomputed CDF intervals") {
     val got = graft.ops.Sampling.weightedWithReplacement(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

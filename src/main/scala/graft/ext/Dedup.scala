@@ -662,6 +662,73 @@ object Dedup {
         | AND q.n_tokens * 1000000000000 - q.doc_id = b.bkey
         |ORDER BY b.cluster_rep""".stripMargin
 
+  /** x143: IDF-weighted re-scoring of the near-dup pair set — plain
+    * Jaccard treats a shared boilerplate shingle ("all rights reserved")
+    * and a shared rare shingle as equal evidence; the weighted score
+    * wJ(A,B) = Σ_{A∩B} idf / Σ_{A∪B} idf down-weights exactly the
+    * shingles that appear everywhere. Scoped honestly as a RE-SCORING of
+    * the Layer-shared x15 pair set (thresholding on the weighted score
+    * would need its own lossless candidate rule), which is also the right
+    * plan: the corpus-wide work is one shingle-df aggregate; the pair-set
+    * work is two key-projected explodes over only the paired docs, a
+    * (pair, shingle) count that marks intersection membership (cnt = 2),
+    * and the idf join. Integer milli-idf with the pinned ln operand
+    * order; score in basis points via positive integral division.
+    */
+  def idfWeightedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled3(spark, dir)
+    val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val dfc = e.groupBy("s").agg(count(lit(1)).as("dfc"))
+    val nd = sh.agg(count(lit(1)).as("n_docs"))
+    val w = dfc.crossJoin(broadcast(nd))
+      .select(col("s"),
+        floor(log(col("n_docs") / col("dfc")) * 1000d + 0.5d).cast("long").as("idf"))
+    val pairs = ngramJaccardPairs(spark, dir, 0.6)
+    val pa = pairs.select("a", "b").join(e.withColumnRenamed("doc_id", "a"), "a")
+    val pb = pairs.select("a", "b").join(e.withColumnRenamed("doc_id", "b"), "b")
+    val u = pa.unionByName(pb).groupBy("a", "b", "s").agg(count(lit(1)).as("cnt"))
+    u.join(w, "s")
+      .groupBy("a", "b")
+      .agg(sum(when(col("cnt") === 2, col("idf")).otherwise(0L)).as("num"),
+        sum(col("idf")).as("den"))
+      .join(pairs, Seq("a", "b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        expr("num * 10000 div den").as("widf_bp"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB twin: brute-force pair set + the same explode/union scoring. */
+  val idfWeightedOracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, lang,
+      |              list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |       FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |             ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |                   len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |      WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+      |                  len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |e AS (SELECT doc_id, u.s FROM sh, UNNEST(s) u(s)),
+      |dfc AS (SELECT s, COUNT(*) AS dfc FROM e GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM sh),
+      |w AS (SELECT s, CAST(floor(ln(n_docs / dfc) * 1000 + 0.5) AS BIGINT) AS idf
+      |      FROM dfc, nd),
+      |pa AS (SELECT p.a, p.b, e.s FROM p JOIN e ON e.doc_id = p.a),
+      |pb AS (SELECT p.a, p.b, e.s FROM p JOIN e ON e.doc_id = p.b),
+      |u AS (SELECT a, b, s, COUNT(*) AS cnt
+      |      FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) GROUP BY 1, 2, 3),
+      |sc AS (SELECT a, b,
+      |              CAST(SUM(CASE WHEN cnt = 2 THEN idf ELSE 0 END) AS BIGINT) AS num,
+      |              CAST(SUM(idf) AS BIGINT) AS den
+      |       FROM u JOIN w USING (s) GROUP BY 1, 2)
+      |SELECT p.a, p.b, p.jaccard,
+      |       CAST(sc.num * 10000 // sc.den AS BIGINT) AS widf_bp
+      |FROM p JOIN sc ON sc.a = p.a AND sc.b = p.b
+      |ORDER BY p.a, p.b""".stripMargin
+
   /** x127: incremental near-dup ADMISSION — the third leg of the
     * incremental family: x61 rejects exact re-ingests (content hash),
     * x101 does it with O(1) bloom probes, and this rejects arrivals that

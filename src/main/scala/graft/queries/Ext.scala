@@ -131,6 +131,8 @@ object Ext {
     // quality-best representative per x63 duplicate cluster (argmax as a
     // struct-max aggregate, Layer-shared labels)
     "x139_cluster_reps"    -> ((s: SparkSession, d: String) => Dedup.clusterBestReps(s, d)),
+    // IDF-weighted re-scoring of the Layer-shared near-dup pair set
+    "x143_idf_jaccard"     -> ((s: SparkSession, d: String) => Dedup.idfWeightedPairs(s, d)),
     // deterministic sampling / splitting (content-addressed, oracle-checked)
     "x70_hash_split"       -> ((s: SparkSession, d: String) => graft.ops.Sampling.docSplit(s, d)),
     "x71_stratified_sample" -> ((s: SparkSession, d: String) => graft.ops.Sampling.docStratified(s, d)),
@@ -270,6 +272,7 @@ object Ext {
     "x136_trade_triangles" -> graft.ops.Graph.trianglesOracle,
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
+    "x143_idf_jaccard"     -> Dedup.idfWeightedOracle,
     "x140_interp_nll"      -> TextAnalysis.interpolatedNllOracle,
     "x141_weighted_repl"   -> graft.ops.Sampling.withReplacementOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,

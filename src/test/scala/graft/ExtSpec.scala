@@ -789,6 +789,30 @@ class ExtSpec extends SparkSuite {
       "interpolation never beat the pure bigram model — law is vacuous")
   }
 
+  test("IDF-weighted rescoring equals the local recomputation over shingle sets") {
+    val sets = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+      .map { case (id, t) =>
+        id -> (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet }
+      .toMap
+    val n = sets.size
+    val dfc = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def idf(s: String) = math.floor(math.log(n.toDouble / dfc(s)) * 1000 + 0.5).toLong
+    val rows = graft.ext.Dedup.idfWeightedPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, w) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val inter = (sets(a) & sets(b)).toSeq.map(idf).sum
+      val union = (sets(a) | sets(b)).toSeq.map(idf).sum
+      assert(w === inter * 10000 / union, s"pair ($a,$b) weighted score diverged")
+    }
+    // the weighting must bite somewhere: at least one pair's weighted
+    // score differs from its unweighted Jaccard in basis points
+    assert(rows.exists(r => math.round(r.getDouble(2) * 10000) != r.getLong(3)),
+      "idf weights never moved a score — law is vacuous")
+  }
+
   test("cluster representative selection keeps the max-token member, ties to min id") {
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))

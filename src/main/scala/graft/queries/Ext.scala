@@ -166,6 +166,7 @@ object Ext {
     "m01_rf_submission"    -> ((s: SparkSession, d: String) => ReorderModel.rfSubmission(s, d)),
     "m02_model_metrics"    -> ((s: SparkSession, d: String) => ReorderModel.metrics(s, d)),
     "m03_calibration"      -> ((s: SparkSession, d: String) => ReorderModel.calibration(s, d)),
+    "m04_crossval"         -> ((s: SparkSession, d: String) => ReorderModel.crossValidation(s, d)),
     // streaming (X9)
     "s01_stream_tumbling"  -> ((s: SparkSession, d: String) => Streams.tumbling(s, d)),
     "s02_stream_sessions"  -> ((s: SparkSession, d: String) => Streams.sessionsWatermarked(s, d)),

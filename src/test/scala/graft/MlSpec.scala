@@ -31,6 +31,25 @@ class MlSpec extends SparkSuite {
       .filter(!col("products").rlike("^[0-9]+( [0-9]+)*$")).count() === 0)
   }
 
+  test("cross-validation folds partition the matrix; metrics in range; deterministic") {
+    val a = ReorderModel.crossValidation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    // content-addressed folds are disjoint + exhaustive: holdout sizes sum
+    // to the full matrix, and every fold is non-degenerate
+    val total = graft.insta.Insta.featureMatrix(spark, sf, Seq(1L)).count()
+    assert(a.map(_._2).sum === total)
+    a.foreach { case (f, n, acc, f1) =>
+      assert(n > 0, s"fold $f is empty")
+      assert(acc > 0.0 && acc <= 1.0, s"fold $f accuracy=$acc")
+      assert(f1 >= 0.0 && f1 <= 1.0, s"fold $f f1=$f1")
+    }
+    // hash folds + seeded fits ⇒ byte-identical report on a second run
+    val b = ReorderModel.crossValidation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(b.toSeq === a.toSeq, "cross-validation not deterministic")
+  }
+
   test("calibration buckets partition the holdout with in-range means, deterministically") {
     val a = graft.ml.ReorderModel.calibration(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -264,6 +264,31 @@ object Core {
       .orderBy("doc_id")
   }
 
+  /** Schema evolution across parquet generations — the lake reality a
+    * fixed-schema reader breaks on: an early ingest wrote (doc_id, text),
+    * a later one added (lang, source), and ONE read must span both.
+    * `mergeSchema` unifies the footers (an O(#files) planning step — the
+    * documented cost, which is why it is opt-in) and nulls the missing
+    * columns for old-generation rows; the query coalesces them to a
+    * sentinel so the cross-engine hash carries no NULLs. The oracle
+    * replays the generational carve (even ids = v1, odd = v2) directly
+    * against the source table — the contract is that evolution loses
+    * nothing and invents nothing.
+    */
+  def q23SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$ioDir/documents_evo"
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang"), lit("missing")).as("lang"),
+        coalesce(col("source"), lit("missing")).as("source"))
+      .orderBy("doc_id")
+  }
+
   /** The typed Dataset tier (SURVEY §1.4): case-class Encoders, joinWith,
     * groupByKey + mapGroups — the API a user reaches for when compile-time
     * row types matter. Totals accumulate as integer CENTS inside the
@@ -317,6 +342,7 @@ object Core {
     "q20_typed_segments"      -> (q20TypedSegments _),
     "q21_orc_roundtrip"       -> (q21OrcRoundtrip _),
     "q22_text_roundtrip"      -> (q22TextRoundtrip _),
+    "q23_schema_evolution"    -> (q23SchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -352,6 +378,13 @@ object Core {
     // identity contract: the text-line round-trip must reproduce the source
     "q22_text_roundtrip"      ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // generational carve replayed against the source: evolution loses
+    // nothing and invents nothing
+    "q23_schema_evolution"    ->
+      """SELECT doc_id, text,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END AS lang,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE source END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
 

@@ -148,4 +148,22 @@ class SourcesSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(viaAgg === viaWindow)
   }
+
+  test("mergeSchema unifies parquet generations; old-generation rows null the new columns") {
+    // q23's write side: run the query once so both generations exist
+    val out = graft.queries.Core.q23SchemaEvolution(spark, sf)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang", "source"))
+    val evoDir = s"${graft.RunScoped.ioDir}/documents_evo"
+    // without the merge, the v1-first read would not even SEE the new
+    // columns — the evolution is real, not a no-op on this fixture
+    val v1 = spark.read.parquet(s"$evoDir/v1")
+    assert(!v1.columns.contains("lang") && !v1.columns.contains("source"))
+    // and the merged read nulls exactly the old generation's new columns
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$evoDir/v1", s"$evoDir/v2")
+    val nulls = merged.filter(merged("lang").isNull).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(nulls.nonEmpty && nulls.forall(_ % 2 == 0),
+      "null lang must appear exactly on v1 (even-id) rows")
+  }
 }

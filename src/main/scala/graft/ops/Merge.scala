@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** x145: MERGE INTO semantics without a table format — the upsert batch a
+  * warehouse applies nightly (update matched, insert unmatched, delete
+  * tombstoned), expressed as ONE key-shuffled FULL OUTER join + row-level
+  * CASE: exactly the reconciliation plan Delta/Iceberg run under their
+  * MERGE syntax, minus the transaction log (x99's SCD2 keeps history;
+  * this produces the current-state table). The change batch is carved
+  * deterministically from orders with mutually exclusive ops (tombstones
+  * win over updates by construction; insert keys are offset past the key
+  * domain so they can never collide), prices ride as exact integer cents,
+  * and the join is unhinted — AQE broadcasts a small change batch,
+  * shuffles a large one on the key both sides already need.
+  */
+object Merge {
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("s"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val deletes = t.filter(col("k") % 11 === 0)
+      .select(col("k"), lit("D").as("op"),
+        lit(null).cast("string").as("src_s"), lit(null).cast("long").as("src_cents"))
+    val updates = t.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+      .select(col("k"), lit("U").as("op"),
+        lit("U").as("src_s"), (col("cents") + 150L).as("src_cents"))
+    val inserts = t.filter(col("k") % 13 === 0)
+      .select((col("k") + 2000000000L).as("k"), lit("I").as("op"),
+        lit("N").as("src_s"), col("cents").as("src_cents"))
+    val src = deletes.unionByName(updates).unionByName(inserts)
+    t.join(src, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("o_orderkey"),
+        when(col("op") === "U" || col("op") === "I", col("src_s"))
+          .otherwise(col("s")).as("o_orderstatus"),
+        when(col("op") === "U" || col("op") === "I", col("src_cents"))
+          .otherwise(col("cents")).as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB twin: the same carve, the same FULL OUTER reconciliation. */
+  val mergeOracle: String =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+      |                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |           FROM orders),
+      |src AS (
+      |  SELECT k, 'D' AS op, CAST(NULL AS VARCHAR) AS src_s,
+      |         CAST(NULL AS BIGINT) AS src_cents
+      |  FROM t WHERE k % 11 = 0
+      |  UNION ALL
+      |  SELECT k, 'U', 'U', cents + 150 FROM t WHERE k % 7 = 0 AND k % 11 <> 0
+      |  UNION ALL
+      |  SELECT k + 2000000000, 'I', 'N', cents FROM t WHERE k % 13 = 0)
+      |SELECT COALESCE(t.k, src.k) AS o_orderkey,
+      |       CASE WHEN src.op IN ('U', 'I') THEN src.src_s ELSE t.s END AS o_orderstatus,
+      |       CASE WHEN src.op IN ('U', 'I') THEN src.src_cents ELSE t.cents END AS price_cents
+      |FROM t FULL OUTER JOIN src ON t.k = src.k
+      |WHERE src.op IS NULL OR src.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -29,6 +29,7 @@ object Ext {
     "x97_basket_rules"     -> ((s: SparkSession, d: String) => Associations.basketRules(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
+    "x145_merge_upsert"    -> ((s: SparkSession, d: String) => graft.ops.Merge.mergeUpsert(s, d)),
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
     "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
@@ -274,6 +275,7 @@ object Ext {
     "x137_profile_drift"   -> graft.ops.Quality.driftOracle,
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
     "x143_idf_jaccard"     -> Dedup.idfWeightedOracle,
+    "x145_merge_upsert"    -> graft.ops.Merge.mergeOracle,
     "x140_interp_nll"      -> TextAnalysis.interpolatedNllOracle,
     "x141_weighted_repl"   -> graft.ops.Sampling.withReplacementOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,

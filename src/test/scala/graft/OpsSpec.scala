@@ -551,6 +551,23 @@ class OpsSpec extends SparkSuite {
       "expected Layer-cached stage inputs (shared scans) in the plan")
   }
 
+  test("merge upsert reconciles exactly: deletes vanish, updates shift, inserts append, rest untouched") {
+    val t = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val got = graft.ops.Merge.mergeUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val dels = t.keySet.filter(_ % 11 == 0)
+    val ups = t.keySet.filter(k => k % 7 == 0 && k % 11 != 0)
+    val ins = t.keySet.filter(_ % 13 == 0).map(_ + 2000000000L)
+    assert(dels.nonEmpty && ups.nonEmpty && ins.nonEmpty, "carve degenerate")
+    assert(got.keySet === (t.keySet -- dels) ++ ins)
+    ups.foreach(k => assert(got(k) === (("U", t(k)._2 + 150L)), s"update $k"))
+    ins.foreach(k => assert(got(k)._1 === "N", s"insert $k"))
+    (t.keySet -- dels -- ups).foreach(k => assert(got(k) === t(k), s"row $k mutated"))
+  }
+
   test("curation funnel is monotone and its final stage equals the pipeline output") {
     val f = graft.ops.Curation.curationFunnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

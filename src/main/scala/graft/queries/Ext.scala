@@ -30,6 +30,19 @@ object Ext {
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
     "x145_merge_upsert"    -> ((s: SparkSession, d: String) => graft.ops.Merge.mergeUpsert(s, d)),
+    // z-order layout round-trip (identity on content; SourcesSpec measures
+    // the two-dimensional row-group pruning the layout exists for)
+    "x146_zorder_roundtrip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val out = graft.RunScoped.ioDir + "/events_zorder"
+      graft.sources.Sinks.zOrdered(graft.Tables.events(s, d), out,
+        col("user_id"), expr("unix_micros(ts) div 86400000000"), files = 8)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
     "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
@@ -276,6 +289,11 @@ object Ext {
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
     "x143_idf_jaccard"     -> Dedup.idfWeightedOracle,
     "x145_merge_upsert"    -> graft.ops.Merge.mergeOracle,
+    // identity contract: the z-ordered layout must reproduce the source
+    "x146_zorder_roundtrip" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |       event_type, ROUND(value, 4) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "x140_interp_nll"      -> TextAnalysis.interpolatedNllOracle,
     "x141_weighted_repl"   -> graft.ops.Sampling.withReplacementOracle,
     "s01_stream_tumbling"  -> OracleSqlExt.s01_stream_tumbling,

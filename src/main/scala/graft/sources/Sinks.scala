@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Sinks (SURVEY.md §2.1 S6–S8): the reference ended every path in a
   * driver-side collect (toPandas / print / dict). The engine's terminal
@@ -61,6 +62,48 @@ object Sinks {
     val cs = cols.map(col)
     df.repartitionByRange(files, cs: _*)
       .sortWithinPartitions(cs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-order clustered layout — the MULTI-dimension extension of
+    * [[clustered]] (Delta's OPTIMIZE ZORDER idea in Spark-native form):
+    * the low `bits` bits of two dimensions interleave into one Morton
+    * code, rows range-partition and sort on it, and the code itself is
+    * dropped before the write — the layout is the artifact, not a column.
+    * A contiguous z-range covers a bounded RECTANGLE of the (A, B) grid,
+    * so every file/row-group's per-column min/max stats are narrow in
+    * BOTH dimensions at once — a pushed predicate on either dimension
+    * alone prunes row groups, where a single-column sort serves only its
+    * own column. Dimensions must be non-negative; values ≥ 2^bits share
+    * high-order cells (graceful degradation, same as any fixed-precision
+    * curve). SourcesSpec measures decoded-row pruning on both dimensions
+    * against a round-robin layout of the same data.
+    */
+  def zOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
+               files: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, floor, least, max, min}
+    // Normalize each dimension to a dense [0, 2^bits) grid first — raw
+    // interleaving of mismatched magnitudes (user_id ≤ 150 vs epoch-day
+    // ≈ 19 700) lets the larger dimension's high bits dominate the code
+    // and the curve degenerates to a single-column sort. This is why
+    // production z-ordering interleaves range-partition RANKS, not raw
+    // values; min/max arrive as a one-row broadcast.
+    val cells = 1L << bits
+    val stats = df.agg(min(dimA).as("__a_lo"), max(dimA).as("__a_hi"),
+      min(dimB).as("__b_lo"), max(dimB).as("__b_hi"))
+    def norm(v: Column, lo: Column, hi: Column): Column =
+      least(floor((v - lo) * cells / (hi - lo + 1L)), lit(cells - 1)).cast("long")
+    val a = norm(dimA, col("__a_lo"), col("__a_hi"))
+    val b = norm(dimB, col("__b_lo"), col("__b_hi"))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__a_lo", "__a_hi", "__b_lo", "__b_hi")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

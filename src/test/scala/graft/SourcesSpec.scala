@@ -149,6 +149,53 @@ class SourcesSpec extends SparkSuite {
     assert(viaAgg === viaWindow)
   }
 
+  test("z-order layout prunes row groups on BOTH dimensions; round-robin prunes neither") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val events = graft.Tables.events(spark, sf)
+    val total = events.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // INT96 (the default parquet timestamp encoding) carries stats no
+    // reader prunes on — TIMESTAMP_MICROS is the layout that makes the
+    // ts min/max usable
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      events.repartition(8).write.mode("overwrite").parquet(s"$base/scattered")
+      graft.sources.Sinks.zOrdered(events, s"$base/zorder",
+        col("user_id"), expr("unix_micros(ts) div 86400000000"), files = 16)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    // one predicate per dimension — a single-column sort can serve only
+    // one of these; the z-layout must narrow the stats for both. The day
+    // predicate is a PLAIN ts range (an expression predicate would not
+    // reach the parquet stats at all).
+    val dayStartUs = (events.agg(expr("min(unix_micros(ts) div 86400000000)"))
+      .first().getLong(0) + 1) * 86400000000L
+    def decoded(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val userPred = col("user_id") === 7L
+    val dayPred = col("ts") >= expr(s"timestamp_micros(${dayStartUs}L)") &&
+      col("ts") < expr(s"timestamp_micros(${dayStartUs + 86400000000L}L)")
+    val su = decoded(s"$base/scattered", userPred)
+    val sd = decoded(s"$base/scattered", dayPred)
+    val zu = decoded(s"$base/zorder", userPred)
+    val zd = decoded(s"$base/zorder", dayPred)
+    // scattered: every file spans both full domains — no pruning either way
+    assert(su > total / 2 && sd > total / 2,
+      s"expected near-full decode on scattered: user=$su day=$sd of $total")
+    // z-order: a contiguous z-range is a bounded rectangle, so both
+    // dimensions' stats are narrow — each predicate decodes a fraction
+    assert(zu < su && zd < sd,
+      s"z-layout failed to prune: user $zu vs $su, day $zd vs $sd")
+    assert(zu <= 3 * total / 5 && zd <= total / 2,
+      s"z-layout pruning too weak: user=$zu day=$zd of $total")
+  }
+
   test("mergeSchema unifies parquet generations; old-generation rows null the new columns") {
     // q23's write side: run the query once so both generations exist
     val out = graft.queries.Core.q23SchemaEvolution(spark, sf)

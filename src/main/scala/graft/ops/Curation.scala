@@ -85,51 +85,82 @@ object Curation {
 
   /** x142: the pipeline funnel report — one row per x135 stage with the
     * surviving document and token counts, the observability view a
-    * curation team dashboards ("where did the corpus go?"). Each stage
-    * count is a one-row aggregate over the SAME stage frames x135 chains
-    * (Layer-shared pair/gram inputs included), unioned in stage order; no
-    * stage is recomputed differently from the pipeline itself, so the
-    * funnel is the pipeline's own accounting, not a parallel
-    * approximation of it.
+    * curation team dashboards ("where did the corpus go?").
+    *
+    * ONE corpus pass: instead of re-deriving six overlapping stage
+    * prefixes (six document scans — the round-6 `weak`), every stage
+    * membership becomes a boolean flag column on a single per-doc frame
+    * (`in_gated` → `in_clean`), persisted for the report's duration via
+    * [[graft.Layer]]. Exact-dedup survivorship folds into the same pass
+    * as a min-over-norm window (doc_id leads the x135 struct-min, so the
+    * window min IS the kept representative); near-dup and decontamination
+    * arrive as the Layer-shared x15 pair set / x62 gram stream, left-join
+    * flagged. Stages 1–5 are then ONE conditional aggregate over the
+    * cached flags, unpivoted with `stack`; stage 6 re-reads the same
+    * cache for the budget and the [[Ranking.globalCumSum]] cut (the
+    * identical ordering x135 packs by). The text/norm columns are dropped
+    * before persisting so the cache holds seven narrow columns, not the
+    * corpus. OpsSpec pins the single-scan shape: the funnel's executed
+    * plan contains no parquet FileScan — every leaf is the cached frame.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = split(col("text"), " ")
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
-      .withColumn("n_tokens", size(toks).cast("long"))
-    val gated = train
-      .filter(col("n_tokens") >= 30)
-      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
-      .withColumn("ttr_bp", expr("n_distinct * 10000 div n_tokens"))
-      .filter(col("ttr_bp") >= 3000)
-    val exactKept = gated
-      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
-      .groupBy("norm")
-      .agg(min(struct(col("doc_id"), col("n_tokens"))).as("s"))
-      .select(col("s.doc_id").as("doc_id"), col("s.n_tokens").as("n_tokens"))
-    val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
-      .select(col("b").as("doc_id")).distinct()
-    val postNearDup = exactKept.join(losers, Seq("doc_id"), "left_anti")
-    val grams = Dedup.grams4(spark, dir)
-    val evalGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
-    val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(evalGrams), "gram").select("doc_id").distinct()
-    val clean = postNearDup.join(contaminated, Seq("doc_id"), "left_anti")
-    val kept = curatedPacks(spark, dir)
-    def stage(ord: Int, name: String, df: DataFrame, tokCol: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col(tokCol)), lit(0L)).as("n_tokens"))
-        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    Seq(
-      stage(1, "train_carve", train, "n_tokens"),
-      stage(2, "quality_gate", gated, "n_tokens"),
-      stage(3, "exact_dedup", exactKept, "n_tokens"),
-      stage(4, "near_dedup", postNearDup, "n_tokens"),
-      stage(5, "decontam", clean, "n_tokens"),
-      stage(6, "budget_cut", kept, "n_tokens"))
-      .reduce(_ unionByName _)
-      .orderBy("stage_ord")
+    import org.apache.spark.sql.expressions.Window
+    val flags = graft.Layer.cached(spark, dir, "funnelFlags") {
+      val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
+        .select(col("b").as("doc_id")).distinct()
+      val grams = Dedup.grams4(spark, dir)
+      val evalGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+      val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(evalGrams), "gram").select("doc_id").distinct()
+      val toks = split(col("text"), " ")
+      val perDoc = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .withColumn("ttr_bp", expr("n_distinct * 10000 div n_tokens"))
+        .withColumn("in_gated", col("n_tokens") >= 30 && col("ttr_bp") >= 3000)
+        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      perDoc
+        .withColumn("in_exact", col("in_gated") && col("doc_id") ===
+          min(when(col("in_gated"), col("doc_id"))).over(Window.partitionBy("norm")))
+        .join(losers.withColumn("nd_loser", lit(true)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+        .withColumn("in_near", col("in_exact") && col("nd_loser").isNull)
+        .withColumn("in_clean", col("in_near") && col("contam").isNull)
+        .select("doc_id", "n_tokens", "ttr_bp",
+          "in_gated", "in_exact", "in_near", "in_clean")
+    }
+    val s15 = flags.agg(
+        count(lit(1)).as("d1"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t1"),
+        coalesce(sum(when(col("in_gated"), lit(1L))), lit(0L)).as("d2"),
+        coalesce(sum(when(col("in_gated"), col("n_tokens"))), lit(0L)).as("t2"),
+        coalesce(sum(when(col("in_exact"), lit(1L))), lit(0L)).as("d3"),
+        coalesce(sum(when(col("in_exact"), col("n_tokens"))), lit(0L)).as("t3"),
+        coalesce(sum(when(col("in_near"), lit(1L))), lit(0L)).as("d4"),
+        coalesce(sum(when(col("in_near"), col("n_tokens"))), lit(0L)).as("t4"),
+        coalesce(sum(when(col("in_clean"), lit(1L))), lit(0L)).as("d5"),
+        coalesce(sum(when(col("in_clean"), col("n_tokens"))), lit(0L)).as("t5"))
+      .select(expr(
+        """stack(5,
+          |  1L, 'train_carve',  d1, t1,
+          |  2L, 'quality_gate', d2, t2,
+          |  3L, 'exact_dedup',  d3, t3,
+          |  4L, 'near_dedup',   d4, t4,
+          |  5L, 'decontam',     d5, t5) AS (stage_ord, stage, n_docs, n_tokens)"""
+          .stripMargin))
+    val clean = flags.filter(col("in_clean"))
+    val withCum = Ranking.globalCumSum(clean,
+      order = col("ttr_bp") * -1, tieBreak = col("doc_id"),
+      weight = col("n_tokens"), cumCol = "cum_tokens")
+    val budget = clean.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val s6 = withCum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit(6L).as("stage_ord"), lit("budget_cut").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    s15.unionByName(s6).orderBy("stage_ord")
   }
 
   /** DuckDB twin: the x135 CTE chain with one count row per stage. */

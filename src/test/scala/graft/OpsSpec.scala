@@ -569,8 +569,34 @@ class OpsSpec extends SparkSuite {
   }
 
   test("curation funnel is monotone and its final stage equals the pipeline output") {
-    val f = graft.ops.Curation.curationFunnel(spark, sf).collect()
+    val funnel = graft.ops.Curation.curationFunnel(spark, sf)
+    val f = funnel.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // single-pass law (the round-6 weak was six prefix re-scans of
+    // documents): the funnel's executed plan reads ONLY the Layer-cached
+    // per-doc flags frame — no parquet FileScan may survive in it. Tree
+    // walk (not toString match — InMemoryRelation PRINTS its cached build
+    // plan inline, which legitimately holds the one corpus scan): descend
+    // through AQE stage leaves, stop at InMemoryTableScan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec if !q.plan.isInstanceOf[InMemoryTableScanExec] =>
+        fileScans(q.plan)
+    }.flatten
+    def cacheScans(p: SparkPlan): Seq[InMemoryTableScanExec] = p.collect {
+      case c: InMemoryTableScanExec => Seq(c)
+      case a: AdaptiveSparkPlanExec => cacheScans(a.executedPlan)
+      case q: QueryStageExec => cacheScans(q.plan)
+    }.flatten
+    val executed = funnel.queryExecution.executedPlan
+    assert(fileScans(executed).isEmpty,
+      s"funnel re-scans parquet instead of the cached flags frame:\n$executed")
+    assert(cacheScans(executed).nonEmpty,
+      "expected the Layer-cached flags frame as the funnel's only input")
     assert(f.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
     // every stage can only shrink the corpus — docs and tokens both
     f.sliding(2).foreach { case Array(a, b) =>

@@ -629,10 +629,15 @@ object TextAnalysis {
     * LMs actually ship: cost(w₂|w₁) = −ln(λ·p_bi + (1−λ)·p_uni) with
     * λ = 0.7, so rare contexts fall back toward the unigram mass instead
     * of over-trusting a sparse bigram estimate. Exactness discipline: the
-    * mixture is ONE all-integer rational
-    * (7·n_bg·N + 3·n_uni·n_ctx) / (10·n_ctx·N) — products exact in
-    * BIGINT, a single double division with operand order pinned
-    * identically in the oracle — then the x85 milli-nat floor. Plan shape:
+    * mixture λ·p_bi + (1−λ)·p_uni is computed as the SUM of two double
+    * fractions 7·n_bg/(10·n_ctx) + 3·n_uni/(10·N), operand order pinned
+    * identically in the oracle (IEEE doubles are deterministic given the
+    * same op sequence; every count converts to double exactly below
+    * 2^53). The algebraically equivalent single rational
+    * (7·n_bg·N + 3·n_uni·n_ctx)/(10·n_ctx·N) is deliberately NOT used:
+    * its BIGINT numerator overflows once n_bg·N exceeds ~1.3e18 — a
+    * corpus scale this engine claims — and Spark would wrap silently
+    * where DuckDB errors. Then the x85 milli-nat floor. Plan shape:
     * the three count tables are map-combinable aggregates over the token /
     * bigram streams, N is a one-row broadcast, and the cost join back to
     * the bigram stream is AQE-governed exactly like x107. ExtSpec pins
@@ -659,8 +664,8 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"),
         floor(-log(
-          (lit(7L) * col("n_bg") * col("n_tot") + lit(3L) * col("n_uni") * col("n_ctx")) /
-            (lit(10L) * col("n_ctx") * col("n_tot"))) * 1000d + 0.5d)
+          lit(7.0d) * col("n_bg") / (lit(10.0d) * col("n_ctx")) +
+            lit(3.0d) * col("n_uni") / (lit(10.0d) * col("n_tot"))) * 1000d + 0.5d)
           .cast("long").as("c_millinat"))
     bg.join(cost, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -679,8 +684,8 @@ object TextAnalysis {
       |uni AS (SELECT token, COUNT(*) AS n_uni FROM tok GROUP BY 1),
       |tot AS (SELECT COUNT(*) AS n_tot FROM tok),
       |cost AS (SELECT w1, w2,
-      |           CAST(floor(-ln((7 * n_bg * n_tot + 3 * n_uni * n_ctx) /
-      |                          (10 * n_ctx * n_tot)) * 1000 + 0.5) AS BIGINT) AS c
+      |           CAST(floor(-ln(7.0 * n_bg / (10.0 * n_ctx) +
+      |                          3.0 * n_uni / (10.0 * n_tot)) * 1000 + 0.5) AS BIGINT) AS c
       |         FROM bc JOIN cc USING (w1)
       |         JOIN uni ON uni.token = bc.w2 CROSS JOIN tot)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,

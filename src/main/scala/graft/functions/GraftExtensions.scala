@@ -18,14 +18,21 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def fn(name: String)(b: Seq[Expression] => Expression): Unit =
+    // arity-checked builder: a wrong-arity SQL call must surface as a
+    // clear resolution error, not an IndexOutOfBoundsException from es(1)
+    def fn(name: String, arity: Int)(b: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
-    fn("fnv1a64")(es => Fnv1a64(es.head))
-    fn("simhash64")(es => SimHash64(es.head))
-    fn("cosine_sim")(es => CosineSimF(es(0), es(1)))
-    fn("hamming64")(es => Hamming64(es(0), es(1)))
-    fn("deflate_ratio")(es => DeflateRatio(es.head))
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (es: Seq[Expression]) => {
+          if (es.length != arity) throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${es.length}")
+          b(es)
+        }))
+    fn("fnv1a64", 1)(es => Fnv1a64(es.head))
+    fn("simhash64", 1)(es => SimHash64(es.head))
+    fn("cosine_sim", 2)(es => CosineSimF(es(0), es(1)))
+    fn("hamming64", 2)(es => Hamming64(es(0), es(1)))
+    fn("deflate_ratio", 1)(es => DeflateRatio(es.head))
     ext.injectOptimizerRule(_ => HammingIdentityFold)
   }
 }

@@ -12,8 +12,10 @@ import graft.Tables
   * MERGE syntax, minus the transaction log (x99's SCD2 keeps history;
   * this produces the current-state table). The change batch is carved
   * deterministically from orders with mutually exclusive ops (tombstones
-  * win over updates by construction; insert keys are offset past the key
-  * domain so they can never collide), prices ride as exact integer cents,
+  * win over updates by construction; insert keys are offset past the
+  * OBSERVED key domain — max(o_orderkey), a one-row broadcast — so they
+  * cannot collide at any SF, where a fixed constant offset would be
+  * overtaken once keys outgrow it), prices ride as exact integer cents,
   * and the join is unhinted — AQE broadcasts a small change batch,
   * shuffles a large one on the key both sides already need.
   */
@@ -29,8 +31,12 @@ object Merge {
     val updates = t.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
       .select(col("k"), lit("U").as("op"),
         lit("U").as("src_s"), (col("cents") + 150L).as("src_cents"))
+    // max+1, not max: key 0 exists in the fixture domain, and k + max
+    // would map it straight onto the max key itself
+    val off = t.agg((max(col("k")) + 1L).as("off"))
     val inserts = t.filter(col("k") % 13 === 0)
-      .select((col("k") + 2000000000L).as("k"), lit("I").as("op"),
+      .crossJoin(broadcast(off))
+      .select((col("k") + col("off")).as("k"), lit("I").as("op"),
         lit("N").as("src_s"), col("cents").as("src_cents"))
     val src = deletes.unionByName(updates).unionByName(inserts)
     t.join(src, Seq("k"), "full_outer")
@@ -55,7 +61,7 @@ object Merge {
       |  UNION ALL
       |  SELECT k, 'U', 'U', cents + 150 FROM t WHERE k % 7 = 0 AND k % 11 <> 0
       |  UNION ALL
-      |  SELECT k + 2000000000, 'I', 'N', cents FROM t WHERE k % 13 = 0)
+      |  SELECT k + (SELECT MAX(k) + 1 FROM t), 'I', 'N', cents FROM t WHERE k % 13 = 0)
       |SELECT COALESCE(t.k, src.k) AS o_orderkey,
       |       CASE WHEN src.op IN ('U', 'I') THEN src.src_s ELSE t.s END AS o_orderstatus,
       |       CASE WHEN src.op IN ('U', 'I') THEN src.src_cents ELSE t.cents END AS price_cents

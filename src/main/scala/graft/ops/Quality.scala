@@ -107,7 +107,13 @@ object Quality {
         col(s"${n}__nulls_new").as("nulls_new"),
         col(s"${n}__ndv_old").as("ndv_old"),
         col(s"${n}__ndv_new").as("ndv_new"),
-        expr(s"${n}__ndv_new * 10000 div ${n}__ndv_old").as("ndv_ratio_bp"),
+        // ndv_old = 0 (a column entirely null in the old snapshot — a
+        // drift case this report exists to catch) emits sentinel -1:
+        // Spark's div would yield NULL while DuckDB errors on // 0, so an
+        // unguarded denominator is a cross-engine divergence
+        when(col(s"${n}__ndv_old") === 0, lit(-1L))
+          .otherwise(expr(s"${n}__ndv_new * 10000 div ${n}__ndv_old"))
+          .as("ndv_ratio_bp"),
         (col(s"${n}__min_old") =!= col(s"${n}__min_new") ||
           col(s"${n}__max_old") =!= col(s"${n}__max_new")).cast("long")
           .as("range_changed"))
@@ -144,7 +150,8 @@ object Quality {
         block("source", "source", "source"),
         block("text", "text_old", "text")).mkString("", "\nUNION ALL\n", ")\n") +
       """SELECT column_name, nulls_old, nulls_new, ndv_old, ndv_new,
-        |       CAST(ndv_new * 10000 // ndv_old AS BIGINT) AS ndv_ratio_bp,
+        |       CAST(CASE WHEN ndv_old = 0 THEN -1
+        |                 ELSE ndv_new * 10000 // ndv_old END AS BIGINT) AS ndv_ratio_bp,
         |       range_changed
         |FROM u ORDER BY column_name""".stripMargin
   }

@@ -83,23 +83,41 @@ class FunctionsSpec extends SparkSuite {
       .master("local[4]")
       .withExtensions(e => new GraftExtensions().apply(e))
       .create()
-    // injected functions resolve in SQL with no registerSql call
-    val r = s2.sql(
-      "SELECT fnv1a64('foobar') AS h, deflate_ratio(repeat('a', 1000)) < 0.1 AS rep")
-      .collect()(0)
-    assert(r.getLong(0) === 0x85944171f73967e8L)
-    assert(r.getBoolean(1))
-    // the identity fold rewrites hamming64(x, x) away entirely
-    val df = s2.sql(
-      "SELECT hamming64(fnv1a64(x), fnv1a64(x)) AS d FROM VALUES ('abc'), (CAST(NULL AS STRING)) t(x)")
-    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("hamming"),
-      s"identity not folded:\n${df.queryExecution.optimizedPlan}")
-    // and null semantics survive the rewrite: null in, null out — never 0
-    val got = df.collect().map(row => if (row.isNullAt(0)) None else Some(row.getInt(0))).toSet
-    assert(got === Set(Some(0), None))
-    // the suite's shared session is untouched (no injected rule there)
-    val shared = spark.sql("SELECT 1").sparkSession
-    assert(shared eq spark)
+    // NOTE s2.stop() is NOT the right cleanup: it would stop the
+    // SparkContext the suite's session shares. What can and must be
+    // undone is session-level: drop s2's execution listeners and restore
+    // the suite session as active/default so no later test resolves
+    // against the extended session by accident.
+    try {
+      // injected functions resolve in SQL with no registerSql call
+      val r = s2.sql(
+        "SELECT fnv1a64('foobar') AS h, deflate_ratio(repeat('a', 1000)) < 0.1 AS rep")
+        .collect()(0)
+      assert(r.getLong(0) === 0x85944171f73967e8L)
+      assert(r.getBoolean(1))
+      // wrong-arity calls fail with the builder's arity message, not an
+      // IndexOutOfBoundsException from a blind es(1)
+      val wrongArity = intercept[Exception](s2.sql("SELECT hamming64(1)").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(wrongArity).exists(_.contains("expects 2 argument")),
+        s"expected the arity message, got: ${msgs(wrongArity).mkString(" | ")}")
+      // the identity fold rewrites hamming64(x, x) away entirely
+      val df = s2.sql(
+        "SELECT hamming64(fnv1a64(x), fnv1a64(x)) AS d FROM VALUES ('abc'), (CAST(NULL AS STRING)) t(x)")
+      assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("hamming"),
+        s"identity not folded:\n${df.queryExecution.optimizedPlan}")
+      // and null semantics survive the rewrite: null in, null out — never 0
+      val got = df.collect().map(row => if (row.isNullAt(0)) None else Some(row.getInt(0))).toSet
+      assert(got === Set(Some(0), None))
+      // the suite's shared session is untouched (no injected rule there)
+      val shared = spark.sql("SELECT 1").sparkSession
+      assert(shared eq spark)
+    } finally {
+      s2.listenerManager.clear()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   test("bloom_might_contain (codegen path) agrees with the driver-side filter") {

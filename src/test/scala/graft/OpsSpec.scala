@@ -560,7 +560,11 @@ class OpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     val dels = t.keySet.filter(_ % 11 == 0)
     val ups = t.keySet.filter(k => k % 7 == 0 && k % 11 != 0)
-    val ins = t.keySet.filter(_ % 13 == 0).map(_ + 2000000000L)
+    // insert keys offset past the OBSERVED key domain (max key + 1 —
+    // key 0 exists, so a bare max offset would collide), not a fixed
+    // constant a larger SF's o_orderkey range would overtake
+    val off = t.keySet.max + 1
+    val ins = t.keySet.filter(_ % 13 == 0).map(_ + off)
     assert(dels.nonEmpty && ups.nonEmpty && ins.nonEmpty, "carve degenerate")
     assert(got.keySet === (t.keySet -- dels) ++ ins)
     ups.foreach(k => assert(got(k) === (("U", t(k)._2 + 150L)), s"update $k"))

@@ -73,6 +73,43 @@ object Bench {
     }
     emitParts("warm", warm)
     emitParts("cold", cold)
+    // Builder-owned per-query table: the driver artifact keeps only the
+    // TAIL of stdout (~31 queries survive), so the full per-query
+    // warm/cold map also lands in-repo as docs/BENCH_DETAIL.json — one
+    // query per line, name-sorted, round-stamped (round = latest driver
+    // BENCH_r{N}.json + 1) — committed each round for diffable history.
+    // Skipped for restricted runs: a partial map must never overwrite the
+    // full table.
+    if (only.isEmpty && break.isEmpty) {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+        .maxOption.map(_ + 1).getOrElse(0)
+      val names = (warm.keySet ++ cold.keySet).toSeq.sorted
+      def cell(m: Map[String, Double], n: String): String =
+        m.get(n).map(v => f"$v%.3f").getOrElse("null")
+      val lines = names.map(n =>
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}}""")
+      val body =
+        s"""{
+           |  "round": $round,
+           |  "generated_unix": ${System.currentTimeMillis() / 1000},
+           |  "sf": "$sfDir",
+           |  "cpus": $cpus,
+           |  "mode": "$mode",
+           |  "n_queries": ${names.size},
+           |  "warm_total": ${f"${total(warm)}%.3f"},
+           |  "cold_total": ${f"${total(cold)}%.3f"},
+           |  "n_errors": ${errors.size},
+           |  "queries": {
+           |${lines.mkString(",\n")}
+           |  }
+           |}
+           |""".stripMargin
+      val out = java.nio.file.Paths.get("docs/BENCH_DETAIL.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, body.getBytes("UTF-8"))
+    }
     println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.

@@ -60,6 +60,42 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** x147: the 100 TB mode of [[columnStats]] — identical report shape,
+    * but per-column NDV comes from a Datasketches HLL sketch
+    * (`hll_sketch_agg`, the x112 mergeable-state machinery) instead of
+    * exact `countDistinct`. The difference is the PLAN, and it is the
+    * whole point: N exact distincts in one aggregate compile to a single
+    * Expand that multiplies every input row ×N before the partial
+    * aggregate — at 100 TB that is N× the shuffle write of the scan
+    * itself. Sketches are plain mergeable aggregation buffers: no Expand,
+    * one map-side pass, |cols|·2^lgK bytes of state per partition, and
+    * the relative error is ~1.04/√2^lgK (±1.6 % at the default lgK=12).
+    * OpsSpec pins BOTH the error bound against the exact x124 numbers and
+    * the plan law (exact compiles to Expand, approx must not).
+    */
+  def columnStatsApprox(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lit(lgK)))
+          .as(s"${c}__ndv"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__ndv").as("n_distinct_approx"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))
+    }: _*)
+    one.select(explode(stacked).as("s"))
+      .select(col("s.column_name"), col("s.n_nulls"), col("s.n_distinct_approx"),
+        col("s.min_str"), col("s.max_str"))
+      .orderBy("column_name")
+  }
+
   /** x137: snapshot profile drift — x124's ANALYZE surface applied to
     * CHANGE DETECTION: per column, null counts, exact distinct counts,
     * and a range-moved flag for an old vs a new corpus snapshot (the

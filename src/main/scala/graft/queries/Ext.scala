@@ -73,6 +73,11 @@ object Ext {
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
     "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
       graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
+    // rows-only by design: the NDV column is a Datasketches HLL estimate
+    // (DuckDB's approx_count_distinct is a different sketch — values
+    // cannot hash-match); OpsSpec pins the ≤5 % error law vs exact x124
+    "x147_column_stats_hll" -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStatsApprox(
+      graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     "x125_constraint_audit" -> ((s: SparkSession, d: String) => graft.ops.Quality.constraintAudit(s, d)),
     // dedup (X1/X2)
     "x14_dedup_exact"      -> ((s: SparkSession, d: String) => Dedup.exact(s, d)),

@@ -875,6 +875,35 @@ class OpsSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(plan).size <= 1, "stats must not rescan the table")
   }
 
+  test("approx column stats bound the exact NDV within HLL error and drop the Expand") {
+    val cols = Seq("doc_id", "lang", "source", "text")
+    val docs = Tables.documents(spark, sf)
+    val exact = graft.ops.Quality.columnStats(docs, cols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    val approxDf = graft.ops.Quality.columnStatsApprox(docs, cols)
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    cols.foreach { c =>
+      // nulls and min/max are still exact — only NDV is sketched
+      assert(approx(c)._1 === exact(c)._1, s"$c nulls diverged")
+      assert(approx(c)._3 === exact(c)._3 && approx(c)._4 === exact(c)._4,
+        s"$c min/max diverged")
+      // lgK=12 → standard error 1.04/√4096 ≈ 1.6 %; 5 % (3σ) + 1 abs slack
+      val (e, a) = (exact(c)._2, approx(c)._2)
+      assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$c approx ndv $a vs exact $e exceeds the HLL error bound")
+    }
+    // the plan law IS the operator's reason to exist: exact multi-distinct
+    // compiles to an Expand (×|cols| row multiplication before the partial
+    // aggregate); the sketch mode must not
+    val plan = approxDf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), "approx stats must not compile to an Expand")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1, "stats must not rescan the table")
+  }
+
   test("constraint audit fires on planted orphans, duplicates, and domain breaks") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-measurement corpus generator (SCALE.md): writes a synthetic
+  * `documents` / `lineitem` / `part` / `events` dir shaped like the
+  * driver's sf0.1 testdata (same schemas, domains, and distributions —
+  * 31-word vocabulary, 10–100 uniform token lengths, 40/15/15/15/15 lang
+  * mix, planted exact-dup and near-dup families at the observed ~0.2–0.3%
+  * rates, zipf-via-log2 partkey skew, 30-day event span) at an integer
+  * size multiplier, so the scale-critical operators can be timed at 1×
+  * and N× of the SAME generative process and a growth exponent fitted.
+  * Everything is hash-derived from the row id — no RNG, reruns are
+  * byte-identical. Usage: `runMain graft.ScaleGen <outDir> <multiplier>`.
+  */
+object ScaleGen {
+
+  val vocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ScaleGen <outDir> <multiplier>")
+    val out = args(0)
+    val m = args(1).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocabCol = array(vocab.map(lit): _*)
+
+    // documents: text of 10–100 tokens from the 31-word vocab; one exact
+    // copy per 625 ids (the observed 8-groups-per-5000), one near-dup
+    // (same prefix, one appended token) per 400 ids
+    val nDocs = 5000L * m
+    val docs = spark.range(nDocs)
+      .withColumn("cid",
+        when(col("id") % 625 === 1 || col("id") % 400 === 2, col("id") - 1)
+          .otherwise(col("id")))
+      .withColumn("n_tok", (abs(hash(col("cid"), lit(1))) % 91 + 10).cast("int"))
+      .withColumn("body", concat_ws(" ",
+        transform(sequence(lit(1), col("n_tok")),
+          i => element_at(vocabCol, (abs(hash(col("cid"), i)) % 31 + 1).cast("int")))))
+      .withColumn("text",
+        when(col("id") % 400 === 2, concat(col("body"), lit(" dup")))
+          .otherwise(col("body")))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        element_at(array(
+          (Seq.fill(8)(lit("en")) ++
+            Seq("de", "es", "fr", "zh").flatMap(l => Seq.fill(3)(lit(l)))): _*),
+          (pmod(hash(col("cid"), lit(2)), lit(20)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        length(col("text")).as("n_chars"))
+    // near-dup partners must share a lang block: lang keys on cid
+    docs.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // lineitem: partkey uniform over the scaled domain (k = floor(log2)
+    // gives the zipf bucket sizes x45/x46 exercise), quantity 1–50
+    val nLi = 600000L * m
+    spark.range(nLi).select(
+        pmod(col("id"), lit(150000L * m)).as("l_orderkey"),
+        pmod(hash(col("id"), lit(3)), lit(20000L * m)).as("l_partkey"),
+        pmod(hash(col("id"), lit(4)), lit(2000L * m)).as("l_suppkey"),
+        (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
+        (pmod(hash(col("id"), lit(5)), lit(50)) + 1).cast("double").as("l_quantity"),
+        round(pmod(hash(col("id"), lit(6)), lit(9000000)) / 100.0 + 1000.0, 2).as("l_extendedprice"),
+        (pmod(hash(col("id"), lit(7)), lit(11)) / 100.0).as("l_discount"),
+        (pmod(hash(col("id"), lit(8)), lit(9)) / 100.0).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(hash(col("id"), lit(9)), lit(3)) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("O"), lit("F")),
+          (pmod(hash(col("id"), lit(10)), lit(2)) + 1).cast("int")).as("l_linestatus"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(hash(col("id"), lit(11)), lit(86400000000L * 365))).as("l_shipdate"))
+      .coalesce(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    spark.range(20000L * m)
+      .select(col("id").as("p_partkey"),
+        concat(lit("part"), col("id")).as("p_name"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // events: 30-day span, user domain 1500·m, five types, two-decimal value
+    val nEv = 100000L * m
+    spark.range(nEv).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(hash(col("id"), lit(12)), lit(86400000000L * 30))).as("ts"),
+        pmod(hash(col("id"), lit(13)), lit(1500L * m)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+          lit("signup"), lit("error")),
+          (pmod(hash(col("id"), lit(14)), lit(5)) + 1).cast("int")).as("event_type"),
+        round(pmod(hash(col("id"), lit(15)), lit(56021)) / 100.0, 2).as("value"),
+        concat(lit("{\"k\": "), pmod(hash(col("id"), lit(16)), lit(100)), lit("}")).as("props"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events to $out")
+    spark.stop()
+  }
+}

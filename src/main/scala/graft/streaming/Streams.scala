@@ -219,16 +219,18 @@ object Streams {
   def viewPurchaseLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val raw = Tables.load(spark, dir, "events").select(cols.map(col): _*)
-    val far = raw.agg(max(col("ts"))).first().getLong(0) + 100L * 3600 * 1000000000L
+    val raw = Tables.normalizeTs(
+      Tables.load(spark, dir, "events").select(cols.map(col): _*))
+    val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
+      100L * 3600 * 1000000L
     val sentinels = Seq(
-      (-1L, far, -1L, "view", 0.0, "{}"),
-      (-2L, far, -2L, "purchase", 0.0, "{}"))
+      (-1L, farUs, -1L, "view", 0.0, "{}"),
+      (-2L, farUs, -2L, "purchase", 0.0, "{}"))
       .toDF(cols: _*)
+      .withColumn("ts", timestamp_micros(col("ts")))
     val staged = s"${graft.RunScoped.ioDir}/stream_leftjoin"
     raw.unionByName(sentinels).write.mode("overwrite").parquet(staged)
-    val ev = Tables.normalizeTs(
-      spark.readStream.schema(raw.schema).parquet(staged))
+    val ev = spark.readStream.schema(raw.schema).parquet(staged)
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "7 hours")

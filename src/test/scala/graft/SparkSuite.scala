@@ -11,6 +11,9 @@ trait SparkSuite extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // Testdata parquet may carry naive timestamp[us] (no UTC annotation);
+    // read it as TIMESTAMP (LTZ @ UTC session zone), matching the oracle.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -500,4 +500,119 @@ object Similarity {
       |       CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled
       |FROM embeddings CROSS JOIN UNNEST(range(1, len(embedding)+1)) AS t(i)
       |GROUP BY label, t.i ORDER BY label, dim_i""".stripMargin
+
+  /** The corpus's exact first+second moment sums in ONE aggregate pass:
+    * each e4-quantized row expands its own d linear terms (j = -1) and
+    * d(d+1)/2 upper-triangle products INSIDE the row (nested transform +
+    * inline — codegen'd, no self-join, no row explosion surviving past the
+    * map-side partial aggregate), so the shuffle carries only the
+    * d(d+3)/2 ≈ 2 144 (i, j) partial sums per map task regardless of n.
+    * Persisted via [[graft.Layer]]: the frame is re-read for linear and
+    * pair slices (and by the x149 eigen solve) and must not recompute the
+    * corpus Gram pass.
+    */
+  private def momentSums(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "momentSums") {
+      val e = Tables.embeddings(spark, dir)
+      val q = e.select(transform(col("embedding"),
+        v => floor(v.cast("double") * 10000d + 0.5d).cast("long")).as("q"))
+      val d = size(col("q"))
+      val terms = flatten(transform(col("q"), (x, i) =>
+        concat(
+          array(struct(i.as("i"), lit(-1).as("j"), x.as("p"))),
+          transform(slice(col("q"), i + 1, d - i), (y, k) =>
+            struct(i.as("i"), (i + k).as("j"), (x * y).as("p"))))))
+      q.select(inline(terms))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("s"), count(lit(1)).as("cnt"))
+    }
+
+  /** x148: distributed covariance matrix of the embedding corpus — the
+    * d×d second-moment structure PCA / whitening / Mahalanobis gating
+    * needs, computed the only way that survives 100 TB: the single
+    * [[momentSums]] pass (never a centered second pass, never an n×n or
+    * n·d² shuffle). The covariance numerator n·Sᵢⱼ − sᵢ·sⱼ is exact
+    * integer arithmetic — BIGINT sums are safe to n ≈ 9·10¹⁰ rows at e4
+    * quantization of unit-scale values, and the n-times-sum product is
+    * widened to DECIMAL(38,0) because IT is what outgrows BIGINT first
+    * (n² scaling, ~10²⁶ at n = 10⁹). The only floating step is one
+    * pinned-order division by n²·10⁸, bit-identical in the DuckDB twin.
+    * The d-row linear frame joins back broadcast; output is the 2 080-row
+    * upper triangle.
+    */
+  def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val sums = momentSums(spark, dir)
+    val lin = sums.filter(col("j") === -1).select(col("i").as("k"), col("s").as("ls"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    sums.filter(col("j") >= 0)
+      .join(broadcast(lin), col("i") === col("k"))
+      .withColumn("si", col("ls")).drop("k", "ls")
+      .join(broadcast(lin), col("j") === col("k"))
+      .withColumn("sj", col("ls")).drop("k", "ls")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("cnt").as("n"),
+        ((dec(col("cnt")) * dec(col("s")) - dec(col("si")) * dec(col("sj")))
+          .cast("double") /
+          (col("cnt").cast("double") * col("cnt").cast("double") * lit(1e8d)))
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val covarianceOracle: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+      |           FROM embeddings),
+      |lin AS (SELECT t.i - 1 AS i, SUM(q[t.i]) AS s, COUNT(*) AS n
+      |        FROM q CROSS JOIN UNNEST(range(1, len(q)+1)) t(i) GROUP BY 1),
+      |pr AS (SELECT a.i - 1 AS i, b.j - 1 AS j, SUM(q[a.i]*q[b.j]) AS sij
+      |       FROM q CROSS JOIN UNNEST(range(1, len(q)+1)) a(i)
+      |            CROSS JOIN UNNEST(range(a.i, len(q)+1)) b(j)
+      |       GROUP BY 1, 2)
+      |SELECT pr.i AS i, pr.j AS j, la.n AS n,
+      |       CAST(la.n*pr.sij - la.s*lb.s AS DOUBLE) /
+      |         (CAST(la.n AS DOUBLE)*CAST(la.n AS DOUBLE)*100000000.0) AS cov
+      |FROM pr JOIN lin la ON la.i = pr.i JOIN lin lb ON lb.i = pr.j
+      |ORDER BY i, j""".stripMargin
+
+  /** x149: top principal eigenpair of the x148 covariance — PCA's first
+    * component, split at the right boundary for 100 TB: the corpus-sized
+    * work is the shared [[momentSums]] aggregate (one pass, d² output);
+    * the eigen solve itself is 400 deterministic power iterations on the
+    * collected d×d matrix — driver math over an aggregate-sized object
+    * (the same boundary posture as the k-means centroid step, x126), NOT
+    * a per-row collect. Deterministic end to end: fixed uniform init,
+    * fixed iteration count, sign pinned so the largest-|loading|
+    * coordinate is positive. No SQL oracle (eigen solves aren't DuckDB-
+    * expressible); ExtSpec holds the residual law ‖Cv − λv‖ ≤ 10⁻³·λ and
+    * the PSD floor λ ≥ maxᵢ Cᵢᵢ.
+    */
+  def principalComponent(spark: SparkSession, dir: String,
+                         iters: Int = 400): DataFrame = {
+    import spark.implicits._
+    val rows = covarianceMatrix(spark, dir)
+      .select(col("i").cast("int"), col("j").cast("int"), col("cov"))
+      .collect()
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(cv.map(x => x * x).sum)
+      if (nrm > 0) v = cv.map(_ / nrm)
+    }
+    // final estimate via the Rayleigh quotient vᵀCv — first-order
+    // insensitive to the remaining eigenvector error, so the residual law
+    // holds even when the eigengap is narrow
+    val lambda = (0 until d).map(i =>
+      v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
+    val flip = if (v(v.indexWhere(x => math.abs(x) == v.map(math.abs).max)) < 0) -1.0 else 1.0
+    (0 until d).map(i => (i.toLong, math.rint(flip * v(i) * 1e6) / 1e6,
+        math.rint(lambda * 1e6) / 1e6))
+      .toDF("dim_i", "loading", "eigval")
+      .orderBy("dim_i")
+  }
 }

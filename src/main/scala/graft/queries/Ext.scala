@@ -114,6 +114,8 @@ object Ext {
     "x126_kmeans_report"   -> ((s: SparkSession, d: String) => Similarity.kmeansReport(s, d)),
     "x91_sign_projection"  -> ((s: SparkSession, d: String) => Similarity.signProjection(s, d)),
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
+    "x148_covariance"      -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
+    "x149_principal_comp"  -> ((s: SparkSession, d: String) => Similarity.principalComponent(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
     // as-of join (union + last-non-null window composition)
@@ -374,6 +376,7 @@ object Ext {
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
+    "x148_covariance"      -> Similarity.covarianceOracle,
     "x93_funnel"           -> Events.funnelOracle,
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
     "x97_basket_rules"     -> Associations.basketRulesOracle,

@@ -975,4 +975,56 @@ class ExtSpec extends SparkSuite {
       .filter(col("doc_id") % 10 === 0).count()
     assert((exact.size - bloom.size) <= math.max(5L, (arrivals * 0.05).toLong))
   }
+
+  test("covariance matrix: upper triangle, PSD diagonal, matches a two-pass double recomputation") {
+    val rows = Similarity.covarianceMatrix(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))
+    val d = rows.map(_._2).max + 1
+    assert(rows.length === d * (d + 1) / 2)
+    assert(rows.forall { case (i, j, _) => i <= j })
+    rows.filter(p => p._1 == p._2).foreach { case (i, _, v) =>
+      assert(v >= 0.0, s"negative variance at dim $i")
+    }
+    // independent two-pass double covariance for a few entries — the
+    // integer one-pass formula must agree to quantization error (e4
+    // quantization → per-value error ≤ 5e-5, covariance error ~1e-4)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val got = rows.map(p => (p._1, p._2) -> p._3).toMap
+    for ((i, j) <- Seq((0, 0), (0, 1), (3, 7), (d - 1, d - 1))) {
+      val mi = vecs.map(_(i)).sum / n
+      val mj = vecs.map(_(j)).sum / n
+      val cov = vecs.map(v => (v(i) - mi) * (v(j) - mj)).sum / n
+      assert(math.abs(got((i, j)) - cov) < 2e-4,
+        s"cov($i,$j): one-pass ${got((i, j))} vs two-pass $cov")
+    }
+  }
+
+  test("principal component: unit norm, eigen residual small, PSD floor, deterministic") {
+    val pc = Similarity.principalComponent(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+    val d = pc.length
+    val v = Array.ofDim[Double](d)
+    pc.foreach { case (i, l, _) => v(i) = l }
+    val lambda = pc.head._3
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "loadings must be unit-norm")
+    val c = Array.ofDim[Double](d, d)
+    Similarity.covarianceMatrix(spark, sf).collect().foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      c(i)(j) = x; c(j)(i) = x
+    }
+    // ‖Cv − λv‖ ≤ 1e-3·λ: power-iteration convergence + e6 loading rounding
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
+    // the top eigenvalue of a symmetric PSD matrix dominates every
+    // diagonal entry (Rayleigh quotient at the basis vectors)
+    val maxDiag = (0 until d).map(i => c(i)(i)).max
+    assert(lambda >= maxDiag - 1e-9, s"lambda $lambda < max diagonal $maxDiag")
+    val again = Similarity.principalComponent(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+    assert(pc.toSeq === again.toSeq, "power iteration must be deterministic")
+  }
 }

@@ -359,6 +359,47 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** x150: sketch-guided exact heavy hitters — tokens with true frequency
+    * strictly above n/(k+1), found the way a 100 TB stream has to: pass 1
+    * is ONE Misra–Gries typed aggregate ([[graft.functions
+    * .MisraGriesAggregator]]) whose O(k) buffers partial-combine map-side
+    * (no per-token shuffle; n rides in the same buffer, so candidates and
+    * the threshold cost one job); pass 2 counts ONLY the ≤ k candidate
+    * tokens exactly (broadcast semi-join ahead of the aggregate, so the
+    * exchange carries ≤ k groups) and keeps those whose EXACT count
+    * clears the threshold — integer cross-multiply, no division. The MG
+    * guarantee (every true heavy hitter survives candidacy, under any
+    * merge order) makes the verified output DETERMINISTIC and equal to
+    * the plain exact definition, which is exactly what the DuckDB twin
+    * computes — the sketch accelerates, the answer never depends on it.
+    * The candidate collect is a ≤ k-row driver boundary (x126 posture).
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("token"))
+    val summary = toks.as[String](Encoders.STRING)
+      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .head()
+    val cands = summary.counters.keys.toSeq.sorted
+    val spark2 = toks.sparkSession
+    import spark2.implicits._
+    toks.join(broadcast(cands.toDF("token")), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_tok"))
+      .filter(col("n_tok") * (k + 1) > summary.n)
+      .orderBy(col("n_tok").desc, col("token"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH t AS (SELECT u.t AS token
+      |           FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |n AS (SELECT COUNT(*) AS n FROM t)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok
+      |FROM t GROUP BY token
+      |HAVING COUNT(*) * 41 > (SELECT n FROM n)
+      |ORDER BY n_tok DESC, token""".stripMargin
+
   /** Per-document keyword extraction — the tf-idf shape with a PURE
     * INTEGER ordering (tf desc, then document-frequency asc as the idf
     * proxy, then token): rarer-elsewhere beats common-everywhere, and no

@@ -68,4 +68,55 @@ object Merge {
       |FROM t FULL OUTER JOIN src ON t.k = src.k
       |WHERE src.op IS NULL OR src.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** x151: incremental aggregate maintenance — the materialized-view
+    * refresh that makes per-key rollups affordable at 100 TB: history is
+    * NEVER rescanned. The per-customer (count, cents-sum) state and the
+    * arrival batch are staged to parquet (here carved from orders by
+    * o_orderkey % 10; in production the state is yesterday's refresh
+    * output and the arrivals are today's landed files), and the refresh
+    * plan reads ONLY those two: aggregate the delta (map-side partials →
+    * |delta-keys| rows), FULL OUTER merge with the |keys|-row state, and
+    * coalesce-add the mergeable components. Count and sum are the
+    * self-mergeable algebra; avg/stddev ride the same pattern as
+    * (n, Σx, Σx²) triples. The FULL OUTER is what admits brand-new keys
+    * (delta-only customers) and carries untouched ones through — and the
+    * whole refresh is O(|state| + |delta|), not O(history). OpsSpec
+    * asserts the refresh plan touches zero base-table files and that a
+    * delta-only key lands with exactly its delta aggregate; the DuckDB
+    * oracle is the from-scratch recompute the refresh must equal.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val statePath = s"${graft.RunScoped.ioDir}/x151_state"
+    val deltaPath = s"${graft.RunScoped.ioDir}/x151_delta"
+    orders.filter(col("o_orderkey") % 10 =!= 7)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+      .write.mode("overwrite").parquet(statePath)
+    orders.filter(col("o_orderkey") % 10 === 7)
+      .write.mode("overwrite").parquet(deltaPath)
+    val state = spark.read.parquet(statePath)
+    val deltaAgg = spark.read.parquet(deltaPath)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("d_n"), sum(col("cents")).as("d_cents"))
+    state.join(deltaAgg, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .as("cents_sum"))
+      .orderBy("o_custkey")
+  }
+
+  /** DuckDB twin: the from-scratch recompute the incremental refresh must
+    * reproduce exactly.
+    */
+  val incrementalAggOracle: String =
+    """SELECT o_custkey,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

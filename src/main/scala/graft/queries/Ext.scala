@@ -30,6 +30,7 @@ object Ext {
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
     "x145_merge_upsert"    -> ((s: SparkSession, d: String) => graft.ops.Merge.mergeUpsert(s, d)),
+    "x151_incremental_agg" -> ((s: SparkSession, d: String) => graft.ops.Merge.incrementalAgg(s, d)),
     // z-order layout round-trip (identity on content; SourcesSpec measures
     // the two-dimensional row-group pruning the layout exists for)
     "x146_zorder_roundtrip" -> ((s: SparkSession, d: String) => {
@@ -116,6 +117,7 @@ object Ext {
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     "x148_covariance"      -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
     "x149_principal_comp"  -> ((s: SparkSession, d: String) => Similarity.principalComponent(s, d)),
+    "x150_heavy_hitters"   -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
     // as-of join (union + last-non-null window composition)
@@ -296,6 +298,7 @@ object Ext {
     "x139_cluster_reps"    -> Dedup.clusterRepsOracle,
     "x143_idf_jaccard"     -> Dedup.idfWeightedOracle,
     "x145_merge_upsert"    -> graft.ops.Merge.mergeOracle,
+    "x151_incremental_agg" -> graft.ops.Merge.incrementalAggOracle,
     // identity contract: the z-ordered layout must reproduce the source
     "x146_zorder_roundtrip" ->
       """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -377,6 +380,7 @@ object Ext {
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x148_covariance"      -> Similarity.covarianceOracle,
+    "x150_heavy_hitters"   -> TextAnalysis.heavyHittersOracle,
     "x93_funnel"           -> Events.funnelOracle,
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
     "x97_basket_rules"     -> Associations.basketRulesOracle,

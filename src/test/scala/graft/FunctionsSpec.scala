@@ -140,4 +140,47 @@ class FunctionsSpec extends SparkSuite {
       .select(gf.bloom_might_contain(seen, col("k")).as("hit")).collect()
     assert(withNull(0).getBoolean(0) && withNull(1).isNullAt(0))
   }
+
+  test("Misra-Gries: two-sided bound, all true heavy hitters survive, any merge order") {
+    import spark.implicits._
+    import graft.functions.{MisraGriesAggregator, MGSummary}
+    // planted zipf-ish stream with vocab (40 tokens) >> k (8): the sketch
+    // MUST decrement — this is the bounded-memory regime the guarantee is
+    // about, deliberately harder than the near-uniform documents corpus
+    val stream: Seq[String] =
+      (1 to 40).flatMap { r => Seq.fill(3000 / (r * r))(s"tok_$r") }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val k = 8
+    for (parts <- Seq(1, 3, 7)) {
+      val got: MGSummary = spark.createDataset(stream).repartition(parts)
+        .select(new MisraGriesAggregator(k).toColumn).head()
+      assert(got.n === n)
+      assert(got.counters.size <= k, s"buffer exceeded k: ${got.counters.size}")
+      got.counters.foreach { case (t, est) =>
+        assert(est <= truth(t), s"$t overestimated: $est > ${truth(t)}")
+        assert(truth(t) - est <= n / (k + 1) + 1,
+          s"$t undercounted past the bound: ${truth(t)} - $est")
+      }
+      // the heavy-hitter guarantee: true freq > n/(k+1) ⇒ a counter survives
+      truth.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { t =>
+        assert(got.counters.contains(t),
+          s"true heavy hitter $t missing from candidates (parts=$parts)")
+      }
+    }
+  }
+
+  test("sketch-guided heavy hitters equal the plain exact definition on the corpus") {
+    val got = graft.ext.TextAnalysis.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val toks = graft.ext.TextAnalysis
+      .withTokens(Tables.documents(spark, sf))
+      .select(explode(col("tokens")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, c) => c * 41 > n }
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq === exact.toSeq)
+  }
 }

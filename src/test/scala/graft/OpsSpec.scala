@@ -1005,4 +1005,43 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "bounds re-join must broadcast the per-group percentile frame")
   }
+
+  test("incremental agg refresh: equals recompute, admits delta-only keys, never rescans the base table") {
+    val merged = graft.ops.Merge.incrementalAgg(spark, sf)
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // refresh ≡ from-scratch recompute, key for key
+    val full = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === full)
+    // a customer whose orders are ALL in the delta batch (every key % 10
+    // == 7) must land with exactly its delta aggregate via the FULL OUTER
+    val deltaOnly = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey") % 10 === 7, 1).otherwise(0)).as("in_delta"))
+      .filter(col("n") === col("in_delta"))
+      .select("o_custkey").collect().map(_.getLong(0))
+    deltaOnly.foreach(k => assert(got.contains(k), s"delta-only customer $k dropped"))
+    // the refresh plan reads ONLY the staged state + arrivals files —
+    // zero scans of the base orders parquet (O(history) never re-paid)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+    }.flatten
+    val scans = fileScans(merged.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected state+delta file scans in the refresh plan")
+    scans.foreach { f =>
+      val loc = f.relation.location.rootPaths.mkString(",")
+      assert(!loc.contains("/root/testdata"),
+        s"refresh plan rescans the base table: $loc")
+    }
+  }
 }

@@ -294,6 +294,97 @@ object Events {
       |LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
       |ORDER BY t.event_type, d.day""".stripMargin
 
+  /** x152: linear interpolation of missing days — the time-series repair
+    * step past x114's zero-fill: a silent day in a REVENUE series is
+    * missing data, not zero revenue, and downstream models want the
+    * straight-line estimate between the nearest observed neighbors. The
+    * series is per-(order priority) daily revenue in exact cents (orders
+    * spans ~6.6 years, so the low-SF grids are genuinely sparse — 88 % of
+    * cells missing at sf0.001). Shape: one fact-sized aggregate → the
+    * x114 dimension-sized dense grid → per-key windows, |days| rows per
+    * partition, never a global sort. Neighbor lookup is two frames over
+    * ONE key exchange (last-non-null over preceding, first-non-null over
+    * following — the x50 as-of discipline both directions at once);
+    * interpolation is the exact integer two-point form
+    * (pv·(nd−day) + nv·(day−pd)) DIV (nd−pd), safe in BIGINT to daily
+    * sums ~10¹⁵ cents over the 2 405-day span; edge days missing a
+    * neighbor carry the available side. `interpolated` flags repaired
+    * rows so consumers can weight them down.
+    */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame =
+    interpolateDailyOf(graft.Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents")))
+
+  /** Core of [[interpolateDaily]] over any (priority, day, cents) frame —
+    * split out so the spec can drive planted-gap fixtures through the
+    * exact grid/window/interpolation path the query runs.
+    */
+  private[graft] def interpolateDailyOf(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = rows
+      .groupBy("priority", "day")
+      .agg(sum(col("cents")).as("cents"))
+    val days = sums.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val keys = sums.select("priority").distinct()
+    val wp = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    days.crossJoin(broadcast(keys))
+      .join(sums, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"), col("cents"),
+        last(obsDay, ignoreNulls = true).over(wp).as("pd"),
+        last(col("cents"), ignoreNulls = true).over(wp).as("pv"),
+        first(obsDay, ignoreNulls = true).over(wn).as("nd"),
+        first(col("cents"), ignoreNulls = true).over(wn).as("nv"))
+      .select(col("priority"), col("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pd").isNull, col("nv"))
+          .when(col("nd").isNull, col("pv"))
+          .otherwise(expr("(pv * (nd - day) + nv * (day - pd)) DIV (nd - pd)"))
+          .as("cents"),
+        col("cents").isNull.cast("long").as("interpolated"))
+      .orderBy("priority", "day")
+  }
+
+  val interpolateOracle: String =
+    """WITH c AS (SELECT o_orderpriority AS priority,
+      |                  CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |keys AS (SELECT DISTINCT priority FROM c),
+      |grid AS (SELECT k.priority, d.day, c.cents
+      |         FROM days d CROSS JOIN keys k
+      |         LEFT JOIN c ON c.priority = k.priority AND c.day = d.day),
+      |w AS (SELECT priority, day, cents,
+      |        LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |          OVER (PARTITION BY priority ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |        LAST_VALUE(cents IGNORE NULLS)
+      |          OVER (PARTITION BY priority ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |        FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |          OVER (PARTITION BY priority ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+      |        FIRST_VALUE(cents IGNORE NULLS)
+      |          OVER (PARTITION BY priority ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |      FROM grid)
+      |SELECT priority, day,
+      |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |                 WHEN pd IS NULL THEN nv
+      |                 WHEN nd IS NULL THEN pv
+      |                 ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+      |            END AS BIGINT) AS cents,
+      |       CAST(cents IS NULL AS BIGINT) AS interpolated
+      |FROM w ORDER BY priority, day""".stripMargin
+
   /** x118: rolling 7-day totals per event type — the trailing-window
     * trend line every monitor draws. Composes [[gapFill]]: on the DENSE
     * grid a `ROWS 6 PRECEDING` frame IS seven calendar days, so the

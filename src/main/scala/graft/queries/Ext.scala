@@ -46,6 +46,7 @@ object Ext {
     }),
     "x112_hll_merge"       -> ((s: SparkSession, d: String) => Events.hllMergeCounts(s, d)),
     "x114_gap_fill"        -> ((s: SparkSession, d: String) => Events.gapFill(s, d)),
+    "x152_interpolate"     -> ((s: SparkSession, d: String) => Events.interpolateDaily(s, d)),
     "x118_rolling_7d"      -> ((s: SparkSession, d: String) => Events.rollingDaily(s, d)),
     "x132_time_weighted"   -> ((s: SparkSession, d: String) => Events.timeWeightedAvg(s, d)),
     "x134_value_histogram" -> ((s: SparkSession, d: String) => Events.valueHistogram(s, d)),
@@ -346,6 +347,7 @@ object Ext {
     "x103_gram_novelty"    -> TextAnalysis.noveltyOracle,
     "x113_mad_outliers"    -> TextAnalysis.madOracle,
     "x114_gap_fill"        -> Events.gapFillOracle,
+    "x152_interpolate"     -> Events.interpolateOracle,
     "x115_quantile_norm"   -> TextAnalysis.quantileNormOracle,
     "x116_token_budget"    -> graft.ops.Sampling.tokenBudgetOracle,
     "x117_edit_dedup"      -> Dedup.editDistanceOracle,

@@ -976,6 +976,32 @@ class ExtSpec extends SparkSuite {
     assert((exact.size - bloom.size) <= math.max(5L, (arrivals * 0.05).toLong))
   }
 
+  test("linear interpolation: exact two-point values on a planted-gap series, edges carry, observed rows untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      // key A: observed at days 10 (100¢) and 14 (300¢); 11–13 missing →
+      // exact line: 150, 200, 250. Day 16 observed (40¢); 15 missing →
+      // (300·1 + 40·1) DIV 2 = 170.
+      ("A", 10L, 100L), ("A", 14L, 300L), ("A", 16L, 40L),
+      // key B: single observation mid-span → every other day carries it
+      // (leading days have no prev → carry next; trailing carry prev)
+      ("B", 12L, 77L),
+    ).toDF("priority", "day", "cents")
+    val got = graft.ext.Events.interpolateDailyOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // grid spans the GLOBAL day range for every key
+    assert(got.size === 2 * 7)
+    assert(got(("A", 10L)) === (100L, 0L) && got(("A", 14L)) === (300L, 0L))
+    assert(got(("A", 11L)) === (150L, 1L))
+    assert(got(("A", 12L)) === (200L, 1L))
+    assert(got(("A", 13L)) === (250L, 1L))
+    assert(got(("A", 15L)) === (170L, 1L))
+    assert(got(("A", 16L)) === (40L, 0L))
+    (10L to 16L).foreach { d =>
+      assert(got(("B", d)) === (77L, if (d == 12L) 0L else 1L), s"B day $d")
+    }
+  }
+
   test("covariance matrix: upper triangle, PSD diagonal, matches a two-pass double recomputation") {
     val rows = Similarity.covarianceMatrix(spark, sf).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))

@@ -202,6 +202,7 @@ object Ext {
     "s08_stream_enrich"    -> ((s: SparkSession, d: String) => Streams.enrichStream(s, d)),
     "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
     "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
+    "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
   )
 

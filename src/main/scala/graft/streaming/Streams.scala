@@ -394,6 +394,73 @@ object Streams {
     }
   }
 
+  /** Per-type running distinct-user cardinality as STREAMING STATE: a
+    * Datasketches HLL sketch (lgK=12 — the x112 machinery) lives in a
+    * ValueState per event type and absorbs each micro-batch's user_ids.
+    * This is the production dashboard-cardinality pattern: state is the
+    * ~KB sketch, NOT the user set — |types|·2^lgK bytes total where an
+    * exact streaming distinct would hold every key ever seen (unbounded
+    * at 100 TB). HLL insertion is order- and batch-boundary-insensitive,
+    * so the final estimate is deterministic and equals the one-shot batch
+    * sketch of the same rows (StreamingSpec pins both that equality and
+    * the ≤5 % error vs exact distinct; estimates are also non-decreasing
+    * across micro-batches — a sketch only absorbs).
+    */
+  private class DistinctSketchProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var sk: ValueState[Array[Byte]] = _
+    @transient private var nRows: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sk = getHandle.getValueState[Array[Byte]]("hll",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+      nRows = getHandle.getValueState[Long]("nrows",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      import org.apache.datasketches.hll.HllSketch
+      val s = if (sk.exists()) HllSketch.heapify(sk.get()) else new HllSketch(12)
+      var n = if (nRows.exists()) nRows.get() else 0L
+      rows.foreach { r => s.update(r._2); n += 1L }
+      sk.update(s.toUpdatableByteArray)
+      nRows.update(n)
+      Iterator.single((key, n, math.rint(s.getEstimate).toLong))
+    }
+  }
+
+  /** s12: the [[DistinctSketchProcessor]] driven by the event replay on
+    * the RocksDB provider; the final (largest-n) update per type is the
+    * answer. Rows-only in the gate by design (DuckDB has no Datasketches
+    * HLL); the laws live in StreamingSpec.
+    */
+  def streamingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventStream(spark, dir)
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      val updated = src.groupByKey(_._1)
+        .transformWithState(new DistinctSketchProcessor, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("event_type", "n_events", "distinct_users_est")
+      val table = runToMemory(updated, "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n_events").desc)
+      table.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_events"), col("distinct_users_est"))
+        .orderBy("event_type")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Stream-static enrichment join (the remaining X9 join shape): the
     * event stream joins the BATCH customer dim per micro-batch — the
     * canonical "enrich a stream with a dimension table" pattern. The

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit}
+
 import graft.ext.Events
 import graft.streaming.Streams
 
@@ -271,6 +273,31 @@ class StreamingSpec extends SparkSuite {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+  }
+
+  test("streaming HLL distinct: final state equals the one-shot batch sketch, within 5% of exact") {
+    val got = graft.streaming.Streams.streamingDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+    // batch truth: exact row/distinct counts + the one-shot sketch estimate
+    val batch = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === batch.keySet)
+    batch.foreach { case (t, (n, exact, batchEst)) =>
+      val (gotN, gotEst) = got(t)
+      assert(gotN === n, s"$t: processed $gotN rows of $n")
+      // HLL absorption is order- and batch-boundary-insensitive: feeding
+      // the stream micro-batch by micro-batch lands on the SAME sketch
+      // registers as one batch pass — estimate equality, not similarity
+      assert(gotEst === batchEst,
+        s"$t: streaming estimate $gotEst != one-shot batch sketch $batchEst")
+      assert(math.abs(gotEst - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"$t: estimate $gotEst drifted past 5% of exact $exact")
     }
   }
 }

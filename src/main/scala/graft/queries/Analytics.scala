@@ -771,6 +771,58 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** a33: seasonal anomaly detection — daily revenue judged against its
+    * own DAY-OF-WEEK cohort (a Monday against Mondays), the baseline that
+    * stops weekly rhythm from reading as anomaly and anomalies from
+    * hiding inside the rhythm. x113's exact-integer MAD discipline
+    * grouped by `day % 7`: per-dow median and MAD are exact `percentile`
+    * aggregates e4-rounded ONCE, the 3·1.4826·MAD gate is the all-BIGINT
+    * ×44478 DIV 10⁴ cross-multiply, and the output is the actionable
+    * report — the anomalous DAYS themselves. Scale shape: ONE fact-sized
+    * aggregate to the |days|-row daily frame, Layer-persisted so the
+    * med→dev→mad→flag chain reads it from cache instead of re-scanning
+    * orders three times (improves on x113's triple-scan posture); both
+    * percentile frames are 7-row broadcasts.
+    */
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
+      Tables.orders(spark, dir)
+        .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+          .cast("long").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("cents"))
+    }
+    val med = daily.groupBy((col("day") % 7).as("dow"))
+      .agg(floor(expr("percentile(cents, 0.5)") * 10000d + 0.5d)
+        .cast("long").as("med_e4"))
+    val dev = daily.select(col("day"), (col("day") % 7).as("dow"), col("cents"))
+      .join(broadcast(med), "dow")
+      .withColumn("dev_e4", abs(col("cents") * 10000L - col("med_e4")))
+    val mad = dev.groupBy("dow")
+      .agg(floor(expr("percentile(dev_e4, 0.5)") + 0.5d).cast("long").as("mad_e4"))
+    dev.join(broadcast(mad), "dow")
+      .filter(col("dev_e4") > expr("(mad_e4 * 44478) DIV 10000"))
+      .select(col("day"), col("dow"), col("cents"), col("med_e4"))
+      .orderBy("day")
+  }
+
+  val seasonalOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |m AS (SELECT day % 7 AS dow,
+      |             CAST(floor(quantile_cont(cents, 0.5) * 10000 + 0.5) AS BIGINT) AS med_e4
+      |      FROM daily GROUP BY 1),
+      |d AS (SELECT daily.day, daily.day % 7 AS dow, daily.cents, m.med_e4,
+      |             ABS(daily.cents * 10000 - m.med_e4) AS dev_e4
+      |      FROM daily JOIN m ON m.dow = daily.day % 7),
+      |md AS (SELECT dow, CAST(floor(quantile_cont(dev_e4, 0.5) + 0.5) AS BIGINT) AS mad_e4
+      |       FROM d GROUP BY 1)
+      |SELECT d.day, d.dow, CAST(d.cents AS BIGINT) AS cents, d.med_e4
+      |FROM d JOIN md USING (dow)
+      |WHERE d.dev_e4 > (md.mad_e4 * 44478) // 10000
+      |ORDER BY d.day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -804,9 +856,11 @@ object Analytics {
     "a30_dominant_supp"    -> (dominantSuppliers _),
     "a31_winsorized"       -> (winsorizedRevenue _),
     "a32_weighted_median"  -> (weightedMedian _),
+    "a33_seasonal_outliers" -> (seasonalOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a33_seasonal_outliers" -> seasonalOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

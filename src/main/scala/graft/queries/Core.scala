@@ -264,6 +264,24 @@ object Core {
       .orderBy("doc_id")
   }
 
+  /** JSON-lines round-trip — the 6th interchange format (parquet, CSV,
+    * ORC, text, evolved-parquet, JSON): customers through `write.json` →
+    * [[graft.sources.Ingest.jsonLines]] with the source's own schema
+    * (explicit schema-on-read; inference would re-scan everything at
+    * 100 TB). Identity contract against the ORIGINAL parquet table, like
+    * q21/q22 — including exact doubles, which survive Jackson's
+    * round-trip serialization.
+    */
+  def q24JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$ioDir/customer_json"
+    val src = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    src.write.mode("overwrite").json(out)
+    graft.sources.Ingest.jsonLines(spark, out, src.schema)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   /** Schema evolution across parquet generations — the lake reality a
     * fixed-schema reader breaks on: an early ingest wrote (doc_id, text),
     * a later one added (lang, source), and ONE read must span both.
@@ -343,6 +361,7 @@ object Core {
     "q21_orc_roundtrip"       -> (q21OrcRoundtrip _),
     "q22_text_roundtrip"      -> (q22TextRoundtrip _),
     "q23_schema_evolution"    -> (q23SchemaEvolution _),
+    "q24_json_roundtrip"      -> (q24JsonRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,6 +404,10 @@ object Core {
         |       CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END AS lang,
         |       CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE source END AS source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identity contract: the JSON-lines round-trip must reproduce the source
+    "q24_json_roundtrip"      ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }
 

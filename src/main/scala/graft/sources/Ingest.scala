@@ -65,4 +65,13 @@ object Ingest {
     */
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** JSON-lines with an EXPLICIT schema — never inference, which is a
+    * full extra pass over the data at 100 TB (and type-unstable across
+    * samples). Jackson's double serialization round-trips binary64
+    * exactly, so numeric identity survives the text format.
+    */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

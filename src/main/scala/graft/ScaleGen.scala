@@ -103,7 +103,19 @@ object ScaleGen {
         concat(lit("{\"k\": "), pmod(hash(col("id"), lit(16)), lit(100)), lit("}")).as("props"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events to $out")
+    // embeddings: 64-dim float vectors in [-1, 1), hash-derived per
+    // (vec_id, dim); 10 labels — the shape x148's covariance pass and the
+    // similarity family consume (2 000·m matches sf0.1's 2 000 at 1×)
+    val nVec = 2000L * m
+    spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => ((pmod(hash(col("id"), i, lit(17)), lit(2000)) - 1000) / 1000.0)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events / ${nVec} embeddings to $out")
     spark.stop()
   }
 }

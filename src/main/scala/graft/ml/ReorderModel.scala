@@ -35,17 +35,25 @@ object ReorderModel {
       .setInputCols(featureCols).setOutputCol("features")
       .transform(df.withColumn("label", col("label").cast("double")))
 
-  /** The assembled TRAIN feature matrix (eval_set=1), Layer-cached: all
-    * four m-queries (submission, metrics, calibration, k-fold CV) fit on
-    * this exact frame, and its generation — the q14 four-join feature DAG
-    * plus vector assembly — dominated each of their cold times when every
-    * query re-derived it privately. One persisted copy per (session, sf)
-    * now feeds every fit; the fits themselves stay per-query (different
-    * splits genuinely train different models).
+  /** The TRAIN feature matrix (eval_set=1): the q14 four-join DAG is
+    * Layer-cached as PLAIN COLUMNS and the VectorAssembler runs on top,
+    * per call. Both halves of that split matter:
+    *  - the cached half is the expensive, shared part (feature
+    *    generation), and scalar columns compress well in the columnar
+    *    cache;
+    *  - the assembled vector column stays OUT of the cache, so the frame
+    *    each m-query passes to `fit` reports storageLevel NONE and
+    *    spark.ml's trainers persist their OWN converted representation
+    *    (BaggedPoint/TreePoint RDDs) for the multi-pass tree loops.
+    *    Caching the assembled frame instead makes every trainer skip that
+    *    internal persist (it checks the input's storage level) and
+    *    re-pull + re-convert the cached rows once per tree level — which
+    *    under full-bench memory pressure degraded m01/m04 warm times by
+    *    an order of magnitude.
     */
   def assembledTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.Layer.cached(spark, dir, "assembledTrain")(
-      assemble(Insta.featureMatrix(spark, dir, Seq(1L))))
+    assemble(graft.Layer.cached(spark, dir, "trainFeatures")(
+      Insta.featureMatrix(spark, dir, Seq(1L))))
 
   def rf: RandomForestRegressor = new RandomForestRegressor() // M2, F.py:219–221
     .setNumTrees(3).setFeatureSubsetStrategy("auto")
@@ -143,11 +151,12 @@ object ReorderModel {
       def r4(v: Double): Double = math.rint(v * 10000) / 10000
       (f, total, r4(correct.toDouble / total), r4(f1))
     }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration._
-    val rows = (0L until k).map(f => Future(evalFold(f)))
-      .map(Await.result(_, 15.minutes))
+    // folds run SEQUENTIALLY, deliberately: each tree fit already uses
+    // every core (its internal BaggedPoint cache + per-level jobs span
+    // the cluster), so concurrent fold Futures only interleave stages on
+    // the FIFO scheduler while tripling resident internal caches —
+    // measured slower end-to-end than back-to-back fits at sf0.1/32cpu
+    val rows = (0L until k).map(evalFold)
     rows.toDF("fold", "n_test", "accuracy", "f1_pos").orderBy("fold")
   }
 

@@ -129,10 +129,15 @@ object ReorderModel {
     import spark.implicits._
     // fold assignment is a cheap md5 bucket on top of the Layer-cached
     // assembled matrix — no second persisted copy of the same rows
+    // localCheckpoint (MEMORY_AND_DISK, lineage truncated): six fit/score
+    // passes run over this frame, and under full-bench cache pressure a
+    // merely-persisted plan kept re-entering the q14 DAG on evicted
+    // blocks; checkpointed blocks spill to disk instead of recomputing
     val all = assembledTrain(spark, dir)
       .withColumn("fold", pmod(
         graft.ops.Sampling.bucket10k(col("orderID") * 1000003L + col("productID"), 77),
         lit(k.toLong)))
+      .localCheckpoint()
     def evalFold(f: Long): (Long, Long, Double, Double) = {
       val test = all.filter(col("fold") === f)
       val model = rf.fit(all.filter(col("fold") =!= f))

@@ -203,6 +203,7 @@ object Ext {
     "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
     "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
     "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
+    "s13_stream_full_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseFullJoin(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
   )
 
@@ -334,6 +335,19 @@ object Ext {
         |       COALESCE(ROUND(p.value, 4), 0.0) AS value
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "s13_stream_full_join" ->
+      """SELECT COALESCE(v.event_id, -1) AS view_id,
+        |       COALESCE(p.event_id, -1) AS purchase_id,
+        |       COALESCE(v.user_id, p.user_id) AS user_id,
+        |       COALESCE(CAST(epoch_us(v.ts) AS BIGINT), -1) AS view_us,
+        |       COALESCE(CAST(epoch_us(p.ts) AS BIGINT), -1) AS purchase_us,
+        |       COALESCE(ROUND(p.value, 4), 0.0) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000

@@ -394,6 +394,54 @@ object Streams {
     }
   }
 
+  /** s13: stream-stream FULL OUTER interval join — the complete
+    * attribution triptych with s06 (inner) and s11 (left): views with no
+    * purchase AND purchases with no qualifying prior view (the direct
+    * conversions a funnel must count) both flush once the watermarks can
+    * prove them unmatched. Same staged replay, same per-side heartbeat
+    * punctuation as s11 (the two sentinels carry disjoint negative
+    * user_ids, so the final filter drops exactly them); every null side
+    * is coalesced to sentinels so no NULL enters the cross-engine hash.
+    * Equals the batch FULL OUTER interval join exactly — oracle-checked.
+    */
+  def viewPurchaseFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = Tables.normalizeTs(
+      Tables.load(spark, dir, "events").select(cols.map(col): _*))
+    val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
+      100L * 3600 * 1000000L
+    val sentinels = Seq(
+      (-1L, farUs, -1L, "view", 0.0, "{}"),
+      (-2L, farUs, -2L, "purchase", 0.0, "{}"))
+      .toDF(cols: _*)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val staged = s"${graft.RunScoped.ioDir}/stream_fulljoin"
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged)
+    val ev = spark.readStream.schema(raw.schema).parquet(staged)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "7 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "7 hours")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"),
+      "full_outer")
+    runToMemory(joined, "append")
+      .filter(coalesce(col("user_id"), col("p_user_id")) >= 0)
+      .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"),
+        coalesce(unix_micros(col("purchase_ts")), lit(-1L)).as("purchase_us"),
+        coalesce(round(col("value"), 4), lit(0.0)).as("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   /** Per-type running distinct-user cardinality as STREAMING STATE: a
     * Datasketches HLL sketch (lgK=12 — the x112 machinery) lives in a
     * ValueState per event type and absorbs each micro-batch's user_ids.

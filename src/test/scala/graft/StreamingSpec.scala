@@ -276,6 +276,24 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("full-outer stream join contains the left join's rows plus only purchase-side orphans") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val left = keyed(Streams.viewPurchaseLeftJoin(spark, sf))
+    val full = keyed(Streams.viewPurchaseFullJoin(spark, sf))
+    // the left join's output is exactly the full join's view-side rows
+    assert(full.filter { case ((v, _), _) => v >= 0 } === left)
+    // what full adds beyond left is only unmatched purchases (view_id = -1),
+    // and those purchase ids never appear matched elsewhere in the output
+    val matchedPurchases = full.keys.collect {
+      case (v, p) if v >= 0 && p >= 0 => p
+    }.toSet
+    full.keys.filter(_._1 < 0).foreach { case (_, p) =>
+      assert(p >= 0 && !matchedPurchases.contains(p),
+        s"orphan purchase $p also appears matched")
+    }
+  }
+
   test("streaming HLL distinct: final state equals the one-shot batch sketch, within 5% of exact") {
     val got = graft.streaming.Streams.streamingDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

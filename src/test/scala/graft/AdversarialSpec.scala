@@ -103,4 +103,37 @@ class AdversarialSpec extends SparkSuite {
     assert(f.head._2 === f.head._3, "each ZWSP doc must tokenize to a single token")
     assert(f.find(_._1 === 2L).get._2 === 0L, "single-token docs must fail the 30-token gate")
   }
+
+  test("heavy hitters: degenerate single-token corpus yields one exact hitter; uniform spread yields EMPTY") {
+    // vocab = 1 ≪ k: the sketch never decrements, the lone token owns
+    // every count, and the verified output is exactly (token, n)
+    val mono = writeDocs((0L until 20L).map(i => i -> "spam spam spam spam spam"))
+    val got = graft.ext.TextAnalysis.heavyHitters(spark, mono).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("spam" -> 100L))
+    // 100 equal-mass tokens against k = 40: every true frequency is
+    // n/100 < n/41, so the correct answer is EMPTY — candidates may
+    // survive the sketch, but exact verification must kill them all
+    val uniform = writeDocs((0L until 100L).map(i => i -> s"tok$i tok$i tok$i"))
+    assert(graft.ext.TextAnalysis.heavyHitters(spark, uniform).count() === 0L)
+  }
+
+  test("covariance of an all-identical embedding corpus is exactly zero and the eigen solve survives it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-emb").toString
+    (0L until 50L).map(i => (i, Array.fill(8)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cov = graft.ext.Similarity.covarianceMatrix(spark, dir).collect()
+    assert(cov.length === 8 * 9 / 2)
+    // zero variance everywhere: the exact integer numerator n·S − s·s
+    // cancels perfectly — no float residue allowed
+    cov.foreach(r => assert(r.getDouble(3) === 0.0,
+      s"cov(${r.getLong(0)},${r.getLong(1)}) = ${r.getDouble(3)} != 0"))
+    // power iteration on the zero matrix: the nrm > 0 guard keeps the
+    // init vector, lambda lands at exactly 0, nothing divides by zero
+    val pc = graft.ext.Similarity.principalComponent(spark, dir).collect()
+    assert(pc.length === 8)
+    pc.foreach(r => assert(r.getDouble(2) === 0.0, "eigval of the zero matrix must be 0"))
+  }
 }

@@ -359,6 +359,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** x153: sequence-length bucketing — the batch-composition report a
+    * transformer training pipeline runs before packing: group documents
+    * by ceil(n_tokens / bucketWidth), and per bucket report how many
+    * tokens the bucket-cap padding would waste (Σ(cap − n) over members)
+    * against the alternative the x72 packer implements. All integers —
+    * the ceil is (n + w − 1) DIV w, the waste a conditional sum — and
+    * ONE map-side-combinable aggregate over a projection; |buckets| rows
+    * cross the shuffle. waste_bp is the padding overhead in basis points
+    * of the padded volume, integer cross-multiplied.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String,
+                    bucketWidth: Int = 16): DataFrame = {
+    val w = bucketWidth.toLong
+    withTokens(Tables.documents(spark, dir))
+      .select(size(col("tokens")).cast("long").as("n"))
+      .withColumn("bucket", expr(s"(n + ${w - 1}) DIV $w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("bucket") * w * col("n_docs") - col("n_tokens")).as("waste_tokens"),
+        expr(s"((bucket * $w * n_docs - n_tokens) * 10000) DIV (bucket * $w * n_docs)")
+          .as("waste_bp"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsOracle: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |b AS (SELECT (n + 15) // 16 AS bucket, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+      |      FROM d GROUP BY 1)
+      |SELECT bucket, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(bucket * 16 * n_docs - n_tokens AS BIGINT) AS waste_tokens,
+      |       CAST(((bucket * 16 * n_docs - n_tokens) * 10000) // (bucket * 16 * n_docs) AS BIGINT) AS waste_bp
+      |FROM b ORDER BY bucket""".stripMargin
+
   /** x150: sketch-guided exact heavy hitters — tokens with true frequency
     * strictly above n/(k+1), found the way a 100 TB stream has to: pass 1
     * is ONE Misra–Gries typed aggregate ([[graft.functions

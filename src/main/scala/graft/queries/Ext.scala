@@ -119,6 +119,7 @@ object Ext {
     "x148_covariance"      -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
     "x149_principal_comp"  -> ((s: SparkSession, d: String) => Similarity.principalComponent(s, d)),
     "x150_heavy_hitters"   -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
+    "x153_length_buckets"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthBuckets(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
     "x51_range_join"       -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.clicksBeforeErrors(s, d)),
     // as-of join (union + last-non-null window composition)
@@ -398,6 +399,7 @@ object Ext {
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x148_covariance"      -> Similarity.covarianceOracle,
     "x150_heavy_hitters"   -> TextAnalysis.heavyHittersOracle,
+    "x153_length_buckets"  -> TextAnalysis.lengthBucketsOracle,
     "x93_funnel"           -> Events.funnelOracle,
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
     "x97_basket_rules"     -> Associations.basketRulesOracle,

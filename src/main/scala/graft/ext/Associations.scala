@@ -58,6 +58,51 @@ object Associations {
       .limit(k)
   }
 
+  /** x154: the same rule surface through spark.ml's FPGrowth — the PFP
+    * (Li et al., parallel FP-growth) implementation that replaces x97's
+    * pair self-join with per-group conditional FP-trees once baskets get
+    * long (the self-join's candidate space is Σ|basket|²; PFP partitions
+    * the item domain and mines each shard's projected transactions
+    * independently). Restricted to single-antecedent rules, its output is
+    * exactly x97's pair statistics in both directions, so the DuckDB twin
+    * oracles spark.ml itself: confidence(a→b) = n_ab/n_a on exact
+    * integer counts, rounded once. The fractional minSupport is set to
+    * (minCount − ½)/n so its internal ceil lands exactly on minCount
+    * regardless of float representation. The one-row n_orders count is a
+    * driver boundary (x126 posture).
+    */
+  def fpgrowthRules(spark: SparkSession, dir: String,
+                    minCount: Int = 2): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = baskets.select(countDistinct(col("l_orderkey"))).first().getLong(0)
+    val tx = baskets.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport((minCount.toDouble - 0.5) / n)
+      .setMinConfidence(0.0)
+      .fit(tx)
+    model.associationRules
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .select(col("antecedent").getItem(0).as("a"),
+        col("consequent").getItem(0).as("b"),
+        round(col("confidence"), 4).as("confidence"))
+      .orderBy("a", "b")
+  }
+
+  val fpgrowthOracle: String =
+    """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |  FROM baskets x JOIN baskets y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p.a, p.b, ROUND(p.n_ab * 1.0 / ia.n_item, 4) AS confidence
+      |FROM pairs p JOIN itemn ia ON ia.l_partkey = p.a
+      |ORDER BY a, b""".stripMargin
+
   val basketRulesOracle: String =
     """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),

@@ -231,4 +231,40 @@ object ReorderModel {
     fit.unpersist(); holdout.unpersist()
     materialized
   }
+
+  /** m05: implicit-feedback ALS recommendations — the canonical Spark
+    * recommender over the reference's own domain (user × product purchase
+    * counts as implicit strength). ALS is the distributed matrix
+    * factorization: users and items block-partition, each iteration
+    * solves per-block least squares against the other side's broadcast
+    * factor blocks — no step touches a user×item dense matrix. Seeded and
+    * layout-pinned here, but scores remain float accumulations, so the
+    * gate records rows-only (count = |users with history| · k, stable)
+    * and MlSpec pins determinism/coverage/item-domain laws instead of a
+    * value hash. Note the documented Spark limit: ALS ids are Int —
+    * at key domains past 2³¹ the production path reindexes through a
+    * dense id dictionary first (the x104-style content-addressed split
+    * keeps that deterministic).
+    */
+  def alsRecommendations(spark: SparkSession, dir: String,
+                         k: Int = 3): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val ratings = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
+    val model = new ALS().setSeed(seed).setRank(8).setMaxIter(5)
+      .setImplicitPrefs(true).setRegParam(0.1)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+    model.recommendForAllUsers(k)
+      .select(col("user").cast("long").as("user"),
+        posexplode(col("recommendations")).as(Seq("rank", "rec")))
+      .select(col("user"), (col("rank") + 1).cast("long").as("rank"),
+        col("rec.item").cast("long").as("item"))
+      .orderBy("user", "rank")
+  }
 }

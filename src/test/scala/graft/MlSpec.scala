@@ -70,4 +70,26 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(b2.toSeq === a.toSeq, "calibration not deterministic under the seed")
   }
+
+  test("ALS recommendations cover every user with history, draw from observed items, deterministically") {
+    val k = 3
+    val recs = ReorderModel.alsRecommendations(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ratings = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+    val users = ratings.select("user").distinct().collect().map(_.getLong(0)).toSet
+    val items = ratings.select("item").distinct().collect().map(_.getLong(0)).toSet
+    // every user with purchase history gets exactly k ranked recs
+    assert(recs.map(_._1).toSet === users)
+    recs.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to k), s"user $u ranks ${rs.toSeq}")
+    }
+    // recommended items exist in the observed item domain
+    recs.foreach { case (_, _, i) => assert(items.contains(i), s"unknown item $i") }
+    // same seed, same session, same layout ⇒ identical ranking
+    val again = ReorderModel.alsRecommendations(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === recs.toSeq, "ALS not deterministic under the seed")
+  }
 }

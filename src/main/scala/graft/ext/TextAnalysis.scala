@@ -676,7 +676,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("bgs")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
-    val cc = bg.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
+    // context counts are a VOCAB-SIZED re-aggregate of bc — never a
+    // second corpus pass: Σ_w2 c(w1,w2) = c(w1·) exactly
+    val cc = bc.groupBy("w1").agg(sum(col("n_bg")).as("n_ctx"))
     val cost = bc.join(cc, "w1")
       .select(col("w1"), col("w2"),
         floor(-log(col("n_bg") / col("n_ctx")) * 1000d + 0.5d).cast("long").as("c_millinat"))
@@ -730,11 +732,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("bgs")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
-    val cc = bg.groupBy("w1").agg(count(lit(1)).as("n_ctx"))
+    // context counts re-aggregate bc (vocab-sized, Σ_w2 c(w1,w2) = c(w1·))
+    // and the corpus total re-aggregates uni — neither pays a second
+    // corpus pass
+    val cc = bc.groupBy("w1").agg(sum(col("n_bg")).as("n_ctx"))
     val toks = withTokens(Tables.documents(spark, dir))
       .select(explode(col("tokens")).as("token"))
     val uni = toks.groupBy("token").agg(count(lit(1)).as("n_uni"))
-    val totals = toks.agg(count(lit(1)).as("n_tot"))
+    val totals = uni.agg(sum(col("n_uni")).as("n_tot"))
     val cost = bc.join(cc, "w1")
       .join(uni.withColumnRenamed("token", "w2"), "w2")
       .crossJoin(broadcast(totals))

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Layer, Tables}
 import graft.functions.{functions => gf}
 
 /** Text-analysis operators over the documents table (SURVEY.md §2.11 X4 +
@@ -20,6 +20,60 @@ object TextAnalysis {
     df.withColumn("tokens", split(col("text"), " "))
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Layer-cached token stream `(doc_id, source, token)` — the exploded
+    * tokenization shared by the LM-scoring family (x85 unigram NLL, x123
+    * held-out PPL, x140 interpolated NLL). One tokenize+explode pass per
+    * (session, sf dir): without it each quality signal re-tokenizes the
+    * corpus, so a warm suite run pays the dominant scan+explode cost once
+    * per SIGNAL instead of once per RUN — the same amortization the x15
+    * pair set gets. MEMORY_AND_DISK like every Layer: the stream is
+    * corpus-positions-sized, so at cluster scale it spills while the
+    * vocab-sized count tables below stay memory-resident; at 100 TB the
+    * cache is a straight trade of disk-local re-read against re-scan +
+    * re-explode of the source parquet, and either way the per-signal
+    * aggregates remain map-side-combinable.
+    */
+  def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Layer.cached(spark, dir, "text_token_stream") {
+      withTokens(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"), explode(col("tokens")).as("token"))
+    }
+
+  /** Layer-cached bigram stream `(doc_id, w1, w2)` shared by x107 and
+    * x140. Adjacent-pair expansion is a `transform(sequence)` projection
+    * inside the row (no window, no per-doc sort), exploded once per
+    * (session, sf dir).
+    */
+  def bigramStream(spark: SparkSession, dir: String): DataFrame =
+    Layer.cached(spark, dir, "text_bigram_stream") {
+      withTokens(Tables.documents(spark, dir))
+        .filter(size(col("tokens")) >= 2)
+        .withColumn("bgs",
+          transform(sequence(lit(0), size(col("tokens")) - 2),
+            i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
+        .select(col("doc_id"), explode(col("bgs")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    }
+
+  /** Layer-cached unigram count table `(token, n_t)` — |vocab| rows,
+    * shared by x85's cost table and x140's unigram marginal. Aggregated
+    * from [[tokenStream]] with map-side partials, so the warm path never
+    * re-reads the corpus to rebuild it.
+    */
+  def unigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Layer.cached(spark, dir, "text_unigram_counts") {
+      tokenStream(spark, dir).groupBy("token").agg(count(lit(1)).as("n_t"))
+    }
+
+  /** Layer-cached bigram count table `(w1, w2, n_bg)` — |bigram vocab|
+    * rows, shared by x107 and x140 (whose context counts Σ_w2 c(w1,w2)
+    * re-aggregate it, never the corpus).
+    */
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Layer.cached(spark, dir, "text_bigram_counts") {
+      bigramStream(spark, dir).groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    }
 
   /** X4 token statistics: token count, type-token ratio, stopword ratio,
     * mean token length. One projection pass, no shuffle.
@@ -180,9 +234,8 @@ object TextAnalysis {
     * web-vocabulary scale).
     */
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
-    val toks = withTokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("tokens")).as("token"))
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+    val toks = tokenStream(spark, dir).select(col("doc_id"), col("token"))
+    val freq = unigramCounts(spark, dir)
     val total = freq.agg(sum(col("n_t")).as("N"))
     val cost = freq.crossJoin(broadcast(total))
       .select(col("token"),
@@ -668,14 +721,8 @@ object TextAnalysis {
     * `transform(sequence)` projection inside the row.
     */
   def bigramNll(spark: SparkSession, dir: String): DataFrame = {
-    val bg = withTokens(Tables.documents(spark, dir))
-      .filter(size(col("tokens")) >= 2)
-      .withColumn("bgs",
-        transform(sequence(lit(0), size(col("tokens")) - 2),
-          i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
-      .select(col("doc_id"), explode(col("bgs")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val bg = bigramStream(spark, dir)
+    val bc = bigramCounts(spark, dir)
     // context counts are a VOCAB-SIZED re-aggregate of bc — never a
     // second corpus pass: Σ_w2 c(w1,w2) = c(w1·) exactly
     val cc = bc.groupBy("w1").agg(sum(col("n_bg")).as("n_ctx"))
@@ -716,29 +763,23 @@ object TextAnalysis {
     * its BIGINT numerator overflows once n_bg·N exceeds ~1.3e18 — a
     * corpus scale this engine claims — and Spark would wrap silently
     * where DuckDB errors. Then the x85 milli-nat floor. Plan shape:
-    * the three count tables are map-combinable aggregates over the token /
-    * bigram streams, N is a one-row broadcast, and the cost join back to
+    * the bigram stream and both count tables come from the Layer-cached
+    * frames shared with x85/x107 ([[bigramStream]], [[bigramCounts]],
+    * [[unigramCounts]]) — this query adds NO corpus pass of its own in a
+    * warm run; N is a one-row broadcast, and the cost join back to
     * the bigram stream is AQE-governed exactly like x107. ExtSpec pins
     * the interpolation bracket (the mixed cost can exceed neither
     * component's cost by more than its mixing penalty: ≤ c_bi + 357, and
     * ≤ c_uni + 1204 milli-nats).
     */
   def interpolatedNll(spark: SparkSession, dir: String): DataFrame = {
-    val bg = withTokens(Tables.documents(spark, dir))
-      .filter(size(col("tokens")) >= 2)
-      .withColumn("bgs",
-        transform(sequence(lit(0), size(col("tokens")) - 2),
-          i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
-      .select(col("doc_id"), explode(col("bgs")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val bg = bigramStream(spark, dir)
+    val bc = bigramCounts(spark, dir)
     // context counts re-aggregate bc (vocab-sized, Σ_w2 c(w1,w2) = c(w1·))
     // and the corpus total re-aggregates uni — neither pays a second
     // corpus pass
     val cc = bc.groupBy("w1").agg(sum(col("n_bg")).as("n_ctx"))
-    val toks = withTokens(Tables.documents(spark, dir))
-      .select(explode(col("tokens")).as("token"))
-    val uni = toks.groupBy("token").agg(count(lit(1)).as("n_uni"))
+    val uni = unigramCounts(spark, dir).withColumnRenamed("n_t", "n_uni")
     val totals = uni.agg(sum(col("n_uni")).as("n_tot"))
     val cost = bc.join(cc, "w1")
       .join(uni.withColumnRenamed("token", "w2"), "w2")
@@ -991,8 +1032,7 @@ object TextAnalysis {
     * table is |train vocab| rows, AQE-governed on the join back.
     */
   def heldoutPpl(spark: SparkSession, dir: String): DataFrame = {
-    val toks = withTokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), explode(col("tokens")).as("token"))
+    val toks = tokenStream(spark, dir)
       .withColumn("b", graft.ops.Sampling.bucket10k(col("doc_id"), 42))
     val train = toks.filter(col("b") < 8000)
     val test = toks.filter(col("b") >= 8000)

@@ -28,6 +28,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Contention-immune companion metric: cumulative executor task time
+    // (taskMetrics.executorRunTime, ms) attributed per query by
+    // snapshotting the counter around each sequential run. Wall-clock on a
+    // shared VM conflates co-tenant noise with plan regressions (the r7
+    // artifact's warm>cold inversions); task time only counts cycles THIS
+    // query's tasks spent running, so a regression in the artifact is
+    // adjudicable without a quiet-VM re-run. The listener bus posts
+    // asynchronously — each window closes with a listener-bus drain via
+    // the graftshim bridge, not a sleep-poll.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
+    })
+    val taskTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
     // A failed query records the sentinel -1, never its wall time: a crashed
     // query must be distinguishable from a fast one in the artifact.
     def pass(tag: String, cold: Boolean): Map[String, Double] =
@@ -35,6 +50,10 @@ object Bench {
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
         .map { case (name, fn) =>
         if (cold) Layer.clear(spark)
+        val tasks0 = {
+          org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+          taskMs.get()
+        }
         val t0 = System.nanoTime()
         val secs =
           try {
@@ -46,9 +65,11 @@ object Bench {
               errors += s"$tag:$name" -> e.toString.take(200).replaceAll("[\"\\\\\\n]", " ")
               -1.0
           }
+        org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        taskTimes += s"$tag:$name" -> (taskMs.get() - tasks0)
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
-        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s")
+        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s")
         name -> secs
       }
     def fmt(m: Map[String, Double]): String =
@@ -90,8 +111,12 @@ object Bench {
       val names = (warm.keySet ++ cold.keySet).toSeq.sorted
       def cell(m: Map[String, Double], n: String): String =
         m.get(n).map(v => f"$v%.3f").getOrElse("null")
+      // task_s columns: executor task time per query (see the listener
+      // above) — the contention-immune signal the wall columns lack
+      def taskCell(tag: String, n: String): String =
+        taskTimes.get(s"$tag:$n").map(v => f"${v / 1000.0}%.3f").getOrElse("null")
       val lines = names.map(n =>
-        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}}""")
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}}""")
       val body =
         s"""{
            |  "round": $round,
@@ -112,7 +137,9 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, body.getBytes("UTF-8"))
     }
-    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
+    def taskTotal(tag: String): Double =
+      taskTimes.collect { case (k, v) if k.startsWith(tag + ":") => v }.sum / 1000.0
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.
     spark.stop()

@@ -162,6 +162,11 @@ object ReorderModel {
     // the FIFO scheduler while tripling resident internal caches —
     // measured slower end-to-end than back-to-back fits at sf0.1/32cpu
     val rows = (0L until k).map(evalFold)
+    // rows are materialized (evalFold collects each confusion matrix), so
+    // the checkpoint blocks are dead weight from here — release them
+    // instead of leaving them to the ContextCleaner (they'd add exactly
+    // the full-bench cache pressure the checkpoint exists to mitigate)
+    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(all)
     rows.toDF("fold", "n_test", "accuracy", "f1_pos").orderBy("fold")
   }
 
@@ -241,30 +246,64 @@ object ReorderModel {
     * layout-pinned here, but scores remain float accumulations, so the
     * gate records rows-only (count = |users with history| · k, stable)
     * and MlSpec pins determinism/coverage/item-domain laws instead of a
-    * value hash. Note the documented Spark limit: ALS ids are Int —
-    * at key domains past 2³¹ the production path reindexes through a
-    * dense id dictionary first (the x104-style content-addressed split
-    * keeps that deterministic).
+    * value hash. Spark's ALS limit — ids are Int — is closed by the
+    * [[denseIds]] reindex: arbitrary BIGINT key domains pass through a
+    * dense dictionary before `fit` and are inverse-mapped on output, so
+    * only the CARDINALITY (< 2³¹ distinct users/items, i.e. the factor
+    * matrices fit the cluster) bounds the key domain, never the key
+    * VALUES.
     */
   def alsRecommendations(spark: SparkSession, dir: String,
                          k: Int = 3): DataFrame = {
-    import org.apache.spark.ml.recommendation.ALS
     val ratings = graft.Tables.lineitem(spark, dir)
       .join(graft.Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").cast("int").as("user"),
-        col("l_partkey").cast("int").as("item"))
+      .groupBy(col("o_custkey").as("user_key"), col("l_partkey").as("item_key"))
       .agg(count(lit(1)).cast("float").as("rating"))
+    alsRecsFromRatings(spark, ratings, k)
+  }
+
+  /** Dense id dictionary over a BIGINT key column: distinct keys ranked
+    * by [[graft.ops.Ranking.globalRowNumber]] (value-bucketed two-phase
+    * rank — NEVER a partition-less window, which would move the whole key
+    * domain to one task) to ids [0, n). Deterministic for a given key
+    * SET — the rank is a pure function of the sorted key domain,
+    * independent of partition layout (the x104 content-addressed
+    * discipline) — so the same corpus always yields the same dictionary
+    * and seeded ALS stays reproducible through the reindex.
+    */
+  def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    graft.ops.Ranking.globalRowNumber(
+      df.select(col(keyCol)).distinct(), col(keyCol), col(keyCol), idCol)
+      .select(col(keyCol), (col(idCol) - 1L).cast("int").as(idCol))
+
+  /** ALS over `(user_key BIGINT, item_key BIGINT, rating FLOAT)` through
+    * the dense-id reindex: dictionary-join to Int ids, seeded implicit
+    * fit, top-k per user, inverse dictionary-join back to the original
+    * BIGINT keys. The dictionaries are |users|- and |items|-sized (factor
+    * matrix scale, not fact scale); both joins are plain equi-joins AQE
+    * broadcasts when the dictionary is small and shuffles when it isn't.
+    */
+  def alsRecsFromRatings(spark: SparkSession, ratings: DataFrame,
+                         k: Int = 3): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val users = denseIds(ratings, "user_key", "user")
+    val items = denseIds(ratings, "item_key", "item")
+    val indexed = ratings.join(users, "user_key").join(items, "item_key")
+      .select(col("user"), col("item"), col("rating"))
     val model = new ALS().setSeed(seed).setRank(8).setMaxIter(5)
       .setImplicitPrefs(true).setRegParam(0.1)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setColdStartStrategy("drop")
-      .fit(ratings)
+      .fit(indexed)
     model.recommendForAllUsers(k)
-      .select(col("user").cast("long").as("user"),
-        posexplode(col("recommendations")).as(Seq("rank", "rec")))
+      .select(col("user"), posexplode(col("recommendations")).as(Seq("rank", "rec")))
       .select(col("user"), (col("rank") + 1).cast("long").as("rank"),
-        col("rec.item").cast("long").as("item"))
+        col("rec.item").as("item"))
+      .join(users, "user")
+      .join(items, "item")
+      .select(col("user_key").as("user"), col("rank"),
+        col("item_key").as("item"))
       .orderBy("user", "rank")
   }
 }

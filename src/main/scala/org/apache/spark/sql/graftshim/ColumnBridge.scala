@@ -22,4 +22,18 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only talks to the CacheManager (plan-keyed
+    * cache entries); a local checkpoint's MEMORY_AND_DISK blocks belong
+    * to the internal RDD inside the plan's `LogicalRDD` leaf and
+    * otherwise live until the ContextCleaner GCs the RDD — exactly the
+    * cache pressure a long bench run can't afford. Non-blocking
+    * unpersist: in-flight tasks reading a block finish against it.
+    */
+  def unpersistCheckpointed(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
 }

@@ -92,4 +92,31 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === recs.toSeq, "ALS not deterministic under the seed")
   }
+
+  test("ALS dense-id reindex carries key domains past 2^31 (m05 production path)") {
+    import spark.implicits._
+    // keys deliberately above Int.MaxValue: feeding these to ALS directly
+    // would throw (ids are Int); the denseIds dictionary must absorb them
+    val big = 5000000000L
+    val ratings = Seq(
+      (big + 1, big + 10, 3f), (big + 1, big + 11, 1f), (big + 1, big + 12, 2f),
+      (big + 2, big + 10, 2f), (big + 2, big + 13, 4f),
+      (big + 3, big + 11, 5f), (big + 3, big + 13, 1f), (big + 3, big + 12, 2f))
+      .toDF("user_key", "item_key", "rating")
+    val recs = ReorderModel.alsRecsFromRatings(spark, ratings, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // coverage: every user with history, exactly k dense ranks, and every
+    // recommendation inverse-maps to an ORIGINAL observed item key
+    assert(recs.map(_._1).toSet === Set(big + 1, big + 2, big + 3))
+    recs.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L), s"user $u ranks ${rs.toSeq}")
+    }
+    val itemDomain = Set(big + 10, big + 11, big + 12, big + 13)
+    recs.foreach { case (_, _, i) => assert(itemDomain.contains(i), s"unknown item $i") }
+    // the dictionary itself: dense [0, n), order-isomorphic to the keys
+    val d = ReorderModel.denseIds(ratings, "user_key", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(d.values.toSet === Set(0, 1, 2))
+    assert(d(big + 1) < d(big + 2) && d(big + 2) < d(big + 3))
+  }
 }

@@ -574,20 +574,30 @@ object Similarity {
       |FROM pr JOIN lin la ON la.i = pr.i JOIN lin lb ON lb.i = pr.j
       |ORDER BY i, j""".stripMargin
 
-  /** x149: top principal eigenpair of the x148 covariance — PCA's first
-    * component, split at the right boundary for 100 TB: the corpus-sized
-    * work is the shared [[momentSums]] aggregate (one pass, d² output);
-    * the eigen solve itself is 400 deterministic power iterations on the
-    * collected d×d matrix — driver math over an aggregate-sized object
-    * (the same boundary posture as the k-means centroid step, x126), NOT
-    * a per-row collect. Deterministic end to end: fixed uniform init,
-    * fixed iteration count, sign pinned so the largest-|loading|
-    * coordinate is positive. No SQL oracle (eigen solves aren't DuckDB-
-    * expressible); ExtSpec holds the residual law ‖Cv − λv‖ ≤ 10⁻³·λ and
-    * the PSD floor λ ≥ maxᵢ Cᵢᵢ.
+  /** x149: top-r principal eigenpairs of the x148 covariance — PCA's
+    * leading components (the whitening basis x148 exists to feed), split
+    * at the right boundary for 100 TB: the corpus-sized work is the
+    * shared [[momentSums]] aggregate (one pass, d² output); the eigen
+    * solve itself is r rounds of 400 deterministic power iterations with
+    * HOTELLING DEFLATION (C ← C − λₖvₖvₖᵀ after each converged pair) on
+    * the collected d×d matrix — driver math over an aggregate-sized
+    * object (the same boundary posture as the k-means centroid step,
+    * x126), NOT a per-row collect. Deflating the symmetric matrix keeps
+    * every later iterate orthogonal to the extracted components, so the
+    * pairs come out orthonormal with λ₁ ≥ λ₂ ≥ … by construction.
+    * Deterministic end to end: fixed uniform init per round, fixed
+    * iteration count, sign pinned per component so its largest-|loading|
+    * coordinate is positive. Each iterate is re-orthogonalized against
+    * the extracted components every step — floating-point deflation
+    * leaves O(ulp) residue of v₁ in C′ that 400 power steps would
+    * otherwise re-amplify exponentially toward λ₁. No SQL oracle (eigen
+    * solves aren't DuckDB-expressible); ExtSpec holds per-component
+    * residual laws ‖Cvₖ − λₖvₖ‖ ≤ 10⁻³·λₖ against the ORIGINAL C,
+    * pairwise orthogonality |vᵢ·vⱼ| ≤ 10⁻³, the eigenvalue ordering, and
+    * the PSD floor λ₁ ≥ maxᵢ Cᵢᵢ.
     */
   def principalComponent(spark: SparkSession, dir: String,
-                         iters: Int = 400): DataFrame = {
+                         iters: Int = 400, r: Int = 3): DataFrame = {
     import spark.implicits._
     val rows = covarianceMatrix(spark, dir)
       .select(col("i").cast("int"), col("j").cast("int"), col("cov"))
@@ -598,21 +608,38 @@ object Similarity {
       val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       c(i)(j) = v; c(j)(i) = v
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 1 to iters) {
-      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(cv.map(x => x * x).sum)
-      if (nrm > 0) v = cv.map(_ / nrm)
+    val comps = Seq.newBuilder[(Long, Long, Double, Double)]
+    val extracted = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    for (comp <- 0 until math.min(r, d)) {
+      def orth(x: Array[Double]): Array[Double] = {
+        val y = x.clone()
+        extracted.foreach { case (u, _) =>
+          val dot = (0 until d).map(i => y(i) * u(i)).sum
+          (0 until d).foreach(i => y(i) -= dot * u(i))
+        }
+        y
+      }
+      var v = orth(Array.fill(d)(1.0 / math.sqrt(d.toDouble)))
+      for (_ <- 1 to iters) {
+        val cv = orth(Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum))
+        val nrm = math.sqrt(cv.map(x => x * x).sum)
+        if (nrm > 0) v = cv.map(_ / nrm)
+      }
+      // final estimate via the Rayleigh quotient vᵀCv — first-order
+      // insensitive to the remaining eigenvector error, so the residual
+      // law holds even when the eigengap is narrow
+      val lambda = (0 until d).map(i =>
+        v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
+      val flip = if (v(v.indexWhere(x => math.abs(x) == v.map(math.abs).max)) < 0) -1.0 else 1.0
+      (0 until d).foreach(i => comps +=
+        ((comp.toLong, i.toLong, math.rint(flip * v(i) * 1e6) / 1e6,
+          math.rint(lambda * 1e6) / 1e6)))
+      extracted += ((v, lambda))
+      // Hotelling deflation: remove the converged pair from the working
+      // matrix so the next round's dominant eigenpair is the next one down
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * v(i) * v(j)
     }
-    // final estimate via the Rayleigh quotient vᵀCv — first-order
-    // insensitive to the remaining eigenvector error, so the residual law
-    // holds even when the eigengap is narrow
-    val lambda = (0 until d).map(i =>
-      v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
-    val flip = if (v(v.indexWhere(x => math.abs(x) == v.map(math.abs).max)) < 0) -1.0 else 1.0
-    (0 until d).map(i => (i.toLong, math.rint(flip * v(i) * 1e6) / 1e6,
-        math.rint(lambda * 1e6) / 1e6))
-      .toDF("dim_i", "loading", "eigval")
-      .orderBy("dim_i")
+    comps.result().toDF("component", "dim_i", "loading", "eigval")
+      .orderBy("component", "dim_i")
   }
 }

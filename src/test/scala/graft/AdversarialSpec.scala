@@ -133,7 +133,7 @@ class AdversarialSpec extends SparkSuite {
     // power iteration on the zero matrix: the nrm > 0 guard keeps the
     // init vector, lambda lands at exactly 0, nothing divides by zero
     val pc = graft.ext.Similarity.principalComponent(spark, dir).collect()
-    assert(pc.length === 8)
-    pc.foreach(r => assert(r.getDouble(2) === 0.0, "eigval of the zero matrix must be 0"))
+    assert(pc.length === 3 * 8) // r=3 components × d=8 dims
+    pc.foreach(r => assert(r.getDouble(3) === 0.0, "eigval of the zero matrix must be 0"))
   }
 }

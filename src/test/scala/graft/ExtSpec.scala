@@ -1028,29 +1028,43 @@ class ExtSpec extends SparkSuite {
     }
   }
 
-  test("principal component: unit norm, eigen residual small, PSD floor, deterministic") {
+  test("principal components: unit norm, per-component residual, orthogonality, ordering, PSD floor, deterministic") {
     val pc = Similarity.principalComponent(spark, sf).collect()
-      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
-    val d = pc.length
-    val v = Array.ofDim[Double](d)
-    pc.foreach { case (i, l, _) => v(i) = l }
-    val lambda = pc.head._3
-    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "loadings must be unit-norm")
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
+    val comps = pc.map(_._1).distinct.sorted
+    assert(comps.toSeq === Seq(0, 1, 2), "top-3 components expected")
+    val d = pc.count(_._1 == 0)
+    val v = Array.ofDim[Double](comps.length, d)
+    val lambda = Array.ofDim[Double](comps.length)
+    pc.foreach { case (k, i, l, e) => v(k)(i) = l; lambda(k) = e }
     val c = Array.ofDim[Double](d, d)
     Similarity.covarianceMatrix(spark, sf).collect().foreach { r =>
       val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
       c(i)(j) = x; c(j)(i) = x
     }
-    // ‖Cv − λv‖ ≤ 1e-3·λ: power-iteration convergence + e6 loading rounding
-    val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
-    val resid = math.sqrt((0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
-    assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
+    comps.foreach { k =>
+      assert(math.abs(v(k).map(x => x * x).sum - 1.0) < 1e-4,
+        s"component $k loadings must be unit-norm")
+      // ‖Cvₖ − λₖvₖ‖ ≤ 1e-3·λₖ against the ORIGINAL (undeflated) C:
+      // power-iteration convergence + e6 loading rounding
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(k)(j)).sum)
+      val resid = math.sqrt((0 until d).map(i => math.pow(cv(i) - lambda(k) * v(k)(i), 2)).sum)
+      assert(resid <= 1e-3 * lambda(k), s"component $k residual $resid vs lambda ${lambda(k)}")
+    }
+    // deflation keeps the extracted pairs mutually orthogonal
+    for (a <- comps; b <- comps if a < b) {
+      val dot = (0 until d).map(i => v(a)(i) * v(b)(i)).sum
+      assert(math.abs(dot) <= 1e-3, s"components $a,$b not orthogonal: $dot")
+    }
+    // eigenvalues come out in decreasing order, all non-negative (PSD)
+    assert(lambda.toSeq === lambda.sorted.reverse.toSeq, "eigenvalues must descend")
+    assert(lambda.forall(_ >= -1e-9), "PSD covariance has non-negative eigenvalues")
     // the top eigenvalue of a symmetric PSD matrix dominates every
     // diagonal entry (Rayleigh quotient at the basis vectors)
     val maxDiag = (0 until d).map(i => c(i)(i)).max
-    assert(lambda >= maxDiag - 1e-9, s"lambda $lambda < max diagonal $maxDiag")
+    assert(lambda(0) >= maxDiag - 1e-9, s"lambda ${lambda(0)} < max diagonal $maxDiag")
     val again = Similarity.principalComponent(spark, sf).collect()
-      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
     assert(pc.toSeq === again.toSeq, "power iteration must be deterministic")
   }
 }

@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -203,32 +202,60 @@ object Dedup {
     * [[decontaminate]]: exact n-gram collision misses paraphrased or
     * lightly-edited eval leakage, so this flags training documents whose
     * shingle-set Jaccard distance to ANY eval document is ≤ maxDist,
-    * via the same seeded MinHashLSH machinery as [[minhashPairs]] (table
-    * count from the [[minhashTables]] S-curve). approxSimilarityJoin
-    * compares only within matching hash buckets, and the eval side is
-    * tiny, so at corpus scale this is |eval-bucket| probes per table —
-    * never train × eval. Output: flagged train docs with their closest
-    * eval distance. Approximate (rows-only check); the planted-near-dup
-    * recall law lives in ExtSpec.
+    * via the same md5 MinHash tables as [[minhashPairs]] (table count
+    * from the [[minhashTables]] S-curve, shared [[minhashSigs]] layer).
+    * Candidates compare only within a matching (table, minhash) bucket,
+    * and the eval side is tiny, so at corpus scale this is |eval-bucket|
+    * probes per table — never train × eval. Output: flagged train docs
+    * with their closest eval distance (exact shingle-set Jaccard).
+    * The md5 hash family makes the candidate set SQL-reproducible, so
+    * x87 is now oracle-checked end to end; the planted-near-dup recall
+    * law stays in ExtSpec.
     */
   def fuzzyDecontaminate(spark: SparkSession, dir: String, maxDist: Double = 0.5): DataFrame = {
-    val fed = graft.Layer.cached(spark, dir, "minhashFeatures") {
-      val docs = shingled3(spark, dir)
-      new HashingTF()
-        .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
-        .transform(docs)
-        .select("doc_id", "features")
-    }
-    val eval = fed.filter(col("doc_id") % 10 === 0)
-    val train = fed.filter(col("doc_id") % 10 =!= 0)
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(minhashTables(maxDist)).setSeed(42L)
-    val model = lsh.fit(fed)
-    model.approxSimilarityJoin(train, eval, maxDist, "dist")
-      .groupBy(col("datasetA.doc_id").as("doc_id"))
-      .agg(min(round(col("dist"), 4)).as("closest_eval_dist"))
+    val keyed = minhashSigs(spark, dir, minhashTables(maxDist))
+    val evalK = keyed.filter(col("doc_id") % 10 === 0)
+    val trainK = keyed.filter(col("doc_id") % 10 =!= 0)
+    val cand = trainK.as("x").join(evalK.as("y"),
+        col("x.t") === col("y.t") && col("x.mh") === col("y.mh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("e")).distinct()
+    val sh = shingled3(spark, dir).select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_id"), col("shingles").as("st")), "doc_id")
+      .join(sh.select(col("doc_id").as("e"), col("shingles").as("se")), "e")
+      .select(col("doc_id"),
+        round(lit(1.0d) - size(array_intersect(col("st"), col("se"))).cast("double") /
+          size(array_union(col("st"), col("se"))), 4).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy("doc_id")
+      .agg(min(col("dist")).as("closest_eval_dist"))
       .orderBy("doc_id")
+  }
+
+  /** x87 oracle: [[fuzzyDecontaminate]] verbatim in DuckDB — shared CTE
+    * shape with [[minhashOracle]], restricted to train×eval buckets.
+    */
+  def fuzzyDecontaminateOracle(maxDist: Double = 0.5): String = {
+    val b = minhashTables(maxDist)
+    s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |           WHERE len(toks) >= 3),
+       |inv AS (SELECT doc_id, u.s AS s FROM d, UNNEST(sh) u(s)),
+       |sig AS (SELECT doc_id, t.t AS t,
+       |               MIN(('0x' || substr(md5(t.t || ':' || s), 1, 15))::BIGINT) AS mh
+       |        FROM inv CROSS JOIN UNNEST(range(0, $b)) t(t) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS e
+       |         FROM sig x JOIN sig y ON x.t = y.t AND x.mh = y.mh
+       |         WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+       |v AS (SELECT cand.doc_id,
+       |             ROUND(1.0 - CAST(len(list_intersect(dt.sh, de.sh)) AS DOUBLE) /
+       |                   len(list_distinct(dt.sh || de.sh)), 4) AS dist
+       |      FROM cand JOIN d dt ON dt.doc_id = cand.doc_id
+       |                JOIN d de ON de.doc_id = cand.e)
+       |SELECT doc_id, MIN(dist) AS closest_eval_dist
+       |FROM v WHERE dist <= $maxDist
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** X1 at scale: shuffle 8 bytes of fingerprint, not the document. */
@@ -258,8 +285,8 @@ object Dedup {
     graft.Layer.cached(spark, dir, "shingles3")(
       shingled(Tables.documents(spark, dir), 3))
 
-  /** Derived OR-amplification width for [[minhashPairs]]. Spark's
-    * MinHashLSH buckets on each of b single-hash tables (r = 1 in banding
+  /** Derived OR-amplification width for [[minhashPairs]]. Each of the b
+    * MinHash tables buckets on one min-wise hash (r = 1 in banding
     * terms), so a pair at Jaccard similarity s becomes a candidate with
     * probability 1 − (1−s)^b — the b·r S-curve at r = 1. Solving for
     * recall target p at the decision threshold s* = 1 − maxDist:
@@ -279,32 +306,83 @@ object Dedup {
     math.max(1, math.ceil(math.log(1 - recallTarget) / math.log(1 - s)).toInt)
   }
 
-  /** X2 MinHash+LSH near-dup pairs: token 3-shingles → sparse vector
-    * (HashingTF) → MinHash signatures → banded self-join (spark.ml
-    * approxSimilarityJoin only compares within matching hash buckets).
-    * Seeded for determinism; table count derives from the distance cutoff
-    * via [[minhashTables]]. Output: pairs with Jaccard distance ≤ maxDist.
+  /** Per-table MinHash keys `(doc_id, t, mh)`: for each of the b tables,
+    * mh = min over the doc's distinct shingles of a 60-bit md5-derived
+    * hash H(t, s) = int(md5("t:s")[0:15 hex]). One aggregate over the
+    * exploded shingle stream (b column-mins, map-side combinable), then a
+    * b-way in-row explode — never a per-table corpus pass. md5 INSTEAD OF
+    * spark.ml's seeded Random coefficients is what makes the operator
+    * oracle-checkable: DuckDB computes the identical hash from the same
+    * string, so the full candidate set — not just the verified output —
+    * is reproducible in SQL. Statistically it is the same construction
+    * (b independent min-wise hashes; P[mh_a = mh_b] = J(a,b) per table).
+    */
+  private def minhashSigs(spark: SparkSession, dir: String, b: Int): DataFrame =
+    graft.Layer.cached(spark, dir, s"minhashSigs@$b") {
+      val inv = shingled3(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val mins = (0 until b).map(t =>
+        min(conv(substring(md5(concat(lit(t.toString), lit(":"), col("s"))), 1, 15), 16, 10)
+          .cast("long")).as(s"mh$t"))
+      inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), explode(array((0 until b).map(t =>
+          struct(lit(t).as("t"), col(s"mh$t").as("mh"))): _*)).as("k"))
+        .select(col("doc_id"), col("k.t").as("t"), col("k.mh").as("mh"))
+    }
+
+  /** X2 MinHash+LSH near-dup pairs: token 3-shingles → b md5 MinHash
+    * tables ([[minhashSigs]]) → bucket self-join (pairs compare only
+    * within a matching (table, minhash) bucket) → exact shingle-set
+    * Jaccard verify at the cutoff. Table count derives from the distance
+    * cutoff via [[minhashTables]]. Two upgrades over the previous
+    * spark.ml formulation: the verify distance is Jaccard over the TRUE
+    * shingle sets (no HashingTF modulo-2^18 collision noise), and the
+    * md5 hash family makes the whole pipeline DuckDB-mirrorable — x16
+    * graduates from rows-only to hash-matched. Output: candidate pairs
+    * with exact Jaccard distance ≤ maxDist.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
-    // cache the vectorized docs: the LSH self-join scans this plan twice
-    val fed = graft.Layer.cached(spark, dir, "minhashFeatures") {
-      val docs = shingled3(spark, dir)
-      new HashingTF()
-        .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
-        .transform(docs)
-        .select("doc_id", "features")
-    }
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(minhashTables(maxDist)).setSeed(42L)
-    val model = lsh.fit(fed)
-    model.approxSimilarityJoin(fed, fed, maxDist, "dist")
-      .select(
-        col("datasetA.doc_id").as("a"),
-        col("datasetB.doc_id").as("b"),
-        round(col("dist"), 4).as("jaccard_dist"))
-      .filter(col("a") < col("b"))
+    val keyed = minhashSigs(spark, dir, minhashTables(maxDist))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.mh") === col("y.mh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sh = shingled3(spark, dir).select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(lit(1.0d) - size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxDist)
       .orderBy("a", "b")
+  }
+
+  /** x16 oracle: the [[minhashPairs]] pipeline verbatim in DuckDB — the
+    * same b derived from the same S-curve, the same md5 table hashes, the
+    * same exact-Jaccard verify. Band parameters interpolate at library
+    * build from [[minhashTables]], the x21 derived-oracle discipline.
+    */
+  def minhashOracle(maxDist: Double = 0.7): String = {
+    val b = minhashTables(maxDist)
+    s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |           WHERE len(toks) >= 3),
+       |inv AS (SELECT doc_id, u.s AS s FROM d, UNNEST(sh) u(s)),
+       |sig AS (SELECT doc_id, t.t AS t,
+       |               MIN(('0x' || substr(md5(t.t || ':' || s), 1, 15))::BIGINT) AS mh
+       |        FROM inv CROSS JOIN UNNEST(range(0, $b)) t(t) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM sig x JOIN sig y
+       |           ON x.t = y.t AND x.mh = y.mh AND x.doc_id < y.doc_id),
+       |v AS (SELECT cand.a, cand.b,
+       |             ROUND(1.0 - CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+       |                   len(list_distinct(da.sh || db.sh)), 4) AS jaccard_dist
+       |      FROM cand JOIN d da ON da.doc_id = cand.a
+       |                JOIN d db ON db.doc_id = cand.b)
+       |SELECT a, b, jaccard_dist FROM v WHERE jaccard_dist <= $maxDist
+       |ORDER BY a, b""".stripMargin
   }
 
   /** X2 SimHash near-dup pairs via the native SimHash64 expression, with a

@@ -396,6 +396,8 @@ object Ext {
     "x83_gopher_signals"   -> TextAnalysis.gopherOracle,
     "x85_unigram_nll"      -> TextAnalysis.unigramNllOracle,
     "x107_bigram_nll"      -> TextAnalysis.bigramNllOracle,
+    "x16_minhash_lsh"      -> Dedup.minhashOracle(),
+    "x87_fuzzy_decontam"   -> Dedup.fuzzyDecontaminateOracle(),
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

@@ -45,6 +45,39 @@ object Streams {
         .parquet(dir))
   }
 
+  /** Heartbeat replay fixture for the outer stream-stream joins (s11,
+    * s13): the raw events plus ONE far-future sentinel per side (each
+    * passes its side's type filter so that side's watermark observes it;
+    * disjoint negative user_ids keep them unjoinable and filterable).
+    * Staged ONCE per (process, sf dir) and shared by every consumer in
+    * the run — the per-query parquet rewrite of the identical frame was
+    * the dominant fixed cost of the s-family bench. computeIfAbsent
+    * blocks a concurrent builder of the SAME fixture (8-way driver
+    * concurrency) while letting other keys proceed; the staged file is
+    * immutable for the life of the run, so late readers replay it
+    * without coordination — exactly how a production replay topic works.
+    */
+  private val heartbeatStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def heartbeatReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = Tables.normalizeTs(
+      Tables.load(spark, dir, "events").select(cols.map(col): _*))
+    val staged = heartbeatStaged.computeIfAbsent(dir, _ => {
+      val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
+        100L * 3600 * 1000000L
+      val sentinels = Seq(
+        (-1L, farUs, -1L, "view", 0.0, "{}"),
+        (-2L, farUs, -2L, "purchase", 0.0, "{}"))
+        .toDF(cols: _*)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val path = s"${graft.RunScoped.ioDir}/stream_heartbeat_${Integer.toHexString(dir.hashCode)}"
+      raw.unionByName(sentinels).write.mode("overwrite").parquet(path)
+      path
+    })
+    spark.readStream.schema(raw.schema).parquet(staged)
+  }
+
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -217,20 +250,7 @@ object Streams {
     * like s06.
     */
   def viewPurchaseLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val raw = Tables.normalizeTs(
-      Tables.load(spark, dir, "events").select(cols.map(col): _*))
-    val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
-      100L * 3600 * 1000000L
-    val sentinels = Seq(
-      (-1L, farUs, -1L, "view", 0.0, "{}"),
-      (-2L, farUs, -2L, "purchase", 0.0, "{}"))
-      .toDF(cols: _*)
-      .withColumn("ts", timestamp_micros(col("ts")))
-    val staged = s"${graft.RunScoped.ioDir}/stream_leftjoin"
-    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged)
-    val ev = spark.readStream.schema(raw.schema).parquet(staged)
+    val ev = heartbeatReplay(spark, dir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "7 hours")
@@ -405,20 +425,7 @@ object Streams {
     * Equals the batch FULL OUTER interval join exactly — oracle-checked.
     */
   def viewPurchaseFullJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val raw = Tables.normalizeTs(
-      Tables.load(spark, dir, "events").select(cols.map(col): _*))
-    val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
-      100L * 3600 * 1000000L
-    val sentinels = Seq(
-      (-1L, farUs, -1L, "view", 0.0, "{}"),
-      (-2L, farUs, -2L, "purchase", 0.0, "{}"))
-      .toDF(cols: _*)
-      .withColumn("ts", timestamp_micros(col("ts")))
-    val staged = s"${graft.RunScoped.ioDir}/stream_fulljoin"
-    raw.unionByName(sentinels).write.mode("overwrite").parquet(staged)
-    val ev = spark.readStream.schema(raw.schema).parquet(staged)
+    val ev = heartbeatReplay(spark, dir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "7 hours")
@@ -480,6 +487,15 @@ object Streams {
     * the RocksDB provider; the final (largest-n) update per type is the
     * answer. Rows-only in the gate by design (DuckDB has no Datasketches
     * HLL); the laws live in StreamingSpec.
+    *
+    * CONCURRENCY CAVEAT: the provider switch mutates the SESSION-global
+    * stateStore.providerClass conf for the duration of this query, so a
+    * streaming query started CONCURRENTLY on the same session would
+    * silently inherit RocksDB state stores. Benign under the engine's
+    * actual execution model — Bench/Verify/specs run streaming queries
+    * sequentially per session — but a caller embedding this in a
+    * multi-stream driver should run it on `spark.newSession()` (per-query
+    * conf isolation) until Spark exposes a per-query provider option.
     */
   def streamingDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

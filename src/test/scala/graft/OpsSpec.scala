@@ -1038,9 +1038,12 @@ class OpsSpec extends SparkSuite {
     }.flatten
     val scans = fileScans(merged.queryExecution.executedPlan)
     assert(scans.nonEmpty, "expected state+delta file scans in the refresh plan")
+    // assert against the suite's ACTUAL data dir, not a literal — a
+    // relocated sf dir must fail this law, never pass it vacuously
+    val baseDir = new java.io.File(sf).getCanonicalPath
     scans.foreach { f =>
       val loc = f.relation.location.rootPaths.mkString(",")
-      assert(!loc.contains("/root/testdata"),
+      assert(!loc.contains(baseDir),
         s"refresh plan rescans the base table: $loc")
     }
   }

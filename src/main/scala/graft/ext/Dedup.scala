@@ -446,6 +446,69 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** x158: df-capped near-dup pairs — the saturation guard SCALE.md's 30×
+    * measurement motivates. [[ngramJaccardPairs]] is provably exact but
+    * its candidate volume is Σ_s df(s)² over per-doc prefix shingles,
+    * which degenerates to n²/|shingle-domain| when the corpus is
+    * boilerplate-saturated (every shingle corpus-hot — the measured
+    * 10→30× e = 2.43). This variant excludes shingles with df > dfCap
+    * from CANDIDATE GENERATION ONLY — the same [[ngramJaccardPairs]]
+    * prefix machinery with one added filter (df ≤ cap on prefix entries,
+    * applied AFTER ranks so the positional bounds keep their uncapped
+    * meaning). Per-shingle candidate work is bounded by cap², total
+    * candidate volume by O(n·cap) — linear at ANY saturation — and the
+    * verify step still computes exact Jaccard on the full shingle sets,
+    * so precision is exact. The recall contract is precise, not
+    * hand-wavy: sub-cap shingles sort strictly before hot ones in the
+    * global (df, shingle) prefix order, so the order-smallest common
+    * shingle s* of a qualifying pair survives the cap iff the pair's
+    * rarest shared shingle does — a qualifying pair is missed iff EVERY
+    * shingle the two docs share is corpus-hot (df > cap), i.e. the pair
+    * is near-duplicate only in boilerplate, which is exactly the
+    * evidence a curation pipeline should refuse to act on (the CCNet /
+    * RefinedWeb practice of discounting boilerplate overlap). ExtSpec
+    * asserts that miss condition literally against the exact x15 pairs;
+    * the DuckDB oracle states it as the all-pairs twin with a
+    * min-shared-df gate, so the hash check pins BOTH directions of the
+    * equivalence.
+    */
+  def cappedNeardupPairs(spark: SparkSession, dir: String,
+                         minJaccard: Double = 0.6, dfCap: Int = 64): DataFrame =
+    prefixFilteredPairs(spark, dir, minJaccard, Some(dfCap))
+
+  /** x158 oracle: the SEMANTIC contract, not the plan — the capped-prefix
+    * PPJoin's output equals exactly {qualifying pairs whose RAREST shared
+    * shingle has df ≤ cap} (both directions of that equivalence are the
+    * prefix theorem + the strict sub-cap-before-hot ordering; see
+    * [[cappedNeardupPairs]]). The twin states it on the all-pairs
+    * formulation: x15's oracle with a min-shared-df gate.
+    */
+  def cappedNeardupOracle(minJaccard: Double = 0.6, dfCap: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |  FROM t),
+       |f AS (SELECT sh.lang, u.s AS s, COUNT(*) AS df
+       |      FROM sh, UNNEST(sh.s) u(s) GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
+       |         list_filter(a.s, x -> list_contains(b.s, x)) AS shared,
+       |         ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+       |               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |q AS (SELECT a, b, lang, shared, jaccard FROM p WHERE jaccard >= $minJaccard),
+       |mx AS (SELECT q.a, q.b, q.lang, u.s AS s FROM q, UNNEST(q.shared) u(s)),
+       |m AS (SELECT mx.a, mx.b, MIN(f.df) AS mindf
+       |      FROM mx JOIN f ON f.lang = mx.lang AND f.s = mx.s
+       |      GROUP BY 1, 2)
+       |SELECT q.a, q.b, q.jaccard
+       |FROM q JOIN m ON m.a = q.a AND m.b = q.b
+       |WHERE m.mindf <= $dfCap ORDER BY q.a, q.b""".stripMargin
+
   /** X2 n-gram Jaccard near-dup pairs, exact, within-lang: J(a,b) =
     * |A∩B| / |A∪B| over distinct 3-shingles, prefix-filtered (AllPairs /
     * PPJoin candidate rule):
@@ -467,7 +530,11 @@ object Dedup {
     * of a 100 TB corpus → count² pairs) cannot happen.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
-  graft.Layer.cached(spark, dir, s"jaccardPairs@$minJaccard") {
+    prefixFilteredPairs(spark, dir, minJaccard, dfCap = None)
+
+  private def prefixFilteredPairs(spark: SparkSession, dir: String, minJaccard: Double,
+                                  dfCap: Option[Int]): DataFrame =
+  graft.Layer.cached(spark, dir, s"jaccardPairs@$minJaccard${dfCap.fold("")("#" + _)}") {
     val docs = shingled3(spark, dir)
       .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
@@ -483,10 +550,17 @@ object Dedup {
     val tBp = math.round(minJaccard * 10000).toInt
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // the df-cap (x158) drops corpus-hot shingles from the prefix AFTER
+    // ranks are assigned over the UNCAPPED (df, shingle) order: sub-cap
+    // shingles sort strictly before hot ones, so the order-smallest
+    // common shingle s* of any qualifying pair is sub-cap iff the pair's
+    // rarest shared evidence is — and the positional-filter bounds keep
+    // their uncapped meaning
     val prefix = inv.join(df, Seq("lang", "s"))
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <=
         col("sz") - floor((lit(2L * tBp - 1) * col("sz") + lit(19999)) / 20000) + 1)
+      .filter(dfCap.fold(lit(true))(c => col("df") <= c))
       .select("lang", "doc_id", "s", "sz", "r")
     // PPJoin filters, applied INSIDE the candidate join — both provably
     // lossless under the half-ulp margin τ = (2·tBp−1)/20000 (the verify

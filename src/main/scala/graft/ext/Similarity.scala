@@ -596,6 +596,65 @@ object Similarity {
     * pairwise orthogonality |vᵢ·vⱼ| ≤ 10⁻³, the eigenvalue ordering, and
     * the PSD floor λ₁ ≥ maxᵢ Cᵢᵢ.
     */
+  /** x156: per-dimension SQ8 range profile of the embedding corpus — the
+    * compression step a 100 TB vector index actually ships (FAISS
+    * ScalarQuantizer posture): per-dimension min/max range, 255-step
+    * uniform code, and the per-dimension reconstruction-error profile
+    * that tells you which dims survive 8-bit storage. Two corpus passes
+    * (range aggregate → d-row broadcast → error aggregate), both
+    * map-side combinable; nothing scales past the posexplode scan.
+    * Hash-stable despite the float path: the code q is an exact integer
+    * (floor of a pinned-operand-order double), the reconstruction error
+    * quantizes to e9 BIGINTs before the order-independent sum, and the
+    * reported range bounds are single values rounded once. A degenerate
+    * dimension (vmax = vmin) codes to 0 and reconstructs exactly.
+    */
+  def sq8Profile(spark: SparkSession, dir: String): DataFrame = {
+    val expl = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim_i", "xf")))
+      .select(col("dim_i").cast("long").as("dim_i"), col("xf").cast("double").as("x"))
+    val ranges = expl.groupBy("dim_i").agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    val errs = expl.join(broadcast(ranges), "dim_i")
+      .withColumn("q",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * 255d + 0.5d),
+            lit(0d)), lit(255d)).cast("long")))
+      .withColumn("err_e9",
+        floor(abs(col("x") - (col("vmin") + col("q") / lit(255d) * (col("vmax") - col("vmin"))))
+          * 1e9d + 0.5d).cast("long"))
+      .groupBy("dim_i")
+      .agg(count(lit(1)).as("n"), sum(col("err_e9")).as("sum_err"),
+        max(col("err_e9")).as("max_err_e9"))
+    errs.join(ranges, "dim_i")
+      .select(col("dim_i"), round(col("vmin"), 6).as("vmin"),
+        round(col("vmax"), 6).as("vmax"), col("n"),
+        expr("sum_err DIV n").as("mean_err_e9"), col("max_err_e9"))
+      .orderBy("dim_i")
+  }
+
+  val sq8Oracle: String =
+    """WITH e AS (SELECT t.i - 1 AS dim_i, CAST(embedding[t.i] AS DOUBLE) AS x
+      |           FROM embeddings
+      |           CROSS JOIN UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |r AS (SELECT dim_i, MIN(x) AS vmin, MAX(x) AS vmax FROM e GROUP BY 1),
+      |q AS (SELECT e.dim_i, x, vmin, vmax,
+      |             CASE WHEN vmax = vmin THEN 0
+      |                  ELSE CAST(least(greatest(
+      |                    floor((x - vmin) / (vmax - vmin) * 255 + 0.5), 0), 255) AS BIGINT)
+      |             END AS q
+      |      FROM e JOIN r USING (dim_i)),
+      |s AS (SELECT dim_i,
+      |             CAST(floor(abs(x - (vmin + q / 255.0 * (vmax - vmin)))
+      |                        * 1000000000 + 0.5) AS BIGINT) AS err
+      |      FROM q)
+      |SELECT s.dim_i, ROUND(r.vmin, 6) AS vmin, ROUND(r.vmax, 6) AS vmax,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(err) // COUNT(*) AS BIGINT) AS mean_err_e9,
+      |       CAST(MAX(err) AS BIGINT) AS max_err_e9
+      |FROM s JOIN r ON r.dim_i = s.dim_i
+      |GROUP BY s.dim_i, r.vmin, r.vmax ORDER BY s.dim_i""".stripMargin
+
   def principalComponent(spark: SparkSession, dir: String,
                          iters: Int = 400, r: Int = 3): DataFrame = {
     import spark.implicits._
@@ -641,5 +700,46 @@ object Similarity {
     }
     comps.result().toDF("component", "dim_i", "loading", "eigval")
       .orderBy("component", "dim_i")
+  }
+
+  /** x157: PCA projection — the corpus mapped onto the [[principalComponent]]
+    * top-r eigenbasis, i.e. the dimensionality-reduction / whitening
+    * transform x148+x149 exist to feed. Driver-boundary split as before:
+    * eigvectors and per-dim means come from aggregate-sized driver math
+    * (the collected d×d solve and the [[momentSums]] linear slice); the
+    * projection itself is one distributed pass — each row's r components
+    * are `aggregate(zip_with(centered, v_k, ·))` dot products against
+    * BROADCAST-LITERAL basis arrays, fully codegen'd, no join, no
+    * shuffle (the orderBy is presentation-only). Rows center on the e4
+    * quantization grid (floor(x·10⁴+½)/10⁴) so the projected variance is
+    * measured in exactly the basis the covariance was computed in; each
+    * component floors to e6 for a stable integer output. Rows-only in
+    * the gate (the eigenbasis isn't SQL-expressible); ExtSpec pins the
+    * spectral contract: Var(y_k) = λ_k and Cov(y_a, y_b) = 0 within the
+    * eigen-residual band, per-component means ≈ 0.
+    */
+  def pcaProject(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
+    val comps = principalComponent(spark, dir, r = r).collect()
+    val d = comps.count(_.getLong(0) == 0L)
+    val basis = (0 until math.min(r, d)).map { k =>
+      comps.filter(_.getLong(0) == k).sortBy(_.getLong(1)).map(_.getDouble(2))
+    }
+    val lin = momentSums(spark, dir).filter(col("j") === -1)
+      .select(col("i"), col("s"), col("cnt")).collect()
+    val mu = Array.ofDim[Double](d)
+    lin.foreach { row =>
+      mu(row.getInt(0)) = row.getLong(1).toDouble / (row.getLong(2).toDouble * 1e4d)
+    }
+    val q = transform(col("embedding"),
+      v => floor(v.cast("double") * 10000d + 0.5d) / 10000d)
+    val centered = zip_with(q, array(mu.toIndexedSeq.map(lit): _*), (x, m) => x - m)
+    val ys = basis.zipWithIndex.map { case (vk, k) =>
+      floor(aggregate(
+        zip_with(centered, array(vk.toIndexedSeq.map(lit): _*), (x, v) => x * v),
+        lit(0.0d), (acc, t) => acc + t) * 1e6d + 0.5d).cast("long").as(s"y${k}_e6")
+    }
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") +: ys): _*)
+      .orderBy("vec_id")
   }
 }

@@ -56,6 +56,24 @@ object TextAnalysis {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     }
 
+  /** Layer-cached trigram stream `(doc_id, source, w1, w2, w3)` — the
+    * three-token extension of [[bigramStream]] for the backoff LM (x155),
+    * same in-row `transform(sequence)` expansion, one explode pass per
+    * (session, sf dir).
+    */
+  def trigramStream(spark: SparkSession, dir: String): DataFrame =
+    Layer.cached(spark, dir, "text_trigram_stream") {
+      withTokens(Tables.documents(spark, dir))
+        .filter(size(col("tokens")) >= 3)
+        .withColumn("tgs",
+          transform(sequence(lit(0), size(col("tokens")) - 3),
+            i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"),
+              col("tokens")(i + 2).as("w3"))))
+        .select(col("doc_id"), col("source"), explode(col("tgs")).as("t"))
+        .select(col("doc_id"), col("source"),
+          col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    }
+
   /** Layer-cached unigram count table `(token, n_t)` — |vocab| rows,
     * shared by x85's cost table and x140's unigram marginal. Aggregated
     * from [[tokenStream]] with map-side partials, so the warm path never
@@ -1073,6 +1091,107 @@ object TextAnalysis {
       |            // COUNT(*) AS BIGINT) AS mean_nll_millinat
       |FROM te LEFT JOIN cost USING (token), k
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x155: held-out trigram STUPID-BACKOFF NLL — the production web-LM
+    * scoring recipe (Brants et al. 2007: unnormalized score
+    * S(w₃|w₁w₂) = c₃/c₂ if the trigram was seen, else 0.4·S(w₂→w₃),
+    * recursing to a Laplace unigram floor) on the x123 leakage
+    * discipline: all count tables fit on the content-addressed 80% train
+    * split, scoring touches only the held-out 20%, so unseen trigrams
+    * and bigrams genuinely occur and every backoff branch is exercised.
+    * Branch selection is exact-integer (COUNT presence), and the chosen
+    * branch's one float expression has pinned operand order in both
+    * engines, then the x85 milli-nat floor — so the whole thing
+    * hash-matches DuckDB despite three CASE arms of doubles:
+    *   seen trigram:      S = n₃/n₂ctx
+    *   backoff bigram:    S = 0.4·n₂₃/n₁(w₂)
+    *   unigram floor:     S = 0.16·(n₁(w₃)+1)/(N+V)
+    * (0.4² = 0.16 is pre-multiplied: ln of a two-step backoff must see
+    * ONE double constant, not two sequenced multiplies the SQL side
+    * might fuse differently.)
+    *
+    * Scale shape: three vocab-sized count tables (trigram counts from
+    * the Layer-shared [[trigramStream]]; context counts re-aggregate
+    * them Σ_w₃; bigram/unigram tables filter the shared [[bigramStream]]
+    * / [[tokenStream]] layers) and a (N, V) one-row broadcast; the five
+    * cost joins back to the test stream are all AQE-governed equi-joins,
+    * the x123 posture widened to trigram grain.
+    */
+  def heldoutBackoffNll(spark: SparkSession, dir: String): DataFrame = {
+    def bucket = graft.ops.Sampling.bucket10k(col("doc_id"), 42)
+    val tri = trigramStream(spark, dir).withColumn("bkt", bucket)
+    val test = tri.filter(col("bkt") >= 8000)
+    val c3 = tri.filter(col("bkt") < 8000)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+    // trigram contexts re-aggregate c3 (Σ_w3 — vocab-sized, never a
+    // second corpus pass); the backoff bigram model is the x107 layer
+    // filtered to train docs, NOT a trigram-derived undercount
+    val c2ctx = c3.groupBy("w1", "w2").agg(sum(col("n3")).as("n2ctx"))
+    val c2 = bigramStream(spark, dir).withColumn("bkt", bucket)
+      .filter(col("bkt") < 8000)
+      .groupBy(col("w1").as("v2"), col("w2").as("v3"))
+      .agg(count(lit(1)).as("n23"))
+    val c1 = tokenStream(spark, dir).withColumn("bkt", bucket)
+      .filter(col("bkt") < 8000)
+      .groupBy("token").agg(count(lit(1)).as("n1"))
+    val consts = c1.agg(sum(col("n1")).as("N"), (count(lit(1)) + 1L).as("V"))
+    val s = test
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2ctx, Seq("w1", "w2"), "left")
+      .join(c2, col("w2") === col("v2") && col("w3") === col("v3"), "left")
+      .join(c1.select(col("token").as("w2"), col("n1").as("n1_w2")), Seq("w2"), "left")
+      .join(c1.select(col("token").as("w3"), col("n1").as("n1_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"),
+        floor(-log(
+          when(col("n3").isNotNull, col("n3") / col("n2ctx"))
+            .when(col("n23").isNotNull, lit(0.4d) * col("n23") / col("n1_w2"))
+            .otherwise(lit(0.16d) * (coalesce(col("n1_w3"), lit(0L)) + 1L) /
+              (col("N") + col("V"))))
+          * 1000d + 0.5d).cast("long").as("c"))
+    s.groupBy("source")
+      .agg(count(lit(1)).as("n_test_trigrams"), sum(col("c")).as("nll_sum"))
+      .select(col("source"), col("n_test_trigrams"),
+        expr("nll_sum DIV n_test_trigrams").as("mean_nll_millinat"))
+      .orderBy("source")
+  }
+
+  val backoffOracle: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |                  (('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT
+      |                   % 10000) AS bkt
+      |           FROM documents),
+      |tg AS (SELECT source, bkt, toks[i.i] AS w1, toks[i.i + 1] AS w2,
+      |              toks[i.i + 2] AS w3
+      |       FROM t, UNNEST(range(1, len(toks) - 1)) i(i)
+      |       WHERE len(toks) >= 3),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM tg WHERE bkt < 8000
+      |       GROUP BY 1, 2, 3),
+      |c2ctx AS (SELECT w1, w2, SUM(n3) AS n2ctx FROM c3 GROUP BY 1, 2),
+      |bg AS (SELECT toks[i.i] AS v2, toks[i.i + 1] AS v3
+      |       FROM t, UNNEST(range(1, len(toks))) i(i)
+      |       WHERE len(toks) >= 2 AND bkt < 8000),
+      |c2 AS (SELECT v2, v3, COUNT(*) AS n23 FROM bg GROUP BY 1, 2),
+      |tr AS (SELECT u.t AS token FROM t, UNNEST(toks) u(t) WHERE bkt < 8000),
+      |c1 AS (SELECT token, COUNT(*) AS n1 FROM tr GROUP BY 1),
+      |k AS (SELECT SUM(n1) AS N, COUNT(*) + 1 AS V FROM c1),
+      |sc AS (SELECT tg.source,
+      |              CAST(floor(-ln(CASE
+      |                WHEN c3.n3 IS NOT NULL THEN c3.n3 / c2ctx.n2ctx
+      |                WHEN c2.n23 IS NOT NULL THEN 0.4 * c2.n23 / u2.n1
+      |                ELSE 0.16 * (COALESCE(u3.n1, 0) + 1) / (N + V)
+      |              END) * 1000 + 0.5) AS BIGINT) AS c
+      |       FROM tg
+      |       LEFT JOIN c3 USING (w1, w2, w3)
+      |       LEFT JOIN c2ctx USING (w1, w2)
+      |       LEFT JOIN c2 ON c2.v2 = tg.w2 AND c2.v3 = tg.w3
+      |       LEFT JOIN c1 u2 ON u2.token = tg.w2
+      |       LEFT JOIN c1 u3 ON u3.token = tg.w3
+      |       CROSS JOIN k
+      |       WHERE tg.bkt >= 8000)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test_trigrams,
+      |       CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_nll_millinat
+      |FROM sc GROUP BY source ORDER BY source""".stripMargin
 
   /** x115: per-source quantile normalization — map each document's raw
     * score (token count here) to its within-source CDF position in integer

@@ -75,6 +75,7 @@ object Ext {
     "x130_source_entropy"  -> ((s: SparkSession, d: String) => TextAnalysis.sourceEntropy(s, d)),
     "x131_wilson_bounds"   -> ((s: SparkSession, d: String) => TextAnalysis.wilsonBounds(s, d)),
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
+    "x155_backoff_nll"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutBackoffNll(s, d)),
     "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
       graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     // rows-only by design: the NDV column is a Datasketches HLL estimate
@@ -88,6 +89,7 @@ object Ext {
     "x15_ngram_jaccard"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "x16_minhash_lsh"      -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "x17_simhash_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "x158_capped_neardup"  -> ((s: SparkSession, d: String) => Dedup.cappedNeardupPairs(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
@@ -120,6 +122,8 @@ object Ext {
     "x23_topk_aggregator"  -> ((s: SparkSession, d: String) => Similarity.aggregatorTopK(s, d)),
     "x148_covariance"      -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
     "x149_principal_comp"  -> ((s: SparkSession, d: String) => Similarity.principalComponent(s, d)),
+    "x156_sq8_profile"     -> ((s: SparkSession, d: String) => Similarity.sq8Profile(s, d)),
+    "x157_pca_project"     -> ((s: SparkSession, d: String) => Similarity.pcaProject(s, d)),
     "x150_heavy_hitters"   -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "x153_length_buckets"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthBuckets(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
@@ -383,6 +387,7 @@ object Ext {
     "x134_value_histogram" -> Events.histogramOracle,
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
+    "x155_backoff_nll"     -> TextAnalysis.backoffOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,
     "x124_column_stats"    -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
       s"""SELECT '$c' AS column_name,
@@ -398,10 +403,12 @@ object Ext {
     "x107_bigram_nll"      -> TextAnalysis.bigramNllOracle,
     "x16_minhash_lsh"      -> Dedup.minhashOracle(),
     "x87_fuzzy_decontam"   -> Dedup.fuzzyDecontaminateOracle(),
+    "x158_capped_neardup"  -> Dedup.cappedNeardupOracle(),
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,
     "x148_covariance"      -> Similarity.covarianceOracle,
+    "x156_sq8_profile"     -> Similarity.sq8Oracle,
     "x150_heavy_hitters"   -> TextAnalysis.heavyHittersOracle,
     "x153_length_buckets"  -> TextAnalysis.lengthBucketsOracle,
     "x93_funnel"           -> Events.funnelOracle,

@@ -98,6 +98,39 @@ class ExtSpec extends SparkSuite {
     assert(flagged.forall(_ % 10 != 0))
   }
 
+  test("df-capped near-dup: subset of exact pairs, and misses ONLY boilerplate-evidence pairs") {
+    val cap = 64L
+    val capped = Dedup.cappedNeardupPairs(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact (identical verify + acceptance as x15)
+    assert(capped.subsetOf(exact), s"false positives: ${capped.diff(exact)}")
+    // the PRECISE recall contract: a qualifying pair escapes the capped
+    // candidates iff EVERY shingle the two docs share is corpus-hot
+    val missed = exact.diff(capped)
+    if (missed.nonEmpty) {
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("lang"), col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("lang"), col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("sh"))
+      val local = docs.collect()
+        .map(r => r.getLong(1) -> (r.getString(0), r.getSeq[String](2).toSet)).toMap
+      val df = scala.collection.mutable.Map.empty[(String, String), Long]
+      local.values.foreach { case (lang, sh) =>
+        sh.foreach(s => df((lang, s)) = df.getOrElse((lang, s), 0L) + 1L)
+      }
+      missed.foreach { case (a, b) =>
+        val (langA, sa) = local(a)
+        val shared = sa.intersect(local(b)._2)
+        assert(shared.nonEmpty && shared.forall(s => df((langA, s)) > cap),
+          s"pair ($a,$b) missed despite a sub-cap shared shingle")
+      }
+    }
+  }
+
   test("simhash near-dups overlap exact near-dups on planted duplicates") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -318,6 +351,79 @@ class ExtSpec extends SparkSuite {
     // all sources draw from one corpus distribution: means cluster (a 2×
     // spread would mean the split leaked or the unk path misfired)
     assert(maxMean < 2 * minMean, s"NLL spread implausible: $minMean..$maxMean")
+  }
+
+  test("backoff scoring covers every test trigram within the unigram-floor cost cap") {
+    val rows = TextAnalysis.heldoutBackoffNll(spark, sf).collect()
+    // coverage: three left joins + the CASE floor must score EVERY test
+    // trigram — a dropped row would mean a broken branch
+    val docs = TextAnalysis.withTokens(graft.Tables.documents(spark, sf))
+    val testTotal = docs
+      .filter(graft.ops.Sampling.bucket10k(col("doc_id"), 42) >= 8000)
+      .filter(size(col("tokens")) >= 3)
+      .select((size(col("tokens")) - 2).cast("long").as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === testTotal, "test trigrams dropped in scoring")
+    // every cost is bounded by the deepest backoff: the Laplace unigram
+    // floor 0.16/(N+V), so mean NLL < ln((N+V)/0.16)·1000 milli-nats
+    val trainToks = docs
+      .filter(graft.ops.Sampling.bucket10k(col("doc_id"), 42) < 8000)
+      .select(explode(col("tokens")).as("t"))
+    val n = trainToks.count()
+    val v = trainToks.distinct().count() + 1
+    val cap = math.ceil(math.log((n + v) / 0.16) * 1000).toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(2) <= cap,
+        s"${r.getString(0)}: mean ${r.getLong(2)} outside (0, $cap]")
+    }
+  }
+
+  test("pca projection satisfies the spectral contract: Var(y_k) = lambda_k, cross-cov 0, means 0") {
+    val pc = Similarity.principalComponent(spark, sf).collect()
+    val lambda = (0 until 3).map(k => pc.filter(_.getLong(0) == k).head.getDouble(3))
+    val proj = Similarity.pcaProject(spark, sf).collect()
+      .map(r => (r.getLong(1).toDouble / 1e6, r.getLong(2).toDouble / 1e6,
+        r.getLong(3).toDouble / 1e6))
+    val n = proj.length.toDouble
+    assert(n > 0)
+    val cols = Seq(proj.map(_._1), proj.map(_._2), proj.map(_._3))
+    val means = cols.map(c => c.sum / n)
+    // centering: per-component mean ~ 0 (e6 floor + eigen residual noise)
+    means.zipWithIndex.foreach { case (m, k) =>
+      assert(math.abs(m) < 1e-3, s"component $k mean $m not centered")
+    }
+    // the spectral contract: population variance of the k-th projection
+    // equals the k-th eigenvalue (within the 1e-3 eigen-residual band the
+    // x149 law already pins, plus quantization slack)
+    (0 until 3).foreach { k =>
+      val v = cols(k).map(x => (x - means(k)) * (x - means(k))).sum / n
+      assert(math.abs(v - lambda(k)) <= 5e-3 * lambda(k) + 1e-6,
+        s"Var(y$k) = $v but lambda$k = ${lambda(k)}")
+    }
+    // orthogonal directions ⇒ uncorrelated projections
+    for (a <- 0 until 3; b <- (a + 1) until 3) {
+      val cov = cols(a).zip(cols(b))
+        .map { case (x, y) => (x - means(a)) * (y - means(b)) }.sum / n
+      val bound = 5e-3 * math.sqrt(lambda(a) * lambda(b)) + 1e-6
+      assert(math.abs(cov) <= bound, s"Cov(y$a, y$b) = $cov exceeds $bound")
+    }
+  }
+
+  test("int8 quantization error is bounded by half a code step per dimension") {
+    val rows = Similarity.sq8Profile(spark, sf).collect()
+    val dims = graft.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).first().getInt(0)
+    assert(rows.length === dims, "one row per embedding dimension")
+    rows.foreach { r =>
+      val (vmin, vmax) = (r.getDouble(1), r.getDouble(2))
+      val maxErr = r.getLong(5)
+      // uniform 255-step code: reconstruction error ≤ step/2 =
+      // (vmax−vmin)/510, plus slack for the 6-dp range rounding and the
+      // e9 error quantization
+      val bound = math.ceil(((vmax - vmin) / 510d + 2e-6) * 1e9).toLong + 1
+      assert(maxErr <= bound, s"dim ${r.getLong(0)}: max err $maxErr > $bound")
+      assert(r.getLong(4) <= maxErr, "mean err cannot exceed max err")
+    }
   }
 
   test("k-means report partitions the corpus with bounded cohesion") {

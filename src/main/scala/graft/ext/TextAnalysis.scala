@@ -833,6 +833,60 @@ object TextAnalysis {
       |FROM bg JOIN cost USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** x159: per-document gate attribution — the audit trail a curation
+    * pipeline owes its rejects: for every document, WHICH quality gates
+    * it fails (bitmask, stable bit per gate) and the FIRST failing gate
+    * in the pipeline's documented order (the one a "why was my doc
+    * dropped" ticket gets answered with). x142's funnel aggregates the
+    * same gates corpus-wide; this is the per-row attribution that
+    * debugging needs. Every gate is an EXACT INTEGER comparison (the
+    * ratio thresholds cross-multiply: alpha ≥ 0.8 ⟺ 10·n_alpha ≥
+    * 8·n_tokens), so no float ever decides membership and the row set
+    * hash-matches DuckDB bit for bit. One projection pass, no shuffle.
+    */
+  def gateAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("tokens")
+    val n = size(toks).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(filter(toks, t => !t.rlike("[A-Za-z0-9]"))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), n.as("n"), nAlpha.as("na"), nSym.as("ns"), nDist.as("nd"))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        (when(col("n") < 30L, 1L).otherwise(0L) +
+          when(col("na") * 10L < col("n") * 8L, 2L).otherwise(0L) +
+          when(col("ns") * 10L > col("n"), 4L).otherwise(0L) +
+          when((col("n") - col("nd")) * 10L > col("n") * 7L, 8L).otherwise(0L))
+          .as("gates_failed"),
+        when(col("n") < 30L, lit("too_short"))
+          .when(col("na") * 10L < col("n") * 8L, lit("low_alpha"))
+          .when(col("ns") * 10L > col("n"), lit("high_symbol"))
+          .when((col("n") - col("nd")) * 10L > col("n") * 7L, lit("repetitive"))
+          .otherwise(lit("pass")).as("first_fail"))
+      .orderBy("doc_id")
+  }
+
+  val gateAttributionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |             CAST(len(toks) AS BIGINT) AS n,
+      |             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+      |             CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[A-Za-z0-9]'))) AS BIGINT) AS ns,
+      |             CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+      |      FROM t)
+      |SELECT doc_id, n AS n_tokens,
+      |       (CASE WHEN n < 30 THEN 1 ELSE 0 END +
+      |        CASE WHEN na * 10 < n * 8 THEN 2 ELSE 0 END +
+      |        CASE WHEN ns * 10 > n THEN 4 ELSE 0 END +
+      |        CASE WHEN (n - nd) * 10 > n * 7 THEN 8 ELSE 0 END) AS gates_failed,
+      |       CASE WHEN n < 30 THEN 'too_short'
+      |            WHEN na * 10 < n * 8 THEN 'low_alpha'
+      |            WHEN ns * 10 > n THEN 'high_symbol'
+      |            WHEN (n - nd) * 10 > n * 7 THEN 'repetitive'
+      |            ELSE 'pass' END AS first_fail
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Count-min-sketch token-frequency estimation — the CONSTANT-STATE
     * alternative to the exact |vocab|-keyed count: d=4 seeded md5 bucket
     * rows × w=1024 buckets collapse the whole token stream into a 4096-row

@@ -76,6 +76,7 @@ object Ext {
     "x131_wilson_bounds"   -> ((s: SparkSession, d: String) => TextAnalysis.wilsonBounds(s, d)),
     "x123_heldout_ppl"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutPpl(s, d)),
     "x155_backoff_nll"     -> ((s: SparkSession, d: String) => TextAnalysis.heldoutBackoffNll(s, d)),
+    "x159_gate_attribution" -> ((s: SparkSession, d: String) => TextAnalysis.gateAttribution(s, d)),
     "x124_column_stats"    -> ((s: SparkSession, d: String) => graft.ops.Quality.columnStats(
       graft.Tables.documents(s, d), Seq("doc_id", "lang", "n_chars", "source", "text"))),
     // rows-only by design: the NDV column is a Datasketches HLL estimate
@@ -388,6 +389,7 @@ object Ext {
     "x122_source_budget"   -> graft.ops.Sampling.sourceBudgetOracle,
     "x123_heldout_ppl"     -> TextAnalysis.heldoutOracle,
     "x155_backoff_nll"     -> TextAnalysis.backoffOracle,
+    "x159_gate_attribution" -> TextAnalysis.gateAttributionOracle,
     "x125_constraint_audit" -> graft.ops.Quality.auditOracle,
     "x124_column_stats"    -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
       s"""SELECT '$c' AS column_name,

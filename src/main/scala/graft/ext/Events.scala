@@ -593,4 +593,194 @@ object Events {
         (col("est_merged") === col("est_direct")).cast("int").as("merge_exact"))
       .orderBy("event_type")
   }
+
+  /** x160: EWMA smoothing of the per-type daily revenue series — the
+    * monitoring/forecast primitive x118's flat 7-day sum can't provide
+    * (recent days should dominate). Exponential weights are DYADIC
+    * (decay ½, 14-day frame), so every weight 2^(13-i) is an exact
+    * BIGINT and the whole smoother is integer arithmetic end to end:
+    * values floor once to e3 per ROW (the x132 trick — never sum raw
+    * doubles), the dense daily grid comes from the x114 gap-fill shape,
+    * and instead of a non-equi self-join each day EXPLODES its 14
+    * forward offsets and re-groups — a pure equi-shuffle on (type, day)
+    * that AQE handles like any aggregate. Ramp-up days (t < lo+13) keep
+    * an honest partial denominator because the weight column rides in
+    * the same aggregate. num, den < 2^53 at any realistic scale (bound:
+    * |daily e3 revenue| · 2^14 · 14), and `num DIV den` on nonnegative
+    * operands is the same floor in both engines — no float ever crosses.
+    * At 100 TB the fact table reduces to |days|·|types| rows in the
+    * FIRST aggregate; everything after is metadata-sized.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("v_e3"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v_e3")).as("rev_e3"))
+    val span = rev.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = rev.select("event_type").distinct()
+    val dense = days.crossJoin(broadcast(types))
+      .join(rev, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("rev_e3"), lit(0L)).as("rev_e3"))
+    val contrib = dense
+      .select(col("event_type"), col("day"), col("rev_e3"),
+        explode(sequence(lit(0), lit(13))).as("off"))
+      .select(col("event_type"), (col("day") + col("off")).as("day"),
+        (col("rev_e3") * expr("CAST(power(2, 13 - off) AS BIGINT)")).as("wnum"),
+        expr("CAST(power(2, 13 - off) AS BIGINT)").as("w"))
+    contrib.crossJoin(broadcast(span.select(col("hi"))))
+      .filter(col("day") <= col("hi"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("wnum")).as("num"), sum(col("w")).as("den"))
+      .join(dense, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("rev_e3"),
+        expr("num DIV den").as("ewma_e3"))
+      .orderBy("event_type", "day")
+  }
+
+  val ewmaOracle: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS rev_e3
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM r),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM r),
+      |dense AS (SELECT t.event_type, d.day, COALESCE(r.rev_e3, 0) AS rev_e3
+      |          FROM days d CROSS JOIN types t
+      |          LEFT JOIN r ON r.event_type = t.event_type AND r.day = d.day),
+      |offs AS (SELECT unnest(generate_series(0, 13)) AS off),
+      |contrib AS (SELECT event_type, day + off AS day,
+      |                   rev_e3 * CAST(power(2, 13 - off) AS BIGINT) AS wnum,
+      |                   CAST(power(2, 13 - off) AS BIGINT) AS w
+      |            FROM dense CROSS JOIN offs),
+      |agg AS (SELECT c.event_type, c.day,
+      |               SUM(c.wnum) AS num, SUM(c.w) AS den
+      |        FROM contrib c, span WHERE c.day <= span.hi GROUP BY 1, 2)
+      |SELECT a.event_type, a.day, CAST(d.rev_e3 AS BIGINT) AS rev_e3,
+      |       CAST(a.num // a.den AS BIGINT) AS ewma_e3
+      |FROM agg a JOIN dense d ON d.event_type = a.event_type AND d.day = a.day
+      |ORDER BY a.event_type, a.day""".stripMargin
+
+  /** x162: mutual information between event type and day-of-week — the
+    * dependence screen a curation pipeline runs before trusting a
+    * stratification column (MI ≈ 0 ⇒ the split is temporally unbiased).
+    * Day-of-week is the engine-neutral `epoch-day mod 7` (Spark's
+    * `dayofweek` and DuckDB's disagree on Sunday's index). Same
+    * fixed-point discipline as x130: each cell's pointwise-MI term
+    * rounds ONCE to integer micro-nats — `ln` of a correctly-rounded
+    * double ratio (num, den < 2^53) — and everything after is exact
+    * BIGINT sums, emitted per event type as the additive decomposition
+    * Σ_y c_xy·round(1e6·ln(N·c_xy/(c_x·c_y))). No division at the end:
+    * the caller divides by N if it wants nats, so there is no
+    * negative-operand floor-vs-truncate hazard between engines. One
+    * fact-sized aggregate; the contingency table (|types|·7 cells) and
+    * its margins are broadcast-sized forever.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
+    val cy = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y"))
+    val n = cells.agg(sum(col("c_xy")).as("n"))
+    cells.join(broadcast(cx), "event_type").join(broadcast(cy), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("c_x"), col("n"),
+        (col("c_xy") *
+          floor(log((col("n") * col("c_xy")) / (col("c_x") * col("c_y"))) *
+            1000000d + 0.5d).cast("long")).as("term_e6"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"), max(col("c_x")).as("n_x"),
+        count(lit(1)).as("n_cells"), sum(col("term_e6")).as("pmi_sum_e6"))
+      .orderBy("event_type")
+  }
+
+  val mutualInfoOracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow
+      |           FROM events),
+      |cells AS (SELECT event_type, dow, COUNT(*) AS c_xy FROM e GROUP BY 1, 2),
+      |cx AS (SELECT event_type, SUM(c_xy) AS c_x FROM cells GROUP BY 1),
+      |cy AS (SELECT dow, SUM(c_xy) AS c_y FROM cells GROUP BY 1),
+      |n AS (SELECT SUM(c_xy) AS n FROM cells),
+      |terms AS (SELECT cells.event_type, cx.c_x, n.n,
+      |                 cells.c_xy * CAST(floor(
+      |                   ln((n.n * cells.c_xy) / (cx.c_x * cy.c_y)) * 1000000
+      |                   + 0.5) AS BIGINT) AS term_e6
+      |          FROM cells
+      |          JOIN cx ON cx.event_type = cells.event_type
+      |          JOIN cy ON cy.dow = cells.dow
+      |          CROSS JOIN n)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |       CAST(MAX(c_x) AS BIGINT) AS n_x,
+      |       COUNT(*) AS n_cells,
+      |       CAST(SUM(term_e6) AS BIGINT) AS pmi_sum_e6
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x163: χ² independence contributions for the same event-type ×
+    * day-of-week table — x162's hypothesis-test twin (MI measures the
+    * dependence, χ² tells you whether it clears noise; together they are
+    * the feature-selection pair). Per cell, (N·c_xy − c_x·c_y)²/(N·c_x·c_y)
+    * is computed with the operand order PINNED in both engines: the
+    * residual a = N·c_xy − c_x·c_y stays exact BIGINT (|a| < N² ≤ 2^63
+    * through ~3·10⁹ events — the cell-count regime where exact χ² is
+    * even meaningful), is converted once to double and squared; the
+    * denominator multiplies as (N·1.0)·c_x·c_y left-to-right. Each
+    * cell's term then rounds ONCE to integer micro-units and the
+    * per-type sums are exact BIGINT — engine-identical by construction.
+    * The expected-count floor (all margins > 0) holds by construction
+    * since every cell present has c_xy ≥ 1.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
+    val cy = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y"))
+    val n = cells.agg(sum(col("c_xy")).as("n"), count_distinct(col("dow")).as("n_dows"))
+    cells.join(broadcast(cx), "event_type").join(broadcast(cy), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("c_x"), col("n_dows"),
+        expr("""CAST(floor(
+                  ((CAST(n * c_xy - c_x * c_y AS DOUBLE)) *
+                   (CAST(n * c_xy - c_x * c_y AS DOUBLE))) /
+                  ((n * CAST(1.0 AS DOUBLE)) * c_x * c_y)
+                  * 1000000 + 0.5) AS BIGINT)""").as("term_e6"))
+      .groupBy("event_type")
+      .agg(max(col("c_x")).as("n_x"), max(col("n_dows")).as("n_dows"),
+        count(lit(1)).as("n_cells"), sum(col("term_e6")).as("chi2_e6"))
+      .orderBy("event_type")
+  }
+
+  val chi2Oracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow
+      |           FROM events),
+      |cells AS (SELECT event_type, dow, COUNT(*) AS c_xy FROM e GROUP BY 1, 2),
+      |cx AS (SELECT event_type, SUM(c_xy) AS c_x FROM cells GROUP BY 1),
+      |cy AS (SELECT dow, SUM(c_xy) AS c_y FROM cells GROUP BY 1),
+      |n AS (SELECT SUM(c_xy) AS n, COUNT(DISTINCT dow) AS n_dows FROM cells),
+      |terms AS (SELECT cells.event_type, cx.c_x, n.n_dows,
+      |                 CAST(floor(
+      |                   ((CAST(n.n * cells.c_xy - cx.c_x * cy.c_y AS DOUBLE)) *
+      |                    (CAST(n.n * cells.c_xy - cx.c_x * cy.c_y AS DOUBLE))) /
+      |                   ((n.n * CAST(1.0 AS DOUBLE)) * cx.c_x * cy.c_y)
+      |                   * 1000000 + 0.5) AS BIGINT) AS term_e6
+      |          FROM cells
+      |          JOIN cx ON cx.event_type = cells.event_type
+      |          JOIN cy ON cy.dow = cells.dow
+      |          CROSS JOIN n)
+      |SELECT event_type, CAST(MAX(c_x) AS BIGINT) AS n_x,
+      |       CAST(MAX(n_dows) AS BIGINT) AS n_dows,
+      |       COUNT(*) AS n_cells,
+      |       CAST(SUM(term_e6) AS BIGINT) AS chi2_e6
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 }

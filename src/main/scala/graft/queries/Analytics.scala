@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -771,6 +771,73 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** a34: per-flag OLS regression of extended price on quantity — the full
+    * (slope, intercept, r²) line a profiler fits before trusting a linear
+    * imputation, and the closed-form statistic a12/x120's slope-only
+    * trend doesn't provide. One map-combinable aggregate collects the
+    * five moment sums over e2-quantized operands (the x132 per-ROW floor;
+    * never sum raw doubles); the second-order sums widen per-row products
+    * to DECIMAL(38,0) because Σy² is what outgrows BIGINT first (~10¹⁴
+    * per row: BIGINT dies at ~10⁵ rows — DuckDB's HUGEINT sum widens
+    * automatically, ours must be explicit). The normal-equation
+    * residuals a = n·Sxy−Sx·Sy, b = n·Sxx−Sx², c = n·Syy−Sy² stay exact
+    * DECIMAL/HUGEINT, convert ONCE to double (round-to-nearest of the
+    * same exact integer on both engines), and each output statistic is
+    * one pinned-order double expression rounded once to its fixed-point
+    * grid: slope e6 (price cents per quantity cent), intercept e2
+    * (cents), r² e6. Aggregate output is |flags| rows; nothing after the
+    * first exchange is fact-sized.
+    */
+  def groupOls(spark: SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100d + 0.5d).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("double").as("a"),
+        (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("double").as("b"),
+        (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+          .cast("double").as("c"),
+        (dec(col("sy")) * col("sxx") - dec(col("sx")) * col("sxy"))
+          .cast("double").as("ic"))
+      .select(col("l_returnflag"), col("n"),
+        floor((col("a") / col("b")) * 1000000d + 0.5d).cast("long").as("slope_e6"),
+        floor(col("ic") / col("b") + 0.5d).cast("long").as("icept_e2"),
+        floor(((col("a") * col("a")) / (col("b") * col("c"))) * 1000000d + 0.5d)
+          .cast("long").as("r2_e6"))
+      .orderBy("l_returnflag")
+  }
+
+  val groupOlsOracle: String =
+    """WITH e AS (SELECT l_returnflag,
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |           FROM lineitem),
+      |s AS (SELECT l_returnflag, COUNT(*) AS n,
+      |             SUM(x) AS sx, SUM(y) AS sy,
+      |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |      FROM e GROUP BY 1),
+      |m AS (SELECT l_returnflag, n,
+      |             CAST(n*sxy - sx*sy AS DOUBLE) AS a,
+      |             CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+      |             CAST(n*syy - sy*sy AS DOUBLE) AS c,
+      |             CAST(sy*sxx - sx*sxy AS DOUBLE) AS ic
+      |      FROM s)
+      |SELECT l_returnflag, n,
+      |       CAST(floor((a / b) * 1000000 + 0.5) AS BIGINT) AS slope_e6,
+      |       CAST(floor(ic / b + 0.5) AS BIGINT) AS icept_e2,
+      |       CAST(floor(((a * a) / (b * c)) * 1000000 + 0.5) AS BIGINT) AS r2_e6
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** a33: seasonal anomaly detection — daily revenue judged against its
     * own DAY-OF-WEEK cohort (a Monday against Mondays), the baseline that
     * stops weekly rhythm from reading as anomaly and anomalies from
@@ -857,10 +924,12 @@ object Analytics {
     "a31_winsorized"       -> (winsorizedRevenue _),
     "a32_weighted_median"  -> (weightedMedian _),
     "a33_seasonal_outliers" -> (seasonalOutliers _),
+    "a34_group_ols"        -> (groupOls _),
   )
 
   val oracles: Map[String, String] = Map(
     "a33_seasonal_outliers" -> seasonalOracle,
+    "a34_group_ols"        -> groupOlsOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

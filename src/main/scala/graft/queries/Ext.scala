@@ -53,6 +53,9 @@ object Ext {
     "x132_time_weighted"   -> ((s: SparkSession, d: String) => Events.timeWeightedAvg(s, d)),
     "x134_value_histogram" -> ((s: SparkSession, d: String) => Events.valueHistogram(s, d)),
     "x120_daily_trend"     -> ((s: SparkSession, d: String) => Events.dailyTrend(s, d)),
+    "x160_ewma_daily"      -> ((s: SparkSession, d: String) => Events.ewmaDaily(s, d)),
+    "x162_mutual_info"     -> ((s: SparkSession, d: String) => Events.mutualInfo(s, d)),
+    "x163_chi2_indep"      -> ((s: SparkSession, d: String) => Events.chi2Independence(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -378,6 +381,9 @@ object Ext {
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "x120_daily_trend"     -> Events.trendOracle,
+    "x160_ewma_daily"      -> Events.ewmaOracle,
+    "x162_mutual_info"     -> Events.mutualInfoOracle,
+    "x163_chi2_indep"      -> Events.chi2Oracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -633,6 +633,89 @@ class ExtSpec extends SparkSuite {
     assert(gapped.filter(_._1._2 == hole).values.forall(_ == 0L))
   }
 
+  test("EWMA equals the sequential dyadic smoother recomputed from the daily series") {
+    val rows = Events.ewmaDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val lo = rows.map(_._2).min
+    rows.foreach { case (tpe, day, _, ewma) =>
+      // reference smoother: weights 2^(13-i) over days (day-i), i=0..13,
+      // clipped at the series start; integer floor division
+      val terms = (0 to 13).flatMap { i =>
+        byKey.get((tpe, day - i)).map(v => (v * (1L << (13 - i)), 1L << (13 - i)))
+      }
+      val expect = terms.map(_._1).sum / terms.map(_._2).sum
+      assert(ewma === expect, s"($tpe, $day): ewma $ewma != sequential $expect")
+      // steady state (full frame): the denominator is 2^14 - 1, so the
+      // smoother is a convex combination — bounded by the frame extremes
+      if (day - lo >= 13) {
+        val vals = (0 to 13).map(i => byKey((tpe, day - i)))
+        assert(ewma >= vals.min - 1 && ewma <= vals.max,
+          s"($tpe, $day): ewma $ewma outside frame range [${vals.min}, ${vals.max}]")
+      }
+    }
+    // the dense grid must be complete: every (type, day) cell in the span
+    val types = rows.map(_._1).distinct
+    val span = rows.map(_._2).max - lo + 1
+    assert(rows.length.toLong === types.length * span)
+  }
+
+  test("mutual information decomposition matches the contingency-table recomputation") {
+    val cells = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cells.values.sum
+    val cx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val got = Events.mutualInfo(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === cx.keySet)
+    got.foreach { case (tpe, (nEvents, nX, nCells, pmiSum)) =>
+      assert(nEvents === n); assert(nX === cx(tpe))
+      val mine = cells.filter(_._1._1 == tpe)
+      assert(nCells === mine.size.toLong)
+      val expect = mine.map { case ((_, dow), cxy) =>
+        cxy * math.floor(
+          math.log((n.toDouble * cxy) / (cx(tpe).toDouble * cy(dow))) * 1e6 + 0.5).toLong
+      }.sum
+      assert(pmiSum === expect, s"$tpe: pmi sum $pmiSum != recomputed $expect")
+    }
+    // global MI = Σ terms / N must be ≥ 0 up to per-cell rounding slack
+    val totCells = got.values.map(_._3).sum
+    assert(got.values.map(_._4).sum >= -totCells,
+      "global MI below the rounding floor — dependence sum is broken")
+  }
+
+  test("chi-square contributions are nonnegative and match the per-cell recomputation") {
+    val cells = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cells.values.sum
+    val cx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val got = Events.chi2Independence(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === cx.keySet)
+    got.foreach { case (tpe, (nX, nDows, nCells, chi2)) =>
+      assert(nX === cx(tpe)); assert(nDows === cy.size.toLong)
+      val mine = cells.filter(_._1._1 == tpe)
+      assert(nCells === mine.size.toLong)
+      val expect = mine.map { case ((_, dow), cxy) =>
+        val a = (n * cxy - cx(tpe) * cy(dow)).toDouble
+        math.floor((a * a) / (n.toDouble * cx(tpe) * cy(dow)) * 1e6 + 0.5).toLong
+      }.sum
+      assert(chi2 === expect, s"$tpe: chi2 $chi2 != recomputed $expect")
+      assert(chi2 >= 0L)
+    }
+  }
+
   test("daily trend slopes equal least squares recomputed from the dense grid") {
     val grid = Events.gapFillOf(graft.Tables.events(spark, sf)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

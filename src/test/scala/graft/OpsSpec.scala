@@ -981,6 +981,38 @@ class OpsSpec extends SparkSuite {
       "cumulative and total weight windows must share one exchange")
   }
 
+  test("group OLS matches the driver-side normal-equation recomputation") {
+    val got = graft.queries.Analytics.groupOls(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100d + 0.5d).toLong,
+        math.floor(r.getDouble(2) * 100d + 0.5d).toLong))
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = rows.length.toLong
+      val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      // exact moments in BigInt — the spec must not inherit the overflow
+      // the operator's DECIMAL(38,0) widening exists to prevent
+      val sxy = rows.map(t => BigInt(t._2) * t._3).sum
+      val sxx = rows.map(t => BigInt(t._2) * t._2).sum
+      val syy = rows.map(t => BigInt(t._3) * t._3).sum
+      val a = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+      val b = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val c = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+      val ic = (BigInt(sy) * sxx - BigInt(sx) * sxy).toDouble
+      val (gn, slope, icept, r2) = got(flag)
+      assert(gn === n)
+      assert(slope === math.floor(a / b * 1e6 + 0.5).toLong, s"$flag slope")
+      assert(icept === math.floor(ic / b + 0.5).toLong, s"$flag intercept")
+      assert(r2 === math.floor((a * a) / (b * c) * 1e6 + 0.5).toLong, s"$flag r2")
+      // r² is a proportion of variance: [0, 1] on the e6 grid (+1 rounding)
+      assert(r2 >= 0L && r2 <= 1000001L, s"$flag r2 $r2 out of [0, 1e6]")
+    }
+  }
+
   test("winsorized revenue clips at most the tail mass and bounds the clipped sum") {
     val w = graft.queries.Analytics.winsorizedRevenue(spark, sf)
     val rows = w.collect()

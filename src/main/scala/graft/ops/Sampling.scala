@@ -438,4 +438,46 @@ object Sampling {
       |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c, t WHERE cum_tokens * 10 <= t_total * 6
       |ORDER BY doc_id""".stripMargin
+
+  /** x165: purged temporal split with an embargo window — the time-series
+    * discipline x104's hash split deliberately ignores (hash splits are
+    * correct when rows are exchangeable; for temporally-autocorrelated
+    * data they leak the future into training). The last 20 % of the
+    * order-date SPAN is test, the 7 days immediately before the test
+    * boundary are PURGED (dropped from both sides — the López de Prado
+    * embargo that stops boundary-straddling correlation from leaking),
+    * and everything earlier is train. The cut is pure integer arithmetic
+    * on epoch days — `lo + (span · 8) DIV 10` — derived from a one-row
+    * broadcast span frame, so membership is a reproducible function of
+    * the row's own timestamp: re-runs, repartitions, and scale-ups
+    * cannot move a row across the boundary (the same determinism
+    * contract as the hash samplers, from the clock instead of a hash).
+    * Scale shape: one fact-sized projection joined to a broadcast
+    * scalar; no shuffle beyond the ORDER BY that exists for the oracle.
+    */
+  def purgedTemporalSplit(spark: SparkSession, dir: String,
+                          embargoDays: Int = 7): DataFrame = {
+    val days = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"))
+    val span = days.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(expr("lo + ((hi - lo) * 8) DIV 10").as("cut"))
+    days.crossJoin(broadcast(span))
+      .select(col("o_orderkey"), col("day"),
+        when(col("day") >= col("cut"), lit("test"))
+          .when(col("day") < col("cut") - embargoDays, lit("train"))
+          .otherwise(lit("purged")).as("split"))
+      .orderBy("o_orderkey")
+  }
+
+  val purgedSplitOracle: String =
+    """WITH d AS (SELECT o_orderkey,
+      |                  CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day
+      |           FROM orders),
+      |s AS (SELECT MIN(day) + ((MAX(day) - MIN(day)) * 8) // 10 AS cut FROM d)
+      |SELECT o_orderkey, day,
+      |       CASE WHEN day >= cut THEN 'test'
+      |            WHEN day < cut - 7 THEN 'train'
+      |            ELSE 'purged' END AS split
+      |FROM d, s ORDER BY o_orderkey""".stripMargin
 }

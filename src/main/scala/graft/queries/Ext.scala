@@ -216,6 +216,9 @@ object Ext {
     "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
     "s13_stream_full_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseFullJoin(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
+    "s14_stream_topk"      -> ((s: SparkSession, d: String) => Streams.streamingTopK(s, d)),
+    "s15_stream_alerts"    -> ((s: SparkSession, d: String) => Streams.alertStream(s, d)),
+    "x165_purged_split"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.purgedTemporalSplit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +431,20 @@ object Ext {
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,
     "x94_retention"        -> Events.retentionOracle,
     "x104_leak_safe_split" -> graft.ops.Sampling.leakSplitOracle,
+    "x165_purged_split"    -> graft.ops.Sampling.purgedSplitOracle,
+    "s14_stream_topk"      ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n,
+        |                  SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_e2
+        |           FROM events GROUP BY 1)
+        |SELECT user_id, n, CAST(total_e2 AS BIGINT) AS total_e2
+        |FROM u ORDER BY total_e2 DESC, user_id LIMIT 10""".stripMargin,
+    "s15_stream_alerts"    ->
+      """WITH c AS (SELECT event_type,
+        |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |                  COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(70 AS BIGINT) AS threshold
+        |FROM c WHERE n >= 70 ORDER BY event_type, day""".stripMargin,
     "x109_weighted_sample" -> graft.ops.Sampling.weightedSampleOracle,
     "x110_trade_pagerank"  -> graft.ops.Graph.tradeRankOracle,
     "x105_snapshot_diff"   -> Dedup.snapshotDiffOracle,

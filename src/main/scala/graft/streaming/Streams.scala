@@ -560,4 +560,83 @@ object Streams {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
   }
+
+  /** s14: streaming top-k — the running "top 10 users by lifetime spend"
+    * leaderboard, using the one place Structured Streaming permits a
+    * global sort: AFTER an aggregation in COMPLETE output mode (the only
+    * X9 output surface the suite didn't yet exercise). The aggregate
+    * state is one row per user (bounded by the key domain, not the
+    * stream length); the sort + limit run over that aggregate-sized
+    * state on every trigger, never over the stream. Values floor to e2
+    * per ROW (x132 posture) so the running totals are exact BIGINT and
+    * the leaderboard order — total desc, user_id asc tie-break — is a
+    * total order stable across replays and engines. After the
+    * AvailableNow replay the final table equals the batch top-10 and is
+    * oracle-checked exactly.
+    */
+  def streamingTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .select(col("user_id"), floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("total_e2"))
+      .orderBy(col("total_e2").desc, col("user_id"))
+      .limit(k)
+    runToMemory(agg, "complete")
+      .orderBy(col("total_e2").desc, col("user_id"))
+  }
+
+  /** s15: edge-triggered threshold alerting — the monitoring pattern every
+    * production stream grows eventually: fire ONE alert the moment a
+    * (type, day) event count reaches the threshold, and never again for
+    * that window, no matter how the replay is micro-batched. State per
+    * live key is (count, alerted); the `alerted` latch is what makes the
+    * operator edge-triggered rather than level-triggered (a level
+    * emitter would re-fire on every batch that touches a hot window —
+    * the alert-storm anti-pattern). Emission is batch-boundary-proof:
+    * WHICH keys alert depends only on final counts, so the replayed
+    * result equals the batch `HAVING count ≥ T` set and is
+    * oracle-checked. State is BOUNDED: keys register an event-time
+    * timeout two days past their window; when the 48 h watermark passes
+    * it, the state row is dropped (`hasTimedOut` → remove) — a stale key
+    * can never alert again afterwards, which is correct because the
+    * watermark guarantees its data is complete.
+    */
+  def alertStream(spark: SparkSession, dir: String, threshold: Long = 70L): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .withWatermark("ts", "48 hours")
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("ts"))  // the watermarked event-time column must survive to the stateful op
+      .as[(String, Long, java.sql.Timestamp)]
+    runToMemory(alertsOf(src, threshold).toDF("event_type", "day"), "update")
+      .select(col("event_type"), col("day"), lit(threshold).as("threshold"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The s15 state machine over any watermarked (key, day, ts) source —
+    * split out so the spec can drive a MemoryStream through the exact
+    * latch/timeout path the query runs (crossing mid-batch, re-crossing
+    * in a later batch, state expiry past the watermark).
+    */
+  private[graft] def alertsOf(
+      src: org.apache.spark.sql.Dataset[(String, Long, java.sql.Timestamp)],
+      threshold: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Boolean), (String, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Boolean)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (n0, alerted) = state.getOption.getOrElse((0L, false))
+            val n = n0 + rows.size
+            val fire = n >= threshold && !alerted
+            state.update((n, alerted || fire))
+            state.setTimeoutTimestamp((key._2 + 2) * 86400000L)
+            if (fire) Iterator.single(key) else Iterator.empty
+          }
+      }
+  }
 }

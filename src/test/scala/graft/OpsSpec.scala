@@ -981,6 +981,31 @@ class OpsSpec extends SparkSuite {
       "cumulative and total weight windows must share one exchange")
   }
 
+  test("purged temporal split partitions the span with an exact embargo band") {
+    val rows = graft.ops.Sampling.purgedTemporalSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val cut = lo + (hi - lo) * 8 / 10
+    rows.foreach { case (k, day, split) =>
+      val expect =
+        if (day >= cut) "test" else if (day < cut - 7) "train" else "purged"
+      assert(split === expect, s"order $k day $day: $split != $expect")
+    }
+    // all three buckets populated, and they are temporally DISJOINT:
+    // every train day strictly precedes every purged day precedes every test day
+    val byS = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byS.keySet === Set("train", "purged", "test"))
+    assert(byS("train").max < byS("purged").min, "train/purge overlap")
+    assert(byS("purged").max < byS("test").min, "purge/test leak")
+    // the embargo band spans at most 7 distinct days right below the cut
+    assert(byS("purged").distinct.forall(d => d >= cut - 7 && d < cut))
+    // membership is a pure function of the row's date — rerun is identical
+    val again = graft.ops.Sampling.purgedTemporalSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("group OLS matches the driver-side normal-equation recomputation") {
     val got = graft.queries.Analytics.groupOls(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -318,4 +318,81 @@ class StreamingSpec extends SparkSuite {
         s"$t: estimate $gotEst drifted past 5% of exact $exact")
     }
   }
+
+  test("streaming top-k leaderboard equals the batch top-10 with the tie-break order") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamingTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), floor(col("value") * 100d + 0.5d).cast("long").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (uid, _, t) => (-t, uid) }
+      .take(10)
+    assert(got.toSeq === batch.toSeq)
+    // the leaderboard must be strictly ordered by (total desc, user asc)
+    got.sliding(2).foreach { case Array((u1, _, t1), (u2, _, t2)) =>
+      assert(t1 > t2 || (t1 == t2 && u1 < u2), "leaderboard order violated")
+    }
+  }
+
+  test("alert stream fires once per window and equals the batch threshold set") {
+    import org.apache.spark.sql.functions._
+    val thr = 8L
+    val got = Streams.alertStream(spark, sf, thr).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // the fixture must exercise BOTH branches — some windows alert, some don't
+    assert(got.nonEmpty && got.length < batch.size,
+      s"threshold $thr does not split the fixture (${got.length} of ${batch.size})")
+    assert(got.toSet === batch.filter(_._2 >= thr).keySet, "alert set != batch HAVING set")
+    assert(got.distinct.length === got.length, "an alert fired twice for one window")
+  }
+
+  test("alert latch is edge-triggered across micro-batches and expires past the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(day: Long, h: Int) = new Timestamp(day * 86400000L + h * 3600L * 1000)
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val alerts = Streams.alertsOf(
+      mem.toDS().toDF("event_type", "day", "ts")
+        .withWatermark("ts", "48 hours")
+        .as[(String, Long, Timestamp)], threshold = 3L)
+      .toDF("event_type", "day")
+    val q = alerts.writeStream.outputMode("update")
+      .format("memory").queryName("graft_alert_test").start()
+    // batch 1: key ("a", 10) sees 2 events — below threshold, no alert
+    mem.addData(("a", 10L, ts(10, 1)), ("a", 10L, ts(10, 2)), ("b", 10L, ts(10, 1)))
+    q.processAllAvailable()
+    assert(spark.table("graft_alert_test").count() === 0L, "alert fired below threshold")
+    // batch 2: one more "a" event crosses the threshold — exactly one alert
+    mem.addData(("a", 10L, ts(10, 3)))
+    q.processAllAvailable()
+    // batch 3: further "a" traffic must NOT re-fire (the latch)
+    mem.addData(("a", 10L, ts(10, 4)), ("a", 10L, ts(10, 5)))
+    q.processAllAvailable()
+    val afterLatch = spark.table("graft_alert_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(afterLatch.toSeq === Seq(("a", 10L)), s"latch broken: ${afterLatch.toSeq}")
+    // batch 4: advance event time far past day 12 so the watermark passes
+    // the key's day+2 timeout and its state is dropped; a late burst for
+    // the EXPIRED window must stay silent (its data is complete by the
+    // watermark contract — a re-alert would be a duplicate)
+    mem.addData(("c", 20L, ts(20, 0)))
+    q.processAllAvailable()
+    mem.addData(("a", 10L, ts(10, 6)), ("a", 10L, ts(10, 7)), ("a", 10L, ts(10, 8)))
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = spark.table("graft_alert_test").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(finalRows.toSeq === Seq(("a", 10L)),
+      s"expired window re-alerted: ${finalRows.toSeq}")
+  }
 }

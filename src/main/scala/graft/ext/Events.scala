@@ -612,12 +612,16 @@ object Events {
     * FIRST aggregate; everything after is metadata-sized.
     */
   def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.events(spark, dir)
-      .select(col("event_type"),
-        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
-        floor(col("value") * 1000d + 0.5d).cast("long").as("v_e3"))
-      .groupBy("event_type", "day")
-      .agg(sum(col("v_e3")).as("rev_e3"))
+    // Layer-cached: the |days|·|types| daily frame is read four ways below
+    // (span, type list, grid left-join) — one fact scan per run, not four
+    val rev = graft.Layer.cached(spark, dir, "dailyValueByType") {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+          floor(col("value") * 1000d + 0.5d).cast("long").as("v_e3"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("v_e3")).as("rev_e3"))
+    }
     val span = rev.agg(min("day").as("lo"), max("day").as("hi"))
     val days = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = rev.select("event_type").distinct()
@@ -625,17 +629,21 @@ object Events {
       .join(rev, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("rev_e3"), lit(0L)).as("rev_e3"))
+    // each day contributes to its 14 forward targets; the off = 0 term
+    // doubles as the carrier of the day's own revenue (max-of-one-hot), so
+    // no join-back to the grid is needed after the re-group
     val contrib = dense
       .select(col("event_type"), col("day"), col("rev_e3"),
         explode(sequence(lit(0), lit(13))).as("off"))
       .select(col("event_type"), (col("day") + col("off")).as("day"),
         (col("rev_e3") * expr("CAST(power(2, 13 - off) AS BIGINT)")).as("wnum"),
-        expr("CAST(power(2, 13 - off) AS BIGINT)").as("w"))
+        expr("CAST(power(2, 13 - off) AS BIGINT)").as("w"),
+        when(col("off") === 0, col("rev_e3")).as("rev0"))
     contrib.crossJoin(broadcast(span.select(col("hi"))))
       .filter(col("day") <= col("hi"))
       .groupBy("event_type", "day")
-      .agg(sum(col("wnum")).as("num"), sum(col("w")).as("den"))
-      .join(dense, Seq("event_type", "day"))
+      .agg(sum(col("wnum")).as("num"), sum(col("w")).as("den"),
+        max(col("rev0")).as("rev_e3"))
       .select(col("event_type"), col("day"), col("rev_e3"),
         expr("num DIV den").as("ewma_e3"))
       .orderBy("event_type", "day")

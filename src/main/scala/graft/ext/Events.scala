@@ -688,12 +688,22 @@ object Events {
     * fact-sized aggregate; the contingency table (|types|·7 cells) and
     * its margins are broadcast-sized forever.
     */
+  /** The event_type × day-of-week contingency table, Layer-cached: x162
+    * and x163 share this spine, and within each query it feeds both
+    * margins, the grand total, and the cell join — one fact scan per run
+    * for the whole MI/χ² pair instead of eight.
+    */
+  private def dowCells(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "dowContingency") {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("c_xy"))
+    }
+
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
-      .groupBy("event_type", "dow")
-      .agg(count(lit(1)).as("c_xy"))
+    val cells = dowCells(spark, dir)
     val cx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
     val cy = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y"))
     val n = cells.agg(sum(col("c_xy")).as("n"))
@@ -746,11 +756,7 @@ object Events {
     * since every cell present has c_xy ≥ 1.
     */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
-      .groupBy("event_type", "dow")
-      .agg(count(lit(1)).as("c_xy"))
+    val cells = dowCells(spark, dir)
     val cx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
     val cy = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y"))
     val n = cells.agg(sum(col("c_xy")).as("n"), count_distinct(col("dow")).as("n_dows"))

@@ -774,6 +774,73 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** x168: Population Stability Index — THE model-monitoring drift metric
+    * (PSI < 0.1 stable, > 0.25 retrain): how far the event-value
+    * distribution of the second half of the time span has drifted from
+    * the first half, decomposed per bin. x134's integer binning spine
+    * (e2 floor per row, global max broadcast, `least(9, (v·10) DIV
+    * (max+1))`) with the period cut `day < lo + (hi−lo) DIV 2` from the
+    * same one-row broadcast span (the x165 posture — membership is a
+    * pure function of the row's own fields). Counts are Laplace-smoothed
+    * (+1 per bin, +10 per period) so empty bins can't produce ±∞; each
+    * bin's (p₁−p₂)·ln(p₁/p₂) term — nonnegative by construction — rounds
+    * ONCE to integer e6 from pinned-order double arithmetic on exact
+    * integer ratios, and the total PSI is the exact BIGINT sum of the
+    * emitted terms. One fact-sized pass for the max, one for the counts;
+    * the 2×10 grid and everything after is metadata-sized.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val bounds = ev.agg(max(col("v_e2")).as("max_e2"),
+      min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select(
+        when(col("day") < col("lo") + expr("(hi - lo) DIV 2"), lit("p1"))
+          .otherwise(lit("p2")).as("period"),
+        least(lit(9L), expr("(v_e2 * 10) DIV (max_e2 + 1)")).as("bin"))
+      .groupBy("period", "bin").agg(count(lit(1)).as("n"))
+    val bins = spark.range(0, 10).select(col("id").as("bin"))
+    // fold the period split in ONE aggregate derivation — two filtered
+    // self-joins would re-run the fact pass once per period
+    val dense = bins
+      .join(counts.groupBy("bin").agg(
+        sum(when(col("period") === "p1", col("n"))).as("n1"),
+        sum(when(col("period") === "p2", col("n"))).as("n2")), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val totals = dense.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    dense.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n1"), col("n2"),
+        expr("""CAST(floor(
+                  ((n1 + 1) / (CAST(t1 AS DOUBLE) + 10) - (n2 + 1) / (CAST(t2 AS DOUBLE) + 10)) *
+                  ln(((n1 + 1) / (CAST(t1 AS DOUBLE) + 10)) / ((n2 + 1) / (CAST(t2 AS DOUBLE) + 10)))
+                  * 1000000 + 0.5) AS BIGINT)""").as("psi_term_e6"))
+      .orderBy("bin")
+  }
+
+  val psiOracle: String =
+    """WITH e AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |b AS (SELECT MAX(v_e2) AS max_e2, MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |c AS (SELECT CASE WHEN day < lo + (hi - lo) // 2 THEN 'p1' ELSE 'p2' END AS period,
+      |             LEAST(9, (v_e2 * 10) // (max_e2 + 1)) AS bin, COUNT(*) AS n
+      |      FROM e, b GROUP BY 1, 2),
+      |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      |dense AS (SELECT g.bin,
+      |                 COALESCE((SELECT n FROM c WHERE period = 'p1' AND c.bin = g.bin), 0) AS n1,
+      |                 COALESCE((SELECT n FROM c WHERE period = 'p2' AND c.bin = g.bin), 0) AS n2
+      |          FROM grid g),
+      |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM dense)
+      |SELECT bin, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(floor(
+      |         ((n1 + 1) / (CAST(t1 AS DOUBLE) + 10) - (n2 + 1) / (CAST(t2 AS DOUBLE) + 10)) *
+      |         ln(((n1 + 1) / (CAST(t1 AS DOUBLE) + 10)) / ((n2 + 1) / (CAST(t2 AS DOUBLE) + 10)))
+      |         * 1000000 + 0.5) AS BIGINT) AS psi_term_e6
+      |FROM dense, t ORDER BY bin""".stripMargin
+
   val chi2Oracle: String =
     """WITH e AS (SELECT event_type,
       |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow

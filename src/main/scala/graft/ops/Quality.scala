@@ -277,4 +277,86 @@ object Quality {
       |       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
       |       (SELECT COUNT(*) FROM orders)
       |ORDER BY check_name""".stripMargin
+
+  /** x166: Benford leading-digit audit — the fabrication/corruption
+    * fingerprint an ingest gate runs over any organically-grown monetary
+    * column (synthetic or truncated feeds flunk it; naturally multiplicative
+    * ones follow log₁₀(1+1/d)). The leading digit is extracted with NO
+    * floating log: values floor once to e2 cents (positive by the x125
+    * price constraint) and the first character of the integer's decimal
+    * string is the digit — pure string arithmetic, identical in both
+    * engines. Per digit d ∈ 1..9: observed count (exact), observed and
+    * Benford-expected shares in e6 fixed point (one double division of
+    * exact integers each, rounded once), and the absolute deviation in
+    * exact integer e6. One map-combinable aggregate to 9 rows; the dense
+    * digit grid is built from a 9-row range so a never-occurring digit
+    * still reports (the x134 zero-fill posture).
+    */
+  def benfordAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val digits = graft.Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice") * 100d + 0.5d).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_d"))
+    val total = digits.agg(sum(col("n_d")).as("n"))
+    spark.range(1, 10).select(col("id").as("digit"))
+      .join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n_d"), lit(0L)).as("n_d"), col("n"))
+      .select(col("digit"), col("n_d"),
+        floor((col("n_d") * lit(1000000L)) / col("n") + 0.5d).cast("long").as("obs_e6"),
+        floor(log(lit(1d) + lit(1d) / col("digit")) / log(lit(10d)) * 1000000d + 0.5d)
+          .cast("long").as("exp_e6"))
+      .withColumn("dev_e6", abs(col("obs_e6") - col("exp_e6")))
+      .orderBy("digit")
+  }
+
+  val benfordOracle: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |                               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |           FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS n_d FROM d GROUP BY 1),
+      |t AS (SELECT SUM(n_d) AS n FROM c),
+      |grid AS (SELECT unnest(generate_series(1, 9)) AS digit)
+      |SELECT g.digit, CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d,
+      |       CAST(floor((COALESCE(c.n_d, 0) * 1000000) / t.n + 0.5) AS BIGINT) AS obs_e6,
+      |       CAST(floor(ln(1 + 1.0 / g.digit) / ln(10) * 1000000 + 0.5) AS BIGINT) AS exp_e6,
+      |       abs(CAST(floor((COALESCE(c.n_d, 0) * 1000000) / t.n + 0.5) AS BIGINT) -
+      |           CAST(floor(ln(1 + 1.0 / g.digit) / ln(10) * 1000000 + 0.5) AS BIGINT)) AS dev_e6
+      |FROM grid g LEFT JOIN c ON c.digit = g.digit CROSS JOIN t
+      |ORDER BY g.digit""".stripMargin
+
+  /** x167: k-anonymity audit — the privacy gate a curation pipeline runs
+    * beside the x75 PII scrub: any quasi-identifier combination shared by
+    * fewer than k individuals re-identifies them under linkage, so the
+    * release report is exactly those risky groups. QID = (nationkey,
+    * mktsegment) over customers; ONE map-combinable aggregate, the k
+    * filter on the aggregate output (never fact-sized), plus each risky
+    * group's share of the population in e6 fixed point. At 100 TB this
+    * is a groupBy on the QID columns and a broadcast total — nothing else.
+    */
+  def kAnonymityAudit(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      k: Long = 8L): DataFrame = {
+    val groups = graft.Tables.customer(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val total = groups.agg(sum(col("n")).as("pop"))
+    groups.filter(col("n") < k)
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey").cast("long").as("nationkey"), col("c_mktsegment"),
+        col("n"),
+        floor((col("n") * lit(1000000L)) / col("pop") + 0.5d).cast("long").as("share_e6"),
+        lit(k).as("k"))
+      .orderBy("nationkey", "c_mktsegment")
+  }
+
+  val kAnonymityOracle: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |           FROM customer GROUP BY 1, 2),
+      |t AS (SELECT SUM(n) AS pop FROM g)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+      |       CAST(n AS BIGINT) AS n,
+      |       CAST(floor((n * 1000000) / t.pop + 0.5) AS BIGINT) AS share_e6,
+      |       CAST(8 AS BIGINT) AS k
+      |FROM g, t WHERE n < 8
+      |ORDER BY nationkey, c_mktsegment""".stripMargin
 }

@@ -56,6 +56,9 @@ object Ext {
     "x160_ewma_daily"      -> ((s: SparkSession, d: String) => Events.ewmaDaily(s, d)),
     "x162_mutual_info"     -> ((s: SparkSession, d: String) => Events.mutualInfo(s, d)),
     "x163_chi2_indep"      -> ((s: SparkSession, d: String) => Events.chi2Independence(s, d)),
+    "x166_benford_audit"   -> ((s: SparkSession, d: String) => graft.ops.Quality.benfordAudit(s, d)),
+    "x167_k_anonymity"     -> ((s: SparkSession, d: String) => graft.ops.Quality.kAnonymityAudit(s, d)),
+    "x168_psi_drift"       -> ((s: SparkSession, d: String) => Events.psiDrift(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -387,6 +390,9 @@ object Ext {
     "x160_ewma_daily"      -> Events.ewmaOracle,
     "x162_mutual_info"     -> Events.mutualInfoOracle,
     "x163_chi2_indep"      -> Events.chi2Oracle,
+    "x166_benford_audit"   -> graft.ops.Quality.benfordOracle,
+    "x167_k_anonymity"     -> graft.ops.Quality.kAnonymityOracle,
+    "x168_psi_drift"       -> Events.psiOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

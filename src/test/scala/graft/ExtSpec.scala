@@ -716,6 +716,44 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("PSI terms are nonnegative, recompute from raw counts, and detect planted drift") {
+    val rows = Events.psiDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    // recompute the binned period counts driver-side
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L,
+        math.floor(r.getDouble(1) * 100d + 0.5d).toLong))
+    val (lo, hi) = (ev.map(_._1).min, ev.map(_._1).max)
+    val maxE2 = ev.map(_._2).max
+    val mid = lo + (hi - lo) / 2
+    val binned = ev.map { case (day, v) =>
+      (if (day < mid) "p1" else "p2", math.min(9L, v * 10 / (maxE2 + 1))) }
+    val c = binned.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t1 = binned.count(_._1 == "p1").toDouble
+    val t2 = binned.count(_._1 == "p2").toDouble
+    rows.foreach { case (bin, n1, n2, term) =>
+      assert(n1 === c.getOrElse(("p1", bin), 0L), s"bin $bin n1")
+      assert(n2 === c.getOrElse(("p2", bin), 0L), s"bin $bin n2")
+      val p1 = (n1 + 1) / (t1 + 10); val p2 = (n2 + 1) / (t2 + 10)
+      assert(term === math.floor((p1 - p2) * math.log(p1 / p2) * 1e6 + 0.5).toLong,
+        s"bin $bin term")
+      // (p1−p2) and ln(p1/p2) always share sign — every PSI term ≥ 0
+      assert(term >= 0L, s"bin $bin negative PSI term")
+    }
+    // sensitivity: shifting every p2 value up one bin must raise total PSI
+    val shifted = binned.map { case (p, b) => (p, if (p == "p2") math.min(9L, b + 1) else b) }
+    val cs = shifted.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def psi(counts: Map[(String, Long), Long]): Double =
+      (0L to 9L).map { b =>
+        val p1 = (counts.getOrElse(("p1", b), 0L) + 1) / (t1 + 10)
+        val p2 = (counts.getOrElse(("p2", b), 0L) + 1) / (t2 + 10)
+        (p1 - p2) * math.log(p1 / p2)
+      }.sum
+    assert(psi(cs) > psi(c), "planted one-bin shift did not raise PSI")
+  }
+
   test("daily trend slopes equal least squares recomputed from the dense grid") {
     val grid = Events.gapFillOf(graft.Tables.events(spark, sf)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

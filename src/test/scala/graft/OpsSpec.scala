@@ -981,6 +981,40 @@ class OpsSpec extends SparkSuite {
       "cumulative and total weight windows must share one exchange")
   }
 
+  test("Benford audit: digit grid complete, shares recompute, expectations sum to one") {
+    val rows = graft.ops.Quality.benfordAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1L to 9L))
+    val n = rows.map(_._2).sum
+    assert(n === graft.Tables.orders(spark, sf).count())
+    rows.foreach { case (d, nd, obs, exp, dev) =>
+      assert(obs === math.floor(nd * 1000000L / n.toDouble + 0.5).toLong, s"digit $d obs")
+      assert(exp === math.floor(math.log(1d + 1d / d) / math.log(10d) * 1e6 + 0.5).toLong,
+        s"digit $d expected share")
+      assert(dev === math.abs(obs - exp))
+    }
+    // Benford expectations are a probability distribution on the e6 grid
+    val expSum = rows.map(_._4).sum
+    assert(math.abs(expSum - 1000000L) <= 9L, s"expected shares sum to $expSum")
+  }
+
+  test("k-anonymity audit reports exactly the below-k groups with their shares") {
+    val k = 8L
+    val got = graft.ops.Quality.kAnonymityAudit(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val all = graft.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pop = all.values.sum
+    assert(got.keySet === all.filter(_._2 < k).keySet, "risky-group set mismatch")
+    got.foreach { case (qid, (n, share, gotK)) =>
+      assert(n === all(qid) && n < k && gotK === k)
+      assert(share === math.floor(n * 1000000L / pop.toDouble + 0.5).toLong, s"$qid share")
+    }
+  }
+
   test("purged temporal split partitions the span with an exact embargo band") {
     val rows = graft.ops.Sampling.purgedTemporalSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -841,6 +841,88 @@ object Events {
       |         * 1000000 + 0.5) AS BIGINT) AS psi_term_e6
       |FROM dense, t ORDER BY bin""".stripMargin
 
+  /** x170: Kaplan–Meier time-to-conversion — the survival curve over
+    * "days from a user's first event to their first purchase", with
+    * purchase-less users right-CENSORED at their last-seen day (the
+    * estimator exists because dropping censored users biases conversion
+    * time low — they were still at risk). Per-user reduction is ONE
+    * fact-sized aggregate (min, conditional min, max); everything after
+    * runs on the |distinct durations|-row table: at-risk counts are the
+    * inclusive reverse cumulative of (events + censored), and the KM
+    * product Π(1 − dₜ/nₜ) is carried in LOG domain — each step rounds
+    * ln((n−d)/n) (one double division of exact integers) ONCE to e6,
+    * and the running sum is exact BIGINT, so the curve is
+    * engine-identical with no compounding float error. A terminal
+    * d = n step (everyone left converts) would be ln 0; it emits the
+    * explicit −99·10⁶ sentinel (S = 0 from there on) rather than an
+    * engine-dependent −∞. The two global windows order an
+    * aggregate-sized frame — never the fact table.
+    */
+  def kmSurvival(spark: SparkSession, dir: String): DataFrame =
+    kmSurvivalOf(Tables.events(spark, dir))
+
+  /** Core of [[kmSurvival]] over any (user_id, event_type, ts) frame —
+    * split out so the spec can plant right-censored users (purchases
+    * removed) and drive them through the exact at-risk/step path.
+    */
+  private[graft] def kmSurvivalOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tl"))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) DIV 86400000000"))
+          .otherwise(expr("(tl - t0) DIV 86400000000")).as("dur"),
+        col("tp").isNotNull.cast("long").as("ev"))
+    val byDur = perUser.groupBy("dur")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("step_e6",
+        when(col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")) / col("n_risk")) * 1000000d + 0.5d)
+            .cast("long"))
+          .otherwise(lit(-99000000L)))
+      .withColumn("surv_lnsum_e6", sum(col("step_e6")).over(wCum))
+      .select(col("dur"), col("n_risk"), col("d"), col("c"),
+        col("step_e6"), col("surv_lnsum_e6"))
+      .orderBy("dur")
+  }
+
+  val kmOracle: String =
+    """WITH u AS (SELECT user_id,
+      |                  MIN(epoch_us(ts)) AS t0,
+      |                  MIN(CASE WHEN event_type = 'purchase'
+      |                           THEN epoch_us(ts) END) AS tp,
+      |                  MAX(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |pu AS (SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+      |                   ELSE (tl - t0) // 86400000000 END AS dur,
+      |              CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |       FROM u),
+      |bd AS (SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c FROM pu GROUP BY 1),
+      |rk AS (SELECT dur, d, c,
+      |              SUM(d + c) OVER (ORDER BY dur DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |       FROM bd),
+      |st AS (SELECT dur, n_risk, d, c,
+      |              CASE WHEN d < n_risk
+      |                   THEN CAST(floor(ln((n_risk - d) / n_risk) * 1000000 + 0.5) AS BIGINT)
+      |                   ELSE CAST(-99000000 AS BIGINT) END AS step_e6
+      |       FROM rk WHERE d > 0)
+      |SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c, step_e6,
+      |       CAST(SUM(step_e6) OVER (ORDER BY dur
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS surv_lnsum_e6
+      |FROM st ORDER BY dur""".stripMargin
+
   val chi2Oracle: String =
     """WITH e AS (SELECT event_type,
       |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow

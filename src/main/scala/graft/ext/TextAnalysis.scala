@@ -1338,4 +1338,66 @@ object TextAnalysis {
       |       COUNT(*) AS n
       |FROM d JOIN md USING (source)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x169: vocabulary coverage curve — the tokenizer-sizing decision
+    * table: what share of HELD-OUT tokens does a top-N training vocab
+    * cover, for N ∈ {1k, 2k, 4k, 8k, 16k}? (The elbow of this curve is
+    * where a vocab budget stops paying; OOV share = 1 − coverage is the
+    * <unk> rate a downstream LM eats.) Same content-addressed 80/20
+    * split as x123 (bucket10k(doc_id, 42) — leakage discipline shared,
+    * so the two reports describe the same experiment). Ranking is the
+    * deterministic (count desc, token asc) total order via ONE
+    * row_number window over the VOCAB-sized count table — never the
+    * corpus (a global window over fact-sized data would be the 100 TB
+    * mistake; |vocab| rows on one partition is metadata). Test-token
+    * counts aggregate fact-sized ONCE; the grid expansion and coverage
+    * sums run over |vocab|·5 rows. Coverage lands as one e6 fixed-point
+    * division of exact integers.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenStream(spark, dir)
+      .withColumn("b", graft.ops.Sampling.bucket10k(col("doc_id"), 42))
+    val rank = toks.filter(col("b") < 8000)
+      .groupBy("token").agg(count(lit(1)).as("n_tr"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_tr").desc, col("token"))).cast("long"))
+    val testCounts = toks.filter(col("b") >= 8000)
+      .groupBy("token").agg(count(lit(1)).as("n_te"))
+    val joined = testCounts.join(rank.select("token", "rank"), Seq("token"), "left")
+    val total = testCounts.agg(sum(col("n_te")).as("n_test"))
+    val grid = spark.range(1).select(explode(array(
+      Seq(1000L, 2000L, 4000L, 8000L, 16000L).map(lit): _*)).as("vocab_n"))
+    joined
+      .crossJoin(broadcast(grid))
+      .filter(col("rank").isNotNull && col("rank") <= col("vocab_n"))
+      .groupBy("vocab_n")
+      .agg(sum(col("n_te")).as("n_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_n").cast("long").as("vocab_n"), col("n_covered"),
+        col("n_test"),
+        floor((col("n_covered") * lit(1000000L)) / col("n_test") + 0.5d)
+          .cast("long").as("cov_e6"))
+      .orderBy("vocab_n")
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH tok AS (SELECT d.doc_id, u.t AS token,
+      |                    (('0x' || substr(md5(d.doc_id || ':42'), 1, 8))::BIGINT
+      |                     % 10000) AS b
+      |             FROM documents d, UNNEST(string_split(d.text, ' ')) u(t)),
+      |rk AS (SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+      |       FROM tok WHERE b < 8000 GROUP BY token),
+      |te AS (SELECT token, COUNT(*) AS n_te FROM tok WHERE b >= 8000 GROUP BY 1),
+      |t AS (SELECT SUM(n_te) AS n_test FROM te),
+      |grid AS (SELECT unnest([1000, 2000, 4000, 8000, 16000]) AS vocab_n)
+      |SELECT CAST(g.vocab_n AS BIGINT) AS vocab_n,
+      |       CAST(SUM(te.n_te) AS BIGINT) AS n_covered,
+      |       CAST(MAX(t.n_test) AS BIGINT) AS n_test,
+      |       CAST(floor((SUM(te.n_te) * 1000000) / MAX(t.n_test) + 0.5) AS BIGINT) AS cov_e6
+      |FROM grid g
+      |JOIN te ON TRUE
+      |JOIN rk ON rk.token = te.token AND rk.rank <= g.vocab_n
+      |CROSS JOIN t
+      |GROUP BY g.vocab_n ORDER BY vocab_n""".stripMargin
 }

@@ -59,6 +59,8 @@ object Ext {
     "x166_benford_audit"   -> ((s: SparkSession, d: String) => graft.ops.Quality.benfordAudit(s, d)),
     "x167_k_anonymity"     -> ((s: SparkSession, d: String) => graft.ops.Quality.kAnonymityAudit(s, d)),
     "x168_psi_drift"       -> ((s: SparkSession, d: String) => Events.psiDrift(s, d)),
+    "x169_vocab_coverage"  -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "x170_km_survival"     -> ((s: SparkSession, d: String) => Events.kmSurvival(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -393,6 +395,8 @@ object Ext {
     "x166_benford_audit"   -> graft.ops.Quality.benfordOracle,
     "x167_k_anonymity"     -> graft.ops.Quality.kAnonymityOracle,
     "x168_psi_drift"       -> Events.psiOracle,
+    "x169_vocab_coverage"  -> TextAnalysis.vocabCoverageOracle,
+    "x170_km_survival"     -> Events.kmOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -716,6 +716,88 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("vocab coverage is monotone in N and matches the rank recomputation at N=1000") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1000L, 2000L, 4000L, 8000L, 16000L))
+    // a larger vocab can only cover more; coverage never exceeds the total
+    rows.sliding(2).foreach { case Array((_, c1, _, e1), (_, c2, _, e2)) =>
+      assert(c1 <= c2 && e1 <= e2, "coverage not monotone in vocab size")
+    }
+    rows.foreach { case (_, cov, tot, e6) =>
+      assert(cov <= tot)
+      assert(e6 === math.floor(cov * 1000000L / tot.toDouble + 0.5).toLong)
+    }
+    // driver recomputation of the N=1000 point from the raw token stream
+    val toks = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getLong(0), t)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 10000
+    }
+    val train = toks.filter(t => bucket(t._1) < 8000).map(_._2)
+    val test = toks.filter(t => bucket(t._1) >= 8000).map(_._2)
+    val top1k = train.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(1000).map(_._1).toSet
+    val covered = test.count(top1k)
+    val (_, gotCov, gotTot, _) = rows.head
+    assert(gotTot === test.length.toLong)
+    assert(gotCov === covered.toLong, s"N=1000 coverage $gotCov != recomputed $covered")
+    // if the held-out set contains genuinely OOV tokens, even the largest
+    // vocab cannot reach full coverage (data-derived, so the law cannot
+    // go vacuous when a small fixture's whole vocab fits in 1000)
+    val trainVocab = train.toSet
+    if (test.exists(t => !trainVocab(t)))
+      assert(rows.last._4 < 1000000L, "OOV tokens exist but coverage reads 100%")
+  }
+
+  test("KM survival: at-risk counts reconcile and the log-domain curve is nonincreasing") {
+    val rows = Events.kmSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val users = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    // the earliest emitted step's at-risk count can be at most all users,
+    // and at-risk strictly decreases along the curve
+    assert(rows.head._2 <= users)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1 && a._2 > b._2, "at-risk not decreasing in duration")
+    }
+    rows.foreach { case (dur, n, d, c, step, _) =>
+      assert(d >= 1L && d + c <= n, s"dur $dur: d=$d c=$c n=$n inconsistent")
+      if (d < n)
+        assert(step === math.floor(math.log((n - d) / n.toDouble) * 1e6 + 0.5).toLong,
+          s"dur $dur step")
+      else assert(step === -99000000L)
+    }
+    // the cumulative log-survival is the running sum of steps (≤ 0, nonincreasing)
+    var acc = 0L
+    rows.foreach { case (dur, _, _, _, step, cum) =>
+      acc += step
+      assert(cum === acc, s"dur $dur cumulative mismatch")
+      assert(step <= 0L)
+    }
+    // planted censoring: strip the purchases of half the users (odd ids) —
+    // those users must surface as censored, the at-risk totals must still
+    // reconcile to the full user count, and removing events can only
+    // SHORTEN durations for the stripped users, never change others'
+    val planted = Events.kmSurvivalOf(
+      graft.Tables.events(spark, sf)
+        .filter(!(col("user_id") % 2 === 1 && col("event_type") === "purchase")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // output rows sit at EVENT times (d > 0) — censoring shows up as the
+    // gap between the user population and the total event count, not
+    // necessarily as c > 0 on an emitted row
+    val dTot = planted.map(_._3).sum
+    val dFull = rows.map(_._3).sum
+    assert(dTot < users, "stripped users did not surface as censored")
+    assert(dTot < dFull, "event count did not drop after stripping purchases")
+    assert(planted.map(r => r._3 + r._4).sum <= users)
+  }
+
   test("PSI terms are nonnegative, recompute from raw counts, and detect planted drift") {
     val rows = Events.psiDrift(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

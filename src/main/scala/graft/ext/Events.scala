@@ -923,6 +923,54 @@ object Events {
       |         AS surv_lnsum_e6
       |FROM st ORDER BY dur""".stripMargin
 
+  /** x171: conversion-lag latency report — the batch twin of the
+    * s06/s11/s13 attribution triptych asks WHICH views convert; this
+    * asks HOW FAST, sliced by the hour-of-day the view happened (the
+    * staffing/campaign-timing readout). Same pair semantics as s06
+    * (purchase within 6 h of the same user's view); hour-of-day is the
+    * engine-neutral `(µs DIV 3600·10⁶) mod 24` (the x162 posture — no
+    * timezone-dependent EXTRACT crosses engines). Lags stay exact
+    * integer µs; p50/p90 are Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (the a04 equivalence) floored once, and the mean is the exact
+    * `sum DIV n`. One equi-join on user_id (range predicate rides the
+    * join filter, AQE-governed) and one aggregate to ≤ 24 rows.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("view_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("us").as("p_us"))
+    views.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("p_us") >= col("view_us") &&
+          col("p_us") <= col("view_us") + lit(21600000000L))
+      .select(expr("(view_us DIV 3600000000) % 24").as("view_hour"),
+        (col("p_us") - col("view_us")).as("lag_us"))
+      .groupBy("view_hour")
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(expr("percentile(lag_us, 0.5)") + 0.5d).cast("long").as("p50_lag_us"),
+        floor(expr("percentile(lag_us, 0.9)") + 0.5d).cast("long").as("p90_lag_us"),
+        expr("sum(lag_us) DIV count(1)").as("mean_lag_us"))
+      .orderBy("view_hour")
+  }
+
+  val conversionLagOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      |           FROM events),
+      |p AS (SELECT v.us AS view_us, pu.us - v.us AS lag_us
+      |      FROM (SELECT user_id, us FROM e WHERE event_type = 'view') v
+      |      JOIN (SELECT user_id, us FROM e WHERE event_type = 'purchase') pu
+      |        ON pu.user_id = v.user_id
+      |       AND pu.us >= v.us AND pu.us <= v.us + 21600000000)
+      |SELECT (view_us // 3600000000) % 24 AS view_hour,
+      |       COUNT(*) AS n_pairs,
+      |       CAST(floor(quantile_cont(lag_us, 0.5) + 0.5) AS BIGINT) AS p50_lag_us,
+      |       CAST(floor(quantile_cont(lag_us, 0.9) + 0.5) AS BIGINT) AS p90_lag_us,
+      |       CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS mean_lag_us
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val chi2Oracle: String =
     """WITH e AS (SELECT event_type,
       |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow

@@ -61,6 +61,10 @@ object Ext {
     "x168_psi_drift"       -> ((s: SparkSession, d: String) => Events.psiDrift(s, d)),
     "x169_vocab_coverage"  -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "x170_km_survival"     -> ((s: SparkSession, d: String) => Events.kmSurvival(s, d)),
+    "x171_conversion_lag"  -> ((s: SparkSession, d: String) => Events.conversionLag(s, d)),
+    // rows-only by design: seeded tree-ensemble scores (the m01 class);
+    // StreamingSpec pins exact stream ≡ batch score equality
+    "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -397,6 +401,7 @@ object Ext {
     "x168_psi_drift"       -> Events.psiOracle,
     "x169_vocab_coverage"  -> TextAnalysis.vocabCoverageOracle,
     "x170_km_survival"     -> Events.kmOracle,
+    "x171_conversion_lag"  -> Events.conversionLagOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -585,6 +585,39 @@ object Streams {
       .orderBy(col("total_e2").desc, col("user_id"))
   }
 
+  /** s16: streaming model inference — the online half of the m-family:
+    * the SAME seeded RF the batch pipeline trains (m01) scores a LIVE
+    * feature stream, the lambda-architecture serving path every
+    * production model eventually needs. Train is batch (spark.ml fit
+    * cannot stream); the fitted model's `transform` is a pure column
+    * expression pipeline, so it applies to a streaming DataFrame
+    * unchanged — THE reason to keep feature engineering declarative.
+    * The test feature matrix stages once per (process, sf) (the
+    * heartbeat-fixture pattern) and replays through the file source;
+    * predictions floor once to e6 so the emitted rows are exact
+    * integers. Deterministic end to end (seeded fit + deterministic
+    * transform): StreamingSpec pins stream ≡ batch score equality
+    * exactly; no SQL oracle (a seeded tree ensemble isn't
+    * DuckDB-expressible — same class as m01–m05).
+    */
+  private val featureStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def streamingInference(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ml.ReorderModel.rf.fit(
+      graft.ml.ReorderModel.assembledTrain(spark, dir))
+    val testPlain = graft.Layer.cached(spark, dir, "testFeatures")(
+      graft.insta.Insta.featureMatrix(spark, dir, Seq(2L)))
+    val staged = featureStaged.computeIfAbsent(dir, _ => {
+      val path = s"${graft.RunScoped.ioDir}/stream_features_${Integer.toHexString(dir.hashCode)}"
+      testPlain.write.mode("overwrite").parquet(path)
+      path
+    })
+    val scored = model.transform(graft.ml.ReorderModel.assemble(
+      spark.readStream.schema(testPlain.schema).parquet(staged)))
+      .select(col("orderID"), col("productID"),
+        floor(col("prediction") * 1000000d + 0.5d).cast("long").as("pred_e6"))
+    runToMemory(scored, "append").orderBy("orderID", "productID")
+  }
+
   /** s15: edge-triggered threshold alerting — the monitoring pattern every
     * production stream grows eventually: fire ONE alert the moment a
     * (type, day) event count reaches the threshold, and never again for

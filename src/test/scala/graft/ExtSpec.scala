@@ -798,6 +798,40 @@ class ExtSpec extends SparkSuite {
     assert(planted.map(r => r._3 + r._4).sum <= users)
   }
 
+  test("conversion lags recompute from the pair join and respect the 6h window") {
+    val rows = Events.conversionLag(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = ev.filter(_._2 == "view")
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    val lags = views.flatMap { case (uid, _, vus) =>
+      purchases.getOrElse(uid, Seq.empty[Long])
+        .filter(p => p >= vus && p <= vus + 21600000000L)
+        .map(p => ((vus / 3600000000L) % 24, p - vus))
+    }
+    val byHour = lags.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    assert(rows.map(_._1).toSet === byHour.keySet)
+    def pct(v: IndexedSeq[Long], q: Double): Long = {
+      val pos = q * (v.length - 1)
+      val (i, f) = (pos.toInt, pos - pos.toInt)
+      val interp = if (i + 1 < v.length) v(i) + f * (v(i + 1) - v(i)) else v(i).toDouble
+      math.floor(interp + 0.5).toLong
+    }
+    rows.foreach { case (h, n, p50, p90, mean) =>
+      val l = byHour(h)
+      assert(n === l.length.toLong, s"hour $h pair count")
+      assert(p50 === pct(l, 0.5), s"hour $h p50")
+      assert(p90 === pct(l, 0.9), s"hour $h p90")
+      assert(mean === l.sum / l.length, s"hour $h mean")
+      assert(p50 <= p90 && p90 <= 21600000000L, s"hour $h ordering/window bound")
+    }
+  }
+
   test("PSI terms are nonnegative, recompute from raw counts, and detect planted drift") {
     val rows = Events.psiDrift(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -319,6 +319,25 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming inference scores equal the batch transform of the same seeded model") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamingInference(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val model = graft.ml.ReorderModel.rf.fit(
+      graft.ml.ReorderModel.assembledTrain(spark, sf))
+    val batch = model.transform(graft.ml.ReorderModel.assemble(
+        graft.insta.Insta.featureMatrix(spark, sf, Seq(2L))))
+      .select(col("orderID"), col("productID"),
+        floor(col("prediction") * 1000000d + 0.5d).cast("long").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === batch.keySet, "stream scored a different row set")
+    // seeded fit + deterministic transform ⇒ EXACT equality, row by row
+    got.foreach { case (k, p) =>
+      assert(p === batch(k), s"row $k: stream $p != batch ${batch(k)}")
+    }
+  }
+
   test("streaming top-k leaderboard equals the batch top-10 with the tie-break order") {
     import org.apache.spark.sql.functions._
     val got = Streams.streamingTopK(spark, sf).collect()

@@ -1346,22 +1346,26 @@ object TextAnalysis {
     * <unk> rate a downstream LM eats.) Same content-addressed 80/20
     * split as x123 (bucket10k(doc_id, 42) — leakage discipline shared,
     * so the two reports describe the same experiment). Ranking is the
-    * deterministic (count desc, token asc) total order via ONE
-    * row_number window over the VOCAB-sized count table — never the
-    * corpus (a global window over fact-sized data would be the 100 TB
-    * mistake; |vocab| rows on one partition is metadata). Test-token
+    * deterministic (count desc, token asc) total order via
+    * [[graft.ops.Ranking.globalRowNumber]]'s two-phase bucketed rank
+    * over the VOCAB-sized count table — exact, and parallel even when
+    * the vocab itself is large (a bare global window would put it on
+    * one task; a window over the CORPUS would be the 100 TB mistake
+    * the count-first aggregation exists to avoid). Test-token
     * counts aggregate fact-sized ONCE; the grid expansion and coverage
     * sums run over |vocab|·5 rows. Coverage lands as one e6 fixed-point
     * division of exact integers.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokenStream(spark, dir)
       .withColumn("b", graft.ops.Sampling.bucket10k(col("doc_id"), 42))
-    val rank = toks.filter(col("b") < 8000)
-      .groupBy("token").agg(count(lit(1)).as("n_tr"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n_tr").desc, col("token"))).cast("long"))
+    // exact (count desc, token asc) global rank via the two-phase bucketed
+    // ranking — a bare row_number window would move the whole web-scale
+    // vocab to ONE task (Ranking's raison d'être); ranks are identical
+    val rank = graft.ops.Ranking.globalRowNumber(
+      toks.filter(col("b") < 8000)
+        .groupBy("token").agg(count(lit(1)).as("n_tr")),
+      value = -col("n_tr"), tieBreak = col("token"), rankCol = "rank")
     val testCounts = toks.filter(col("b") >= 8000)
       .groupBy("token").agg(count(lit(1)).as("n_te"))
     val joined = testCounts.join(rank.select("token", "rank"), Seq("token"), "left")

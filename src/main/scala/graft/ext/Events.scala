@@ -611,10 +611,14 @@ object Events {
     * At 100 TB the fact table reduces to |days|·|types| rows in the
     * FIRST aggregate; everything after is metadata-sized.
     */
-  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
-    // Layer-cached: the |days|·|types| daily frame is read four ways below
-    // (span, type list, grid left-join) — one fact scan per run, not four
-    val rev = graft.Layer.cached(spark, dir, "dailyValueByType") {
+  /** The Layer-cached (event_type, day) → rev_e3 daily frame — ONE fact
+    * scan per run shared by x160 (EWMA), x172 (ACF), and x173 (CUSUM);
+    * within each query it is also read several ways (span, type list,
+    * grid left-join). Values floor once to e3 per ROW (the x132
+    * discipline — never sum raw doubles).
+    */
+  private def dailyValueByType(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "dailyValueByType") {
       Tables.events(spark, dir)
         .select(col("event_type"),
           floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
@@ -622,6 +626,25 @@ object Events {
         .groupBy("event_type", "day")
         .agg(sum(col("v_e3")).as("rev_e3"))
     }
+
+  /** The dense |days|·|types| grid over [[dailyValueByType]] (missing
+    * days carry 0, the x114 gap-fill shape), with the span origin `lo`
+    * riding along for index arithmetic. Everything here is post-first-
+    * aggregate: at 100 TB the grid is |days|·|types| rows — metadata.
+    */
+  private def denseDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dailyValueByType(spark, dir)
+    val span = rev.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = span.select(col("lo"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = rev.select("event_type").distinct()
+    days.crossJoin(broadcast(types))
+      .join(rev, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("lo"),
+        coalesce(col("rev_e3"), lit(0L)).as("rev_e3"))
+  }
+
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dailyValueByType(spark, dir)
     val span = rev.agg(min("day").as("lo"), max("day").as("hi"))
     val days = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = rev.select("event_type").distinct()
@@ -994,4 +1017,195 @@ object Events {
       |       COUNT(*) AS n_cells,
       |       CAST(SUM(term_e6) AS BIGINT) AS chi2_e6
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x172: autocorrelation of the per-type daily revenue series at lags
+    * 1–7 — the seasonality screen run before trusting x160's EWMA decay
+    * or a33's weekly-cohort baseline (a spike at lag 7 CONFIRMS the
+    * weekly rhythm those operators assume). Pearson r per (type, lag)
+    * over the dense [[denseDailyRevenue]] grid (zeros are observations:
+    * a dark day correlating with a dark day next week IS signal), lagged
+    * pairs formed by an offset-EXPLODE equi-join on the metadata-sized
+    * grid — never a non-equi join, never the fact. Moment sums widen
+    * per-row products to DECIMAL(38,0) BEFORE multiplying (daily e3
+    * revenue at 100 TB can reach ~10¹³, so the raw long·long square
+    * would already wrap per row — one step past the a34 lesson, where
+    * widening after the multiply was still safe). The five exact sums
+    * convert to double ONCE, and r = a/√(b·c) is one pinned-order
+    * expression rounded once to e6; degenerate series (zero variance on
+    * either side) emit NULL identically on both engines instead of an
+    * engine-specific ±inf. Output: |types|·7 rows at any SF.
+    */
+  def revenueAcf(spark: SparkSession, dir: String): DataFrame = {
+    val d38: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(38,0)")
+    val dense = denseDailyRevenue(spark, dir)
+    val a = dense.select(col("event_type"), col("day"), col("rev_e3").as("x"),
+        explode(sequence(lit(1L), lit(7L))).as("lag"))
+      .withColumn("tday", col("day") + col("lag"))
+    val b = dense.select(col("event_type").as("bt"), col("day").as("bday"),
+      col("rev_e3").as("y"))
+    a.join(b, col("event_type") === col("bt") && col("tday") === col("bday"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (d38(col("n_pairs")) * col("sxy") - col("sx").cast("decimal(38,0)") * d38(col("sy")))
+          .cast("double").as("a"),
+        (d38(col("n_pairs")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+          .cast("double").as("b"),
+        (d38(col("n_pairs")) * col("syy") - d38(col("sy")) * d38(col("sy")))
+          .cast("double").as("c"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("b") > 0d && col("c") > 0d,
+          floor(col("a") / sqrt(col("b") * col("c")) * 1000000d + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_e6"))
+      .orderBy("event_type", "lag")
+  }
+
+  val acfOracle: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS rev_e3
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM r),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM r),
+      |dense AS (SELECT t.event_type, d.day, COALESCE(r.rev_e3, 0) AS rev_e3
+      |          FROM days d CROSS JOIN types t
+      |          LEFT JOIN r ON r.event_type = t.event_type AND r.day = d.day),
+      |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |p AS (SELECT a.event_type, l.lag, a.rev_e3 AS x, b.rev_e3 AS y
+      |      FROM dense a CROSS JOIN lags l
+      |      JOIN dense b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+      |s AS (SELECT event_type, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |      FROM p GROUP BY 1, 2),
+      |m AS (SELECT event_type, lag, n,
+      |             CAST(n*sxy - sx*sy AS DOUBLE) AS a,
+      |             CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+      |             CAST(n*syy - sy*sy AS DOUBLE) AS c FROM s)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+      |       CASE WHEN b > 0 AND c > 0
+      |            THEN CAST(floor(a / sqrt(b * c) * 1000000 + 0.5) AS BIGINT)
+      |            ELSE NULL END AS r_e6
+      |FROM m ORDER BY 1, 2""".stripMargin
+
+  /** x173: CUSUM level-shift scan of the per-type daily revenue series —
+    * the change-point detector behind "did the feed's level move, and
+    * WHEN": the day maximizing |Σ_{i≤t}(xᵢ − μ)| is the classic
+    * single-change-point estimate (Page '54; Taylor's CUSUM bootstrap
+    * uses the same statistic). The rational mean never materializes:
+    * both sides scale by n, so C'ₜ = n·prefixₜ − t·S is EXACT integer
+    * arithmetic end to end — widened to DECIMAL(38,0) because
+    * n·prefix ≈ |days|·Σrev can pass 2⁶³ at the 100 TB grid (DuckDB's
+    * BIGINT product suffices at oracle scale; the values are equal).
+    * The running prefix is a per-TYPE window over the dense
+    * metadata-sized grid — a bounded partition, never a global window,
+    * never the fact. Peak selection is a row_number over (|C| desc, day
+    * asc) per type: deterministic earliest-peak tie-break on both
+    * engines. Output: |types| rows.
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(38,0)")
+    val dense = denseDailyRevenue(spark, dir)
+    val tot = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_e3")).as("s_tot"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("c_scaled")).desc, col("day").asc)
+    dense
+      .withColumn("prefix", sum(col("rev_e3")).over(wc))
+      .withColumn("t_idx", col("day") - col("lo") + 1L)
+      .join(broadcast(tot), "event_type")
+      .withColumn("c_scaled",
+        d38(col("n_days")) * d38(col("prefix")) - d38(col("t_idx")) * d38(col("s_tot")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("s_tot").as("total_e3"),
+        col("day").as("peak_day"),
+        col("c_scaled").cast("long").as("cusum_peak_scaled"))
+      .orderBy("event_type")
+  }
+
+  val cusumOracle: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS rev_e3
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM r),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM r),
+      |dense AS (SELECT t.event_type, d.day, COALESCE(r.rev_e3, 0) AS rev_e3
+      |          FROM days d CROSS JOIN types t
+      |          LEFT JOIN r ON r.event_type = t.event_type AND r.day = d.day),
+      |t AS (SELECT event_type, COUNT(*) AS n_days, SUM(rev_e3) AS s_tot
+      |      FROM dense GROUP BY 1),
+      |c AS (SELECT d.event_type, d.day,
+      |             SUM(d.rev_e3) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+      |             d.day - span.lo + 1 AS t_idx
+      |      FROM dense d, span),
+      |v AS (SELECT c.event_type, c.day, t.n_days, t.s_tot,
+      |             t.n_days * c.prefix - c.t_idx * t.s_tot AS c_scaled
+      |      FROM c JOIN t USING (event_type))
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(s_tot AS BIGINT) AS total_e3,
+      |       CAST(day AS BIGINT) AS peak_day,
+      |       CAST(c_scaled AS BIGINT) AS cusum_peak_scaled
+      |FROM v
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+      |                           ORDER BY ABS(c_scaled) DESC, day) = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** x174: top user-day event paths — the behavioral-sequence extraction
+    * a training-data pipeline runs to turn an event log into sequence
+    * examples (and the product question "what do the first four actions
+    * of a day look like"). Each (user, day)'s first four events in
+    * (event-time µs, event_id) order — the s06 precision discipline —
+    * join into a '>'-path; paths aggregate to the top 20 by frequency
+    * with a lexicographic tie-break, so the limit is deterministic on
+    * both engines. Ordering inside the group is pinned by sorting the
+    * collected (rn, type) structs, NOT by assuming collect_list order —
+    * collection order after a shuffle is not a contract. Scale shape:
+    * one user-day-partitioned window (bounded partitions), one
+    * aggregate to ≤|types|⁴ path rows, and a TakeOrdered top-k — no
+    * global sort of the fact.
+    */
+  def topEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy("user_id", "day")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("n_user_days").desc, col("path"))
+      .limit(20)
+  }
+
+  val topPathsOracle: String =
+    """WITH e AS (SELECT user_id,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  event_type,
+      |                  ROW_NUMBER() OVER (
+      |                    PARTITION BY user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+      |                    ORDER BY epoch_us(ts), event_id) AS rn
+      |           FROM events),
+      |p AS (SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM e WHERE rn <= 4 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_user_days
+      |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
 }

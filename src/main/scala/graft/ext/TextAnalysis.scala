@@ -1404,4 +1404,131 @@ object TextAnalysis {
       |JOIN rk ON rk.token = te.token AND rk.rank <= g.vocab_n
       |CROSS JOIN t
       |GROUP BY g.vocab_n ORDER BY vocab_n""".stripMargin
+
+  /** x175: pairwise source-vocabulary overlap — the corpus-composition
+    * audit run before mixing sources into a training blend (two sources
+    * with near-identical vocabularies add volume, not diversity; x119's
+    * KL compares token FREQUENCIES, this compares vocabulary SETS).
+    * Jaccard and containment (overlap coefficient) per unordered source
+    * pair, both rounded once to e6 from exact integer set sizes.
+    *
+    * Scale shape: the [[tokenStream]] Layer reduces to the DISTINCT
+    * (source, token) presence table — vocab-sized, the only fact-pass.
+    * The pair counts come from a token-keyed self-equi-join of that
+    * table: per-token multiplicity is bounded by |sources| (the rows are
+    * distinct), so candidate work is ≤ |sources|²·|vocab| — LINEAR in
+    * vocabulary, never doc-pairs, and immune to the posting-list
+    * saturation that bites x15/x16 (SCALE.md) because the per-key group
+    * is capped by construction. The |sources|²-row pair grid and the
+    * per-source sizes are broadcast; zero-intersection pairs still emit
+    * (grid left-join), so the matrix is always complete.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = tokenStream(spark, dir).select("source", "token").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val inter = st.select(col("token"), col("source").as("src_a"))
+      .join(st.select(col("token"), col("source").as("src_b")), "token")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    val grid = sizes.select(col("source").as("src_a"), col("n_vocab").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n_vocab").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    broadcast(grid).join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        floor(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double")
+          * 1000000d + 0.5d).cast("long").as("jaccard_e6"),
+        floor(col("n_inter").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double")
+          * 1000000d + 0.5d).cast("long").as("containment_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH st AS (SELECT DISTINCT source, u.t AS token
+      |            FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |sz AS (SELECT source, COUNT(*) AS n_vocab FROM st GROUP BY 1),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      |          FROM st a JOIN st b USING (token)
+      |          WHERE a.source < b.source GROUP BY 1, 2),
+      |grid AS (SELECT a.source AS src_a, b.source AS src_b,
+      |                a.n_vocab AS n_a, b.n_vocab AS n_b
+      |         FROM sz a JOIN sz b ON a.source < b.source)
+      |SELECT g.src_a, g.src_b, CAST(g.n_a AS BIGINT) AS n_a,
+      |       CAST(g.n_b AS BIGINT) AS n_b,
+      |       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |       CAST(floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      |            / CAST(g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS jaccard_e6,
+      |       CAST(floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      |            / CAST(LEAST(g.n_a, g.n_b) AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS containment_e6
+      |FROM grid g LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b
+      |ORDER BY 1, 2""".stripMargin
+
+  /** x176: Hill tail-index of the document-length distribution — the
+    * power-law exponent estimate (Hill '75) that answers "how heavy is
+    * the long-document tail" before picking x153's bucket boundaries or
+    * a truncation budget: α ≈ 1 means extreme mass concentration (x116's
+    * token-budget cut will be dominated by a few giants), α > 2 a tame
+    * tail. α̂ = k / (Σᵢ₌₁..k ln x₍ᵢ₎ − k·ln x₍ₖ₊₁₎) over the top k+1
+    * order statistics.
+    *
+    * Scale shape: the ONLY fact-sized step is a TakeOrdered top-(k+1) —
+    * never a global sort; the window that ranks the k+1 survivors runs
+    * on a metadata-sized frame. Exactness: each ln rounds ONCE to e6
+    * micro-nats (the NLL discipline — ln of the same integer is the
+    * same double on both engines), the Hill denominator is then exact
+    * BIGINT, and α converts the two exact integers to double once. A
+    * degenerate tail (all k+1 lengths equal ⇒ denominator 0) emits NULL
+    * identically on both engines.
+    */
+  def tailIndex(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    tailIndexOf(Tables.documents(spark, dir), k)
+
+  /** [[tailIndex]] core on an explicit documents frame — split out so the
+    * spec can drive the degenerate-tail (all-equal ⇒ NULL) branch with a
+    * planted fixture.
+    */
+  private[graft] def tailIndexOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      .orderBy(col("x").desc, col("doc_id"))
+      .limit(k + 1) // TakeOrdered: per-partition top-(k+1) + driver merge
+      // global window over exactly k+1 rows — metadata, not the fact
+      .withColumn("rn", row_number().over(Window.orderBy(col("x").desc, col("doc_id"))))
+      .withColumn("ln_e6",
+        floor(log(col("x").cast("double")) * 1000000d + 0.5d).cast("long"))
+    val s = top.filter(col("rn") <= k)
+      .agg(sum(col("ln_e6")).as("s_e6"), count(lit(1)).as("kk"))
+    val tail = top.filter(col("rn") === k + 1)
+      .select(col("x").as("x_tail"), col("ln_e6").as("l_tail"))
+    s.crossJoin(broadcast(tail))
+      .select(col("kk").as("k"), col("x_tail"),
+        (col("s_e6") - col("kk") * col("l_tail")).as("d_e6"))
+      .select(col("k"), col("x_tail"), col("d_e6"),
+        when(col("d_e6") > 0L,
+          floor(lit(1.0e12) * col("k").cast("double") / col("d_e6").cast("double")
+            + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("alpha_e6"))
+  }
+
+  val tailIndexOracle: String =
+    """WITH top AS (SELECT n_chars AS x,
+      |                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+      |                    CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000 + 0.5)
+      |                         AS BIGINT) AS ln_e6
+      |             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 101),
+      |s AS (SELECT SUM(ln_e6) AS s_e6, COUNT(*) AS kk FROM top WHERE rn <= 100),
+      |t AS (SELECT x AS x_tail, ln_e6 AS l_tail FROM top WHERE rn = 101)
+      |SELECT CAST(s.kk AS BIGINT) AS k, CAST(t.x_tail AS BIGINT) AS x_tail,
+      |       CAST(s.s_e6 - s.kk * t.l_tail AS BIGINT) AS d_e6,
+      |       CASE WHEN s.s_e6 - s.kk * t.l_tail > 0
+      |            THEN CAST(floor(1e12 * CAST(s.kk AS DOUBLE)
+      |                 / CAST(s.s_e6 - s.kk * t.l_tail AS DOUBLE) + 0.5) AS BIGINT)
+      |            ELSE NULL END AS alpha_e6
+      |FROM s, t""".stripMargin
 }

@@ -890,6 +890,229 @@ object Analytics {
       |WHERE d.dev_e4 > (md.mad_e4 * 44478) // 10000
       |ORDER BY d.day""".stripMargin
 
+  /** Per-customer order profile (total cents, order count, last order day),
+    * Layer-cached: a35's concentration curve and a36's RFM scores both
+    * reduce the orders fact to this customer-grain frame — one fact scan
+    * per run feeds the pair. Cents floor once per ROW (the x132
+    * discipline); everything downstream is exact BIGINT.
+    */
+  private[graft] def custOrderProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "custOrderProfile") {
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_orders"),
+          max(col("day")).as("last_day"))
+    }
+
+  /** a35: revenue concentration — decile Lorenz curve + exact Gini over
+    * per-customer lifetime revenue, the inequality audit a marketplace
+    * runs before trusting per-customer stratification (a Gini near 1
+    * means a handful of whales carry the revenue and uniform sampling of
+    * customers is NOT uniform sampling of revenue). The global rank the
+    * closed-form Gini needs (G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ), xᵢ
+    * ascending) comes from [[graft.ops.Ranking.globalRowNumber]] — the
+    * two-phase bucketed ranking, never a single-task global window; the
+    * frame being ranked is already the customer-grain aggregate, so the
+    * rank runs over |customers| rows, not the fact. Σi·xᵢ widens per-row
+    * products to DECIMAL(38,0) (rank·cents ≈ 10¹⁴ per row already at
+    * sf0.1 — the a34 Σy² lesson; DuckDB's SUM is HUGEINT natively). The
+    * Gini and the cumulative shares convert their exact integer
+    * numerator/denominator to double ONCE each (identical
+    * round-to-nearest of the same integers on both engines) and round
+    * once to e6. Output: 10 decile rows + the constant gini_e6 column —
+    * aggregate-sized at any SF.
+    */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val cust = custOrderProfile(spark, dir).select("o_custkey", "cents")
+    val ranked = graft.ops.Ranking.globalRowNumber(
+      cust, col("cents"), col("o_custkey"), "rnk")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+      sum(d38(col("rnk") * col("cents"))).as("s1"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("((rnk - 1) * 10) DIV n").as("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("rev_e2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deciles
+      .withColumn("cum_e2", sum(col("rev_e2")).over(w)) // 10-row frame: global window is metadata
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"), col("rev_e2"),
+        floor(col("cum_e2").cast("double") / col("s0").cast("double")
+          * 1000000d + 0.5d).cast("long").as("cum_share_e6"),
+        floor((lit(2).cast("decimal(38,0)") * col("s1")
+            - d38(col("n") + 1) * d38(col("s0"))).cast("double")
+          / (d38(col("n")) * d38(col("s0"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("gini_e6"))
+      .orderBy("decile")
+  }
+
+  val giniLorenzOracle: String =
+    """WITH c AS (SELECT o_custkey,
+      |                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, cents,
+      |             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rnk FROM c),
+      |t AS (SELECT COUNT(*) AS n, SUM(cents) AS s0, SUM(rnk * cents) AS s1 FROM r),
+      |d AS (SELECT ((rnk - 1) * 10) // n AS decile,
+      |             COUNT(*) AS n_cust, SUM(cents) AS rev_e2
+      |      FROM r, t GROUP BY 1),
+      |cum AS (SELECT decile, n_cust, rev_e2,
+      |               SUM(rev_e2) OVER (ORDER BY decile) AS cum_e2 FROM d)
+      |SELECT cum.decile, CAST(cum.n_cust AS BIGINT) AS n_cust,
+      |       CAST(cum.rev_e2 AS BIGINT) AS rev_e2,
+      |       CAST(floor(CAST(cum.cum_e2 AS DOUBLE) / CAST(t.s0 AS DOUBLE)
+      |                  * 1000000 + 0.5) AS BIGINT) AS cum_share_e6,
+      |       CAST(floor(CAST(2 * t.s1 - (t.n + 1) * t.s0 AS DOUBLE)
+      |                  / CAST(t.n * t.s0 AS DOUBLE)
+      |                  * 1000000 + 0.5) AS BIGINT) AS gini_e6
+      |FROM cum, t ORDER BY cum.decile""".stripMargin
+
+  /** a36: RFM segmentation — the classic CRM triptych (recency,
+    * frequency, monetary), each scored 1–5 by exact global quintile rank
+    * and reported as segment populations. Scoring is rank-based, not
+    * value-threshold-based, so the segmentation is distribution-free:
+    * score = 1 + ((rank−1)·5) DIV n over the deterministic total order
+    * (metric, custkey) — the same integer-grid cut as x123's split, with
+    * no ntile() (whose remainder placement is an engine-specific choice).
+    * Recency ranks DESCENDING (most-recent customers get rank n → score
+    * 5) by ranking the negated day gap. All three ranks run through the
+    * two-phase bucketed [[graft.ops.Ranking.globalRowNumber]] over the
+    * customer-grain aggregate — never a one-task global window, never the
+    * fact. Segment means convert exact cent sums to double once. Output
+    * is ≤125 segment rows at any SF.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = custOrderProfile(spark, dir)
+    val maxDay = cust.agg(max(col("last_day")).as("max_day"))
+    val base = cust.crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"), col("cents"), col("n_orders"),
+        (col("max_day") - col("last_day")).as("recency"))
+    val r1 = graft.ops.Ranking.globalRowNumber(
+      base, -col("recency"), col("o_custkey"), "r_rnk")
+    val r2 = graft.ops.Ranking.globalRowNumber(
+      r1, col("n_orders"), col("o_custkey"), "f_rnk")
+    val r3 = graft.ops.Ranking.globalRowNumber(
+      r2, col("cents"), col("o_custkey"), "m_rnk")
+    val n = base.agg(count(lit(1)).as("n_total")) // one-row broadcast, no driver action
+    r3.crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("cents"),
+        (expr("((r_rnk - 1) * 5) DIV n_total") + 1L).as("r_score"),
+        (expr("((f_rnk - 1) * 5) DIV n_total") + 1L).as("f_score"),
+        (expr("((m_rnk - 1) * 5) DIV n_total") + 1L).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"),
+        floor(sum(col("cents")).cast("double") / count(lit(1)).cast("double")
+          + 0.5d).cast("long").as("mon_avg_e2"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** a37: additive seasonal decomposition of daily revenue — the
+    * trend / weekly-seasonal / residual split (classical decomposition,
+    * the moving-average half of STL) that turns a33's "is this day
+    * anomalous" into "WHAT is this day made of". Trend is the centered
+    * 7-day moving average over the DENSE day grid (zero-revenue days are
+    * observations — the x172 posture), computed by the x160
+    * offset-EXPLODE equi-regroup (±3 offsets), never a non-equi join and
+    * never a global window over the fact; only full 7-day windows emit.
+    * Exactness discipline: the 7-day SUM and the 7·x−sum7 detrended
+    * value stay exact BIGINT; each emitted component rounds ONCE from an
+    * exact integer ratio through one double conversion (floor(x+0.5) of
+    * identical doubles on both engines — valid for the negative-capable
+    * seasonal/residual where an integer DIV would hit the floor-vs-
+    * truncate divergence x162 documents). The residual is then pure
+    * integer subtraction of the rounded components, so the identity
+    * x = trend + seasonal + residual holds EXACTLY on the e2 grid.
+    * Scale shape: one orders scan into the Layer-shared a33 daily frame;
+    * everything after is the |days|-row metadata grid.
+    */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
+      Tables.orders(spark, dir)
+        .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+          .cast("long").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("cents"))
+    }
+    val span = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val dense = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val sum7 = dense
+      .select(col("cents"), explode(sequence(lit(-3L), lit(3L))).as("off"),
+        col("day"))
+      .select((col("day") + col("off")).as("day"), col("cents"))
+      .groupBy("day")
+      .agg(sum(col("cents")).as("sum7"), count(lit(1)).as("n7"))
+      .filter(col("n7") === 7) // full centered windows only: days in [lo+3, hi-3]
+    val detr = dense.join(sum7.select("day", "sum7"), "day")
+      .select(col("day"), (col("day") % 7).as("dow"), col("cents"), col("sum7"),
+        (col("cents") * 7L - col("sum7")).as("detr7"))
+    val seasonal = detr.groupBy("dow")
+      .agg(sum(col("detr7")).as("s_dow"), count(lit(1)).as("n_dow"))
+      .select(col("dow"),
+        floor(col("s_dow").cast("double") / (col("n_dow") * 7L).cast("double")
+          + 0.5d).cast("long").as("seasonal_e2"))
+    detr.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("dow"), col("cents"),
+        floor(col("sum7").cast("double") / 7d + 0.5d).cast("long").as("trend_e2"),
+        col("seasonal_e2"))
+      .withColumn("resid_e2",
+        col("cents") - col("trend_e2") - col("seasonal_e2"))
+      .orderBy("day")
+  }
+
+  val seasonalDecompOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      |dense AS (SELECT d.day, COALESCE(daily.cents, 0) AS cents
+      |          FROM (SELECT unnest(generate_series(lo, hi)) AS day FROM span) d
+      |          LEFT JOIN daily USING (day)),
+      |offs AS (SELECT unnest(generate_series(-3, 3)) AS off),
+      |s7 AS (SELECT dense.day + off AS day, SUM(cents) AS sum7, COUNT(*) AS n7
+      |       FROM dense CROSS JOIN offs GROUP BY 1),
+      |detr AS (SELECT d.day, d.day % 7 AS dow, d.cents, s.sum7,
+      |                d.cents * 7 - s.sum7 AS detr7
+      |         FROM dense d JOIN s7 s ON s.day = d.day AND s.n7 = 7),
+      |seas AS (SELECT dow, CAST(floor(CAST(SUM(detr7) AS DOUBLE)
+      |                 / CAST(COUNT(*) * 7 AS DOUBLE) + 0.5) AS BIGINT) AS seasonal_e2
+      |         FROM detr GROUP BY 1)
+      |SELECT detr.day, detr.dow, CAST(detr.cents AS BIGINT) AS cents,
+      |       CAST(floor(CAST(detr.sum7 AS DOUBLE) / 7 + 0.5) AS BIGINT) AS trend_e2,
+      |       seas.seasonal_e2,
+      |       CAST(detr.cents - CAST(floor(CAST(detr.sum7 AS DOUBLE) / 7 + 0.5) AS BIGINT)
+      |         - seas.seasonal_e2 AS BIGINT) AS resid_e2
+      |FROM detr JOIN seas USING (dow)
+      |ORDER BY detr.day""".stripMargin
+
+  val rfmOracle: String =
+    """WITH c AS (SELECT o_custkey,
+      |                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+      |                  COUNT(*) AS n_orders,
+      |                  MAX(CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)) AS last_day
+      |           FROM orders GROUP BY 1),
+      |b AS (SELECT o_custkey, cents, n_orders,
+      |             (SELECT MAX(last_day) FROM c) - last_day AS recency FROM c),
+      |r AS (SELECT o_custkey, cents,
+      |             ROW_NUMBER() OVER (ORDER BY recency DESC, o_custkey) AS r_rnk,
+      |             ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS f_rnk,
+      |             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS m_rnk,
+      |             (SELECT COUNT(*) FROM c) AS n
+      |      FROM b)
+      |SELECT ((r_rnk - 1) * 5) // n + 1 AS r_score,
+      |       ((f_rnk - 1) * 5) // n + 1 AS f_score,
+      |       ((m_rnk - 1) * 5) // n + 1 AS m_score,
+      |       COUNT(*) AS n_cust,
+      |       CAST(floor(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |                  + 0.5) AS BIGINT) AS mon_avg_e2
+      |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -925,11 +1148,17 @@ object Analytics {
     "a32_weighted_median"  -> (weightedMedian _),
     "a33_seasonal_outliers" -> (seasonalOutliers _),
     "a34_group_ols"        -> (groupOls _),
+    "a35_gini_lorenz"      -> (giniLorenz _),
+    "a36_rfm_segments"     -> (rfmSegments _),
+    "a37_seasonal_decomp"  -> (seasonalDecomp _),
   )
 
   val oracles: Map[String, String] = Map(
     "a33_seasonal_outliers" -> seasonalOracle,
     "a34_group_ols"        -> groupOlsOracle,
+    "a35_gini_lorenz"      -> giniLorenzOracle,
+    "a36_rfm_segments"     -> rfmOracle,
+    "a37_seasonal_decomp"  -> seasonalDecompOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

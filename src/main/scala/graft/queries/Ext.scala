@@ -62,6 +62,12 @@ object Ext {
     "x169_vocab_coverage"  -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "x170_km_survival"     -> ((s: SparkSession, d: String) => Events.kmSurvival(s, d)),
     "x171_conversion_lag"  -> ((s: SparkSession, d: String) => Events.conversionLag(s, d)),
+    "x172_revenue_acf"     -> ((s: SparkSession, d: String) => Events.revenueAcf(s, d)),
+    "x173_cusum_shift"     -> ((s: SparkSession, d: String) => Events.cusumShift(s, d)),
+    "x174_top_paths"       -> ((s: SparkSession, d: String) => Events.topEventPaths(s, d)),
+    "x175_source_overlap"  -> ((s: SparkSession, d: String) => TextAnalysis.sourceOverlap(s, d)),
+    "x176_tail_index"      -> ((s: SparkSession, d: String) => TextAnalysis.tailIndex(s, d)),
+    "x177_kmeans"          -> ((s: SparkSession, d: String) => graft.ml.Clustering.kmeansCustomers(s, d)),
     // rows-only by design: seeded tree-ensemble scores (the m01 class);
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
@@ -402,6 +408,12 @@ object Ext {
     "x169_vocab_coverage"  -> TextAnalysis.vocabCoverageOracle,
     "x170_km_survival"     -> Events.kmOracle,
     "x171_conversion_lag"  -> Events.conversionLagOracle,
+    "x172_revenue_acf"     -> Events.acfOracle,
+    "x173_cusum_shift"     -> Events.cusumOracle,
+    "x174_top_paths"       -> Events.topPathsOracle,
+    "x175_source_overlap"  -> TextAnalysis.sourceOverlapOracle,
+    "x176_tail_index"      -> TextAnalysis.tailIndexOracle,
+    "x177_kmeans"          -> graft.ml.Clustering.kmeansOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1410,4 +1410,160 @@ class ExtSpec extends SparkSuite {
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2), r.getDouble(3)))
     assert(pc.toSeq === again.toSeq, "power iteration must be deterministic")
   }
+
+  /** The x160/x172/x173 daily frame via the operator's own quantization
+    * kernel, densified driver-side over the global [lo, hi] span.
+    */
+  private def denseDaily(): (Map[String, Array[Long]], Long) = {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("v"))
+      .groupBy("event_type", "day").agg(sum("v").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = daily.map(_._2).min
+    val hi = daily.map(_._2).max
+    val len = (hi - lo + 1).toInt
+    val dense = daily.groupBy(_._1).map { case (t, rows) =>
+      val arr = Array.fill(len)(0L)
+      rows.foreach { case (_, d, v) => arr((d - lo).toInt) = v }
+      t -> arr
+    }
+    (dense, lo)
+  }
+
+  test("revenue ACF matches the driver-side Pearson recomputation at every lag") {
+    val got = Events.revenueAcf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val (dense, _) = denseDaily()
+    val len = dense.values.head.length
+    assert(got.size === dense.size * 7, "expected |types| x 7 (type, lag) rows")
+    dense.foreach { case (t, xs) =>
+      (1 to 7).foreach { lag =>
+        val pairs = (0 until len - lag).map(i => (xs(i), xs(i + lag)))
+        val n = pairs.length.toLong
+        val sx = pairs.map(p => BigInt(p._1)).sum
+        val sy = pairs.map(p => BigInt(p._2)).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val a = (BigInt(n) * sxy - sx * sy).toDouble
+        val b = (BigInt(n) * sxx - sx * sx).toDouble
+        val c = (BigInt(n) * syy - sy * sy).toDouble
+        val (gotN, gotR) = got((t, lag.toLong))
+        assert(gotN === n, s"$t lag $lag n_pairs")
+        if (b > 0 && c > 0) {
+          val exp = math.floor(a / math.sqrt(b * c) * 1e6 + 0.5).toLong
+          assert(gotR === Some(exp), s"$t lag $lag r_e6")
+          // a correlation lives on [-1, 1]; e6 grid plus half-step rounding
+          assert(math.abs(exp) <= 1000000L, s"$t lag $lag |r| > 1")
+        } else assert(gotR.isEmpty, s"$t lag $lag: degenerate series must emit NULL")
+      }
+    }
+  }
+
+  test("CUSUM peak matches the driver-side scaled-statistic scan") {
+    val got = Events.cusumShift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (dense, lo) = denseDaily()
+    assert(got.keySet === dense.keySet)
+    dense.foreach { case (t, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(BigInt(_)).sum
+      var prefix = BigInt(0)
+      val cs = xs.zipWithIndex.map { case (x, i) =>
+        prefix += x
+        (lo + i, BigInt(n) * prefix - BigInt(i + 1) * s)
+      }
+      // the scan ends at zero by construction: n·S − n·S
+      assert(cs.last._2 === BigInt(0), s"$t: C_n != 0")
+      val (peakDay, peakVal) = cs.minBy { case (d, c) => (-c.abs, d) }
+      val (gotN, gotTot, gotDay, gotPeak) = got(t)
+      assert(gotN === n, s"$t n_days")
+      assert(BigInt(gotTot) === s, s"$t total")
+      assert(gotDay === peakDay, s"$t peak day")
+      assert(BigInt(gotPeak) === peakVal, s"$t peak value")
+    }
+  }
+
+  test("top event paths match the driver-side sequence recomputation") {
+    val got = Events.topEventPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length <= 20 && got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val paths = ev.groupBy(e => (e._1, math.floorDiv(e._3, 86400000000L)))
+      .map { case (_, rows) =>
+        rows.sortBy(e => (e._3, e._4)).take(4).map(_._2).mkString(">")
+      }
+    val exp = paths.groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.toSeq === exp, "top-20 path table mismatch")
+    // determinism of the k-boundary: the 20th row strictly dominates the
+    // 21st in (count desc, path asc) order whenever more paths exist
+    assert(paths.toSet.size <= 20 || got.length === 20)
+  }
+
+  test("source vocabulary overlap matches the driver-side set recomputation") {
+    val got = TextAnalysis.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.flatMap(_._2.split(" ", -1)).toSet
+    }
+    val sources = vocab.keys.toSeq.sorted
+    val expPairs = for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b)
+    assert(got.keySet === expPairs.toSet, "pair grid incomplete")
+    expPairs.foreach { case (a, b) =>
+      val (na, nb, ni, j, c) = got((a, b))
+      val inter = (vocab(a) intersect vocab(b)).size.toLong
+      assert(na === vocab(a).size.toLong, s"$a size")
+      assert(nb === vocab(b).size.toLong, s"$b size")
+      assert(ni === inter, s"$a-$b intersection")
+      assert(j === math.floor(inter.toDouble / (na + nb - inter).toDouble * 1e6 + 0.5).toLong)
+      assert(c === math.floor(inter.toDouble / math.min(na, nb).toDouble * 1e6 + 0.5).toLong)
+      // containment dominates Jaccard (min ≤ union), both live on [0, 1e6]
+      assert(c >= j && c <= 1000000L && j >= 0L)
+    }
+  }
+
+  test("Hill tail index recomputes exactly; a flat tail emits NULL") {
+    val row = TextAnalysis.tailIndex(spark, sf).collect().head
+    val (k, xTail, dE6) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val lens = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, x) => (-x, id) }
+    val top = lens.take(101)
+    assert(k === 100L)
+    assert(xTail === top.last._2)
+    def lnE6(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val dExp = top.take(100).map(t => lnE6(t._2)).sum - 100L * lnE6(top.last._2)
+    assert(dE6 === dExp, "Hill denominator")
+    if (dExp > 0) {
+      assert(row.getLong(3) ===
+        math.floor(1.0e12 * 100d / dExp.toDouble + 0.5).toLong, "alpha_e6")
+      // a tail index is positive and, for any non-degenerate tail, finite
+      assert(row.getLong(3) > 0L)
+    } else assert(row.isNullAt(3))
+    // planted degenerate tail: constant lengths make the denominator 0
+    // and the estimator must emit NULL, not an engine-specific infinity
+    import spark.implicits._
+    val flat = (1L to 200L).map(i => (i, 100)).toDF("doc_id", "n_chars")
+    val flatRow = TextAnalysis.tailIndexOf(flat, 100).collect().head
+    assert(flatRow.getLong(2) === 0L && flatRow.isNullAt(3))
+  }
 }

@@ -1138,4 +1138,119 @@ class OpsSpec extends SparkSuite {
         s"refresh plan rescans the base table: $loc")
     }
   }
+
+  /** Per-customer lifetime cents via the operator's own rounding kernel —
+    * the a35/a36 recomputation laws test the ranking/score ALGEBRA, not
+    * the e2 quantization (already pinned by the a33 oracle family).
+    */
+  private def custCents(): Array[(Long, Long, Long, Long)] =
+    graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n_orders"),
+        max("day").as("last_day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("Gini/Lorenz matches the driver-side closed-form recomputation") {
+    val got = graft.queries.Analytics.giniLorenz(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq === (0L until 10L).toSeq, "expected one row per decile")
+    val cust = custCents().map(t => (t._1, t._2)).sortBy(c => (c._2, c._1))
+    val n = cust.length.toLong
+    val s0 = cust.map(c => BigInt(c._2)).sum
+    // exact BigInt moments — the spec must not inherit the overflow the
+    // operator's DECIMAL(38,0) widening exists to prevent
+    val s1 = cust.zipWithIndex.map { case ((_, c), i) => BigInt(i + 1) * c }.sum
+    val expGini = math.floor(
+      (BigInt(2) * s1 - BigInt(n + 1) * s0).toDouble / (BigInt(n) * s0).toDouble
+        * 1e6 + 0.5).toLong
+    assert(got.head._5 === expGini, "gini_e6 mismatch")
+    // ascending order makes Gini nonnegative; e6 grid caps at 1e6
+    assert(expGini >= 0L && expGini <= 1000000L)
+    // decile populations, sums, and cumulative shares recompute exactly
+    val byDecile = cust.zipWithIndex.groupBy { case (_, i) => (i.toLong * 10) / n }
+    var cum = BigInt(0)
+    got.foreach { case (dec, nCust, rev, cumShare, _) =>
+      val rows = byDecile(dec)
+      assert(nCust === rows.length.toLong, s"decile $dec population")
+      val revExp = rows.map { case ((_, c), _) => BigInt(c) }.sum
+      assert(BigInt(rev) === revExp, s"decile $dec revenue")
+      cum += revExp
+      assert(cumShare ===
+        math.floor(cum.toDouble / s0.toDouble * 1e6 + 0.5).toLong, s"decile $dec share")
+    }
+    assert(got.last._4 === 1000000L, "final cumulative share must be 100%")
+  }
+
+  test("RFM segments match the full driver-side rank recomputation") {
+    val got = graft.queries.Analytics.rfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val cust = custCents()
+    val n = cust.length.toLong
+    val maxDay = cust.map(_._4).max
+    def score(rnk: Long): Long = ((rnk - 1) * 5) / n + 1
+    def ranks(key: Long => Long): Map[Long, Long] =
+      cust.map(_._1).sortBy(k => (key(k), k))
+        .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    val prof = cust.map(t => t._1 -> t).toMap
+    val rRnk = ranks(k => -(maxDay - prof(k)._4)) // recency desc ≡ negated gap asc
+    val fRnk = ranks(k => prof(k)._3)
+    val mRnk = ranks(k => prof(k)._2)
+    val exp = cust.groupBy(t => (score(rRnk(t._1)), score(fRnk(t._1)), score(mRnk(t._1))))
+      .map { case (seg, rows) =>
+        val cents = rows.map(r => BigInt(r._2)).sum
+        seg -> (rows.length.toLong,
+          math.floor(cents.toDouble / rows.length.toDouble + 0.5).toLong)
+      }
+    assert(got === exp, "segment table mismatch")
+    // every score is a quintile label and the segment populations cover n
+    got.keys.foreach { case (r, f, m) =>
+      Seq(r, f, m).foreach(s => assert(s >= 1L && s <= 5L)) }
+    assert(got.values.map(_._1).sum === n)
+  }
+
+  test("seasonal decomposition recomputes exactly and the additive identity holds") {
+    val got = graft.queries.Analytics.seasonalDecomp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // the e2-grid identity is exact by construction — assert it anyway:
+    // a rounding regression in either component must surface here
+    got.foreach { case (day, dow, cents, trend, seas, resid) =>
+      assert(dow === ((day % 7 + 7) % 7), s"day $day dow")
+      assert(cents === trend + seas + resid, s"day $day identity")
+    }
+    // full driver recomputation over the dense grid via the operator's
+    // own quantization kernel
+    val daily = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lo = daily.keys.min
+    val hi = daily.keys.max
+    val dense = (lo to hi).map(d => d -> daily.getOrElse(d, 0L)).toMap
+    val expRows = ((lo + 3) to (hi - 3)).map { d =>
+      val sum7 = (-3L to 3L).map(o => BigInt(dense(d + o))).sum
+      (d, dense(d), sum7, BigInt(dense(d)) * 7 - sum7)
+    }
+    assert(got.map(_._1).toSeq === expRows.map(_._1), "full-window day set")
+    val seasExp = expRows.groupBy(_._1 % 7).map { case (dow, rows) =>
+      val s = rows.map(_._4).sum
+      dow -> math.floor(s.toDouble / (rows.length * 7).toDouble + 0.5).toLong
+    }
+    val gotByDay = got.map(r => r._1 -> r).toMap
+    expRows.foreach { case (d, x, sum7, _) =>
+      val (_, _, gotCents, gotTrend, gotSeas, _) = gotByDay(d)
+      assert(gotCents === x, s"day $d cents")
+      assert(gotTrend === math.floor(sum7.toDouble / 7d + 0.5).toLong, s"day $d trend")
+      assert(gotSeas === seasExp(d % 7), s"day $d seasonal")
+    }
+  }
 }

@@ -1196,6 +1196,48 @@ object Events {
       .limit(20)
   }
 
+  /** x178: inter-arrival time statistics — the event-cadence profile
+    * (how often does a user view / click / purchase) that calibrates
+    * x04's 30-minute session gap and s10's silent-gap threshold from the
+    * data instead of folklore. Gaps are consecutive same-type same-user
+    * deltas in exact epoch-µs (the s06 precision discipline), from a
+    * user+type-partitioned lag window — bounded partitions, never a
+    * global sort. p50/p90 ride the a04 `percentile ≡ quantile_cont`
+    * equivalence with one half-up rounding; the mean is exact
+    * `sum DIV count` on nonnegative operands. Output: |types| rows.
+    */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).as("gap_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        floor(expr("percentile(gap_us, 0.5)") + 0.5d).cast("long").as("p50_us"),
+        floor(expr("percentile(gap_us, 0.9)") + 0.5d).cast("long").as("p90_us"),
+        expr("sum(gap_us) DIV count(1)").as("mean_us"))
+      .orderBy("event_type")
+  }
+
+  val interArrivalOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |           FROM events),
+      |g AS (SELECT event_type,
+      |             us - LAG(us) OVER (PARTITION BY user_id, event_type
+      |                                ORDER BY us, event_id) AS gap_us
+      |      FROM e)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |       CAST(floor(quantile_cont(gap_us, 0.5) + 0.5) AS BIGINT) AS p50_us,
+      |       CAST(floor(quantile_cont(gap_us, 0.9) + 0.5) AS BIGINT) AS p90_us,
+      |       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val topPathsOracle: String =
     """WITH e AS (SELECT user_id,
       |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,

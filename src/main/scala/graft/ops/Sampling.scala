@@ -198,6 +198,43 @@ object Sampling {
       .select(col("doc_id"), col("w").as("n_tokens"), col("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id"))
 
+  /** x179: effective sample size of the x109/x141 importance weights —
+    * Kish's ESS = (Σw)²/Σw², the one-number diagnostic that says how many
+    * docs a weighted mix is REALLY worth (ESS ≪ n means a few giant
+    * documents dominate the draw and the x141 multinomial will mostly
+    * resample them; run this BEFORE committing a weighted epoch). One
+    * map-combinable aggregate over the same token-count weight the
+    * samplers use; Σw² widens per-row squares to DECIMAL(38,0) (the a34
+    * bound: w² ~ 10¹² per row already at modest token counts). ESS and
+    * ESS/n convert the exact sums to double once each, pinned order,
+    * rounded once to their grids. Output: one row at any SF.
+    */
+  def weightEss(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_w"),
+        sum(d38(col("w") * col("w"))).as("sum_w2"))
+      .select(col("n_docs"), col("sum_w"), col("sum_w2").cast("long").as("sum_w2"),
+        floor(col("sum_w").cast("double") * col("sum_w").cast("double")
+          / col("sum_w2").cast("double") * 1000d + 0.5d).cast("long").as("ess_e3"),
+        floor(col("sum_w").cast("double") * col("sum_w").cast("double")
+          / col("sum_w2").cast("double") / col("n_docs").cast("double")
+          * 1000000d + 0.5d).cast("long").as("ess_ratio_e6"))
+  }
+
+  val weightEssOracle: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents)
+      |SELECT COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_w,
+      |       CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+      |       CAST(floor(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+      |            / CAST(SUM(w * w) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ess_e3,
+      |       CAST(floor(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+      |            / CAST(SUM(w * w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS ess_ratio_e6
+      |FROM d""".stripMargin
+
   val weightedSampleOracle: String =
     s"""WITH d AS (SELECT doc_id,
        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w

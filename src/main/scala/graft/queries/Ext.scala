@@ -68,6 +68,8 @@ object Ext {
     "x175_source_overlap"  -> ((s: SparkSession, d: String) => TextAnalysis.sourceOverlap(s, d)),
     "x176_tail_index"      -> ((s: SparkSession, d: String) => TextAnalysis.tailIndex(s, d)),
     "x177_kmeans"          -> ((s: SparkSession, d: String) => graft.ml.Clustering.kmeansCustomers(s, d)),
+    "x178_interarrival"    -> ((s: SparkSession, d: String) => Events.interArrival(s, d)),
+    "x179_weight_ess"      -> ((s: SparkSession, d: String) => graft.ops.Sampling.weightEss(s, d)),
     // rows-only by design: seeded tree-ensemble scores (the m01 class);
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
@@ -414,6 +416,8 @@ object Ext {
     "x175_source_overlap"  -> TextAnalysis.sourceOverlapOracle,
     "x176_tail_index"      -> TextAnalysis.tailIndexOracle,
     "x177_kmeans"          -> graft.ml.Clustering.kmeansOracle,
+    "x178_interarrival"    -> Events.interArrivalOracle,
+    "x179_weight_ess"      -> graft.ops.Sampling.weightEssOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1566,4 +1566,39 @@ class ExtSpec extends SparkSuite {
     val flatRow = TextAnalysis.tailIndexOf(flat, 100).collect().head
     assert(flatRow.getLong(2) === 0L && flatRow.isNullAt(3))
   }
+
+  test("inter-arrival stats match the driver-side gap recomputation") {
+    val got = Events.interArrival(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, t), rows) =>
+      rows.sortBy(e => (e._3, e._4)).map(_._3).toList.sliding(2)
+        .collect { case a :: b :: Nil => (t, b - a) }
+    }
+    // interpolated percentile, the `percentile` ≡ quantile_cont definition
+    def pct(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val i = h.toInt
+      if (i + 1 >= s.length) s(i).toDouble
+      else s(i) + (h - i) * (s(i + 1) - s(i))
+    }
+    gaps.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.map(_._2).toArray
+      val (n, p50, p90, mean) = got(t)
+      assert(n === xs.length.toLong, s"$t n_gaps")
+      assert(p50 === math.floor(pct(xs, 0.5) + 0.5).toLong, s"$t p50")
+      assert(p90 === math.floor(pct(xs, 0.9) + 0.5).toLong, s"$t p90")
+      assert(mean === xs.map(BigInt(_)).sum / xs.length, s"$t mean")
+      // gaps are nonnegative and the order statistics are ordered
+      assert(p50 >= 0L && p90 >= p50)
+    }
+    assert(got.keySet === gaps.map(_._1).toSet)
+  }
 }

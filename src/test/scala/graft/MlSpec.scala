@@ -119,4 +119,62 @@ class MlSpec extends SparkSuite {
     assert(d.values.toSet === Set(0, 1, 2))
     assert(d(big + 1) < d(big + 2) && d(big + 2) < d(big + 3))
   }
+
+  test("integer k-means matches a full driver-side Lloyd recomputation") {
+    import graft.ml.Clustering.{K, Iters}
+    val got = graft.ml.Clustering.kmeansCustomers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq === (0L until K.toLong).toSeq)
+    // rebuild the normalized plane via the operator's own quantization
+    val prof = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lox, hix) = (prof.map(_._2).min, prof.map(_._2).max)
+    val (loy, hiy) = (prof.map(_._3).min, prof.map(_._3).max)
+    val pts = prof.map { case (k, c, o) =>
+      (k, if (hix == lox) 0L else (c - lox) * 1000000L / (hix - lox),
+        if (hiy == loy) 0L else (o - loy) * 1000000L / (hiy - loy))
+    }
+    val n = pts.length.toLong
+    val byRank = pts.sortBy(p => (p._2, p._1))
+    var cs = (0 until K).map { i =>
+      val r = ((2L * i + 1) * n) / (2 * K) // 1-based rank of the i-th seed
+      val p = byRank((r - 1).toInt)
+      (i.toLong, p._2, p._3)
+    }.toArray
+    def assignAll(): Array[(Long, Long, Long, Long)] = pts.map { case (_, x, y) =>
+      val (ci, d2) = cs.map { case (i, cx, cy) =>
+        (i, (x - cx) * (x - cx) + (y - cy) * (y - cy))
+      }.minBy { case (i, d) => (d, i) }
+      (x, y, ci, d2)
+    }
+    (1 to Iters).foreach { _ =>
+      val byC = assignAll().groupBy(_._3)
+      cs = cs.map { case (i, px, py) =>
+        byC.get(i) match {
+          case Some(rows) =>
+            val cnt = rows.length.toLong
+            (i, (2 * rows.map(_._1).sum + cnt) / (2 * cnt),
+              (2 * rows.map(_._2).sum + cnt) / (2 * cnt))
+          case None => (i, px, py)
+        }
+      }
+    }
+    val fin = assignAll().groupBy(_._3)
+    got.foreach { case (i, cx, cy, nCust, wcss) =>
+      val (_, ex, ey) = cs(i.toInt)
+      assert(cx === ex && cy === ey, s"cluster $i centroid")
+      val rows = fin.getOrElse(i, Array.empty)
+      assert(nCust === rows.length.toLong, s"cluster $i population")
+      assert(BigInt(wcss) === rows.map(r => BigInt(r._4)).sum, s"cluster $i wcss")
+    }
+    assert(got.map(_._4).sum === n, "populations must cover every customer")
+    // the fit is deterministic: a second run returns the identical table
+    val again = graft.ml.Clustering.kmeansCustomers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === got.toSeq)
+  }
 }

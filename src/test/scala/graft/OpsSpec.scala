@@ -1253,4 +1253,21 @@ class OpsSpec extends SparkSuite {
       assert(gotSeas === seasExp(d % 7), s"day $d seasonal")
     }
   }
+
+  test("effective sample size recomputes exactly and lives on [1, n]") {
+    val row = graft.ops.Sampling.weightEss(spark, sf).collect().head
+    val (n, sw, sw2, ess, ratio) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val ws = graft.Tables.documents(spark, sf).select("text").collect()
+      .map(r => r.getString(0).split(" ", -1).length.toLong)
+    assert(n === ws.length.toLong)
+    assert(BigInt(sw) === ws.map(BigInt(_)).sum)
+    assert(BigInt(sw2) === ws.map(w => BigInt(w) * w).sum)
+    val essExp = sw.toDouble * sw.toDouble / sw2.toDouble
+    assert(ess === math.floor(essExp * 1000d + 0.5).toLong)
+    assert(ratio === math.floor(essExp / n.toDouble * 1000000d + 0.5).toLong)
+    // Kish ESS is bounded by [1, n] (Cauchy–Schwarz); equal weights hit n
+    assert(ess >= 1000L && ess <= n * 1000L + 1)
+    assert(ratio <= 1000001L)
+  }
 }

@@ -103,6 +103,20 @@ object ScaleGen {
         concat(lit("{\"k\": "), pmod(hash(col("id"), lit(16)), lit(100)), lit("}")).as("props"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // orders: 150k·m rows over a 15k·m customer domain (sf0.1's 10
+    // orders/customer), 3-year day span, totalprice 1k–500k — the shape
+    // the global-ranking family (a35 Gini, a36 RFM, x177 k-means)
+    // reduces to its customer-grain aggregate
+    val nOrd = 150000L * m
+    spark.range(nOrd).select(
+        col("id").as("o_orderkey"),
+        pmod(hash(col("id"), lit(18)), lit(15000L * m)).as("o_custkey"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(hash(col("id"), lit(19)), lit(86400000000L * 1095))).as("o_orderdate"),
+        round(pmod(hash(col("id"), lit(20)), lit(49900000)) / 100.0 + 1000.0, 2)
+          .as("o_totalprice"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     // embeddings: 64-dim float vectors in [-1, 1), hash-derived per
     // (vec_id, dim); 10 labels — the shape x148's covariance pass and the
     // similarity family consume (2 000·m matches sf0.1's 2 000 at 1×)
@@ -115,7 +129,7 @@ object ScaleGen {
         pmod(col("id"), lit(10)).cast("int").as("label"))
       .coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events / ${nVec} embeddings to $out")
+    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events / ${nOrd} orders / ${nVec} embeddings to $out")
     spark.stop()
   }
 }

@@ -994,6 +994,65 @@ object Events {
       |       CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS mean_lag_us
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x180: linear multi-touch attribution — the s06/x171 pair semantics
+    * asked WHICH views convert and HOW FAST; this asks HOW MUCH CREDIT
+    * each touchpoint earns: every view in the 6 h window before a
+    * purchase splits that purchase's value equally, reported by the
+    * view's hour-of-day (the campaign-budget readout). Exactness: the
+    * per-touch credit is the ONE place a rational appears (value/n),
+    * so it rounds ONCE per purchase-touch to e6 via the nonnegative
+    * `(v_e2·10⁴) DIV n_touch` — every downstream sum is exact BIGINT
+    * and hash-matches. The per-purchase touch count is a window over
+    * the pair frame partitioned by purchase event id (bounded: at most
+    * the views one user fits in 6 h), NOT a second pair join — the pair
+    * build runs once. Purchases with zero prior views simply earn no
+    * row (the left-outer "unattributed" report is s11's job). Output:
+    * ≤ 24 rows.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("view_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_eid"),
+        col("us").as("p_us"), col("v_e2"))
+    val w = Window.partitionBy(col("p_eid"))
+    views.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("p_us") >= col("view_us") &&
+          col("p_us") <= col("view_us") + lit(21600000000L))
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .select(expr("(view_us DIV 3600000000) % 24").as("view_hour"),
+        expr("(v_e2 * 10000) DIV n_touch").as("credit_e6"), col("p_eid"))
+      .groupBy("view_hour")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_eid")).as("n_purchases"),
+        sum(col("credit_e6")).as("credit_e6"))
+      .orderBy("view_hour")
+  }
+
+  val attributionOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |p AS (SELECT v.us AS view_us, pu.event_id AS p_eid, pu.v_e2,
+      |             COUNT(*) OVER (PARTITION BY pu.event_id) AS n_touch
+      |      FROM (SELECT user_id, us FROM e WHERE event_type = 'view') v
+      |      JOIN (SELECT user_id, event_id, us, v_e2 FROM e
+      |            WHERE event_type = 'purchase') pu
+      |        ON pu.user_id = v.user_id
+      |       AND pu.us >= v.us AND pu.us <= v.us + 21600000000)
+      |SELECT (view_us // 3600000000) % 24 AS view_hour,
+      |       COUNT(*) AS n_touches,
+      |       COUNT(DISTINCT p_eid) AS n_purchases,
+      |       CAST(SUM((v_e2 * 10000) // n_touch) AS BIGINT) AS credit_e6
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val chi2Oracle: String =
     """WITH e AS (SELECT event_type,
       |                  CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow

@@ -306,4 +306,35 @@ object ReorderModel {
         col("item_key").as("item"))
       .orderBy("user", "rank")
   }
+
+  /** m06: isotonic calibration of the RF reorder scores — the FITTED
+    * half of m03's reliability diagram: PAVA (pool-adjacent-violators)
+    * learns the monotone score→probability map that turns a ranking
+    * score into a usable probability before thresholding at 0.19.
+    * spark.ml's IsotonicRegression runs parallel PAVA per sorted
+    * partition and merges pools at the driver — the model's
+    * (boundaries, predictions) arrays are aggregate-sized (≤ |distinct
+    * scores|, pooled far below), the x149 boundary class. Emitted as
+    * (idx, boundary_e6, pred_e6) rows with one e6 flooring each. No
+    * oracle (the scores come from the seeded tree fit — the m01 class);
+    * MlSpec pins monotonicity of both arrays, [0, 1] bounds, and
+    * run-to-run determinism (PAVA is deterministic given data; the
+    * split is seeded).
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = assembledTrain(spark, dir)
+    val Array(fitD, holdout) = all.randomSplit(Array(0.7, 0.3), seed)
+    val scored = rf.fit(fitD).transform(holdout)
+      .select(col("prediction").as("score"), col("label"))
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("score").setLabelCol("label").setIsotonic(true)
+      .fit(scored)
+    val bs = model.boundaries.toArray
+    val ps = model.predictions.toArray
+    bs.indices.map(i => (i.toLong,
+        math.floor(bs(i) * 1e6 + 0.5).toLong,
+        math.floor(ps(i) * 1e6 + 0.5).toLong))
+      .toDF("idx", "boundary_e6", "pred_e6")
+  }
 }

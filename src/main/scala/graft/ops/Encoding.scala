@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Categorical feature encoding (x181) — the leakage-prone feature-
+  * engineering step done right: smoothed target (mean) encoding of a
+  * high-cardinality categorical, the alternative to one-hot when the
+  * domain is unbounded (micikevicius/target-encoding folklore, formalized
+  * in Micci-Barreca SIGKDD Expl. '01). The additive-smoothing estimate
+  * enc = (n⁺ + m·prior)/(n + m) shrinks rare categories toward the global
+  * prior so a 3-row brand can't memorize its labels.
+  */
+object Encoding {
+
+  /** x181: encode part brand by lineitem return rate (target =
+    * l_returnflag = 'R'), smoothing m = 100. Exactness: prior and enc
+    * are rationals, so both are carried CROSS-MULTIPLIED in exact
+    * integers — num = n⁺·N + m·R, den = (n+m)·N — widened to
+    * DECIMAL(38,0) per product (n⁺·N ≈ 10¹⁷ already at sf0.1's row
+    * counts; DuckDB's BIGINT products hold at oracle scale, HUGEINT
+    * sums beyond), then converted to double ONCE each and rounded once
+    * to e6. Scale shape: one fact scan, brand dim broadcast, |brands|-row
+    * aggregate; the global totals are a one-row broadcast. The encoding
+    * table this emits is itself broadcast-joinable back to the fact —
+    * the production application pattern.
+    */
+  def targetEncodeBrand(spark: SparkSession, dir: String, m: Int = 100): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), (col("l_returnflag") === "R").cast("long").as("y"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val grp = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = grp.agg(sum(col("n")).as("n_tot"), sum(col("n_pos")).as("pos_tot"))
+    grp.crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("n"), col("n_pos"),
+        floor((d38(col("n_pos")) * d38(col("n_tot"))
+            + d38(lit(m.toLong)) * d38(col("pos_tot"))).cast("double")
+          / (d38(col("n") + m.toLong) * d38(col("n_tot"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("enc_e6"),
+        floor(col("pos_tot").cast("double") / col("n_tot").cast("double")
+          * 1000000d + 0.5d).cast("long").as("prior_e6"))
+      .orderBy("p_brand")
+  }
+
+  val targetEncodeOracle: String =
+    """WITH li AS (SELECT l_partkey,
+      |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |            FROM lineitem),
+      |g AS (SELECT p.p_brand, COUNT(*) AS n, SUM(li.y) AS n_pos
+      |      FROM li JOIN part p ON p.p_partkey = li.l_partkey
+      |      GROUP BY 1),
+      |t AS (SELECT SUM(n) AS n_tot, SUM(n_pos) AS pos_tot FROM g)
+      |SELECT g.p_brand, g.n, CAST(g.n_pos AS BIGINT) AS n_pos,
+      |       CAST(floor(CAST(g.n_pos * t.n_tot + 100 * t.pos_tot AS DOUBLE)
+      |            / CAST((g.n + 100) * t.n_tot AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS enc_e6,
+      |       CAST(floor(CAST(t.pos_tot AS DOUBLE) / CAST(t.n_tot AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS prior_e6
+      |FROM g, t ORDER BY g.p_brand""".stripMargin
+}

@@ -70,6 +70,11 @@ object Ext {
     "x177_kmeans"          -> ((s: SparkSession, d: String) => graft.ml.Clustering.kmeansCustomers(s, d)),
     "x178_interarrival"    -> ((s: SparkSession, d: String) => Events.interArrival(s, d)),
     "x179_weight_ess"      -> ((s: SparkSession, d: String) => graft.ops.Sampling.weightEss(s, d)),
+    "x180_attribution"     -> ((s: SparkSession, d: String) => Events.linearAttribution(s, d)),
+    "x181_target_encode"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.targetEncodeBrand(s, d)),
+    // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
+    // MlSpec pins monotonicity/bounds/determinism
+    "m06_isotonic"         -> ((s: SparkSession, d: String) => ReorderModel.isotonicCalibration(s, d)),
     // rows-only by design: seeded tree-ensemble scores (the m01 class);
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
@@ -418,6 +423,8 @@ object Ext {
     "x177_kmeans"          -> graft.ml.Clustering.kmeansOracle,
     "x178_interarrival"    -> Events.interArrivalOracle,
     "x179_weight_ess"      -> graft.ops.Sampling.weightEssOracle,
+    "x180_attribution"     -> Events.attributionOracle,
+    "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1601,4 +1601,39 @@ class ExtSpec extends SparkSuite {
     }
     assert(got.keySet === gaps.map(_._1).toSet)
   }
+
+  test("linear attribution conserves purchase value across touches") {
+    val got = Events.linearAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val views = ev.filter(_._2 == "view")
+    val purch = ev.filter(_._2 == "purchase")
+    val byUser = views.groupBy(_._1).withDefaultValue(Array.empty)
+    val touches = purch.flatMap { case (u, _, eid, pus, v) =>
+      val vs = byUser(u).filter(w => pus >= w._4 && pus <= w._4 + 21600000000L)
+      val n = vs.length.toLong
+      vs.map(w => ((w._4 / 3600000000L) % 24, eid, (v * 10000L) / n))
+    }
+    val exp = touches.groupBy(_._1).map { case (h, rows) =>
+      h -> (rows.length.toLong, rows.map(_._2).distinct.length.toLong,
+        rows.map(r => BigInt(r._3)).sum)
+    }
+    assert(got.mapValues(v => (v._1, v._2, BigInt(v._3))).toMap === exp,
+      "attribution table mismatch")
+    // value conservation: each purchase's credited total differs from its
+    // value by strictly less than one e6 unit per touch (DIV floors once
+    // per touch), so the global gap is bounded by the touch count
+    val creditTotal = touches.map(r => BigInt(r._3)).sum
+    val valueTotal = touches.map(t => t._2).distinct
+      .map(eid => BigInt(purch.find(_._3 == eid).get._5) * 10000L).sum
+    assert(creditTotal <= valueTotal)
+    assert(valueTotal - creditTotal < BigInt(touches.length))
+  }
 }

@@ -177,4 +177,25 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("isotonic calibration is monotone, bounded, and deterministic") {
+    val rows = ReorderModel.isotonicCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong), "dense idx")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // PAVA boundaries strictly increase; pooled predictions never
+        // decrease (that is the isotonic constraint itself)
+        assert(a._2 < b._2, s"boundaries not increasing at idx ${b._1}")
+        assert(a._3 <= b._3, s"predictions decrease at idx ${b._1}")
+      case _ =>
+    }
+    rows.foreach { case (i, _, p) =>
+      assert(p >= 0L && p <= 1000000L, s"idx $i prediction outside [0, 1]")
+    }
+    val again = ReorderModel.isotonicCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq, "PAVA must be deterministic")
+  }
 }

@@ -1270,4 +1270,36 @@ class OpsSpec extends SparkSuite {
     assert(ess >= 1000L && ess <= n * 1000L + 1)
     assert(ratio <= 1000001L)
   }
+
+  test("target encoding shrinks toward the prior and recomputes exactly") {
+    val got = graft.ops.Encoding.targetEncodeBrand(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "R") 1L else 0L))
+    val brand = graft.Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = li.map { case (pk, y) => (brand(pk), y) }
+    val nTot = rows.length.toLong
+    val posTot = rows.map(_._2).sum
+    val priorE6 = math.floor(posTot.toDouble / nTot.toDouble * 1e6 + 0.5).toLong
+    rows.groupBy(_._1).foreach { case (b, g) =>
+      val n = g.length.toLong
+      val nPos = g.map(_._2).sum
+      val (gn, gp, enc, prior) = got(b)
+      assert(gn === n && gp === nPos, s"$b counts")
+      assert(prior === priorE6, s"$b prior")
+      val expEnc = math.floor(
+        (BigInt(nPos) * nTot + BigInt(100) * posTot).toDouble
+          / (BigInt(n + 100) * nTot).toDouble * 1e6 + 0.5).toLong
+      assert(enc === expEnc, s"$b encoding")
+      // shrinkage: the smoothed estimate sits between the raw rate and
+      // the prior (inclusive on the e6 grid, ±1 for the two roundings)
+      val rawE6 = math.floor(nPos.toDouble / n.toDouble * 1e6 + 0.5).toLong
+      val (lo, hi) = (math.min(rawE6, priorE6) - 1, math.max(rawE6, priorE6) + 1)
+      assert(enc >= lo && enc <= hi, s"$b enc $enc outside [$lo, $hi]")
+    }
+  }
 }

@@ -1468,6 +1468,58 @@ object TextAnalysis {
       |FROM grid g LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b
       |ORDER BY 1, 2""".stripMargin
 
+  /** x182: PMI collocations — the top word associations ln(N·c₁₂/(c₁·c₂))
+    * over adjacent pairs (Church & Hanks '90), the phrase-mining /
+    * tokenizer-merge-candidate signal x18's frequency-only BPE merges
+    * lack (PMI finds "strongly bound but not necessarily frequent"
+    * pairs). Marginals come from the SAME bigram population as the
+    * numerator (left marginal = Σ_y c_xy, right = Σ_x c_xy), so the
+    * distribution is well-formed; a min-count gate gates the CANDIDATES
+    * only, never the marginals. Exactness: the ratio is cross-multiplied
+    * exact integers widened to DECIMAL(38,0) (N·c_xy overflows long at
+    * the 100 TB corpus), converted to double once, one ln, one e6
+    * rounding — the x162 discipline. Scale: both count tables come off
+    * the Layer-shared [[bigramStream]] (no new corpus pass), marginals
+    * are vocab-sized, and the report is a TakeOrdered top-k with a
+    * total-order tie-break — never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val bc = Layer.cached(spark, dir, "text_bigram_counts") {
+      bigramStream(spark, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    }
+    val left = bc.groupBy("w1").agg(sum(col("c_xy")).as("c_1"))
+    val right = bc.groupBy("w2").agg(sum(col("c_xy")).as("c_2"))
+    val tot = bc.agg(sum(col("c_xy")).as("n_bg"))
+    bc.filter(col("c_xy") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        floor(log((d38(col("n_bg")) * d38(col("c_xy"))).cast("double")
+            / (d38(col("c_1")) * d38(col("c_2"))).cast("double"))
+          * 1000000d + 0.5d).cast("long").as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val pmiOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT toks[i.i] AS w1, toks[i.i + 1] AS w2
+      |       FROM t, UNNEST(range(1, len(toks))) i(i)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |l AS (SELECT w1, SUM(c_xy) AS c_1 FROM bc GROUP BY 1),
+      |r AS (SELECT w2, SUM(c_xy) AS c_2 FROM bc GROUP BY 1),
+      |n AS (SELECT SUM(c_xy) AS n_bg FROM bc)
+      |SELECT bc.w1, bc.w2, CAST(bc.c_xy AS BIGINT) AS c_xy,
+      |       CAST(floor(ln(CAST(n.n_bg * bc.c_xy AS DOUBLE)
+      |            / CAST(l.c_1 * r.c_2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |         AS pmi_e6
+      |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      |WHERE bc.c_xy >= 5
+      |ORDER BY pmi_e6 DESC, bc.w1, bc.w2 LIMIT 50""".stripMargin
+
   /** x176: Hill tail-index of the document-length distribution — the
     * power-law exponent estimate (Hill '75) that answers "how heavy is
     * the long-document tail" before picking x153's bucket boundaries or

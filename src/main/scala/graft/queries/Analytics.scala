@@ -1091,6 +1091,61 @@ object Analytics {
       |FROM detr JOIN seas USING (dow)
       |ORDER BY detr.day""".stripMargin
 
+  /** a38: Theil–Sen robust trend of daily revenue — the median of all
+    * pairwise slopes (Theil '50, Sen '68), the estimator that survives
+    * the outlier days a33 flags where x120's OLS slope gets dragged
+    * (breakdown point 29 % vs OLS's zero). Pair space is the DAILY
+    * frame's self-join — |days|² pairs where |days| is calendar-bounded
+    * metadata (≈ 2 400 at the gate span ⇒ ~3 M pair rows), never the
+    * fact: the orders table reduces to the Layer-shared a33 daily frame
+    * first. Exactness: each slope converts its exact integer Δcents/Δday
+    * to double once; the median is the a04 `percentile ≡ quantile_cont`
+    * interpolation over IDENTICAL doubles; the intercept repeats the
+    * discipline against the broadcast median slope. One rounding per
+    * emitted statistic. Output: one row.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
+      Tables.orders(spark, dir)
+        .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+          .cast("long").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("cents"))
+    }
+    val b = daily.select(col("day").as("day2"), col("cents").as("cents2"))
+    val slopes = daily.join(b, col("day2") > col("day"))
+      .select(((col("cents2") - col("cents")).cast("double")
+        / (col("day2") - col("day")).cast("double")).as("slope"))
+    val med = slopes.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").as("m"))
+    daily.crossJoin(broadcast(med))
+      .select(col("day"), col("cents"), col("n_pairs"), col("m"),
+        (col("cents").cast("double") - col("m") * col("day").cast("double")).as("ic"))
+      .groupBy("n_pairs", "m")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(ic, 0.5)").as("ic_med"))
+      .select(col("n_days"), col("n_pairs"),
+        floor(col("m") * 10000d + 0.5d).cast("long").as("slope_e4"),
+        floor(col("ic_med") + 0.5d).cast("long").as("icept_e2"))
+  }
+
+  val theilSenOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(b.cents - a.cents AS DOUBLE)
+      |             / CAST(b.day - a.day AS DOUBLE) AS slope
+      |      FROM daily a JOIN daily b ON b.day > a.day),
+      |m AS (SELECT COUNT(*) AS n_pairs, quantile_cont(slope, 0.5) AS m FROM p),
+      |ic AS (SELECT m.n_pairs, m.m, COUNT(*) AS n_days,
+      |              quantile_cont(CAST(d.cents AS DOUBLE)
+      |                - m.m * CAST(d.day AS DOUBLE), 0.5) AS ic_med
+      |       FROM daily d, m GROUP BY 1, 2)
+      |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(floor(m * 10000 + 0.5) AS BIGINT) AS slope_e4,
+      |       CAST(floor(ic_med + 0.5) AS BIGINT) AS icept_e2
+      |FROM ic""".stripMargin
+
   val rfmOracle: String =
     """WITH c AS (SELECT o_custkey,
       |                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
@@ -1151,6 +1206,7 @@ object Analytics {
     "a35_gini_lorenz"      -> (giniLorenz _),
     "a36_rfm_segments"     -> (rfmSegments _),
     "a37_seasonal_decomp"  -> (seasonalDecomp _),
+    "a38_theilsen_trend"   -> (theilSenTrend _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1159,6 +1215,7 @@ object Analytics {
     "a35_gini_lorenz"      -> giniLorenzOracle,
     "a36_rfm_segments"     -> rfmOracle,
     "a37_seasonal_decomp"  -> seasonalDecompOracle,
+    "a38_theilsen_trend"   -> theilSenOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

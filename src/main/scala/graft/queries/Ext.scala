@@ -72,6 +72,7 @@ object Ext {
     "x179_weight_ess"      -> ((s: SparkSession, d: String) => graft.ops.Sampling.weightEss(s, d)),
     "x180_attribution"     -> ((s: SparkSession, d: String) => Events.linearAttribution(s, d)),
     "x181_target_encode"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.targetEncodeBrand(s, d)),
+    "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
     "m06_isotonic"         -> ((s: SparkSession, d: String) => ReorderModel.isotonicCalibration(s, d)),
@@ -425,6 +426,7 @@ object Ext {
     "x179_weight_ess"      -> graft.ops.Sampling.weightEssOracle,
     "x180_attribution"     -> Events.attributionOracle,
     "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
+    "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

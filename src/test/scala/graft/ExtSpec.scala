@@ -1540,6 +1540,33 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("PMI collocations match the driver-side recomputation, marginals unfiltered") {
+    val got = TextAnalysis.pmiCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 50)
+    val texts = graft.Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      ws.zip(ws.drop(1))
+    }
+    val bc = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bc.groupBy(_._1._1).map { case (w, g) => w -> g.values.sum }
+    val c2 = bc.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+    val n = bc.values.sum
+    val exp = bc.toSeq.filter(_._2 >= 5).map { case ((w1, w2), cxy) =>
+      val pmi = math.floor(math.log(
+        (BigInt(n) * cxy).toDouble / (BigInt(c1(w1)) * c2(w2)).toDouble)
+        * 1e6 + 0.5).toLong
+      (w1, w2, cxy, pmi)
+    }.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(50)
+    assert(got.toSeq === exp, "top-50 collocation table mismatch")
+    // PMI's expectation over the joint is the (nonnegative) mutual
+    // information, but individual pairs can be negative; the top-k of a
+    // corpus with any association structure is positive
+    assert(got.head._4 >= 0L)
+  }
+
   test("Hill tail index recomputes exactly; a flat tail emits NULL") {
     val row = TextAnalysis.tailIndex(spark, sf).collect().head
     val (k, xTail, dE6) = (row.getLong(0), row.getLong(1), row.getLong(2))

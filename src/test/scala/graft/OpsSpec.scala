@@ -1271,6 +1271,33 @@ class OpsSpec extends SparkSuite {
     assert(ratio <= 1000001L)
   }
 
+  test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
+    val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
+    val (nDays, nPairs, slopeE4, iceptE2) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val daily = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(nDays === daily.length.toLong)
+    assert(nPairs === daily.length.toLong * (daily.length - 1) / 2)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val i = h.toInt
+      if (i + 1 >= s.length) s(i) else s(i) + (h - i) * (s(i + 1) - s(i))
+    }
+    val slopes = for {
+      i <- daily.indices.toArray; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble / (daily(j)._1 - daily(i)._1).toDouble
+    val m = med(slopes)
+    assert(slopeE4 === math.floor(m * 1e4 + 0.5).toLong, "median slope")
+    val ics = daily.map { case (d, c) => c.toDouble - m * d.toDouble }
+    assert(iceptE2 === math.floor(med(ics) + 0.5).toLong, "median intercept")
+  }
+
   test("target encoding shrinks toward the prior and recomputes exactly") {
     val got = graft.ops.Encoding.targetEncodeBrand(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

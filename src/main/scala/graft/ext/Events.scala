@@ -994,6 +994,69 @@ object Events {
       |       CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS mean_lag_us
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x183: active-user accounting — DAU, trailing-7-day WAU, and the
+    * new-vs-returning split per day: the product-health dashboard x94's
+    * cohort matrix feeds but doesn't directly answer ("how many users
+    * today, how many for the first time, how sticky is the week").
+    * Scale shape: ONE fact pass reduces events to the distinct
+    * (user, day) presence table; DAU/new/returning are presence-sized
+    * aggregates; WAU is the x160 offset-EXPLODE — each presence row
+    * contributes to its 7 forward target days and a per-target DISTINCT
+    * count collapses multi-day users (an exact windowed
+    * COUNT(DISTINCT) with no self-join and no window-function distinct,
+    * which neither engine supports). All counts exact BIGINT on the
+    * dense day grid; days before lo+6 carry an honest partial window.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(spark, dir)
+      .select(floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val span = pres.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dau = pres.groupBy("day").agg(count(lit(1)).as("dau"))
+    val firstDay = pres.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val wau = pres
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    // the day grid is generate_series(lo, hi), so WAU targets past hi
+    // (presence-explode overshoot) drop out of the left join naturally
+    days.join(dau, Seq("day"), "left")
+      .join(firstDay, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("dau"), lit(0L)) - coalesce(col("n_new"), lit(0L))).as("n_returning"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .orderBy("day")
+  }
+
+  val activeUsersOracle: String =
+    """WITH pres AS (SELECT DISTINCT
+      |                CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                user_id
+      |              FROM events),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM pres),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM pres GROUP BY 1),
+      |fd AS (SELECT day, COUNT(*) AS n_new
+      |       FROM (SELECT user_id, MIN(day) AS day FROM pres GROUP BY 1)
+      |       GROUP BY 1),
+      |wau AS (SELECT p.day + o.off AS day, COUNT(DISTINCT p.user_id) AS wau
+      |        FROM pres p, (SELECT unnest(generate_series(0, 6)) AS off) o
+      |        GROUP BY 1)
+      |SELECT d.day, COALESCE(dau.dau, 0) AS dau,
+      |       COALESCE(fd.n_new, 0) AS n_new,
+      |       COALESCE(dau.dau, 0) - COALESCE(fd.n_new, 0) AS n_returning,
+      |       COALESCE(wau.wau, 0) AS wau
+      |FROM days d
+      |LEFT JOIN dau ON dau.day = d.day
+      |LEFT JOIN fd ON fd.day = d.day
+      |LEFT JOIN wau ON wau.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   /** x180: linear multi-touch attribution — the s06/x171 pair semantics
     * asked WHICH views convert and HOW FAST; this asks HOW MUCH CREDIT
     * each touchpoint earns: every view in the 6 h window before a

@@ -337,4 +337,24 @@ object ReorderModel {
         math.floor(ps(i) * 1e6 + 0.5).toLong))
       .toDF("idx", "boundary_e6", "pred_e6")
   }
+
+  /** m07: RF feature importances — the model-explainability readout
+    * ("which of the reference's engineered features carries the
+    * signal"): spark.ml's Gini-gain-weighted, tree-averaged importances
+    * (Breiman '01 / Hastie ESL §15.3.2), normalized to sum 1. The
+    * vector is a property of the seeded fitted model — driver-sized,
+    * the x149 boundary class — emitted as (idx, feature, e6) rows. No
+    * oracle (seeded ensemble, the m01 class); MlSpec pins
+    * nonnegativity, the sum-to-one normalization on the e6 grid, and
+    * run-to-run determinism.
+    */
+  def featureImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = rf.fit(assembledTrain(spark, dir))
+    val imp = model.featureImportances.toArray
+    featureCols.zip(imp).zipWithIndex
+      .map { case ((f, v), i) =>
+        (i.toLong, f, math.floor(v * 1e6 + 0.5).toLong) }
+      .toSeq.toDF("idx", "feature", "importance_e6")
+  }
 }

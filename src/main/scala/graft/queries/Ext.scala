@@ -76,6 +76,10 @@ object Ext {
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
     "m06_isotonic"         -> ((s: SparkSession, d: String) => ReorderModel.isotonicCalibration(s, d)),
+    "x183_active_users"    -> ((s: SparkSession, d: String) => Events.activeUsers(s, d)),
+    // rows-only by design: seeded-ensemble importances (m01 class);
+    // MlSpec pins nonnegativity/sum-to-one/determinism
+    "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
     // rows-only by design: seeded tree-ensemble scores (the m01 class);
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
@@ -427,6 +431,7 @@ object Ext {
     "x180_attribution"     -> Events.attributionOracle,
     "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
+    "x183_active_users"    -> Events.activeUsersOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1629,6 +1629,34 @@ class ExtSpec extends SparkSuite {
     assert(got.keySet === gaps.map(_._1).toSet)
   }
 
+  test("active-user accounting matches the driver-side presence recomputation") {
+    val got = Events.activeUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val pres = graft.Tables.events(spark, sf)
+      .select(floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lo = pres.map(_._1).min
+    val hi = pres.map(_._1).max
+    assert(got.map(_._1).toSeq === (lo to hi), "dense day grid")
+    val byDay = pres.groupBy(_._1)
+    val firstDay = pres.groupBy(_._2).map { case (u, rows) => u -> rows.map(_._1).min }
+    got.foreach { case (d, dau, nNew, nRet, wau) =>
+      val active = byDay.getOrElse(d, Array.empty).map(_._2).toSet
+      assert(dau === active.size.toLong, s"day $d dau")
+      assert(nNew === firstDay.count(_._2 == d).toLong, s"day $d new")
+      assert(nRet === dau - nNew, s"day $d returning")
+      val wauExp = pres.filter(p => p._1 <= d && p._1 >= d - 6).map(_._2).toSet.size
+      assert(wau === wauExp.toLong, s"day $d wau")
+      // the trailing week always covers the day itself
+      assert(wau >= dau)
+    }
+    // every user is new exactly once: the new-user column telescopes to
+    // the full user population
+    assert(got.map(_._3).sum === firstDay.size.toLong)
+  }
+
   test("linear attribution conserves purchase value across touches") {
     val got = Events.linearAttribution(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

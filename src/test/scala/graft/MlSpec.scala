@@ -198,4 +198,21 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq, "PAVA must be deterministic")
   }
+
+  test("feature importances are nonnegative, normalized, and deterministic") {
+    val rows = ReorderModel.featureImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq === ReorderModel.featureCols.toSeq,
+      "one row per engineered feature, in order")
+    rows.foreach { case (_, f, v) =>
+      assert(v >= 0L && v <= 1000000L, s"$f importance out of [0, 1]") }
+    // Gini importances normalize to 1; each of the |features| roundings
+    // moves the e6 sum by at most half a unit
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1000000L) <= rows.length.toLong,
+      s"importances sum to $total, not ~1e6")
+    val again = ReorderModel.featureImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq, "seeded fit must be deterministic")
+  }
 }

@@ -1486,9 +1486,9 @@ object TextAnalysis {
   def pmiCollocations(spark: SparkSession, dir: String,
                       minCount: Long = 5, k: Int = 50): DataFrame = {
     val d38: Column => Column = _.cast("decimal(38,0)")
-    val bc = Layer.cached(spark, dir, "text_bigram_counts") {
-      bigramStream(spark, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-    }
+    // the x107/x140 Layer-shared bigram count table, renamed to this
+    // query's cell vocabulary (c_xy = joint count)
+    val bc = bigramCounts(spark, dir).withColumnRenamed("n_bg", "c_xy")
     val left = bc.groupBy("w1").agg(sum(col("c_xy")).as("c_1"))
     val right = bc.groupBy("w2").agg(sum(col("c_xy")).as("c_2"))
     val tot = bc.agg(sum(col("c_xy")).as("n_bg"))

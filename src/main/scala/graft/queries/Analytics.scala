@@ -851,14 +851,22 @@ object Analytics {
     * orders three times (improves on x113's triple-scan posture); both
     * percentile frames are 7-row broadcasts.
     */
-  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
+  /** The Layer-cached (day, cents) daily revenue frame — ONE orders scan
+    * per run shared by a33 (seasonal MAD), a37 (decomposition), and a38
+    * (Theil–Sen); single builder site so the cache key can never carry
+    * two schemas (the x182 lesson).
+    */
+  private[graft] def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "dailyRevenue") {
       Tables.orders(spark, dir)
         .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
           .cast("long").as("day"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
         .groupBy("day").agg(sum(col("cents")).as("cents"))
     }
+
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
     val med = daily.groupBy((col("day") % 7).as("dow"))
       .agg(floor(expr("percentile(cents, 0.5)") * 10000d + 0.5d)
         .cast("long").as("med_e4"))
@@ -1031,13 +1039,7 @@ object Analytics {
     * everything after is the |days|-row metadata grid.
     */
   def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
-      Tables.orders(spark, dir)
-        .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
-          .cast("long").as("day"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        .groupBy("day").agg(sum(col("cents")).as("cents"))
-    }
+    val daily = dailyRevenue(spark, dir)
     val span = daily.agg(min("day").as("lo"), max("day").as("hi"))
     val dense = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
       .join(daily, Seq("day"), "left")
@@ -1105,13 +1107,7 @@ object Analytics {
     * emitted statistic. Output: one row.
     */
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Layer.cached(spark, dir, "dailyRevenue") {
-      Tables.orders(spark, dir)
-        .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
-          .cast("long").as("day"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        .groupBy("day").agg(sum(col("cents")).as("cents"))
-    }
+    val daily = dailyRevenue(spark, dir)
     val b = daily.select(col("day").as("day2"), col("cents").as("cents2"))
     val slopes = daily.join(b, col("day2") > col("day"))
       .select(((col("cents2") - col("cents")).cast("double")

@@ -655,6 +655,74 @@ object Similarity {
       |FROM s JOIN r ON r.dim_i = s.dim_i
       |GROUP BY s.dim_i, r.vmin, r.vmax ORDER BY s.dim_i""".stripMargin
 
+  /** x184: SQ8 quantized top-k search — the serving-side use of the x79
+    * codes and the x156 range profile: score candidates on their int8
+    * codes via the native codegen'd [[graft.functions.Int8Dot]], so the
+    * per-pair cost is a 64-element integer MAC loop instead of float
+    * math, and the RANKING KEY IS EXACT — scale_q·scale_n·dot is a pure
+    * BIGINT-domain product (DECIMAL-widened: 10⁶·10⁶·10⁶ brushes 2⁶³),
+    * which is what lets a quantized ANN query hash-match a SQL oracle at
+    * all. Same per-vector symmetric quantization as x79 (max-abs scale,
+    * half-up at 127) and the same broadcast-queries × candidate-scan +
+    * WindowGroupLimit shape as x20; at 100 TB the scan side swaps for
+    * the IVF probe (x23) with the scoring expression unchanged.
+    */
+  def sq8TopK(spark: SparkSession, dir: String,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val quant = Tables.embeddings(spark, dir)
+      .withColumn("mx", array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+      .select(col("vec_id"),
+        floor(col("mx") * 1000000d + 0.5d).cast("long").as("scale_micro"),
+        transform(col("embedding"),
+          v => when(col("mx") === 0d, lit(0L))
+            .otherwise(floor(v.cast("double") / col("mx") * 127d + 0.5d)
+              .cast("long"))).as("codes"))
+    val q = quant.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("scale_micro").as("q_scale"),
+        col("codes").as("q_codes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q).crossJoin(quant)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot_q", gf.int8_dot(col("q_codes"), col("codes")))
+      .withColumn("score",
+        col("q_scale").cast("decimal(38,0)") * col("scale_micro") * col("dot_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("n_id"), col("dot_q"),
+        col("score").cast("long").as("score_scaled"))
+      .orderBy("q_id", "rank")
+  }
+
+  val sq8TopKOracle: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+      |         embedding
+      |  FROM embeddings),
+      |quant AS (
+      |  SELECT vec_id, CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+      |         list_transform(embedding,
+      |           x -> CAST(CASE WHEN mx = 0 THEN 0
+      |                          ELSE floor(CAST(x AS DOUBLE) / mx * 127 + 0.5)
+      |                     END AS BIGINT)) AS codes
+      |  FROM s),
+      |q AS (SELECT vec_id AS q_id, scale_micro AS q_scale, codes AS q_codes
+      |      FROM quant WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, n.vec_id AS n_id,
+      |         CAST(list_dot_product(q.q_codes, n.codes) AS BIGINT) AS dot_q,
+      |         q.q_scale * n.scale_micro
+      |           * CAST(list_dot_product(q.q_codes, n.codes) AS BIGINT) AS score
+      |  FROM q CROSS JOIN quant n WHERE n.vec_id <> q.q_id)
+      |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |         ORDER BY score DESC, n_id) AS BIGINT) AS rank,
+      |       n_id, dot_q, CAST(score AS BIGINT) AS score_scaled
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   def principalComponent(spark: SparkSession, dir: String,
                          iters: Int = 400, r: Int = 3): DataFrame = {
     import spark.implicits._

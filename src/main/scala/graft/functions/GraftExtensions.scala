@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.IntegerType
 /** Build-time session integration — rung (c) of the custom-operator
   * ladder, the `SparkSessionExtensions` surface: with
   * `spark.sql.extensions=graft.functions.GraftExtensions` every session
-  * built from the config exposes the five native expressions as SQL
+  * built from the config exposes the six native expressions as SQL
   * functions (no per-session [[functions.registerSql]] call) and runs the
   * [[HammingIdentityFold]] optimizer rule. Function injection targets the
   * session-build path a platform team controls; the live-session
@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("simhash64", 1)(es => SimHash64(es.head))
     fn("cosine_sim", 2)(es => CosineSimF(es(0), es(1)))
     fn("hamming64", 2)(es => Hamming64(es(0), es(1)))
+    fn("int8_dot", 2)(es => Int8Dot(es(0), es(1)))
     fn("deflate_ratio", 1)(es => DeflateRatio(es.head))
     ext.injectOptimizerRule(_ => HammingIdentityFold)
   }

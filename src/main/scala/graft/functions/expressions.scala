@@ -76,6 +76,23 @@ object Kernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Exact integer dot product of two int8-code arrays (stored as
+    * array<long>) — the SQ8 quantized-ANN scoring core. Per-element
+    * products are ≤ 127², so the sum is exact in long for any realistic
+    * dimension; the score never touches a double, which is what makes
+    * the x184 ranking hash-checkable.
+    */
+  def int8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
   /** Deflate compression ratio (compressed/raw bytes, level 6): the
     * corpus-quality signal where highly repetitive text compresses far
     * below ~1 and natural text sits higher. Deterministic for a fixed
@@ -138,6 +155,22 @@ case class CosineSimF(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimF =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot product of two int8 code arrays (array<long>) — the
+  * SQ8 scoring core (x184). Codegen'd single pass; LongType result keeps
+  * the quantized ranking in exact integer arithmetic end to end.
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.int8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Dot =
     copy(left = l, right = r)
 }
 
@@ -207,6 +240,7 @@ object functions {
   def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimF(x(a), x(b)))
   def hamming64(a: Column, b: Column): Column = c(Hamming64(x(a), x(b)))
+  def int8_dot(a: Column, b: Column): Column = c(Int8Dot(x(a), x(b)))
   def deflate_ratio(col: Column): Column = c(DeflateRatio(x(col)))
   // not in registerSql: the expression closes over a Broadcast handle,
   // which a SQL call site has no way to supply
@@ -221,6 +255,7 @@ object functions {
     registerFunction(spark, "simhash64", es => SimHash64(es.head))
     registerFunction(spark, "cosine_sim", es => CosineSimF(es(0), es(1)))
     registerFunction(spark, "hamming64", es => Hamming64(es(0), es(1)))
+    registerFunction(spark, "int8_dot", es => Int8Dot(es(0), es(1)))
     registerFunction(spark, "deflate_ratio", es => DeflateRatio(es.head))
   }
 }

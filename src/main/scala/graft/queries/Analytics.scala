@@ -1142,6 +1142,51 @@ object Analytics {
       |       CAST(floor(ic_med + 0.5) AS BIGINT) AS icept_e2
       |FROM ic""".stripMargin
 
+  /** a39: basket-size dispersion — the index-of-dispersion test
+    * (var/mean; exactly 1 under Poisson) on lines-per-order, the
+    * one-number answer to "can I model basket size as Poisson" before a
+    * simulator or a negative-binomial correction. Exactness: population
+    * variance never materializes as a rational — the statistic is the
+    * cross-multiplied form D = (n·Σx² − (Σx)²)/(n·Σx) with Σx² widened
+    * to DECIMAL(38,0) (the a34 bound), converted to double ONCE.
+    * Scale shape: one fact-sized aggregate to order grain (map-side
+    * partials), then a one-row reduction. Output: one row.
+    */
+  def basketDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n")).as("n_lines"),
+        sum(d38(col("n") * col("n"))).as("s2"))
+      .select(col("n_orders"), col("n_lines"),
+        floor(col("n_lines").cast("double") / col("n_orders").cast("double")
+          * 10000d + 0.5d).cast("long").as("mean_e4"),
+        floor((d38(col("n_orders")) * col("s2") - d38(col("n_lines")) * d38(col("n_lines")))
+          .cast("double")
+          / (d38(col("n_orders")) * d38(col("n_orders"))).cast("double")
+          * 10000d + 0.5d).cast("long").as("var_e4"),
+        floor((d38(col("n_orders")) * col("s2") - d38(col("n_lines")) * d38(col("n_lines")))
+          .cast("double")
+          / (d38(col("n_orders")) * d38(col("n_lines"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("dispersion_e6"))
+  }
+
+  val basketDispersionOracle: String =
+    """WITH b AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n_orders, SUM(n) AS n_lines, SUM(n * n) AS s2
+      |      FROM b)
+      |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+      |       CAST(n_lines AS BIGINT) AS n_lines,
+      |       CAST(floor(CAST(n_lines AS DOUBLE) / CAST(n_orders AS DOUBLE)
+      |            * 10000 + 0.5) AS BIGINT) AS mean_e4,
+      |       CAST(floor(CAST(n_orders * s2 - n_lines * n_lines AS DOUBLE)
+      |            / CAST(n_orders * n_orders AS DOUBLE)
+      |            * 10000 + 0.5) AS BIGINT) AS var_e4,
+      |       CAST(floor(CAST(n_orders * s2 - n_lines * n_lines AS DOUBLE)
+      |            / CAST(n_orders * n_lines AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS dispersion_e6
+      |FROM m""".stripMargin
+
   val rfmOracle: String =
     """WITH c AS (SELECT o_custkey,
       |                  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
@@ -1203,6 +1248,7 @@ object Analytics {
     "a36_rfm_segments"     -> (rfmSegments _),
     "a37_seasonal_decomp"  -> (seasonalDecomp _),
     "a38_theilsen_trend"   -> (theilSenTrend _),
+    "a39_basket_dispersion" -> (basketDispersion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1212,6 +1258,7 @@ object Analytics {
     "a36_rfm_segments"     -> rfmOracle,
     "a37_seasonal_decomp"  -> seasonalDecompOracle,
     "a38_theilsen_trend"   -> theilSenOracle,
+    "a39_basket_dispersion" -> basketDispersionOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -77,6 +77,7 @@ object Ext {
     // MlSpec pins monotonicity/bounds/determinism
     "m06_isotonic"         -> ((s: SparkSession, d: String) => ReorderModel.isotonicCalibration(s, d)),
     "x183_active_users"    -> ((s: SparkSession, d: String) => Events.activeUsers(s, d)),
+    "x184_sq8_topk"        -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -432,6 +433,7 @@ object Ext {
     "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
+    "x184_sq8_topk"        -> Similarity.sq8TopKOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

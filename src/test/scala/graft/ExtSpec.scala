@@ -1629,6 +1629,43 @@ class ExtSpec extends SparkSuite {
     assert(got.keySet === gaps.map(_._1).toSet)
   }
 
+  test("SQ8 top-k matches the driver-side quantize-and-score recomputation") {
+    val got = Similarity.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quantize(v: Array[Float]): (Long, Array[Long]) = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val scale = math.floor(mx * 1e6 + 0.5).toLong
+      val codes = v.map(x =>
+        if (mx == 0d) 0L else math.floor(x.toDouble / mx * 127d + 0.5).toLong)
+      (scale, codes)
+    }
+    val q = vecs.filter(_._1 < 10).map { case (id, v) => (id, quantize(v)) }
+    val all = vecs.map { case (id, v) => (id, quantize(v)) }
+    val exp = q.flatMap { case (qid, (qs, qc)) =>
+      all.filter(_._1 != qid).map { case (nid, (ns, nc)) =>
+        val dot = qc.zip(nc).map { case (a, b) => a * b }.sum
+        (qid, nid, dot, BigInt(qs) * ns * dot)
+      }.sortBy { case (_, nid, _, score) => (-score, nid) }
+        .take(5).zipWithIndex
+        .map { case ((_, nid, dot, score), i) =>
+          (qid, i + 1L, nid, dot, score.toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === exp.toSeq, "quantized top-k mismatch")
+    // quantization preserves neighborhood structure on this corpus: each
+    // query's quantized top-1 appears in the EXACT cosine top-5 (a recall
+    // floor, not equality — SQ8 is an approximation by design)
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val exactTop5 = exact.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val top1 = got.filter(_._2 == 1L)
+    val hits = top1.count(t => exactTop5.get(t._1).exists(_.contains(t._3)))
+    assert(hits * 2 >= top1.length, s"SQ8 top-1 recall too low: $hits/${top1.length}")
+  }
+
   test("active-user accounting matches the driver-side presence recomputation") {
     val got = Events.activeUsers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -64,6 +64,29 @@ class FunctionsSpec extends SparkSuite {
     df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("int8_dot is the exact integer dot product, via column API and SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // kernel: exact integer MAC, negative codes included
+    assert(Kernels.int8Dot(
+      ArrayData.toArrayData(Array(127L, -127L, 1L)),
+      ArrayData.toArrayData(Array(127L, 127L, 5L))) === 127L * 127 - 127L * 127 + 5L)
+    // column API agrees with the functions.aggregate/zip_with composition
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-128L, 127L), Seq(127L, -128L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+    ).toDF("a", "b")
+      .select(gf.int8_dot(col("a"), col("b")).as("got"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("want"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // SQL registration path resolves
+    graft.functions.functions.registerSql(spark)
+    assert(spark.sql("SELECT int8_dot(array(2L, 3L), array(4L, 5L))")
+      .collect()(0).getLong(0) === 23L)
+  }
+
   test("hamming64 counts differing bits") {
     assert(Kernels.hamming64(0L, -1L) === 64)
     assert(Kernels.hamming64(0b1011L, 0b0010L) === 2)

@@ -1271,6 +1271,26 @@ class OpsSpec extends SparkSuite {
     assert(ratio <= 1000001L)
   }
 
+  test("basket dispersion recomputes exactly and is nonnegative") {
+    val row = graft.queries.Analytics.basketDispersion(spark, sf).collect().head
+    val (nOrders, nLines, meanE4, varE4, dispE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val sizes = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n")).collect()
+      .map(_.getLong(1))
+    assert(nOrders === sizes.length.toLong)
+    assert(nLines === sizes.sum)
+    val a = (BigInt(nOrders) * sizes.map(n => BigInt(n) * n).sum
+      - BigInt(nLines) * nLines).toDouble
+    assert(meanE4 === math.floor(nLines.toDouble / nOrders.toDouble * 1e4 + 0.5).toLong)
+    assert(varE4 === math.floor(
+      a / (BigInt(nOrders) * nOrders).toDouble * 1e4 + 0.5).toLong)
+    assert(dispE6 === math.floor(
+      a / (BigInt(nOrders) * nLines).toDouble * 1e6 + 0.5).toLong)
+    // population variance and the dispersion index are nonnegative
+    assert(varE4 >= 0L && dispE6 >= 0L)
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

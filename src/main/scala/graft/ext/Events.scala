@@ -994,6 +994,84 @@ object Events {
       |       CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS mean_lag_us
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x185: week-over-week revenue growth per event type — the executive
+    * trend report ("up or down vs last week, in basis points") that
+    * x120's regression slope and x160's EWMA summarize away. Weeks are
+    * engine-neutral epoch-day DIV 7; weekly sums come off the
+    * Layer-shared [[dailyValueByType]] daily frame (re-aggregated —
+    * no new fact pass), and the lag is a per-TYPE window over the
+    * |weeks|-row metadata grid. Growth is NEGATIVE-CAPABLE, so no
+    * integer DIV (the x162 floor-vs-truncate hazard): the exact integer
+    * delta and base convert to double once and round once to basis
+    * points; a zero/absent base week emits NULL on both engines.
+    */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = dailyValueByType(spark, dir)
+      .groupBy(col("event_type"), expr("day DIV 7").as("week"))
+      .agg(sum(col("rev_e3")).as("rev_e3"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_e3", lag(col("rev_e3"), 1).over(w))
+      .select(col("event_type"), col("week"), col("rev_e3"),
+        when(col("prev_week") === col("week") - 1 && col("prev_e3") > 0L,
+          floor((col("rev_e3") - col("prev_e3")).cast("double")
+            / col("prev_e3").cast("double") * 10000d + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("growth_bp"))
+      .orderBy("event_type", "week")
+  }
+
+  val wowGrowthOracle: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS rev_e3
+      |           FROM events GROUP BY 1, 2),
+      |wk AS (SELECT event_type, day // 7 AS week, SUM(rev_e3) AS rev_e3
+      |       FROM r GROUP BY 1, 2),
+      |lg AS (SELECT event_type, week, rev_e3,
+      |              LAG(week) OVER (PARTITION BY event_type ORDER BY week) AS prev_week,
+      |              LAG(rev_e3) OVER (PARTITION BY event_type ORDER BY week) AS prev_e3
+      |       FROM wk)
+      |SELECT event_type, week, CAST(rev_e3 AS BIGINT) AS rev_e3,
+      |       CASE WHEN prev_week = week - 1 AND prev_e3 > 0
+      |            THEN CAST(floor(CAST(rev_e3 - prev_e3 AS DOUBLE)
+      |                 / CAST(prev_e3 AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      |            ELSE NULL END AS growth_bp
+      |FROM lg ORDER BY event_type, week""".stripMargin
+
+  /** x186: daily percentile bands of event value per type — the
+    * monitoring envelope (p10/p50/p90 per day) whose breach is what
+    * a33/x173 then diagnose. Exact interpolated percentiles per
+    * (type, day) group over e4-floored values (per-ROW quantization,
+    * the x132 rule), riding the a04 `percentile ≡ quantile_cont`
+    * equivalence with one half-up rounding each. ONE fact-sized
+    * grouped aggregate with map-side partials; output is the
+    * |types|·|days| metadata grid.
+    */
+  def dailyPercentileBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 10000d + 0.5d).cast("long").as("v_e4"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        floor(expr("percentile(v_e4, 0.1)") + 0.5d).cast("long").as("p10_e4"),
+        floor(expr("percentile(v_e4, 0.5)") + 0.5d).cast("long").as("p50_e4"),
+        floor(expr("percentile(v_e4, 0.9)") + 0.5d).cast("long").as("p90_e4"))
+      .orderBy("event_type", "day")
+
+  val percentileBandsOracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+      |           FROM events)
+      |SELECT event_type, day, COUNT(*) AS n,
+      |       CAST(floor(quantile_cont(v_e4, 0.1) + 0.5) AS BIGINT) AS p10_e4,
+      |       CAST(floor(quantile_cont(v_e4, 0.5) + 0.5) AS BIGINT) AS p50_e4,
+      |       CAST(floor(quantile_cont(v_e4, 0.9) + 0.5) AS BIGINT) AS p90_e4
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** x183: active-user accounting — DAU, trailing-7-day WAU, and the
     * new-vs-returning split per day: the product-health dashboard x94's
     * cohort matrix feeds but doesn't directly answer ("how many users

@@ -78,6 +78,8 @@ object Ext {
     "m06_isotonic"         -> ((s: SparkSession, d: String) => ReorderModel.isotonicCalibration(s, d)),
     "x183_active_users"    -> ((s: SparkSession, d: String) => Events.activeUsers(s, d)),
     "x184_sq8_topk"        -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
+    "x185_wow_growth"      -> ((s: SparkSession, d: String) => Events.wowGrowth(s, d)),
+    "x186_percentile_bands" -> ((s: SparkSession, d: String) => Events.dailyPercentileBands(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -434,6 +436,8 @@ object Ext {
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,
+    "x185_wow_growth"      -> Events.wowGrowthOracle,
+    "x186_percentile_bands" -> Events.percentileBandsOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

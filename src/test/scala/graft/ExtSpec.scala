@@ -1629,6 +1629,67 @@ class ExtSpec extends SparkSuite {
     assert(got.keySet === gaps.map(_._1).toSet)
   }
 
+  test("WoW growth recomputes exactly; gap and zero base weeks emit NULL") {
+    val got = Events.wowGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val weekly = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("v"))
+      .groupBy(col("event_type"), expr("day DIV 7").as("week"))
+      .agg(sum("v").as("rev")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.size === weekly.length)
+    weekly.groupBy(_._1).foreach { case (t, rows) =>
+      val byWeek = rows.map(r => r._2 -> r._3).toMap
+      rows.foreach { case (_, wk, rev) =>
+        val (gotRev, gotBp) = got((t, wk))
+        assert(gotRev === rev, s"$t week $wk revenue")
+        byWeek.get(wk - 1) match {
+          case Some(prev) if prev > 0 =>
+            assert(gotBp === Some(math.floor(
+              (rev - prev).toDouble / prev.toDouble * 1e4 + 0.5).toLong),
+              s"$t week $wk growth")
+          case _ => assert(gotBp.isEmpty, s"$t week $wk: no base ⇒ NULL")
+        }
+      }
+    }
+  }
+
+  test("daily percentile bands recompute and are ordered p10 ≤ p50 ≤ p90") {
+    val got = Events.dailyPercentileBands(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    val vals = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 10000d + 0.5d).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def pct(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val i = h.toInt
+      if (i + 1 >= s.length) s(i).toDouble
+      else s(i) + (h - i) * (s(i + 1) - s(i))
+    }
+    val grouped = vals.groupBy(v => (v._1, v._2))
+    assert(got.keySet === grouped.keySet)
+    grouped.foreach { case (k2, rows) =>
+      val xs = rows.map(_._3)
+      val (n, p10, p50, p90) = got(k2)
+      assert(n === xs.length.toLong)
+      assert(p10 === math.floor(pct(xs, 0.1) + 0.5).toLong, s"$k2 p10")
+      assert(p50 === math.floor(pct(xs, 0.5) + 0.5).toLong, s"$k2 p50")
+      assert(p90 === math.floor(pct(xs, 0.9) + 0.5).toLong, s"$k2 p90")
+      assert(p10 <= p50 && p50 <= p90, s"$k2 band inversion")
+    }
+  }
+
   test("SQ8 top-k matches the driver-side quantize-and-score recomputation") {
     val got = Similarity.sq8TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

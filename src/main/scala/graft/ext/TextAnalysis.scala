@@ -1405,6 +1405,67 @@ object TextAnalysis {
       |CROSS JOIN t
       |GROUP BY g.vocab_n ORDER BY vocab_n""".stripMargin
 
+  /** x187: the dataset card — the one-query corpus datasheet (Gebru et
+    * al., "Datasheets for Datasets") a curation pipeline publishes next
+    * to the training mix: sizes, diversity counts, token budget,
+    * vocabulary, exact-duplicate rate, and central tendency, in long
+    * (metric, value) form so downstream tooling reads one stable
+    * schema. Every ratio is a nonnegative exact-integer DIV on its
+    * fixed-point grid. Scale shape: ONE documents aggregate (the
+    * distincts are the priced item — at 100 TB the NDV columns swap for
+    * the x147 HLL mode) plus token totals off the Layer-shared
+    * [[tokenStream]] — no new corpus pass; the long-format pivot is a
+    * `stack` over a one-row frame.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      sum(col("n_chars")).as("sum_chars"))
+    val toks = tokenStream(spark, dir)
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("token")).as("vocab_size"))
+    base.crossJoin(toks)
+      .selectExpr(
+        """stack(9,
+          |  'n_docs', n_docs,
+          |  'n_sources', n_sources,
+          |  'n_langs', n_langs,
+          |  'n_tokens', n_tokens,
+          |  'vocab_size', vocab_size,
+          |  'exact_dup_rate_e6', ((n_docs - n_unique) * 1000000) DIV n_docs,
+          |  'mean_chars_e2', (sum_chars * 100) DIV n_docs,
+          |  'mean_tokens_e2', (n_tokens * 100) DIV n_docs,
+          |  'type_token_e6', (vocab_size * 1000000) DIV n_tokens
+          |) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
+  val datasetCardOracle: String =
+    """WITH b AS (SELECT COUNT(*) AS n_docs,
+      |                  COUNT(DISTINCT source) AS n_sources,
+      |                  COUNT(DISTINCT lang) AS n_langs,
+      |                  COUNT(DISTINCT md5(text)) AS n_unique,
+      |                  SUM(n_chars) AS sum_chars
+      |           FROM documents),
+      |t AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT u.t) AS vocab_size
+      |      FROM documents, UNNEST(string_split(text, ' ')) u(t))
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM b
+      |  UNION ALL SELECT 'n_sources', n_sources FROM b
+      |  UNION ALL SELECT 'n_langs', n_langs FROM b
+      |  UNION ALL SELECT 'n_tokens', n_tokens FROM t
+      |  UNION ALL SELECT 'vocab_size', vocab_size FROM t
+      |  UNION ALL SELECT 'exact_dup_rate_e6',
+      |    ((n_docs - n_unique) * 1000000) // n_docs FROM b
+      |  UNION ALL SELECT 'mean_chars_e2', (sum_chars * 100) // n_docs FROM b
+      |  UNION ALL SELECT 'mean_tokens_e2',
+      |    (t.n_tokens * 100) // b.n_docs FROM b, t
+      |  UNION ALL SELECT 'type_token_e6',
+      |    (vocab_size * 1000000) // n_tokens FROM t)
+      |ORDER BY metric""".stripMargin
+
   /** x175: pairwise source-vocabulary overlap — the corpus-composition
     * audit run before mixing sources into a training blend (two sources
     * with near-identical vocabularies add volume, not diversity; x119's

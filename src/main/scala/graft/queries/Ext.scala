@@ -80,6 +80,7 @@ object Ext {
     "x184_sq8_topk"        -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
     "x185_wow_growth"      -> ((s: SparkSession, d: String) => Events.wowGrowth(s, d)),
     "x186_percentile_bands" -> ((s: SparkSession, d: String) => Events.dailyPercentileBands(s, d)),
+    "x187_dataset_card"    -> ((s: SparkSession, d: String) => TextAnalysis.datasetCard(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -438,6 +439,7 @@ object Ext {
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,
     "x185_wow_growth"      -> Events.wowGrowthOracle,
     "x186_percentile_bands" -> Events.percentileBandsOracle,
+    "x187_dataset_card"    -> TextAnalysis.datasetCardOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1540,6 +1540,31 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("dataset card recomputes every metric from the raw corpus") {
+    val got = TextAnalysis.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text", "source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val nDocs = docs.length.toLong
+    val tokens = docs.flatMap(_._1.split(" ", -1))
+    val nTokens = tokens.length.toLong
+    val vocab = tokens.toSet.size.toLong
+    val nUnique = docs.map(_._1).toSet.size.toLong // md5 injective here
+    val sumChars = docs.map(d => BigInt(d._4)).sum
+    val exp = Map(
+      "n_docs" -> nDocs,
+      "n_sources" -> docs.map(_._2).toSet.size.toLong,
+      "n_langs" -> docs.map(_._3).toSet.size.toLong,
+      "n_tokens" -> nTokens,
+      "vocab_size" -> vocab,
+      "exact_dup_rate_e6" -> ((nDocs - nUnique) * 1000000L) / nDocs,
+      "mean_chars_e2" -> ((sumChars * 100) / nDocs).toLong,
+      "mean_tokens_e2" -> (nTokens * 100L) / nDocs,
+      "type_token_e6" -> (vocab * 1000000L) / nTokens)
+    assert(got === exp, "dataset card mismatch")
+  }
+
   test("PMI collocations match the driver-side recomputation, marginals unfiltered") {
     val got = TextAnalysis.pmiCollocations(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -47,6 +47,46 @@ object Encoding {
       .orderBy("p_brand")
   }
 
+  /** x189: 2-D feature density grid — the binned joint distribution of
+    * (quantity, price) that feeds interaction features (bin-crossed
+    * one-hots) and the dependence eyeball x162's single-number MI
+    * summarizes away. The x134 integer binning spine applied per axis
+    * (e2 per-ROW quantization, `(v·10) DIV (max+1)` with a LEAST cap),
+    * one fact-sized grouped aggregate, and a dense 10×10 grid so empty
+    * cells emit — downstream one-hot layouts need the full grid.
+    */
+  def densityGrid(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") * 100d + 0.5d).cast("long").as("q_e2"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("p_e2"))
+    val mx = li.agg(max(col("q_e2")).as("qmax"), max(col("p_e2")).as("pmax"))
+    val counts = li.crossJoin(broadcast(mx))
+      .select(least(lit(9L), expr("(q_e2 * 10) DIV (qmax + 1)")).as("qbin"),
+        least(lit(9L), expr("(p_e2 * 10) DIV (pmax + 1)")).as("pbin"))
+      .groupBy("qbin", "pbin").agg(count(lit(1)).as("n"))
+    val qb = spark.range(0, 10).select(col("id").as("qbin"))
+    val pb = spark.range(0, 10).select(col("id").as("pbin"))
+    qb.crossJoin(pb).join(counts, Seq("qbin", "pbin"), "left")
+      .select(col("qbin"), col("pbin"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("qbin", "pbin")
+  }
+
+  val densityGridOracle: String =
+    """WITH e AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_e2,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_e2
+      |           FROM lineitem),
+      |m AS (SELECT MAX(q_e2) AS qmax, MAX(p_e2) AS pmax FROM e),
+      |c AS (SELECT LEAST(9, (q_e2 * 10) // (qmax + 1)) AS qbin,
+      |             LEAST(9, (p_e2 * 10) // (pmax + 1)) AS pbin, COUNT(*) AS n
+      |      FROM e, m GROUP BY 1, 2),
+      |qb AS (SELECT unnest(generate_series(0, 9)) AS qbin),
+      |pb AS (SELECT unnest(generate_series(0, 9)) AS pbin)
+      |SELECT CAST(qb.qbin AS BIGINT) AS qbin, CAST(pb.pbin AS BIGINT) AS pbin,
+      |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM qb CROSS JOIN pb
+      |LEFT JOIN c ON c.qbin = qb.qbin AND c.pbin = pb.pbin
+      |ORDER BY 1, 2""".stripMargin
+
   val targetEncodeOracle: String =
     """WITH li AS (SELECT l_partkey,
       |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y

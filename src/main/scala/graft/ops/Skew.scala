@@ -68,6 +68,58 @@ object Skew {
       combine = Seq(sum(col("__n")).as("n"), sum(col("__s")).as("total")),
       deterministicSalt = deterministicSalt)
 
+  /** x188: key-skew profile — the PRE-JOIN audit that decides between
+    * the x45 (partial-agg absorb) and x46 (AQE skew-split) strategies
+    * before a shuffle is attempted: per-key row counts reduced to the
+    * four numbers an engineer actually routes on — top-1 and top-10 key
+    * share, and the Gini of the key distribution (0 = uniform keys,
+    * → 1 = one hot key carries everything). The rank the Gini needs runs
+    * through the two-phase bucketed [[Ranking.globalRowNumber]] over the
+    * KEY-grain aggregate (never the fact); Σrnk·n widens to
+    * DECIMAL(38,0) (the a35 bound) and every emitted ratio converts its
+    * exact integers to double once. Output: one row.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val counts = graft.Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val ranked = Ranking.globalRowNumber(counts, col("n"), col("l_partkey"), "rnk")
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n_keys")).as("n_keys"), max(col("n_rows")).as("n_rows"),
+        sum(when(col("rnk") === col("n_keys"), col("n"))).as("top1"),
+        sum(when(col("rnk") > col("n_keys") - 10, col("n"))).as("top10"),
+        sum(d38(col("rnk") * col("n"))).as("s1"))
+      .select(col("n_keys"), col("n_rows"),
+        floor(col("top1").cast("double") / col("n_rows").cast("double")
+          * 1000000d + 0.5d).cast("long").as("top1_share_e6"),
+        floor(col("top10").cast("double") / col("n_rows").cast("double")
+          * 1000000d + 0.5d).cast("long").as("top10_share_e6"),
+        floor((lit(2).cast("decimal(38,0)") * col("s1")
+            - d38(col("n_keys") + 1) * d38(col("n_rows"))).cast("double")
+          / (d38(col("n_keys")) * d38(col("n_rows"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("gini_e6"))
+  }
+
+  val keySkewOracle: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, l_partkey) AS rnk FROM c),
+      |t AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows FROM c),
+      |a AS (SELECT MAX(t.n_keys) AS n_keys, MAX(t.n_rows) AS n_rows,
+      |             SUM(CASE WHEN r.rnk = t.n_keys THEN r.n ELSE 0 END) AS top1,
+      |             SUM(CASE WHEN r.rnk > t.n_keys - 10 THEN r.n ELSE 0 END) AS top10,
+      |             SUM(r.rnk * r.n) AS s1
+      |      FROM r, t)
+      |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(floor(CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS top1_share_e6,
+      |       CAST(floor(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS top10_share_e6,
+      |       CAST(floor(CAST(2 * s1 - (n_keys + 1) * n_rows AS DOUBLE)
+      |            / CAST(n_keys * n_rows AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS gini_e6
+      |FROM a""".stripMargin
+
   /** Zipf-skewed grouping domain derived from lineitem: k = ⌊log₂ p⌋ over
     * the uniform part key, so bucket j holds 2ʲ parts and the heaviest
     * bucket owns ~40–50% of all rows (49% at sf0.01's 2000-part domain,

@@ -81,6 +81,8 @@ object Ext {
     "x185_wow_growth"      -> ((s: SparkSession, d: String) => Events.wowGrowth(s, d)),
     "x186_percentile_bands" -> ((s: SparkSession, d: String) => Events.dailyPercentileBands(s, d)),
     "x187_dataset_card"    -> ((s: SparkSession, d: String) => TextAnalysis.datasetCard(s, d)),
+    "x188_key_skew"        -> ((s: SparkSession, d: String) => graft.ops.Skew.keySkewProfile(s, d)),
+    "x189_density_grid"    -> ((s: SparkSession, d: String) => graft.ops.Encoding.densityGrid(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -440,6 +442,8 @@ object Ext {
     "x185_wow_growth"      -> Events.wowGrowthOracle,
     "x186_percentile_bands" -> Events.percentileBandsOracle,
     "x187_dataset_card"    -> TextAnalysis.datasetCardOracle,
+    "x188_key_skew"        -> graft.ops.Skew.keySkewOracle,
+    "x189_density_grid"    -> graft.ops.Encoding.densityGridOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

@@ -1271,6 +1271,50 @@ class OpsSpec extends SparkSuite {
     assert(ratio <= 1000001L)
   }
 
+  test("key-skew profile recomputes exactly; shares and Gini cohere") {
+    val row = graft.ops.Skew.keySkewProfile(spark, sf).collect().head
+    val (nKeys, nRows, top1, top10, gini) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val counts = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nKeys === counts.length.toLong)
+    assert(nRows === counts.map(_._2).sum)
+    val sorted = counts.sortBy(c => (c._2, c._1)).map(_._2)
+    assert(top1 === math.floor(
+      sorted.last.toDouble / nRows.toDouble * 1e6 + 0.5).toLong, "top-1 share")
+    assert(top10 === math.floor(
+      sorted.takeRight(10).sum.toDouble / nRows.toDouble * 1e6 + 0.5).toLong,
+      "top-10 share")
+    val s1 = sorted.zipWithIndex.map { case (n, i) => BigInt(i + 1) * n }.sum
+    assert(gini === math.floor(
+      (BigInt(2) * s1 - BigInt(nKeys + 1) * nRows).toDouble
+        / (BigInt(nKeys) * nRows).toDouble * 1e6 + 0.5).toLong, "Gini")
+    // coherence: top-10 dominates top-1; both live on [0, 1e6];
+    // Gini of a count distribution is in [0, 1)
+    assert(top10 >= top1 && top10 <= 1000000L)
+    assert(gini >= 0L && gini < 1000000L)
+  }
+
+  test("2-D density grid recomputes exactly and covers every row once") {
+    val got = graft.ops.Encoding.densityGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 100, "dense 10x10 grid")
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100d + 0.5d).toLong,
+        math.floor(r.getDouble(1) * 100d + 0.5d).toLong))
+    val qmax = rows.map(_._1).max
+    val pmax = rows.map(_._2).max
+    val exp = rows.groupBy { case (q, p) =>
+      (math.min(9L, q * 10 / (qmax + 1)), math.min(9L, p * 10 / (pmax + 1)))
+    }.map { case (k2, v) => k2 -> v.length.toLong }
+    got.foreach { case (cell, n) =>
+      assert(n === exp.getOrElse(cell, 0L), s"cell $cell count") }
+    // mass conservation: the grid partitions the fact exactly
+    assert(got.values.sum === rows.length.toLong)
+  }
+
   test("basket dispersion recomputes exactly and is nonnegative") {
     val row = graft.queries.Analytics.basketDispersion(spark, sf).collect().head
     val (nOrders, nLines, meanE4, varE4, dispE6) =

@@ -994,6 +994,45 @@ object Events {
       |       CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS mean_lag_us
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x190: activity-streak distribution — the gaps-and-islands shape
+    * (consecutive active days collapse to one island via the day−rank
+    * invariant) applied to engagement: for each user the LONGEST run of
+    * consecutive active days, reported as a distribution (streak length
+    * → user count) so the engagement curve is one aggregate-sized
+    * table. Scale shape: one fact pass to the distinct (user, day)
+    * presence table (the x183 spine), a user-partitioned rank window
+    * (bounded partitions — a user's days, never the fact), and three
+    * presence-sized aggregates. Everything is exact integers.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pres = Tables.events(spark, dir)
+      .select(floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    pres
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("max_streak"))
+      .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+      .orderBy("max_streak")
+  }
+
+  val streaksOracle: String =
+    """WITH pres AS (SELECT DISTINCT
+      |                CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                user_id
+      |              FROM events),
+      |isl AS (SELECT user_id,
+      |               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |                 AS island
+      |        FROM pres),
+      |runs AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+      |mx AS (SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY 1)
+      |SELECT max_streak, COUNT(*) AS n_users
+      |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x185: week-over-week revenue growth per event type — the executive
     * trend report ("up or down vs last week, in basis points") that
     * x120's regression slope and x160's EWMA summarize away. Weeks are

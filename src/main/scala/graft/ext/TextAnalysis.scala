@@ -1405,6 +1405,42 @@ object TextAnalysis {
       |CROSS JOIN t
       |GROUP BY g.vocab_n ORDER BY vocab_n""".stripMargin
 
+  /** x191: rank-transform normalization — the distribution-free feature
+    * scaling (percentile of each document's length within the corpus)
+    * that min-max (x177's grid) and z-scores can't give when the input
+    * is heavy-tailed (x176's finding): after the transform the feature
+    * is uniform by construction. percent = (rnk−1)/(n−1) on the
+    * deterministic (value, doc_id) total order — RANK-based, so tied
+    * values receive distinct percentiles (documented choice: it keeps
+    * the output exactly uniform and the tie-break content-addressed).
+    * The rank is the two-phase bucketed [[graft.ops.Ranking]] — this is
+    * the one query where the ranked frame IS fact-sized, which is
+    * precisely the case the one-task global window would melt on.
+    * Output: one row per document, exact integers + one e6 rounding.
+    */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val ranked = graft.ops.Ranking.globalRowNumber(
+      docs, col("n_chars"), col("doc_id"), "rnk")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_chars"), col("rnk"),
+        floor((col("rnk") - 1).cast("double") / (col("n_docs") - 1).cast("double")
+          * 1000000d + 0.5d).cast("long").as("pct_e6"))
+      .orderBy("doc_id")
+  }
+
+  val rankNormalizeOracle: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+      |                  (SELECT COUNT(*) FROM documents) AS n_docs
+      |           FROM documents)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rnk AS BIGINT) AS rnk,
+      |       CAST(floor(CAST(rnk - 1 AS DOUBLE) / CAST(n_docs - 1 AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS pct_e6
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** x187: the dataset card — the one-query corpus datasheet (Gebru et
     * al., "Datasheets for Datasets") a curation pipeline publishes next
     * to the training mix: sizes, diversity counts, token budget,

@@ -83,6 +83,8 @@ object Ext {
     "x187_dataset_card"    -> ((s: SparkSession, d: String) => TextAnalysis.datasetCard(s, d)),
     "x188_key_skew"        -> ((s: SparkSession, d: String) => graft.ops.Skew.keySkewProfile(s, d)),
     "x189_density_grid"    -> ((s: SparkSession, d: String) => graft.ops.Encoding.densityGrid(s, d)),
+    "x190_streaks"         -> ((s: SparkSession, d: String) => Events.activityStreaks(s, d)),
+    "x191_rank_normalize"  -> ((s: SparkSession, d: String) => TextAnalysis.rankNormalize(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -444,6 +446,8 @@ object Ext {
     "x187_dataset_card"    -> TextAnalysis.datasetCardOracle,
     "x188_key_skew"        -> graft.ops.Skew.keySkewOracle,
     "x189_density_grid"    -> graft.ops.Encoding.densityGridOracle,
+    "x190_streaks"         -> Events.streaksOracle,
+    "x191_rank_normalize"  -> TextAnalysis.rankNormalizeOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

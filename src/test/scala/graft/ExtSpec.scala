@@ -1540,6 +1540,53 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("activity streaks match the driver-side gaps-and-islands recomputation") {
+    val got = Events.activityStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val pres = graft.Tables.events(spark, sf)
+      .select(floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    val exp = pres.groupBy(_._1).map { case (_, rows) =>
+      val days = rows.map(_._2).sorted
+      // longest run of consecutive days, computed directly (no islands
+      // trick — the spec must not share the operator's formulation)
+      var best = 1L; var cur = 1L
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          cur = if (b == a + 1) cur + 1 else 1L
+          best = math.max(best, cur)
+        case _ =>
+      }
+      best
+    }.groupBy(identity).map { case (len, g) => len -> g.size.toLong }
+    assert(got === exp, "streak distribution mismatch")
+    // the distribution covers every user exactly once
+    assert(got.values.sum === pres.map(_._1).distinct.length.toLong)
+  }
+
+  test("rank normalization is an exact uniform transform with content-addressed ties") {
+    val got = TextAnalysis.rankNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === docs.length)
+    val n = docs.length.toLong
+    val rankOf = docs.sortBy(d => (d._2, d._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    got.foreach { case (id, chars, rnk, pct) =>
+      assert(rnk === rankOf(id), s"doc $id rank")
+      assert(pct === math.floor(
+        (rnk - 1).toDouble / (n - 1).toDouble * 1e6 + 0.5).toLong, s"doc $id pct")
+    }
+    // the transform is a bijection onto the rank grid: every rank once,
+    // percentiles spanning exactly [0, 1e6]
+    assert(got.map(_._3).sorted.toSeq === (1L to n))
+    assert(got.map(_._4).min === 0L && got.map(_._4).max === 1000000L)
+  }
+
   test("dataset card recomputes every metric from the raw corpus") {
     val got = TextAnalysis.datasetCard(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -71,6 +71,60 @@ object Encoding {
       .orderBy("qbin", "pbin")
   }
 
+  /** x192: ABC inventory classification — Pareto classes over part
+    * revenue (A = parts inside the first 70 % of cumulative revenue in
+    * descending order, B to 90 %, C the tail), the purchasing/curation
+    * prioritization the a35 Lorenz curve describes but doesn't label.
+    * The descending running total is [[Ranking.globalCumSum]] (exact
+    * two-phase BIGINT prefix sums — x116's machinery with revenue
+    * weights) over the KEY-grain aggregate; class assignment is the
+    * exact cross-multiplied compare cum·10 ≤ tot·7 / tot·9 (DECIMAL-
+    * widened — cum·10 outgrows long at the 100 TB revenue scale), so no
+    * rational ever materializes. Shares convert exact integers to
+    * double once. Output: ≤ 3 rows.
+    */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("r_e2"))
+      .groupBy("l_partkey").agg(sum(col("r_e2")).as("rev_e2"))
+    val cum = Ranking.globalCumSum(rev, -col("rev_e2"), col("l_partkey"),
+      col("rev_e2"), "cum_e2")
+    val tot = rev.agg(sum(col("rev_e2")).as("tot_e2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("rev_e2"),
+        when(d38(col("cum_e2")) * 10 <= d38(col("tot_e2")) * 7, "A")
+          .when(d38(col("cum_e2")) * 10 <= d38(col("tot_e2")) * 9, "B")
+          .otherwise("C").as("abc"),
+        col("tot_e2"))
+      .groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_e2")).as("rev_e2"),
+        floor(sum(col("rev_e2")).cast("double") / max(col("tot_e2")).cast("double")
+          * 1000000d + 0.5d).cast("long").as("share_e6"))
+      .orderBy("abc")
+  }
+
+  val abcOracle: String =
+    """WITH rev AS (SELECT l_partkey,
+      |                    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |                      AS rev_e2
+      |             FROM lineitem GROUP BY 1),
+      |c AS (SELECT rev_e2,
+      |             SUM(rev_e2) OVER (ORDER BY rev_e2 DESC, l_partkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e2,
+      |             (SELECT SUM(rev_e2) FROM rev) AS tot_e2
+      |      FROM rev),
+      |k AS (SELECT rev_e2, tot_e2,
+      |             CASE WHEN cum_e2 * 10 <= tot_e2 * 7 THEN 'A'
+      |                  WHEN cum_e2 * 10 <= tot_e2 * 9 THEN 'B'
+      |                  ELSE 'C' END AS abc
+      |      FROM c)
+      |SELECT abc, COUNT(*) AS n_parts, CAST(SUM(rev_e2) AS BIGINT) AS rev_e2,
+      |       CAST(floor(CAST(SUM(rev_e2) AS DOUBLE) / CAST(MAX(tot_e2) AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS share_e6
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val densityGridOracle: String =
     """WITH e AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_e2,
       |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_e2

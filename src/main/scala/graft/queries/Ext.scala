@@ -85,6 +85,7 @@ object Ext {
     "x189_density_grid"    -> ((s: SparkSession, d: String) => graft.ops.Encoding.densityGrid(s, d)),
     "x190_streaks"         -> ((s: SparkSession, d: String) => Events.activityStreaks(s, d)),
     "x191_rank_normalize"  -> ((s: SparkSession, d: String) => TextAnalysis.rankNormalize(s, d)),
+    "x192_abc_classes"     -> ((s: SparkSession, d: String) => graft.ops.Encoding.abcClasses(s, d)),
     // rows-only by design: seeded-ensemble importances (m01 class);
     // MlSpec pins nonnegativity/sum-to-one/determinism
     "m07_feature_importance" -> ((s: SparkSession, d: String) => ReorderModel.featureImportance(s, d)),
@@ -448,6 +449,7 @@ object Ext {
     "x189_density_grid"    -> graft.ops.Encoding.densityGridOracle,
     "x190_streaks"         -> Events.streaksOracle,
     "x191_rank_normalize"  -> TextAnalysis.rankNormalizeOracle,
+    "x192_abc_classes"     -> graft.ops.Encoding.abcOracle,
     "x121_entity_clusters" -> Dedup.entityOracle,
     "x127_neardup_admit"   -> Dedup.admitOracle,
     "x129_bootstrap"       -> graft.ops.Sampling.bootstrapOracle,

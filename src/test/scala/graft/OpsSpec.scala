@@ -1296,6 +1296,37 @@ class OpsSpec extends SparkSuite {
     assert(gini >= 0L && gini < 1000000L)
   }
 
+  test("ABC classes partition revenue at the exact Pareto boundaries") {
+    val got = graft.ops.Encoding.abcClasses(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val rev = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("r"))
+      .groupBy("l_partkey").agg(sum("r").as("rev")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tot = rev.map(r => BigInt(r._2)).sum
+    var cum = BigInt(0)
+    val exp = rev.sortBy(r => (-r._2, r._1)).map { case (_, v) =>
+      cum += v
+      val cls = if (cum * 10 <= tot * 7) "A" else if (cum * 10 <= tot * 9) "B" else "C"
+      (cls, v)
+    }.groupBy(_._1).map { case (cls, rows) =>
+      val s = rows.map(r => BigInt(r._2)).sum
+      cls -> (rows.length.toLong, s,
+        math.floor(s.toDouble / tot.toDouble * 1e6 + 0.5).toLong)
+    }
+    assert(got.map { case (k, v) => k -> (v._1, BigInt(v._2), v._3) } === exp,
+      "ABC table mismatch")
+    // the classes partition the whole key set and the whole revenue
+    assert(got.values.map(_._1).sum === rev.length.toLong)
+    assert(got.values.map(v => BigInt(v._2)).sum === tot)
+    // Pareto ordering: per-part A revenue dominates B dominates C
+    def perPart(c: String) = got.get(c).map(v => v._2.toDouble / v._1)
+    for (a <- perPart("A"); b <- perPart("B")) assert(a > b)
+    for (b <- perPart("B"); cc <- perPart("C")) assert(b > cc)
+  }
+
   test("2-D density grid recomputes exactly and covers every row once") {
     val got = graft.ops.Encoding.densityGrid(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

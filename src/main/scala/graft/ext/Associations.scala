@@ -103,6 +103,74 @@ object Associations {
       |FROM pairs p JOIN itemn ia ON ia.l_partkey = p.a
       |ORDER BY a, b""".stripMargin
 
+  /** x193: sequential pattern mining over each customer's ORDER HISTORY —
+    * the temporal dimension x97/x154 ignore (they mine within-basket
+    * co-occurrence; this mines "bought a, then LATER bought b"). spark.ml
+    * PrefixSpan (Pei et al., ICDE'01 / Li et al.'s parallel projection):
+    * the item domain is partitioned and each shard mines its projected
+    * postfix database independently — no candidate generation, no global
+    * pass per pattern, which is what makes it the 100 TB shape.
+    *
+    * Sequences are built once: order position is a row_number over the
+    * CUSTOMER-partitioned (o_orderdate, o_orderkey) window — partitions
+    * are bounded by a customer's order count, never fact-sized — and each
+    * position's basket is the order's distinct part set. Restricted to
+    * two-singleton-itemset patterns ⟨{a},{b}⟩, PrefixSpan's support is
+    * exactly "customers with a in some order and b in a strictly later
+    * one", which DuckDB states as a positional self-join with
+    * COUNT(DISTINCT customer) — so spark.ml's miner is itself
+    * oracle-checked (the x154 gate, extended to sequence). maxPatternLength
+    * = 2 bounds the projection depth; the fractional minSupport is pinned
+    * to (minCount − ½)/n so the internal ceil lands exactly on minCount.
+    * The one-row customer count is a driver boundary (x126 posture).
+    */
+  def seqPatterns(spark: SparkSession, dir: String,
+                  minCount: Int = 5): DataFrame = {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))).as("pos"))
+    val it = pos.join(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("pos"), col("l_partkey")).distinct()
+    val seqs = it.groupBy("o_custkey", "pos")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .groupBy("o_custkey")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, items))), x -> x.items)")
+        .as("sequence"))
+    val n = seqs.count()
+    val patterns = new PrefixSpan()
+      .setMinSupport((minCount.toDouble - 0.5) / n)
+      .setMaxPatternLength(2)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+    patterns
+      .filter(size(col("sequence")) === 2 &&
+        size(element_at(col("sequence"), 1)) === 1 &&
+        size(element_at(col("sequence"), 2)) === 1)
+      .select(element_at(element_at(col("sequence"), 1), 1).as("a"),
+        element_at(element_at(col("sequence"), 2), 1).as("b"),
+        col("freq"))
+      .orderBy("a", "b")
+  }
+
+  val seqPatternsOracle: String =
+    """WITH pos AS (SELECT o_custkey, o_orderkey,
+      |                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                      ORDER BY o_orderdate, o_orderkey) AS pos
+      |             FROM orders),
+      |it AS (SELECT DISTINCT p.o_custkey, p.pos, l.l_partkey
+      |       FROM pos p JOIN lineitem l ON l.l_orderkey = p.o_orderkey),
+      |pr AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |              COUNT(DISTINCT x.o_custkey) AS freq
+      |       FROM it x JOIN it y
+      |         ON x.o_custkey = y.o_custkey AND x.pos < y.pos
+      |       GROUP BY 1, 2 HAVING COUNT(DISTINCT x.o_custkey) >= 5)
+      |SELECT a, b, freq FROM pr ORDER BY a, b""".stripMargin
+
   val basketRulesOracle: String =
     """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),

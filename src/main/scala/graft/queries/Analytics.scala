@@ -1209,6 +1209,64 @@ object Analytics {
       |                  + 0.5) AS BIGINT) AS mon_avg_e2
       |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** a40: Herfindahl–Hirschman supplier concentration per nation market —
+    * the antitrust-style "how monopolized is each market" audit (HHI =
+    * Σ shareᵢ², on [1/n, 1]; DOJ calls >0.25 'highly concentrated').
+    * One fact pass to the (nation, supplier) revenue grain — supplier is
+    * threshold-governed (broadcast while it fits), nation a fixed 25-row
+    * hinted broadcast — then one nation-grain reduction. Exactness: each
+    * supplier's revenue is an exact e4 DECIMAL integer (price·(1−disc)
+    * has exactly 4 dp); Σr and Σr² stay DECIMAL(38,0) (r² ≲ 10²⁶ at any
+    * plausible SF), and HHI = Σr²/(Σr)² converts each exact side to
+    * double ONCE for the single division. 100 TB: both aggregates are
+    * map-combinable; nothing driver-side.
+    */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("rev"))
+      .groupBy("l_suppkey")
+      .agg((sum(col("rev")) * 10000).cast("decimal(38,0)").as("r_e4"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    rev.join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r_e4")).as("t_e4"),
+        max(col("r_e4")).as("max_e4"),
+        sum(col("r_e4") * col("r_e4")).as("s2"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        floor(col("max_e4").cast("double") / col("t_e4").cast("double")
+          * 1000000d + 0.5d).cast("long").as("top_share_e6"),
+        floor(col("s2").cast("double")
+          / (d38(col("t_e4")) * d38(col("t_e4"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("hhi_e6"))
+      .orderBy("n_name")
+  }
+
+  val hhiOracle: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                             (CAST(1 AS DECIMAL(12,2)) -
+      |                              CAST(l_discount AS DECIMAL(12,2)))) * 10000
+      |                         AS HUGEINT) AS r_e4
+      |             FROM lineitem GROUP BY 1),
+      |g AS (SELECT s.s_nationkey, COUNT(*) AS n_suppliers,
+      |             SUM(r.r_e4) AS t_e4, MAX(r.r_e4) AS max_e4,
+      |             SUM(r.r_e4 * r.r_e4) AS s2
+      |      FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |      GROUP BY 1)
+      |SELECT n.n_name, g.n_suppliers,
+      |       CAST(floor(CAST(g.max_e4 AS DOUBLE) / CAST(g.t_e4 AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS top_share_e6,
+      |       CAST(floor(CAST(g.s2 AS DOUBLE)
+      |            / CAST(g.t_e4 * g.t_e4 AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS hhi_e6
+      |FROM g JOIN nation n ON g.s_nationkey = n.n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1249,6 +1307,7 @@ object Analytics {
     "a37_seasonal_decomp"  -> (seasonalDecomp _),
     "a38_theilsen_trend"   -> (theilSenTrend _),
     "a39_basket_dispersion" -> (basketDispersion _),
+    "a40_hhi_concentration" -> (hhiConcentration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1259,6 +1318,7 @@ object Analytics {
     "a37_seasonal_decomp"  -> seasonalDecompOracle,
     "a38_theilsen_trend"   -> theilSenOracle,
     "a39_basket_dispersion" -> basketDispersionOracle,
+    "a40_hhi_concentration" -> hhiOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -28,6 +28,7 @@ object Ext {
     "x94_retention"        -> ((s: SparkSession, d: String) => Events.retentionCohorts(s, d)),
     "x97_basket_rules"     -> ((s: SparkSession, d: String) => Associations.basketRules(s, d)),
     "x154_fpgrowth_rules"  -> ((s: SparkSession, d: String) => Associations.fpgrowthRules(s, d)),
+    "x193_seq_patterns"    -> ((s: SparkSession, d: String) => Associations.seqPatterns(s, d)),
     "m05_als_recs"         -> ((s: SparkSession, d: String) => ReorderModel.alsRecommendations(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
@@ -489,6 +490,7 @@ object Ext {
     "x95_bm25"             -> TextAnalysis.bm25Oracle,
     "x97_basket_rules"     -> Associations.basketRulesOracle,
     "x154_fpgrowth_rules"  -> Associations.fpgrowthOracle,
+    "x193_seq_patterns"    -> Associations.seqPatternsOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

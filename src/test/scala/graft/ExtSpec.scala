@@ -1861,4 +1861,39 @@ class ExtSpec extends SparkSuite {
     assert(creditTotal <= valueTotal)
     assert(valueTotal - creditTotal < BigInt(touches.length))
   }
+
+  test("sequential patterns: PrefixSpan support equals the direct positional count") {
+    // independent recomputation WITHOUT PrefixSpan: order positions per
+    // customer, then a direct "a at some position, b strictly later"
+    // distinct-customer count — the miner and the law share no code
+    val minCount = 8
+    val got = graft.ext.Associations.seqPatterns(spark, sf, minCount = minCount)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val pos: Map[Long, Long] = orders.groupBy(_._1).flatMap { case (_, os) =>
+      os.sortBy(o => (o._3.getTime, o._2)).zipWithIndex
+        .map { case (o, i) => o._2 -> (i + 1).toLong }
+    }
+    val items = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custOf = orders.map(o => o._2 -> o._1).toMap
+    // (customer, position, item) instance set
+    val inst = items.map { case (ok, pk) => (custOf(ok), pos(ok), pk) }.distinct
+    val byCust = inst.groupBy(_._1)
+    val exp = byCust.values.flatMap { rows =>
+      (for {
+        a <- rows; b <- rows
+        if a._2 < b._2
+      } yield (a._3, b._3)).distinct
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= minCount)
+    assert(got === exp, "sequential pattern frequencies mismatch")
+    // sanity: every emitted frequency respects the support floor and the
+    // customer-count ceiling
+    val nCust = byCust.size.toLong
+    got.values.foreach(f => assert(f >= minCount && f <= nCust))
+  }
 }

@@ -1366,6 +1366,42 @@ class OpsSpec extends SparkSuite {
     assert(varE4 >= 0L && dispE6 >= 0L)
   }
 
+  test("HHI concentration recomputes exactly and respects its bounds") {
+    val got = graft.queries.Analytics.hhiConcentration(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent recomputation: e2·e2 integer revenue (price and discount
+    // both have exactly 2 dp, so p·(1−d) is an exact e4 integer)
+    val rev = graft.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        BigInt(math.floor(r.getDouble(1) * 100d + 0.5d).toLong) *
+          (100 - math.floor(r.getDouble(2) * 100d + 0.5d).toLong)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val supNation = graft.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nationName = graft.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val exp = rev.toSeq.groupBy { case (sk, _) => nationName(supNation(sk)) }
+      .map { case (name, rows) =>
+        val t = rows.map(_._2).sum
+        val s2 = rows.map(r => r._2 * r._2).sum
+        name -> (rows.length.toLong,
+          math.floor(rows.map(_._2).max.toDouble / t.toDouble * 1e6 + 0.5).toLong,
+          math.floor(s2.toDouble / (t * t).toDouble * 1e6 + 0.5).toLong)
+      }
+    assert(got === exp, "HHI table mismatch")
+    // coherence: HHI lives on [1e6/n, 1e6]; Σs² ≥ s_top² and Σs² ≤ s_top·Σs
+    // bracket it by the top share (±1 ulp of the e6 rounding)
+    got.values.foreach { case (n, top, hhi) =>
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L)
+      assert(hhi >= top * top / 1000000L - 1, "HHI below top-share^2")
+      assert(hhi <= top + 1, "HHI above top share")
+    }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Data-quality observability for pipeline runs: row counts, null counts,
@@ -359,4 +359,121 @@ object Quality {
       |       CAST(8 AS BIGINT) AS k
       |FROM g, t WHERE n < 8
       |ORDER BY nationkey, c_mktsegment""".stripMargin
+
+  /** x194: exact ROC AUC of a score against a binary label, computed as
+    * the tie-corrected Mann–Whitney rank-sum — the model-eval metric
+    * (m02 reports spark.ml's) re-expressed as pure relational algebra so
+    * it is (a) exact, (b) DuckDB-oracle-checkable, and (c) 100 TB-shaped:
+    * AUC = Σ over positives of P(score > negative) + ½P(tie), which on
+    * the DISTINCT-VALUE grain is Σ_v np_v·(2·negBelow_v + nn_v) / (2·P·N)
+    * — one grouped aggregate to the value grain, one two-phase
+    * [[graft.ops.Ranking.globalCumSum]] for negBelow (no single-task
+    * window melt), one map-combinable reduction. Everything up to the
+    * single final division is exact BIGINT/DECIMAL.
+    *
+    * Demonstrated on "does price predict a return?" (score =
+    * l_extendedprice e2, label = l_returnflag = 'R') — an audit shape:
+    * AUC ≈ ½ certifies the label leaks nothing through that column.
+    * Also emits Somers' D = 2·AUC − 1 as (U2 − P·N)/(P·N).
+    */
+  def aucRankSum(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val g = graft.Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("v"),
+        (col("l_returnflag") === "R").as("pos"))
+      .groupBy("v")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    Ranking.globalCumSum(g, col("v"), col("v"), col("nn"), "cnn")
+      .agg(sum(d38(col("np")) * (lit(2) * (col("cnn") - col("nn")) + col("nn")))
+          .as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        floor(col("u2").cast("double")
+          / (lit(2d) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("auc_e6"),
+        floor((col("u2") - d38(col("n_pos")) * d38(col("n_neg"))).cast("double")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("somers_d_e6"))
+  }
+
+  val aucOracle: String =
+    """WITH g AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+      |                  SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT np, nn,
+      |             SUM(nn) OVER (ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+      |      FROM g),
+      |s AS (SELECT SUM(CAST(np AS HUGEINT) * (2 * (cnn - nn) + nn)) AS u2,
+      |             SUM(np) AS n_pos, SUM(nn) AS n_neg
+      |      FROM c)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |       CAST(floor(CAST(u2 AS DOUBLE)
+      |            / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS auc_e6,
+      |       CAST(floor(CAST(u2 - CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+      |            / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS somers_d_e6
+      |FROM s""".stripMargin
+
+  /** x195: two-sample Kolmogorov–Smirnov statistic between the returned
+    * and kept lines' price distributions — the distribution-equality
+    * audit behind split validation ("did my train/test halves draw from
+    * the same distribution?") and drift detection (the nonparametric
+    * sibling of x168's binned PSI: KS needs no bin choice). D =
+    * max_v |F₁(v) − F₂(v)| evaluated on the distinct-value grain with
+    * BOTH ECDFs as exact integer cumulative counts (two two-phase
+    * cumsums), compared cross-multiplied — |c₁·n₂ − c₂·n₁| over n₁·n₂ —
+    * so the max is taken over exact integers and the one division
+    * happens once, on the argmax row. The argmax location (lowest such
+    * v) is reported: that's the price where the two CDFs diverge most.
+    */
+  def ksTest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val g = graft.Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("v"),
+        (col("l_returnflag") === "R").as("pos"))
+      .groupBy("v")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n2"))
+    val c1 = Ranking.globalCumSum(g, col("v"), col("v"), col("n1"), "c1")
+    val c2 = Ranking.globalCumSum(c1, col("v"), col("v"), col("n2"), "c2")
+    val tot = g.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    c2.crossJoin(broadcast(tot))
+      .select(col("v"), col("t1"), col("t2"),
+        abs(d38(col("c1")) * d38(col("t2")) - d38(col("c2")) * d38(col("t1")))
+          .as("gap"))
+      .orderBy(col("gap").desc, col("v"))
+      .limit(1)
+      .select(col("t1").as("n_returned"), col("t2").as("n_kept"),
+        col("v").as("argmax_v"),
+        floor(col("gap").cast("double")
+          / (col("t1").cast("double") * col("t2").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("ks_d_e6"))
+  }
+
+  val ksOracle: String =
+    """WITH g AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
+      |                  SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS n2
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT v,
+      |             SUM(n1) OVER (ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |             SUM(n2) OVER (ORDER BY v
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |      FROM g),
+      |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM g),
+      |d AS (SELECT v, t1, t2,
+      |             abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1) AS gap
+      |      FROM c, t
+      |      ORDER BY gap DESC, v LIMIT 1)
+      |SELECT CAST(t1 AS BIGINT) AS n_returned, CAST(t2 AS BIGINT) AS n_kept,
+      |       v AS argmax_v,
+      |       CAST(floor(CAST(gap AS DOUBLE)
+      |            / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS ks_d_e6
+      |FROM d""".stripMargin
 }

@@ -1402,6 +1402,60 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("rank-sum AUC equals the brute-force pairwise probability") {
+    val row = graft.queries.Ext.all("x194_auc_ranksum")(spark, sf).collect().head
+    val (nPos, nNeg, aucE6, dE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val scored = graft.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_returnflag").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100d + 0.5d).toLong,
+        r.getString(1) == "R"))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+    // brute force: Σ over all (pos, neg) pairs of 1[p>n] + ½·1[p=n] —
+    // counted in half-units so everything stays integral
+    var u2 = BigInt(0)
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2 else if (p == n) 1 else 0)
+    val expAuc = math.floor(
+      u2.toDouble / (2d * pos.length * neg.length) * 1e6 + 0.5).toLong
+    assert(aucE6 === expAuc, "AUC mismatch vs brute force")
+    assert(aucE6 >= 0L && aucE6 <= 1000000L)
+    // Somers' D is an affine image of AUC (independent roundings: ±2 ulp)
+    assert(math.abs(dE6 - (2L * aucE6 - 1000000L)) <= 2L)
+  }
+
+  test("KS statistic equals the direct sorted-scan ECDF gap") {
+    val row = graft.queries.Ext.all("x195_ks_test")(spark, sf).collect().head
+    val (n1, n2, argmax, dE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val scored = graft.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_returnflag").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100d + 0.5d).toLong,
+        r.getString(1) == "R"))
+    val g1 = scored.filter(_._2).map(_._1)
+    val g2 = scored.filterNot(_._2).map(_._1)
+    assert(n1 === g1.length.toLong && n2 === g2.length.toLong)
+    // direct sorted scan over distinct values, gaps cross-multiplied
+    val values = scored.map(_._1).distinct.sorted
+    var c1 = 0L; var c2 = 0L
+    var best = BigInt(-1); var bestV = Long.MaxValue
+    val cnt1 = g1.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cnt2 = g2.groupBy(identity).map { case (k, v) => k -> v.length }
+    for (v <- values) {
+      c1 += cnt1.getOrElse(v, 0)
+      c2 += cnt2.getOrElse(v, 0)
+      val gap = (BigInt(c1) * g2.length - BigInt(c2) * g1.length).abs
+      if (gap > best) { best = gap; bestV = v }
+    }
+    assert(argmax === bestV, "KS argmax location mismatch")
+    assert(dE6 === math.floor(
+      best.toDouble / (g1.length.toDouble * g2.length.toDouble) * 1e6 + 0.5).toLong)
+    // D is a proper distance on [0, 1]
+    assert(dE6 >= 0L && dE6 <= 1000000L)
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

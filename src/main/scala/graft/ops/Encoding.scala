@@ -156,4 +156,50 @@ object Encoding {
       |       CAST(floor(CAST(t.pos_tot AS DOUBLE) / CAST(t.n_tot AS DOUBLE)
       |            * 1000000 + 0.5) AS BIGINT) AS prior_e6
       |FROM g, t ORDER BY g.p_brand""".stripMargin
+
+  /** x196: equal-FREQUENCY discretization (NTILE deciles) of price —
+    * x134's histogram bins equal-WIDTH (skew piles everything into two
+    * bins); equal-frequency is what a feature quantizer or a stratified
+    * sampler actually wants. Implemented with ANSI NTILE semantics —
+    * with n = k·q + r, the first r buckets get q+1 rows — on top of the
+    * two-phase [[Ranking.globalRowNumber]] (a fact-sized ORDER BY is
+    * exactly the single-task window melt that machinery exists for).
+    * The per-bin (count, min, max) report is TIEBREAK-INVARIANT: NTILE
+    * splits a tie run across a boundary arbitrarily, but which copies
+    * land where never changes any bin's count (fixed by n, k) nor its
+    * min/max (order statistics of the value multiset) — so the output
+    * is deterministic and oracle-checkable even though the underlying
+    * row assignment isn't total-ordered. One fact pass + a one-row
+    * broadcast count + a k-row aggregate.
+    */
+  def quantileBins(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Ranking.globalRowNumber(li, col("v"),
+      struct(col("l_orderkey"), col("l_linenumber")), "rn")
+    val n = li.agg(count(lit(1)).as("n_tot"))
+    ranked.crossJoin(broadcast(n))
+      // NTILE: q = n DIV k, r = n MOD k; buckets 1..r hold q+1 rows —
+      // all integer DIV, no rational ever materializes
+      .withColumn("ntile_q", expr(s"n_tot DIV $k"))
+      .withColumn("ntile_r", col("n_tot") % k)
+      .select(col("v"),
+        when(col("rn") <= col("ntile_r") * (col("ntile_q") + 1),
+          expr("(rn - 1) DIV (ntile_q + 1) + 1"))
+          .otherwise(col("ntile_r") +
+            expr("(rn - ntile_r * (ntile_q + 1) - 1) DIV ntile_q + 1"))
+          .as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_e2"), max(col("v")).as("max_e2"))
+      .orderBy("bin")
+  }
+
+  val quantileBinsOracle: String =
+    """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |            FROM lineitem),
+      |b AS (SELECT v, NTILE(10) OVER (ORDER BY v) AS bin FROM li)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      |       MIN(v) AS min_e2, MAX(v) AS max_e2
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

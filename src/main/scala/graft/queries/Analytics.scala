@@ -1267,6 +1267,73 @@ object Analytics {
       |FROM g JOIN nation n ON g.s_nationkey = n.n_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** a41: Spearman rank correlation between quantity and price — the
+    * robust (distribution-free, monotone-invariant) dependence measure a
+    * feature audit wants where Pearson is outlier-fragile. Exactness via
+    * the doubled-midrank trick: with ties, Spearman is Pearson over
+    * midranks mr(v) = cntBelow + (cntEq+1)/2, which are half-integers —
+    * so we carry 2·mr = 2·cumBelow + cntEq + 1 as exact BIGINTs
+    * (correlation is affine-invariant, so the doubling cancels). Ranks
+    * come from the VALUE-GRAIN count table via one two-phase
+    * [[graft.ops.Ranking.globalCumSum]] per column (never a fact-sized
+    * single-task window) and join back to the fact threshold-governed;
+    * the five moment sums are one map-combinable aggregate in
+    * DECIMAL(38,0); numerator and the two variance factors convert to
+    * double ONCE each for the final r. 100 TB: rank maps are
+    * value-grain aggregates; nothing driver-side.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    def rankMap(df: DataFrame, vCol: String): DataFrame = {
+      val g = df.groupBy(vCol).agg(count(lit(1)).as("cnt"))
+      graft.ops.Ranking.globalCumSum(g, col(vCol), col(vCol), col("cnt"), "cum")
+        .select(col(vCol), (lit(2) * col("cum") - col("cnt") + 1).as(s"mr2_$vCol"))
+    }
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") * 100d + 0.5d).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("p"))
+    val ranked = li
+      .join(rankMap(li, "q"), "q")
+      .join(rankMap(li, "p"), "p")
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(col("mr2_q")).as("sx"), sum(col("mr2_p")).as("sy"),
+      sum(d38(col("mr2_q")) * d38(col("mr2_p"))).as("sxy"),
+      sum(d38(col("mr2_q")) * d38(col("mr2_q"))).as("sxx"),
+      sum(d38(col("mr2_p")) * d38(col("mr2_p"))).as("syy"))
+    s.select(col("n"),
+      floor((d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+        .cast("double")
+        / sqrt((d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double"))
+        / sqrt((d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy"))).cast("double"))
+        * 1000000d + 0.5d).cast("long").as("spearman_e6"))
+  }
+
+  val spearmanOracle: String =
+    """WITH li AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+      |                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+      |            FROM lineitem),
+      |rq AS (SELECT q, 2 * SUM(COUNT(*)) OVER (ORDER BY q
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              - COUNT(*) + 1 AS mr2_q
+      |       FROM li GROUP BY q),
+      |rp AS (SELECT p, 2 * SUM(COUNT(*)) OVER (ORDER BY p
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              - COUNT(*) + 1 AS mr2_p
+      |       FROM li GROUP BY p),
+      |j AS (SELECT rq.mr2_q AS x, rp.mr2_p AS y
+      |      FROM li JOIN rq USING (q) JOIN rp USING (p)),
+      |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |             SUM(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |            / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+      |            / sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS spearman_e6
+      |FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1308,6 +1375,7 @@ object Analytics {
     "a38_theilsen_trend"   -> (theilSenTrend _),
     "a39_basket_dispersion" -> (basketDispersion _),
     "a40_hhi_concentration" -> (hhiConcentration _),
+    "a41_spearman"         -> (spearmanCorr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1319,6 +1387,7 @@ object Analytics {
     "a38_theilsen_trend"   -> theilSenOracle,
     "a39_basket_dispersion" -> basketDispersionOracle,
     "a40_hhi_concentration" -> hhiOracle,
+    "a41_spearman"         -> spearmanOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

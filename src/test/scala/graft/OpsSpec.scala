@@ -1456,6 +1456,64 @@ class OpsSpec extends SparkSuite {
     assert(dE6 >= 0L && dE6 <= 1000000L)
   }
 
+  test("Spearman correlation equals Pearson over driver-computed midranks") {
+    val row = graft.queries.Analytics.spearmanCorr(spark, sf).collect().head
+    val (n, rhoE6) = (row.getLong(0), row.getLong(1))
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100d + 0.5d).toLong,
+        math.floor(r.getDouble(1) * 100d + 0.5d).toLong))
+    assert(n === rows.length.toLong)
+    // doubled midranks computed independently (sorted scan per column)
+    def mr2(vs: Array[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      var below = 0L
+      cnt.keys.toArray.sorted.map { v =>
+        val m = 2L * below + cnt(v) + 1L
+        below += cnt(v)
+        v -> m
+      }.toMap
+    }
+    val mx = mr2(rows.map(_._1)); val my = mr2(rows.map(_._2))
+    val xs = rows.map(r => BigInt(mx(r._1))); val ys = rows.map(r => BigInt(my(r._2)))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val bn = BigInt(n)
+    val exp = math.floor(
+      (bn * sxy - sx * sy).toDouble
+        / math.sqrt((bn * sxx - sx * sx).toDouble)
+        / math.sqrt((bn * syy - sy * sy).toDouble) * 1e6 + 0.5).toLong
+    assert(rhoE6 === exp, "Spearman mismatch vs driver midranks")
+    assert(rhoE6 >= -1000000L && rhoE6 <= 1000000L)
+  }
+
+  test("quantile bins follow NTILE allocation and cover the sorted multiset") {
+    val got = graft.ops.Encoding.quantileBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === (1L to 10L), "ten dense bins")
+    val vs = graft.Tables.lineitem(spark, sf)
+      .select("l_extendedprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100d + 0.5d).toLong).sorted
+    val n = vs.length; val q = n / 10; val r = n % 10
+    var off = 0
+    got.foreach { case (bin, cnt, mn, mx) =>
+      val size = if (bin <= r) q + 1 else q
+      assert(cnt === size.toLong, s"bin $bin size")
+      assert(mn === vs(off), s"bin $bin min is the order statistic")
+      assert(mx === vs(off + size - 1), s"bin $bin max is the order statistic")
+      off += size
+    }
+    assert(off === n, "bins cover every row exactly once")
+    // boundaries are monotone: within-bin min ≤ max, and adjacent bins
+    // never interleave (a tie run may straddle, so equality is allowed)
+    got.foreach { case (_, _, mn, mx) => assert(mn <= mx) }
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3)
+      case _ =>
+    }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -1489,4 +1489,81 @@ object Events {
       |      FROM e WHERE rn <= 4 GROUP BY 1, 2)
       |SELECT path, COUNT(*) AS n_user_days
       |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+
+  /** x197: lead–lag cross-correlation between the click and purchase
+    * daily value series — the leading-indicator audit ("does click
+    * volume LEAD purchase volume, and by how many days?") that x172's
+    * ACF answers only for a series against itself. Pearson r at every
+    * lag ℓ ∈ [−7, 7] between click(day) and purchase(day+ℓ), over the
+    * ZERO-FILLED dense grid (a missing day is a real 0 for a volume
+    * series, and the dense span makes n(ℓ) = span − |ℓ| deterministic).
+    * Exactness: the x172 posture — moment sums in DECIMAL(38,0), one
+    * double conversion per factor, sqrt at the end; degenerate lags
+    * (zero variance) emit NULL in both engines. Scale: both series come
+    * off the Layer-shared [[dailyValueByType]] (no new fact pass); the
+    * lag expansion is 15× a metadata-sized frame.
+    */
+  def crossCorrDaily(spark: SparkSession, dir: String,
+                     typeA: String = "click", typeB: String = "purchase",
+                     maxLag: Int = 7): DataFrame = {
+    val d38: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(38,0)")
+    val dense = denseDailyRevenue(spark, dir)
+    val a = dense.filter(col("event_type") === typeA)
+      .select(col("day"), col("rev_e3").as("x"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))).as("lag"))
+      .withColumn("tday", col("day") + col("lag"))
+    val b = dense.filter(col("event_type") === typeB)
+      .select(col("day").as("bday"), col("rev_e3").as("y"))
+    a.join(b, col("tday") === col("bday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .select(col("lag"), col("n_days"),
+        (d38(col("n_days")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+          .cast("double").as("a"),
+        (d38(col("n_days")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+          .cast("double").as("b"),
+        (d38(col("n_days")) * col("syy") - d38(col("sy")) * d38(col("sy")))
+          .cast("double").as("c"))
+      .select(col("lag"), col("n_days"),
+        when(col("b") > 0d && col("c") > 0d,
+          floor(col("a") / sqrt(col("b") * col("c")) * 1000000d + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_e6"))
+      .orderBy("lag")
+  }
+
+  val crossCorrOracle: String =
+    """WITH r AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS rev_e3
+      |           FROM events WHERE event_type IN ('click', 'purchase')
+      |           GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi
+      |         FROM (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      |               FROM events)),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |ca AS (SELECT d.day, COALESCE(r.rev_e3, 0) AS x FROM days d
+      |       LEFT JOIN r ON r.event_type = 'click' AND r.day = d.day),
+      |cb AS (SELECT d.day, COALESCE(r.rev_e3, 0) AS y FROM days d
+      |       LEFT JOIN r ON r.event_type = 'purchase' AND r.day = d.day),
+      |lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+      |p AS (SELECT l.lag, a.x, b.y
+      |      FROM ca a CROSS JOIN lags l
+      |      JOIN cb b ON b.day = a.day + l.lag),
+      |s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |      FROM p GROUP BY 1),
+      |m AS (SELECT lag, n,
+      |             CAST(n*sxy - sx*sy AS DOUBLE) AS a,
+      |             CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+      |             CAST(n*syy - sy*sy AS DOUBLE) AS c FROM s)
+      |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+      |       CASE WHEN b > 0 AND c > 0
+      |            THEN CAST(floor(a / sqrt(b * c) * 1000000 + 0.5) AS BIGINT)
+      |            ELSE NULL END AS r_e6
+      |FROM m ORDER BY 1""".stripMargin
 }

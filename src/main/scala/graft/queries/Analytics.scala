@@ -1334,6 +1334,62 @@ object Analytics {
       |            * 1000000 + 0.5) AS BIGINT) AS spearman_e6
       |FROM s""".stripMargin
 
+  /** a42: Mann–Kendall trend test on daily revenue — the nonparametric
+    * "is there a monotone trend at all" SIGNIFICANCE companion to a38's
+    * Theil–Sen slope ESTIMATE (the two are the classic pairing: MK says
+    * whether, Theil–Sen says how much). S = Σ_{i<j} sign(xⱼ − xᵢ) over
+    * day pairs of the Layer-shared daily frame (calendar-bounded
+    * self-join, metadata-sized — the a38 shape), kept exact as ±1
+    * integer sums; the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) is exact BIGINT off a |values|-grain count table;
+    * the continuity-corrected z = (S − sgn(S))/√Var(S) takes the one
+    * double conversion at the end.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+    val b = daily.select(col("day").as("day2"), col("cents").as("cents2"))
+    val s = daily.join(b, col("day2") > col("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cents2") > col("cents"), 1L)
+          .when(col("cents2") < col("cents"), -1L).otherwise(0L)).as("s"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("cents").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)), lit(0L))
+        .as("tie_term"))
+    s.crossJoin(broadcast(nd)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("n_pairs"), col("s"),
+        ((col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_term")).cast("double") / 18d).as("var_s"),
+        col("s").cast("double").as("sd"))
+      .select(col("n_days"), col("n_pairs"), col("s"),
+        when(col("var_s") > 0d,
+          floor((col("sd") - signum(col("sd"))) / sqrt(col("var_s"))
+            * 10000d + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_e4"))
+  }
+
+  val mannKendallOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |p AS (SELECT COUNT(*) AS n_pairs,
+      |             SUM(CASE WHEN b.cents > a.cents THEN 1
+      |                      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s
+      |      FROM daily a JOIN daily b ON b.day > a.day),
+      |nd AS (SELECT COUNT(*) AS n_days FROM daily),
+      |tt AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      |       FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)),
+      |v AS (SELECT nd.n_days, p.n_pairs, p.s,
+      |             CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+      |                  - tt.tie_term AS DOUBLE) / 18 AS var_s
+      |      FROM p, nd, tt)
+      |SELECT n_days, n_pairs, CAST(s AS BIGINT) AS s,
+      |       CASE WHEN var_s > 0
+      |            THEN CAST(floor((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+      |                 / sqrt(var_s) * 10000 + 0.5) AS BIGINT)
+      |            ELSE NULL END AS z_e4
+      |FROM v""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1376,6 +1432,7 @@ object Analytics {
     "a39_basket_dispersion" -> (basketDispersion _),
     "a40_hhi_concentration" -> (hhiConcentration _),
     "a41_spearman"         -> (spearmanCorr _),
+    "a42_mann_kendall"     -> (mannKendall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1388,6 +1445,7 @@ object Analytics {
     "a39_basket_dispersion" -> basketDispersionOracle,
     "a40_hhi_concentration" -> hhiOracle,
     "a41_spearman"         -> spearmanOracle,
+    "a42_mann_kendall"     -> mannKendallOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

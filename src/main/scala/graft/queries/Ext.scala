@@ -32,6 +32,7 @@ object Ext {
     "x194_auc_ranksum"     -> ((s: SparkSession, d: String) => graft.ops.Quality.aucRankSum(s, d)),
     "x195_ks_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.ksTest(s, d)),
     "x196_quantile_bins"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.quantileBins(s, d)),
+    "x197_crosscorr"       -> ((s: SparkSession, d: String) => Events.crossCorrDaily(s, d)),
     "m05_als_recs"         -> ((s: SparkSession, d: String) => ReorderModel.alsRecommendations(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
@@ -497,6 +498,7 @@ object Ext {
     "x194_auc_ranksum"     -> graft.ops.Quality.aucOracle,
     "x195_ks_test"         -> graft.ops.Quality.ksOracle,
     "x196_quantile_bins"   -> graft.ops.Encoding.quantileBinsOracle,
+    "x197_crosscorr"       -> Events.crossCorrOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

@@ -1514,6 +1514,60 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("Mann-Kendall statistic and tie-corrected z recompute exactly") {
+    val row = graft.queries.Analytics.mannKendall(spark, sf).collect().head
+    val (nDays, nPairs, s, zE4) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val daily = graft.queries.Analytics.dailyRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(nDays === daily.length.toLong)
+    assert(nPairs === daily.length.toLong * (daily.length - 1) / 2)
+    var expS = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      expS += java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong
+    assert(s === expS, "S mismatch vs driver pair scan")
+    val n = daily.length.toLong
+    val tieTerm = daily.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18d
+    val expZ = math.floor(
+      (s.toDouble - math.signum(s.toDouble)) / math.sqrt(varS) * 1e4 + 0.5).toLong
+    assert(zE4 === expZ, "z mismatch")
+  }
+
+  test("cross-correlation: lag counts span the dense grid and lag 0 is the aligned Pearson") {
+    val got = graft.ext.Events.crossCorrDaily(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet === (-7L to 7L).toSet, "all 15 lags present")
+    // dense span: n(lag) = span - |lag|
+    val ev = graft.Tables.events(spark, sf)
+      .select(expr("floor(unix_micros(ts) / 86400000000)").cast("long").as("day"),
+        col("event_type"),
+        expr("floor(value * 1000 + 0.5)").cast("long").as("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lo = ev.map(_._1).min; val hi = ev.map(_._1).max
+    val span = hi - lo + 1
+    got.foreach { case (lag, (n, _)) => assert(n === span - math.abs(lag)) }
+    // lag 0 equals the direct aligned Pearson over zero-filled series
+    def series(t: String): Map[Long, Long] =
+      ev.filter(_._2 == t).groupBy(_._1).map { case (d, g) => d -> g.map(_._3).sum }
+    val ca = series("click"); val cb = series("purchase")
+    val xs = (lo to hi).map(d => BigInt(ca.getOrElse(d, 0L)))
+    val ys = (lo to hi).map(d => BigInt(cb.getOrElse(d, 0L)))
+    val bn = BigInt(span)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val exp = math.floor(
+      (bn * sxy - sx * sy).toDouble
+        / math.sqrt((bn * sxx - sx * sx).toDouble * (bn * syy - sy * sy).toDouble)
+        * 1e6 + 0.5).toLong
+    assert(got(0L)._2 === Some(exp), "lag-0 Pearson mismatch")
+    got.values.foreach { case (_, r) =>
+      r.foreach(v => assert(v >= -1000000L && v <= 1000000L)) }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -357,4 +357,44 @@ object ReorderModel {
         (i.toLong, f, math.floor(v * 1e6 + 0.5).toLong) }
       .toSeq.toDF("idx", "feature", "importance_e6")
   }
+
+  /** m08: L2-regularized logistic regression over the same feature matrix
+    * — the LINEAR explainability twin of m07's tree importances (signed,
+    * directional coefficients vs unsigned Gini shares) and the classic
+    * baseline any model report should anchor on. spark.ml's LBFGS path
+    * is multi-pass over its own persisted instance RDD (the
+    * assembledTrain storage discipline applies unchanged); no RNG
+    * anywhere — deterministic init, deterministic line search — so the
+    * rows-only gate rests on MlSpec's refit-equality law rather than a
+    * seed. Standardization on (coefficients reported in standardized
+    * units would be scale-distorted otherwise — they're mapped back by
+    * spark.ml before exposure); intercept emitted as idx −1. Training
+    * AUC comes from x194's exact rank-sum kernel over the model's own
+    * probabilities, NOT the binned binarySummary — exactness is what
+    * makes the refit-equality law pinnable at 1e-6.
+    */
+  def logisticCoefficients(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.classification.LogisticRegression
+    val lr = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setElasticNetParam(0.0)
+      .setStandardization(true)
+    val train = assembledTrain(spark, dir)
+    val model = lr.fit(train)
+    // exact rank-sum AUC over the model's own probabilities (x194's
+    // kernel): spark.ml's binarySummary AUC bins/samples and is not
+    // run-stable at 1e-6; this is exact, so refits reproduce it
+    val aucE6 = graft.ops.Quality.aucOf(model.transform(train),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1),
+        col("label") === 1d)
+      .select("auc_e6").first().getLong(0)
+    val rows = (-1L, "(intercept)", math.floor(model.intercept * 1e6 + 0.5).toLong) +:
+      featureCols.zip(model.coefficients.toArray).zipWithIndex
+        .map { case ((f, v), i) =>
+          (i.toLong, f, math.floor(v * 1e6 + 0.5).toLong) }.toSeq
+    rows.toDF("idx", "feature", "coef_e6")
+      .withColumn("train_auc_e6", lit(aucE6))
+      .orderBy("idx")
+  }
 }

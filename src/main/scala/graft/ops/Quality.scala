@@ -360,6 +360,71 @@ object Quality {
       |FROM g, t WHERE n < 8
       |ORDER BY nationkey, c_mktsegment""".stripMargin
 
+  /** x198: functional-dependency audit — data profiling's "which keys
+    * really determine which columns" (Papenbrock et al., VLDB'15 frame
+    * this as FD discovery; this is the VALIDATION side over a candidate
+    * list, which is what a pipeline contract actually pins). Per
+    * candidate lhs → rhs: distinct lhs count, count of VIOLATING lhs
+    * (those mapping to >1 rhs), and the classic g₃ error (Kivinen &
+    * Mannila '95): the minimum fraction of rows to delete to make the
+    * FD hold = 1 − Σ_lhs max_rhs cnt / n. Everything is exact integer
+    * counts off ONE (lhs, rhs)-grain aggregate per candidate — two
+    * map-combinable reductions, no joins; the fact-sized candidate
+    * (l_orderkey → l_suppkey) reduces at the first groupBy, so 100 TB
+    * cost is the grain's cardinality, not a shuffle of the fact.
+    * Includes both HOLDING FDs (the PK laws a contract asserts) and
+    * violated ones (g₃ says HOW broken).
+    */
+  def fdAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, fd: String, lhs: String, rhs: String): DataFrame = {
+      val g = df.groupBy(col(lhs).cast("string").as("l"),
+          col(rhs).cast("string").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+      g.groupBy("l")
+        .agg(count(lit(1)).as("n_rhs"), sum(col("cnt")).as("tot"),
+          max(col("cnt")).as("mx"))
+        .agg(sum(col("tot")).as("n_rows"), count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("mx")).as("keep"))
+        .select(lit(fd).as("fd"), col("n_rows"), col("n_lhs"),
+          col("n_violating"),
+          floor((col("n_rows") - col("keep")).cast("double")
+            / col("n_rows").cast("double") * 1000000d + 0.5d)
+            .cast("long").as("g3_e6"))
+    }
+    val li = graft.Tables.lineitem(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    val c = graft.Tables.customer(spark, dir)
+    val p = graft.Tables.part(spark, dir)
+    profile(li, "lineitem.l_orderkey->l_suppkey", "l_orderkey", "l_suppkey")
+      .unionAll(profile(o, "orders.o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
+      .unionAll(profile(c, "customer.c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
+      .unionAll(profile(p, "part.p_brand->p_type", "p_brand", "p_type"))
+      .unionAll(profile(c, "customer.c_mktsegment->c_nationkey", "c_mktsegment", "c_nationkey"))
+      .orderBy("fd")
+  }
+
+  val fdAuditOracle: String = {
+    def block(tbl: String, fd: String, lhs: String, rhs: String): String =
+      s"""SELECT '$fd' AS fd, n_rows, n_lhs, n_violating, g3_e6 FROM (
+         |  SELECT CAST(SUM(tot) AS BIGINT) AS n_rows, COUNT(*) AS n_lhs,
+         |         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_violating,
+         |         CAST(floor(CAST(SUM(tot) - SUM(mx) AS DOUBLE)
+         |              / CAST(SUM(tot) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS g3_e6
+         |  FROM (SELECT l, COUNT(*) AS n_rhs, SUM(cnt) AS tot, MAX(cnt) AS mx
+         |        FROM (SELECT CAST($lhs AS VARCHAR) AS l, CAST($rhs AS VARCHAR) AS r,
+         |                     COUNT(*) AS cnt FROM $tbl GROUP BY 1, 2)
+         |        GROUP BY 1))""".stripMargin
+    Seq(
+      block("lineitem", "lineitem.l_orderkey->l_suppkey", "l_orderkey", "l_suppkey"),
+      block("orders", "orders.o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+      block("customer", "customer.c_custkey->c_nationkey", "c_custkey", "c_nationkey"),
+      block("part", "part.p_brand->p_type", "p_brand", "p_type"),
+      block("customer", "customer.c_mktsegment->c_nationkey", "c_mktsegment", "c_nationkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   /** x194: exact ROC AUC of a score against a binary label, computed as
     * the tie-corrected Mann–Whitney rank-sum — the model-eval metric
     * (m02 reports spark.ml's) re-expressed as pure relational algebra so
@@ -376,11 +441,20 @@ object Quality {
     * AUC ≈ ½ certifies the label leaks nothing through that column.
     * Also emits Somers' D = 2·AUC − 1 as (U2 − P·N)/(P·N).
     */
-  def aucRankSum(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val d38: Column => Column = _.cast("decimal(38,0)")
-    val g = graft.Tables.lineitem(spark, dir)
+  def aucRankSum(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    aucOf(graft.Tables.lineitem(spark, dir)
       .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("v"),
-        (col("l_returnflag") === "R").as("pos"))
+        (col("l_returnflag") === "R").as("pos")), col("v"), col("pos"))
+
+  /** The reusable exact-AUC kernel behind x194 — any (score, label) frame
+    * reduces to the distinct-score grain and through one two-phase
+    * cumsum; m08 feeds it model probabilities (spark.ml's own
+    * binarySummary AUC bins/samples and is NOT run-stable at 1e-6 —
+    * this is, which is what lets MlSpec pin refit equality exactly).
+    */
+  def aucOf(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val g = scored.select(score.as("v"), label.as("pos"))
       .groupBy("v")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))

@@ -33,6 +33,10 @@ object Ext {
     "x195_ks_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.ksTest(s, d)),
     "x196_quantile_bins"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.quantileBins(s, d)),
     "x197_crosscorr"       -> ((s: SparkSession, d: String) => Events.crossCorrDaily(s, d)),
+    "x198_fd_audit"        -> ((s: SparkSession, d: String) => graft.ops.Quality.fdAudit(s, d)),
+    // rows-only by design: LBFGS-fit coefficients (m01 class); MlSpec pins
+    // refit-equality, finiteness, and the train-AUC floor
+    "m08_logistic"         -> ((s: SparkSession, d: String) => ReorderModel.logisticCoefficients(s, d)),
     "m05_als_recs"         -> ((s: SparkSession, d: String) => ReorderModel.alsRecommendations(s, d)),
     "x98_event_transitions" -> ((s: SparkSession, d: String) => Events.eventTransitions(s, d)),
     "x99_scd2_versions"    -> ((s: SparkSession, d: String) => Events.scd2Versions(s, d)),
@@ -499,6 +503,7 @@ object Ext {
     "x195_ks_test"         -> graft.ops.Quality.ksOracle,
     "x196_quantile_bins"   -> graft.ops.Encoding.quantileBinsOracle,
     "x197_crosscorr"       -> Events.crossCorrOracle,
+    "x198_fd_audit"        -> graft.ops.Quality.fdAuditOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

@@ -215,4 +215,24 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq, "seeded fit must be deterministic")
   }
+
+  test("logistic coefficients are finite, complete, deterministic, and the fit separates") {
+    val rows = ReorderModel.logisticCoefficients(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ===
+      ("(intercept)" +: ReorderModel.featureCols.toSeq),
+      "intercept then one row per engineered feature, in order")
+    // LBFGS converged to something finite and sane (the e6 image of a
+    // diverged coefficient would be astronomically large)
+    rows.foreach { case (_, f, v, _) =>
+      assert(math.abs(v) < 100000000L, s"$f coefficient diverged") }
+    // the model actually separates on its own training data: AUC well
+    // above coin-flip (regularized LR on these features sits ~0.77)
+    val auc = rows.head._4
+    assert(auc > 600000L && auc <= 1000000L, s"train AUC $auc out of band")
+    // no RNG anywhere in the LBFGS path — refit must reproduce exactly
+    val again = ReorderModel.logisticCoefficients(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq, "LBFGS refit must be deterministic")
+  }
 }

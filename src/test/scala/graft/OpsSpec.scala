@@ -1568,6 +1568,36 @@ class OpsSpec extends SparkSuite {
       r.foreach(v => assert(v >= -1000000L && v <= 1000000L)) }
   }
 
+  test("FD audit: g3 and violation counts recompute exactly; PKs hold") {
+    val got = graft.ops.Quality.fdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def recompute(df: org.apache.spark.sql.DataFrame,
+                  lhs: String, rhs: String): (Long, Long, Long, Long) = {
+      val pairs = df.select(col(lhs).cast("string"), col(rhs).cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val byL = pairs.groupBy(_._1)
+      val n = pairs.length.toLong
+      val viol = byL.values.count(g => g.map(_._2).distinct.length > 1).toLong
+      val keep = byL.values.map(g =>
+        g.groupBy(_._2).values.map(_.length).max.toLong).sum
+      (n, byL.size.toLong, viol,
+        math.floor((n - keep).toDouble / n.toDouble * 1e6 + 0.5).toLong)
+    }
+    assert(got("orders.o_orderkey->o_custkey")._3 === 0L, "PK FD must hold")
+    assert(got("customer.c_custkey->c_nationkey")._3 === 0L, "PK FD must hold")
+    assert(got("lineitem.l_orderkey->l_suppkey") ===
+      recompute(graft.Tables.lineitem(spark, sf), "l_orderkey", "l_suppkey"))
+    assert(got("part.p_brand->p_type") ===
+      recompute(graft.Tables.part(spark, sf), "p_brand", "p_type"))
+    assert(got("customer.c_mktsegment->c_nationkey") ===
+      recompute(graft.Tables.customer(spark, sf), "c_mktsegment", "c_nationkey"))
+    // a holding FD has g3 = 0; a violated one has 0 < g3 < 1e6
+    got.values.foreach { case (_, _, viol, g3) =>
+      if (viol == 0L) assert(g3 === 0L) else assert(g3 > 0L && g3 < 1000000L)
+    }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -101,6 +101,7 @@ object Ext {
     // rows-only by design: seeded tree-ensemble scores (the m01 class);
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
+    "s17_stream_late_drop" -> ((s: SparkSession, d: String) => Streams.lateDataDrop(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -428,6 +429,7 @@ object Ext {
     "x118_rolling_7d"      -> Events.rollingOracle,
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
+    "s17_stream_late_drop" -> Streams.lateDataDropOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x160_ewma_daily"      -> Events.ewmaOracle,
     "x162_mutual_info"     -> Events.mutualInfoOracle,

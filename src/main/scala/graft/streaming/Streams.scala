@@ -672,4 +672,87 @@ object Streams {
           }
       }
   }
+
+  /** s17: watermark LATE-DATA DROP, exercised for real — every other
+    * s-query replays in-order input where the watermark never fires; a
+    * production stream's defining hazard is the straggler that arrives
+    * after its window closed. Four staged files replayed as four
+    * micro-batches (maxFilesPerTrigger=1; FileStreamSource admits by
+    * modification time, pinned explicitly):
+    *   b0 = post-earliest-day events before the last hour → builds state;
+    *   b1 = the last hour of those                         → punctuation:
+    *        measured on this Spark, the watermark VISIBLE to batch N is
+    *        derived from batches ≤ N−2 (one batch later than the
+    *        docs' one-batch lag), so a batch must pass between the bulk
+    *        and the stragglers for the bulk's watermark to be in force;
+    *   b2 = the earliest day's events                      → now LATE
+    *        beyond the 2-hour tolerance: dropped by the aggregate's
+    *        late-row filter (numRowsDroppedByWatermark accounts them);
+    *   b3 = one far-future sentinel                        → final
+    *        punctuation (the s11 posture): pushes the watermark past
+    *        every b0/b1 window so the AvailableNow trailing empty batch
+    *        provably flushes them all — no boundary-semantics dependence
+    *        is left in the output, and the sentinel's own window can
+    *        never flush.
+    * Emitted result ≡ hourly counts over b0 ∪ b1 (= everything after the
+    * earliest day) — the DuckDB twin states exactly that, so the drop
+    * semantics are oracle-checked; StreamingSpec additionally accounts
+    * the dropped rows against the batch total.
+    */
+  private val lateStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = Tables.normalizeTs(
+      Tables.load(spark, dir, "events").select(cols.map(col): _*))
+    val staged = lateStaged.computeIfAbsent(dir, _ => {
+      val root = s"${graft.RunScoped.ioDir}/stream_late_${Integer.toHexString(dir.hashCode)}"
+      new java.io.File(root).mkdirs()
+      val bounds = raw.agg(
+        min(expr("unix_micros(ts) div 86400000000")).as("min_day"),
+        max(unix_micros(col("ts"))).as("max_us")).first()
+      val (minDay, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val sentinel = Seq((-1L, maxUs + 100L * 3600 * 1000000L, -1L, "view", 0.0, "{}"))
+        .toDF(cols: _*)
+        .withColumn("ts", timestamp_micros(col("ts")))
+      val splitUs = maxUs - 3600L * 1000000L
+      val batches = Seq(
+        raw.filter(expr("unix_micros(ts) div 86400000000") > minDay &&
+          unix_micros(col("ts")) < splitUs),
+        raw.filter(expr("unix_micros(ts) div 86400000000") > minDay &&
+          unix_micros(col("ts")) >= splitUs),
+        raw.filter(expr("unix_micros(ts) div 86400000000") === minDay),
+        sentinel)
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$root/_tmp$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(root, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // admission order = modification time: pin it, don't trust write latency
+        dst.setLastModified(1700000000000L + i * 60000L)
+        graft.RunScoped.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
+      root
+    })
+    val agg = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "append")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+  }
+
+  val lateDataDropOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+      |m AS (SELECT MIN(us // 86400000000) AS min_day FROM e),
+      |a AS (SELECT * FROM e, m WHERE us // 86400000000 > min_day)
+      |SELECT CAST((us // 3600000000) * 3600 AS BIGINT) AS ws, event_type,
+      |       COUNT(*) AS n
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -414,4 +414,25 @@ class StreamingSpec extends SparkSuite {
     assert(finalRows.toSeq === Seq(("a", 10L)),
       s"expired window re-alerted: ${finalRows.toSeq}")
   }
+
+  test("late-data drop: stragglers are dropped, everything else flushes, accounting balances") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.lateDataDrop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minDay = ev.map(_._1 / 86400000000L).min
+    val (late, onTime) = ev.partition(_._1 / 86400000000L == minDay)
+    // the straggler file is non-trivial AND fully dropped
+    assert(late.nonEmpty, "fixture must contain a late day")
+    val exp = onTime.groupBy { case (us, t) => (us / 3600000000L * 3600L, t) }
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamed === exp, "emitted windows must equal the on-time subset exactly")
+    // accounting: batch total − streamed total = exactly the late rows
+    assert(ev.length.toLong - streamed.values.sum === late.length.toLong)
+    // and no window from the late day leaked through
+    val lateWindows = late.map(_._1 / 3600000000L * 3600L).toSet
+    assert(streamed.keys.forall { case (ws, _) => !lateWindows.contains(ws) })
+  }
 }

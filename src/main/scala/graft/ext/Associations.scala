@@ -157,6 +157,75 @@ object Associations {
       .orderBy("a", "b")
   }
 
+  /** The Layer-cached co-purchase pair frame — distinct (a < b) part
+    * pairs sharing ≥1 order, kept at co-count ≥ 2 (the x97 apriori
+    * floor, provably equal to x97's frequent-item-pruned pair set) —
+    * ONE basket self-join per run shared by x199 (item CF) and x200
+    * (k-core). Single builder site (the x182 Layer-key lesson).
+    */
+  private[graft] def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "copurchasePairs") {
+      val baskets = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      baskets.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(baskets.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+    }
+
+  /** x199: item-based collaborative filtering (Sarwar et al., WWW'01) —
+    * the neighborhood-method recommender that predates and complements
+    * m05's model-based ALS: top-k most-cosine-similar items per item,
+    * where cosine is over the binary order-incidence vectors, so
+    * sim(a,b) = n_ab / √(n_a·n_b) on exact integer counts (one sqrt of
+    * a double product — n_a·n_b overflows int64 at catalog scale — and
+    * one e6 rounding; ranking is on the ROUNDED value + item tie-break,
+    * so both engines sort identical keys). The pair space is the shared
+    * apriori-pruned frame; top-k per item is a bounded-partition window
+    * (WindowGroupLimit pushes the rank filter below the sort).
+    */
+  def itemCf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = copurchasePairs(spark, dir)
+    val sym = pairs.select(col("a"), col("b"), col("n_ab"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    val itemN = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val scored = sym
+      .join(itemN.select(col("l_partkey").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemN.select(col("l_partkey").as("b"), col("n_item").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        floor(col("n_ab").cast("double")
+          / sqrt(col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("cos_e6"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("cos_e6").desc, col("b"))))
+      .filter(col("rnk") <= k)
+      .orderBy("a", "rnk")
+  }
+
+  val itemCfOracle: String =
+    """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+      |pairs AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |          FROM baskets x JOIN baskets y
+      |            ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |s AS (SELECT p.a, p.b, p.n_ab,
+      |             CAST(floor(CAST(p.n_ab AS DOUBLE)
+      |                  / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+      |                  * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      |      FROM pairs p
+      |      JOIN itemn ia ON p.a = ia.l_partkey
+      |      JOIN itemn ib ON p.b = ib.l_partkey),
+      |r AS (SELECT a, b, n_ab, cos_e6,
+      |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos_e6 DESC, b) AS rnk
+      |      FROM s)
+      |SELECT a, b, n_ab, cos_e6, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin
+
   val seqPatternsOracle: String =
     """WITH pos AS (SELECT o_custkey, o_orderkey,
       |                    ROW_NUMBER() OVER (PARTITION BY o_custkey

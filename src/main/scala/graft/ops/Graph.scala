@@ -189,4 +189,82 @@ object Graph {
       |       CAST(pr3.pr AS BIGINT) AS pr_micro
       |FROM pr3 JOIN nation n ON n.n_nationkey = pr3.id
       |ORDER BY pr_micro DESC, nationkey""".stripMargin
+
+  /** The k-core peel kernel: repeatedly delete nodes of degree < k until
+    * fixpoint. One degree-aggregate + one semi-join per round (the
+    * pointer-jumping CC posture: a driver loop of bounded DataFrame
+    * jobs, localCheckpoint every round so lineage stays O(1)); an
+    * early-exit when no node was removed, a `maxRounds` cap so both
+    * engines compute the identical bounded recursion (extra rounds past
+    * the fixpoint are provably no-ops, so capping never changes a
+    * CONVERGED answer — OpsSpec drives an adversarial chain graph whose
+    * peel takes many rounds to pin that the cap is honest). Returns
+    * (id, core_deg) for surviving nodes: their degree within the core.
+    */
+  private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
+    var n = alive.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = sym
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+        .groupBy("a").agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k).select(col("a").as("id"))
+        .localCheckpoint()
+      val m = next.count()
+      done = m == n
+      alive = next
+      n = m
+      rounds += 1
+    }
+    sym.join(alive.select(col("id").as("a")), "a")
+      .join(alive.select(col("id").as("b")), "b")
+      .groupBy("a").agg(count(lit(1)).as("core_deg"))
+      .select(col("a").as("id"), col("core_deg"))
+  }
+
+  /** x200: 3-core of the co-purchase graph — the density-peeling
+    * community backbone (Seidman '83; Batagelj–Zaveršnik's peel is the
+    * distributed-friendly formulation): parts that survive iterated
+    * removal of degree-<3 nodes, i.e. the subgraph where every item has
+    * ≥3 co-purchase partners THAT THEMSELVES qualify. The recursion the
+    * flat x97 pair counts can't see: a part with 3 weak partners peels
+    * once the partners do. Edges are the Layer-shared apriori-pruned
+    * pair frame; 12 peel rounds bound the recursion in BOTH engines
+    * (measured fixpoint: 10 rounds at sf0.01, 2 at sf0.1, 0 at
+    * sf0.001), and the DuckDB twin unrolls the identical 12 rounds.
+    */
+  def kCoreParts(spark: SparkSession, dir: String): DataFrame =
+    kCoreOf(graft.ext.Associations.copurchasePairs(spark, dir), 3, 12)
+      .select(col("id").as("l_partkey"), col("core_deg"))
+      .orderBy("l_partkey")
+
+  val kCoreOracle: String = {
+    // MATERIALIZED: each round references the previous CTE twice — the
+    // default inlining would expand the 12-round chain into 2^12 scans
+    // of the base table (observed as fd exhaustion in DuckDB)
+    val base =
+      """WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+        |      FROM baskets x JOIN baskets y
+        |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)""".stripMargin
+    val rounds = (1 to 12).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT s.a AS id FROM sym s
+         |  JOIN a${i - 1} x ON x.id = s.a JOIN a${i - 1} y ON y.id = s.b
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT s.a AS l_partkey, COUNT(*) AS core_deg
+       |FROM sym s JOIN a12 x ON x.id = s.a JOIN a12 y ON y.id = s.b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -34,6 +34,8 @@ object Ext {
     "x196_quantile_bins"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.quantileBins(s, d)),
     "x197_crosscorr"       -> ((s: SparkSession, d: String) => Events.crossCorrDaily(s, d)),
     "x198_fd_audit"        -> ((s: SparkSession, d: String) => graft.ops.Quality.fdAudit(s, d)),
+    "x199_item_cf"         -> ((s: SparkSession, d: String) => Associations.itemCf(s, d)),
+    "x200_kcore"           -> ((s: SparkSession, d: String) => graft.ops.Graph.kCoreParts(s, d)),
     // rows-only by design: LBFGS-fit coefficients (m01 class); MlSpec pins
     // refit-equality, finiteness, and the train-AUC floor
     "m08_logistic"         -> ((s: SparkSession, d: String) => ReorderModel.logisticCoefficients(s, d)),
@@ -506,6 +508,8 @@ object Ext {
     "x196_quantile_bins"   -> graft.ops.Encoding.quantileBinsOracle,
     "x197_crosscorr"       -> Events.crossCorrOracle,
     "x198_fd_audit"        -> graft.ops.Quality.fdAuditOracle,
+    "x199_item_cf"         -> Associations.itemCfOracle,
+    "x200_kcore"           -> graft.ops.Graph.kCoreOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

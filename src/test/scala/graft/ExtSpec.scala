@@ -1862,6 +1862,33 @@ class ExtSpec extends SparkSuite {
     assert(valueTotal - creditTotal < BigInt(touches.length))
   }
 
+  test("item CF: cosine top-5 equals the driver recomputation and is symmetric") {
+    val got = graft.ext.Associations.itemCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val itemN = baskets.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val pairCnt = baskets.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val items = rows.map(_._2).toSeq
+      for (a <- items; b <- items if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+      .filter(_._2 >= 2)
+    val exp = pairCnt.toSeq.map { case ((a, b), nAb) =>
+      (a, b, nAb.toLong, math.floor(
+        nAb.toDouble / math.sqrt(itemN(a).toDouble * itemN(b).toDouble)
+          * 1e6 + 0.5).toLong)
+    }.groupBy(_._1).flatMap { case (_, cands) =>
+      cands.sortBy(c => (-c._4, c._2)).take(5).zipWithIndex
+        .map { case ((a, b, n, c), i) => (a, b, n, c, i + 1) }
+    }.toSet
+    assert(got.toSet === exp, "item-CF top-5 mismatch vs driver recomputation")
+    // cosine is symmetric: every scored pair carries the same cos both ways
+    val cosMap = got.map(r => (r._1, r._2) -> r._4).toMap
+    cosMap.foreach { case ((a, b), c) =>
+      cosMap.get((b, a)).foreach(c2 => assert(c2 === c, s"asymmetric cos $a,$b")) }
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

@@ -1598,6 +1598,44 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("k-core peel: adversarial chain takes many rounds; driver peel agrees") {
+    import spark.implicits._
+    // K4 clique (the 2-core/3-core survivor) + a 6-node tail chain hanging
+    // off it: a chain peels ONE node per round from the free end, so the
+    // fixpoint needs 6 rounds — pins that the round cap is real iteration,
+    // not a single degree filter
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+      .toDF("a", "b")
+    val got2 = graft.ops.Graph.kCoreOf(edges, 2, 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.keySet === Set(1L, 2L, 3L, 4L), "2-core is exactly the clique")
+    assert(got2.values.forall(_ === 3L), "within-core degree of K4 is 3")
+    // with too few rounds the chain is only partially peeled — the cap law
+    val capped = graft.ops.Graph.kCoreOf(edges, 2, 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L),
+      "2 rounds peel exactly the last two chain nodes' worth")
+    // the real fixture: driver-side peel of the co-purchase graph agrees
+    val pairs = graft.ext.Associations.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val rem = alive.filter(v => adj(v).count(alive) < 3)
+      changed = rem.nonEmpty
+      alive --= rem
+    }
+    val gotReal = graft.ops.Graph.kCoreParts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal.keySet === alive, "3-core membership mismatch vs driver peel")
+    gotReal.foreach { case (v, d) =>
+      assert(d === adj(v).count(alive).toLong, s"core degree of $v") }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

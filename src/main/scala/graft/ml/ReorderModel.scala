@@ -51,9 +51,16 @@ object ReorderModel {
     *    under full-bench memory pressure degraded m01/m04 warm times by
     *    an order of magnitude.
     */
+  /** The Layer-cached plain-column train matrix — single builder site
+    * (the x182 Layer-key lesson); assembledTrain and m09's normal
+    * equations both read it.
+    */
+  private[graft] def trainFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "trainFeatures")(
+      Insta.featureMatrix(spark, dir, Seq(1L)))
+
   def assembledTrain(spark: SparkSession, dir: String): DataFrame =
-    assemble(graft.Layer.cached(spark, dir, "trainFeatures")(
-      Insta.featureMatrix(spark, dir, Seq(1L))))
+    assemble(trainFeatures(spark, dir))
 
   def rf: RandomForestRegressor = new RandomForestRegressor() // M2, F.py:219–221
     .setNumTrees(3).setFeatureSubsetStrategy("auto")
@@ -383,8 +390,12 @@ object ReorderModel {
     val model = lr.fit(train)
     // exact rank-sum AUC over the model's own probabilities (x194's
     // kernel): spark.ml's binarySummary AUC bins/samples and is not
-    // run-stable at 1e-6; this is exact, so refits reproduce it
-    val aucE6 = graft.ops.Quality.aucOf(model.transform(train),
+    // run-stable at 1e-6; this is exact, so refits reproduce it.
+    // transform through a summary-free copy: the fitted model drags its
+    // trainingSummary (which holds the SparkSession) into the scoring
+    // UDF's closure and task serialization dies under AQE
+    val scoring = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+    val aucE6 = graft.ops.Quality.aucOf(scoring.transform(train),
         org.apache.spark.ml.functions.vector_to_array(col("probability"))
           .getItem(1),
         col("label") === 1d)
@@ -396,5 +407,85 @@ object ReorderModel {
     rows.toDF("idx", "feature", "coef_e6")
       .withColumn("train_auc_e6", lit(aucE6))
       .orderBy("idx")
+  }
+
+  /** m09: ridge regression by DISTRIBUTED NORMAL EQUATIONS — the
+    * closed-form linear solver, and the canonical 100 TB pattern for
+    * linear models: ONE map-combinable pass reduces the fact-sized
+    * design matrix to the d(d+3)/2 moment sums XᵀX and Xᵀy (the x148
+    * covariance posture, d = 18 with the intercept column), the (d×d)
+    * solve is a driver boundary (Gaussian elimination with partial
+    * pivoting), and one more pass scores the residual. No iteration, no
+    * spark.ml — m08's LBFGS needs ~25 passes for the logistic loss;
+    * the squared loss needs exactly two. λ scales with n (penalty in
+    * per-row units) and skips the intercept. Rows-only (double moment
+    * sums — the one non-integer aggregate family in the suite, same
+    * class as m01); MlSpec pins the normal-equation residual against
+    * DRIVER-recomputed moments, refit equality, and fit-beats-mean.
+    */
+  def ridgeCoefficients(spark: SparkSession, dir: String,
+                        lambdaPerRow: Double = 0.001): DataFrame = {
+    import spark.implicits._
+    val feats = trainFeatures(spark, dir)
+      .withColumn("label", col("label").cast("double"))
+    val xs = "__one" +: featureCols.toSeq
+    val withOne = feats.withColumn("__one", lit(1.0d))
+    val d = xs.length
+    val sumExprs =
+      (for (i <- 0 until d; j <- i until d)
+        yield sum(col(xs(i)).cast("double") * col(xs(j)).cast("double"))
+          .as(s"a_${i}_$j")) ++
+      (0 until d).map(i =>
+        sum(col(xs(i)).cast("double") * col("label")).as(s"b_$i")) :+
+      count(lit(1)).as("n")
+    val row = withOne.agg(sumExprs.head, sumExprs.tail: _*).first()
+    val n = row.getAs[Long]("n")
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      row.getAs[Double](s"a_${lo}_$hi")
+    }
+    val b = Array.tabulate(d)(i => row.getAs[Double](s"b_$i"))
+    val lam = lambdaPerRow * n
+    for (i <- 1 until d) a(i)(i) += lam // intercept (index 0) unpenalized
+    val beta = solve(a.map(_.clone()), b.clone())
+    // second pass: residual sum of squares with β as plan-time literals
+    val pred = xs.zip(beta).map { case (c, w) => col(c).cast("double") * lit(w) }
+      .reduce(_ + _)
+    val sse = withOne.agg(
+      sum(pow(col("label") - pred, 2)).as("sse")).first().getDouble(0)
+    val rmseE6 = math.floor(math.sqrt(sse / n) * 1e6 + 0.5).toLong
+    xs.zip(beta).zipWithIndex
+      .map { case ((f, w), i) =>
+        (i.toLong - 1L, if (i == 0) "(intercept)" else f,
+          math.floor(w * 1e6 + 0.5).toLong) }
+      .toSeq.toDF("idx", "feature", "coef_e6")
+      .withColumn("train_rmse_e6", lit(rmseE6))
+      .orderBy("idx")
+  }
+
+  /** Gaussian elimination with partial pivoting — the d×d driver-boundary
+    * solve behind m09 (d = |features|+1; the x149 posture: iterate on the
+    * driver only once the data is aggregate-sized).
+    */
+  private[graft] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    for (k <- 0 until d) {
+      var p = k
+      for (i <- k + 1 until d) if (math.abs(a(i)(k)) > math.abs(a(p)(k))) p = i
+      val (ta, tb) = (a(k), b(k)); a(k) = a(p); a(p) = ta; b(k) = b(p); b(p) = tb
+      require(math.abs(a(k)(k)) > 1e-12, s"singular normal matrix at pivot $k")
+      for (i <- k + 1 until d) {
+        val f = a(i)(k) / a(k)(k)
+        for (j <- k until d) a(i)(j) -= f * a(k)(j)
+        b(i) -= f * b(k)
+      }
+    }
+    val x = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until d) s -= a(i)(j) * x(j)
+      x(i) = s / a(i)(i)
+    }
+    x
   }
 }

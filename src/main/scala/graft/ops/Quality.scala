@@ -360,6 +360,74 @@ object Quality {
       |FROM g, t WHERE n < 8
       |ORDER BY nationkey, c_mktsegment""".stripMargin
 
+  /** x201: two-proportion A/B test report — the experimentation
+    * readout (assignment → conversion → pooled z) every growth team
+    * runs; x131's Wilson bounds give per-arm intervals, this is the
+    * BETWEEN-arm significance. Unit = active user-DAY (conversion =
+    * that day contained a purchase — the user grain saturates at 100%
+    * conversion on this fixture, a degenerate pooled variance),
+    * assignment = user_id parity — the deterministic stand-in for a
+    * hash-bucketed experiment assignment (x70's split machinery is the
+    * production path). Counts reduce exactly (one user-day-grain
+    * aggregate off one fact pass, then a 2-row reduction);
+    * rates, lift, and the pooled two-proportion z convert to double
+    * once each, identical formulas both engines. z ≈ 0 certifies the
+    * parity split is unbiased — the A/A-test reading.
+    */
+  def abTest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val users = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = users.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = users.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("c").as("c_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        floor(col("c_a").cast("double") / col("n_a").cast("double")
+          * 1000000d + 0.5d).cast("long").as("rate_a_e6"),
+        floor(col("c_b").cast("double") / col("n_b").cast("double")
+          * 1000000d + 0.5d).cast("long").as("rate_b_e6"),
+        floor((col("c_b").cast("double") * col("n_a").cast("double")
+          / (col("c_a").cast("double") * col("n_b").cast("double")) - 1d)
+          * 1000000d + 0.5d).cast("long").as("lift_e6"),
+        floor((col("c_a").cast("double") / col("n_a").cast("double")
+          - col("c_b").cast("double") / col("n_b").cast("double"))
+          / sqrt((col("c_a") + col("c_b")).cast("double")
+            / (col("n_a") + col("n_b")).cast("double")
+            * (lit(1d) - (col("c_a") + col("c_b")).cast("double")
+              / (col("n_a") + col("n_b")).cast("double"))
+            * (lit(1d) / col("n_a").cast("double")
+              + lit(1d) / col("n_b").cast("double")))
+          * 10000d + 0.5d).cast("long").as("z_e4"))
+  }
+
+  val abTestOracle: String =
+    """WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(conv) AS c
+      |      FROM u GROUP BY 1),
+      |w AS (SELECT
+      |        (SELECT n FROM g WHERE arm = 0) AS n_a,
+      |        (SELECT CAST(c AS BIGINT) FROM g WHERE arm = 0) AS c_a,
+      |        (SELECT n FROM g WHERE arm = 1) AS n_b,
+      |        (SELECT CAST(c AS BIGINT) FROM g WHERE arm = 1) AS c_b)
+      |SELECT n_a, c_a, n_b, c_b,
+      |       CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT) AS rate_a_e6,
+      |       CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000 + 0.5) AS BIGINT) AS rate_b_e6,
+      |       CAST(floor((CAST(c_b AS DOUBLE) * n_a / (CAST(c_a AS DOUBLE) * n_b) - 1)
+      |            * 1000000 + 0.5) AS BIGINT) AS lift_e6,
+      |       CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+      |            / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+      |                   * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |                   * (1.0 / n_a + 1.0 / n_b))
+      |            * 10000 + 0.5) AS BIGINT) AS z_e4
+      |FROM w""".stripMargin
+
   /** x198: functional-dependency audit — data profiling's "which keys
     * really determine which columns" (Papenbrock et al., VLDB'15 frame
     * this as FD discovery; this is the VALIDATION side over a candidate

@@ -36,6 +36,10 @@ object Ext {
     "x198_fd_audit"        -> ((s: SparkSession, d: String) => graft.ops.Quality.fdAudit(s, d)),
     "x199_item_cf"         -> ((s: SparkSession, d: String) => Associations.itemCf(s, d)),
     "x200_kcore"           -> ((s: SparkSession, d: String) => graft.ops.Graph.kCoreParts(s, d)),
+    "x201_ab_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.abTest(s, d)),
+    // rows-only by design: double moment sums (the m01 class); MlSpec pins
+    // the normal-equation residual, refit equality, and fit-beats-mean
+    "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
     // rows-only by design: LBFGS-fit coefficients (m01 class); MlSpec pins
     // refit-equality, finiteness, and the train-AUC floor
     "m08_logistic"         -> ((s: SparkSession, d: String) => ReorderModel.logisticCoefficients(s, d)),
@@ -510,6 +514,7 @@ object Ext {
     "x198_fd_audit"        -> graft.ops.Quality.fdAuditOracle,
     "x199_item_cf"         -> Associations.itemCfOracle,
     "x200_kcore"           -> graft.ops.Graph.kCoreOracle,
+    "x201_ab_test"         -> graft.ops.Quality.abTestOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

@@ -235,4 +235,46 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq, "LBFGS refit must be deterministic")
   }
+
+  test("ridge normal equations: residual vanishes against driver moments; fit beats the mean") {
+    val rows = ReorderModel.ridgeCoefficients(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ===
+      ("(intercept)" +: ReorderModel.featureCols.toSeq))
+    val beta = rows.map(_._3.toDouble / 1e6)
+    // driver-side moments from the raw matrix — independent of the
+    // operator's aggregate pass
+    val feats = ReorderModel.trainFeatures(spark, sf)
+      .select((org.apache.spark.sql.functions.lit(1.0d).as("__one") +:
+        ReorderModel.featureCols.toIndexedSeq.map(c =>
+          org.apache.spark.sql.functions.col(c).cast("double"))) :+
+        org.apache.spark.sql.functions.col("label").cast("double").as("label"): _*)
+      .collect()
+      .map(r => (Array.tabulate(rows.length)(i => r.getDouble(i)), r.getDouble(rows.length)))
+    val d = rows.length
+    val n = feats.length
+    val a = Array.ofDim[Double](d, d); val b = new Array[Double](d)
+    feats.foreach { case (x, y) =>
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) += x(i) * x(j)
+      for (i <- 0 until d) b(i) += x(i) * y
+    }
+    val lam = 0.001 * n
+    for (i <- 1 until d) a(i)(i) += lam
+    // (XᵀX + λI)β − Xᵀy ≈ 0 — the e6 rounding of β is the error floor
+    val scale = (0 until d).map(i => math.abs(a(i)(i))).max
+    for (i <- 0 until d) {
+      val r = (0 until d).map(j => a(i)(j) * beta(j)).sum - b(i)
+      assert(math.abs(r) <= scale * 1e-5,
+        s"normal-equation residual row $i: $r (scale $scale)")
+    }
+    // the fit explains something: rmse strictly below the label stddev
+    val rmse = rows.head._4.toDouble / 1e6
+    val mean = feats.map(_._2).sum / n
+    val sd = math.sqrt(feats.map(f => (f._2 - mean) * (f._2 - mean)).sum / n)
+    assert(rmse < sd, s"ridge rmse $rmse not below label sd $sd")
+    // no RNG, closed form — refit must reproduce exactly
+    val again = ReorderModel.ridgeCoefficients(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq, "closed-form refit must be deterministic")
+  }
 }

@@ -1636,6 +1636,31 @@ class OpsSpec extends SparkSuite {
       assert(d === adj(v).count(alive).toLong, s"core degree of $v") }
   }
 
+  test("A/B test recomputes exactly from user-day conversions") {
+    val row = graft.ops.Quality.abTest(spark, sf).collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+      .groupBy(_._1).toSeq.map { case ((u, _), evs) =>
+        (u % 2, if (evs.exists(_._2 == "purchase")) 1L else 0L) }
+    val (armA, armB) = ud.partition(_._1 == 0L)
+    val (na, ca) = (armA.length.toLong, armA.map(_._2).sum)
+    val (nb, cb) = (armB.length.toLong, armB.map(_._2).sum)
+    assert((got._1, got._2, got._3, got._4) === ((na, ca, nb, cb)),
+      "arm counts mismatch")
+    assert(got._5 === math.floor(ca.toDouble / na * 1e6 + 0.5).toLong)
+    assert(got._6 === math.floor(cb.toDouble / nb * 1e6 + 0.5).toLong)
+    assert(got._7 === math.floor(
+      (cb.toDouble * na / (ca.toDouble * nb) - 1d) * 1e6 + 0.5).toLong)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1d / na + 1d / nb))
+    assert(got._8 === math.floor(z * 1e4 + 0.5).toLong, "pooled z mismatch")
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -121,8 +121,19 @@ object Associations {
     * COUNT(DISTINCT customer) — so spark.ml's miner is itself
     * oracle-checked (the x154 gate, extended to sequence). maxPatternLength
     * = 2 bounds the projection depth; the fractional minSupport is pinned
-    * to (minCount − ½)/n so the internal ceil lands exactly on minCount.
+    * to (effective − ½)/n so the internal ceil lands exactly on the count.
     * The one-row customer count is a driver boundary (x126 posture).
+    *
+    * SCALE GUARD (measured, SCALE.md round-8): an ABSOLUTE count floor
+    * makes the RELATIVE support threshold collapse as the corpus grows —
+    * at 10× the 1× sequence count, minCount=5 put the wall at 864 s
+    * (e ≈ 1.8, task-time e ≈ 3: the frequent-prefix space, and with it
+    * PrefixSpan's projected-database work, explodes). The effective
+    * floor is therefore max(minCount, ⌈0.003·n⌉) — the x158 df-cap
+    * posture: at the oracle scales (n ≤ 1 500 customers) the relative
+    * term stays below 5 so every test output is unchanged, while at
+    * fleet scale the threshold tracks the corpus and the mining stays
+    * near-linear (re-measured: 864 → ~8 s at 10×).
     */
   def seqPatterns(spark: SparkSession, dir: String,
                   minCount: Int = 5): DataFrame = {
@@ -142,8 +153,9 @@ object Associations {
       .agg(expr("transform(array_sort(collect_list(struct(pos, items))), x -> x.items)")
         .as("sequence"))
     val n = seqs.count()
+    val effective = math.max(minCount.toLong, math.ceil(0.003 * n).toLong)
     val patterns = new PrefixSpan()
-      .setMinSupport((minCount.toDouble - 0.5) / n)
+      .setMinSupport((effective.toDouble - 0.5) / n)
       .setMaxPatternLength(2)
       .setSequenceCol("sequence")
       .findFrequentSequentialPatterns(seqs)

@@ -388,17 +388,18 @@ object ReorderModel {
       .setStandardization(true)
     val train = assembledTrain(spark, dir)
     val model = lr.fit(train)
-    // exact rank-sum AUC over the model's own probabilities (x194's
-    // kernel): spark.ml's binarySummary AUC bins/samples and is not
-    // run-stable at 1e-6; this is exact, so refits reproduce it.
-    // transform through a summary-free copy: the fitted model drags its
-    // trainingSummary (which holds the SparkSession) into the scoring
-    // UDF's closure and task serialization dies under AQE
-    val scoring = model.copy(org.apache.spark.ml.param.ParamMap.empty)
-    val aucE6 = graft.ops.Quality.aucOf(scoring.transform(train),
-        org.apache.spark.ml.functions.vector_to_array(col("probability"))
-          .getItem(1),
-        col("label") === 1d)
+    // exact rank-sum AUC over the model's own scores (x194's kernel):
+    // spark.ml's binarySummary AUC bins/samples and is not run-stable at
+    // 1e-6; this is exact, so refits reproduce it. Scoring is the raw
+    // LINEAR MARGIN as a codegen'd Column expression — AUC is rank-based
+    // and the sigmoid is monotone, so margin-ranked AUC ≡ probability-
+    // ranked AUC — which also sidesteps model.transform dragging the
+    // trainingSummary (it holds the SparkSession; model.copy copies it
+    // too) into a scoring-UDF closure that AQE then fails to serialize
+    val margin = featureCols.toIndexedSeq.zip(model.coefficients.toArray)
+      .map { case (c, w) => col(c).cast("double") * lit(w) }
+      .reduce(_ + _) + lit(model.intercept)
+    val aucE6 = graft.ops.Quality.aucOf(train, margin, col("label") === 1d)
       .select("auc_e6").first().getLong(0)
     val rows = (-1L, "(intercept)", math.floor(model.intercept * 1e6 + 0.5).toLong) +:
       featureCols.zip(model.coefficients.toArray).zipWithIndex

@@ -1490,6 +1490,136 @@ object Events {
       |SELECT path, COUNT(*) AS n_user_days
       |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
 
+  /** x202: cohort LTV triangle — x94's retention counts upgraded to
+    * VALUE: for each signup cohort (week of first activity) and week
+    * offset, the purchase revenue that cohort generated, its running
+    * cumulative, and cumulative LTV per cohort user — the triangle
+    * table every growth model (and LTV forecast) is fit on. Exactness:
+    * revenue stays e3 integers; cumulative is a bounded-partition
+    * window over offsets (≤ span/7 rows per cohort — metadata); LTV
+    * per user is a single nonneg integer DIV. One fact pass to the
+    * (user, week) purchase grain + the user-grain cohort map.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("event_type"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("v_e3"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "week").agg(sum(col("v_e3")).as("r"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+      .agg(sum(col("r")).as("rev_e3"))
+    rev.withColumn("cum_rev_e3", sum(col("rev_e3")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("offset"), col("rev_e3"),
+        col("cum_rev_e3"), col("cohort_users"),
+        expr("cum_rev_e3 DIV cohort_users").as("ltv_per_user_e3"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  val cohortLtvOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week,
+      |                  event_type,
+      |                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_e3
+      |           FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+      |sz AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM c GROUP BY 1),
+      |r AS (SELECT e.user_id, e.week, SUM(e.v_e3) AS r FROM e
+      |      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |t AS (SELECT c.cohort_week, r.week - c.cohort_week AS "offset",
+      |             SUM(r.r) AS rev_e3
+      |      FROM r JOIN c USING (user_id) GROUP BY 1, 2),
+      |k AS (SELECT cohort_week, "offset", rev_e3,
+      |             SUM(rev_e3) OVER (PARTITION BY cohort_week ORDER BY "offset"
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_e3
+      |      FROM t)
+      |SELECT k.cohort_week, k."offset" AS "offset", CAST(k.rev_e3 AS BIGINT) AS rev_e3,
+      |       CAST(k.cum_rev_e3 AS BIGINT) AS cum_rev_e3, sz.cohort_users,
+      |       CAST(k.cum_rev_e3 // sz.cohort_users AS BIGINT) AS ltv_per_user_e3
+      |FROM k JOIN sz USING (cohort_week)
+      |ORDER BY cohort_week, "offset"""".stripMargin
+
+  /** x203: growth accounting — the weekly NEW / RETAINED / RESURRECTED /
+    * CHURNED decomposition (and its quick ratio) that turns x183's flat
+    * active counts into a flow statement: where did this week's actives
+    * come from, and who left. Algebra: with cur = active(w) and prv =
+    * active(w−1) as presence flags on a FULL-join spine, new = first
+    * week, retained = cur∧prv, resurrected = cur∧¬prv∧¬new, churned =
+    * prv∧¬cur — the four classes partition the spine, and active(w) −
+    * active(w−1) ≡ new + resurrected − churned (the conservation law
+    * the spec pins). All exact counts; the trailing week past the last
+    * activity carries pure churn — kept, both engines agree. Quick
+    * ratio (new+res)/churned is NULL when nobody churned.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val presence = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .distinct()
+    val firsts = presence.groupBy("user_id").agg(min(col("week")).as("first_week"))
+    val cur = presence.select(col("user_id"), col("week"), lit(1L).as("cur"))
+    val prv = presence.select(col("user_id"), (col("week") + 1).as("week"),
+      lit(1L).as("prv"))
+    cur.join(prv, Seq("user_id", "week"), "full")
+      .join(firsts, "user_id")
+      .select(col("week"),
+        coalesce(col("cur"), lit(0L)).as("cur"),
+        coalesce(col("prv"), lit(0L)).as("prv"),
+        (col("week") === col("first_week")).cast("long").as("is_new"))
+      .groupBy("week")
+      .agg(sum(col("cur")).as("n_active"),
+        sum(col("cur") * col("is_new")).as("n_new"),
+        sum(col("cur") * col("prv")).as("n_retained"),
+        sum(col("cur") * (lit(1) - col("prv")) * (lit(1) - col("is_new")))
+          .as("n_resurrected"),
+        sum(col("prv") * (lit(1) - col("cur"))).as("n_churned"))
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        when(col("n_churned") > 0,
+          floor((col("n_new") + col("n_resurrected")).cast("double")
+            / col("n_churned").cast("double") * 10000d + 0.5d).cast("long"))
+          .otherwise(lit(null).cast("long")).as("quick_ratio_e4"))
+      .orderBy("week")
+  }
+
+  val growthAccountingOracle: String =
+    """WITH p AS (SELECT DISTINCT user_id,
+      |                  epoch_us(ts) // 86400000000 // 7 AS week
+      |           FROM events),
+      |f AS (SELECT user_id, MIN(week) AS first_week FROM p GROUP BY 1),
+      |cur AS (SELECT user_id, week, 1 AS cur FROM p),
+      |prv AS (SELECT user_id, week + 1 AS week, 1 AS prv FROM p),
+      |j AS (SELECT COALESCE(cur.user_id, prv.user_id) AS user_id,
+      |             COALESCE(cur.week, prv.week) AS week,
+      |             COALESCE(cur.cur, 0) AS cur, COALESCE(prv.prv, 0) AS prv
+      |      FROM cur FULL JOIN prv
+      |        ON cur.user_id = prv.user_id AND cur.week = prv.week),
+      |g AS (SELECT j.week,
+      |             SUM(j.cur) AS n_active,
+      |             SUM(j.cur * CASE WHEN j.week = f.first_week THEN 1 ELSE 0 END) AS n_new,
+      |             SUM(j.cur * j.prv) AS n_retained,
+      |             SUM(j.cur * (1 - j.prv) *
+      |                 CASE WHEN j.week = f.first_week THEN 0 ELSE 1 END) AS n_resurrected,
+      |             SUM(j.prv * (1 - j.cur)) AS n_churned
+      |      FROM j JOIN f USING (user_id) GROUP BY 1)
+      |SELECT week, CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(n_new AS BIGINT) AS n_new,
+      |       CAST(n_retained AS BIGINT) AS n_retained,
+      |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |       CAST(n_churned AS BIGINT) AS n_churned,
+      |       CASE WHEN n_churned > 0
+      |            THEN CAST(floor(CAST(n_new + n_resurrected AS DOUBLE)
+      |                 / CAST(n_churned AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      |            ELSE NULL END AS quick_ratio_e4
+      |FROM g ORDER BY week""".stripMargin
+
   /** x197: lead–lag cross-correlation between the click and purchase
     * daily value series — the leading-indicator audit ("does click
     * volume LEAD purchase volume, and by how many days?") that x172's

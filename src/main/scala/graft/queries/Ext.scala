@@ -37,6 +37,8 @@ object Ext {
     "x199_item_cf"         -> ((s: SparkSession, d: String) => Associations.itemCf(s, d)),
     "x200_kcore"           -> ((s: SparkSession, d: String) => graft.ops.Graph.kCoreParts(s, d)),
     "x201_ab_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.abTest(s, d)),
+    "x202_cohort_ltv"      -> ((s: SparkSession, d: String) => Events.cohortLtv(s, d)),
+    "x203_growth_accounting" -> ((s: SparkSession, d: String) => Events.growthAccounting(s, d)),
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
@@ -515,6 +517,8 @@ object Ext {
     "x199_item_cf"         -> Associations.itemCfOracle,
     "x200_kcore"           -> graft.ops.Graph.kCoreOracle,
     "x201_ab_test"         -> graft.ops.Quality.abTestOracle,
+    "x202_cohort_ltv"      -> Events.cohortLtvOracle,
+    "x203_growth_accounting" -> Events.growthAccountingOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

@@ -1889,6 +1889,62 @@ class ExtSpec extends SparkSuite {
       cosMap.get((b, a)).foreach(c2 => assert(c2 === c, s"asymmetric cos $a,$b")) }
   }
 
+  test("cohort LTV triangle conserves revenue and accumulates monotonically") {
+    val got = graft.ext.Events.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000 div 7").as("w"),
+        col("event_type"), expr("cast(floor(value * 1000 + 0.5) as long)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohortOf = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    // driver triangle recomputation
+    val exp = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohortOf(e._1), e._2 - cohortOf(e._1)))
+      .map { case (k, rows) => k -> rows.map(_._4).sum }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === exp, "triangle mismatch")
+    // revenue conservation: the triangle holds every purchase once
+    assert(got.map(_._3).sum === ev.filter(_._3 == "purchase").map(_._4).sum)
+    // per cohort: cum is the running sum, ltv is its floor-div by size
+    got.groupBy(_._1).foreach { case (cw, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r._3
+        assert(r._4 === cum, s"cum mismatch at cohort $cw offset ${r._2}")
+        assert(r._5 === cohortOf.values.count(_ == cw).toLong, "cohort size")
+        assert(r._6 === cum / r._5, "ltv per user")
+      }
+    }
+  }
+
+  test("growth accounting: classes partition actives and conserve the delta") {
+    val got = graft.ext.Events.growthAccounting(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val presence = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000 div 7").as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = presence.groupBy(_._2).map { case (w, v) => w -> v.map(_._1).toSet }
+    val firstOf = presence.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    got.foreach { case (w, (act, nw, ret, res, chu)) =>
+      val curSet = byWeek.getOrElse(w, Set.empty)
+      val prvSet = byWeek.getOrElse(w - 1, Set.empty)
+      assert(act === curSet.size.toLong)
+      assert(nw === curSet.count(u => firstOf(u) == w).toLong)
+      assert(ret === (curSet & prvSet).size.toLong)
+      assert(res === curSet.count(u => !prvSet(u) && firstOf(u) != w).toLong)
+      assert(chu === (prvSet -- curSet).size.toLong)
+      // partition: every active is exactly one of new/retained/resurrected
+      assert(act === nw + ret + res, s"week $w classes don't partition")
+      // conservation: Δactive = new + resurrected − churned
+      assert(act - prvSet.size === nw + res - chu, s"week $w flow imbalance")
+    }
+    // every presence week appears (plus possibly one trailing churn week)
+    assert(byWeek.keySet.subsetOf(got.keySet))
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

@@ -218,6 +218,78 @@ object Associations {
       .orderBy("a", "rnk")
   }
 
+  /** x205: next-best-offer — the SERVING side of x199's item-CF model,
+    * and the domain capstone: for every customer, the single
+    * highest-affinity item they have NOT yet bought, scoring each
+    * candidate by the SUM of its cosine similarities (exact e6
+    * integers, so the Σ and the arg-max are exact) to the customer's
+    * owned items, restricted to the top-k neighbor lists (the standard
+    * Sarwar serving truncation — candidate space is |owned|·k, never
+    * the catalog). Ownership exclusion is an anti-join; the winner per
+    * customer is a bounded-partition top-1 window with a total
+    * tie-break (score desc, item asc). One orders⋈lineitem pass for
+    * ownership; the neighbor table is item-grain (broadcastable at
+    * catalog scale).
+    */
+  def nextBestOffer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val owned = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val neighbors = itemCf(spark, dir)
+      .select(col("a"), col("b"), col("cos_e6"))
+    val scored = owned.join(neighbors, owned("l_partkey") === neighbors("a"))
+      .select(col("o_custkey"), col("b"), col("cos_e6"))
+      .join(owned.select(col("o_custkey"), col("l_partkey").as("b")),
+        Seq("o_custkey", "b"), "left_anti")
+      .groupBy("o_custkey", "b")
+      .agg(sum(col("cos_e6")).as("score_e6"), count(lit(1)).as("n_paths"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("score_e6").desc, col("b"))))
+      .filter(col("rnk") === 1)
+      .select(col("o_custkey"), col("b").as("rec_partkey"),
+        col("score_e6"), col("n_paths"))
+      .orderBy("o_custkey")
+  }
+
+  val nextBestOfferOracle: String =
+    """WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+      |pairs AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |          FROM baskets x JOIN baskets y
+      |            ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |s AS (SELECT p.a, p.b,
+      |             CAST(floor(CAST(p.n_ab AS DOUBLE)
+      |                  / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+      |                  * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      |      FROM pairs p
+      |      JOIN itemn ia ON p.a = ia.l_partkey
+      |      JOIN itemn ib ON p.b = ib.l_partkey),
+      |nb AS MATERIALIZED (SELECT a, b, cos_e6 FROM (
+      |        SELECT a, b, cos_e6,
+      |               ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos_e6 DESC, b) AS rnk
+      |        FROM s) WHERE rnk <= 5),
+      |owned AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey, l.l_partkey
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |cand AS (SELECT w.o_custkey, nb.b,
+      |                SUM(nb.cos_e6) AS score_e6, COUNT(*) AS n_paths
+      |         FROM owned w JOIN nb ON nb.a = w.l_partkey
+      |         WHERE NOT EXISTS (SELECT 1 FROM owned w2
+      |                           WHERE w2.o_custkey = w.o_custkey
+      |                             AND w2.l_partkey = nb.b)
+      |         GROUP BY 1, 2),
+      |top AS (SELECT o_custkey, b, score_e6, n_paths,
+      |               ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                 ORDER BY score_e6 DESC, b) AS rnk
+      |        FROM cand)
+      |SELECT o_custkey, b AS rec_partkey, CAST(score_e6 AS BIGINT) AS score_e6,
+      |       n_paths
+      |FROM top WHERE rnk = 1 ORDER BY o_custkey""".stripMargin
+
   val itemCfOracle: String =
     """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),

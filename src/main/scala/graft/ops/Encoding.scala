@@ -83,7 +83,10 @@ object Encoding {
     * rational ever materializes. Shares convert exact integers to
     * double once. Output: ≤ 3 rows.
     */
-  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-part ABC label frame (partkey, rev_e2, abc, tot_e2) — the
+    * labeled half of [[abcClasses]], shared with x204's ABC-XYZ matrix.
+    */
+  private[graft] def abcLabeled(spark: SparkSession, dir: String): DataFrame = {
     val d38: Column => Column = _.cast("decimal(38,0)")
     val rev = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
@@ -93,17 +96,20 @@ object Encoding {
       col("rev_e2"), "cum_e2")
     val tot = rev.agg(sum(col("rev_e2")).as("tot_e2"))
     cum.crossJoin(broadcast(tot))
-      .select(col("rev_e2"),
+      .select(col("l_partkey"), col("rev_e2"),
         when(d38(col("cum_e2")) * 10 <= d38(col("tot_e2")) * 7, "A")
           .when(d38(col("cum_e2")) * 10 <= d38(col("tot_e2")) * 9, "B")
           .otherwise("C").as("abc"),
         col("tot_e2"))
+  }
+
+  def abcClasses(spark: SparkSession, dir: String): DataFrame =
+    abcLabeled(spark, dir)
       .groupBy("abc")
       .agg(count(lit(1)).as("n_parts"), sum(col("rev_e2")).as("rev_e2"),
         floor(sum(col("rev_e2")).cast("double") / max(col("tot_e2")).cast("double")
           * 1000000d + 0.5d).cast("long").as("share_e6"))
       .orderBy("abc")
-  }
 
   val abcOracle: String =
     """WITH rev AS (SELECT l_partkey,
@@ -194,6 +200,89 @@ object Encoding {
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_e2"), max(col("v")).as("max_e2"))
       .orderBy("bin")
   }
+
+  /** x204: ABC-XYZ inventory matrix — the two-axis stocking policy grid
+    * (Silver–Pyke–Peterson): revenue importance (x192's Pareto ABC) ×
+    * demand PREDICTABILITY (XYZ by the coefficient of variation of
+    * weekly demand: X ≤ 0.5 steady, Y ≤ 1.0 fluctuating, Z erratic).
+    * The CV threshold never computes a rational OR a square root: with
+    * S = Σx, Q = Σx², n active weeks, Var = (nQ − S²)/n² and mean² =
+    * S²/n², so CV² = (nQ − S²)/S² and the class cuts are the exact
+    * DECIMAL-widened compares 4·(nQ − S²) ≤ S² (X) and (nQ − S²) ≤ S²
+    * (Y). Demand is e2-exact weekly quantity
+    * over ACTIVE weeks (a zero-filled grid would peg every sparse part
+    * as erratic — documented choice, mirrored in the twin). One fact
+    * pass per axis + a part-grain join; output is the ≤9-cell matrix.
+    */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val weekly = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 7").as("week"),
+        floor(col("l_quantity") * 100d + 0.5d).cast("long").as("q_e2"))
+      .groupBy("l_partkey", "week").agg(sum(col("q_e2")).as("d"))
+    val xyz = xyzOf(weekly)
+    abcLabeled(spark, dir).select(col("l_partkey"), col("abc"))
+      .join(xyz, "l_partkey")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum(col("demand_e2")).as("demand_e2"))
+      .orderBy("abc", "xyz")
+  }
+
+  /** The XYZ classification kernel over any (l_partkey, week, d) weekly
+    * demand frame — split out so the spec can plant steady / fluctuating
+    * / erratic fixtures through the exact cross-multiplied class cuts
+    * (the synthetic corpus is all-Z, so the X/Y branches need planting).
+    */
+  private[graft] def xyzOf(weekly: DataFrame): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    weekly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+        sum(d38(col("d")) * d38(col("d"))).as("q"))
+      .select(col("l_partkey"),
+        when((d38(col("n")) * col("q") - d38(col("s")) * d38(col("s"))) * 4
+          <= d38(col("s")) * d38(col("s")), "X")
+          .when(d38(col("n")) * col("q") - d38(col("s")) * d38(col("s"))
+            <= d38(col("s")) * d38(col("s")), "Y")
+          .otherwise("Z").as("xyz"),
+        col("s").as("demand_e2"))
+  }
+
+  val abcXyzOracle: String =
+    """WITH rev AS (SELECT l_partkey,
+      |                    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |                      AS rev_e2
+      |             FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, rev_e2,
+      |             SUM(rev_e2) OVER (ORDER BY rev_e2 DESC, l_partkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e2,
+      |             (SELECT SUM(rev_e2) FROM rev) AS tot_e2
+      |      FROM rev),
+      |abc AS (SELECT l_partkey,
+      |               CASE WHEN cum_e2 * 10 <= tot_e2 * 7 THEN 'A'
+      |                    WHEN cum_e2 * 10 <= tot_e2 * 9 THEN 'B'
+      |                    ELSE 'C' END AS abc
+      |        FROM c),
+      |weekly AS (SELECT l_partkey,
+      |                  epoch_us(l_shipdate) // 86400000000 // 7 AS week,
+      |                  SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS d
+      |           FROM lineitem GROUP BY 1, 2),
+      |xyz AS (SELECT l_partkey,
+      |               CASE WHEN (CAST(n AS HUGEINT) * q
+      |                          - CAST(s AS HUGEINT) * s) * 4
+      |                         <= CAST(s AS HUGEINT) * s THEN 'X'
+      |                    WHEN CAST(n AS HUGEINT) * q
+      |                          - CAST(s AS HUGEINT) * s
+      |                         <= CAST(s AS HUGEINT) * s THEN 'Y'
+      |                    ELSE 'Z' END AS xyz,
+      |               s AS demand_e2
+      |        FROM (SELECT l_partkey, COUNT(*) AS n, SUM(d) AS s,
+      |                     SUM(CAST(d AS HUGEINT) * d) AS q
+      |              FROM weekly GROUP BY 1))
+      |SELECT abc.abc, xyz.xyz, COUNT(*) AS n_parts,
+      |       CAST(SUM(xyz.demand_e2) AS BIGINT) AS demand_e2
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val quantileBinsOracle: String =
     """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v

@@ -39,6 +39,8 @@ object Ext {
     "x201_ab_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.abTest(s, d)),
     "x202_cohort_ltv"      -> ((s: SparkSession, d: String) => Events.cohortLtv(s, d)),
     "x203_growth_accounting" -> ((s: SparkSession, d: String) => Events.growthAccounting(s, d)),
+    "x204_abc_xyz"         -> ((s: SparkSession, d: String) => graft.ops.Encoding.abcXyz(s, d)),
+    "x205_next_best_offer" -> ((s: SparkSession, d: String) => Associations.nextBestOffer(s, d)),
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
@@ -519,6 +521,8 @@ object Ext {
     "x201_ab_test"         -> graft.ops.Quality.abTestOracle,
     "x202_cohort_ltv"      -> Events.cohortLtvOracle,
     "x203_growth_accounting" -> Events.growthAccountingOracle,
+    "x204_abc_xyz"         -> graft.ops.Encoding.abcXyzOracle,
+    "x205_next_best_offer" -> Associations.nextBestOfferOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

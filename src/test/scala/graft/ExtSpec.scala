@@ -1945,6 +1945,34 @@ class ExtSpec extends SparkSuite {
     assert(byWeek.keySet.subsetOf(got.keySet))
   }
 
+  test("next-best-offer: never recommends an owned item and maximizes summed affinity") {
+    val got = graft.ext.Associations.nextBestOffer(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val neighbors = graft.ext.Associations.itemCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val ownedRows = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val items = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (ownedRows(r.getLong(0)), r.getLong(1))).distinct
+    val ownedOf = items.groupBy(_._1).map { case (c, v) => c -> v.map(_._2).toSet }
+    val nbByA = neighbors.groupBy(_._1)
+    val exp = ownedOf.flatMap { case (cust, owned) =>
+      val cands = owned.toSeq
+        .flatMap(a => nbByA.getOrElse(a, Array.empty[(Long, Long, Long)]).toSeq)
+        .filterNot(nb => owned(nb._2))
+        .groupBy(_._2).toSeq
+        .map { case (b, v) => (b, v.map(_._3).sum, v.size.toLong) }
+      if (cands.isEmpty) None
+      else Some(cust -> cands.minBy(c => (-c._2, c._1)))
+    }
+    assert(got === exp.map { case (c, (b, s, n)) => c -> (b, s, n) },
+      "next-best-offer mismatch vs driver recomputation")
+    // the structural law: a recommendation is never already owned
+    got.foreach { case (c, (b, _, _)) => assert(!ownedOf(c)(b), s"cust $c owns $b") }
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

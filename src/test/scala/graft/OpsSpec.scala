@@ -1661,6 +1661,55 @@ class OpsSpec extends SparkSuite {
     assert(got._8 === math.floor(z * 1e4 + 0.5).toLong, "pooled z mismatch")
   }
 
+  test("XYZ classification cuts at the exact CV boundaries; matrix recomputes") {
+    import spark.implicits._
+    // planted CV classes: constant demand (CV=0 → X), CV exactly at the
+    // 0.5 boundary (X by ≤), just past it (Y), and erratic (Z).
+    // (10,10,10,10): CV=0. (5,15,5,15): mean 10, var 25, CV=0.5 → X.
+    // (4,16,4,16): mean 10, var 36, CV=0.6 → Y. (1,39): mean 20,
+    // var 361, CV=0.95 → Y. (1,1,1,97): mean 25, var 1728, CV≈1.66 → Z.
+    val weekly = Seq(
+      (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 10L),
+      (2L, 1L, 5L), (2L, 2L, 15L), (2L, 3L, 5L), (2L, 4L, 15L),
+      (3L, 1L, 4L), (3L, 2L, 16L), (3L, 3L, 4L), (3L, 4L, 16L),
+      (4L, 1L, 1L), (4L, 2L, 39L),
+      (5L, 1L, 1L), (5L, 2L, 1L), (5L, 3L, 1L), (5L, 4L, 97L))
+      .toDF("l_partkey", "week", "d")
+    val cls = graft.ops.Encoding.xyzOf(weekly).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cls === Map(1L -> "X", 2L -> "X", 3L -> "Y", 4L -> "Y", 5L -> "Z"))
+    // the real matrix recomputes driver-side
+    val got = graft.ops.Encoding.abcXyz(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 86400000000 div 7").as("w"),
+        expr("cast(floor(l_quantity * 100 + 0.5) as long)").as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // abc labels
+    val rev = li.groupBy(_._1).map { case (k, v) => k -> v.map(r => BigInt(r._4)).sum }
+    val tot = rev.values.sum
+    var cum = BigInt(0)
+    val abcOf = rev.toSeq.sortBy(r => (-r._2, r._1)).map { case (k, v) =>
+      cum += v
+      k -> (if (cum * 10 <= tot * 7) "A" else if (cum * 10 <= tot * 9) "B" else "C")
+    }.toMap
+    // xyz labels
+    val xyzOf = li.groupBy(_._1).map { case (k, rows) =>
+      val d = rows.groupBy(_._2).map { case (_, g) => g.map(r => BigInt(r._3)).sum }.toSeq
+      val n = BigInt(d.length); val s = d.sum; val q = d.map(x => x * x).sum
+      val v = n * q - s * s
+      k -> (if (v * 4 <= s * s) "X" else if (v <= s * s) "Y" else "Z",
+        d.sum)
+    }
+    val exp = xyzOf.toSeq.groupBy { case (k, _) => (abcOf(k), xyzOf(k)._1) }
+      .map { case (cell, rows) =>
+        cell -> (rows.length.toLong, rows.map(_._2._2).sum.toLong) }
+    assert(got === exp, "ABC-XYZ matrix mismatch")
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

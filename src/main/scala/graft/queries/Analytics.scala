@@ -1390,6 +1390,85 @@ object Analytics {
       |            ELSE NULL END AS z_e4
       |FROM v""".stripMargin
 
+  /** a43: price-volume-mix bridge — the FP&A revenue-change
+    * decomposition ("why did revenue move?"): for parts sold in BOTH
+    * periods, ΔRev splits into a price effect q₂·(p₂−p₁), a volume
+    * effect p₁·(q₂−q₁), and the joint remainder (p₂−p₁)(q₂−q₁); parts
+    * that appear only in one period are reported as new/lost revenue.
+    * Periods are ship-date years 1996 vs 1997. Exactness discipline:
+    * per-part revenues and quantities are exact e2 integers; the two
+    * rational effects (denominator q₁) take ONE identically-written
+    * double division each and round half-up PER PART, so the final
+    * sums are exact BIGINT and the bridge closes exactly — joint is
+    * defined as Δ − price − volume on the rounded values, so
+    * price + volume + joint ≡ Δ by construction (the spec pins the
+    * stronger per-part form against unrounded rationals). One fact
+    * pass to the (part, year) grain; everything after is part-grain.
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String,
+                     y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val grain = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).isin(y1, y2))
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(floor(col("l_quantity") * 100d + 0.5d).cast("long")).as("q"),
+        sum(floor(col("l_extendedprice") * 100d + 0.5d).cast("long")).as("r"))
+    val p1 = grain.filter(col("yr") === y1)
+      .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
+    val p2 = grain.filter(col("yr") === y2)
+      .select(col("l_partkey"), col("q").as("q2"), col("r").as("r2"))
+    val both = p1.join(p2, "l_partkey")
+      .select(col("l_partkey"), col("q1"), col("r1"), col("q2"), col("r2"),
+        floor(col("r2").cast("double")
+          - (d38(col("q2")) * d38(col("r1"))).cast("double") / col("q1").cast("double")
+          + 0.5d).cast("long").as("price_eff"),
+        floor((d38(col("r1")) * (col("q2") - col("q1"))).cast("double")
+          / col("q1").cast("double") + 0.5d).cast("long").as("volume_eff"))
+    val bridge = both.agg(count(lit(1)).as("n_parts_both"),
+      sum(col("r2") - col("r1")).as("delta_rev_e2"),
+      sum(col("price_eff")).as("price_eff_e2"),
+      sum(col("volume_eff")).as("volume_eff_e2"))
+      .select(col("n_parts_both"), col("delta_rev_e2"), col("price_eff_e2"),
+        col("volume_eff_e2"),
+        (col("delta_rev_e2") - col("price_eff_e2") - col("volume_eff_e2"))
+          .as("joint_eff_e2"))
+    val newRev = p2.join(p1.select("l_partkey"), Seq("l_partkey"), "left_anti")
+      .agg(coalesce(sum(col("r2")), lit(0L)).as("new_rev_e2"))
+    val lostRev = p1.join(p2.select("l_partkey"), Seq("l_partkey"), "left_anti")
+      .agg(coalesce(sum(col("r1")), lit(0L)).as("lost_rev_e2"))
+    bridge.crossJoin(broadcast(newRev)).crossJoin(broadcast(lostRev))
+  }
+
+  val priceVolumeMixOracle: String =
+    """WITH g AS (SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+      |                  SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS q,
+      |                  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS r
+      |           FROM lineitem
+      |           WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+      |           GROUP BY 1, 2),
+      |p1 AS (SELECT l_partkey, q AS q1, r AS r1 FROM g WHERE yr = 1996),
+      |p2 AS (SELECT l_partkey, q AS q2, r AS r2 FROM g WHERE yr = 1997),
+      |b AS (SELECT p1.l_partkey, q1, r1, q2, r2,
+      |             CAST(floor(CAST(r2 AS DOUBLE)
+      |                  - CAST(CAST(q2 AS HUGEINT) * r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+      |                  + 0.5) AS BIGINT) AS price_eff,
+      |             CAST(floor(CAST(CAST(r1 AS HUGEINT) * (q2 - q1) AS DOUBLE)
+      |                  / CAST(q1 AS DOUBLE) + 0.5) AS BIGINT) AS volume_eff
+      |      FROM p1 JOIN p2 USING (l_partkey)),
+      |s AS (SELECT COUNT(*) AS n_parts_both,
+      |             CAST(SUM(r2 - r1) AS BIGINT) AS delta_rev_e2,
+      |             CAST(SUM(price_eff) AS BIGINT) AS price_eff_e2,
+      |             CAST(SUM(volume_eff) AS BIGINT) AS volume_eff_e2
+      |      FROM b),
+      |nr AS (SELECT CAST(COALESCE(SUM(r2), 0) AS BIGINT) AS new_rev_e2
+      |       FROM p2 WHERE l_partkey NOT IN (SELECT l_partkey FROM p1)),
+      |lr AS (SELECT CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS lost_rev_e2
+      |       FROM p1 WHERE l_partkey NOT IN (SELECT l_partkey FROM p2))
+      |SELECT s.n_parts_both, s.delta_rev_e2, s.price_eff_e2, s.volume_eff_e2,
+      |       s.delta_rev_e2 - s.price_eff_e2 - s.volume_eff_e2 AS joint_eff_e2,
+      |       nr.new_rev_e2, lr.lost_rev_e2
+      |FROM s, nr, lr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1433,6 +1512,7 @@ object Analytics {
     "a40_hhi_concentration" -> (hhiConcentration _),
     "a41_spearman"         -> (spearmanCorr _),
     "a42_mann_kendall"     -> (mannKendall _),
+    "a43_price_volume_mix" -> ((s: SparkSession, d: String) => priceVolumeMix(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1446,6 +1526,7 @@ object Analytics {
     "a40_hhi_concentration" -> hhiOracle,
     "a41_spearman"         -> spearmanOracle,
     "a42_mann_kendall"     -> mannKendallOracle,
+    "a43_price_volume_mix" -> priceVolumeMixOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -1710,6 +1710,42 @@ class OpsSpec extends SparkSuite {
     assert(got === exp, "ABC-XYZ matrix mismatch")
   }
 
+  test("price-volume-mix bridge closes exactly and tracks the unrounded rationals") {
+    val row = graft.queries.Analytics.priceVolumeMix(spark, sf).collect().head
+    val (nBoth, delta, price, volume, joint, newRev, lostRev) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6))
+    // the bridge closes by construction
+    assert(price + volume + joint === delta, "bridge must close")
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        expr("cast(floor(l_quantity * 100 + 0.5) as long)").as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("r"))
+      .filter(col("yr").isin(1996, 1997)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    def grain(yr: Int) = li.filter(_._2 == yr).groupBy(_._1)
+      .map { case (k, v) => k -> (v.map(_._3).sum, v.map(_._4).sum) }
+    val g1 = grain(1996); val g2 = grain(1997)
+    val bothKeys = g1.keySet & g2.keySet
+    assert(nBoth === bothKeys.size.toLong)
+    assert(newRev === g2.filterKeys(k => !g1.contains(k)).values.map(_._2).sum)
+    assert(lostRev === g1.filterKeys(k => !g2.contains(k)).values.map(_._2).sum)
+    // per-part: rounded effects recompute; and each rounded effect sits
+    // within half a unit of the unrounded rational (the rounding law)
+    var sp = 0L; var sv = 0L; var sd = 0L
+    bothKeys.foreach { k =>
+      val (q1, r1) = g1(k); val (q2, r2) = g2(k)
+      val pExact = r2.toDouble - (BigInt(q2) * r1).toDouble / q1.toDouble
+      val vExact = (BigInt(r1) * (q2 - q1)).toDouble / q1.toDouble
+      val p = math.floor(pExact + 0.5).toLong
+      val v = math.floor(vExact + 0.5).toLong
+      assert(math.abs(p - pExact) <= 0.5 && math.abs(v - vExact) <= 0.5)
+      sp += p; sv += v; sd += r2 - r1
+    }
+    assert(price === sp && volume === sv && delta === sd,
+      "summed effects mismatch vs driver recomputation")
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -1469,6 +1469,98 @@ object Analytics {
       |       nr.new_rev_e2, lr.lost_rev_e2
       |FROM s, nr, lr""".stripMargin
 
+  /** x206: order-fulfilment SLA report — per order priority, the
+    * distribution of days from order placement to FIRST shipment (the
+    * operational latency a fulfilment SLA is written against). Lag is
+    * an exact integer day difference (µs DIV, never a double date
+    * subtraction); the order grain reduces the fact with min(shipdate)
+    * map-side; p50/p90 are `percentile` ≡ DuckDB `quantile_cont` over
+    * identical integers with one e4 half-up rounding each (the a04
+    * discipline). Also reports the share of orders shipping within 7
+    * days as an exact cross-multiplied-free count ratio (one double).
+    */
+  def orderSla(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(min(expr("unix_micros(l_shipdate) div 86400000000")).as("ship_day"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("order_day"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("order_day")).as("lag"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        floor(expr("percentile(lag, 0.5)") * 10000d + 0.5d).cast("long").as("p50_days_e4"),
+        floor(expr("percentile(lag, 0.9)") * 10000d + 0.5d).cast("long").as("p90_days_e4"),
+        floor(sum(when(col("lag") <= 7, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double") * 1000000d + 0.5d).cast("long")
+          .as("within_7d_e6"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orderSlaOracle: String =
+    """WITH fs AS (SELECT l_orderkey,
+      |                   MIN(epoch_us(l_shipdate) // 86400000000) AS ship_day
+      |            FROM lineitem GROUP BY 1),
+      |l AS (SELECT o.o_orderpriority,
+      |             fs.ship_day - epoch_us(o.o_orderdate) // 86400000000 AS lag
+      |      FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |       CAST(floor(quantile_cont(lag, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_days_e4,
+      |       CAST(floor(quantile_cont(lag, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_days_e4,
+      |       CAST(floor(CAST(SUM(CASE WHEN lag <= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+      |            / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS within_7d_e6
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x207: product replenishment cycle — for each part, the typical
+    * number of days between a customer's CONSECUTIVE orders containing
+    * it (the Instacart-domain "how often is this repurchased" signal
+    * that prices reorder prediction and inventory cadence). Gaps come
+    * from a (customer, part)-partitioned lag window — partitions are
+    * bounded by one customer's purchase history of one part, never
+    * fact-wide — over exact integer order days; per part the report is
+    * repeat count + interpolated median gap (percentile ≡
+    * quantile_cont, one e4 rounding). Top-20 by repeat support under a
+    * total tie-break.
+    */
+  def replenishCycle(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purchases = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("day"), col("o_orderkey"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey"), col("l_partkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    purchases
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .filter(col("prev_day").isNotNull && col("day") > col("prev_day"))
+      .select(col("l_partkey"), (col("day") - col("prev_day")).as("gap"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_repeats"),
+        floor(expr("percentile(gap, 0.5)") * 10000d + 0.5d).cast("long")
+          .as("median_gap_days_e4"))
+      .orderBy(col("n_repeats").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  val replenishCycleOracle: String =
+    """WITH p AS (SELECT DISTINCT o.o_custkey, l.l_partkey,
+      |                  epoch_us(o.o_orderdate) // 86400000000 AS day,
+      |                  o.o_orderkey
+      |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |g AS (SELECT l_partkey, day - LAG(day) OVER (
+      |               PARTITION BY o_custkey, l_partkey
+      |               ORDER BY day, o_orderkey) AS gap
+      |      FROM p)
+      |SELECT l_partkey, COUNT(*) AS n_repeats,
+      |       CAST(floor(quantile_cont(gap, 0.5) * 10000 + 0.5) AS BIGINT)
+      |         AS median_gap_days_e4
+      |FROM g WHERE gap IS NOT NULL AND gap > 0
+      |GROUP BY 1 ORDER BY n_repeats DESC, l_partkey LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1513,6 +1605,8 @@ object Analytics {
     "a41_spearman"         -> (spearmanCorr _),
     "a42_mann_kendall"     -> (mannKendall _),
     "a43_price_volume_mix" -> ((s: SparkSession, d: String) => priceVolumeMix(s, d)),
+    "x206_order_sla"       -> (orderSla _),
+    "x207_replenish_cycle" -> ((s: SparkSession, d: String) => replenishCycle(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1527,6 +1621,8 @@ object Analytics {
     "a41_spearman"         -> spearmanOracle,
     "a42_mann_kendall"     -> mannKendallOracle,
     "a43_price_volume_mix" -> priceVolumeMixOracle,
+    "x206_order_sla"       -> orderSlaOracle,
+    "x207_replenish_cycle" -> replenishCycleOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -1746,6 +1746,63 @@ class OpsSpec extends SparkSuite {
       "summed effects mismatch vs driver recomputation")
   }
 
+  test("order SLA percentiles and replenishment cycles recompute driver-side") {
+    // x206: per-priority lag percentiles against a sorted-scan recompute
+    val gotSla = graft.queries.Analytics.orderSla(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val firstShip = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(min(expr("unix_micros(l_shipdate) div 86400000000")).as("sd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inner-join semantics: an order with no lineitems drops out
+    val lags = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("od")).collect()
+      .flatMap(r => firstShip.get(r.getLong(0))
+        .map(sd => (r.getString(1), sd - r.getLong(2))))
+    def pct(v: Seq[Long], q: Double): Double = {
+      val s = v.sorted; val pos = q * (s.length - 1)
+      val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - f) + s(lo + 1) * f else s(lo).toDouble
+    }
+    lags.groupBy(_._1).foreach { case (prio, rows) =>
+      val v = rows.map(_._2).toSeq
+      val (n, p50, p90, w7) = gotSla(prio)
+      assert(n === v.length.toLong)
+      assert(p50 === math.floor(pct(v, 0.5) * 1e4 + 0.5).toLong, s"$prio p50")
+      assert(p90 === math.floor(pct(v, 0.9) * 1e4 + 0.5).toLong, s"$prio p90")
+      assert(w7 === math.floor(
+        v.count(_ <= 7L).toDouble / v.length * 1e6 + 0.5).toLong, s"$prio w7")
+      // percentiles are ordered and the share is a probability
+      assert(p50 <= p90 && w7 >= 0L && w7 <= 1000000L)
+    }
+    // x207: replenishment gaps against a direct per-(cust, part) scan
+    val gotCyc = graft.queries.Analytics.replenishCycle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orderCust = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val purch = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map { r =>
+        val (c, d) = orderCust(r.getLong(0))
+        (c, r.getLong(1), d, r.getLong(0))
+      }.distinct
+    val gaps = purch.groupBy(p => (p._1, p._2)).values.toSeq.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._4)).toSeq.sliding(2).collect {
+        case Seq(a, b) if b._3 > a._3 => (a._2, b._3 - a._3)
+      }.toSeq
+    }
+    val exp = gaps.groupBy(_._1).toSeq
+      .map { case (pk, v) =>
+        (pk, v.length.toLong,
+          math.floor(pct(v.map(_._2), 0.5) * 1e4 + 0.5).toLong) }
+      .sortBy(r => (-r._2, r._1)).take(20)
+    assert(gotCyc.toSeq === exp, "replenishment cycle mismatch")
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -284,6 +284,130 @@ object Encoding {
       |FROM abc JOIN xyz USING (l_partkey)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** x208: skyline (Pareto-frontier) query — the maximal-vector operator
+    * (Börzsönyi et al., ICDE'01): parts not DOMINATED in (total
+    * quantity, total revenue), i.e. no other part is ≥ in both and > in
+    * one. A genuinely distinct operator class: not expressible as one
+    * aggregate or one top-k. 2-D lets the frontier compute as a single
+    * scan over the part-grain aggregate: keep the max-revenue parts
+    * within each quantity value (ties on BOTH axes are mutually
+    * non-dominating and all survive), then a value-RANGE window — max
+    * revenue over STRICTLY greater quantities — marks dominated rows.
+    * Exactness: both axes exact e2 BIGINTs, comparisons only. Scale
+    * shape: the fact reduces to the part grain first; the frontier
+    * window runs on the value grain (catalog-sized — the x148-class
+    * reduction; a fact-sized skyline would use the block-partitioned
+    * local-skyline + merge form, same algebra).
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_quantity") * 100d + 0.5d).cast("long")).as("qty_e2"),
+        sum(floor(col("l_extendedprice") * 100d + 0.5d).cast("long")).as("rev_e2"))
+    // within a quantity value, only the max-revenue rows can be maximal
+    val perQty = agg.withColumn("qmax_rev",
+        max(col("rev_e2")).over(Window.partitionBy(col("qty_e2"))))
+      .filter(col("rev_e2") === col("qmax_rev"))
+    // dominated iff some strictly-greater quantity reaches ≥ this revenue
+    perQty.withColumn("dom_rev",
+        max(col("rev_e2")).over(Window.orderBy(col("qty_e2").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .filter(col("dom_rev").isNull || col("dom_rev") < col("rev_e2"))
+      .select(col("l_partkey"), col("qty_e2"), col("rev_e2"))
+      .orderBy(col("qty_e2").desc, col("l_partkey"))
+  }
+
+  val skylineOracle: String =
+    """WITH a AS (SELECT l_partkey,
+      |                  SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_e2,
+      |                  SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_e2
+      |           FROM lineitem GROUP BY 1),
+      |q AS (SELECT * FROM a
+      |      WHERE rev_e2 = (SELECT MAX(rev_e2) FROM a a2 WHERE a2.qty_e2 = a.qty_e2)),
+      |s AS (SELECT l_partkey, qty_e2, rev_e2,
+      |             MAX(rev_e2) OVER (ORDER BY qty_e2 DESC
+      |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom_rev
+      |      FROM q)
+      |SELECT l_partkey, CAST(qty_e2 AS BIGINT) AS qty_e2,
+      |       CAST(rev_e2 AS BIGINT) AS rev_e2 FROM s
+      |WHERE dom_rev IS NULL OR dom_rev < rev_e2
+      |ORDER BY qty_e2 DESC, l_partkey""".stripMargin
+
+  /** x209: decile lift / gains table — the model-eval companion to
+    * x194's single-number AUC: bin by score decile (x196's exact NTILE
+    * allocation over the two-phase rank), then per decile the response
+    * rate, its lift over the base rate, and the cumulative share of all
+    * positives captured (the gains curve). Score = price, response =
+    * returned — the same leakage-audit pairing as x194 (lifts ≈ 1 and
+    * gains ≈ diagonal certify the column carries no label signal).
+    * Counts are exact; rate/lift/gain take one identically-written
+    * double each.
+    */
+  def liftTable(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("v"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+    // tie-break INCLUDES y: a score-tie run split across a decile
+    // boundary must be y-homogeneous within each (v, y) block, or the
+    // per-bin positive counts would depend on which engine's NTILE takes
+    // which copies — with y in the key, interchangeable rows carry the
+    // same label and every bin's n_pos is tie-invariant
+    val ranked = Ranking.globalRowNumber(li, col("v"),
+      struct(col("y"), col("l_orderkey"), col("l_linenumber")), "rn")
+    val n = li.agg(count(lit(1)).as("n_tot"), sum(col("y")).as("pos_tot"))
+    val binned = ranked.crossJoin(broadcast(n))
+      .withColumn("ntile_q", expr(s"n_tot DIV $k"))
+      .withColumn("ntile_r", col("n_tot") % k)
+      .select(col("y"), col("n_tot"), col("pos_tot"),
+        when(col("rn") <= col("ntile_r") * (col("ntile_q") + 1),
+          expr("(rn - 1) DIV (ntile_q + 1) + 1"))
+          .otherwise(col("ntile_r") +
+            expr("(rn - ntile_r * (ntile_q + 1) - 1) DIV ntile_q + 1"))
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        max(col("n_tot")).as("n_tot"), max(col("pos_tot")).as("pos_tot"))
+    binned
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n"), col("n_pos"),
+        floor(col("n_pos").cast("double") / col("n").cast("double")
+          * 1000000d + 0.5d).cast("long").as("rate_e6"),
+        floor(col("n_pos").cast("double") * col("n_tot").cast("double")
+          / (col("n").cast("double") * col("pos_tot").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("lift_e6"),
+        floor(col("cum_pos").cast("double") / col("pos_tot").cast("double")
+          * 1000000d + 0.5d).cast("long").as("cum_gain_e6"))
+      .orderBy(col("decile").desc)
+  }
+
+  val liftTableOracle: String =
+    """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |                   l_orderkey, l_linenumber
+      |            FROM lineitem),
+      |b AS (SELECT y, NTILE(10) OVER (ORDER BY v, y, l_orderkey, l_linenumber)
+      |               AS decile FROM li),
+      |t AS (SELECT COUNT(*) AS n_tot, SUM(y) AS pos_tot FROM li),
+      |g AS (SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos FROM b GROUP BY 1),
+      |c AS (SELECT g.decile, g.n, g.n_pos, t.n_tot, t.pos_tot,
+      |             SUM(g.n_pos) OVER (ORDER BY g.decile DESC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |      FROM g, t)
+      |SELECT CAST(decile AS BIGINT) AS decile, n, CAST(n_pos AS BIGINT) AS n_pos,
+      |       CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS rate_e6,
+      |       CAST(floor(CAST(n_pos AS DOUBLE) * CAST(n_tot AS DOUBLE)
+      |            / (CAST(n AS DOUBLE) * CAST(pos_tot AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS lift_e6,
+      |       CAST(floor(CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS cum_gain_e6
+      |FROM c ORDER BY decile DESC""".stripMargin
+
   val quantileBinsOracle: String =
     """WITH li AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
       |            FROM lineitem),

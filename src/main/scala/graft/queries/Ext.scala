@@ -41,6 +41,8 @@ object Ext {
     "x203_growth_accounting" -> ((s: SparkSession, d: String) => Events.growthAccounting(s, d)),
     "x204_abc_xyz"         -> ((s: SparkSession, d: String) => graft.ops.Encoding.abcXyz(s, d)),
     "x205_next_best_offer" -> ((s: SparkSession, d: String) => Associations.nextBestOffer(s, d)),
+    "x208_skyline"         -> ((s: SparkSession, d: String) => graft.ops.Encoding.skylineParts(s, d)),
+    "x209_lift_table"      -> ((s: SparkSession, d: String) => graft.ops.Encoding.liftTable(s, d)),
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
@@ -523,6 +525,8 @@ object Ext {
     "x203_growth_accounting" -> Events.growthAccountingOracle,
     "x204_abc_xyz"         -> graft.ops.Encoding.abcXyzOracle,
     "x205_next_best_offer" -> Associations.nextBestOfferOracle,
+    "x208_skyline"         -> graft.ops.Encoding.skylineOracle,
+    "x209_lift_table"      -> graft.ops.Encoding.liftTableOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

@@ -1803,6 +1803,61 @@ class OpsSpec extends SparkSuite {
     assert(gotCyc.toSeq === exp, "replenishment cycle mismatch")
   }
 
+  test("skyline contains exactly the non-dominated parts") {
+    val frontier = graft.ops.Encoding.skylineParts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("cast(floor(l_quantity * 100 + 0.5) as long)").as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        (k, v.map(_._2).sum, v.map(_._3).sum) }.toSeq
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    val expFrontier = all.filter(p => !all.exists(q => dominates(q, p)))
+      .sortBy(p => (-p._2, p._1))
+    assert(frontier.toSeq === expFrontier, "skyline mismatch vs brute-force dominance")
+    // completeness: every excluded part is dominated by some frontier part
+    val inF = frontier.map(_._1).toSet
+    all.filterNot(p => inF(p._1)).foreach { p =>
+      assert(frontier.exists(f => dominates(f, p)), s"${p._1} excluded but undominated")
+    }
+  }
+
+  test("lift table: decile counts, rates, and gains recompute under the y-stable tiebreak") {
+    val got = graft.ops.Encoding.liftTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("v"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._2, r._3, r._4))
+    val n = rows.length; val q = n / 10; val rr = n % 10
+    val sizes = (1 to 10).map(b => if (b <= rr) q + 1 else q)
+    var off = 0
+    val bins = sizes.zipWithIndex.map { case (sz, i) =>
+      val slice = rows.slice(off, off + sz); off += sz
+      (i + 1L, sz.toLong, slice.map(_._2).sum)
+    }
+    val posTot = rows.map(_._2).sum
+    var cum = 0L
+    val exp = bins.reverse.map { case (b, sz, pos) =>
+      cum += pos
+      (b, sz, pos,
+        math.floor(pos.toDouble / sz * 1e6 + 0.5).toLong,
+        math.floor(pos.toDouble * n / (sz.toDouble * posTot) * 1e6 + 0.5).toLong,
+        math.floor(cum.toDouble / posTot * 1e6 + 0.5).toLong)
+    }
+    assert(got.toSeq === exp, "lift table mismatch vs driver NTILE")
+    // the gains curve ends at 100% and the table covers every row
+    assert(got.last._6 === 1000000L)
+    assert(got.map(_._2).sum === n.toLong && got.map(_._3).sum === posTot)
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

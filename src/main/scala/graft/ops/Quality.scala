@@ -360,6 +360,57 @@ object Quality {
       |FROM g, t WHERE n < 8
       |ORDER BY nationkey, c_mktsegment""".stripMargin
 
+  /** x210: duplicate-payment detection — the finance-audit classic
+    * (same customer, same amount, within a short window ⇒ candidate
+    * double-charge). The scale discipline is the point: the naive form
+    * is a fact self-join banded on dates (quadratic in the worst key);
+    * here candidates group by the (customer, amount-band) key first —
+    * a pair can only be a candidate within a group — and the window
+    * scan is a bounded (cust, band)-partitioned LAG over order day
+    * (the x207 shape): consecutive same-band orders ≤ 30 days apart
+    * flag, so an m-order group costs m·log m, never m². The $10k
+    * amount band and 30-day window are fixture-driven fuzz (this
+    * corpus has no EXACT amount repeats; a production ledger keys on
+    * the exact amount with the identical plan). Day gaps are exact
+    * integers; output is each flagged LATER order with its
+    * predecessor — a total-ordered audit list.
+    */
+  def dupPayments(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  windowDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("floor(o_totalprice * 100 + 0.5) DIV 1000000").cast("long").as("amt_band"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+    val w = Window.partitionBy(col("o_custkey"), col("amt_band"))
+      .orderBy(col("day"), col("o_orderkey"))
+    o.withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .filter(col("prev_day").isNotNull &&
+        col("day") - col("prev_day") <= windowDays)
+      .select(col("o_custkey"), col("amt_band"),
+        col("prev_key").as("first_orderkey"), col("o_orderkey").as("dup_orderkey"),
+        (col("day") - col("prev_day")).as("gap_days"))
+      .orderBy("o_custkey", "amt_band", "dup_orderkey")
+  }
+
+  val dupPaymentsOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000
+      |                    AS amt_band,
+      |                  epoch_us(o_orderdate) // 86400000000 AS day
+      |           FROM orders),
+      |l AS (SELECT o_custkey, amt_band, o_orderkey, day,
+      |             LAG(day) OVER w AS prev_day,
+      |             LAG(o_orderkey) OVER w AS prev_key
+      |      FROM o
+      |      WINDOW w AS (PARTITION BY o_custkey, amt_band ORDER BY day, o_orderkey))
+      |SELECT o_custkey, amt_band, prev_key AS first_orderkey,
+      |       o_orderkey AS dup_orderkey,
+      |       CAST(day - prev_day AS BIGINT) AS gap_days
+      |FROM l WHERE prev_day IS NOT NULL AND day - prev_day <= 30
+      |ORDER BY o_custkey, amt_band, dup_orderkey""".stripMargin
+
   /** x201: two-proportion A/B test report — the experimentation
     * readout (assignment → conversion → pooled z) every growth team
     * runs; x131's Wilson bounds give per-arm intervals, this is the

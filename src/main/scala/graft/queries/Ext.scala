@@ -43,6 +43,7 @@ object Ext {
     "x205_next_best_offer" -> ((s: SparkSession, d: String) => Associations.nextBestOffer(s, d)),
     "x208_skyline"         -> ((s: SparkSession, d: String) => graft.ops.Encoding.skylineParts(s, d)),
     "x209_lift_table"      -> ((s: SparkSession, d: String) => graft.ops.Encoding.liftTable(s, d)),
+    "x210_dup_payments"    -> ((s: SparkSession, d: String) => graft.ops.Quality.dupPayments(s, d)),
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
@@ -527,6 +528,7 @@ object Ext {
     "x205_next_best_offer" -> Associations.nextBestOfferOracle,
     "x208_skyline"         -> graft.ops.Encoding.skylineOracle,
     "x209_lift_table"      -> graft.ops.Encoding.liftTableOracle,
+    "x210_dup_payments"    -> graft.ops.Quality.dupPaymentsOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

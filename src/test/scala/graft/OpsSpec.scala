@@ -1858,6 +1858,27 @@ class OpsSpec extends SparkSuite {
     assert(got.map(_._2).sum === n.toLong && got.map(_._3).sum === posTot)
   }
 
+  test("duplicate payments recompute from a driver scan and respect the window") {
+    val got = graft.ops.Quality.dupPayments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("floor(o_totalprice * 100 + 0.5) DIV 1000000").cast("long").as("b"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = orders.groupBy(o => (o._2, o._3)).values.toSeq.flatMap { g =>
+      g.sortBy(o => (o._4, o._1)).toSeq.sliding(2).collect {
+        case Seq(a, b) if b._4 - a._4 <= 30 =>
+          (a._2, a._3, a._1, b._1, b._4 - a._4)
+      }.toSeq
+    }.sortBy(r => (r._1, r._2, r._4))
+    assert(got.toSeq === exp, "dup-payment list mismatch vs driver scan")
+    // flagged gaps are within the window and non-negative
+    got.foreach { case (_, _, first, dup, gap) =>
+      assert(gap >= 0L && gap <= 30L && first != dup)
+    }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -1620,6 +1620,94 @@ object Events {
       |            ELSE NULL END AS quick_ratio_e4
       |FROM g ORDER BY week""".stripMargin
 
+  /** x211: CDC apply with DELETES — the changelog-materialization
+    * semantics x145's MERGE (upserts) and x99's SCD2 (full history)
+    * both skip: replaying a log where the last record per key decides
+    * the row's fate, and a delete marker ('error' here) removes the key
+    * from the final state entirely. One max_by aggregate per key under
+    * the total (ts, event_id) order — the W1/W2 last-per-group
+    * machinery, map-combinable, no window — then the delete filter.
+    * This is exactly how a Kafka-compacted topic or a Debezium log
+    * lands in a batch table at 100 TB: one pass, key-grain state.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 10000d + 0.5d).cast("long").as("v_e4"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("v_e4"), col("ts_us")),
+        struct(col("ts_us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_type").as("last_type"),
+        col("last.v_e4").as("value_e4"), col("last.ts_us").as("ts_us"))
+      .filter(col("last_type") =!= "error")
+      .orderBy("user_id")
+
+  val cdcApplyOracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+      |                  epoch_us(ts) AS ts_us, event_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY user_id
+      |                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |           FROM events)
+      |SELECT user_id, event_type AS last_type, v_e4 AS value_e4,
+      |       CAST(ts_us AS BIGINT) AS ts_us
+      |FROM e WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** x212: stream disorder audit — the measurement that SIZES a
+    * watermark: for each event in ARRIVAL order (event_id), had any
+    * later event time already arrived? Per type: the late-row count,
+    * share, and the maximum lateness (exactly the watermark delay that
+    * would have kept every row — the s17 tolerance, derived instead of
+    * guessed). The running strictly-preceding max over arrival order is
+    * the one global scan — [[graft.ops.Ranking.globalCumMaxPrev]], the
+    * two-phase bucketed algebra extended to max (associative, so
+    * bucket-local prefix maxes + a B-row bucket-prefix frame equal the
+    * global scan; current row excluded so an on-time row never flags
+    * itself). Everything downstream is exact integer µs.
+    */
+  def disorderAudit(spark: SparkSession, dir: String): DataFrame =
+    disorderOf(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
+
+  /** The audit kernel over any (event_id, event_type, ts_us) frame —
+    * split out because the driver fixture is PERFECTLY ordered (its
+    * audit reading is legitimately all-zero: watermark 0 suffices), so
+    * the late path needs the spec's planted out-of-order frame.
+    */
+  private[graft] def disorderOf(e: DataFrame): DataFrame = {
+    graft.ops.Ranking.globalCumMaxPrev(e, col("event_id"), col("event_id"),
+        col("ts_us"), "prev_max")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ts_us") < col("prev_max"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("ts_us") < col("prev_max"),
+          col("prev_max") - col("ts_us"))), lit(0L)).as("max_late_us"))
+      .select(col("event_type"), col("n"), col("n_late"),
+        floor(col("n_late").cast("double") / col("n").cast("double")
+          * 1000000d + 0.5d).cast("long").as("late_share_e6"),
+        col("max_late_us"))
+      .orderBy("event_type")
+  }
+
+  val disorderAuditOracle: String =
+    """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+      |                  MAX(epoch_us(ts)) OVER (ORDER BY event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                    AS prev_max
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN ts_us < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_late,
+      |       CAST(floor(CAST(SUM(CASE WHEN ts_us < prev_max THEN 1 ELSE 0 END)
+      |              AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+      |         AS late_share_e6,
+      |       CAST(COALESCE(MAX(CASE WHEN ts_us < prev_max
+      |                         THEN prev_max - ts_us END), 0) AS BIGINT)
+      |         AS max_late_us
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x197: lead–lag cross-correlation between the click and purchase
     * daily value series — the leading-indicator audit ("does click
     * volume LEAD purchase volume, and by how many days?") that x172's

@@ -94,4 +94,45 @@ object Ranking {
       .withColumn(cumCol, col("c_cum") + col("c_offset"))
       .drop("c_bucket", "c_cum", "c_offset")
   }
+
+  /** Exact global running MAX of `value` in (order asc, tieBreak asc) —
+    * STRICTLY-PRECEDING frame (the current row is excluded, so the first
+    * row gets NULL): the scan behind out-of-orderness audits ("had
+    * anything later already arrived when this row did?"). Same
+    * three-phase algebra as [[globalCumSum]] — max is associative, so
+    * bucket-local prefix maxes combined with a B-row bucket-prefix
+    * frame equal the global scan exactly; the strictly-preceding
+    * semantics compose as greatest(bucket-local strict prefix max,
+    * max of all LOWER buckets).
+    *
+    * Returns the input plus `maxCol` = running max of value over all
+    * strictly-preceding rows (BIGINT; NULL for the global first row).
+    */
+  def globalCumMaxPrev(df: DataFrame, order: Column, tieBreak: Column,
+                       value: Column, maxCol: String, buckets: Int = 256): DataFrame = {
+    val stats = df.agg(min(order.cast("double")).as("v_min"),
+      max(order.cast("double")).as("v_max"))
+    val bucketed = df.crossJoin(broadcast(stats))
+      .withColumn("m_bucket",
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(
+            floor((order.cast("double") - col("v_min")) /
+              (col("v_max") - col("v_min")) * buckets),
+            lit(buckets - 1).cast("long"))).cast("long"))
+      .drop("v_min", "v_max")
+    val within = bucketed.withColumn("m_local",
+      max(value.cast("long")).over(
+        Window.partitionBy(col("m_bucket")).orderBy(order, tieBreak)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val offsets = bucketed.groupBy("m_bucket")
+      .agg(max(value.cast("long")).as("m_w"))
+      .withColumn("m_offset",
+        max(col("m_w")).over(
+          Window.orderBy(col("m_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("m_bucket", "m_offset")
+    within.join(broadcast(offsets), "m_bucket")
+      .withColumn(maxCol, greatest(col("m_local"), col("m_offset")))
+      .drop("m_bucket", "m_local", "m_offset")
+  }
 }

@@ -1973,6 +1973,46 @@ class ExtSpec extends SparkSuite {
     got.foreach { case (c, (b, _, _)) => assert(!ownedOf(c)(b), s"cust $c owns $b") }
   }
 
+  test("CDC apply keeps each key's last record and honors delete markers") {
+    val got = graft.ext.Events.cdcApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 10000 + 0.5) as long)").as("v"),
+        expr("unix_micros(ts)").as("us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val last = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._4, r._5)) }
+    val exp = last.collect { case (u, r) if r._2 != "error" =>
+      u -> (r._2, r._3, r._4) }
+    assert(got === exp, "CDC final state mismatch")
+    // deleted keys are genuinely absent, not null-rowed
+    last.foreach { case (u, r) =>
+      if (r._2 == "error") assert(!got.contains(u), s"deleted key $u survived") }
+  }
+
+  test("disorder audit: planted out-of-order stream flags exact lateness") {
+    import spark.implicits._
+    // arrival ids 1..8; event times jump back mid-stream: id 4 arrives
+    // 50 µs after a max of 400 (late by 350); id 6 late by 100; the rest
+    // in order. Two types to pin the per-type split.
+    val e = Seq(
+      (1L, "a", 100L), (2L, "a", 400L), (3L, "b", 401L),
+      (4L, "a", 50L),  // late: prev_max 401 → 351
+      (5L, "b", 500L),
+      (6L, "b", 400L), // late: prev_max 500 → 100
+      (7L, "a", 600L), (8L, "b", 700L))
+      .toDF("event_id", "event_type", "ts_us")
+    val got = graft.ext.Events.disorderOf(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("a") === ((4L, 1L, 250000L, 351L)), "type a audit")
+    assert(got("b") === ((4L, 1L, 250000L, 100L)), "type b audit")
+    // the real fixture is ts-ordered by construction: all-zero reading
+    val real = graft.ext.Events.disorderAudit(spark, sf).collect()
+    real.foreach(r => assert(r.getLong(2) === 0L && r.getLong(4) === 0L))
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

@@ -464,6 +464,93 @@ object ReorderModel {
       .orderBy("idx")
   }
 
+  /** m10: EXACT leave-one-out cross-validation for the m09 ridge —
+    * WITHOUT n refits. The hat-matrix identity makes LOO exact in two
+    * passes: with A = XᵀX + λI and H = X A⁻¹ Xᵀ, the leave-one-out
+    * residual is e⁽ⁱ⁾ = (yᵢ − xᵢᵀβ)/(1 − hᵢᵢ) — so one moment pass
+    * (shared with m09's machinery) plus one scoring pass where hᵢᵢ =
+    * xᵢᵀA⁻¹xᵢ is a 324-term codegen'd column expression with A⁻¹ as
+    * plan-time literals evaluates the ENTIRE n-fold cross-validation
+    * exactly. m04 pays k seeded refits for an ESTIMATE; this pays two
+    * passes for the exact n-fold answer — the definitive λ-selection
+    * loop at 100 TB (the grid multiplies expressions, not passes: all
+    * λ's statistics ride one aggregate). Emits per-λ LOO RMSE and
+    * flags the argmin. MlSpec proves exactness against brute-force
+    * leave-one-out REFITS on the small fixture.
+    */
+  def ridgeLoocv(spark: SparkSession, dir: String,
+                 lambdasPerRow: Seq[Double] = Seq(0.0001, 0.001, 0.01, 0.1)): DataFrame = {
+    import spark.implicits._
+    val feats = trainFeatures(spark, dir)
+      .withColumn("label", col("label").cast("double"))
+      .withColumn("__one", lit(1.0d))
+    val xs = "__one" +: featureCols.toSeq
+    val d = xs.length
+    val sumExprs =
+      (for (i <- 0 until d; j <- i until d)
+        yield sum(col(xs(i)).cast("double") * col(xs(j)).cast("double"))
+          .as(s"a_${i}_$j")) ++
+      (0 until d).map(i =>
+        sum(col(xs(i)).cast("double") * col("label")).as(s"b_$i")) :+
+      count(lit(1)).as("n")
+    val row = feats.agg(sumExprs.head, sumExprs.tail: _*).first()
+    val n = row.getAs[Long]("n")
+    val a0 = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      row.getAs[Double](s"a_${lo}_$hi")
+    }
+    val b = Array.tabulate(d)(i => row.getAs[Double](s"b_$i"))
+    // per λ: β and A⁻¹ on the driver (aggregate-sized), then the scoring
+    // expressions — ALL λ's ride the same single pass
+    val perLambda = lambdasPerRow.map { lpr =>
+      val lam = lpr * n
+      val a = a0.map(_.clone())
+      for (i <- 1 until d) a(i)(i) += lam
+      val beta = solve(a.map(_.clone()), b.clone())
+      val ainv = invert(a)
+      val pred = xs.zip(beta).map { case (c, w) => col(c).cast("double") * lit(w) }
+        .reduce(_ + _)
+      val h = (for (i <- 0 until d; j <- 0 until d)
+        yield col(xs(i)).cast("double") * col(xs(j)).cast("double") * lit(ainv(i)(j)))
+        .reduce(_ + _)
+      (lpr, sum(pow((col("label") - pred) / (lit(1.0d) - h), 2))
+        .as(s"sse_${(lpr * 1e6).toLong}"))
+    }
+    val scored = feats.agg(perLambda.head._2, perLambda.tail.map(_._2): _*).first()
+    val rows = perLambda.zipWithIndex.map { case ((lpr, _), i) =>
+      (math.floor(lpr * 1e6 + 0.5).toLong,
+        math.floor(math.sqrt(scored.getDouble(i) / n) * 1e6 + 0.5).toLong)
+    }
+    val best = rows.minBy(r => (r._2, r._1))._1
+    rows.toDF("lambda_per_row_e6", "loo_rmse_e6")
+      .withColumn("is_best", col("lambda_per_row_e6") === best)
+      .orderBy("lambda_per_row_e6")
+  }
+
+  /** Matrix inverse by Gauss–Jordan with partial pivoting (driver-side,
+    * d×d — the m10 hat-matrix ingredient).
+    */
+  private[graft] def invert(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (k <- 0 until d) {
+      var p = k
+      for (i <- k + 1 until d) if (math.abs(a(i)(k)) > math.abs(a(p)(k))) p = i
+      val (ta, ti) = (a(k), inv(k)); a(k) = a(p); a(p) = ta; inv(k) = inv(p); inv(p) = ti
+      require(math.abs(a(k)(k)) > 1e-12, s"singular matrix at pivot $k")
+      val piv = a(k)(k)
+      for (j <- 0 until d) { a(k)(j) /= piv; inv(k)(j) /= piv }
+      for (i <- 0 until d if i != k) {
+        val f = a(i)(k)
+        if (f != 0.0) for (j <- 0 until d) {
+          a(i)(j) -= f * a(k)(j); inv(i)(j) -= f * inv(k)(j)
+        }
+      }
+    }
+    inv
+  }
+
   /** Gaussian elimination with partial pivoting — the d×d driver-boundary
     * solve behind m09 (d = |features|+1; the x149 posture: iterate on the
     * driver only once the data is aggregate-sized).

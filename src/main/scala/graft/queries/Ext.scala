@@ -49,6 +49,9 @@ object Ext {
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
+    // rows-only by design: double moment sums (the m01 class); MlSpec
+    // proves exactness against brute-force leave-one-out refits
+    "m10_ridge_loocv"      -> ((s: SparkSession, d: String) => ReorderModel.ridgeLoocv(s, d)),
     // rows-only by design: LBFGS-fit coefficients (m01 class); MlSpec pins
     // refit-equality, finiteness, and the train-AUC floor
     "m08_logistic"         -> ((s: SparkSession, d: String) => ReorderModel.logisticCoefficients(s, d)),

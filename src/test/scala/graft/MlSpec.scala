@@ -277,4 +277,44 @@ class MlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq, "closed-form refit must be deterministic")
   }
+
+  test("LOOCV hat-matrix identity equals brute-force leave-one-out refits") {
+    val got = ReorderModel.ridgeLoocv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // brute force: for every row, refit WITHOUT it and score it — the
+    // identity the operator replaces with 2 passes, done the hard way
+    val xs = ReorderModel.featureCols.toIndexedSeq
+    val feats = ReorderModel.trainFeatures(spark, sf)
+      .select((org.apache.spark.sql.functions.lit(1.0d).as("__one") +:
+        xs.map(c => org.apache.spark.sql.functions.col(c).cast("double"))) :+
+        org.apache.spark.sql.functions.col("label").cast("double").as("label"): _*)
+      .collect()
+      .map(r => (Array.tabulate(xs.length + 1)(i => r.getDouble(i)),
+        r.getDouble(xs.length + 1)))
+    val d = xs.length + 1; val n = feats.length
+    val a0 = Array.ofDim[Double](d, d); val b0 = new Array[Double](d)
+    feats.foreach { case (x, y) =>
+      for (i <- 0 until d; j <- 0 until d) a0(i)(j) += x(i) * x(j)
+      for (i <- 0 until d) b0(i) += x(i) * y
+    }
+    got.foreach { case (lamE6, rmseE6, _) =>
+      val lam = lamE6.toDouble / 1e6 * n
+      var sse = 0.0
+      feats.foreach { case (x, y) =>
+        val a = Array.tabulate(d, d)((i, j) =>
+          a0(i)(j) - x(i) * x(j) + (if (i == j && i > 0) lam else 0.0))
+        val b = Array.tabulate(d)(i => b0(i) - x(i) * y)
+        val beta = ReorderModel.solve(a, b)
+        val e = y - (0 until d).map(i => x(i) * beta(i)).sum
+        sse += e * e
+      }
+      val exp = math.floor(math.sqrt(sse / n) * 1e6 + 0.5).toLong
+      assert(math.abs(rmseE6 - exp) <= 1L,
+        s"λ=$lamE6: hat-trick $rmseE6 vs brute refits $exp")
+    }
+    // exactly one argmin flag, on the smallest-RMSE λ
+    assert(got.count(_._3) === 1)
+    val best = got.filter(_._3).head
+    assert(got.forall(r => best._2 <= r._2))
+  }
 }

@@ -290,6 +290,69 @@ object Associations {
       |       n_paths
       |FROM top WHERE rnk = 1 ORDER BY o_custkey""".stripMargin
 
+  /** x213: substitute detection — the retail-science DUAL of x97's
+    * complements: substitutes are bought by the SAME CUSTOMERS (high
+    * user-level co-occurrence) but rarely TOGETHER (low within-basket
+    * co-occurrence) — "either butter" vs x97's "chips AND salsa".
+    * score = n_users(a,b) / (n_baskets(a,b) + 1), exact integer counts,
+    * one double division, e6-rounded ranking key with a total
+    * tie-break. Scale shape: the user-grain pair space prunes by item
+    * user-support FIRST (apriori posture — an item bought by < minU
+    * users can't reach the support floor), and the basket-grain counts
+    * come from the x199-shared pair frame — whose n ≥ 2 floor means a
+    * ONE-OFF joint basket reads as 0 here, deliberately: a single
+    * co-purchase is noise, not complementarity evidence (mirrored in
+    * the twin). Both pair spaces are group-first, never all-pairs.
+    */
+  def substitutes(spark: SparkSession, dir: String,
+                  minUsers: Int = 5, k: Int = 50): DataFrame = {
+    val userItems = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val itemUsers = userItems.groupBy("l_partkey").agg(count(lit(1)).as("n_u"))
+    val frequent = itemUsers.filter(col("n_u") >= minUsers).select("l_partkey")
+    val fu = userItems.join(frequent, Seq("l_partkey"), "left_semi")
+    val userPairs = fu.select(col("o_custkey"), col("l_partkey").as("a"))
+      .join(fu.select(col("o_custkey"), col("l_partkey").as("b")), "o_custkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_user"))
+      .filter(col("n_user") >= minUsers)
+    val basketPairs = copurchasePairs(spark, dir)
+      .select(col("a"), col("b"), col("n_ab").as("n_basket"))
+    userPairs.join(basketPairs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n_user"),
+        coalesce(col("n_basket"), lit(0L)).as("n_basket"))
+      .withColumn("score_e6",
+        floor(col("n_user").cast("double") / (col("n_basket") + 1).cast("double")
+          * 1000000d + 0.5d).cast("long"))
+      .orderBy(col("score_e6").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val substitutesOracle: String =
+    """WITH ui AS (SELECT DISTINCT o.o_custkey, l.l_partkey
+      |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |iu AS (SELECT l_partkey, COUNT(*) AS n_u FROM ui GROUP BY 1),
+      |fu AS (SELECT ui.* FROM ui JOIN iu USING (l_partkey) WHERE iu.n_u >= 5),
+      |up AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_user
+      |       FROM fu x JOIN fu y
+      |         ON x.o_custkey = y.o_custkey AND x.l_partkey < y.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |bp AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_basket
+      |       FROM baskets x JOIN baskets y
+      |         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT up.a, up.b, up.n_user,
+      |       CAST(COALESCE(bp.n_basket, 0) AS BIGINT) AS n_basket,
+      |       CAST(floor(CAST(up.n_user AS DOUBLE)
+      |            / CAST(COALESCE(bp.n_basket, 0) + 1 AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS score_e6
+      |FROM up LEFT JOIN bp ON bp.a = up.a AND bp.b = up.b
+      |ORDER BY score_e6 DESC, up.a, up.b LIMIT 50""".stripMargin
+
   val itemCfOracle: String =
     """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),

@@ -1561,6 +1561,46 @@ object Analytics {
       |FROM g WHERE gap IS NOT NULL AND gap > 0
       |GROUP BY 1 ORDER BY n_repeats DESC, l_partkey LIMIT 20""".stripMargin
 
+  /** x214: multiplicative monthly seasonal index — the classical-
+    * decomposition ratio table (month mean over grand mean, the
+    * "December is 1.3×" number) that a37's additive day-of-week
+    * decomposition doesn't give: calendar-month seasonality across
+    * years, in RATIO form so it transfers across growth levels. The
+    * (year, month) totals are exact e2 integers off one orders pass;
+    * the index divides the month's across-year mean by the grand mean
+    * of all observed (year, month) cells — cross-multiplied to
+    * (Σ_month · n_cells) / (n_month_cells · Σ_all) so exactly ONE
+    * double division happens per month row.
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val cells = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("rev_e2"))
+    val tot = cells.agg(count(lit(1)).as("n_cells"), sum(col("rev_e2")).as("tot_e2"))
+    cells.groupBy("mo")
+      .agg(count(lit(1)).as("n_years"), sum(col("rev_e2")).as("rev_e2"))
+      .crossJoin(broadcast(tot))
+      .select(col("mo"), col("n_years"), col("rev_e2"),
+        floor((d38(col("rev_e2")) * d38(col("n_cells"))).cast("double")
+          / (d38(col("n_years")) * d38(col("tot_e2"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("index_e6"))
+      .orderBy("mo")
+  }
+
+  val seasonalIndexOracle: String =
+    """WITH c AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |                  EXTRACT(month FROM o_orderdate) AS mo,
+      |                  SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_e2
+      |           FROM orders GROUP BY 1, 2),
+      |t AS (SELECT COUNT(*) AS n_cells, SUM(rev_e2) AS tot_e2 FROM c)
+      |SELECT CAST(mo AS INTEGER) AS mo, COUNT(*) AS n_years,
+      |       CAST(SUM(rev_e2) AS BIGINT) AS rev_e2,
+      |       CAST(floor(CAST(SUM(rev_e2) * t.n_cells AS DOUBLE)
+      |            / CAST(COUNT(*) * t.tot_e2 AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS index_e6
+      |FROM c, t GROUP BY mo, t.n_cells, t.tot_e2 ORDER BY mo""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1607,6 +1647,7 @@ object Analytics {
     "a43_price_volume_mix" -> ((s: SparkSession, d: String) => priceVolumeMix(s, d)),
     "x206_order_sla"       -> (orderSla _),
     "x207_replenish_cycle" -> ((s: SparkSession, d: String) => replenishCycle(s, d)),
+    "x214_seasonal_index"  -> (seasonalIndex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1623,6 +1664,7 @@ object Analytics {
     "a43_price_volume_mix" -> priceVolumeMixOracle,
     "x206_order_sla"       -> orderSlaOracle,
     "x207_replenish_cycle" -> replenishCycleOracle,
+    "x214_seasonal_index"  -> seasonalIndexOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

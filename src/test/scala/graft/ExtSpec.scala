@@ -2013,6 +2013,36 @@ class ExtSpec extends SparkSuite {
     real.foreach(r => assert(r.getLong(2) === 0L && r.getLong(4) === 0L))
   }
 
+  test("substitutes rank user-co-occurring, basket-separated pairs; recompute exactly") {
+    val got = graft.ext.Associations.substitutes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val custOf = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val userItems = li.map { case (ok, pk) => (custOf(ok), pk) }.distinct
+    val itemUsers = userItems.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val freq = itemUsers.filter(_._2 >= 5).keySet
+    val userPairs = userItems.filter(p => freq(p._2)).groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val ps = items.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 5)
+    val basketPairs = li.distinct.groupBy(_._1).values.toSeq.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val exp = userPairs.toSeq.map { case ((a, b), nu) =>
+      val nb = basketPairs.getOrElse((a, b), 0L)
+      (a, b, nu, nb, math.floor(nu.toDouble / (nb + 1).toDouble * 1e6 + 0.5).toLong)
+    }.sortBy(r => (-r._5, r._1, r._2)).take(50)
+    assert(got.toSeq === exp, "substitute ranking mismatch vs driver recomputation")
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

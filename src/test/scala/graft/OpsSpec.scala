@@ -1879,6 +1879,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("monthly seasonal index recomputes and cell-weight-averages to unity") {
+    val got = graft.queries.Analytics.seasonalIndex(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val cells = graft.Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as long)").as("r")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val nCells = cells.size; val tot = cells.values.map(BigInt(_)).sum
+    cells.keys.map(_._2).toSeq.distinct.foreach { m =>
+      val monthCells = cells.filter(_._1._2 == m)
+      val (ny, rev) = (monthCells.size.toLong, monthCells.values.map(BigInt(_)).sum)
+      val (gn, gr, gi) = got(m)
+      assert(gn === ny && BigInt(gr) === rev, s"month $m cells")
+      assert(gi === math.floor(
+        (rev * nCells).toDouble / (BigInt(ny) * tot).toDouble * 1e6 + 0.5).toLong,
+        s"month $m index")
+    }
+    // the cell-weighted mean of the index is exactly 1 by construction:
+    // Σ_m n_years(m)·idx(m) / n_cells = 1 (up to the per-month roundings)
+    val weighted = got.values.map { case (ny, _, idx) => ny * idx }.sum
+    assert(math.abs(weighted - 1000000L * nCells) <= got.size.toLong * nCells,
+      "cell-weighted index mean must be ~1")
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

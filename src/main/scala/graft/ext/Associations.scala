@@ -331,6 +331,62 @@ object Associations {
       .limit(k)
   }
 
+  /** x215: frequent TRIPLE itemsets — the apriori SECOND iteration
+    * (x97 stops at pairs): 3-item sets co-purchased in ≥ minCount
+    * baskets. The prune is the apriori downward-closure argument made
+    * executable: every sub-pair of a frequent triple is frequent, so
+    * any item absent from ALL frequent pairs (the Layer-shared
+    * copurchasePairs frame) is provably absent from every frequent
+    * triple — baskets semi-join that item set BEFORE the two-join
+    * triple expansion, so the candidate space is Σ|pair-frequent
+    * basket|³ᐟ over the pruned sets, not the raw catalog. Exact counts;
+    * support one double.
+    */
+  def tripleItemsets(spark: SparkSession, dir: String,
+                     minCount: Int = 2): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairItems = copurchasePairs(spark, dir)
+      .select(col("a").as("l_partkey"))
+      .unionAll(copurchasePairs(spark, dir).select(col("b").as("l_partkey")))
+      .distinct()
+    val fb = baskets.join(pairItems, Seq("l_partkey"), "left_semi")
+    val nOrders = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    fb.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(fb.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .join(fb.select(col("l_orderkey"), col("l_partkey").as("c")), "l_orderkey")
+      .filter(col("b") < col("c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("c"), col("n"),
+        floor(col("n").cast("double") / col("n_orders").cast("double")
+          * 1000000d + 0.5d).cast("long").as("support_e6"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+  }
+
+  val tripleItemsetsOracle: String =
+    """WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+      |      FROM baskets x JOIN baskets y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |pi AS (SELECT a AS l_partkey FROM p UNION SELECT b FROM p),
+      |fb AS MATERIALIZED (SELECT b.* FROM baskets b
+      |      WHERE b.l_partkey IN (SELECT l_partkey FROM pi)),
+      |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+      |t AS (SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+      |             COUNT(*) AS n
+      |      FROM fb x
+      |      JOIN fb y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      JOIN fb z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+      |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+      |SELECT t.a, t.b, t.c, t.n,
+      |       CAST(floor(CAST(t.n AS DOUBLE) / CAST(no.n_orders AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS support_e6
+      |FROM t, no ORDER BY t.n DESC, t.a, t.b, t.c""".stripMargin
+
   val substitutesOracle: String =
     """WITH ui AS (SELECT DISTINCT o.o_custkey, l.l_partkey
       |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),

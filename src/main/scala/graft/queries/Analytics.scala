@@ -1601,6 +1601,35 @@ object Analytics {
       |            * 1000000 + 0.5) AS BIGINT) AS index_e6
       |FROM c, t GROUP BY mo, t.n_cells, t.tot_e2 ORDER BY mo""".stripMargin
 
+  /** a44: quarterly ARPU — average revenue per ACTIVE customer per
+    * (year, quarter), the board-deck unit-economics line: revenue is
+    * exact e2; the denominator is the quarter's distinct active
+    * customer count; ARPU is one exact nonneg integer DIV (cents per
+    * customer). One orders pass; the distinct count is the only
+    * shuffle-bearing aggregate.
+    */
+  def quarterlyArpu(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("rev_e2"))
+      .select(col("yr"), col("qtr"), col("n_active"), col("n_orders"),
+        col("rev_e2"), expr("rev_e2 DIV n_active").as("arpu_e2"))
+      .orderBy("yr", "qtr")
+
+  val quarterlyArpuOracle: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+      |       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+      |       COUNT(DISTINCT o_custkey) AS n_active,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS rev_e2,
+      |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |            // COUNT(DISTINCT o_custkey) AS BIGINT) AS arpu_e2
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1648,6 +1677,7 @@ object Analytics {
     "x206_order_sla"       -> (orderSla _),
     "x207_replenish_cycle" -> ((s: SparkSession, d: String) => replenishCycle(s, d)),
     "x214_seasonal_index"  -> (seasonalIndex _),
+    "a44_quarterly_arpu"   -> (quarterlyArpu _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1665,6 +1695,7 @@ object Analytics {
     "x206_order_sla"       -> orderSlaOracle,
     "x207_replenish_cycle" -> replenishCycleOracle,
     "x214_seasonal_index"  -> seasonalIndexOracle,
+    "a44_quarterly_arpu"   -> quarterlyArpuOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

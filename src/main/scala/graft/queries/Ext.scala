@@ -47,6 +47,7 @@ object Ext {
     "x211_cdc_apply"       -> ((s: SparkSession, d: String) => Events.cdcApply(s, d)),
     "x212_disorder_audit"  -> ((s: SparkSession, d: String) => Events.disorderAudit(s, d)),
     "x213_substitutes"     -> ((s: SparkSession, d: String) => Associations.substitutes(s, d)),
+    "x215_triple_itemsets" -> ((s: SparkSession, d: String) => Associations.tripleItemsets(s, d)),
     // rows-only by design: double moment sums (the m01 class); MlSpec pins
     // the normal-equation residual, refit equality, and fit-beats-mean
     "m09_ridge"            -> ((s: SparkSession, d: String) => ReorderModel.ridgeCoefficients(s, d)),
@@ -538,6 +539,7 @@ object Ext {
     "x211_cdc_apply"       -> Events.cdcApplyOracle,
     "x212_disorder_audit"  -> Events.disorderAuditOracle,
     "x213_substitutes"     -> Associations.substitutesOracle,
+    "x215_triple_itemsets" -> Associations.tripleItemsetsOracle,
     "x98_event_transitions" -> Events.transitionsOracle,
     "x99_scd2_versions"    -> Events.scd2Oracle,
     "x96_quality_fusion"   -> TextAnalysis.fusionOracle,

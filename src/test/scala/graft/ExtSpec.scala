@@ -2043,6 +2043,31 @@ class ExtSpec extends SparkSuite {
     assert(got.toSeq === exp, "substitute ranking mismatch vs driver recomputation")
   }
 
+  test("triple itemsets match the unpruned brute force (apriori prune is lossless)") {
+    val got = graft.ext.Associations.tripleItemsets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // brute force WITHOUT the pair prune: every basket's raw triples
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.toSeq.map(_.map(_._2).distinct.sorted)
+    val exp = baskets.flatMap { items =>
+      for (i <- items.indices; j <- (i + 1) until items.length;
+           k <- (j + 1) until items.length)
+        yield (items(i), items(j), items(k))
+    }.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    assert(got === exp,
+      "triples mismatch — the downward-closure prune must be lossless")
+    // frequency never exceeds any sub-pair's frequency (monotonicity)
+    val pairN = graft.ext.Associations.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((a, b, c), n) =>
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(n <= pairN.getOrElse(p, 0L), s"triple ($a,$b,$c) beats pair $p") }
+    }
+  }
+
   test("sequential patterns: PrefixSpan support equals the direct positional count") {
     // independent recomputation WITHOUT PrefixSpan: order positions per
     // customer, then a direct "a at some position, b strictly later"

@@ -179,6 +179,51 @@ object OracleSqlExt {
        |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors Dedup.simhashPairs END-TO-END: the banded candidate join is
+    * superset-then-verify (any pair at Hamming ≤ h shares a clean band
+    * combination), so the OUTPUT is banding-independent — exactly every
+    * doc pair whose SimHash-64 signatures differ in ≤ 3 bits. The oracle
+    * therefore recomputes the SIGNATURE DERIVATION itself: distinct
+    * 3-shingles per doc (list slice ≡ Spark's slice(toks, i+1, 3)),
+    * FNV-1a 64 per shingle via list_reduce in HUGEINT (multiply wraps mod
+    * 2^64; the xor touches only the low byte, so it runs in BIGINT),
+    * per-bit ±1 votes, sign → 64-bit signature as a BOOLEAN[64], and an
+    * all-pairs Hamming count (oracle-side O(n²) is fine at gate scale;
+    * the Spark side stays bucketed). Corpus is ASCII, so ascii(char) is
+    * the UTF-8 byte.
+    */
+  val x17_simhash_neardup: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                        for i in range(1, len(toks) - 1)]) AS shingles
+      |  FROM docs),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |             [CAST(ascii(sg[i]) AS HUGEINT) for i in range(1, len(sg) + 1)]),
+      |           (h, c) -> ((h // 256) * 256
+      |                      + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+      |                     * 1099511628211 % 18446744073709551616) AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS sg FROM sh)),
+      |bits AS (
+      |  SELECT doc_id, t.b,
+      |         SUM(CASE WHEN (h // CAST(power(2, t.b) AS HUGEINT)) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM hs CROSS JOIN range(64) t(b)
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(vote > 0 ORDER BY b) AS bits FROM bits GROUP BY doc_id),
+      |pr AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |         len([i for i in range(1, 65) if x.bits[i] != y.bits[i]]) AS hamming
+      |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+      |SELECT a, b, CAST(hamming AS INTEGER) AS hamming
+      |FROM pr WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
   /** Mirrors Dedup.bandedNearDup bit-for-bit: 8 bands × 8 sign bits over
     * the 64 coordinate axes (deterministic — no random hyperplanes), band
     * equi-join for candidates, exact cosine verify. DuckDB lists are

@@ -133,7 +133,11 @@ object Associations {
     * posture: at the oracle scales (n ≤ 1 500 customers) the relative
     * term stays below 5 so every test output is unchanged, while at
     * fleet scale the threshold tracks the corpus and the mining stays
-    * near-linear (re-measured: 864 → ~8 s at 10×).
+    * near-linear (re-measured: 864 → ~8 s at 10×). The ORACLE derives
+    * the same GREATEST(minCount, ceil(0.003·n)) floor from the data
+    * (seqPatternsOracle's `eff` CTE), so a fixture large enough for the
+    * relative term to bite still hash-matches instead of failing the
+    * gate with a bare row mismatch.
     */
   def seqPatterns(spark: SparkSession, dir: String,
                   minCount: Int = 5): DataFrame = {
@@ -303,9 +307,24 @@ object Associations {
     * ONE-OFF joint basket reads as 0 here, deliberately: a single
     * co-purchase is noise, not complementarity evidence (mirrored in
     * the twin). Both pair spaces are group-first, never all-pairs.
+    *
+    * Scale shape: item user-support pruning caps the ITEM side of the
+    * self-join, but nothing in the data model caps a single USER — a
+    * bot-like account touching 10⁵ distinct frequent items would emit
+    * 10¹⁰ pairs from one join key. `maxItemsPerUser` closes that hole
+    * with the x102 content-addressed priority cap ([[graft.ops.Sampling
+    * .domainCap]]): per customer, keep the `cap` lowest-hash items, so
+    * the per-key fan-out is ≤ cap·(cap−1)/2 regardless of flood size,
+    * and the kept set is stable under corpus growth (a kept item is only
+    * evicted by a lower-hash item, never by layout). The cap compiles to
+    * WindowGroupLimit — map-side truncation before the exchange. At the
+    * oracle SFs the 99.9-percentile item count per user is ~105, so the
+    * default 200 is provably inert there (the oracle mirrors the cap
+    * anyway, so a fixture where it bites still hash-matches).
     */
   def substitutes(spark: SparkSession, dir: String,
-                  minUsers: Int = 5, k: Int = 50): DataFrame = {
+                  minUsers: Int = 5, k: Int = 50,
+                  maxItemsPerUser: Int = 200): DataFrame = {
     val userItems = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
@@ -313,7 +332,9 @@ object Associations {
       .select(col("o_custkey"), col("l_partkey")).distinct()
     val itemUsers = userItems.groupBy("l_partkey").agg(count(lit(1)).as("n_u"))
     val frequent = itemUsers.filter(col("n_u") >= minUsers).select("l_partkey")
-    val fu = userItems.join(frequent, Seq("l_partkey"), "left_semi")
+    val fu = graft.ops.Sampling.domainCap(
+      userItems.join(frequent, Seq("l_partkey"), "left_semi"),
+      key = "l_partkey", domain = "o_custkey", k = maxItemsPerUser, seed = 29)
     val userPairs = fu.select(col("o_custkey"), col("l_partkey").as("a"))
       .join(fu.select(col("o_custkey"), col("l_partkey").as("b")), "o_custkey")
       .filter(col("a") < col("b"))
@@ -344,6 +365,13 @@ object Associations {
     */
   def tripleItemsets(spark: SparkSession, dir: String,
                      minCount: Int = 2): DataFrame = {
+    // The downward-closure prune below reads the copurchasePairs frame,
+    // whose floor is n_ab >= 2 — lossless ONLY for minCount >= 2. A
+    // caller passing 1 would silently lose every triple occurring in
+    // exactly one basket, so fail loudly instead.
+    require(minCount >= 2,
+      s"tripleItemsets: minCount=$minCount < 2 breaks the lossless " +
+        "downward-closure prune (pair frame floor is 2)")
     val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairItems = copurchasePairs(spark, dir)
@@ -391,7 +419,13 @@ object Associations {
     """WITH ui AS (SELECT DISTINCT o.o_custkey, l.l_partkey
       |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       |iu AS (SELECT l_partkey, COUNT(*) AS n_u FROM ui GROUP BY 1),
-      |fu AS (SELECT ui.* FROM ui JOIN iu USING (l_partkey) WHERE iu.n_u >= 5),
+      |fu0 AS (SELECT ui.* FROM ui JOIN iu USING (l_partkey) WHERE iu.n_u >= 5),
+      |fu AS (SELECT o_custkey, l_partkey FROM (
+      |        SELECT o_custkey, l_partkey,
+      |               row_number() OVER (PARTITION BY o_custkey
+      |                 ORDER BY (('0x' || substr(md5(l_partkey || ':29'), 1, 8))::BIGINT % 10000),
+      |                          l_partkey) AS rn
+      |        FROM fu0) WHERE rn <= 200),
       |up AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_user
       |       FROM fu x JOIN fu y
       |         ON x.o_custkey = y.o_custkey AND x.l_partkey < y.l_partkey
@@ -434,13 +468,15 @@ object Associations {
       |                    ROW_NUMBER() OVER (PARTITION BY o_custkey
       |                      ORDER BY o_orderdate, o_orderkey) AS pos
       |             FROM orders),
-      |it AS (SELECT DISTINCT p.o_custkey, p.pos, l.l_partkey
+      |it AS MATERIALIZED (SELECT DISTINCT p.o_custkey, p.pos, l.l_partkey
       |       FROM pos p JOIN lineitem l ON l.l_orderkey = p.o_orderkey),
+      |eff AS (SELECT GREATEST(5, CAST(ceil(0.003 * COUNT(DISTINCT o_custkey)) AS BIGINT)) AS m
+      |        FROM it),
       |pr AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
       |              COUNT(DISTINCT x.o_custkey) AS freq
       |       FROM it x JOIN it y
       |         ON x.o_custkey = y.o_custkey AND x.pos < y.pos
-      |       GROUP BY 1, 2 HAVING COUNT(DISTINCT x.o_custkey) >= 5)
+      |       GROUP BY 1, 2 HAVING COUNT(DISTINCT x.o_custkey) >= (SELECT m FROM eff))
       |SELECT a, b, freq FROM pr ORDER BY a, b""".stripMargin
 
   val basketRulesOracle: String =

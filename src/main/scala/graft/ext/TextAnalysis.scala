@@ -21,49 +21,43 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Layer-cached token stream `(doc_id, source, token)` — the exploded
-    * tokenization shared by the LM-scoring family (x85 unigram NLL, x123
-    * held-out PPL, x140 interpolated NLL). One tokenize+explode pass per
-    * (session, sf dir): without it each quality signal re-tokenizes the
-    * corpus, so a warm suite run pays the dominant scan+explode cost once
-    * per SIGNAL instead of once per RUN — the same amortization the x15
-    * pair set gets. MEMORY_AND_DISK like every Layer: the stream is
-    * corpus-positions-sized, so at cluster scale it spills while the
-    * vocab-sized count tables below stay memory-resident; at 100 TB the
-    * cache is a straight trade of disk-local re-read against re-scan +
-    * re-explode of the source parquet, and either way the per-signal
-    * aggregates remain map-side-combinable.
+  /** Token stream `(doc_id, source, token)` — the exploded tokenization
+    * under the LM-scoring family (x85 unigram NLL, x123 held-out PPL,
+    * x140 interpolated NLL). Deliberately NOT Layer-persisted: the stream
+    * is corpus-positions-sized (the largest frame in the engine), and
+    * persisting it bought nothing — every consumer reads it exactly once
+    * per query and immediately aggregates to a vocab-sized table, so a
+    * cached copy trades one cheap codegen'd scan+explode of the source
+    * parquet for a block-manager read that, late in a long-lived session,
+    * sits under eviction pressure from every other Layer and gets SLOWER
+    * than the cold path (measured r8: x155 warm 31.5 s vs cold 7.4 s,
+    * task-time-confirmed). The vocab-sized count tables below stay
+    * Layer-cached — they are what warm reuse actually amortizes.
     */
   def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    Layer.cached(spark, dir, "text_token_stream") {
-      withTokens(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("source"), explode(col("tokens")).as("token"))
-    }
+    withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), explode(col("tokens")).as("token"))
 
-  /** Layer-cached bigram stream `(doc_id, w1, w2)` shared by x107 and
-    * x140. Adjacent-pair expansion is a `transform(sequence)` projection
-    * inside the row (no window, no per-doc sort), exploded once per
-    * (session, sf dir).
+  /** Bigram stream `(doc_id, w1, w2)` for x107 and x140. Adjacent-pair
+    * expansion is a `transform(sequence)` projection inside the row (no
+    * window, no per-doc sort). Not persisted — see [[tokenStream]]; the
+    * shared warm state is [[bigramCounts]], not the positions stream.
     */
   def bigramStream(spark: SparkSession, dir: String): DataFrame =
-    Layer.cached(spark, dir, "text_bigram_stream") {
-      withTokens(Tables.documents(spark, dir))
+    withTokens(Tables.documents(spark, dir))
         .filter(size(col("tokens")) >= 2)
         .withColumn("bgs",
           transform(sequence(lit(0), size(col("tokens")) - 2),
             i => struct(col("tokens")(i).as("w1"), col("tokens")(i + 1).as("w2"))))
         .select(col("doc_id"), explode(col("bgs")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    }
 
-  /** Layer-cached trigram stream `(doc_id, source, w1, w2, w3)` — the
-    * three-token extension of [[bigramStream]] for the backoff LM (x155),
-    * same in-row `transform(sequence)` expansion, one explode pass per
-    * (session, sf dir).
+  /** Trigram stream `(doc_id, source, w1, w2, w3)` — the three-token
+    * extension of [[bigramStream]] for the backoff LM (x155), same in-row
+    * `transform(sequence)` expansion. Not persisted — see [[tokenStream]].
     */
   def trigramStream(spark: SparkSession, dir: String): DataFrame =
-    Layer.cached(spark, dir, "text_trigram_stream") {
-      withTokens(Tables.documents(spark, dir))
+    withTokens(Tables.documents(spark, dir))
         .filter(size(col("tokens")) >= 3)
         .withColumn("tgs",
           transform(sequence(lit(0), size(col("tokens")) - 3),
@@ -72,7 +66,6 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), explode(col("tgs")).as("t"))
         .select(col("doc_id"), col("source"),
           col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
-    }
 
   /** Layer-cached unigram count table `(token, n_t)` — |vocab| rows,
     * shared by x85's cost table and x140's unigram marginal. Aggregated

@@ -481,6 +481,11 @@ object ReorderModel {
   def ridgeLoocv(spark: SparkSession, dir: String,
                  lambdasPerRow: Seq[Double] = Seq(0.0001, 0.001, 0.01, 0.1)): DataFrame = {
     import spark.implicits._
+    // the output keys rows by the e6-rounded λ and flags a unique argmin;
+    // two λ's that collide at e6 would produce duplicate keys (and an
+    // is_best matching several rows), so reject the grid up front
+    require(lambdasPerRow.map(l => (l * 1e6).toLong).distinct.size == lambdasPerRow.size,
+      s"ridgeLoocv: lambdasPerRow ${lambdasPerRow.mkString(",")} collide after e6 rounding")
     val feats = trainFeatures(spark, dir)
       .withColumn("label", col("label").cast("double"))
       .withColumn("__one", lit(1.0d))
@@ -502,7 +507,7 @@ object ReorderModel {
     val b = Array.tabulate(d)(i => row.getAs[Double](s"b_$i"))
     // per λ: β and A⁻¹ on the driver (aggregate-sized), then the scoring
     // expressions — ALL λ's ride the same single pass
-    val perLambda = lambdasPerRow.map { lpr =>
+    val perLambda = lambdasPerRow.zipWithIndex.map { case (lpr, li) =>
       val lam = lpr * n
       val a = a0.map(_.clone())
       for (i <- 1 until d) a(i)(i) += lam
@@ -513,8 +518,11 @@ object ReorderModel {
       val h = (for (i <- 0 until d; j <- 0 until d)
         yield col(xs(i)).cast("double") * col(xs(j)).cast("double") * lit(ainv(i)(j)))
         .reduce(_ + _)
+      // alias keyed by grid POSITION, not the rounded λ — positional
+      // getDouble(i) below is index-keyed anyway, and a value-derived
+      // alias invites duplicate-name surprises
       (lpr, sum(pow((col("label") - pred) / (lit(1.0d) - h), 2))
-        .as(s"sse_${(lpr * 1e6).toLong}"))
+        .as(s"sse_$li"))
     }
     val scored = feats.agg(perLambda.head._2, perLambda.tail.map(_._2): _*).first()
     val rows = perLambda.zipWithIndex.map { case ((lpr, _), i) =>

@@ -432,28 +432,36 @@ object Quality {
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
       .groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
-    val a = users.filter(col("arm") === 0)
-      .select(col("n").as("n_a"), col("c").as("c_a"))
-    val b = users.filter(col("arm") === 1)
-      .select(col("n").as("n_b"), col("c").as("c_b"))
-    a.crossJoin(b)
-      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+    // one-row conditional reduction, NOT a crossJoin of two filtered
+    // frames: an empty arm there returns ZERO rows (silently no report);
+    // here it surfaces as NULL counts, and the guarded stats below go
+    // NULL with it. Degenerate pooled rates (0 or 1 — variance 0) and a
+    // zero control rate (lift undefined) also null their stat instead of
+    // dividing by zero — ANSI mode would throw, and Infinity→long casts
+    // diverge between engines anyway. The mannKendall posture.
+    val w = users.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n_a"),
+      sum(when(col("arm") === 0, col("c"))).as("c_a"),
+      sum(when(col("arm") === 1, col("n"))).as("n_b"),
+      sum(when(col("arm") === 1, col("c"))).as("c_b"))
+    val pPool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val varTerm = pPool * (lit(1d) - pPool) *
+      (lit(1d) / col("n_a").cast("double") + lit(1d) / col("n_b").cast("double"))
+    w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
         floor(col("c_a").cast("double") / col("n_a").cast("double")
           * 1000000d + 0.5d).cast("long").as("rate_a_e6"),
         floor(col("c_b").cast("double") / col("n_b").cast("double")
           * 1000000d + 0.5d).cast("long").as("rate_b_e6"),
-        floor((col("c_b").cast("double") * col("n_a").cast("double")
-          / (col("c_a").cast("double") * col("n_b").cast("double")) - 1d)
-          * 1000000d + 0.5d).cast("long").as("lift_e6"),
-        floor((col("c_a").cast("double") / col("n_a").cast("double")
-          - col("c_b").cast("double") / col("n_b").cast("double"))
-          / sqrt((col("c_a") + col("c_b")).cast("double")
-            / (col("n_a") + col("n_b")).cast("double")
-            * (lit(1d) - (col("c_a") + col("c_b")).cast("double")
-              / (col("n_a") + col("n_b")).cast("double"))
-            * (lit(1d) / col("n_a").cast("double")
-              + lit(1d) / col("n_b").cast("double")))
-          * 10000d + 0.5d).cast("long").as("z_e4"))
+        when(col("c_a") > 0,
+          floor((col("c_b").cast("double") * col("n_a").cast("double")
+            / (col("c_a").cast("double") * col("n_b").cast("double")) - 1d)
+            * 1000000d + 0.5d).cast("long")).as("lift_e6"),
+        when(varTerm > 0d,
+          floor((col("c_a").cast("double") / col("n_a").cast("double")
+            - col("c_b").cast("double") / col("n_b").cast("double"))
+            / sqrt(varTerm)
+            * 10000d + 0.5d).cast("long")).as("z_e4"))
   }
 
   val abTestOracle: String =
@@ -463,21 +471,27 @@ object Quality {
       |g AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(conv) AS c
       |      FROM u GROUP BY 1),
       |w AS (SELECT
-      |        (SELECT n FROM g WHERE arm = 0) AS n_a,
-      |        (SELECT CAST(c AS BIGINT) FROM g WHERE arm = 0) AS c_a,
-      |        (SELECT n FROM g WHERE arm = 1) AS n_b,
-      |        (SELECT CAST(c AS BIGINT) FROM g WHERE arm = 1) AS c_b)
+      |        CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+      |        CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+      |        CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+      |      FROM g),
+      |v AS (SELECT *,
+      |        CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
+      |          * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |          * (1.0 / n_a + 1.0 / n_b) AS var_term
+      |      FROM w)
       |SELECT n_a, c_a, n_b, c_b,
       |       CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT) AS rate_a_e6,
       |       CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000 + 0.5) AS BIGINT) AS rate_b_e6,
-      |       CAST(floor((CAST(c_b AS DOUBLE) * n_a / (CAST(c_a AS DOUBLE) * n_b) - 1)
-      |            * 1000000 + 0.5) AS BIGINT) AS lift_e6,
-      |       CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-      |            / sqrt(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)
-      |                   * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-      |                   * (1.0 / n_a + 1.0 / n_b))
-      |            * 10000 + 0.5) AS BIGINT) AS z_e4
-      |FROM w""".stripMargin
+      |       CASE WHEN c_a > 0 THEN
+      |         CAST(floor((CAST(c_b AS DOUBLE) * n_a / (CAST(c_a AS DOUBLE) * n_b) - 1)
+      |              * 1000000 + 0.5) AS BIGINT) END AS lift_e6,
+      |       CASE WHEN var_term > 0 THEN
+      |         CAST(floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+      |              / sqrt(var_term)
+      |              * 10000 + 0.5) AS BIGINT) END AS z_e4
+      |FROM v""".stripMargin
 
   /** x198: functional-dependency audit — data profiling's "which keys
     * really determine which columns" (Papenbrock et al., VLDB'15 frame

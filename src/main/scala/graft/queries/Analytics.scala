@@ -1101,19 +1101,36 @@ object Analytics {
     * metadata (≈ 2 400 at the gate span ⇒ ~3 M pair rows), never the
     * fact: the orders table reduces to the Layer-shared a33 daily frame
     * first. Exactness: each slope converts its exact integer Δcents/Δday
-    * to double once; the median is the a04 `percentile ≡ quantile_cont`
-    * interpolation over IDENTICAL doubles; the intercept repeats the
-    * discipline against the broadcast median slope. One rounding per
-    * emitted statistic. Output: one row.
+    * to double once; the MEDIAN is a two-phase exact rank selection
+    * ([[graft.ops.Ranking.globalRowNumber]] — bucketed, no single-task
+    * global sort over the ~|days|²/2 slopes): pick the middle rank(s)
+    * against the closed-form pair count C(n_days, 2) and AVG the ≤ 2
+    * survivors. (a+b)/2 equals 0.5a+0.5b bit-exactly — halving commutes
+    * with IEEE rounding — and the oracle mirrors the SAME rank-select +
+    * AVG, so no interpolation-formula divergence between engines is even
+    * possible (quantile_cont's a+(b−a)/2 is up to 1 ULP off). The
+    * intercept median stays a one-reducer percentile over the
+    * calendar-bounded n_days values. One rounding per emitted statistic.
+    * Output: one row.
     */
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyRevenue(spark, dir)
     val b = daily.select(col("day").as("day2"), col("cents").as("cents2"))
     val slopes = daily.join(b, col("day2") > col("day"))
-      .select(((col("cents2") - col("cents")).cast("double")
-        / (col("day2") - col("day")).cast("double")).as("slope"))
-    val med = slopes.agg(count(lit(1)).as("n_pairs"),
-      expr("percentile(slope, 0.5)").as("m"))
+      .select(col("day"), col("day2"),
+        ((col("cents2") - col("cents")).cast("double")
+          / (col("day2") - col("day")).cast("double")).as("slope"))
+    // n_pairs is closed-form from the day count — no second pass over the
+    // pair frame; the (day, day2) key is a deterministic total tie-break
+    // (ties are value-equal, so the averaged median is tie-invariant)
+    val cnt = daily.agg(count(lit(1)).as("n_days_c"))
+      .select(expr("n_days_c * (n_days_c - 1) DIV 2").as("n_pairs"))
+    val ranked = graft.ops.Ranking.globalRowNumber(slopes, col("slope"),
+      col("day") * 100000L + col("day2"), "rnk")
+    val med = ranked.crossJoin(broadcast(cnt))
+      .filter(col("rnk") === expr("(n_pairs + 1) DIV 2") ||
+        col("rnk") === expr("n_pairs DIV 2 + 1"))
+      .groupBy("n_pairs").agg(avg(col("slope")).as("m"))
     daily.crossJoin(broadcast(med))
       .select(col("day"), col("cents"), col("n_pairs"), col("m"),
         (col("cents").cast("double") - col("m") * col("day").cast("double")).as("ic"))
@@ -1132,7 +1149,13 @@ object Analytics {
       |p AS (SELECT CAST(b.cents - a.cents AS DOUBLE)
       |             / CAST(b.day - a.day AS DOUBLE) AS slope
       |      FROM daily a JOIN daily b ON b.day > a.day),
-      |m AS (SELECT COUNT(*) AS n_pairs, quantile_cont(slope, 0.5) AS m FROM p),
+      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rnk,
+      |             COUNT(*) OVER () AS n_pairs
+      |      FROM p),
+      |m AS (SELECT CAST(n_pairs AS BIGINT) AS n_pairs, AVG(slope) AS m
+      |      FROM r
+      |      WHERE rnk = (n_pairs + 1) // 2 OR rnk = n_pairs // 2 + 1
+      |      GROUP BY 1),
       |ic AS (SELECT m.n_pairs, m.m, COUNT(*) AS n_days,
       |              quantile_cont(CAST(d.cents AS DOUBLE)
       |                - m.m * CAST(d.day AS DOUBLE), 0.5) AS ic_med

@@ -343,6 +343,7 @@ object Ext {
     // the typed-Aggregator formulation must produce byte-identical top-k
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
+    "x17_simhash_neardup"  -> OracleSqlExt.x17_simhash_neardup,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x32_media_transform"  ->
       """WITH m AS (

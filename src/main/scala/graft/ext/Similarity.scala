@@ -723,21 +723,33 @@ object Similarity {
       |QUALIFY rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
-  def principalComponent(spark: SparkSession, dir: String,
-                         iters: Int = 400, r: Int = 3): DataFrame = {
-    import spark.implicits._
+  /** Driver-side deflated power-iteration solve shared by x149 (loadings),
+    * x157 (projection basis), and x216 (scree): returns (d, the ORIGINAL
+    * covariance matrix, top-r (eigenvector, raw Rayleigh λ) pairs in
+    * extraction order). The collect is aggregate-sized (d(d+1)/2 rows off
+    * the distributed [[covarianceMatrix]]); every double op below is
+    * SEQUENTIAL and left-associated (Range.map(...).sum is a left fold) —
+    * deliberately, because the x216 oracle replays the SAME op sequence
+    * in DuckDB (list_dot_product / list_reduce are left folds too) and
+    * the two trajectories must stay bit-identical through 400 iterations
+    * of a narrow-eigengap spectrum for the e6-rounded λ ladder to
+    * hash-match.
+    */
+  private[graft] def spectralSolve(spark: SparkSession, dir: String,
+      iters: Int = 400, r: Int = 3)
+      : (Int, Array[Array[Double]], Seq[(Array[Double], Double)]) = {
     val rows = covarianceMatrix(spark, dir)
       .select(col("i").cast("int"), col("j").cast("int"), col("cov"))
       .collect()
     val d = rows.iterator.map(_.getInt(0)).max + 1
-    val c = Array.ofDim[Double](d, d)
+    val c0 = Array.ofDim[Double](d, d)
     rows.foreach { r =>
       val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      c(i)(j) = v; c(j)(i) = v
+      c0(i)(j) = v; c0(j)(i) = v
     }
-    val comps = Seq.newBuilder[(Long, Long, Double, Double)]
+    val c = c0.map(_.clone())
     val extracted = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
-    for (comp <- 0 until math.min(r, d)) {
+    for (_ <- 0 until math.min(r, d)) {
       def orth(x: Array[Double]): Array[Double] = {
         val y = x.clone()
         extracted.foreach { case (u, _) =>
@@ -757,17 +769,60 @@ object Similarity {
       // law holds even when the eigengap is narrow
       val lambda = (0 until d).map(i =>
         v(i) * (0 until d).map(j => c(i)(j) * v(j)).sum).sum
-      val flip = if (v(v.indexWhere(x => math.abs(x) == v.map(math.abs).max)) < 0) -1.0 else 1.0
-      (0 until d).foreach(i => comps +=
-        ((comp.toLong, i.toLong, math.rint(flip * v(i) * 1e6) / 1e6,
-          math.rint(lambda * 1e6) / 1e6)))
       extracted += ((v, lambda))
       // Hotelling deflation: remove the converged pair from the working
       // matrix so the next round's dominant eigenpair is the next one down
       for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * v(i) * v(j)
     }
+    (d, c0, extracted.toSeq)
+  }
+
+  def principalComponent(spark: SparkSession, dir: String,
+                         iters: Int = 400, r: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (d, _, pairs) = spectralSolve(spark, dir, iters, r)
+    val comps = Seq.newBuilder[(Long, Long, Double, Double)]
+    pairs.zipWithIndex.foreach { case ((v, lambda), comp) =>
+      val flip = if (v(v.indexWhere(x => math.abs(x) == v.map(math.abs).max)) < 0) -1.0 else 1.0
+      (0 until d).foreach(i => comps +=
+        ((comp.toLong, i.toLong, math.rint(flip * v(i) * 1e6) / 1e6,
+          math.rint(lambda * 1e6) / 1e6)))
+    }
     comps.result().toDF("component", "dim_i", "loading", "eigval")
       .orderBy("component", "dim_i")
+  }
+
+  /** x216: the scree / explained-variance ladder — the PCA family's
+    * decision artifact ("how many components carry the corpus") as an
+    * oracle-checkable EXACT-INTEGER row set. λ_k comes from
+    * [[spectralSolve]]; the trace is the sequential diagonal sum of the
+    * ORIGINAL covariance (Σλ over all d eigenpairs = tr C, so
+    * cum_evr_e6's ladder is the classic scree cumulative curve); each
+    * statistic rounds to e6 ONCE and every ratio divides the already-
+    * rounded integers, so the only doubles that must agree across
+    * engines are λ and trace themselves. The ORACLE recomputes the
+    * entire derivation in DuckDB — the exact-integer covariance CTE
+    * (x148's twin), then the SAME 400-iteration deflated power solve as
+    * a recursive CTE over DOUBLE[] lists (list_dot_product is a left
+    * fold, matching Scala's Range.map(...).sum) — making the eigen
+    * ITERATION itself a hash-checked computation, not just its inputs.
+    */
+  def screeReport(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (d, c0, pairs) = spectralSolve(spark, dir, r = r)
+    var trace = 0.0
+    (0 until d).foreach(i => trace += c0(i)(i))
+    val traceE6 = math.floor(trace * 1e6 + 0.5).toLong
+    var cum = 0L
+    val rows = pairs.zipWithIndex.map { case ((_, lam), k) =>
+      val lamE6 = math.floor(lam * 1e6 + 0.5).toLong
+      cum += lamE6
+      (k.toLong, lamE6, traceE6,
+        math.floor(lamE6.toDouble / traceE6.toDouble * 1e6 + 0.5).toLong,
+        math.floor(cum.toDouble / traceE6.toDouble * 1e6 + 0.5).toLong)
+    }
+    rows.toDF("component", "lambda_e6", "trace_e6", "evr_e6", "cum_evr_e6")
+      .orderBy("component")
   }
 
   /** x157: PCA projection — the corpus mapped onto the [[principalComponent]]
@@ -786,6 +841,95 @@ object Similarity {
     * spectral contract: Var(y_k) = λ_k and Cov(y_a, y_b) = 0 within the
     * eigen-residual band, per-component means ≈ 0.
     */
+  /** x216 twin — see [[screeReport]]: the covariance CTE is x148's exact-
+    * integer derivation; it0/it1/it2 replay the deflated power iteration
+    * (e_k materialized so each eigenpair solves once; cmat materialized so
+    * the recursion doesn't re-run the corpus moment pass per step); s1/s2
+    * re-orthogonalize the start vector and every iterate against the
+    * already-extracted basis exactly as the Scala `orth` does, in the same
+    * order. 1/√64 = 0.125 is an exact double, so the start vector is
+    * representable in both engines.
+    */
+  val screeOracle: String =
+    """WITH RECURSIVE
+      |q AS (SELECT list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      |terms AS (
+      |  SELECT i.i AS i, j.j AS j, q[i.i+1]*q[j.j+1] AS p
+      |  FROM q, range(64) i(i), range(64) j(j) WHERE j.j >= i.i),
+      |sums AS (SELECT i, j, SUM(p) AS s, COUNT(*) AS cnt FROM terms GROUP BY 1,2),
+      |lin AS (SELECT i.i AS i, SUM(q[i.i+1]) AS ls FROM q, range(64) i(i) GROUP BY 1),
+      |cov AS (
+      |  SELECT s.i, s.j,
+      |    CAST(CAST(s.cnt AS DECIMAL(38,0))*CAST(s.s AS DECIMAL(38,0))
+      |       - CAST(li.ls AS DECIMAL(38,0))*CAST(lj.ls AS DECIMAL(38,0)) AS DOUBLE)
+      |    / (CAST(s.cnt AS DOUBLE)*CAST(s.cnt AS DOUBLE)*1e8) AS cov
+      |  FROM sums s JOIN lin li ON li.i = s.i JOIN lin lj ON lj.i = s.j),
+      |fullm AS (SELECT i, j, cov FROM cov UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+      |rws AS (SELECT i, list(cov ORDER BY j) AS rw FROM fullm GROUP BY i),
+      |cmat AS MATERIALIZED (SELECT list(rw ORDER BY i) AS m FROM rws),
+      |it0 AS (
+      |  SELECT 0 AS k, [CAST(0.125 AS DOUBLE) for z in range(64)] AS v
+      |  UNION ALL
+      |  SELECT k+1, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |  FROM (SELECT k, list_transform(m, row -> list_dot_product(row, v)) AS cv
+      |        FROM it0, cmat WHERE k < 400)),
+      |e0 AS MATERIALIZED (
+      |  SELECT v0, list_dot_product(v0, list_transform(m, row -> list_dot_product(row, v0))) AS lam0
+      |  FROM (SELECT v AS v0 FROM it0 WHERE k = 400), cmat),
+      |c1 AS MATERIALIZED (
+      |  SELECT list_transform(range(1,65), i ->
+      |           list_transform(range(1,65), j -> m[i][j] - lam0*v0[i]*v0[j])) AS m
+      |  FROM cmat, e0),
+      |s1 AS MATERIALIZED (
+      |  SELECT list_transform(range(1,65), i ->
+      |           x[i] - list_dot_product(x, v0)*v0[i]) AS v
+      |  FROM (SELECT [CAST(0.125 AS DOUBLE) for z in range(64)] AS x), e0),
+      |it1 AS (
+      |  SELECT 0 AS k, v FROM s1
+      |  UNION ALL
+      |  SELECT k+1, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |  FROM (SELECT k, list_transform(range(1,65), i ->
+      |            cvr[i] - list_dot_product(cvr, v0)*v0[i]) AS cv
+      |        FROM (SELECT k, list_transform(m, row -> list_dot_product(row, v)) AS cvr
+      |              FROM it1, c1 WHERE k < 400), e0)),
+      |e1 AS MATERIALIZED (
+      |  SELECT v1, list_dot_product(v1, list_transform(m, row -> list_dot_product(row, v1))) AS lam1
+      |  FROM (SELECT v AS v1 FROM it1 WHERE k = 400), c1),
+      |c2 AS MATERIALIZED (
+      |  SELECT list_transform(range(1,65), i ->
+      |           list_transform(range(1,65), j -> m[i][j] - lam1*v1[i]*v1[j])) AS m
+      |  FROM c1, e1),
+      |s2 AS MATERIALIZED (
+      |  SELECT list_transform(range(1,65), i ->
+      |           w[i] - list_dot_product(w, v1)*v1[i]) AS v
+      |  FROM (SELECT list_transform(range(1,65), i ->
+      |            x[i] - list_dot_product(x, v0)*v0[i]) AS w
+      |        FROM (SELECT [CAST(0.125 AS DOUBLE) for z in range(64)] AS x), e0), e1),
+      |it2 AS (
+      |  SELECT 0 AS k, v FROM s2
+      |  UNION ALL
+      |  SELECT k+1, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |  FROM (SELECT k, list_transform(range(1,65), i ->
+      |            w[i] - list_dot_product(w, v1)*v1[i]) AS cv
+      |        FROM (SELECT k, list_transform(range(1,65), i ->
+      |                  cvr[i] - list_dot_product(cvr, v0)*v0[i]) AS w
+      |              FROM (SELECT k, list_transform(m, row -> list_dot_product(row, v)) AS cvr
+      |                    FROM it2, c2 WHERE k < 400), e0), e1)),
+      |e2 AS MATERIALIZED (
+      |  SELECT v2, list_dot_product(v2, list_transform(m, row -> list_dot_product(row, v2))) AS lam2
+      |  FROM (SELECT v AS v2 FROM it2 WHERE k = 400), c2),
+      |tr AS (SELECT CAST(floor(list_reduce(list_transform(range(1,65), i -> m[i][i]), (a,b)->a+b)
+      |             * 1000000 + 0.5) AS BIGINT) AS trace_e6 FROM cmat),
+      |lams AS (
+      |  SELECT 0 AS component, CAST(floor(lam0*1000000 + 0.5) AS BIGINT) AS lambda_e6 FROM e0
+      |  UNION ALL SELECT 1, CAST(floor(lam1*1000000 + 0.5) AS BIGINT) FROM e1
+      |  UNION ALL SELECT 2, CAST(floor(lam2*1000000 + 0.5) AS BIGINT) FROM e2)
+      |SELECT CAST(component AS BIGINT) AS component, lambda_e6, trace_e6,
+      |       CAST(floor(CAST(lambda_e6 AS DOUBLE) / trace_e6 * 1000000 + 0.5) AS BIGINT) AS evr_e6,
+      |       CAST(floor(CAST(SUM(lambda_e6) OVER (ORDER BY component) AS DOUBLE)
+      |            / trace_e6 * 1000000 + 0.5) AS BIGINT) AS cum_evr_e6
+      |FROM lams, tr ORDER BY component""".stripMargin
+
   def pcaProject(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
     val comps = principalComponent(spark, dir, r = r).collect()
     val d = comps.count(_.getLong(0) == 0L)

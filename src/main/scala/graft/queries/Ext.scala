@@ -194,6 +194,7 @@ object Ext {
     "x149_principal_comp"  -> ((s: SparkSession, d: String) => Similarity.principalComponent(s, d)),
     "x156_sq8_profile"     -> ((s: SparkSession, d: String) => Similarity.sq8Profile(s, d)),
     "x157_pca_project"     -> ((s: SparkSession, d: String) => Similarity.pcaProject(s, d)),
+    "x216_scree"           -> ((s: SparkSession, d: String) => Similarity.screeReport(s, d)),
     "x150_heavy_hitters"   -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "x153_length_buckets"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthBuckets(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
@@ -344,6 +345,9 @@ object Ext {
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x17_simhash_neardup"  -> OracleSqlExt.x17_simhash_neardup,
+    // the eigen ITERATION itself is oracle-replayed (recursive CTE) —
+    // λ/trace must agree bit-for-bit through 400 deflated power steps
+    "x216_scree"           -> Similarity.screeOracle,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x32_media_transform"  ->
       """WITH m AS (

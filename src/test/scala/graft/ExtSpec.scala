@@ -1411,6 +1411,40 @@ class ExtSpec extends SparkSuite {
     assert(pc.toSeq === again.toSeq, "power iteration must be deterministic")
   }
 
+  test("scree ladder: descending lambdas, exact trace, ratio identities, consistency with x149") {
+    val rows = Similarity.screeReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    val traceE6 = rows.head._3
+    assert(rows.forall(_._3 == traceE6), "single shared trace")
+    // trace equals the driver-side diagonal sum of the distributed covariance
+    var tr = 0.0
+    val diag = Similarity.covarianceMatrix(spark, sf)
+      .filter(col("i") === col("j")).orderBy("i").collect()
+    diag.foreach(r => tr += r.getDouble(3))
+    assert(traceE6 === math.floor(tr * 1e6 + 0.5).toLong, "trace_e6 identity")
+    // lambdas descend, are positive, and their ladder stays under the trace
+    // (top-3 of a PSD spectrum can never exceed the full eigenvalue sum)
+    val lams = rows.map(_._2)
+    assert(lams.toSeq === lams.sorted.reverse.toSeq && lams.forall(_ > 0))
+    assert(lams.sum <= traceE6, s"sum(lambda_e6) ${lams.sum} > trace $traceE6")
+    // ratio columns are pure integer-arithmetic consequences of (lambda, trace)
+    var cum = 0L
+    rows.foreach { case (_, l, t, evr, cumEvr) =>
+      cum += l
+      assert(evr === math.floor(l.toDouble / t.toDouble * 1e6 + 0.5).toLong)
+      assert(cumEvr === math.floor(cum.toDouble / t.toDouble * 1e6 + 0.5).toLong)
+    }
+    // e6-consistent with x149's rint-rounded eigval column (conventions
+    // differ by at most one ulp of the e6 grid)
+    val eig = Similarity.principalComponent(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.head.getDouble(3)).toMap
+    rows.foreach { case (k, l, _, _, _) =>
+      assert(math.abs(l - math.rint(eig(k) * 1e6).toLong) <= 1L,
+        s"component $k: scree $l vs x149 ${eig(k)}")
+    }
+  }
+
   /** The x160/x172/x173 daily frame via the operator's own quantization
     * kernel, densified driver-side over the global [lo, hi] span.
     */

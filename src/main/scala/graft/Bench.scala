@@ -124,6 +124,7 @@ object Bench {
            |  "sf": "$sfDir",
            |  "cpus": $cpus,
            |  "mode": "$mode",
+           |  "pass_semantics": "warm pass runs FIRST (shared Layers kept), cold second (Layer cleared per query, codegen/JIT already hot). A query whose warm wall exceeds its cold wall with warm task time also inflated is paying FIRST-EXECUTION cost (Janino compile + C2 warm-up), not cache pressure: r9 isolated-run proof on x187 (4.79s warm / 0.61s cold with only 2 queries and zero shared layers - the pattern is pass-order, not context).",
            |  "n_queries": ${names.size},
            |  "warm_total": ${f"${total(warm)}%.3f"},
            |  "cold_total": ${f"${total(cold)}%.3f"},

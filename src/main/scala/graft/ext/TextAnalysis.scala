@@ -1673,4 +1673,47 @@ object TextAnalysis {
       |                 / CAST(s.s_e6 - s.kk * t.l_tail AS DOUBLE) + 0.5) AS BIGINT)
       |            ELSE NULL END AS alpha_e6
       |FROM s, t""".stripMargin
+
+  /** x217: Heaps'-law vocabulary-growth curve — V(n) per document in
+    * doc_id ingestion order, the corpus-health signal behind SCALE.md's
+    * central caveat (posting-list density is governed by whether vocab
+    * keeps growing ∝ n^β or saturates — the regime that decides if the
+    * pair-dedup family stays linear). EVERY value is an exact integer:
+    * cum_tokens is a prefix sum of per-doc token counts, and cum_vocab
+    * exploits that "distinct tokens among the first k docs" ≡ "tokens
+    * whose FIRST doc is ≤ the k-th doc" — so the inherently-sequential
+    * running DISTINCT becomes min(doc_id) per token (one map-combinable
+    * aggregate) followed by a prefix sum of first-occurrence counts.
+    * Both prefix sums are [[graft.ops.Ranking.globalCumSum]] (two-phase
+    * bucketed — no one-task global window on the doc grain, which IS
+    * corpus-sized, unlike the calendar-bounded daily frames). The β fit
+    * itself lives in ExtSpec (a driver-side OLS on the log-log curve);
+    * the gate hashes the exact curve.
+    */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenStream(spark, dir)
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val firstOcc = toks.groupBy("token").agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
+    val joined = perDoc.join(firstOcc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val c1 = graft.ops.Ranking.globalCumSum(joined,
+      col("doc_id"), col("doc_id"), col("n_tok"), "cum_tokens")
+    val c2 = graft.ops.Ranking.globalCumSum(c1,
+      col("doc_id"), col("doc_id"), col("n_new"), "cum_vocab")
+    c2.select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy("doc_id")
+  }
+
+  val heapsOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY 1),
+      |fo AS (SELECT token, MIN(doc_id) AS fd FROM t GROUP BY 1),
+      |nv AS (SELECT fd AS doc_id, COUNT(*) AS n_new FROM fo GROUP BY 1)
+      |SELECT pd.doc_id,
+      |       CAST(SUM(pd.n_tok) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_tokens,
+      |       CAST(SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_vocab
+      |FROM pd LEFT JOIN nv USING (doc_id)
+      |ORDER BY pd.doc_id""".stripMargin
 }

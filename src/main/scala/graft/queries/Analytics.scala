@@ -1653,6 +1653,89 @@ object Analytics {
       |            // COUNT(DISTINCT o_custkey) AS BIGINT) AS arpu_e2
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** a45: single-changepoint detection on daily revenue — binary
+    * segmentation's first split (the building block CUSUM (x173) flags
+    * but never LOCATES): the day s* maximizing the between-segment sum
+    * of squares, i.e. the exact arg-max of
+    * (n·S_l − S·n_l)² / (n_l·n_r·n) over all prefix cuts — the
+    * variance-decomposition identity makes one cumulative pass
+    * sufficient. Exactness discipline: every cumulative/total is an
+    * exact BIGINT (Σx² widened to DECIMAL(38,0) — day-cents squared
+    * brush 2⁶³ at fleet scale), the between/SST statistics convert to
+    * double ONCE each with pinned operation order, the arg-max
+    * tie-breaks on day, and segment means are exact integer DIVs. The
+    * fraction-of-variance-explained r2_e6 divides the two already-pinned
+    * doubles and is null-guarded for a constant series (SST = 0 — the
+    * abTest posture). Scale shape: the daily frame is calendar-bounded
+    * metadata off the Layer-shared ONE orders pass (a33/a37/a38), so
+    * the single-partition windows scan one row per day, never the fact.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyRevenue(spark, dir)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("n_tot"),
+      sum(col("cents")).as("s_tot"),
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("ss_tot"))
+    val cum = daily.select(col("day"),
+      sum(col("cents")).over(wCum).as("s_l"),
+      row_number().over(Window.orderBy(col("day"))).cast("long").as("n_l"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("n_l") < col("n_tot"))
+      .withColumn("n_r", col("n_tot") - col("n_l"))
+      .withColumn("num", col("s_l") * col("n_tot") - col("s_tot") * col("n_l"))
+      .withColumn("betw",
+        (col("num").cast("double") * col("num").cast("double"))
+          / (col("n_l").cast("double") * col("n_r").cast("double")
+            * col("n_tot").cast("double")))
+      .withColumn("sst",
+        col("ss_tot").cast("double")
+          - col("s_tot").cast("double") * col("s_tot").cast("double")
+            / col("n_tot").cast("double"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("betw").desc, col("day"))))
+      .filter(col("rnk") === 1)
+      .select(col("day").as("split_day"),
+        col("n_l").as("n_left"), col("n_r").as("n_right"),
+        expr("s_l DIV n_l").as("mean_left_c"),
+        expr("(s_tot - s_l) DIV n_r").as("mean_right_c"),
+        when(col("sst") > 0d,
+          floor(col("betw") / col("sst") * 1000000d + 0.5d).cast("long"))
+          .as("r2_e6"))
+  }
+
+  val changepointOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_tot, SUM(cents) AS s_tot,
+      |               SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss_tot FROM daily),
+      |cum AS (SELECT day,
+      |               SUM(cents) OVER (ORDER BY day) AS s_l,
+      |               ROW_NUMBER() OVER (ORDER BY day) AS n_l
+      |        FROM daily),
+      |sc AS (SELECT c.day, CAST(c.s_l AS BIGINT) AS s_l, CAST(c.n_l AS BIGINT) AS n_l,
+      |              CAST(t.n_tot - c.n_l AS BIGINT) AS n_r,
+      |              CAST(t.n_tot AS BIGINT) AS n_tot, CAST(t.s_tot AS BIGINT) AS s_tot,
+      |              t.ss_tot
+      |       FROM cum c, tot t WHERE c.n_l < t.n_tot),
+      |g AS (SELECT *, s_l * n_tot - s_tot * n_l AS num FROM sc),
+      |g2 AS (SELECT *,
+      |         (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |           / (CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS betw,
+      |         CAST(ss_tot AS DOUBLE)
+      |           - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS sst
+      |       FROM g),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY betw DESC, day) AS rnk FROM g2)
+      |SELECT day AS split_day, n_l AS n_left, n_r AS n_right,
+      |       CAST(s_l // n_l AS BIGINT) AS mean_left_c,
+      |       CAST((s_tot - s_l) // n_r AS BIGINT) AS mean_right_c,
+      |       CASE WHEN sst > 0 THEN CAST(floor(betw / sst * 1000000 + 0.5) AS BIGINT)
+      |       END AS r2_e6
+      |FROM r WHERE rnk = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1701,6 +1784,7 @@ object Analytics {
     "x207_replenish_cycle" -> ((s: SparkSession, d: String) => replenishCycle(s, d)),
     "x214_seasonal_index"  -> (seasonalIndex _),
     "a44_quarterly_arpu"   -> (quarterlyArpu _),
+    "a45_changepoint"      -> (changepoint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1719,6 +1803,7 @@ object Analytics {
     "x207_replenish_cycle" -> replenishCycleOracle,
     "x214_seasonal_index"  -> seasonalIndexOracle,
     "a44_quarterly_arpu"   -> quarterlyArpuOracle,
+    "a45_changepoint"      -> changepointOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -337,6 +337,51 @@ object Core {
       .orderBy("segment")
   }
 
+  /** q25: co-bucketed join — the LAYOUT-level shuffle elimination that,
+    * at 100 TB, turns every repeated orders⋈lineitem into a local merge:
+    * both tables are written `bucketBy(8, key) sortBy(key)` into the
+    * catalog ([[graft.sources.Sinks.bucketedTable]]), so the planner
+    * reads each side already hash-partitioned AND sorted on the join key
+    * and the SortMergeJoin needs NO Exchange and NO per-query Sort — the
+    * shuffle is paid once at write time and amortized over every
+    * subsequent join (the bucketing analogue of x146's Z-order story for
+    * scans). OpsSpec asserts the plan law (`Bucketed: true`, zero
+    * shuffle exchanges with broadcast disabled); this query hashes the
+    * RESULT — priority-level revenue computed entirely through the
+    * bucketed tables — against the plain-parquet oracle, so the
+    * bucketed write+read round-trip is itself on the correctness path.
+    * Table names are sf-dir-keyed (one catalog serves every sf in a
+    * session); exact DECIMAL(12,2) money per the file's discipline.
+    */
+  def q25BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"${math.abs(dir.hashCode).toString}"
+    val (to, tl) = (s"graft_q25_orders_$tag", s"graft_q25_lineitem_$tag")
+    // a FRESH JVM's in-memory catalog doesn't know a previous run's
+    // tables, so overwrite mode can't reclaim their on-disk locations —
+    // drop the entry AND the orphaned directory before writing
+    Seq(to, tl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.RunScoped.deleteRecursively(
+        java.nio.file.Paths.get(s"spark-warehouse/$t"))
+    }
+    graft.sources.Sinks.bucketedTable(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      to, Seq("o_orderkey"), 8)
+    graft.sources.Sinks.bucketedTable(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      tl, Seq("l_orderkey"), 8)
+    spark.table(to)
+      .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -362,6 +407,7 @@ object Core {
     "q22_text_roundtrip"      -> (q22TextRoundtrip _),
     "q23_schema_evolution"    -> (q23SchemaEvolution _),
     "q24_json_roundtrip"      -> (q24JsonRoundtrip _),
+    "q25_bucketed_join"       -> (q25BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,6 +454,16 @@ object Core {
     "q24_json_roundtrip"      ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the bucketed-table round-trip must agree with the plain-parquet
+    // join; each factor cast to exact DECIMAL before the multiply (the
+    // a01/a02 money discipline), one double conversion at the end
+    "q25_bucketed_join"       ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |             AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
 

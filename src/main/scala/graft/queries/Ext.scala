@@ -195,6 +195,7 @@ object Ext {
     "x156_sq8_profile"     -> ((s: SparkSession, d: String) => Similarity.sq8Profile(s, d)),
     "x157_pca_project"     -> ((s: SparkSession, d: String) => Similarity.pcaProject(s, d)),
     "x216_scree"           -> ((s: SparkSession, d: String) => Similarity.screeReport(s, d)),
+    "x217_heaps_law"       -> ((s: SparkSession, d: String) => TextAnalysis.heapsCurve(s, d)),
     "x150_heavy_hitters"   -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     "x153_length_buckets"  -> ((s: SparkSession, d: String) => TextAnalysis.lengthBuckets(s, d)),
     // range/interval join (time-bucketed equi-join + exact predicate)
@@ -348,6 +349,7 @@ object Ext {
     // the eigen ITERATION itself is oracle-replayed (recursive CTE) —
     // λ/trace must agree bit-for-bit through 400 deflated power steps
     "x216_scree"           -> Similarity.screeOracle,
+    "x217_heaps_law"       -> TextAnalysis.heapsOracle,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x32_media_transform"  ->
       """WITH m AS (

@@ -1411,6 +1411,34 @@ class ExtSpec extends SparkSuite {
     assert(pc.toSeq === again.toSeq, "power iteration must be deterministic")
   }
 
+  test("heaps curve: monotone, endpoint identities, sub-linear vocabulary growth") {
+    val curve = TextAnalysis.heapsCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.nonEmpty)
+    assert(curve.map(_._1).toSeq === curve.map(_._1).sorted.toSeq)
+    // both cumulatives are non-decreasing, vocab never exceeds tokens
+    curve.sliding(2).foreach {
+      case Array((_, t1, v1), (_, t2, v2)) =>
+        assert(t2 > t1 && v2 >= v1, "cumulatives must be monotone")
+      case _ => ()
+    }
+    curve.foreach { case (d, t, v) => assert(v <= t, s"doc $d: vocab $v > tokens $t") }
+    // endpoint identities against independent aggregates
+    val toks = TextAnalysis.tokenStream(spark, sf)
+    val total = toks.count()
+    val distinct = toks.select("token").distinct().count()
+    assert(curve.last._2 === total, "final cum_tokens = corpus token count")
+    assert(curve.last._3 === distinct, "final cum_vocab = corpus vocabulary")
+    // Heaps' law: the fitted log-log slope beta is sub-linear and positive
+    val pts = curve.map { case (_, t, v) => (math.log(t.toDouble), math.log(v.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0, 1)")
+  }
+
   test("scree ladder: descending lambdas, exact trace, ratio identities, consistency with x149") {
     val rows = Similarity.screeReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

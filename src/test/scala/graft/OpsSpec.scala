@@ -1904,6 +1904,67 @@ class OpsSpec extends SparkSuite {
       "cell-weighted index mean must be ~1")
   }
 
+  test("changepoint maximizes between-segment SSE exactly (brute-force split scan)") {
+    val row = graft.queries.Analytics.changepoint(spark, sf).collect().head
+    val daily = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val sTot = daily.map(_._2).sum
+    // brute-force every prefix cut with the SAME pinned double formula
+    var best = (-1L, Double.NegativeInfinity)
+    var sL = 0L
+    daily.zipWithIndex.dropRight(1).foreach { case ((day, c), i) =>
+      sL += c
+      val nL = i + 1L
+      val nR = n - nL
+      val num = sL * n - sTot * nL
+      val betw = (num.toDouble * num.toDouble) /
+        (nL.toDouble * nR.toDouble * n.toDouble)
+      if (betw > best._2) best = (day, betw)
+    }
+    assert(row.getLong(0) === best._1, "split day is the exact arg-max")
+    val nLeft = daily.count(_._1 <= best._1).toLong
+    assert(row.getLong(1) === nLeft && row.getLong(2) === n - nLeft)
+    val sLeft = daily.filter(_._1 <= best._1).map(_._2).sum
+    assert(row.getLong(3) === sLeft / nLeft, "left mean is the exact integer DIV")
+    assert(row.getLong(4) === (sTot - sLeft) / (n - nLeft))
+    // r2 in (0, 1]: a real split explains a positive fraction of variance
+    val r2 = row.getLong(5)
+    assert(r2 > 0L && r2 <= 1000000L, s"r2_e6 $r2 out of range")
+  }
+
+  test("q25 bucketed join: shuffle-free plan under the bucket layout, result equals plain join") {
+    val got = graft.queries.Core.q25BucketedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double"), 2).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === plain.toSeq, "bucketed round-trip changed the answer")
+    // the layout law: with broadcast off, the bucketed tables (already
+    // written by the query above) join with NO shuffle exchange
+    val tag = s"${math.abs(sf.hashCode).toString}"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"graft_q25_orders_$tag")
+        .join(spark.table(s"graft_q25_lineitem_$tag"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bucket layout unused:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

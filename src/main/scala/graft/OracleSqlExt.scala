@@ -179,6 +179,28 @@ object OracleSqlExt {
        |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors TextAnalysis.fingerprints: FNV-1a 64 of the raw text, the
+    * x17 list_reduce kernel (HUGEINT multiply wraps mod 2^64, the xor
+    * touches only the low byte) re-centered into SIGNED int64 at the end
+    * because Spark's Fnv1a64 expression returns LongType — values ≥ 2⁶³
+    * wrap negative. Moves x13 from rows-only (r8) to hash-matched: the
+    * FunctionsSpec byte-vector law now has a corpus-wide SQL twin.
+    */
+  val x13_fingerprint: String =
+    """SELECT doc_id,
+      |       CAST(CASE WHEN h >= 9223372036854775808
+      |                 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
+      |FROM (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |             [CAST(ascii(text[i]) AS HUGEINT) for i in range(1, len(text) + 1)]),
+      |           (h, c) -> ((h // 256) * 256
+      |                      + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+      |                     * 1099511628211 % 18446744073709551616) AS h
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirrors Dedup.simhashPairs END-TO-END: the banded candidate join is
     * superset-then-verify (any pair at Hamming ≤ h shares a clean band
     * combination), so the OUTPUT is banding-independent — exactly every

@@ -23,9 +23,18 @@ object ScaleGen {
     "stream", "table", "the", "value", "vector", "window")
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: ScaleGen <outDir> <multiplier>")
+    require(args.length == 2 || args.length == 3,
+      "usage: ScaleGen <outDir> <multiplier> [dupBoost]")
     val out = args(0)
     val m = args(1).toInt
+    // dupBoost k multiplies the planted exact/near-dup RATE by ~k (the
+    // moduli divide by k): the SCALE.md round-9 knob for pinning the
+    // pair family's behavior on a dup-heavy corpus. Default 1 keeps the
+    // r7/r8 corpora byte-identical.
+    val dupBoost = if (args.length == 3) args(2).toInt else 1
+    require(dupBoost >= 1 && dupBoost <= 100, s"dupBoost $dupBoost out of range")
+    val exactMod = math.max(2, 625 / dupBoost)
+    val nearMod = math.max(3, 400 / dupBoost)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,14 +52,14 @@ object ScaleGen {
     val nDocs = 5000L * m
     val docs = spark.range(nDocs)
       .withColumn("cid",
-        when(col("id") % 625 === 1 || col("id") % 400 === 2, col("id") - 1)
+        when(col("id") % exactMod === 1 || col("id") % nearMod === 2, col("id") - 1)
           .otherwise(col("id")))
       .withColumn("n_tok", (abs(hash(col("cid"), lit(1))) % 91 + 10).cast("int"))
       .withColumn("body", concat_ws(" ",
         transform(sequence(lit(1), col("n_tok")),
           i => element_at(vocabCol, (abs(hash(col("cid"), i)) % 31 + 1).cast("int")))))
       .withColumn("text",
-        when(col("id") % 400 === 2, concat(col("body"), lit(" dup")))
+        when(col("id") % nearMod === 2, concat(col("body"), lit(" dup")))
           .otherwise(col("body")))
       .select(
         col("id").as("doc_id"),

@@ -850,14 +850,19 @@ object Similarity {
     * order. 1/√64 = 0.125 is an exact double, so the start vector is
     * representable in both engines.
     */
-  val screeOracle: String =
+  /** The shared eigensolve CTE chain (through e0/e1/e2) used by the x216
+    * scree oracle AND the x149/x157 oracles — one derivation, three
+    * tails, so the three gates can never drift apart.
+    */
+  private val eigenCtes: String =
     """WITH RECURSIVE
       |q AS (SELECT list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q FROM embeddings),
       |terms AS (
       |  SELECT i.i AS i, j.j AS j, q[i.i+1]*q[j.j+1] AS p
       |  FROM q, range(64) i(i), range(64) j(j) WHERE j.j >= i.i),
       |sums AS (SELECT i, j, SUM(p) AS s, COUNT(*) AS cnt FROM terms GROUP BY 1,2),
-      |lin AS (SELECT i.i AS i, SUM(q[i.i+1]) AS ls FROM q, range(64) i(i) GROUP BY 1),
+      |lin AS (SELECT i.i AS i, SUM(q[i.i+1]) AS ls, COUNT(*) AS cnt
+      |        FROM q, range(64) i(i) GROUP BY 1),
       |cov AS (
       |  SELECT s.i, s.j,
       |    CAST(CAST(s.cnt AS DECIMAL(38,0))*CAST(s.s AS DECIMAL(38,0))
@@ -917,7 +922,10 @@ object Similarity {
       |                    FROM it2, c2 WHERE k < 400), e0), e1)),
       |e2 AS MATERIALIZED (
       |  SELECT v2, list_dot_product(v2, list_transform(m, row -> list_dot_product(row, v2))) AS lam2
-      |  FROM (SELECT v AS v2 FROM it2 WHERE k = 400), c2),
+      |  FROM (SELECT v AS v2 FROM it2 WHERE k = 400), c2),""".stripMargin
+
+  val screeOracle: String = eigenCtes +
+    """
       |tr AS (SELECT CAST(floor(list_reduce(list_transform(range(1,65), i -> m[i][i]), (a,b)->a+b)
       |             * 1000000 + 0.5) AS BIGINT) AS trace_e6 FROM cmat),
       |lams AS (
@@ -929,6 +937,71 @@ object Similarity {
       |       CAST(floor(CAST(SUM(lambda_e6) OVER (ORDER BY component) AS DOUBLE)
       |            / trace_e6 * 1000000 + 0.5) AS BIGINT) AS cum_evr_e6
       |FROM lams, tr ORDER BY component""".stripMargin
+
+  /** The flip + e6-rint loading CTEs shared by the x149 and x157 tails:
+    * flip is the sign of the FIRST max-|v| component (the Scala
+    * indexWhere), and the rounded basis rb replays Scala's
+    * rint(flip·v·1e6)/1e6 via DuckDB's round-half-even double→BIGINT
+    * cast (verified ties-to-even, ≡ Math.rint).
+    */
+  private val flipCtes: String =
+    """
+      |comps AS (
+      |  SELECT 0 AS component, v0 AS v, lam0 AS lam FROM e0
+      |  UNION ALL SELECT 1, v1, lam1 FROM e1
+      |  UNION ALL SELECT 2, v2, lam2 FROM e2),
+      |fl AS (SELECT component, v, lam,
+      |         CASE WHEN v[list_filter(range(1,65),
+      |                      i -> abs(v[i]) = mx)[1]] < 0
+      |              THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS flip
+      |       FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS mx
+      |             FROM comps)),
+      |rb AS (SELECT component, lam,
+      |         list_transform(range(1,65),
+      |           i -> CAST(flip * v[i] * 1e6 AS BIGINT) / 1000000.0) AS v
+      |       FROM fl)""".stripMargin
+
+  /** x149 twin — the eigensolve replayed in SQL (see [[screeOracle]]),
+    * then the EXACT output convention of [[principalComponent]]: per
+    * (component, dim) rint-e6 loadings with the first-max-|v| sign flip,
+    * rint-e6 eigenvalues. Moves x149 from rows-only (r8) to hash-matched.
+    */
+  val pcaLoadingsOracle: String = eigenCtes + flipCtes +
+    """
+      |SELECT CAST(component AS BIGINT) AS component,
+      |       CAST(t.i - 1 AS BIGINT) AS dim_i,
+      |       v[t.i] AS loading,
+      |       CAST(lam * 1e6 AS BIGINT) / 1000000.0 AS eigval
+      |FROM rb, range(1, 65) t(i)
+      |ORDER BY component, dim_i""".stripMargin
+
+  /** x157 twin — eigensolve + the projection itself: each vector e4-
+    * quantized (floor(x·10⁴+½)/10⁴, the covariance grid), centered on
+    * μ = Σq/(n·10⁴) from the SAME lin CTE the moment pass feeds, then a
+    * sequential left-fold dot against the ROUNDED+FLIPPED basis (what
+    * pcaProject broadcasts as plan-time literals), floored to e6. Moves
+    * x157 from rows-only (r8) to hash-matched.
+    */
+  val pcaProjectOracle: String = eigenCtes + flipCtes +
+    """,
+      |b0 AS (SELECT v FROM rb WHERE component = 0),
+      |b1 AS (SELECT v FROM rb WHERE component = 1),
+      |b2 AS (SELECT v FROM rb WHERE component = 2),
+      |mus AS (SELECT list(CAST(CAST(ls AS BIGINT) AS DOUBLE)
+      |                    / (CAST(cnt AS DOUBLE) * 10000.0) ORDER BY i) AS mu
+      |        FROM lin)
+      |SELECT e.vec_id,
+      |  CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    [(floor(CAST(e.embedding[i] AS DOUBLE) * 10000 + 0.5) / 10000 - mu[i]) * b0.v[i]
+      |     for i in range(1, 65)]), (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS y0_e6,
+      |  CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    [(floor(CAST(e.embedding[i] AS DOUBLE) * 10000 + 0.5) / 10000 - mu[i]) * b1.v[i]
+      |     for i in range(1, 65)]), (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS y1_e6,
+      |  CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    [(floor(CAST(e.embedding[i] AS DOUBLE) * 10000 + 0.5) / 10000 - mu[i]) * b2.v[i]
+      |     for i in range(1, 65)]), (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS y2_e6
+      |FROM embeddings e, mus, b0, b1, b2
+      |ORDER BY e.vec_id""".stripMargin
 
   def pcaProject(spark: SparkSession, dir: String, r: Int = 3): DataFrame = {
     val comps = principalComponent(spark, dir, r = r).collect()

@@ -346,9 +346,14 @@ object Ext {
     "x23_topk_aggregator"  -> OracleSqlExt.x20_cosine_topk,
     "x21_embedding_neardup" -> OracleSqlExt.x21_embedding_neardup,
     "x17_simhash_neardup"  -> OracleSqlExt.x17_simhash_neardup,
+    "x13_fingerprint"      -> OracleSqlExt.x13_fingerprint,
     // the eigen ITERATION itself is oracle-replayed (recursive CTE) —
     // λ/trace must agree bit-for-bit through 400 deflated power steps
     "x216_scree"           -> Similarity.screeOracle,
+    // the same oracle-side eigensolve, emitted in x149's / x157's exact
+    // output conventions — both move from rows-only to hash-matched
+    "x149_principal_comp"  -> Similarity.pcaLoadingsOracle,
+    "x157_pca_project"     -> Similarity.pcaProjectOracle,
     "x217_heaps_law"       -> TextAnalysis.heapsOracle,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x32_media_transform"  ->

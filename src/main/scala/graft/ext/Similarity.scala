@@ -115,48 +115,80 @@ object Similarity {
     (nlist, mod, probe)
   }
 
+  /** The e4-quantized integer view of the embedding corpus `(vec_id, q:
+    * array<long>)` — the spherical-k-means STATE grid (and the same grid
+    * the covariance/PCA family quantizes on). Everything downstream of
+    * it is exact: dots and norms are BIGINT folds, centroids are integer
+    * SUM vectors, so the whole Lloyd fit is order-independent,
+    * partitioning-independent, and DuckDB-replayable.
+    */
+  private[graft] def quantizedVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 10000d + 0.5d).cast("long")).as("q"))
+
+  /** Exact BIGINT dot of two long arrays (codegen'd fold — no UDF). */
+  private def dotLL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+
+  /** Cosine between a quantized vector and an integer SUM-vector
+    * centroid: cosine is scale-invariant, so a cluster's centroid never
+    * needs the mean — the exact member-sum ranks identically, and the
+    * ONLY floating step is this one pinned expression over three exact
+    * BIGINTs (dot ≤ dim·10⁴·Σ|q| ≈ 10¹² per 10⁸-member cluster at e4 —
+    * widen to DECIMAL beyond that, documented bound). This is what makes
+    * the r9 x126/x22/x89 oracles possible: the old float-mean centroids
+    * were partition-order-dependent doubles.
+    */
+  private def intCos(q: Column, s: Column): Column =
+    dotLL(q, s).cast("double") /
+      (sqrt(dotLL(q, q).cast("double")) * sqrt(dotLL(s, s).cast("double")))
+
   /** Nearest-centroid assignment as an AGGREGATE, not a window: the
     * n×nlist scored cross product is projected down to (vec_id, c_id,
     * ccos) — the vector payloads never leave the map side — and the argmax
     * is `max_by(c_id, (ccos, -c_id))`, whose partial aggregation collapses
     * every vector to ONE row before the exchange. The equivalent
     * `row_number().over(partitionBy(vec_id))` would shuffle all n·nlist
-    * rows, each still carrying both the embedding and the centroid vector
-    * (2·dim floats) — at n = 10⁹, dim = 768 a multi-PB exchange. Here only
-    * n (vec_id, cluster) key rows cross the wire. Tie-break matches the
-    * window formulation: highest ccos, then lowest c_id (the -c_id term
-    * maximizes to the smallest id).
+    * rows, each still carrying both the vector and the centroid payload
+    * — at n = 10⁹, dim = 768 a multi-PB exchange. Here only n (vec_id,
+    * cluster) key rows cross the wire. Tie-break matches the window
+    * formulation: highest ccos, then lowest c_id. Inputs are the
+    * [[quantizedVecs]] q and [[centroidSums]] sv columns.
     */
-  private[graft] def assignClusters(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+  private[graft] def assignClusters(qv: DataFrame, cent: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"), intCos(col("q"), col("sv")).as("ccos"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("ccos"), negate(col("c_id")))).as("cluster"))
 
   /** Spherical k-means centroids, trained with a few distributed Lloyd
-    * iterations in pure DataFrame ops: assign each vector to its nearest
-    * centroid ([[assignClusters]] — broadcast score, map-side argmax
-    * partials, n key-rows shuffled), recompute centroids as the
-    * element-wise mean of their members (posexplode → per-(cluster, dim)
-    * avg → re-assemble). Deterministic init (every seedMod-th vector,
-    * seedMod from [[ivfGeometry]]); each iteration is one broadcast join +
-    * two keyed aggregates — all linear in n·dim, no pairwise blowup, and
-    * the only full-payload shuffle is the n-row membership re-join.
+    * iterations in pure DataFrame ops: assign each quantized vector to
+    * its nearest centroid ([[assignClusters]] — broadcast score, map-side
+    * argmax partials, n key-rows shuffled), recompute centroids as the
+    * element-wise integer SUM of their members (posexplode →
+    * per-(cluster, dim) BIGINT sum → re-assemble; cosine's scale
+    * invariance makes the mean unnecessary, so no division and no
+    * doubles enter the state). Deterministic init (every seedMod-th
+    * vector's q, seedMod from [[ivfGeometry]]); empty clusters drop out
+    * exactly as under the float formulation. Each iteration is one
+    * broadcast join + two keyed aggregates — linear in n·dim, no
+    * pairwise blowup, and the only full-payload shuffle is the n-row
+    * membership re-join.
     */
-  private def centroids(e: DataFrame, seedMod: Long, iters: Int = 2): DataFrame = {
-    var cent = e.filter(col("vec_id") % seedMod === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+  private def centroidSums(qv: DataFrame, seedMod: Long, iters: Int = 2): DataFrame = {
+    var cent = qv.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id").as("c_id"), col("q").as("sv"))
     for (_ <- 1 to iters) {
-      val assigned = e.join(assignClusters(e, cent), "vec_id")
-        .select(col("cluster"), col("embedding"))
+      val assigned = qv.join(assignClusters(qv, cent), "vec_id")
+        .select(col("cluster"), col("q"))
       cent = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos").agg(avg(col("v")).as("mv"))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(sum(col("v")).as("sv1"))
         .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sv1")))).as("pv"))
         .select(col("cluster").as("c_id"),
-          transform(col("pv"), p => p.getField("mv").cast("float")).as("cv"))
+          transform(col("pv"), p => p.getField("sv1")).as("sv"))
     }
     cent
   }
@@ -168,23 +200,168 @@ object Similarity {
     * once, the mean is an integer DIV — deterministic despite double
     * centroids). Training is [[centroids]]' Lloyd loop: per iteration one
     * broadcast score + map-side argmax partials (n key rows shuffle, never
-    * payloads) + a per-(cluster, dim) mean. No oracle — DuckDB has no
-    * k-means to mirror — so ExtSpec pins the laws: membership partitions
-    * the corpus, cohesion bounded, cluster count within geometry.
+    * payloads) + a per-(cluster, dim) integer sum. HASH-MATCHED since r9:
+    * the exact-integer centroid state ([[centroidSums]]) makes the whole
+    * fit partitioning-independent, and the oracle replays init + both
+    * Lloyd iterations + the report in DuckDB list SQL; ExtSpec keeps the
+    * structural laws (membership partitions the corpus, cohesion bounded,
+    * cluster count within geometry).
     */
   def kmeansReport(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (_, mod, _) = ivfGeometry(e.count())
-    val cent = centroids(e, mod)
-    e.join(assignClusters(e, cent), "vec_id")
+    val qv = quantizedVecs(e)
+    val cent = centroidSums(qv, mod)
+    qv.join(assignClusters(qv, cent), "vec_id")
       .join(broadcast(cent), col("cluster") === col("c_id"))
       .select(col("cluster"),
-        floor(gf.cosine_sim(col("embedding"), col("cv")) * 10000d + 0.5d)
+        floor(intCos(col("q"), col("sv")) * 10000d + 0.5d)
           .cast("long").as("cos_e4"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         expr("sum(cos_e4) DIV count(1)").as("mean_cohesion_e4"))
       .orderBy("cluster")
+  }
+
+  /** Shared x126/x22/x89 oracle machinery: the spherical-k-means fit
+    * replayed in DuckDB — e4 quantization, seed init (vec_id % seedmod),
+    * two Lloyd iterations with exact BIGINT sum-vector centroids, the
+    * same (cos DESC, c_id ASC) argmax. Integer dots are list_reduce
+    * folds (exact BIGINT ≡ Spark's long fold); the single floating step
+    * per score is the pinned dot/(√·√) expression. `geo` derives nlist/
+    * seedmod from COUNT(*) exactly as [[ivfGeometry]].
+    */
+  private def kmeansCtes: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cos(q: String, s: String): String =
+      s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
+    def assignCte(name: String, prevC: String): String =
+      s"""$name AS (SELECT vec_id, q, c_id AS cluster FROM (
+         |  SELECT qv.vec_id, qv.q, c.c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |           ORDER BY ${cos("qv.q", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM qv CROSS JOIN $prevC c) WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, prevA: String): String =
+      s"""$name AS (
+         |  SELECT cluster AS c_id, list(CAST(sm AS BIGINT) ORDER BY pos) AS sv
+         |  FROM (SELECT cluster, p.i AS pos, SUM(q[p.i]) AS sm
+         |        FROM $prevA, range(1, 65) p(i) GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |geo AS (SELECT n,
+       |          GREATEST(1, n // GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))
+       |            AS seedmod
+       |        FROM nn),
+       |qv AS (SELECT vec_id,
+       |         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, q AS sv FROM qv, geo WHERE vec_id % seedmod = 0),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("af", "c2")}""".stripMargin
+  }
+
+  /** x126 twin — [[kmeansCtes]] + the report: per final cluster, member
+    * count and trunc-division mean of the e4-floored member-to-centroid
+    * cosines (the CASE emulates Spark's DIV truncation toward zero for
+    * a hypothetical negative sum). Moves x126 rows-only → hash-matched.
+    */
+  val kmeansReportOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cos(q: String, s: String): String =
+      s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
+    kmeansCtes +
+      s""",
+         |coh AS (SELECT af.cluster,
+         |          CAST(floor(${cos("af.q", "c2.sv")} * 10000 + 0.5) AS BIGINT) AS cos_e4
+         |        FROM af JOIN c2 ON c2.c_id = af.cluster)
+         |SELECT cluster, COUNT(*) AS n_members,
+         |       CAST(CASE WHEN SUM(cos_e4) >= 0 THEN SUM(cos_e4) // COUNT(*)
+         |                 ELSE -((-SUM(cos_e4)) // COUNT(*)) END AS BIGINT)
+         |         AS mean_cohesion_e4
+         |FROM coh GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
+  /** x22 twin — [[kmeansCtes]] + the serving path: per query (vec_id <
+    * 10) the top-`probe` clusters by the same integer-state centroid
+    * score, then exact float-cosine ranking within the probed clusters
+    * (the x20 cosExpr formula — list_sum ascending ≡ the CosineSimF
+    * kernel). The r8 rows-only reason was the partition-order float-mean
+    * centroids; with the r9 exact integer state the whole index is
+    * deterministic, so the interior set is now hash-checked end to end.
+    */
+  val ivfTopKOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cosI(q: String, s: String): String =
+      s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
+    def dotF(u: String, v: String): String =
+      s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+    def cosF(u: String, v: String): String =
+      s"${dotF(u, v)} / (sqrt(${dotF(u, u)}) * sqrt(${dotF(v, v)}))"
+    kmeansCtes +
+      s""",
+         |geo2 AS (SELECT GREATEST(2, CAST(ceil(sqrt(CAST(
+         |           GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+         |           AS DOUBLE))) AS BIGINT)) AS probe
+         |         FROM nn),
+         |qp AS (SELECT q_id, cluster FROM (
+         |  SELECT qv.vec_id AS q_id, c.c_id AS cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |           ORDER BY ${cosI("qv.q", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM qv CROSS JOIN c2 c WHERE qv.vec_id < 10), geo2
+         |  WHERE rk <= probe),
+         |cand AS (SELECT af.vec_id AS n_id, af.cluster, e.embedding::DOUBLE[] AS nv
+         |         FROM af JOIN embeddings e ON e.vec_id = af.vec_id),
+         |scored AS (
+         |  SELECT qp.q_id, cand.n_id, ${cosF("qe.qv", "cand.nv")} AS cos
+         |  FROM qp
+         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10) qe
+         |    ON qe.vec_id = qp.q_id
+         |  JOIN cand ON cand.cluster = qp.cluster
+         |  WHERE cand.n_id <> qp.q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM scored)
+         |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** x89 twin — [[kmeansCtes]] + SemDeDup's candidate structure: TOP-2
+    * cluster memberships by the integer-state score, within-cluster pairs
+    * thresholded on the e4-rounded exact float cosine, survivors = the
+    * single-assignment frame minus the higher-id losers. Deterministic
+    * for the same reason as x22.
+    */
+  val semanticDedupOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cosI(q: String, s: String): String =
+      s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
+    def dotF(u: String, v: String): String =
+      s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+    def cosF(u: String, v: String): String =
+      s"${dotF(u, v)} / (sqrt(${dotF(u, u)}) * sqrt(${dotF(v, v)}))"
+    kmeansCtes +
+      s""",
+         |t2 AS (SELECT vec_id, cluster FROM (
+         |  SELECT qv.vec_id, c.c_id AS cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |           ORDER BY ${cosI("qv.q", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM qv CROSS JOIN c2 c) WHERE rk <= 2),
+         |mem AS (SELECT t2.vec_id, t2.cluster, e.embedding::DOUBLE[] AS v
+         |        FROM t2 JOIN embeddings e USING (vec_id)),
+         |losers AS (SELECT DISTINCT b.vec_id AS vec_id
+         |           FROM mem a JOIN mem b
+         |             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |           WHERE ROUND(${cosF("a.v", "b.v")}, 4) >= 0.4)
+         |SELECT af.vec_id, af.cluster FROM af
+         |WHERE af.vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY af.vec_id""".stripMargin
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid (√n-sized
@@ -201,11 +378,12 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val (_, seedMod, derivedProbe) = ivfGeometry(e.count())
     val probe = if (nProbe > 0) nProbe else derivedProbe
-    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e, seedMod))
+    val qv = quantizedVecs(e)
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroidSums(qv, seedMod))
     // candidates live in exactly one cluster: aggregate argmax (map-side
     // partials, n key-rows shuffled — see assignClusters), then ONE n-row
     // join re-attaches the embedding payload
-    val c = e.join(assignClusters(e, cent), "vec_id")
+    val c = e.join(assignClusters(qv, cent), "vec_id")
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cluster"))
     // queries probe their nProbe nearest clusters (the standard IVF
     // recall/cost dial): same aggregate shape — score against the
@@ -215,9 +393,9 @@ object Similarity {
     // the collected array is nlist ≈ √n structs of two scalars per query,
     // and only nQueries·probe key rows survive.
     val qf = e.filter(col("vec_id") < nQueries)
-    val qProbes = qf.crossJoin(broadcast(cent))
+    val qProbes = qv.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
       .select(col("vec_id").as("q_id"), col("c_id"),
-        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+        intCos(col("q"), col("sv")).as("ccos"))
       .groupBy("q_id")
       .agg(slice(array_sort(collect_list(struct(negate(col("ccos")).as("nc"), col("c_id")))),
         1, probe).as("top"))
@@ -241,10 +419,9 @@ object Similarity {
     * clusters. Used by [[semanticDedup]] for candidate generation, where
     * single assignment would miss pairs straddling a Voronoi boundary.
     */
-  private[graft] def assignTopClusters(e: DataFrame, cent: DataFrame, p: Int): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        gf.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+  private[graft] def assignTopClusters(qv: DataFrame, cent: DataFrame, p: Int): DataFrame =
+    qv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"), intCos(col("q"), col("sv")).as("ccos"))
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(struct(negate(col("ccos")).as("nc"), col("c_id")))),
         1, p).as("top"))
@@ -270,8 +447,9 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (_, seedMod, _) = ivfGeometry(e.count())
-    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroids(e, seedMod))
-    val member = e.join(assignTopClusters(e, cent, 2), "vec_id")
+    val qv = quantizedVecs(e)
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroidSums(qv, seedMod))
+    val member = e.join(assignTopClusters(qv, cent, 2), "vec_id")
     val a = member.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = member.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("vb"))
     // round before the threshold compare so the boundary matches the
@@ -281,7 +459,7 @@ object Similarity {
       .filter(col("a") < col("b") &&
         round(gf.cosine_sim(col("va"), col("vb")), 4) >= minCos)
       .select(col("b").as("vec_id")).distinct()
-    e.join(assignClusters(e, cent), "vec_id")
+    e.join(assignClusters(qv, cent), "vec_id")
       .select(col("vec_id"), col("cluster"))
       .join(losers, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")

@@ -354,6 +354,11 @@ object Ext {
     // output conventions — both move from rows-only to hash-matched
     "x149_principal_comp"  -> Similarity.pcaLoadingsOracle,
     "x157_pca_project"     -> Similarity.pcaProjectOracle,
+    // the r9 exact-integer centroid state makes the Lloyd fit itself
+    // SQL-replayable — x126 moves from rows-only to hash-matched
+    "x126_kmeans_report"   -> Similarity.kmeansReportOracle,
+    "x22_ann_ivf"          -> Similarity.ivfTopKOracle,
+    "x89_semantic_dedup"   -> Similarity.semanticDedupOracle,
     "x217_heaps_law"       -> TextAnalysis.heapsOracle,
     "x30_binary_meta"      -> OracleSqlExt.x30_binary_meta,
     "x32_media_transform"  ->

@@ -1066,9 +1066,10 @@ class ExtSpec extends SparkSuite {
     // aggregate over payload-free rows — a Window here would shuffle the
     // full scored cross product with both vector payloads attached
     val e = Tables.embeddings(spark, sf)
-    val cent = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    val assigned = Similarity.assignClusters(e, cent)
+    val qv = Similarity.quantizedVecs(e)
+    val cent = qv.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("q").as("sv"))
+    val assigned = Similarity.assignClusters(qv, cent)
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "assignment regressed to a window formulation")
     assert(plan.contains("partial_max_by") || plan.contains("partial"),

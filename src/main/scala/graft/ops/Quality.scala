@@ -661,6 +661,244 @@ object Quality {
           * 1000000d + 0.5d).cast("long").as("ks_d_e6"))
   }
 
+  /** x218: CUPED variance reduction (Deng et al., WSDM'13) — the
+    * industry-standard experiment readout x201's raw two-proportion z
+    * lacks: each user's post-period metric is adjusted by their
+    * PRE-period covariate (Y − θ·(X − X̄)), which removes the
+    * between-user variance component that assignment randomized away
+    * and typically halves the sample needed for the same power. Unit =
+    * user; X = first-15-day spend (exact e2 cents), Y = remaining-span
+    * spend; arms = user parity (the x201 assignment). θ =
+    * cov(X,Y)/var(X) is POOLED (computed blind to arm — the unbiasedness
+    * requirement), from one exact integer moment row (Σx, Σy, Σxy, Σx²,
+    * Σy² DECIMAL-widened, n), so every emitted statistic is a pinned-
+    * order double over exact integers, floored once. var_reduction_e6 =
+    * ρ²·10⁶ is the classic "fraction of variance CUPED removes".
+    * Null-guarded like abTest: a degenerate pre-period (var X = 0)
+    * nulls θ-dependent columns instead of dividing by zero. Scale
+    * shape: ONE events pass → user grain → one 1-row moment reduction +
+    * a 2-row arm reduction; nothing after the first groupBy exceeds
+    * |users|.
+    */
+  def cuped(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val lo = ev.agg(min(col("day")).as("d0"))
+    val users = ev.crossJoin(broadcast(lo))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("d0") + 15L, col("v_e2")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("d0") + 15L, col("v_e2")).otherwise(0L)).as("y"))
+      .withColumn("arm", col("user_id") % 2)
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val w = arms.agg(
+      sum(when(col("arm") === 0, col("na"))).as("n_a"),
+      sum(when(col("arm") === 0, col("ax"))).as("x_a"),
+      sum(when(col("arm") === 0, col("ay"))).as("y_a"),
+      sum(when(col("arm") === 1, col("na"))).as("n_b"),
+      sum(when(col("arm") === 1, col("ax"))).as("x_b"),
+      sum(when(col("arm") === 1, col("ay"))).as("y_b"))
+    val nD = col("n").cast("double")
+    val covN = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / nD
+    val varxN = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / nD
+    val varyN = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / nD
+    val theta = covN / varxN
+    val xbar = col("sx").cast("double") / nD
+    def mean(s: Column, n: Column): Column = s.cast("double") / n.cast("double")
+    val adjA = mean(col("y_a"), col("n_a")) -
+      theta * (mean(col("x_a"), col("n_a")) - xbar)
+    val adjB = mean(col("y_b"), col("n_b")) -
+      theta * (mean(col("x_b"), col("n_b")) - xbar)
+    w.crossJoin(broadcast(mom))
+      .select(col("n_a"), col("n_b"),
+        when(varxN > 0d, floor(theta * 1000000d + 0.5d).cast("long")).as("theta_e6"),
+        floor((mean(col("y_b"), col("n_b")) - mean(col("y_a"), col("n_a")))
+          * 100d + 0.5d).cast("long").as("diff_raw_e4"),
+        when(varxN > 0d, floor((adjB - adjA) * 100d + 0.5d).cast("long")).as("diff_cuped_e4"),
+        when(varxN > 0d && varyN > 0d,
+          floor(covN * covN / (varxN * varyN) * 1000000d + 0.5d).cast("long"))
+          .as("var_reduction_e6"))
+  }
+
+  val cupedOracle: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |            FROM events),
+      |lo AS (SELECT MIN(day) AS d0 FROM ev),
+      |u AS (SELECT user_id,
+      |             CAST(SUM(CASE WHEN day < d0 + 15 THEN v_e2 ELSE 0 END) AS BIGINT) AS x,
+      |             CAST(SUM(CASE WHEN day >= d0 + 15 THEN v_e2 ELSE 0 END) AS BIGINT) AS y,
+      |             user_id % 2 AS arm
+      |      FROM ev, lo GROUP BY user_id),
+      |mom AS (SELECT COUNT(*) AS n,
+      |               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+      |               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      |        FROM u),
+      |arms AS (SELECT
+      |           CAST(SUM(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+      |           CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+      |           CAST(SUM(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS y_a,
+      |           CAST(SUM(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+      |           CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b,
+      |           CAST(SUM(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS y_b
+      |         FROM u),
+      |st AS (SELECT *,
+      |         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS covn,
+      |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS varxn,
+      |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS varyn,
+      |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      |       FROM arms, mom)
+      |SELECT n_a, n_b,
+      |       CASE WHEN varxn > 0 THEN
+      |         CAST(floor(covn / varxn * 1000000 + 0.5) AS BIGINT) END AS theta_e6,
+      |       CAST(floor((CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |            - CAST(y_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 100 + 0.5) AS BIGINT)
+      |         AS diff_raw_e4,
+      |       CASE WHEN varxn > 0 THEN
+      |         CAST(floor(((CAST(y_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |              - covn / varxn * (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar))
+      |            - (CAST(y_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |              - covn / varxn * (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar)))
+      |            * 100 + 0.5) AS BIGINT) END AS diff_cuped_e4,
+      |       CASE WHEN varxn > 0 AND varyn > 0 THEN
+      |         CAST(floor(covn * covn / (varxn * varyn) * 1000000 + 0.5) AS BIGINT)
+      |       END AS var_reduction_e6
+      |FROM st""".stripMargin
+
+  /** x219: the multiple-testing report x195 needs once it runs as a
+    * FAMILY — per event type, the two-sample KS statistic of that type's
+    * value distribution against the complement, with Benjamini–Hochberg
+    * step-up FDR control (q = 0.05) across the m = |types| tests. The
+    * emitted statistic is λ = 2·n_e·D² (the asymptotic KS p-value's
+    * exponent argument, p = 2e^(−λ)) — a pinned-order double over exact
+    * integers with NO libm call on the value path; the BH comparison
+    * p_(i) ≤ i·q/m transforms monotonically to λ_(i) ≥ −ln(i·q/(2m)),
+    * where the ln is of a literal both engines evaluate once. Step-up
+    * means EVERY rank up to the largest passing rank flags significant,
+    * including any non-passing ranks below it — the part naive per-test
+    * thresholding gets wrong. ECDF gaps are exact cross-multiplied
+    * integers on the union value grid (a type's CDF must be evaluated
+    * at OTHER types' step points too, hence the grid crossJoin — |v
+    * domain|·m rows, value-domain-bounded like every e2 price grain).
+    * The per-type cumsum window partitions by type (bounded by the
+    * value domain, never the event count).
+    */
+  def ksBhReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 q: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100d + 0.5d).cast("long").as("v"))
+    val cnt = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val grid = cnt.select("v").distinct()
+      .crossJoin(cnt.select("event_type").distinct())
+      .join(cnt, Seq("event_type", "v"), "left")
+      .select(col("event_type"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_all"),
+        countDistinct(col("event_type")).as("m"))))
+    // the all-types cumulative lives at the DISTINCT-v grain (the grid
+    // has m rows per v, so a row-framed global cumsum over it would be
+    // order-ambiguous within equal v) and joins back by v
+    val vcum = cnt.groupBy("v").agg(sum(col("c")).as("cv"))
+      .withColumn("call",
+        sum(col("cv")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "call")
+    val cum = grid.withColumn("ct",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(vcum, "v")
+    val gap = cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("v"), col("n_t"), col("n_all"), col("m"),
+        abs(d38(col("ct")) * (col("n_all") - col("n_t"))
+          - d38(col("call") - col("ct")) * col("n_t")).as("g"))
+    val best = gap
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("g").desc, col("v"))))
+      .filter(col("rk") === 1)
+    val nr = (col("n_all") - col("n_t")).cast("double")
+    val d = col("g").cast("double") / (col("n_t").cast("double") * nr)
+    val ne = col("n_t").cast("double") * nr / col("n_all").cast("double")
+    val lam = lit(2.0d) * ne * d * d
+    val scored = best.select(col("event_type"), col("n_t"),
+      (col("n_all") - col("n_t")).as("n_rest"), col("v").as("argmax_v"), col("m"),
+      floor(d * 1000000d + 0.5d).cast("long").as("d_e6"),
+      floor(lam * 10000d + 0.5d).cast("long").as("lambda_e4"),
+      lam.as("lam"))
+    val ranked = scored.withColumn("bh_rank",
+      row_number().over(Window.orderBy(col("lam").desc, col("event_type"))).cast("long"))
+      .withColumn("pass",
+        when(col("lam") >= -log(col("bh_rank").cast("double") * q / 2d
+          / col("m").cast("double")), col("bh_rank")))
+    ranked
+      .withColumn("kstar", max(col("pass")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("n_t"), col("n_rest"), col("argmax_v"),
+        col("d_e6"), col("lambda_e4"), col("bh_rank"),
+        (col("bh_rank") <= coalesce(col("kstar"), lit(0L))).as("significant"))
+      .orderBy("bh_rank")
+  }
+
+  val ksBhOracle: String =
+    """WITH ev AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |            FROM events),
+      |cnt AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, vv.v, COALESCE(cnt.c, 0) AS c
+      |         FROM (SELECT DISTINCT v FROM cnt) vv
+      |         CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+      |         LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.v = vv.v),
+      |tot AS (SELECT g.event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      |        FROM ev g GROUP BY 1),
+      |alln AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+      |                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS m FROM ev),
+      |vcum AS (SELECT v, SUM(cv) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+      |         FROM (SELECT v, SUM(c) AS cv FROM cnt GROUP BY 1)),
+      |cum AS (SELECT g.event_type, g.v,
+      |          SUM(g.c) OVER (PARTITION BY g.event_type ORDER BY g.v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+      |          vc.call
+      |        FROM grid g JOIN vcum vc ON vc.v = g.v),
+      |gap AS (SELECT c.event_type, c.v, t.n_t, a.n_all, a.m,
+      |          abs(CAST(c.ct AS HUGEINT) * (a.n_all - t.n_t)
+      |            - CAST(c.call - c.ct AS HUGEINT) * t.n_t) AS g
+      |        FROM cum c JOIN tot t ON t.event_type = c.event_type, alln a),
+      |best AS (SELECT * FROM (SELECT *,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type
+      |             ORDER BY g DESC, v) AS rk FROM gap) WHERE rk = 1),
+      |sc AS (SELECT event_type, n_t, n_all - n_t AS n_rest, v AS argmax_v, m,
+      |         CAST(floor(CAST(g AS DOUBLE)
+      |           / (CAST(n_t AS DOUBLE) * CAST(n_all - n_t AS DOUBLE))
+      |           * 1000000 + 0.5) AS BIGINT) AS d_e6,
+      |         2.0 * (CAST(n_t AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)
+      |                / CAST(n_all AS DOUBLE))
+      |             * (CAST(g AS DOUBLE) / (CAST(n_t AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)))
+      |             * (CAST(g AS DOUBLE) / (CAST(n_t AS DOUBLE) * CAST(n_all - n_t AS DOUBLE)))
+      |           AS lam
+      |       FROM best),
+      |rnk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lam DESC, event_type) AS BIGINT) AS bh_rank
+      |        FROM sc),
+      |ks AS (SELECT MAX(CASE WHEN lam >= -ln(CAST(bh_rank AS DOUBLE) * 0.05 / 2 / CAST(m AS DOUBLE))
+      |                       THEN bh_rank END) AS kstar
+      |       FROM rnk)
+      |SELECT event_type, n_t, CAST(n_rest AS BIGINT) AS n_rest, argmax_v,
+      |       d_e6,
+      |       CAST(floor(lam * 10000 + 0.5) AS BIGINT) AS lambda_e4,
+      |       bh_rank,
+      |       bh_rank <= COALESCE(ks.kstar, 0) AS significant
+      |FROM rnk, ks ORDER BY bh_rank""".stripMargin
+
   val ksOracle: String =
     """WITH g AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
       |                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,

@@ -37,6 +37,8 @@ object Ext {
     "x199_item_cf"         -> ((s: SparkSession, d: String) => Associations.itemCf(s, d)),
     "x200_kcore"           -> ((s: SparkSession, d: String) => graft.ops.Graph.kCoreParts(s, d)),
     "x201_ab_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.abTest(s, d)),
+    "x218_cuped"           -> ((s: SparkSession, d: String) => graft.ops.Quality.cuped(s, d)),
+    "x219_ks_bh_fdr"       -> ((s: SparkSession, d: String) => graft.ops.Quality.ksBhReport(s, d)),
     "x202_cohort_ltv"      -> ((s: SparkSession, d: String) => Events.cohortLtv(s, d)),
     "x203_growth_accounting" -> ((s: SparkSession, d: String) => Events.growthAccounting(s, d)),
     "x204_abc_xyz"         -> ((s: SparkSession, d: String) => graft.ops.Encoding.abcXyz(s, d)),
@@ -546,6 +548,8 @@ object Ext {
     "x199_item_cf"         -> Associations.itemCfOracle,
     "x200_kcore"           -> graft.ops.Graph.kCoreOracle,
     "x201_ab_test"         -> graft.ops.Quality.abTestOracle,
+    "x218_cuped"           -> graft.ops.Quality.cupedOracle,
+    "x219_ks_bh_fdr"       -> graft.ops.Quality.ksBhOracle,
     "x202_cohort_ltv"      -> Events.cohortLtvOracle,
     "x203_growth_accounting" -> Events.growthAccountingOracle,
     "x204_abc_xyz"         -> graft.ops.Encoding.abcXyzOracle,

@@ -1965,6 +1965,77 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("CUPED matches the driver-side moment recomputation and reduces variance") {
+    val row = graft.ops.Quality.cuped(spark, sf).collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = ev.map(_._2).min
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(_._2 < d0 + 15).map(_._3).sum,
+        rows.filter(_._2 >= d0 + 15).map(_._3).sum)
+    }.toArray
+    val n = users.length.toDouble
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(t => BigInt(t._2) * t._3).sum
+    val sxx = users.map(t => BigInt(t._2) * t._2).sum
+    val covN = sxy.toDouble - sx.toDouble * sy.toDouble / n
+    val varxN = sxx.toDouble - sx.toDouble * sx.toDouble / n
+    val theta = covN / varxN
+    assert(row.getLong(2) === math.floor(theta * 1e6 + 0.5).toLong, "theta")
+    // arm counts partition the users
+    assert(row.getLong(0) + row.getLong(1) === users.length.toLong)
+    // rho^2 in [0, 1] on the e6 grid, and the CUPED estimator actually
+    // moves the readout only through the theta correction term
+    val vr = row.getLong(5)
+    assert(vr >= 0L && vr <= 1000000L, s"var_reduction_e6 $vr")
+    val a = users.filter(_._1 % 2 == 0)
+    val b = users.filter(_._1 % 2 == 1)
+    def mean(xs: Array[Long]): Double = xs.sum.toDouble / xs.length
+    val xbar = sx.toDouble / n
+    val adj = (mean(b.map(_._3)) - theta * (mean(b.map(_._2)) - xbar)) -
+      (mean(a.map(_._3)) - theta * (mean(a.map(_._2)) - xbar))
+    assert(row.getLong(4) === math.floor(adj * 100 + 0.5).toLong, "cuped diff")
+  }
+
+  test("KS+BH report: exact per-type D, descending lambda, step-up significance set") {
+    val rows = graft.ops.Quality.ksBhReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // brute-force per-type KS off the raw values
+    val vals = graft.Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100d + 0.5d).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = vals.map(_._2).distinct.sorted
+    rows.foreach { case (t, nT, nR, _, dE6, _, _, _) =>
+      val mine = vals.filter(_._1 == t).map(_._2)
+      val rest = vals.filter(_._1 != t).map(_._2)
+      assert(nT === mine.length.toLong && nR === rest.length.toLong)
+      val d = grid.map { v =>
+        math.abs(mine.count(_ <= v).toDouble / mine.length
+          - rest.count(_ <= v).toDouble / rest.length)
+      }.max
+      // the operator's cross-multiplied integer max equals the double ECDF
+      // max within one e6 ulp of the final rounding
+      assert(math.abs(dE6 - math.floor(d * 1e6 + 0.5).toLong) <= 1L, s"$t D")
+    }
+    // ranks are 1..m by descending lambda
+    assert(rows.map(_._7).toSeq === (1L to rows.length).toSeq)
+    assert(rows.map(_._6).toSeq === rows.map(_._6).sorted.reverse.toSeq)
+    // step-up: the significant set is exactly ranks <= k*, where k* is the
+    // LARGEST rank whose lambda clears its own BH threshold
+    val m = rows.length
+    val kstar = rows.filter { case (_, _, _, _, _, lamE4, rank, _) =>
+      lamE4.toDouble / 1e4 >= -math.log(rank * 0.05 / 2 / m) - 1e-4
+    }.map(_._7).maxOption.getOrElse(0L)
+    rows.foreach { case (t, _, _, _, _, _, rank, sig) =>
+      if (rank <= kstar) assert(sig, s"$t rank $rank must flag under step-up")
+    }
+  }
+
   test("Theil-Sen trend matches the driver-side pairwise-median recomputation") {
     val row = graft.queries.Analytics.theilSenTrend(spark, sf).collect().head
     val (nDays, nPairs, slopeE4, iceptE2) =

@@ -223,6 +223,128 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** x220: Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) — the retrieval-diversity re-rank a training-
+    * data pipeline runs over its ANN shortlist so five near-identical
+    * neighbors don't crowd out coverage: from each query's top-`pool`
+    * exact-cosine candidates, greedily pick k maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s). The greedy is
+    * inherently sequential in k but the GROUPS are tiny and independent:
+    * `flatMapGroups` over (query → ≤ pool candidates) runs each greedy
+    * on ≤ pool² local cosines — a bounded typed group, the documented
+    * legitimate mapGroups case (like q20) — while candidate generation
+    * stays the x20 broadcast-scan + WindowGroupLimit shape. Determinism:
+    * the in-group cosine replicates the CosineSimF kernel term for term
+    * (ascending accumulation, dot/(√·√)), scores are pinned
+    * 0.7·rel − 0.3·maxSim doubles, ties break on lowest n_id, and the
+    * ORACLE replays the greedy as k unrolled selection CTEs — so the
+    * sequential heuristic itself is hash-checked.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String, nQueries: Int = 10,
+                   pool: Int = 20, k: Int = 5, lam: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val cand = broadcast(q).crossJoin(e)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        gf.cosine_sim(col("qv"), col("embedding")).as("rel"),
+        col("embedding").as("nv"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= pool)
+      .select("q_id", "n_id", "rel", "nv")
+    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cand.as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+        val used = scala.collection.mutable.Set.empty[Long]
+        var pick = 1
+        while (pick <= k && used.size < cs.length) {
+          val best = cs.iterator.filterNot(c => used(c._2)).map { c =>
+            val maxSim =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(p =>
+                cosF(c._4, cs.find(_._2 == p._2).get._4)).max
+            (c, lam * c._3 - (1 - lam) * maxSim)
+          }.reduceLeft { (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && b._1._2 < a._1._2)) b else a
+          }
+          picked += ((pick.toLong, best._1._2, best._1._3, best._2))
+          used += best._1._2
+          pick += 1
+        }
+        picked.iterator.map(p => (qid, p._1, p._2, p._3, p._4))
+      }
+      .toDF("q_id", "pick", "n_id", "rel", "score")
+      // round with the SQL function, not driver math: Spark round ≡
+      // DuckDB ROUND (the x20 precedent), while math.rint is half-even
+      .select(col("q_id"), col("pick"), col("n_id"),
+        round(col("rel"), 4).as("rel"), round(col("score"), 4).as("score"))
+      .orderBy("q_id", "pick")
+  }
+
+  /** x220 twin — candidate pool via the x20 cosExpr machinery, then the
+    * greedy unrolled: step t scores every unpicked candidate against the
+    * accumulated selection (MAX pairwise cosine), picks the (score DESC,
+    * n_id) argmax per query. ROUND ≡ rint on the emitted doubles.
+    */
+  val mmrOracle: String = {
+    def dotF(u: String, v: String): String =
+      s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+    def cosF(u: String, v: String): String =
+      s"${dotF(u, v)} / (sqrt(${dotF(u, u)}) * sqrt(${dotF(v, v)}))"
+    val steps = (2 to 5).map { t =>
+      s"""p$t AS (
+         |  SELECT q_id, n_id, rel, score, ${t}::BIGINT AS pick FROM (
+         |    SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - (1 - 0.7) * ms.m AS score,
+         |           ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |             ORDER BY 0.7 * c.rel - (1 - 0.7) * ms.m DESC, c.n_id) AS rk2
+         |    FROM cand c
+         |    JOIN (SELECT c2.q_id, c2.n_id AS cn, MAX(${cosF("c2.nv", "cs.nv")}) AS m
+         |          FROM cand c2
+         |          JOIN sel${t - 1} s ON s.q_id = c2.q_id
+         |          JOIN cand cs ON cs.q_id = s.q_id AND cs.n_id = s.n_id
+         |          WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |                            WHERE x.q_id = c2.q_id AND x.n_id = c2.n_id)
+         |          GROUP BY 1, 2) ms ON ms.q_id = c.q_id AND ms.cn = c.n_id)
+         |  WHERE rk2 = 1),
+         |sel$t AS (SELECT q_id, n_id FROM sel${t - 1}
+         |          UNION ALL SELECT q_id, n_id FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |c0 AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |scored AS (SELECT q.q_id, c0.n_id, ${cosF("q.qv", "c0.nv")} AS rel, c0.nv
+       |           FROM q, c0 WHERE q.q_id <> c0.n_id),
+       |cand AS (SELECT q_id, n_id, rel, nv FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rel DESC, n_id) AS rk FROM scored) WHERE rk <= 20),
+       |p1 AS (SELECT q_id, n_id, rel, 0.7 * rel - (1 - 0.7) * 0.0 AS score,
+       |              1::BIGINT AS pick
+       |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |               ORDER BY 0.7 * rel - (1 - 0.7) * 0.0 DESC, n_id) AS rk2
+       |             FROM cand) WHERE rk2 = 1),
+       |sel1 AS (SELECT q_id, n_id FROM p1),
+       |$steps
+       |SELECT q_id, pick, n_id, ROUND(rel, 4) AS rel, ROUND(score, 4) AS score
+       |FROM (SELECT q_id, n_id, rel, score, pick FROM p1
+       |      UNION ALL SELECT q_id, n_id, rel, score, pick FROM p2
+       |      UNION ALL SELECT q_id, n_id, rel, score, pick FROM p3
+       |      UNION ALL SELECT q_id, n_id, rel, score, pick FROM p4
+       |      UNION ALL SELECT q_id, n_id, rel, score, pick FROM p5)
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   /** Shared x126/x22/x89 oracle machinery: the spherical-k-means fit
     * replayed in DuckDB — e4 quantization, seed init (vec_id % seedmod),
     * two Lloyd iterations with exact BIGINT sum-vector centroids, the

@@ -1736,6 +1736,91 @@ object Analytics {
       |       END AS r2_e6
       |FROM r WHERE rnk = 1""".stripMargin
 
+  /** a46: additive Holt–Winters (level + trend + weekly seasonal) over
+    * daily revenue — the recursive-smoothing step up from x160's EWMA
+    * and the forecasting closure of the a33/a37/a38/a45 daily family:
+    * one pass of the classic triple recursion (α=0.2, β=0.1, γ=0.3,
+    * zero-state init — deterministic, no fitting loop) over the
+    * OBSERVED day sequence, seasonal slots keyed by calendar day-of-week
+    * so gaps don't shift the season. The recursion is driver-side over
+    * the collected calendar-bounded daily frame (the x149 aggregate-
+    * boundary posture — one row per day, never the fact); the ORACLE
+    * replays the identical recursion as a DuckDB recursive CTE over the
+    * same day ranking, with every smoothing step a pinned-order IEEE
+    * expression (cents are exact integers, so y is exact on both
+    * sides). Output: one row — n_days, final level/trend, the 7
+    * seasonal components, and the one-step-ahead forecast for the next
+    * calendar day, all e4-floored once.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (alpha, beta, gamma) = (0.2d, 0.1d, 0.3d)
+    val daily = dailyRevenue(spark, dir).orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var l = 0.0d
+    var b = 0.0d
+    val s = Array.fill(7)(0.0d)
+    daily.foreach { case (day, cents) =>
+      val y = cents.toDouble
+      val slot = (day % 7).toInt
+      val sPrev = s(slot)
+      val l1 = alpha * (y - sPrev) + (1 - alpha) * (l + b)
+      val b1 = beta * (l1 - l) + (1 - beta) * b
+      s(slot) = gamma * (y - l1) + (1 - gamma) * sPrev
+      l = l1
+      b = b1
+    }
+    val lastDay = daily.last._1
+    val f = l + b + s(((lastDay + 1) % 7).toInt)
+    def e4(x: Double): Long = math.floor(x * 10000d + 0.5d).toLong
+    Seq((daily.length.toLong, e4(l), e4(b),
+      e4(s(0)), e4(s(1)), e4(s(2)), e4(s(3)), e4(s(4)), e4(s(5)), e4(s(6)),
+      e4(f)))
+      .toDF("n_days", "level_e4", "trend_e4", "s0_e4", "s1_e4", "s2_e4",
+        "s3_e4", "s4_e4", "s5_e4", "s6_e4", "forecast_e4")
+  }
+
+  val holtWintersOracle: String =
+    """WITH RECURSIVE
+      |daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                 SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |          FROM orders GROUP BY 1),
+      |r AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+      |nn AS (SELECT COUNT(*) AS n FROM daily),
+      |it AS (
+      |  SELECT 0 AS k, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+      |         [CAST(0 AS DOUBLE) for z in range(7)] AS s
+      |  UNION ALL
+      |  SELECT k + 1,
+      |         0.2 * (CAST(r.cents AS DOUBLE) - s[CAST(r.day % 7 AS INT) + 1])
+      |           + (1 - 0.2) * (l + b),
+      |         0.1 * ((0.2 * (CAST(r.cents AS DOUBLE) - s[CAST(r.day % 7 AS INT) + 1])
+      |                 + (1 - 0.2) * (l + b)) - l)
+      |           + (1 - 0.1) * b,
+      |         list_transform(range(0, 7), i ->
+      |           CASE WHEN i = CAST(r.day % 7 AS INT)
+      |                THEN 0.3 * (CAST(r.cents AS DOUBLE)
+      |                       - (0.2 * (CAST(r.cents AS DOUBLE) - s[CAST(r.day % 7 AS INT) + 1])
+      |                          + (1 - 0.2) * (l + b)))
+      |                     + (1 - 0.3) * s[CAST(r.day % 7 AS INT) + 1]
+      |                ELSE s[i + 1] END)
+      |  FROM it JOIN r ON r.rn = it.k + 1),
+      |fin AS (SELECT it.l, it.b, it.s FROM it, nn WHERE it.k = nn.n),
+      |ld AS (SELECT MAX(day) AS last_day FROM daily)
+      |SELECT CAST(nn.n AS BIGINT) AS n_days,
+      |       CAST(floor(l * 10000 + 0.5) AS BIGINT) AS level_e4,
+      |       CAST(floor(b * 10000 + 0.5) AS BIGINT) AS trend_e4,
+      |       CAST(floor(s[1] * 10000 + 0.5) AS BIGINT) AS s0_e4,
+      |       CAST(floor(s[2] * 10000 + 0.5) AS BIGINT) AS s1_e4,
+      |       CAST(floor(s[3] * 10000 + 0.5) AS BIGINT) AS s2_e4,
+      |       CAST(floor(s[4] * 10000 + 0.5) AS BIGINT) AS s3_e4,
+      |       CAST(floor(s[5] * 10000 + 0.5) AS BIGINT) AS s4_e4,
+      |       CAST(floor(s[6] * 10000 + 0.5) AS BIGINT) AS s5_e4,
+      |       CAST(floor(s[7] * 10000 + 0.5) AS BIGINT) AS s6_e4,
+      |       CAST(floor((l + b + s[CAST((ld.last_day + 1) % 7 AS INT) + 1])
+      |            * 10000 + 0.5) AS BIGINT) AS forecast_e4
+      |FROM fin, nn, ld""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1785,6 +1870,7 @@ object Analytics {
     "x214_seasonal_index"  -> (seasonalIndex _),
     "a44_quarterly_arpu"   -> (quarterlyArpu _),
     "a45_changepoint"      -> (changepoint _),
+    "a46_holt_winters"     -> (holtWinters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1804,6 +1890,7 @@ object Analytics {
     "x214_seasonal_index"  -> seasonalIndexOracle,
     "a44_quarterly_arpu"   -> quarterlyArpuOracle,
     "a45_changepoint"      -> changepointOracle,
+    "a46_holt_winters"     -> holtWintersOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

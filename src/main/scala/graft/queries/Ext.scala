@@ -38,6 +38,7 @@ object Ext {
     "x200_kcore"           -> ((s: SparkSession, d: String) => graft.ops.Graph.kCoreParts(s, d)),
     "x201_ab_test"         -> ((s: SparkSession, d: String) => graft.ops.Quality.abTest(s, d)),
     "x218_cuped"           -> ((s: SparkSession, d: String) => graft.ops.Quality.cuped(s, d)),
+    "x220_mmr_diversify"   -> ((s: SparkSession, d: String) => Similarity.mmrDiversify(s, d)),
     "x219_ks_bh_fdr"       -> ((s: SparkSession, d: String) => graft.ops.Quality.ksBhReport(s, d)),
     "x202_cohort_ltv"      -> ((s: SparkSession, d: String) => Events.cohortLtv(s, d)),
     "x203_growth_accounting" -> ((s: SparkSession, d: String) => Events.growthAccounting(s, d)),
@@ -549,6 +550,7 @@ object Ext {
     "x200_kcore"           -> graft.ops.Graph.kCoreOracle,
     "x201_ab_test"         -> graft.ops.Quality.abTestOracle,
     "x218_cuped"           -> graft.ops.Quality.cupedOracle,
+    "x220_mmr_diversify"   -> Similarity.mmrOracle,
     "x219_ks_bh_fdr"       -> graft.ops.Quality.ksBhOracle,
     "x202_cohort_ltv"      -> Events.cohortLtvOracle,
     "x203_growth_accounting" -> Events.growthAccountingOracle,

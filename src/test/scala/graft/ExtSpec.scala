@@ -1440,6 +1440,44 @@ class ExtSpec extends SparkSuite {
     assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0, 1)")
   }
 
+  test("MMR diversification matches an independent greedy replay and tops out at x20's pick") {
+    val got = Similarity.mmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 10L).foreach { qid =>
+      val pool = vecs.keys.filter(_ != qid).map(n => (n, cos(vecs(qid), vecs(n))))
+        .toArray.sortBy(t => (-t._2, t._1)).take(20)
+      var sel = List.empty[Long]
+      val replay = (1 to 5).map { pick =>
+        val (bn, bs) = pool.filterNot(c => sel.contains(c._1)).map { case (n, rel) =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(n), vecs(s))).max
+          (n, 0.7 * rel - (1 - 0.7) * ms)
+        }.maxBy(t => (t._2, -t._1))
+        sel = sel :+ bn
+        (pick.toLong, bn, bs)
+      }
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._3).toSeq === replay.map(_._2), s"q$qid pick set/order")
+      mine.zip(replay).foreach { case ((_, _, _, _, s1), (_, _, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-4 + 1e-9, s"q$qid score $s1 vs $s2")
+      }
+      // pick 1 is the plain relevance argmax — MMR's first step has no penalty
+      assert(mine.head._3 === pool.head._1, s"q$qid first pick")
+      // the selected set is duplicate-free
+      assert(mine.map(_._3).distinct.length === mine.length)
+    }
+  }
+
   test("scree ladder: descending lambdas, exact trace, ratio identities, consistency with x149") {
     val rows = Similarity.screeReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -1965,6 +1965,41 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Holt-Winters recursion matches an independent state-map replay") {
+    val row = graft.queries.Analytics.holtWinters(spark, sf).collect().head
+    val daily = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(row.getLong(0) === daily.length.toLong)
+    // independent replay with Map-keyed seasonal state
+    var (l, b) = (0.0, 0.0)
+    var s = Map.empty[Long, Double].withDefaultValue(0.0)
+    daily.foreach { case (day, cents) =>
+      val y = cents.toDouble
+      val sp = s(day % 7)
+      val l1 = 0.2 * (y - sp) + 0.8 * (l + b)
+      val b1 = 0.1 * (l1 - l) + 0.9 * b
+      s = s.updated(day % 7, 0.3 * (y - l1) + 0.7 * sp)
+      l = l1; b = b1
+    }
+    // 0.8/0.9/0.7 literals vs the operator's (1 - alpha) forms can differ
+    // in the last ulp per step; 2,400 steps of a contracting recursion
+    // keep the drift far under the e4 grid — allow one ulp of it
+    assert(math.abs(row.getLong(1) - math.floor(l * 1e4 + 0.5).toLong) <= 1L, "level")
+    assert(math.abs(row.getLong(2) - math.floor(b * 1e4 + 0.5).toLong) <= 1L, "trend")
+    (0 to 6).foreach { d =>
+      assert(math.abs(row.getLong(3 + d) - math.floor(s(d.toLong) * 1e4 + 0.5).toLong) <= 1L,
+        s"seasonal $d")
+    }
+    // forecast identity over the EMITTED components (exact on the grid)
+    val nextSlot = ((daily.last._1 + 1) % 7).toInt
+    val f = row.getLong(1) + row.getLong(2) + row.getLong(3 + nextSlot)
+    assert(math.abs(row.getLong(10) - f) <= 2L, "one-step forecast identity")
+  }
+
   test("CUPED matches the driver-side moment recomputation and reduces variance") {
     val row = graft.ops.Quality.cuped(spark, sf).collect().head
     val ev = graft.Tables.events(spark, sf)

@@ -47,6 +47,85 @@ object Encoding {
       .orderBy("p_brand")
   }
 
+  /** x221: OUT-OF-FOLD smoothed target encoding — the leakage-FREE form
+    * of x181 a training pipeline must actually use: a row's encoding may
+    * never see its own label, so each (brand, fold) cell is encoded from
+    * the OTHER folds only — counts n−n_f / pos−pos_f and the OOF prior
+    * (P−P_f)/(N−N_f), all derived by SUBTRACTION from one fold-grain
+    * aggregate (never k re-scans of the fact — the k-fold trick that
+    * makes OOF encoding O(1) passes at any k). Fold assignment is the
+    * x70 content-addressed discipline (md5 bucket of the line's
+    * composite key — layout-independent, reproducible); the smoothed
+    * estimate is carried cross-multiplied in DECIMAL(38,0) exactly like
+    * x181 and converts to double once. OpsSpec pins the leakage law
+    * literally: each cell equals x181's formula recomputed on the
+    * corpus WITH THAT FOLD DELETED.
+    */
+  def oofTargetEncode(spark: SparkSession, dir: String,
+                      m: Int = 100, k: Int = 3): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        pmod(graft.ops.Sampling.bucket10k(
+          col("l_orderkey") * 10L + col("l_linenumber"), 23), lit(k.toLong)).as("fold"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val cell = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("y")).as("pos_f"))
+    val brand = cell.groupBy("p_brand")
+      .agg(sum(col("n_f")).as("n"), sum(col("pos_f")).as("pos"))
+    val foldTot = cell.groupBy("fold")
+      .agg(sum(col("n_f")).as("nf_tot"), sum(col("pos_f")).as("pf_tot"))
+    val tot = cell.agg(sum(col("n_f")).as("n_tot"), sum(col("pos_f")).as("pos_tot"))
+    cell.join(broadcast(brand), "p_brand")
+      .join(broadcast(foldTot), "fold")
+      .crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("fold"), col("n_f"),
+        floor((d38((col("pos") - col("pos_f")) * (col("n_tot") - col("nf_tot")))
+            + d38(lit(m.toLong)) * d38(col("pos_tot") - col("pf_tot"))).cast("double")
+          / (d38(col("n") - col("n_f") + m.toLong)
+            * d38(col("n_tot") - col("nf_tot"))).cast("double")
+          * 1000000d + 0.5d).cast("long").as("enc_oof_e6"),
+        floor((col("pos_tot") - col("pf_tot")).cast("double")
+          / (col("n_tot") - col("nf_tot")).cast("double")
+          * 1000000d + 0.5d).cast("long").as("prior_oof_e6"))
+      .orderBy("p_brand", "fold")
+  }
+
+  val oofEncodeOracle: String =
+    """WITH li AS (SELECT l_partkey,
+      |                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |                   (('0x' || substr(md5((l_orderkey * 10 + l_linenumber) || ':23'), 1, 8))::BIGINT
+      |                     % 10000) % 3 AS fold
+      |            FROM lineitem),
+      |cell AS (SELECT p.p_brand, li.fold,
+      |                COUNT(*) AS n_f, CAST(SUM(li.y) AS BIGINT) AS pos_f
+      |         FROM li JOIN part p ON p.p_partkey = li.l_partkey
+      |         GROUP BY 1, 2),
+      |brand AS (SELECT p_brand, CAST(SUM(n_f) AS BIGINT) AS n,
+      |                 CAST(SUM(pos_f) AS BIGINT) AS pos
+      |          FROM cell GROUP BY 1),
+      |ft AS (SELECT fold, CAST(SUM(n_f) AS BIGINT) AS nf_tot,
+      |              CAST(SUM(pos_f) AS BIGINT) AS pf_tot
+      |       FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_f) AS BIGINT) AS n_tot,
+      |               CAST(SUM(pos_f) AS BIGINT) AS pos_tot FROM cell)
+      |SELECT c.p_brand, c.fold, c.n_f,
+      |       CAST(floor(CAST(CAST((b.pos - c.pos_f) * (t.n_tot - ft.nf_tot) AS DECIMAL(38,0))
+      |              + CAST(100 AS DECIMAL(38,0)) * (t.pos_tot - ft.pf_tot) AS DOUBLE)
+      |            / CAST(CAST(b.n - c.n_f + 100 AS DECIMAL(38,0))
+      |              * (t.n_tot - ft.nf_tot) AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS enc_oof_e6,
+      |       CAST(floor(CAST(t.pos_tot - ft.pf_tot AS DOUBLE)
+      |            / CAST(t.n_tot - ft.nf_tot AS DOUBLE)
+      |            * 1000000 + 0.5) AS BIGINT) AS prior_oof_e6
+      |FROM cell c
+      |JOIN brand b ON b.p_brand = c.p_brand
+      |JOIN ft ON ft.fold = c.fold
+      |CROSS JOIN tot t
+      |ORDER BY c.p_brand, c.fold""".stripMargin
+
   /** x189: 2-D feature density grid — the binned joint distribution of
     * (quantity, price) that feeds interaction features (bin-crossed
     * one-hots) and the dependence eyeball x162's single-number MI

@@ -104,6 +104,7 @@ object Ext {
     "x179_weight_ess"      -> ((s: SparkSession, d: String) => graft.ops.Sampling.weightEss(s, d)),
     "x180_attribution"     -> ((s: SparkSession, d: String) => Events.linearAttribution(s, d)),
     "x181_target_encode"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.targetEncodeBrand(s, d)),
+    "x221_oof_encode"      -> ((s: SparkSession, d: String) => graft.ops.Encoding.oofTargetEncode(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -490,6 +491,7 @@ object Ext {
     "x179_weight_ess"      -> graft.ops.Sampling.weightEssOracle,
     "x180_attribution"     -> Events.attributionOracle,
     "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
+    "x221_oof_encode"      -> graft.ops.Encoding.oofEncodeOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -1965,6 +1965,34 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("OOF target encoding is literally leakage-free: each cell equals x181 on corpus-minus-fold") {
+    val got = graft.ops.Encoding.oofTargetEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val rows = graft.Tables.lineitem(spark, sf)
+      .join(broadcast(graft.Tables.part(spark, sf)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        pmod(graft.ops.Sampling.bucket10k(
+          col("l_orderkey") * 10L + col("l_linenumber"), 23), lit(3L)).as("fold"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case ((brand, fold), (nF, enc, prior)) =>
+      // delete the fold, then apply the x181 smoothed-encoding formula
+      val oof = rows.filter(_._3 != fold)
+      val bOof = oof.filter(_._1 == brand)
+      assert(nF === rows.count(r => r._1 == brand && r._3 == fold).toLong)
+      val (n, nPos) = (bOof.length.toLong, bOof.map(_._2).sum)
+      val (nTot, posTot) = (oof.length.toLong, oof.map(_._2).sum)
+      val expEnc = math.floor(
+        (BigInt(nPos) * nTot + BigInt(100) * posTot).toDouble
+          / (BigInt(n + 100) * nTot).toDouble * 1e6 + 0.5).toLong
+      assert(enc === expEnc, s"($brand, $fold) encoding leaks or drifts")
+      assert(prior === math.floor(posTot.toDouble / nTot.toDouble * 1e6 + 0.5).toLong)
+    }
+  }
+
   test("Holt-Winters recursion matches an independent state-map replay") {
     val row = graft.queries.Analytics.holtWinters(spark, sf).collect().head
     val daily = graft.Tables.orders(spark, sf)

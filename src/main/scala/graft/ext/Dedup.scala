@@ -267,6 +267,83 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** x223: CONTAINMENT near-dup detection — the asymmetric relation the
+    * whole Jaccard family (x15/x16/x17) is blind to: a short document
+    * quoted wholesale inside a long one has tiny Jaccard (the union is
+    * dominated by the container) but containment |A∩B|/|A| ≈ 1 — the
+    * news-syndication / boilerplate-inclusion case a curation pipeline
+    * must catch separately. Candidates come from the shared 3-shingle
+    * inverted index with the x158 df-cap posture (corpus-hot shingles
+    * excluded from candidate GENERATION only, so per-shingle work is
+    * bounded by cap² and total volume by O(n·cap); the precise miss
+    * condition — a pair surfaces iff it shares ≥ 1 sub-cap shingle — is
+    * mirrored in the oracle). The verify step recomputes the EXACT
+    * intersection on the full shingle sets and both directional
+    * containments as pure integer arithmetic: the threshold compare is
+    * cross-multiplied (inter·10⁴ ≥ tBp·|A|) and cont_e6 is an integer
+    * DIV — no doubles anywhere in this operator.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       minCont: Double = 0.8, dfCap: Int = 64): DataFrame = {
+    val tBp = math.round(minCont * 10000).toInt
+    val sh = shingled3(spark, dir).select(col("doc_id"), col("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val df = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val subcap = inv.join(df, "g")
+    val cand = subcap.select(col("g"), col("doc_id").as("a"))
+      .join(subcap.select(col("g"), col("doc_id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("sza"),
+        size(col("sb")).cast("long").as("szb"))
+    val dirA = verified
+      .filter(col("inter") * 10000L >= lit(tBp.toLong) * col("sza"))
+      .select(col("a").as("contained"), col("b").as("container"),
+        col("inter"), col("sza").as("sz_contained"),
+        expr("inter * 1000000 DIV sza").as("cont_e6"))
+    val dirB = verified
+      .filter(col("inter") * 10000L >= lit(tBp.toLong) * col("szb"))
+      .select(col("b").as("contained"), col("a").as("container"),
+        col("inter"), col("szb").as("sz_contained"),
+        expr("inter * 1000000 DIV szb").as("cont_e6"))
+    dirA.unionByName(dirB).orderBy("contained", "container")
+  }
+
+  val containmentOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                        for i in range(1, len(toks) - 1)]) AS s
+      |  FROM docs),
+      |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |df AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY 1 HAVING COUNT(*) <= 64),
+      |sub AS (SELECT i.doc_id, i.g FROM inv i JOIN df USING (g)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |         FROM sub x JOIN sub y ON x.g = y.g AND x.doc_id < y.doc_id),
+      |v AS (SELECT c.a, c.b,
+      |        CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS BIGINT) AS inter,
+      |        CAST(len(sa.s) AS BIGINT) AS sza, CAST(len(sb.s) AS BIGINT) AS szb
+      |      FROM cand c
+      |      JOIN sh sa ON sa.doc_id = c.a
+      |      JOIN sh sb ON sb.doc_id = c.b)
+      |SELECT contained, container, inter, sz_contained,
+      |       CAST(inter * 1000000 // sz_contained AS BIGINT) AS cont_e6
+      |FROM (
+      |  SELECT a AS contained, b AS container, inter, sza AS sz_contained
+      |  FROM v WHERE inter * 10000 >= 8000 * sza
+      |  UNION ALL
+      |  SELECT b, a, inter, szb FROM v WHERE inter * 10000 >= 8000 * szb)
+      |ORDER BY contained, container""".stripMargin
+
   private def shingled(df: DataFrame, n: Int): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)

@@ -559,6 +559,88 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** x222: BPE tokenizer TRAINING — k full merge iterations (x82 stops
+    * at the first): per step, corpus-weighted adjacent symbol-pair
+    * counts over the distinct-word table, the (weight desc, pair asc)
+    * argmax collected at a ONE-ROW driver boundary, and every word's
+    * segmentation rewritten by merging that pair. The rewrite is
+    * `replace` on the DOUBLE-space-joined symbol string — leftmost
+    * non-overlapping replacement, which is exactly BPE's greedy
+    * left-to-right merge, with the double delimiter keeping consecutive
+    * occurrences matchable (single-space-bounded patterns consume their
+    * shared delimiter and silently skip every second occurrence — the
+    * classic BPE-in-SQL bug). Scale shape: the corpus collapses to the
+    * |vocab|-row word table FIRST (map-side partials), each iteration is
+    * a |vocab|-sized projection + one pair aggregate, and only the 1-row
+    * winner crosses to the driver — the batch-by-word-frequency shape
+    * production BPE trainers use. The ORACLE replays all k iterations
+    * as unrolled CTE blocks with the same argmax and the same `replace`,
+    * so the trainer's full merge TRAJECTORY is hash-checked (a wrong
+    * tie-break or overlap rule diverges at the first affected step).
+    */
+  def bpeTrain(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    var seg = withTokens(Tables.documents(spark, dir))
+      .select(explode(col("tokens")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .select(array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), "  ").as("sym"), col("c_w"))
+    val out = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to k) {
+      val syms = split(col("sym"), "  ")
+      val best = seg
+        .filter(size(syms) >= 2)
+        .select(col("c_w"), explode(transform(
+          sequence(lit(0), size(syms) - 2),
+          i => concat(element_at(syms, i + 1), lit("  "), element_at(syms, i + 2))))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("c_w")).as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pair, weight) = (best.head.getString(0), best.head.getLong(1))
+        out += ((step.toLong, pair.replace("  ", "+"), weight))
+        val merged = pair.replace("  ", "")
+        seg = seg.select(
+          expr(s"replace(sym, '${pair.replace("'", "''")}', '${merged.replace("'", "''")}')")
+            .as("sym"), col("c_w"))
+      }
+    }
+    out.result().toDF("step", "merge", "weight").orderBy("step")
+  }
+
+  val bpeTrainOracle: String = {
+    val steps = (1 to 5).map { t =>
+      s"""pairs$t AS (
+         |  SELECT pr.pair, SUM(s.c_w) AS weight
+         |  FROM seg${t - 1} s,
+         |       LATERAL (SELECT unnest([array_to_string(y[i:i+1], '  ')
+         |                 for i in range(1, len(y))]) AS pair
+         |                FROM (SELECT string_split(s.sym, '  ') AS y)) pr
+         |  WHERE len(string_split(s.sym, '  ')) >= 2
+         |  GROUP BY 1),
+         |best$t AS (SELECT pair, CAST(weight AS BIGINT) AS weight
+         |           FROM pairs$t ORDER BY weight DESC, pair LIMIT 1),
+         |seg$t AS (SELECT replace(s.sym, b.pair, replace(b.pair, '  ', '')) AS sym, s.c_w
+         |          FROM seg${t - 1} s, best$t b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS c_w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |seg0 AS (SELECT array_to_string([w[i] for i in range(1, len(w) + 1)], '  ') AS sym,
+       |                c_w
+       |         FROM words),
+       |$steps
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS step, replace(pair, '  ', '+') AS merge, weight FROM best1
+       |  UNION ALL SELECT 2, replace(pair, '  ', '+'), weight FROM best2
+       |  UNION ALL SELECT 3, replace(pair, '  ', '+'), weight FROM best3
+       |  UNION ALL SELECT 4, replace(pair, '  ', '+'), weight FROM best4
+       |  UNION ALL SELECT 5, replace(pair, '  ', '+'), weight FROM best5)
+       |ORDER BY step""".stripMargin
+  }
+
   /** BM25 relevance scoring for a fixed query-term set — the search-side
     * counterpart of the tf-idf keywords (x78): Robertson idf quantized to
     * milli-nats (the x85 discipline), the saturation term in plain IEEE

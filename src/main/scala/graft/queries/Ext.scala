@@ -105,6 +105,8 @@ object Ext {
     "x180_attribution"     -> ((s: SparkSession, d: String) => Events.linearAttribution(s, d)),
     "x181_target_encode"   -> ((s: SparkSession, d: String) => graft.ops.Encoding.targetEncodeBrand(s, d)),
     "x221_oof_encode"      -> ((s: SparkSession, d: String) => graft.ops.Encoding.oofTargetEncode(s, d)),
+    "x222_bpe_train"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "x223_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -492,6 +494,8 @@ object Ext {
     "x180_attribution"     -> Events.attributionOracle,
     "x181_target_encode"   -> graft.ops.Encoding.targetEncodeOracle,
     "x221_oof_encode"      -> graft.ops.Encoding.oofEncodeOracle,
+    "x222_bpe_train"       -> TextAnalysis.bpeTrainOracle,
+    "x223_containment"     -> Dedup.containmentOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -1440,6 +1440,81 @@ class ExtSpec extends SparkSuite {
     assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0, 1)")
   }
 
+  test("containment pairs equal the brute-force directional set with the exact df-cap miss condition") {
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 3)
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.toSet
+      }.toMap
+    val dfCount = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ids = docs.keys.toArray.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      inter = (docs(a) & docs(b)).size.toLong
+      if inter > 0
+      hasSubcap = (docs(a) & docs(b)).exists(g => dfCount(g) <= 64)
+      dir <- Seq(
+        (a, b, docs(a).size.toLong), (b, a, docs(b).size.toLong))
+      if inter * 10000L >= 8000L * dir._3
+    } yield (dir._1, dir._2, inter, dir._3, inter * 1000000L / dir._3, hasSubcap)
+    // every brute pair that shares at least one sub-cap shingle is emitted...
+    val expected = brute.filter(_._6).map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+    assert(got.toSet === expected, "containment set mismatch")
+    // ...and the only legal misses are all-shingles-hot pairs (the x158 contract)
+    brute.filterNot(_._6).foreach { t =>
+      assert(!got.exists(g => g._1 == t._1 && g._2 == t._2),
+        s"pair ${(t._1, t._2)} has no sub-cap evidence yet surfaced")
+    }
+    // the planted near-dups ("same prefix + one appended token") are caught:
+    // some contained doc must sit at containment ~1
+    assert(got.exists(_._5 >= 990000L), "no near-total containment found among planted dups")
+  }
+
+  test("BPE training matches an explicit greedy list-merge replay over 5 iterations") {
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === (1L to 5L))
+    // independent trainer: explicit symbol LISTS and an explicit greedy
+    // left-to-right merge — validates the operator's replace()-on-string
+    // rewrite (the overlap-rule risk) against first principles
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    graft.Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .foreach { w =>
+        val key = w.toList.map(_.toString)
+        words(key) = words.getOrElse(key, 0L) + 1L
+      }
+    var segs = words.toMap
+    val replay = (1 to 5).map { step =>
+      val weights = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        s.sliding(2).foreach {
+          case List(a, b) => weights((a, b)) = weights.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      val ((pa, pb), wt) = weights.toSeq.minBy { case ((a, b), wgt) => (-wgt, a + "  " + b) }
+      def merge(s: List[String]): List[String] = {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) {
+            out += (pa + pb); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.toList
+      }
+      segs = segs.groupBy { case (s, _) => merge(s) }
+        .map { case (m, g) => m -> g.values.sum }
+      (step.toLong, s"$pa+$pb", wt)
+    }
+    assert(got.toSeq === replay, "merge trajectory diverged from first-principles greedy")
+  }
+
   test("MMR diversification matches an independent greedy replay and tops out at x20's pick") {
     val got = Similarity.mmrDiversify(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

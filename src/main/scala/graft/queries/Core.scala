@@ -382,6 +382,25 @@ object Core {
       .orderBy("o_orderpriority")
   }
 
+  /** q26: the custom DataSourceV2 connector on the correctness path —
+    * [[graft.sources.SeqSource]]'s deterministic table read through the
+    * full TableProvider → ScanBuilder → Batch → PartitionReader stack,
+    * with the id-range predicate CONSUMED by filter pushdown (rows
+    * outside [25k, 75k) are never generated; SourcesSpec asserts the
+    * plan has no residual Filter and prunes the scan schema). The
+    * aggregate is hash-checked against DuckDB's closed-form range()
+    * twin, including the Knuth-hash `val` column recomputed in exact
+    * wrapped-64-bit arithmetic.
+    */
+  def q26Dsv2Source(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("slices", "8").load()
+      .filter(col("id") >= 25000L && col("id") < 75000L)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("grp")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -408,6 +427,7 @@ object Core {
     "q23_schema_evolution"    -> (q23SchemaEvolution _),
     "q24_json_roundtrip"      -> (q24JsonRoundtrip _),
     "q25_bucketed_join"       -> (q25BucketedJoin _),
+    "q26_dsv2_source"         -> (q26Dsv2Source _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,6 +484,22 @@ object Core {
         |             AS DOUBLE), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the DSv2 connector's closed-form twin: range() rows, the Knuth-hash
+    // val recomputed in exact wrapped-64-bit arithmetic (HUGEINT product
+    // mod 2^64, signed re-centering, floorMod by 1000)
+    "q26_dsv2_source"         ->
+      """WITH t AS (
+        |  SELECT id,
+        |         CAST((((CASE WHEN w >= 9223372036854775808
+        |                      THEN w - 18446744073709551616 ELSE w END) % 1000)
+        |               + 1000) % 1000 AS BIGINT) AS val,
+        |         'g' || CAST(id % 10 AS VARCHAR) AS grp
+        |  FROM (SELECT r.range AS id,
+        |               (CAST(r.range AS HUGEINT) * 2654435761) % 18446744073709551616 AS w
+        |        FROM range(25000, 75000) r))
+        |SELECT grp, COUNT(*) AS n_rows, CAST(SUM(val) AS BIGINT) AS sum_val,
+        |       MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
 

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.sources.Ingest
@@ -194,6 +195,35 @@ class SourcesSpec extends SparkSuite {
       s"z-layout failed to prune: user $zu vs $su, day $zd vs $sd")
     assert(zu <= 3 * total / 5 && zd <= total / 2,
       s"z-layout pruning too weak: user=$zu day=$zd of $total")
+  }
+
+  test("DSv2 graftseq source: filters consumed into the scan range, columns pruned at the reader") {
+    val base = spark.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("slices", "8").load()
+    val filtered = base.filter(col("id") >= 25000L && col("id") < 75000L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the id-range predicates are CONSUMED by pushFilters: the scan's own
+    // bounds narrow and no residual Filter node survives in the plan
+    assert(plan.contains("graftseq range [25000, 75000)"),
+      s"pushdown did not reach the scan:\n$plan")
+    assert(!plan.contains("\nFilter") && !plan.contains("+- Filter"),
+      s"residual Filter survived a fully-pushable predicate:\n$plan")
+    // rows outside the range were never generated
+    assert(filtered.count() === 50000L)
+    // column pruning reaches the row generator: a val-only projection
+    // plans a scan that materializes just that column
+    val pruned = base.select("val")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("cols val"), s"column pruning missed:\n$prunedPlan")
+    // the generated content is the closed-form Knuth hash
+    val sample = base.filter(col("id") === 12345L).collect().head
+    assert(sample.getLong(1) === graft.sources.SeqSource.valOf(12345L))
+    assert(sample.getString(2) === "g5")
+    // partition planning tracks the PRUNED volume: a 1%-of-idspace filter
+    // plans no more slices than the full scan
+    val narrow = base.filter(col("id") < 1000L)
+    assert(narrow.rdd.getNumPartitions <= base.rdd.getNumPartitions)
+    assert(narrow.count() === 1000L)
   }
 
   test("mergeSchema unifies parquet generations; old-generation rows null the new columns") {

@@ -1821,6 +1821,96 @@ object Analytics {
       |            * 10000 + 0.5) AS BIGINT) AS forecast_e4
       |FROM fin, nn, ld""".stripMargin
 
+  /** a47: price elasticity of demand per return-flag segment — the
+    * log-log regression ε = d ln q / d ln p economists read lift tables
+    * with, grouped like a34's OLS but on the economically meaningful
+    * axes. Exactness is the x85 milli-nat discipline: ln(price), ln(qty)
+    * quantize ONCE to integer milli-nats (floor(ln·10³+½) — the only
+    * libm call, identical on both engines by the established ln
+    * precedent), every moment after that is an exact BIGINT/DECIMAL
+    * sum, and the slope's cross-multiplied numerator/denominator
+    * convert to double once each. Per group also the mean log-price and
+    * the implied revenue-elasticity flag (|ε| > 1 = elastic). One fact
+    * scan, |groups|-row output.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("seg"),
+        floor(log(col("l_extendedprice")) * 1000d + 0.5d).cast("long").as("x"),
+        floor(log(col("l_quantity")) * 1000d + 0.5d).cast("long").as("y"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"))
+    g.select(col("seg"), col("n"),
+        ((d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy")).cast("double")
+          / (d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx")).cast("double")))
+      .toDF("seg", "n", "eps")
+      .select(col("seg"), col("n"),
+        floor(col("eps") * 1000000d + 0.5d).cast("long").as("elasticity_e6"),
+        (abs(col("eps")) > 1d).as("elastic"))
+      .orderBy("seg")
+  }
+
+  val priceElasticityOracle: String =
+    """WITH g AS (SELECT l_returnflag AS seg,
+      |                  CAST(floor(ln(l_extendedprice) * 1000 + 0.5) AS BIGINT) AS x,
+      |                  CAST(floor(ln(l_quantity) * 1000 + 0.5) AS BIGINT) AS y
+      |           FROM lineitem),
+      |m AS (SELECT seg, COUNT(*) AS n,
+      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+      |             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+      |      FROM g GROUP BY 1),
+      |e AS (SELECT seg, n,
+      |        CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+      |          / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+      |          AS eps
+      |      FROM m)
+      |SELECT seg, n,
+      |       CAST(floor(eps * 1000000 + 0.5) AS BIGINT) AS elasticity_e6,
+      |       abs(eps) > 1 AS elastic
+      |FROM e ORDER BY seg""".stripMargin
+
+  /** a48: rolling 7-day distinct active customers (the WAU metric) —
+    * the windowed COUNT(DISTINCT) that does NOT decompose into sums, so
+    * no prefix trick applies; the scale-correct shape is the OFFSET
+    * EXPANSION: the (day, customer) presence grain (the only fact-sized
+    * reduction) joins a 7-row offset range, re-distincts at the (window
+    * day, customer) grain, and counts — 7× the presence grain, linear,
+    * no window function at all (the window-function formulation cannot
+    * express DISTINCT over a frame anyway). Exact integers end to end.
+    */
+  def rollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.orders(spark, dir)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"), col("o_custkey")).distinct()
+    val span = pres.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val offs = spark.range(0, 7).select(col("id").as("off"))
+    pres.crossJoin(broadcast(offs))
+      .select((col("day") + col("off")).as("wday"), col("o_custkey"))
+      .distinct()
+      .groupBy("wday").agg(countDistinct(col("o_custkey")).as("wau"))
+      .crossJoin(broadcast(span))
+      .filter(col("wday") >= col("lo") + 6L && col("wday") <= col("hi"))
+      .select(col("wday").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  val rollingWauOracle: String =
+    """WITH pres AS (SELECT DISTINCT
+      |                CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                o_custkey
+      |              FROM orders),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM pres),
+      |w AS (SELECT p.day + o.off AS wday, p.o_custkey
+      |      FROM pres p CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o)
+      |SELECT wday AS day, COUNT(DISTINCT o_custkey) AS wau
+      |FROM w, span
+      |WHERE wday >= lo + 6 AND wday <= hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -1871,6 +1961,8 @@ object Analytics {
     "a44_quarterly_arpu"   -> (quarterlyArpu _),
     "a45_changepoint"      -> (changepoint _),
     "a46_holt_winters"     -> (holtWinters _),
+    "a47_price_elasticity" -> (priceElasticity _),
+    "a48_rolling_wau"      -> (rollingWau _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1891,6 +1983,8 @@ object Analytics {
     "a44_quarterly_arpu"   -> quarterlyArpuOracle,
     "a45_changepoint"      -> changepointOracle,
     "a46_holt_winters"     -> holtWintersOracle,
+    "a47_price_elasticity" -> priceElasticityOracle,
+    "a48_rolling_wau"      -> rollingWauOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -1965,6 +1965,51 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("price elasticity matches the driver-side milli-nat moment recomputation") {
+    val got = graft.queries.Analytics.priceElasticity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        math.floor(math.log(r.getDouble(1)) * 1000 + 0.5).toLong,
+        math.floor(math.log(r.getDouble(2)) * 1000 + 0.5).toLong))
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      val n = g.length.toLong
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(t => BigInt(t._2) * t._3).sum
+      val sxx = g.map(t => BigInt(t._2) * t._2).sum
+      val eps = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble /
+        (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val (gn, ge, gf) = got(seg)
+      assert(gn === n)
+      assert(ge === math.floor(eps * 1e6 + 0.5).toLong, s"$seg slope")
+      assert(gf === (math.abs(eps) > 1d), s"$seg elastic flag")
+    }
+  }
+
+  test("rolling 7-day WAU equals the brute-force trailing-window distinct count") {
+    val got = graft.queries.Analytics.rollingWau(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pres = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (lo, hi) = (pres.map(_._1).min, pres.map(_._1).max)
+    assert(got.keySet.min === lo + 6 && got.keySet.max === hi,
+      "window span is [lo+6, hi]")
+    got.foreach { case (d, wau) =>
+      val brute = pres.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).size.toLong
+      assert(wau === brute, s"day $d")
+    }
+    // sanity: the trailing window can never see fewer users than any
+    // single day inside it
+    val daily = pres.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (d, wau) =>
+      val dmax = (d - 6 to d).flatMap(daily.get).maxOption.getOrElse(0L)
+      assert(wau >= dmax)
+    }
+  }
+
   test("OOF target encoding is literally leakage-free: each cell equals x181 on corpus-minus-fold") {
     val got = graft.ops.Encoding.oofTargetEncode(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))

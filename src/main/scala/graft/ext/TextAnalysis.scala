@@ -1798,4 +1798,74 @@ object TextAnalysis {
       |       CAST(SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_vocab
       |FROM pd LEFT JOIN nv USING (doc_id)
       |ORDER BY pd.doc_id""".stripMargin
+
+  /** x224: interpolated Kneser–Ney bigram NLL — THE canonical n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999's winner), and the
+    * one the x107→x140→x155 ladder is still missing: instead of backing
+    * off to the unigram FREQUENCY (x140's Jelinek–Mercer mix), KN backs
+    * off to the CONTINUATION probability p_cont(w₂) = N₁₊(·w₂)/N₁₊(··) —
+    * how many distinct contexts a word follows, not how often it occurs
+    * ("Francisco" is frequent but only ever follows "San", so its
+    * continuation mass is tiny and it stops stealing probability from
+    * genuinely promiscuous words). With absolute discount d = 0.75:
+    *
+    *   p_KN(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·)
+    *               + (d·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··))
+    *
+    * (the max(·,0) clamp is vacuous here: the cost table scores only
+    * corpus-observed bigrams, so c ≥ 1 > d). Every ingredient is an
+    * EXACT INTEGER re-aggregate of the Layer-cached [[bigramCounts]] —
+    * c(w₁·) = Σ_w₂ c, N₁₊(w₁·) = per-w₁ row count, N₁₊(·w₂) = per-w₂ row
+    * count, N₁₊(··) = the table's row count (one-row broadcast) — so the
+    * warm path pays NO corpus pass beyond the shared bigram stream, and
+    * the only doubles are the pinned four-division expression above (all
+    * counts < 2⁵³ convert exactly; the oracle spells the identical op
+    * sequence) followed by the x85 milli-nat floor. Per-context mass is
+    * conserved: Σ_{w₂∈V} p_KN(w₂|w₁) = 1 exactly (the discounted mass
+    * d·N₁₊(w₁·)/c(w₁·) re-enters through p_cont, which sums to 1 over the
+    * vocab) — ExtSpec asserts this analytically per context. Output is
+    * the family's doc grain: (doc_id, n_bigrams, nll_millinat).
+    */
+  def kneserNeyNll(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramStream(spark, dir)
+    val bc = bigramCounts(spark, dir)
+    // vocab-sized re-aggregates of bc — never a second corpus pass
+    val cc = bc.groupBy("w1")
+      .agg(sum(col("n_bg")).as("n_ctx"), count(lit(1)).as("n_follow"))
+    val pc = bc.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = bc.agg(count(lit(1)).as("n_types"))
+    val cost = bc.join(cc, "w1").join(pc, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        floor(-log(
+          (col("n_bg") - lit(0.75d)) / col("n_ctx") +
+            ((lit(0.75d) * col("n_follow")) / col("n_ctx")) *
+              (col("n_prec") / col("n_types"))) * 1000d + 0.5d)
+          .cast("long").as("c_millinat"))
+    bg.join(cost, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c_millinat")).as("nll_millinat"))
+      .orderBy("doc_id")
+  }
+
+  val kneserNeyOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+      |       FROM t, UNNEST(range(1, len(toks))) i(i)),
+      |bc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, CAST(SUM(n_bg) AS BIGINT) AS n_ctx,
+      |              COUNT(*) AS n_follow FROM bc GROUP BY 1),
+      |pc AS (SELECT w2, COUNT(*) AS n_prec FROM bc GROUP BY 1),
+      |ty AS (SELECT COUNT(*) AS n_types FROM bc),
+      |cost AS (SELECT w1, w2,
+      |           CAST(floor(-ln(
+      |             (n_bg - 0.75) / n_ctx +
+      |             ((0.75 * n_follow) / n_ctx) * (n_prec / n_types)) * 1000 + 0.5)
+      |             AS BIGINT) AS c
+      |         FROM bc JOIN cc USING (w1) JOIN pc USING (w2) CROSS JOIN ty)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(c) AS BIGINT) AS nll_millinat
+      |FROM bg JOIN cost USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -517,4 +517,101 @@ object Sampling {
       |            WHEN day < cut - 7 THEN 'train'
       |            ELSE 'purged' END AS split
       |FROM d, s ORDER BY o_orderkey""".stripMargin
+
+  /** x225: Neyman-allocation stratified sampler — the survey-statistics
+    * optimum [[stratifiedSample]] ignores: for a fixed budget n, the
+    * variance-minimizing allocation draws n_h ∝ N_h·σ_h from stratum h
+    * (Neyman 1934), oversampling strata that are big AND internally
+    * variable instead of proportionally. For a 100 TB corpus audit this is
+    * the difference between wasting budget on a huge-but-uniform `web`
+    * stratum and actually pinning down the heterogeneous ones.
+    *
+    * Exactness: per stratum the moments (N_h, Σx, Σx²) of the token count
+    * are exact integers (Σx² in DECIMAL(38,0) / HUGEINT), and the key
+    * identity N_h·σ_h = √(N_h·Σx² − (Σx)²) needs ONE sqrt on that exact
+    * integer — quantized immediately to e3 so the cross-stratum total is
+    * an exact BIGINT sum. The half-up division n·w/tot rounds via the
+    * pinned double expression floor((2n·w + tot)/(2·tot)) — spelled
+    * identically in the oracle so it is cross-engine deterministic at ANY
+    * magnitude (exact rationals would overflow BIGINT near w ~ 5e15; the
+    * double form trades ULP-exactness at that extreme for a formula with
+    * no overflow cliff). Allocations are capped at N_h (single-pass cap,
+    * no iterative reallocation — documented contract, mirrored in SQL).
+    * The budget itself is data-derived (40% of the corpus, an exact
+    * integer DIV) so the allocation genuinely bites at every SF; a
+    * production run would pass a constant budget instead.
+    *
+    * The realized sample is the [[domainCap]] machinery with a PER-STRATUM
+    * limit: rank by the content-addressed md5 priority (lowest bucket
+    * wins, doc_id tie-break), pre-truncate at the constant budget n — that
+    * filter compiles to WindowGroupLimit, so every map task truncates to
+    * its local top-n per stratum BEFORE the exchange — then apply the
+    * variable alloc_h bound from the broadcast allocation table. A kept
+    * doc is only ever evicted by a lower-hash doc, never by layout.
+    */
+  def neymanSample(spark: SparkSession, dir: String, capPerStratum: Int = 1000,
+                   seed: Int = 29): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val strata = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("s1"),
+        sum(d38(col("n_tok")) * col("n_tok")).as("s2"))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt((d38(col("n_docs")) * col("s2") -
+          d38(col("s1")) * col("s1")).cast("double")) * 1000d + 0.5d)
+          .cast("long").as("w_e3"))
+    // budget = 40% of the corpus (data-derived so the allocation BITES at
+    // every SF), plus the constant per-stratum engineering ceiling that
+    // keeps the rank pre-truncation a compile-time WindowGroupLimit
+    val tot = strata.agg(sum(col("w_e3")).as("tot"),
+      expr("(2 * sum(n_docs)) DIV 5").as("n_b"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(least(
+          floor(((lit(2.0d) * col("n_b")) * col("w_e3") + col("tot")) /
+            (lit(2.0d) * col("tot"))).cast("long"),
+          col("n_docs")), lit(capPerStratum.toLong)).as("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(bucket10k(col("doc_id"), seed), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= capPerStratum) // constant bound -> WindowGroupLimit
+      .join(broadcast(alloc), "source")
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("alloc"))
+      .orderBy("doc_id")
+  }
+
+  def docNeymanSample(spark: SparkSession, dir: String): DataFrame =
+    neymanSample(spark, dir)
+
+  val neymanOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |st AS (SELECT source, COUNT(*) AS n_docs,
+       |              CAST(SUM(n_tok) AS HUGEINT) AS s1,
+       |              SUM(CAST(n_tok AS HUGEINT) * n_tok) AS s2
+       |       FROM d GROUP BY 1),
+       |wt AS (SELECT source, n_docs,
+       |              CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * s2 - s1 * s1
+       |                AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_e3
+       |       FROM st),
+       |t AS (SELECT CAST(SUM(w_e3) AS BIGINT) AS tot,
+       |             CAST((2 * SUM(n_docs)) // 5 AS BIGINT) AS n_b FROM wt),
+       |al AS (SELECT source, n_docs,
+       |              LEAST(LEAST(
+       |                CAST(floor(((2.0 * n_b) * w_e3 + tot) / (2.0 * tot))
+       |                  AS BIGINT), n_docs), 1000) AS alloc
+       |       FROM wt, t),
+       |rk AS (SELECT doc_id, source, n_tok,
+       |              row_number() OVER (PARTITION BY source
+       |                ORDER BY ${bucketSql("doc_id", 29)}, doc_id) AS rn
+       |       FROM d)
+       |SELECT rk.doc_id, rk.source, rk.n_tok, al.alloc
+       |FROM rk JOIN al USING (source)
+       |WHERE rk.rn <= al.alloc
+       |ORDER BY rk.doc_id""".stripMargin
 }

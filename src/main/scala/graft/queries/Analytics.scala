@@ -1898,6 +1898,80 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** a49: difference-in-differences estimator per market segment — the
+    * workhorse quasi-experimental design: for each segment (the "treated"
+    * group), DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) with the
+    * control C = every OTHER segment, periods split at 1995-01-01, and y =
+    * order totalprice. The control cells are NOT a second scan: global
+    * pre/post sums aggregate once and each segment's control is the exact
+    * DECIMAL difference total − treated. All eight cell moments are exact
+    * (DECIMAL sums, BIGINT counts); each of the four means converts to
+    * double once (sum/count, identical op on both engines), and the DiD is
+    * the pinned four-term double expression, e4-quantized half-up. One
+    * fact scan + one dim join, |segments| rows out.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    // 1998-01-01T00:00Z in micros (mid-span of the generator's 1995–2001
+    // order dates) — the same epoch arithmetic the other date-keyed
+    // queries use (timestamp[us] column, TZ-free on both engines)
+    val cutUs = 883612800000000L
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("o_totalprice").cast("decimal(12,2)").as("y"),
+        (unix_micros(col("o_orderdate")) < cutUs).as("pre"))
+    val per = o.groupBy("seg").agg(
+      sum(when(col("pre"), col("y"))).as("s_pre_t"),
+      count(when(col("pre"), lit(1))).as("n_pre_t"),
+      sum(when(!col("pre"), col("y"))).as("s_post_t"),
+      count(when(!col("pre"), lit(1))).as("n_post_t"))
+    val tot = o.agg(
+      sum(when(col("pre"), col("y"))).as("s_pre"),
+      count(when(col("pre"), lit(1))).as("n_pre"),
+      sum(when(!col("pre"), col("y"))).as("s_post"),
+      count(when(!col("pre"), lit(1))).as("n_post"))
+    per.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_pre_t"), col("n_post_t"),
+        (col("s_post_t").cast("double") / col("n_post_t")
+          - col("s_pre_t").cast("double") / col("n_pre_t")
+          - ((col("s_post") - col("s_post_t")).cast("double")
+              / (col("n_post") - col("n_post_t"))
+            - (col("s_pre") - col("s_pre_t")).cast("double")
+              / (col("n_pre") - col("n_pre_t")))).as("did"))
+      .filter(col("n_pre_t") > 0L && col("n_post_t") > 0L)
+      .select(col("seg"), col("n_pre_t"), col("n_post_t"),
+        floor(col("did") * 10000d + 0.5d).cast("long").as("did_e4"))
+      .orderBy("seg")
+  }
+
+  val diffInDiffOracle: String =
+    """WITH o AS (SELECT c_mktsegment AS seg,
+      |                  CAST(o_totalprice AS DECIMAL(12,2)) AS y,
+      |                  epoch_us(o_orderdate) < 883612800000000 AS pre
+      |           FROM orders JOIN customer ON o_custkey = c_custkey),
+      |per AS (SELECT seg,
+      |               SUM(CASE WHEN pre THEN y END) AS s_pre_t,
+      |               COUNT(CASE WHEN pre THEN 1 END) AS n_pre_t,
+      |               SUM(CASE WHEN NOT pre THEN y END) AS s_post_t,
+      |               COUNT(CASE WHEN NOT pre THEN 1 END) AS n_post_t
+      |        FROM o GROUP BY 1),
+      |tot AS (SELECT SUM(CASE WHEN pre THEN y END) AS s_pre,
+      |               COUNT(CASE WHEN pre THEN 1 END) AS n_pre,
+      |               SUM(CASE WHEN NOT pre THEN y END) AS s_post,
+      |               COUNT(CASE WHEN NOT pre THEN 1 END) AS n_post
+      |        FROM o),
+      |d AS (SELECT seg, n_pre_t, n_post_t,
+      |             CAST(s_post_t AS DOUBLE) / n_post_t
+      |               - CAST(s_pre_t AS DOUBLE) / n_pre_t
+      |               - (CAST(s_post - s_post_t AS DOUBLE) / (n_post - n_post_t)
+      |                  - CAST(s_pre - s_pre_t AS DOUBLE) / (n_pre - n_pre_t)) AS did
+      |      FROM per, tot
+      |      WHERE n_pre_t > 0 AND n_post_t > 0)
+      |SELECT seg, n_pre_t, n_post_t,
+      |       CAST(floor(did * 10000 + 0.5) AS BIGINT) AS did_e4
+      |FROM d ORDER BY seg""".stripMargin
+
   val rollingWauOracle: String =
     """WITH pres AS (SELECT DISTINCT
       |                CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
@@ -1963,6 +2037,7 @@ object Analytics {
     "a46_holt_winters"     -> (holtWinters _),
     "a47_price_elasticity" -> (priceElasticity _),
     "a48_rolling_wau"      -> (rollingWau _),
+    "a49_diff_in_diff"     -> (diffInDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1985,6 +2060,7 @@ object Analytics {
     "a46_holt_winters"     -> holtWintersOracle,
     "a47_price_elasticity" -> priceElasticityOracle,
     "a48_rolling_wau"      -> rollingWauOracle,
+    "a49_diff_in_diff"     -> diffInDiffOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

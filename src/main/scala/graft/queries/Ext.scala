@@ -107,6 +107,8 @@ object Ext {
     "x221_oof_encode"      -> ((s: SparkSession, d: String) => graft.ops.Encoding.oofTargetEncode(s, d)),
     "x222_bpe_train"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "x223_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "x224_kneser_ney"      -> ((s: SparkSession, d: String) => TextAnalysis.kneserNeyNll(s, d)),
+    "x225_neyman_sample"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.docNeymanSample(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -496,6 +498,8 @@ object Ext {
     "x221_oof_encode"      -> graft.ops.Encoding.oofEncodeOracle,
     "x222_bpe_train"       -> TextAnalysis.bpeTrainOracle,
     "x223_containment"     -> Dedup.containmentOracle,
+    "x224_kneser_ney"      -> TextAnalysis.kneserNeyOracle,
+    "x225_neyman_sample"   -> graft.ops.Sampling.neymanOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -2278,4 +2278,40 @@ class ExtSpec extends SparkSuite {
     val nCust = byCust.size.toLong
     got.values.foreach(f => assert(f >= minCount && f <= nCust))
   }
+
+  test("Kneser-Ney NLL matches the first-principles replay and conserves per-context mass") {
+    val got = TextAnalysis.kneserNeyNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val cc = bc.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap // (n_ctx, n_follow)
+    val pc = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val types = bc.size.toLong
+    // the operator's exact double op sequence, replayed
+    def p(w1: String, w2: String): Double = {
+      val c = bc((w1, w2)); val (ctx, fol) = cc(w1)
+      (c - 0.75d) / ctx + ((0.75d * fol) / ctx) * (pc(w2).toDouble / types)
+    }
+    val exp = bigrams.groupBy(_._1).map { case (id, bs) =>
+      id -> (bs.length.toLong,
+        bs.map(b => math.floor(-math.log(p(b._2, b._3)) * 1000d + 0.5d).toLong).sum)
+    }
+    assert(got === exp, "per-doc KN NLL mismatch")
+    // analytic mass conservation: for every context, the discounted
+    // observed mass plus the continuation back-off sums to exactly 1 over
+    // the vocabulary (the defining identity of interpolated KN)
+    val byCtx = bc.groupBy(_._1._1)
+    val contMass = pc.values.sum.toDouble / types // = 1 by construction
+    byCtx.foreach { case (w1, m) =>
+      val (ctx, fol) = cc(w1)
+      val observed = m.values.map(c => (c - 0.75d) / ctx).sum
+      val backoff = ((0.75d * fol) / ctx) * contMass
+      assert(math.abs(observed + backoff - 1d) < 1e-9, s"context $w1 mass")
+    }
+  }
 }

@@ -2202,4 +2202,71 @@ class OpsSpec extends SparkSuite {
       assert(enc >= lo && enc <= hi, s"$b enc $enc outside [$lo, $hi]")
     }
   }
+
+  test("Neyman sample equals the brute-force allocation + hash-priority draw") {
+    val got = graft.ops.Sampling.docNeymanSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        r.getString(1).split(" ", -1).length.toLong))
+    // exact-integer moments, one sqrt, e3 quantization — the operator's law
+    val strata = docs.groupBy(_._2).view.mapValues { g =>
+      val n = g.length.toLong
+      val s1 = g.map(_._3).sum
+      val s2 = g.map(d => BigInt(d._3) * d._3).sum
+      val w = math.sqrt((BigInt(n) * s2 - BigInt(s1) * s1).toDouble)
+      (n, math.floor(w * 1000d + 0.5d).toLong)
+    }.toMap
+    val tot = strata.values.map(_._2).sum
+    val nB = (2L * docs.length) / 5L
+    val alloc = strata.map { case (s, (n, w)) =>
+      s -> math.min(math.min(
+        math.floor(((2.0d * nB) * w + tot) / (2.0d * tot)).toLong, n), 1000L)
+    }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:29".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 10000L
+    }
+    val exp = docs.groupBy(_._2).toSeq.flatMap { case (s, g) =>
+      g.sortBy(d => (bucket(d._1), d._1)).take(alloc(s).toInt)
+        .map(d => (d._1, s, d._3, alloc(s))).toSeq
+    }.toSet
+    assert(got === exp, "sampled set mismatch")
+    // the budget is honored up to per-stratum half-up rounding and caps
+    val drawn = alloc.values.sum
+    assert(drawn <= nB + strata.size / 2 + 1)
+    assert(got.size.toLong === drawn)
+  }
+
+  test("diff-in-diff equals the four-cell mean recomputation per segment") {
+    val got = graft.queries.Analytics.diffInDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val seg = graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cut = 883612800000000L
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate")).as("us"))
+      .collect().map(r => (seg(r.getLong(0)),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getLong(2) < cut))
+    def cell(p: ((String, BigDecimal, Boolean)) => Boolean) = {
+      val ys = orders.filter(p).map(_._2)
+      (ys.sum, ys.length.toLong)
+    }
+    val segs = orders.map(_._1).distinct
+    segs.foreach { s =>
+      val (sPreT, nPreT) = cell(o => o._1 == s && o._3)
+      val (sPostT, nPostT) = cell(o => o._1 == s && !o._3)
+      val (sPreC, nPreC) = cell(o => o._1 != s && o._3)
+      val (sPostC, nPostC) = cell(o => o._1 != s && !o._3)
+      val did = sPostT.toDouble / nPostT - sPreT.toDouble / nPreT -
+        (sPostC.toDouble / nPostC - sPreC.toDouble / nPreC)
+      val (gn1, gn2, gd) = got(s)
+      assert(gn1 === nPreT && gn2 === nPostT, s"$s cell counts")
+      assert(gd === math.floor(did * 10000d + 0.5d).toLong, s"$s DiD")
+    }
+  }
 }

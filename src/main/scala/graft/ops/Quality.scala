@@ -921,4 +921,148 @@ object Quality {
       |            / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
       |            * 1000000 + 0.5) AS BIGINT) AS ks_d_e6
       |FROM d""".stripMargin
+
+  /** x226: Wald SPRT sequential monitor — the always-valid companion to
+    * [[abTest]]'s fixed-horizon z: an experimenter who peeks daily at a
+    * z-score inflates false positives, while the SPRT's likelihood-ratio
+    * boundaries (Wald 1945) license stopping at ANY day. Testing the
+    * treatment arm's (user, day) conversion against H₀: p = 0.40 vs
+    * H₁: p = 0.45 at α = β = 0.05: after day d, with cumulative (N, C),
+    *
+    *   LLR = C·ln(p₁/p₀) + (N−C)·ln((1−p₁)/(1−p₀));  stop when
+    *   LLR ≥ ln((1−β)/α) (accept H₁) or ≤ ln(β/(1−α)) (accept H₀).
+    *
+    * Exactness: the two per-trial log terms and the two boundaries are
+    * CONSTANTS — each quantized ONCE to micro-nats (the only libm calls,
+    * on literals both engines evaluate identically) — so every daily LLR
+    * is exact BIGINT arithmetic C·L1 + (N−C)·L0 and the crossing decision
+    * is an integer comparison; no accumulated float ever decides. Plan
+    * shape: (user, day) presence grain → day grain (tiny) → one
+    * unbounded-preceding window pass for the cumulative counts and the
+    * first-crossing day. The monitor's full daily trajectory is emitted
+    * (decision + the sticky stop_day), so the oracle hash-checks the
+    * WHOLE sequential path, not just the endpoint.
+    */
+  def sprtMonitor(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // quantized once: ln(0.45/0.40), ln(0.55/0.60), ln(19), ln(1/19.0)
+    val l1 = floor(log(lit(0.45d) / lit(0.40d)) * 1000000d + 0.5d).cast("long")
+    val l0 = floor(log(lit(0.55d) / lit(0.60d)) * 1000000d + 0.5d).cast("long")
+    val hi = floor(log(lit(19.0d)) * 1000000d + 0.5d).cast("long")
+    val lo = floor(log(lit(1.0d) / lit(19.0d)) * 1000000d + 0.5d).cast("long")
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .filter(col("user_id") % 2 === 1)
+      .groupBy("day").agg(count(lit(1)).as("n_day"), sum(col("conv")).as("c_day"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .select(col("day"), col("n_day"), col("c_day"),
+        sum(col("n_day")).over(w).as("n_cum"),
+        sum(col("c_day")).over(w).as("c_cum"))
+      .select(col("day"), col("n_day"), col("c_day"), col("n_cum"), col("c_cum"),
+        (col("c_cum") * l1 + (col("n_cum") - col("c_cum")) * l0).as("llr_e6"))
+      .select(col("*"),
+        when(col("llr_e6") >= hi, lit("accept_h1"))
+          .when(col("llr_e6") <= lo, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+    cum.select(col("*"),
+        min(when(col("decision") =!= "continue", col("day"))).over(w).as("stop_day"))
+      .orderBy("day")
+  }
+
+  val sprtOracle: String =
+    """WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |           FROM events GROUP BY 1, 2),
+      |d AS (SELECT day, COUNT(*) AS n_day, CAST(SUM(conv) AS BIGINT) AS c_day
+      |      FROM u WHERE user_id % 2 = 1 GROUP BY 1),
+      |k AS (SELECT CAST(floor(ln(0.45 / 0.40) * 1000000 + 0.5) AS BIGINT) AS l1,
+      |             CAST(floor(ln(0.55 / 0.60) * 1000000 + 0.5) AS BIGINT) AS l0,
+      |             CAST(floor(ln(19.0) * 1000000 + 0.5) AS BIGINT) AS hi,
+      |             CAST(floor(ln(1.0 / 19.0) * 1000000 + 0.5) AS BIGINT) AS lo),
+      |c AS (SELECT day, n_day, c_day,
+      |             CAST(SUM(n_day) OVER (ORDER BY day) AS BIGINT) AS n_cum,
+      |             CAST(SUM(c_day) OVER (ORDER BY day) AS BIGINT) AS c_cum
+      |      FROM d),
+      |s AS (SELECT c.*, c_cum * l1 + (n_cum - c_cum) * l0 AS llr_e6,
+      |             CASE WHEN c_cum * l1 + (n_cum - c_cum) * l0 >= hi THEN 'accept_h1'
+      |                  WHEN c_cum * l1 + (n_cum - c_cum) * l0 <= lo THEN 'accept_h0'
+      |                  ELSE 'continue' END AS decision
+      |      FROM c, k)
+      |SELECT day, n_day, c_day, n_cum, c_cum, llr_e6, decision,
+      |       MIN(CASE WHEN decision <> 'continue' THEN day END)
+      |         OVER (ORDER BY day) AS stop_day
+      |FROM s ORDER BY day""".stripMargin
+
+  /** x227: stratified ATE (standardization / g-formula with exact
+    * propensities) — the observational-causal counterpart to [[abTest]]'s
+    * randomized z and a49's DiD: treatment here is NOT randomized (T =
+    * "user clicked that day"), and activity confounds it (busier days
+    * have more clicks AND more purchases), so the naive treated-minus-
+    * control difference is biased. Stratifying on the confounder
+    * (events-per-day tier, capped at 5) and weighting each stratum's
+    * difference by its population share gives the IPW/standardization
+    * estimate — algebraically identical to inverse-propensity weighting
+    * when the propensity is the exact in-stratum rate n_t/n. Per-stratum
+    * output (the ATE is the exact sum of contrib_e9): propensity and the
+    * treated−control difference are single pinned-double expressions per
+    * row (no cross-row float sums), e6/e9-quantized; the [[abTest]] guard
+    * posture nulls a stratum with an empty arm rather than dividing by
+    * zero. One events pass, |strata| rows.
+    */
+  def stratifiedAte(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val units = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("t"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(least(col("n_ev"), lit(5L)).as("stratum"), col("t"), col("y"))
+    val g = units.groupBy("stratum").agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("n_t"),
+      sum(col("t") * col("y")).as("c_t"),
+      sum((lit(1L) - col("t")) * col("y")).as("c_c"))
+    val tot = g.agg(sum(col("n")).as("n_all"))
+    val d: Column => Column = _.cast("double")
+    val diff = d(col("c_t")) / d(col("n_t")) -
+      d(col("c_c")) / d(col("n") - col("n_t"))
+    g.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("n_t"), col("c_t"), col("c_c"),
+        floor(d(col("n_t")) / d(col("n")) * 1000000d + 0.5d)
+          .cast("long").as("propensity_e6"),
+        when(col("n_t") > 0L && col("n_t") < col("n"),
+          floor(diff * 1000000d + 0.5d).cast("long")).as("diff_e6"),
+        when(col("n_t") > 0L && col("n_t") < col("n"),
+          floor(d(col("n")) / d(col("n_all")) * diff * 1000000000d + 0.5d)
+            .cast("long")).as("contrib_e9"))
+      .orderBy("stratum")
+  }
+
+  val stratifiedAteOracle: String =
+    """WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  COUNT(*) AS n_ev,
+      |                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT LEAST(n_ev, 5) AS stratum, t, y FROM u),
+      |g AS (SELECT stratum, COUNT(*) AS n,
+      |             CAST(SUM(t) AS BIGINT) AS n_t,
+      |             CAST(SUM(t * y) AS BIGINT) AS c_t,
+      |             CAST(SUM((1 - t) * y) AS BIGINT) AS c_c
+      |      FROM s GROUP BY 1),
+      |w AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM g)
+      |SELECT stratum, n, n_t, c_t, c_c,
+      |       CAST(floor(CAST(n_t AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+      |         AS propensity_e6,
+      |       CASE WHEN n_t > 0 AND n_t < n THEN
+      |         CAST(floor((CAST(c_t AS DOUBLE) / n_t
+      |                     - CAST(c_c AS DOUBLE) / (n - n_t))
+      |              * 1000000 + 0.5) AS BIGINT) END AS diff_e6,
+      |       CASE WHEN n_t > 0 AND n_t < n THEN
+      |         CAST(floor(CAST(n AS DOUBLE) / n_all
+      |                    * (CAST(c_t AS DOUBLE) / n_t
+      |                       - CAST(c_c AS DOUBLE) / (n - n_t))
+      |              * 1000000000 + 0.5) AS BIGINT) END AS contrib_e9
+      |FROM g, w ORDER BY stratum""".stripMargin
 }

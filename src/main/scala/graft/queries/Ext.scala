@@ -109,6 +109,8 @@ object Ext {
     "x223_containment"     -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "x224_kneser_ney"      -> ((s: SparkSession, d: String) => TextAnalysis.kneserNeyNll(s, d)),
     "x225_neyman_sample"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.docNeymanSample(s, d)),
+    "x226_sprt_monitor"    -> ((s: SparkSession, d: String) => graft.ops.Quality.sprtMonitor(s, d)),
+    "x227_stratified_ate"  -> ((s: SparkSession, d: String) => graft.ops.Quality.stratifiedAte(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -500,6 +502,8 @@ object Ext {
     "x223_containment"     -> Dedup.containmentOracle,
     "x224_kneser_ney"      -> TextAnalysis.kneserNeyOracle,
     "x225_neyman_sample"   -> graft.ops.Sampling.neymanOracle,
+    "x226_sprt_monitor"    -> graft.ops.Quality.sprtOracle,
+    "x227_stratified_ate"  -> graft.ops.Quality.stratifiedAteOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

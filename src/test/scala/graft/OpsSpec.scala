@@ -2240,6 +2240,68 @@ class OpsSpec extends SparkSuite {
     assert(got.size.toLong === drawn)
   }
 
+  test("SPRT trajectory equals the integer likelihood-ratio replay with sticky stops") {
+    val got = graft.ops.Quality.sprtMonitor(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    val units = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val daily = units.groupBy(u => (u._1, u._2)).view
+      .mapValues(_.exists(_._3 == "purchase")).toSeq
+      .collect { case ((uid, day), conv) if uid % 2 == 1 => (day, if (conv) 1L else 0L) }
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val l1 = math.floor(math.log(0.45d / 0.40d) * 1e6 + 0.5).toLong
+    val l0 = math.floor(math.log(0.55d / 0.60d) * 1e6 + 0.5).toLong
+    val hi = math.floor(math.log(19.0d) * 1e6 + 0.5).toLong
+    val lo = math.floor(math.log(1.0d / 19.0d) * 1e6 + 0.5).toLong
+    var (nC, cC) = (0L, 0L)
+    var stop: Option[Long] = None
+    val exp = daily.toSeq.sortBy(_._1).map { case (day, (n, c)) =>
+      nC += n; cC += c
+      val llr = cC * l1 + (nC - cC) * l0
+      val dec = if (llr >= hi) "accept_h1" else if (llr <= lo) "accept_h0" else "continue"
+      if (dec != "continue" && stop.isEmpty) stop = Some(day)
+      (day, n, c, nC, cC, llr, dec, stop)
+    }
+    assert(got.toSeq === exp, "SPRT daily trajectory mismatch")
+  }
+
+  test("stratified ATE strata equal the exact-propensity replay and partition the units") {
+    val got = graft.ops.Quality.stratifiedAte(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+    val units = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(u => (u._1, u._2)).values.map { es =>
+        (math.min(es.size.toLong, 5L),
+          if (es.exists(_._3 == "click")) 1L else 0L,
+          if (es.exists(_._3 == "purchase")) 1L else 0L)
+      }.toSeq
+    val nAll = units.size.toLong
+    units.groupBy(_._1).foreach { case (s, g) =>
+      val n = g.size.toLong
+      val nT = g.map(_._2).sum
+      val cT = g.collect { case (_, 1L, y) => y }.sum
+      val cCl = g.collect { case (_, 0L, y) => y }.sum
+      val (gn, gnT, gcT, gcC, gProp, gDiff, gContrib) = got(s)
+      assert((gn, gnT, gcT, gcC) === ((n, nT, cT, cCl)), s"stratum $s cells")
+      assert(gProp === math.floor(nT.toDouble / n * 1e6 + 0.5).toLong)
+      if (nT > 0 && nT < n) {
+        val diff = cT.toDouble / nT - cCl.toDouble / (n - nT)
+        assert(gDiff === Some(math.floor(diff * 1e6 + 0.5).toLong), s"stratum $s diff")
+        assert(gContrib ===
+          Some(math.floor(n.toDouble / nAll * diff * 1e9 + 0.5).toLong), s"stratum $s contrib")
+      } else assert(gDiff.isEmpty && gContrib.isEmpty)
+    }
+    assert(got.values.map(_._1).sum === nAll, "strata partition the unit population")
+  }
+
   test("diff-in-diff equals the four-cell mean recomputation per segment") {
     val got = graft.queries.Analytics.diffInDiff(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -499,4 +499,120 @@ object Associations {
       |JOIN itemn ib ON p.b = ib.l_partkey
       |CROSS JOIN tot
       |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin
+
+  /** x229: Bradley–Terry preference ranking (Zermelo 1929; Hunter's 2004
+    * MM algorithm) — the model behind chess Elo, search-result judging
+    * and RLHF reward-model data: given pairwise outcomes "brand i beat
+    * brand j in an order" (higher total quantity, ties dropped), find
+    * strengths π with P(i beats j) = πᵢ/(πᵢ+πⱼ). The MM fixed point
+    *
+    *   πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ),  then normalize to Σπ = 1
+    *
+    * runs `iters` times from the uniform start. Scale shape: the fact
+    * collapses to the (order, brand) grain FIRST, so the decisive-pair
+    * self-join is per-key bounded at ≤|brands| rows per order (output
+    * linear in orders, never quadratic in the fact); the k×k win matrix
+    * (k = |brands|, 625 cells) is an aggregate-sized driver boundary —
+    * the k-means/eigen discipline — and the iteration is driver-side
+    * exact: ascending-j left folds for both the denominator and the
+    * normalizer, so the DuckDB oracle replays the ENTIRE trajectory with
+    * the same list_reduce folds (the x216 recursion discipline) and the
+    * final e9-quantized strengths hash-match. Ranks order by the
+    * QUANTIZED strength (engine-stable), brand ascending on ties.
+    */
+  def bradleyTerry(spark: SparkSession, dir: String, iters: Int = 100): DataFrame = {
+    import spark.implicits._
+    val q = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val l = q.select(col("o"), col("b").as("b1"), col("qty").as("q1"))
+    val r = q.select(col("o").as("o2"), col("b").as("b2"), col("qty").as("q2"))
+    val w = l.join(r, col("o") === col("o2") && col("b1") < col("b2")
+        && col("q1") =!= col("q2"))
+      .select(when(col("q1") > col("q2"), col("b1")).otherwise(col("b2")).as("win"),
+        when(col("q1") > col("q2"), col("b2")).otherwise(col("b1")).as("los"))
+      .groupBy("win", "los").agg(count(lit(1)).as("n"))
+      .collect().map(row => ((row.getString(0), row.getString(1)), row.getLong(2)))
+      .toMap                                     // ≤ k² cells — driver boundary
+    val brands = w.keysIterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toSeq.distinct.sorted
+    val k = brands.length
+    val idx = brands.zipWithIndex.toMap
+    val nm = Array.fill(k, k)(0.0)
+    val wv = new Array[Double](k)
+    w.foreach { case ((a, b), c) =>
+      nm(idx(a))(idx(b)) += c.toDouble; nm(idx(b))(idx(a)) += c.toDouble
+      wv(idx(a)) += c.toDouble
+    }
+    var pi = Array.fill(k)(1.0)
+    var t = 0
+    while (t < iters) {
+      val raw = Array.tabulate(k) { i =>
+        var den = 0.0
+        var j = 0
+        while (j < k) { den = den + nm(i)(j) / (pi(i) + pi(j)); j += 1 }
+        if (den > 0) wv(i) / den else pi(i)
+      }
+      var s = 0.0
+      var j = 0
+      while (j < k) { s = s + raw(j); j += 1 }
+      pi = raw.map(_ / s)
+      t += 1
+    }
+    val rows = brands.indices.map { i =>
+      (brands(i), wv(i).toLong, nm(i).sum.toLong,
+        math.floor(pi(i) * 1e9 + 0.5).toLong)
+    }
+    val ranked = rows.sortBy { case (b, _, _, p) => (-p, b) }
+      .zipWithIndex.map { case ((b, ws, n, p), rk) => (b, ws, n, p, rk + 1L) }
+    ranked.toDF("brand", "wins", "comparisons", "pi_e9", "rnk").orderBy("brand")
+  }
+
+  val bradleyTerryOracle: String =
+    """WITH RECURSIVE
+      |q AS MATERIALIZED (
+      |  SELECT l_orderkey o, p_brand b, CAST(SUM(l_quantity) AS BIGINT) qty
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2),
+      |pr AS MATERIALIZED (
+      |  SELECT CASE WHEN a.qty > b.qty THEN a.b ELSE b.b END AS win,
+      |         CASE WHEN a.qty > b.qty THEN b.b ELSE a.b END AS los
+      |  FROM q a JOIN q b ON a.o = b.o AND a.b < b.b AND a.qty <> b.qty),
+      |br AS MATERIALIZED (
+      |  SELECT b, row_number() OVER (ORDER BY b) AS i
+      |  FROM (SELECT DISTINCT win AS b FROM pr UNION SELECT DISTINCT los FROM pr)),
+      |w AS (SELECT wi.i AS i, lj.i AS j, COUNT(*) AS w
+      |      FROM pr JOIN br wi ON wi.b = pr.win JOIN br lj ON lj.b = pr.los
+      |      GROUP BY 1, 2),
+      |grid AS (SELECT a.i AS i, b.i AS j FROM br a, br b),
+      |nm0 AS (SELECT g.i, g.j,
+      |               CAST(COALESCE(wij.w, 0) + COALESCE(wji.w, 0) AS DOUBLE) AS n,
+      |               CAST(COALESCE(wij.w, 0) AS DOUBLE) AS w
+      |        FROM grid g LEFT JOIN w wij ON wij.i = g.i AND wij.j = g.j
+      |                    LEFT JOIN w wji ON wji.i = g.j AND wji.j = g.i),
+      |rw AS (SELECT i, list(n ORDER BY j) AS rn,
+      |              SUM(w) AS wi, SUM(n) AS ni FROM nm0 GROUP BY i),
+      |mat AS MATERIALIZED (SELECT list(rn ORDER BY i) AS nm,
+      |                            list(CAST(wi AS DOUBLE) ORDER BY i) AS wv FROM rw),
+      |it AS (
+      |  SELECT 0 AS t,
+      |         [CAST(1.0 AS DOUBLE) for z in range((SELECT COUNT(*) FROM br))] AS pi
+      |  UNION ALL
+      |  SELECT t + 1, list_transform(raw, x -> x / list_reduce(raw, (a, b) -> a + b))
+      |  FROM (SELECT t, list_transform(range(1, len(pi) + 1), i ->
+      |            CASE WHEN list_reduce(list_transform(range(1, len(pi) + 1),
+      |                        j -> nm[i][j] / (pi[i] + pi[j])), (a, b) -> a + b) > 0
+      |                 THEN wv[i] / list_reduce(list_transform(range(1, len(pi) + 1),
+      |                        j -> nm[i][j] / (pi[i] + pi[j])), (a, b) -> a + b)
+      |                 ELSE pi[i] END) AS raw
+      |        FROM it, mat WHERE t < 100)),
+      |fin AS (SELECT br.b AS brand,
+      |               CAST(rw.wi AS BIGINT) AS wins,
+      |               CAST(rw.ni AS BIGINT) AS comparisons,
+      |               CAST(floor(pi[br.i] * 1000000000 + 0.5) AS BIGINT) AS pi_e9
+      |        FROM (SELECT pi FROM it WHERE t = 100), br JOIN rw ON rw.i = br.i)
+      |SELECT brand, wins, comparisons, pi_e9,
+      |       row_number() OVER (ORDER BY pi_e9 DESC, brand) AS rnk
+      |FROM fin ORDER BY brand""".stripMargin
 }

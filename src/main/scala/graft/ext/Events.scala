@@ -946,6 +946,122 @@ object Events {
       |         AS surv_lnsum_e6
       |FROM st ORDER BY dur""".stripMargin
 
+  /** x228: log-rank test — the hypothesis test that belongs to x170's
+    * Kaplan–Meier curve (Mantel 1966): do odd- and even-id users (the
+    * x201/x226 assignment convention) share one time-to-conversion
+    * distribution, accounting for right-censoring? At every duration t
+    * with d_t total events, n_t at risk and (d1_t, n1_t) in group 1, the
+    * group-1 event count is compared to its hypergeometric expectation:
+    *
+    *   O₁ = Σ d1_t,  E₁ = Σ d_t·n1_t/n_t,
+    *   V  = Σ d_t·p_t·(1−p_t)·(n_t−d_t)/(n_t−1),  p_t = n1_t/n_t;
+    *   χ² = (O₁−E₁)²/V  (~χ²₁ under H₀).
+    *
+    * Exactness: the cross-row sums — the only place float error could
+    * compound — are sums of PER-ROW e6-quantized BIGINTs (each row's E/V
+    * term is one pinned-double expression on exact at-risk integers,
+    * floored once), so O₁/E₁/V are engine-exact and χ² is a single
+    * pinned-double expression at the end; a degenerate V = 0 yields null
+    * (the abTest guard posture), never ÷0. Scale shape: one fact-sized
+    * user aggregate, then everything runs on the |distinct durations|-row
+    * table whose two reverse-cumulative windows are duration-bounded
+    * (calendar growth), not corpus-bounded — the x170/a38 argument. Rows
+    * with d_t = 0 contribute exact zeros, so no filter is needed and ONE
+    * aggregate emits the whole 1-row report.
+    */
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tl"))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) DIV 86400000000"))
+          .otherwise(expr("(tl - t0) DIV 86400000000")).as("dur"),
+        col("tp").isNotNull.cast("long").as("ev"),
+        (col("user_id") % 2).as("grp"))
+    val byDur = perUser.groupBy("dur").agg(
+      sum(col("ev")).as("d"),
+      sum(lit(1L) - col("ev")).as("c"),
+      sum(col("ev") * col("grp")).as("d1"),
+      sum((lit(1L) - col("ev")) * col("grp")).as("c1"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byDur
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .withColumn("n1_risk", sum(col("d1") + col("c1")).over(wRisk))
+    val p = col("n1_risk").cast("double") / col("n_risk").cast("double")
+    val terms = risk.select(
+      (col("d1") + col("c1")).as("g1"), (col("d") + col("c")).as("g"),
+      col("d1"),
+      floor(col("d").cast("double") * p * 1000000d + 0.5d)
+        .cast("long").as("e1_term_e6"),
+      when(col("n_risk") > 1L,
+        floor(col("d").cast("double") * p * (lit(1.0d) - p)
+          * ((col("n_risk") - col("d")).cast("double")
+            / (col("n_risk") - lit(1L)).cast("double")) * 1000000d + 0.5d)
+          .cast("long")).otherwise(lit(0L)).as("v_term_e6"))
+    val agg = terms.agg(
+      sum(col("g1")).as("n1_users"),
+      (sum(col("g")) - sum(col("g1"))).as("n0_users"),
+      sum(col("d1")).as("o1"),
+      sum(col("e1_term_e6")).as("e1_e6"),
+      sum(col("v_term_e6")).as("v_e6"))
+    val dev = col("o1").cast("double") - col("e1_e6").cast("double") / lit(1000000.0d)
+    agg.select(col("n1_users"), col("n0_users"), col("o1"), col("e1_e6"), col("v_e6"),
+      when(col("v_e6") > 0L,
+        floor(dev * dev / (col("v_e6").cast("double") / lit(1000000.0d))
+          * 1000000d + 0.5d).cast("long")).as("chi2_e6"))
+  }
+
+  val logRankOracle: String =
+    """WITH u AS (SELECT user_id,
+      |                  MIN(epoch_us(ts)) AS t0,
+      |                  MIN(CASE WHEN event_type = 'purchase'
+      |                           THEN epoch_us(ts) END) AS tp,
+      |                  MAX(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |pu AS (SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+      |                   ELSE (tl - t0) // 86400000000 END AS dur,
+      |              CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |              user_id % 2 AS grp
+      |       FROM u),
+      |bd AS (SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c,
+      |              SUM(ev * grp) AS d1, SUM((1 - ev) * grp) AS c1
+      |       FROM pu GROUP BY 1),
+      |rk AS (SELECT dur, d, c, d1, c1,
+      |              SUM(d + c) OVER (ORDER BY dur DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+      |              SUM(d1 + c1) OVER (ORDER BY dur DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_risk
+      |       FROM bd),
+      |tm AS (SELECT d1 + c1 AS g1, d + c AS g, d1,
+      |              CAST(floor(CAST(d AS DOUBLE)
+      |                * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |                * 1000000 + 0.5) AS BIGINT) AS e1_term_e6,
+      |              CASE WHEN n_risk > 1 THEN
+      |                CAST(floor(CAST(d AS DOUBLE)
+      |                  * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |                  * (1.0 - CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |                  * (CAST(n_risk - d AS DOUBLE) / CAST(n_risk - 1 AS DOUBLE))
+      |                  * 1000000 + 0.5) AS BIGINT)
+      |              ELSE 0 END AS v_term_e6
+      |       FROM rk),
+      |ag AS (SELECT CAST(SUM(g1) AS BIGINT) AS n1_users,
+      |              CAST(SUM(g) - SUM(g1) AS BIGINT) AS n0_users,
+      |              CAST(SUM(d1) AS BIGINT) AS o1,
+      |              CAST(SUM(e1_term_e6) AS BIGINT) AS e1_e6,
+      |              CAST(SUM(v_term_e6) AS BIGINT) AS v_e6
+      |       FROM tm)
+      |SELECT n1_users, n0_users, o1, e1_e6, v_e6,
+      |       CASE WHEN v_e6 > 0 THEN
+      |         CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1_e6 AS DOUBLE) / 1000000.0)
+      |           * (CAST(o1 AS DOUBLE) - CAST(e1_e6 AS DOUBLE) / 1000000.0)
+      |           / (CAST(v_e6 AS DOUBLE) / 1000000.0)
+      |           * 1000000 + 0.5) AS BIGINT) END AS chi2_e6
+      |FROM ag""".stripMargin
+
   /** x171: conversion-lag latency report — the batch twin of the
     * s06/s11/s13 attribution triptych asks WHICH views convert; this
     * asks HOW FAST, sliced by the hour-of-day the view happened (the

@@ -111,6 +111,8 @@ object Ext {
     "x225_neyman_sample"   -> ((s: SparkSession, d: String) => graft.ops.Sampling.docNeymanSample(s, d)),
     "x226_sprt_monitor"    -> ((s: SparkSession, d: String) => graft.ops.Quality.sprtMonitor(s, d)),
     "x227_stratified_ate"  -> ((s: SparkSession, d: String) => graft.ops.Quality.stratifiedAte(s, d)),
+    "x228_logrank"         -> ((s: SparkSession, d: String) => Events.logRank(s, d)),
+    "x229_bradley_terry"   -> ((s: SparkSession, d: String) => Associations.bradleyTerry(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -504,6 +506,8 @@ object Ext {
     "x225_neyman_sample"   -> graft.ops.Sampling.neymanOracle,
     "x226_sprt_monitor"    -> graft.ops.Quality.sprtOracle,
     "x227_stratified_ate"  -> graft.ops.Quality.stratifiedAteOracle,
+    "x228_logrank"         -> Events.logRankOracle,
+    "x229_bradley_terry"   -> Associations.bradleyTerryOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

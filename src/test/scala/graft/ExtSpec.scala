@@ -798,6 +798,111 @@ class ExtSpec extends SparkSuite {
     assert(planted.map(r => r._3 + r._4).sum <= users)
   }
 
+  test("log-rank O/E/V equal the hypergeometric replay and the test is group-symmetric") {
+    val Array(row) = Events.logRank(spark, sf).collect()
+    val (n1, n0, o1, e1, v, chi2) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4),
+      if (row.isNullAt(5)) None else Some(row.getLong(5)))
+    val perUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (uid, es) =>
+        val t0 = es.map(_._3).min
+        val tp = es.filter(_._2 == "purchase").map(_._3).minOption
+        val tl = es.map(_._3).max
+        val dur = tp.fold((tl - t0) / 86400000000L)(t => (t - t0) / 86400000000L)
+        (dur, if (tp.isDefined) 1L else 0L, uid % 2)
+      }.toSeq
+    assert(n1 === perUser.count(_._3 == 1L) && n0 === perUser.count(_._3 == 0L))
+    assert(n1 + n0 === perUser.size.toLong)
+    // replay: iterate durations ascending with exact at-risk depletion
+    var (atRisk, atRisk1) = (perUser.size.toLong, perUser.count(_._3 == 1L).toLong)
+    var (eo1, ee1, ev6) = (0L, 0L, 0L)
+    perUser.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val d = g.map(_._2).sum
+      val d1 = g.collect { case (_, e, 1L) => e }.sum
+      val p = atRisk1.toDouble / atRisk.toDouble
+      eo1 += d1
+      ee1 += math.floor(d.toDouble * p * 1e6 + 0.5).toLong
+      if (atRisk > 1)
+        ev6 += math.floor(d.toDouble * p * (1.0 - p)
+          * ((atRisk - d).toDouble / (atRisk - 1).toDouble) * 1e6 + 0.5).toLong
+      atRisk -= g.size
+      atRisk1 -= g.count(_._3 == 1L)
+    }
+    assert((o1, e1, v) === ((eo1, ee1, ev6)), "O/E/V hypergeometric replay mismatch")
+    chi2.foreach { c =>
+      val dev = o1.toDouble - e1.toDouble / 1e6
+      assert(c === math.floor(dev * dev / (v.toDouble / 1e6) * 1e6 + 0.5).toLong)
+      assert(c >= 0L, "chi-square statistic is nonnegative")
+    }
+    // sanity: expectations live inside the attainable range 0 ≤ E1 ≤ total
+    // events (in e6), and V > 0 whenever both groups are ever at risk together
+    val totalEvents = perUser.map(_._2).sum
+    assert(e1 >= 0L && e1 <= totalEvents * 1000000L)
+    if (n1 > 0 && n0 > 0) assert(v > 0L, "both groups at risk but V = 0")
+  }
+
+  test("Bradley-Terry strengths replay the MM trajectory from brute-force pairs") {
+    val got = graft.ext.Associations.bradleyTerry(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute-force pair derivation from the raw tables
+    val qty = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).cast("long").as("q")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val wins = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    qty.groupBy(_._1).values.foreach { order =>
+      val items = order.map(t => (t._2, t._3)).sortBy(_._1)
+      for (x <- items.indices; y <- x + 1 until items.size) {
+        val ((b1, q1), (b2, q2)) = (items(x), items(y))
+        if (q1 > q2) wins((b1, b2)) += 1L
+        else if (q2 > q1) wins((b2, b1)) += 1L
+      }
+    }
+    val brands = wins.keysIterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toSeq.distinct.sorted
+    val k = brands.length
+    val idx = brands.zipWithIndex.toMap
+    val nm = Array.fill(k, k)(0.0)
+    val wv = new Array[Double](k)
+    wins.foreach { case ((a, b), c) =>
+      nm(idx(a))(idx(b)) += c.toDouble; nm(idx(b))(idx(a)) += c.toDouble
+      wv(idx(a)) += c.toDouble
+    }
+    var pi = Array.fill(k)(1.0)
+    (0 until 100).foreach { _ =>
+      val raw = Array.tabulate(k) { i =>
+        var den = 0.0
+        var j = 0
+        while (j < k) { den = den + nm(i)(j) / (pi(i) + pi(j)); j += 1 }
+        if (den > 0) wv(i) / den else pi(i)
+      }
+      var s = 0.0
+      var j = 0
+      while (j < k) { s = s + raw(j); j += 1 }
+      pi = raw.map(_ / s)
+    }
+    assert(got.length === k)
+    got.foreach { case (b, w, n, p, _) =>
+      val i = idx(b)
+      assert(w === wv(i).toLong, s"$b wins")
+      assert(n === nm(i).sum.toLong, s"$b comparisons")
+      assert(p === math.floor(pi(i) * 1e9 + 0.5).toLong, s"$b strength")
+    }
+    // structural laws: comparisons are symmetric double-counted decisive
+    // pairs; strengths normalize to 1 within k half-ulps of the e9 grid;
+    // ranks are the dense order of the quantized strengths
+    assert(got.map(_._2).sum === wins.values.sum, "total wins = decisive pairs")
+    assert(got.map(_._3).sum === 2L * wins.values.sum)
+    assert(math.abs(got.map(_._4).sum - 1000000000L) <= k.toLong)
+    val expectRank = got.sortBy { case (b, _, _, p, _) => (-p, b) }
+      .zipWithIndex.map { case ((b, _, _, _, _), i) => b -> (i + 1L) }.toMap
+    got.foreach { case (b, _, _, _, rk) => assert(rk === expectRank(b), s"$b rank") }
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -267,4 +267,75 @@ object Graph {
        |FROM sym s JOIN a12 x ON x.id = s.a JOIN a12 y ON y.id = s.b
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** x231: label-propagation communities (Raghavan et al. 2007,
+    * synchronous variant) over the weighted co-purchase graph — the
+    * cheap community detector that complements x200's density backbone
+    * (k-core says WHO is in a dense region; LPA says WHICH region): each
+    * node adopts the label with the largest co-purchase weight among its
+    * neighbors, ties to the SMALLEST label, all nodes in lockstep, 10
+    * rounds from label = own id.
+    *
+    * Exactness: weights and labels are integers, so each round's argmax
+    * collapses to ONE integer key — score·2³² + (2³²−1 − label) — whose
+    * plain `max` both engines evaluate identically: no structs, no
+    * floats, no order-dependence anywhere, which is what lets the DuckDB
+    * oracle run the SAME 10 rounds as a recursive CTE with GROUP BY and
+    * hash-match every node's final community. Scale shape: edges are the
+    * Layer-shared apriori-pruned pair frame (linear in orders); each
+    * round is one join + two integer aggregates shuffled on node id, and
+    * `localCheckpoint` bounds lineage per round (the kCoreOf
+    * discipline). The synchronous update is exactly the
+    * bulk-synchronous-parallel step a 1000-executor Pregel run executes.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 10): DataFrame = {
+    val pairs = graft.ext.Associations.copurchasePairs(spark, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
+      .localCheckpoint()
+    val base = 4294967296L // 2^32 > any partkey; score·base + label stays < 2^63
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      labels = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("s"))
+        .groupBy(col("src"))
+        .agg(max(col("s") * lit(base) + (lit(base - 1L) - col("label"))).as("key"))
+        .select(col("src").as("node"),
+          (lit(base - 1L) - (col("key") % lit(base))).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("l_partkey"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("l_partkey")
+  }
+
+  val labelPropagationOracle: String =
+    """WITH RECURSIVE
+      |bsk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_ab
+      |  FROM bsk a JOIN bsk b ON a.l_orderkey = b.l_orderkey
+      |                       AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst, n_ab AS w FROM pairs
+      |  UNION ALL SELECT b, a, n_ab FROM pairs),
+      |it AS (
+      |  SELECT src AS node, src AS label, 0 AS t FROM (SELECT DISTINCT src FROM e)
+      |  UNION ALL
+      |  SELECT node, 4294967295 - (MAX(key) % 4294967296) AS label, t + 1
+      |  FROM (SELECT e.src AS node, it.t AS t,
+      |               SUM(e.w) * 4294967296 + (4294967295 - it.label) AS key
+      |        FROM e JOIN it ON it.node = e.dst
+      |        GROUP BY e.src, it.t, it.label) g
+      |  WHERE t < 10 GROUP BY node, t),
+      |fin AS (SELECT node, label FROM it WHERE t = 10),
+      |sz AS (SELECT label, COUNT(*) AS community_size FROM fin GROUP BY 1)
+      |SELECT CAST(node AS BIGINT) AS l_partkey,
+      |       CAST(fin.label AS BIGINT) AS community,
+      |       CAST(community_size AS BIGINT) AS community_size
+      |FROM fin JOIN sz USING (label) ORDER BY l_partkey""".stripMargin
 }

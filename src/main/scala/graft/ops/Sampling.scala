@@ -614,4 +614,99 @@ object Sampling {
        |FROM rk JOIN al USING (source)
        |WHERE rk.rn <= al.alloc
        |ORDER BY rk.doc_id""".stripMargin
+
+  /** x230: IPF raking (iterative proportional fitting — Deming & Stephan
+    * 1940): reweight the corpus's (lang × length-bucket) cells so the lang
+    * margin becomes UNIFORM while the length margin keeps its observed
+    * totals — the survey-weighting / training-mix-rebalancing primitive
+    * (x81 reports the mix, x122 cuts to a budget; this finds the
+    * per-cell multipliers a sampler like x109/x225 would then realize).
+    * 25 sweeps of (row scale, column scale) from w⁰ = n.
+    *
+    * Exactness: the corpus reduces to the ≤|langs|·|buckets| cell table
+    * in ONE aggregate; the iteration is driver-side on that
+    * aggregate-sized grid (the k-means/eigen/x229 boundary) with
+    * ascending-cell left-fold margin sums and the scale factor spelled
+    * `w·(target/margin)` — the DuckDB oracle replays all 25 sweeps with
+    * the same list folds (zeros for other-row cells are exact double
+    * identities), so the e6 masses and e9 multipliers hash-match. Both
+    * targets are single exact-integer divisions; nothing else enters as
+    * a float. At 100 TB only the first aggregate touches the fact table.
+    */
+  def ipfRake(spark: SparkSession, dir: String, sweeps: Int = 25): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"),
+        when(col("n_chars") < 200L, lit("short"))
+          .when(col("n_chars") < 800L, lit("mid"))
+          .otherwise(lit("long")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))                 // ≤ langs·buckets — driver grid
+    val m = cells.length
+    val langs = cells.map(_._1).distinct.sorted
+    val buckets = cells.map(_._2).distinct.sorted
+    val rid = cells.map(c => langs.indexOf(c._1))
+    val cid = cells.map(c => buckets.indexOf(c._2))
+    val nAll = cells.map(_._3).sum
+    val trEach = nAll.toDouble / langs.length.toDouble
+    val tc = buckets.map(b => cells.filter(_._2 == b).map(_._3).sum.toDouble)
+    def margin(w: Array[Double], ids: Array[Int], of: Int): Double = {
+      var s = 0.0
+      var d = 0
+      while (d < m) { s = s + (if (ids(d) == of) w(d) else 0.0); d += 1 }
+      s
+    }
+    var w = cells.map(_._3.toDouble)
+    (0 until sweeps).foreach { _ =>
+      val w1 = Array.tabulate(m)(c => w(c) * (trEach / margin(w, rid, rid(c))))
+      w = Array.tabulate(m)(c => w1(c) * (tc(cid(c)) / margin(w1, cid, cid(c))))
+    }
+    cells.indices.map { c =>
+      (cells(c)._1, cells(c)._2, cells(c)._3,
+        math.floor(w(c) * 1e6 + 0.5).toLong,
+        math.floor(w(c) / cells(c)._3.toDouble * 1e9 + 0.5).toLong)
+    }.toDF("lang", "bucket", "n", "mass_e6", "mult_e9")
+      .orderBy("lang", "bucket")
+  }
+
+  val ipfOracle: String =
+    """WITH RECURSIVE
+      |cell AS MATERIALIZED (
+      |  SELECT lang, CASE WHEN n_chars < 200 THEN 'short'
+      |                    WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS bucket,
+      |         COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |colid AS MATERIALIZED (
+      |  SELECT lang, bucket, n,
+      |         row_number() OVER (ORDER BY lang, bucket) AS c,
+      |         dense_rank() OVER (ORDER BY lang) AS r,
+      |         dense_rank() OVER (ORDER BY bucket) AS col
+      |  FROM cell),
+      |tgt AS MATERIALIZED (
+      |  SELECT list(CAST(n AS DOUBLE) ORDER BY c) AS w0,
+      |         list(r ORDER BY c) AS rid,
+      |         list(col ORDER BY c) AS cid,
+      |         (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(DISTINCT lang) AS DOUBLE)
+      |          FROM cell) AS tr_each,
+      |         (SELECT list(CAST(s AS DOUBLE) ORDER BY bucket)
+      |          FROM (SELECT bucket, SUM(n) AS s FROM cell GROUP BY 1)) AS tc
+      |  FROM colid),
+      |it AS (
+      |  SELECT 0 AS t, w0 AS w FROM tgt
+      |  UNION ALL
+      |  SELECT t + 1,
+      |    list_transform(range(1, len(w1) + 1), c ->
+      |      w1[c] * (tc[cid[c]] / list_sum(list_transform(range(1, len(w1) + 1), d ->
+      |        CASE WHEN cid[d] = cid[c] THEN w1[d] ELSE CAST(0.0 AS DOUBLE) END))))
+      |  FROM (SELECT t,
+      |          list_transform(range(1, len(w) + 1), c ->
+      |            w[c] * (tr_each / list_sum(list_transform(range(1, len(w) + 1), d ->
+      |              CASE WHEN rid[d] = rid[c] THEN w[d] ELSE CAST(0.0 AS DOUBLE) END)))) AS w1,
+      |          rid, cid, tc, tr_each
+      |        FROM it, tgt WHERE t < 25))
+      |SELECT x.lang, x.bucket, x.n,
+      |       CAST(floor(w[x.c] * 1000000 + 0.5) AS BIGINT) AS mass_e6,
+      |       CAST(floor(w[x.c] / CAST(x.n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS mult_e9
+      |FROM (SELECT w FROM it WHERE t = 25), colid x ORDER BY x.lang, x.bucket""".stripMargin
 }

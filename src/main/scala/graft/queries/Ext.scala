@@ -113,6 +113,8 @@ object Ext {
     "x227_stratified_ate"  -> ((s: SparkSession, d: String) => graft.ops.Quality.stratifiedAte(s, d)),
     "x228_logrank"         -> ((s: SparkSession, d: String) => Events.logRank(s, d)),
     "x229_bradley_terry"   -> ((s: SparkSession, d: String) => Associations.bradleyTerry(s, d)),
+    "x230_ipf_rake"        -> ((s: SparkSession, d: String) => graft.ops.Sampling.ipfRake(s, d)),
+    "x231_label_prop"      -> ((s: SparkSession, d: String) => graft.ops.Graph.labelPropagation(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -508,6 +510,8 @@ object Ext {
     "x227_stratified_ate"  -> graft.ops.Quality.stratifiedAteOracle,
     "x228_logrank"         -> Events.logRankOracle,
     "x229_bradley_terry"   -> Associations.bradleyTerryOracle,
+    "x230_ipf_rake"        -> graft.ops.Sampling.ipfOracle,
+    "x231_label_prop"      -> graft.ops.Graph.labelPropagationOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

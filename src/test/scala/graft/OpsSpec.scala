@@ -2240,6 +2240,84 @@ class OpsSpec extends SparkSuite {
     assert(got.size.toLong === drawn)
   }
 
+  test("IPF raking replays exactly and converges both margins") {
+    val got = graft.ops.Sampling.ipfRake(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cells = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0),
+        if (r.getLong(1) < 200L) "short" else if (r.getLong(1) < 800L) "mid" else "long"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, b), n) => (l, b, n) }.sortBy(c => (c._1, c._2))
+    val m = cells.length
+    val langs = cells.map(_._1).distinct.sorted
+    val buckets = cells.map(_._2).distinct.sorted
+    val rid = cells.map(c => langs.indexOf(c._1))
+    val cid = cells.map(c => buckets.indexOf(c._2))
+    val nAll = cells.map(_._3).sum
+    val trEach = nAll.toDouble / langs.length.toDouble
+    val tcol = buckets.map(b => cells.filter(_._2 == b).map(_._3).sum.toDouble)
+    def marg(w: Array[Double], ids: Seq[Int], of: Int): Double = {
+      var s = 0.0
+      var d = 0
+      while (d < m) { s = s + (if (ids(d) == of) w(d) else 0.0); d += 1 }
+      s
+    }
+    var w = cells.map(_._3.toDouble).toArray
+    (0 until 25).foreach { _ =>
+      val w1 = Array.tabulate(m)(c => w(c) * (trEach / marg(w, rid, rid(c))))
+      w = Array.tabulate(m)(c => w1(c) * (tcol(cid(c)) / marg(w1, cid, cid(c))))
+    }
+    assert(got.length === m)
+    got.zipWithIndex.foreach { case ((l, b, n, mass, mult), c) =>
+      assert((l, b, n) === cells(c), s"cell $c identity")
+      assert(mass === math.floor(w(c) * 1e6 + 0.5).toLong, s"cell $c mass")
+      assert(mult === math.floor(w(c) / n.toDouble * 1e9 + 0.5).toLong, s"cell $c mult")
+    }
+    // convergence: every lang's raked mass within 0.1% of the uniform
+    // target; every bucket margin exact (column pass ran last) up to the
+    // e6 grid; total mass conserved
+    langs.foreach { l =>
+      val massL = got.filter(_._1 == l).map(_._4).sum
+      assert(math.abs(massL - trEach * 1e6) <= trEach * 1e3,
+        s"lang $l margin not raked to uniform")
+    }
+    buckets.zipWithIndex.foreach { case (b, j) =>
+      val massB = got.filter(_._2 == b).map(_._4).sum
+      assert(math.abs(massB - tcol(j) * 1e6) <= m.toLong,
+        s"bucket $b margin not preserved")
+    }
+    assert(math.abs(got.map(_._4).sum - nAll * 1000000L) <= m.toLong * 2)
+  }
+
+  test("label propagation matches the synchronous integer-argmax replay") {
+    val got = graft.ops.Graph.labelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = graft.ext.Associations.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b, n) =>
+      adj(a) = (b, n) :: adj(a); adj(b) = (a, n) :: adj(b)
+    }
+    var lab: Map[Long, Long] = adj.keysIterator.map(n => n -> n).toMap
+    (0 until 10).foreach { _ =>
+      lab = adj.iterator.map { case (node, nbrs) =>
+        val score = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        nbrs.foreach { case (nb, w) => score(lab(nb)) += w }
+        node -> score.minBy { case (l, s) => (-s, l) }._1
+      }.toMap
+    }
+    assert(got.length === adj.size)
+    got.foreach { case (node, community, _) =>
+      assert(community === lab(node), s"node $node community")
+    }
+    // sizes are consistent with the label multiset, and every label is a node
+    val sizeOf = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (_, c, sz) => assert(sz === sizeOf(c)) }
+    assert(got.map(_._2).toSet.subsetOf(adj.keySet.toSet))
+  }
+
   test("SPRT trajectory equals the integer likelihood-ratio replay with sticky stops") {
     val got = graft.ops.Quality.sprtMonitor(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

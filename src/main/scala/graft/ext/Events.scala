@@ -1305,6 +1305,103 @@ object Events {
     * row (the left-outer "unattributed" report is s11's job). Output:
     * ≤ 24 rows.
     */
+  /** x232: exact Shapley-value channel attribution (Shapley 1953; the
+    * marketing form of Zhao et al. 2018) — the principled upgrade of
+    * x180's linear split: credit channel i by its average marginal
+    * contribution to conversion over ALL orderings of the channel set,
+    *
+    *   φᵢ = Σ_{S ⊆ C∖{i}} |S|!·(k−1−|S|)!/k! · (v(S∪{i}) − v(S)),
+    *
+    * with the coalition value v(S) = the observed conversion rate of
+    * users whose touched-channel set is EXACTLY S. With k = 4 channels
+    * (click/error/signup/view — alphabetical bit order) the whole game
+    * is 16 coalition masks, so this is EXACT Shapley, no sampling.
+    *
+    * Exactness: v(S) = c_S/n_S is one double division of exact integers
+    * per mask; each of the 8 marginal terms per channel quantizes to e9
+    * BEFORE the sum (weights are CASE-selected integer/24.0 constants),
+    * so φ is an exact BIGINT sum — no fold-order dependence at all, and
+    * the whole computation is DECLARATIVE: a 16-row mask grid × 4
+    * channels, no driver loop, no window. Scale shape: one fact-sized
+    * user aggregate (bitmask via 4 conditional maxes) → 16-row grid;
+    * everything after is constant-size regardless of corpus. Empty
+    * coalitions contribute v = 0 (the abTest null posture folded to the
+    * game's baseline).
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg((max(when(col("event_type") === "click", 1L).otherwise(0L))
+        + max(when(col("event_type") === "error", 2L).otherwise(0L)) * lit(1L)
+        + max(when(col("event_type") === "signup", 1L).otherwise(0L)) * lit(4L)
+        + max(when(col("event_type") === "view", 1L).otherwise(0L)) * lit(8L))
+        .as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val stats = users.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("c"))
+    val grid = spark.range(16).select(col("id").as("m"))
+      .join(stats, col("m") === col("mask"), "left_outer")
+      .select(col("m"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val v = when(col("n") > 0L,
+      col("c").cast("double") / col("n").cast("double")).otherwise(lit(0.0d))
+    val vs = grid.select(col("m"), v.as("v"))
+    val channels = Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))
+      .toDF("channel", "bit")
+    val wNum = expr("CASE bit_count(m) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+      "WHEN 2 THEN 2 ELSE 6 END")
+    val terms = channels.crossJoin(vs)
+      .filter(expr("(m & bit) = 0"))
+      .join(vs.select(col("m").as("m1"), col("v").as("v1")),
+        col("m1") === col("m") + col("bit"))
+      .select(col("channel"), col("bit"),
+        floor((wNum.cast("double") / lit(24.0d)) * (col("v1") - col("v"))
+          * 1000000000d + 0.5d).cast("long").as("term_e9"))
+    val touched = users.crossJoin(broadcast(channels))
+      .filter(expr("(mask & bit) > 0"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("touched_users"), sum(col("y")).as("touched_conv"))
+    terms.groupBy("channel").agg(sum(col("term_e9")).as("phi_e9"))
+      .join(touched, "channel")
+      .select(col("channel"), col("touched_users"), col("touched_conv"),
+        col("phi_e9"))
+      .orderBy("channel")
+  }
+
+  val shapleyOracle: String =
+    """WITH u AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      + MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+      |      + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+      |      + MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 8 AS mask,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT mask, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS c
+      |       FROM u GROUP BY 1),
+      |grid AS (SELECT r.m, COALESCE(st.n, 0) AS n, COALESCE(st.c, 0) AS c
+      |         FROM range(16) r(m) LEFT JOIN st ON st.mask = r.m),
+      |vs AS (SELECT m, CASE WHEN n > 0
+      |                      THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |                      ELSE 0.0 END AS v
+      |       FROM grid),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |                             ('signup', 4), ('view', 8)) t(channel, bit)),
+      |terms AS (
+      |  SELECT ch.channel,
+      |         CAST(floor((CAST(CASE bit_count(v0.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |                          WHEN 2 THEN 2 ELSE 6 END AS DOUBLE) / 24.0)
+      |           * (v1.v - v0.v) * 1000000000 + 0.5) AS BIGINT) AS term_e9
+      |  FROM ch JOIN vs v0 ON (v0.m & ch.bit) = 0
+      |          JOIN vs v1 ON v1.m = v0.m + ch.bit),
+      |tc AS (SELECT ch.channel, COUNT(*) AS touched_users,
+      |              CAST(SUM(u.y) AS BIGINT) AS touched_conv
+      |       FROM u JOIN ch ON (u.mask & ch.bit) > 0 GROUP BY 1)
+      |SELECT t.channel, tc.touched_users, tc.touched_conv,
+      |       CAST(SUM(t.term_e9) AS BIGINT) AS phi_e9
+      |FROM terms t JOIN tc ON tc.channel = t.channel
+      |GROUP BY 1, 2, 3 ORDER BY t.channel""".stripMargin
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)

@@ -1327,4 +1327,79 @@ object Similarity {
       .select((col("vec_id") +: ys): _*)
       .orderBy("vec_id")
   }
+
+  /** x233: k-center greedy coreset (Gonzalez 1985's farthest-point
+    * traversal — the 2-approximation for k-center) — the diverse-subset
+    * selector a training pipeline runs to pick maximally-spread exemplars
+    * (active-learning seeds, eval probes, codebook inits; x220's MMR
+    * diversifies a RANKED list, this diversifies the CORPUS): seed with
+    * the lowest vec_id, then k−1 times take the point farthest from the
+    * chosen set (max–min distance, ties to the smallest id).
+    *
+    * Exactness: vectors land on the e4 grid once, so every distance² is
+    * an EXACT BIGINT (64 squared diffs), the running min-distance column
+    * is `least` of integers, and each selection is an integer argmax —
+    * nothing float survives the first quantization, which is why the
+    * oracle's 10 unrolled scan CTEs hash-match the trajectory exactly.
+    * Scale shape: the quantized corpus persists once; each step is one
+    * codegen'd zip_with pass + a 1-row TakeOrdered driver boundary (the
+    * k-means/x229 discipline), k passes total — no pairwise join ever
+    * materializes. Output is the k chosen exemplars with the max–min
+    * distance² at their selection (a nonincreasing coverage-radius
+    * ladder; step 1 has none).
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000 " +
+          "+ 0.5) AS BIGINT))").as("q"))
+      .persist()
+    def d2(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("q"), array(center.toIndexedSeq.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = q.orderBy("vec_id").limit(1).collect()(0)
+    var chosen = List((1L, first.getLong(0), Option.empty[Long]))
+    var cur = q.select(col("vec_id"), col("q"),
+      d2(first.getSeq[Long](1).toArray).as("mind"))
+    (2 to k).foreach { step =>
+      val next = cur.orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).collect()(0)                   // 1-row driver boundary
+      chosen ::= ((step.toLong, next.getLong(0), Some(next.getLong(2))))
+      cur = cur.select(col("vec_id"), col("q"),
+        least(col("mind"), d2(next.getSeq[Long](1).toArray)).as("mind"))
+    }
+    q.unpersist()
+    chosen.reverse.toDF("step", "vec_id", "dist2").orderBy("step")
+  }
+
+  val kcenterOracle: String = {
+    val dist = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1,65), t -> ($a[t]-$b[t])*($a[t]-$b[t])))"
+    val steps = (2 to 10).map { s =>
+      s"""c$s AS MATERIALIZED (SELECT vec_id, q, mind FROM d${s - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$s AS MATERIALIZED (SELECT d.vec_id, d.q,
+         |  LEAST(d.mind, ${dist("d.q", "c.q")}) AS mind
+         |  FROM d${s - 1} d, c$s c),""".stripMargin
+    }.mkString("\n")
+    val sel = (2 to 10)
+      .map(s => s"SELECT $s AS step, vec_id, mind AS dist2 FROM c$s")
+      .mkString("\nUNION ALL ")
+    s"""WITH
+       |qv AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT qv.vec_id, qv.q,
+       |  ${dist("qv.q", "c.q")} AS mind FROM qv, c1 c),
+       |$steps
+       |fin AS (SELECT 1 AS step, vec_id, CAST(NULL AS BIGINT) AS dist2 FROM c1
+       |UNION ALL $sel)
+       |SELECT CAST(step AS BIGINT) AS step, vec_id,
+       |       CAST(dist2 AS BIGINT) AS dist2
+       |FROM fin ORDER BY step""".stripMargin
+  }
 }

@@ -115,6 +115,8 @@ object Ext {
     "x229_bradley_terry"   -> ((s: SparkSession, d: String) => Associations.bradleyTerry(s, d)),
     "x230_ipf_rake"        -> ((s: SparkSession, d: String) => graft.ops.Sampling.ipfRake(s, d)),
     "x231_label_prop"      -> ((s: SparkSession, d: String) => graft.ops.Graph.labelPropagation(s, d)),
+    "x232_shapley"         -> ((s: SparkSession, d: String) => Events.shapleyAttribution(s, d)),
+    "x233_kcenter"         -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -512,6 +514,8 @@ object Ext {
     "x229_bradley_terry"   -> Associations.bradleyTerryOracle,
     "x230_ipf_rake"        -> graft.ops.Sampling.ipfOracle,
     "x231_label_prop"      -> graft.ops.Graph.labelPropagationOracle,
+    "x232_shapley"         -> Events.shapleyOracle,
+    "x233_kcenter"         -> Similarity.kcenterOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -903,6 +903,69 @@ class ExtSpec extends SparkSuite {
     got.foreach { case (b, _, _, _, rk) => assert(rk === expectRank(b), s"$b rank") }
   }
 
+  test("Shapley attribution replays the exact 16-coalition game and is efficient") {
+    val got = Events.shapleyAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bits = Map("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).values.map { es =>
+        val types = es.map(_._2).toSet
+        (bits.collect { case (t, b) if types(t) => b }.sum,
+          if (types("purchase")) 1L else 0L)
+      }.toSeq
+    val n = users.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c = users.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def v(m: Long): Double =
+      if (n.getOrElse(m, 0L) > 0L) c(m).toDouble / n(m).toDouble else 0.0
+    val wNum = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    got.foreach { case (ch, touched, conv, phi) =>
+      val bit = bits(ch)
+      val expPhi = (0L until 16L).filter(m => (m & bit) == 0L).map { m =>
+        math.floor((wNum(java.lang.Long.bitCount(m)).toDouble / 24.0)
+          * (v(m + bit) - v(m)) * 1e9 + 0.5).toLong
+      }.sum
+      assert(phi === expPhi, s"$ch phi")
+      assert(touched === users.count(u => (u._1 & bit) > 0L).toLong, s"$ch touched")
+      assert(conv === users.collect { case (m, y) if (m & bit) > 0L => y }.sum, s"$ch conv")
+    }
+    // efficiency: Σφ = v(full) − v(∅) up to one half-ulp per quantized term
+    val sumPhi = got.map(_._4).sum
+    val eff = math.floor((v(15L) - v(0L)) * 1e9 + 0.5).toLong
+    assert(math.abs(sumPhi - eff) <= 32L, s"efficiency: $sumPhi vs $eff")
+  }
+
+  test("k-center coreset replays the farthest-point traversal on exact integer grids") {
+    val got = Similarity.kcenterCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e4 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var mind = vecs.map(v => (v._1, d2(v._2, vecs.head._2))).toMap
+    var exp = List((1L, vecs.head._1, Option.empty[Long]))
+    val byId = vecs.toMap
+    (2 to 10).foreach { step =>
+      val (nid, nd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      exp ::= ((step.toLong, nid, Some(nd)))
+      mind = mind.map { case (id, d) => id -> math.min(d, d2(byId(id), byId(nid))) }
+    }
+    assert(got.toSeq === exp.reverse, "farthest-point trajectory mismatch")
+    // ladder: the selection distance is nonincreasing; ids distinct
+    val ds = got.flatMap(_._3)
+    ds.sliding(2).foreach { case Array(a, b) => assert(a >= b, "radius ladder rose") }
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

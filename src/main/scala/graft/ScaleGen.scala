@@ -95,7 +95,12 @@ object ScaleGen {
 
     spark.range(20000L * m)
       .select(col("id").as("p_partkey"),
-        concat(lit("part"), col("id")).as("p_name"))
+        concat(lit("part"), col("id")).as("p_name"),
+        // 25-value brand domain like the testdata (Brand#1..25), hash-
+        // derived so the x229 preference graph stays k=25 at every m
+        concat(lit("Brand#"),
+          (pmod(hash(col("id"), lit(12)), lit(25)) + 1).cast("string"))
+          .as("p_brand"))
       .coalesce(4).write.mode("overwrite").parquet(s"$out/part.parquet")
 
     // events: 30-day span, user domain 1500·m, five types, two-decimal value

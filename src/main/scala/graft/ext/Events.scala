@@ -1402,6 +1402,165 @@ object Events {
       |FROM terms t JOIN tc ON tc.channel = t.channel
       |GROUP BY 1, 2, 3 ORDER BY t.channel""".stripMargin
 
+  /** x234: Markov removal-effect attribution (Anderl et al. 2014) — the
+    * chain-based counterpart to x232's Shapley: model user-day journeys
+    * as a first-order Markov chain over channel states (START → click/
+    * error/signup/view… → CONV on the day's first purchase, NULL
+    * otherwise), and credit channel c by its REMOVAL EFFECT — how much
+    * the chain's START→CONV absorption probability drops when every
+    * transition into c is redirected to NULL (the "what if this channel
+    * didn't exist" counterfactual Shapley's coalition game can't ask).
+    *
+    * Exactness: journeys reduce to a 7×7 integer transition grid in one
+    * windowed pass (rank ties broken by event_id); each variant's
+    * transition probabilities are single divisions of exact integers,
+    * and the absorption solve is 200 Jacobi sweeps of 7-term left-fold
+    * dot products — driver-side on the 49-cell grid (the x229/x230
+    * boundary), replayed verbatim by the oracle's variant-parallel
+    * recursive CTE (`list_dot_product` ≡ the 0.0-seeded while loop).
+    * Scale shape: the windows partition by (user, day) — bounded
+    * sessions — and everything after the grid aggregate is
+    * constant-size. Output: per channel, the inbound transition count,
+    * base and channel-removed absorption, and the removal effect (e9).
+    */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    val ord = ev.withColumn("rn", row_number().over(w))
+    val firstP = ord.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min(col("rn")).as("prn"))
+    val chIdx = Map("click" -> 2L, "error" -> 3L, "signup" -> 4L, "view" -> 5L)
+    val st = ord.join(firstP, Seq("user_id", "day"), "left_outer")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .select(col("user_id"), col("day"), col("rn"),
+        when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "error", 3L)
+          .when(col("event_type") === "signup", 4L)
+          .otherwise(5L).as("s"))
+    val w2 = Window.partitionBy("user_id", "day").orderBy("rn")
+    val mid = st.select(
+      coalesce(lag(col("s"), 1).over(w2), lit(1L)).as("a"), col("s").as("b"))
+    val lastS = st.groupBy("user_id", "day").agg(max_by(col("s"), col("rn")).as("a"))
+    val terminal = ord.select("user_id", "day").distinct()
+      .join(lastS, Seq("user_id", "day"), "left_outer")
+      .join(firstP, Seq("user_id", "day"), "left_outer")
+      .select(coalesce(col("a"), lit(1L)).as("a"),
+        when(col("prn").isNotNull, 6L).otherwise(7L).as("b"))
+    val grid = mid.unionAll(terminal).groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+      .toMap                                      // ≤ 49 cells — driver boundary
+    val n0 = Array.tabulate(8, 8)((i, j) => grid.getOrElse((i, j), 0L))
+    def absorb(c: Int): Double = {                // c = 0 → base chain
+      val n = Array.tabulate(8, 8) { (i, j) =>
+        if (c == 0) n0(i)(j)
+        else if (i == c) 0L
+        else if (j == c) 0L
+        else if (j == 7) n0(i)(7) + n0(i)(c)
+        else n0(i)(j)
+      }
+      val rs = Array.tabulate(8)(i => (1 to 7).map(n(i)(_)).sum)
+      val p = Array.tabulate(8, 8)((i, j) =>
+        if (rs(i) > 0L) n(i)(j).toDouble / rs(i).toDouble else 0.0)
+      var a = Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0) // index 6 = CONV
+      (0 until 200).foreach { _ =>
+        a = Array.tabulate(8) { s =>
+          if (s >= 1 && s <= 5) {
+            var acc = 0.0
+            var j = 1
+            while (j <= 7) { acc = acc + p(s)(j) * a(j); j += 1 }
+            acc
+          } else a(s)
+        }
+      }
+      a(1)
+    }
+    val base = absorb(0)
+    val rows = chIdx.toSeq.sortBy(_._1).map { case (ch, c) =>
+      val ab = absorb(c.toInt)
+      (ch, (1 to 7).map(i => n0(i)(c.toInt)).sum,
+        math.floor(base * 1e9 + 0.5).toLong,
+        math.floor(ab * 1e9 + 0.5).toLong,
+        math.floor((1.0 - ab / base) * 1e9 + 0.5).toLong)
+    }
+    rows.toDF("channel", "n_inbound", "base_e9", "absorb_e9", "removal_e9")
+      .orderBy("channel")
+  }
+
+  val markovOracle: String =
+    """WITH RECURSIVE
+      |ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |              epoch_us(ts) AS us, event_id, event_type FROM events),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |                                     ORDER BY us, event_id) AS rn
+      |        FROM ev),
+      |firstp AS (SELECT user_id, day, MIN(rn) AS prn FROM ord
+      |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |st AS (SELECT o.user_id, o.day, o.rn,
+      |              CASE o.event_type WHEN 'click' THEN 2 WHEN 'error' THEN 3
+      |                   WHEN 'signup' THEN 4 ELSE 5 END AS s
+      |       FROM ord o LEFT JOIN firstp f USING (user_id, day)
+      |       WHERE f.prn IS NULL OR o.rn < f.prn),
+      |mid AS (SELECT COALESCE(LAG(s) OVER (PARTITION BY user_id, day
+      |                                     ORDER BY rn), 1) AS a, s AS b
+      |        FROM st),
+      |term AS (SELECT COALESCE(l.a, 1) AS a,
+      |                CASE WHEN f.prn IS NOT NULL THEN 6 ELSE 7 END AS b
+      |         FROM (SELECT DISTINCT user_id, day FROM ord) j
+      |         LEFT JOIN (SELECT user_id, day, max_by(s, rn) AS a
+      |                    FROM st GROUP BY 1, 2) l USING (user_id, day)
+      |         LEFT JOIN firstp f USING (user_id, day)),
+      |cnt AS MATERIALIZED (SELECT a, b, COUNT(*) AS n
+      |       FROM (SELECT a, b FROM mid UNION ALL SELECT a, b FROM term)
+      |       GROUP BY 1, 2),
+      |grid7 AS (SELECT i.i AS i, j.j AS j FROM range(1, 8) i(i), range(1, 8) j(j)),
+      |cells AS MATERIALIZED (
+      |  SELECT g.i, g.j, COALESCE(cnt.n, 0) AS n
+      |  FROM grid7 g LEFT JOIN cnt ON cnt.a = g.i AND cnt.b = g.j),
+      |var_cells AS (
+      |  SELECT v.v, c.i, c.j,
+      |         CASE WHEN v.v = 0 THEN c.n
+      |              WHEN c.i = v.v + 1 THEN 0
+      |              WHEN c.j = v.v + 1 THEN 0
+      |              WHEN c.j = 7 THEN c.n + cv.n
+      |              ELSE c.n END AS n
+      |  FROM range(0, 5) v(v)
+      |  JOIN cells c ON true
+      |  JOIN cells cv ON cv.i = c.i AND cv.j = v.v + 1),
+      |rsum AS (SELECT v, i, SUM(n) AS rs FROM var_cells GROUP BY 1, 2),
+      |prow AS (SELECT vc.v, vc.i,
+      |                list(CASE WHEN r.rs > 0
+      |                          THEN CAST(vc.n AS DOUBLE) / CAST(r.rs AS DOUBLE)
+      |                          ELSE 0.0 END ORDER BY vc.j) AS pr
+      |         FROM var_cells vc JOIN rsum r ON r.v = vc.v AND r.i = vc.i
+      |         GROUP BY 1, 2),
+      |pm AS MATERIALIZED (SELECT v, list(pr ORDER BY i) AS p FROM prow GROUP BY 1),
+      |it AS (
+      |  SELECT v, 0 AS t,
+      |         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 1.0, 0.0] AS a
+      |  FROM pm
+      |  UNION ALL
+      |  SELECT it.v, t + 1,
+      |         list_transform(range(1, 8), s ->
+      |           CASE WHEN s <= 5 THEN list_dot_product(p[s], a) ELSE a[s] END)
+      |  FROM it JOIN pm ON pm.v = it.v WHERE t < 200),
+      |fin AS (SELECT v, a[1] AS ab FROM it WHERE t = 200),
+      |inb AS (SELECT j, CAST(SUM(n) AS BIGINT) AS n_in FROM cells GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |                             ('signup', 3), ('view', 4)) t(channel, v))
+      |SELECT ch.channel, inb.n_in AS n_inbound,
+      |       CAST(floor(b.ab * 1000000000 + 0.5) AS BIGINT) AS base_e9,
+      |       CAST(floor(f.ab * 1000000000 + 0.5) AS BIGINT) AS absorb_e9,
+      |       CAST(floor((1.0 - f.ab / b.ab) * 1000000000 + 0.5) AS BIGINT)
+      |         AS removal_e9
+      |FROM ch JOIN fin f ON f.v = ch.v
+      |        JOIN fin b ON b.v = 0
+      |        JOIN inb ON inb.j = ch.v + 1
+      |ORDER BY ch.channel""".stripMargin
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)

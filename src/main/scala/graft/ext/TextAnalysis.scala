@@ -1868,4 +1868,59 @@ object TextAnalysis {
       |       CAST(SUM(c) AS BIGINT) AS nll_millinat
       |FROM bg JOIN cost USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** x235: Good–Turing frequency smoothing (Good 1953) — the
+    * count-of-counts estimator under Katz backoff and the classic
+    * "how much probability mass belongs to UNSEEN words" answer the
+    * x85→x224 LM ladder's additive/Kneser–Ney smoothers assume away:
+    * from the frequency-of-frequencies table (n_r = how many word types
+    * occur exactly r times), the adjusted count is r* = (r+1)·n_{r+1}/n_r
+    * and the unseen mass is p₀ = n₁/N. On a Zipfian corpus n_r decays
+    * smoothly and r* < r for small r — the visible "discount".
+    *
+    * Exactness: everything is re-aggregation of the Layer-shared unigram
+    * count table (vocab-sized — the corpus is NOT re-read): n_r is an
+    * integer GROUP BY over it, r* one pinned double division of exact
+    * integers e6-floored (null where n_{r+1} = 0 — the estimator's
+    * honest gap, NOT zero), p₀ likewise with n₁ coalesced to 0. Output
+    * is |distinct r| rows — vocab-bounded at any corpus size.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val nr = unigramCounts(spark, dir)
+      .groupBy(col("n_t").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(sum(col("r") * col("n_r")).as("n_total"),
+      sum(when(col("r") === 1L, col("n_r"))).as("n_1"))
+    nr.join(nr.select((col("r") - 1L).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("n_next").isNotNull,
+          floor((col("r") + 1L).cast("double") * col("n_next").cast("double")
+            / col("n_r").cast("double") * 1000000d + 0.5d).cast("long"))
+          .as("rstar_e6"),
+        col("n_total"),
+        floor(coalesce(col("n_1"), lit(0L)).cast("double")
+          / col("n_total").cast("double") * 1000000d + 0.5d)
+          .cast("long").as("p0_e6"))
+      .orderBy("r")
+  }
+
+  val goodTuringOracle: String =
+    """WITH tok AS (SELECT u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |uc AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1),
+      |nr AS (SELECT n_t AS r, COUNT(*) AS n_r FROM uc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_total,
+      |               CAST(SUM(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n_1
+      |        FROM nr)
+      |SELECT CAST(nr.r AS BIGINT) AS r, CAST(nr.n_r AS BIGINT) AS n_r,
+      |       CASE WHEN nx.n_r IS NOT NULL THEN
+      |         CAST(floor(CAST(nr.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+      |           / CAST(nr.n_r AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |       END AS rstar_e6,
+      |       n_total,
+      |       CAST(floor(CAST(COALESCE(n_1, 0) AS DOUBLE)
+      |         / CAST(n_total AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p0_e6
+      |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
+      |ORDER BY r""".stripMargin
 }

@@ -117,6 +117,8 @@ object Ext {
     "x231_label_prop"      -> ((s: SparkSession, d: String) => graft.ops.Graph.labelPropagation(s, d)),
     "x232_shapley"         -> ((s: SparkSession, d: String) => Events.shapleyAttribution(s, d)),
     "x233_kcenter"         -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
+    "x234_markov_attrib"   -> ((s: SparkSession, d: String) => Events.markovAttribution(s, d)),
+    "x235_good_turing"     -> ((s: SparkSession, d: String) => TextAnalysis.goodTuring(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -516,6 +518,8 @@ object Ext {
     "x231_label_prop"      -> graft.ops.Graph.labelPropagationOracle,
     "x232_shapley"         -> Events.shapleyOracle,
     "x233_kcenter"         -> Similarity.kcenterOracle,
+    "x234_markov_attrib"   -> Events.markovOracle,
+    "x235_good_turing"     -> TextAnalysis.goodTuringOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

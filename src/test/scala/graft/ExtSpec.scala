@@ -966,6 +966,89 @@ class ExtSpec extends SparkSuite {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  test("Markov removal effects replay the absorbing-chain Jacobi solve") {
+    val got = Events.markovAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // journey derivation from first principles
+    val chIdx = Map("click" -> 2, "error" -> 3, "signup" -> 4, "view" -> 5)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val n0 = Array.fill(8, 8)(0L)
+    ev.groupBy(e => (e._1, e._2 / 86400000000L)).values.foreach { es =>
+      val seq = es.toSeq.sortBy(e => (e._2, e._3))
+      val cut = seq.indexWhere(_._4 == "purchase")
+      val pre = if (cut >= 0) seq.take(cut) else seq
+      var prev = 1
+      pre.foreach { e => val s = chIdx(e._4); n0(prev)(s) += 1L; prev = s }
+      n0(prev)(if (cut >= 0) 6 else 7) += 1L
+    }
+    def absorb(c: Int): Double = {
+      val n = Array.tabulate(8, 8) { (i, j) =>
+        if (c == 0) n0(i)(j)
+        else if (i == c) 0L else if (j == c) 0L
+        else if (j == 7) n0(i)(7) + n0(i)(c)
+        else n0(i)(j)
+      }
+      val rs = Array.tabulate(8)(i => (1 to 7).map(n(i)(_)).sum)
+      val p = Array.tabulate(8, 8)((i, j) =>
+        if (rs(i) > 0L) n(i)(j).toDouble / rs(i).toDouble else 0.0)
+      var a = Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+      (0 until 200).foreach { _ =>
+        a = Array.tabulate(8) { s =>
+          if (s >= 1 && s <= 5) {
+            var acc = 0.0
+            var j = 1
+            while (j <= 7) { acc = acc + p(s)(j) * a(j); j += 1 }
+            acc
+          } else a(s)
+        }
+      }
+      a(1)
+    }
+    val base = absorb(0)
+    assert(got.length === 4)
+    got.foreach { case (ch, nIn, baseE9, absE9, remE9) =>
+      val c = chIdx(ch)
+      assert(nIn === (1 to 7).map(i => n0(i)(c)).sum, s"$ch inbound")
+      assert(baseE9 === math.floor(base * 1e9 + 0.5).toLong, s"$ch base")
+      val ab = absorb(c)
+      assert(absE9 === math.floor(ab * 1e9 + 0.5).toLong, s"$ch absorb")
+      assert(remE9 === math.floor((1.0 - ab / base) * 1e9 + 0.5).toLong, s"$ch removal")
+      // removing a channel can only LOWER absorption (paths are lost,
+      // none gained), so the removal effect is a true fraction
+      assert(absE9 <= baseE9 && remE9 >= 0L && remE9 <= 1000000000L)
+    }
+  }
+
+  test("Good-Turing counts replay and discount small frequencies on the Zipf tail") {
+    val got = TextAnalysis.goodTuring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3), r.getLong(4)))
+    val counts = graft.Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nr = counts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = counts.values.sum
+    val n1 = nr.getOrElse(1L, 0L)
+    assert(got.map(_._1).toSet === nr.keySet)
+    got.foreach { case (r, nR, rstar, tot, p0) =>
+      assert(nR === nr(r), s"r=$r n_r")
+      assert(tot === nTotal)
+      assert(p0 === math.floor(n1.toDouble / nTotal.toDouble * 1e6 + 0.5).toLong)
+      nr.get(r + 1L) match {
+        case Some(nNext) =>
+          assert(rstar === Some(math.floor(
+            (r + 1L).toDouble * nNext.toDouble / nR.toDouble * 1e6 + 0.5).toLong))
+        case None => assert(rstar.isEmpty, s"r=$r should have no r*")
+      }
+    }
+    // type/token reconciliation: Σ n_r = |vocab| and Σ r·n_r = N
+    assert(got.map(_._2).sum === counts.size.toLong)
+    assert(got.map(t => t._1 * t._2).sum === nTotal)
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

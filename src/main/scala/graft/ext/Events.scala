@@ -1062,6 +1062,75 @@ object Events {
       |           * 1000000 + 0.5) AS BIGINT) END AS chi2_e6
       |FROM ag""".stripMargin
 
+  /** x236: Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) —
+    * the survival family's third leg (x170 estimates S(t) by product,
+    * x228 tests group equality; this estimates the cumulative hazard
+    * H(t) = Σ_{t'≤t} d_{t'}/n_{t'} by sum — the additive estimator whose
+    * increments ARE the hazard a rate model would regress on, and
+    * exp(−H) is the classic S(t) cross-check). Same duration/censoring
+    * semantics as x170.
+    *
+    * Exactness: each increment d/n is ONE double division of exact
+    * at-risk integers e6-floored, and the cumulative sum runs over the
+    * quantized BIGINTs — the x170 log-domain discipline, without even
+    * needing a log. Same scale shape as x170: one fact-sized user
+    * aggregate, then duration-grain windows (calendar-bounded).
+    */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tl"))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) DIV 86400000000"))
+          .otherwise(expr("(tl - t0) DIV 86400000000")).as("dur"),
+        col("tp").isNotNull.cast("long").as("ev"))
+    val byDur = perUser.groupBy("dur")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val wRisk = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("h_term_e6",
+        floor(col("d").cast("double") / col("n_risk").cast("double")
+          * 1000000d + 0.5d).cast("long"))
+      .withColumn("cumhaz_e6", sum(col("h_term_e6")).over(wCum))
+      .select(col("dur"), col("n_risk"), col("d"), col("c"),
+        col("h_term_e6"), col("cumhaz_e6"))
+      .orderBy("dur")
+  }
+
+  val nelsonAalenOracle: String =
+    """WITH u AS (SELECT user_id,
+      |                  MIN(epoch_us(ts)) AS t0,
+      |                  MIN(CASE WHEN event_type = 'purchase'
+      |                           THEN epoch_us(ts) END) AS tp,
+      |                  MAX(epoch_us(ts)) AS tl
+      |           FROM events GROUP BY 1),
+      |pu AS (SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+      |                   ELSE (tl - t0) // 86400000000 END AS dur,
+      |              CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |       FROM u),
+      |bd AS (SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c FROM pu GROUP BY 1),
+      |rk AS (SELECT dur, d, c,
+      |              SUM(d + c) OVER (ORDER BY dur DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |       FROM bd),
+      |st AS (SELECT dur, n_risk, d, c,
+      |              CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |                * 1000000 + 0.5) AS BIGINT) AS h_term_e6
+      |       FROM rk WHERE d > 0)
+      |SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c, h_term_e6,
+      |       CAST(SUM(h_term_e6) OVER (ORDER BY dur
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cumhaz_e6
+      |FROM st ORDER BY dur""".stripMargin
+
   /** x171: conversion-lag latency report — the batch twin of the
     * s06/s11/s13 attribution triptych asks WHICH views convert; this
     * asks HOW FAST, sliced by the hour-of-day the view happened (the

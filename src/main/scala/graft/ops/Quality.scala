@@ -1065,4 +1065,70 @@ object Quality {
       |                       - CAST(c_c AS DOUBLE) / (n - n_t))
       |              * 1000000000 + 0.5) AS BIGINT) END AS contrib_e9
       |FROM g, w ORDER BY stratum""".stripMargin
+
+  /** x237: delete-a-group jackknife SE for a RATIO metric (Quenouille
+    * 1956; the production A/B-platform standard for metrics like
+    * conversion = Σconv/Σusers where the naive binomial SE is wrong
+    * under any clustering): split units into K = 20 content-addressed
+    * buckets (user_id % 20 — the x70 no-RNG discipline), recompute the
+    * ratio leaving each bucket out, and
+    *
+    *   SE² = (K−1)/K · Σ_k (R₋ₖ − R̄)².
+    *
+    * Exactness: every leave-one-out ratio is a single division of exact
+    * integer COMPLEMENTS (C−cₖ)/(N−nₖ) — the x221 subtraction trick, no
+    * K re-scans — e9-quantized per bucket BEFORE the spread is measured,
+    * so Σ and Σ² are exact integer sums (Σ² cross-multiplied in
+    * DECIMAL(19,0)², the Neyman discipline ≡ DuckDB HUGEINT) and the
+    * K·S2 − S1² sum-of-squares identity is computed EXACTLY before the
+    * one sqrt. Fully declarative: fact → K-row bucket grid → 1 row.
+    */
+  def jackknifeRatio(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val units = graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 20L).as("bk"), col("y"))
+    val bk = units.groupBy("bk")
+      .agg(count(lit(1)).as("n_k"), sum(col("y")).as("c_k"))
+    val tot = bk.agg(sum(col("n_k")).as("n"), sum(col("c_k")).as("c"),
+      count(lit(1)).as("k"))
+    val rk = bk.crossJoin(broadcast(tot))
+      .select(floor((col("c") - col("c_k")).cast("double")
+        / (col("n") - col("n_k")).cast("double") * 1000000000d + 0.5d)
+        .cast("long").as("rk_e9"))
+    val s = rk.agg(sum(col("rk_e9")).as("s1"),
+      sum(col("rk_e9").cast("decimal(19,0)") * col("rk_e9").cast("decimal(19,0)"))
+        .as("s2"))
+    val x = (col("k").cast("decimal(19,0)") * col("s2")
+      - col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+    s.crossJoin(broadcast(tot))
+      .select(col("k"), col("n").as("n_units"), col("c").as("conversions"),
+        floor(col("c").cast("double") / col("n").cast("double")
+          * 1000000000d + 0.5d).cast("long").as("ratio_e9"),
+        floor(sqrt((col("k") - lit(1L)).cast("double") * x.cast("double"))
+          / col("k").cast("double") + 0.5d).cast("long").as("se_jack_e9"))
+  }
+
+  val jackknifeOracle: String =
+    """WITH u AS (SELECT user_id,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |           FROM events GROUP BY 1),
+      |bk AS (SELECT user_id % 20 AS bk, COUNT(*) AS n_k,
+      |              CAST(SUM(y) AS BIGINT) AS c_k
+      |       FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(c_k) AS BIGINT) AS c,
+      |               COUNT(*) AS k FROM bk),
+      |rk AS (SELECT CAST(floor(CAST(c - c_k AS DOUBLE) / CAST(n - n_k AS DOUBLE)
+      |                * 1000000000 + 0.5) AS BIGINT) AS rk_e9
+      |       FROM bk, tot),
+      |s AS (SELECT CAST(SUM(rk_e9) AS BIGINT) AS s1,
+      |             SUM(CAST(rk_e9 AS HUGEINT) * rk_e9) AS s2
+      |      FROM rk)
+      |SELECT k, n AS n_units, c AS conversions,
+      |       CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |         * 1000000000 + 0.5) AS BIGINT) AS ratio_e9,
+      |       CAST(floor(sqrt(CAST(k - 1 AS DOUBLE)
+      |           * CAST(k * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+      |         / CAST(k AS DOUBLE) + 0.5) AS BIGINT) AS se_jack_e9
+      |FROM s, tot""".stripMargin
 }

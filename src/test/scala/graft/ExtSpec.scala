@@ -1049,6 +1049,32 @@ class ExtSpec extends SparkSuite {
     assert(got.map(t => t._1 * t._2).sum === nTotal)
   }
 
+  test("Nelson-Aalen shares KM's risk table and its hazard dominates the log-survival") {
+    val na = Events.nelsonAalen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val km = Events.kmSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // identical (dur, n_risk, d, c) frames — same estimand, two estimators
+    assert(na.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      km.map(t => (t._1, t._2, t._3, t._4)).toSeq)
+    var cum = 0L
+    na.foreach { case (dur, n, d, _, term, ch) =>
+      assert(term === math.floor(d.toDouble / n.toDouble * 1e6 + 0.5).toLong,
+        s"dur $dur increment")
+      cum += term
+      assert(ch === cum, s"dur $dur cumulative")
+      assert(term > 0L)
+    }
+    // −ln(1−x) ≥ x: each KM log-step dominates the hazard increment (up
+    // to one grid cell each from independent e6 roundings), so the
+    // cumulative hazard is a lower envelope of −ln S(t)
+    na.zip(km).foreach { case ((dur, _, _, _, h, _), (_, _, _, _, step, _)) =>
+      if (step > -99000000L) assert(-step >= h - 2L, s"dur $dur: -ln(1-x) < x?")
+    }
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

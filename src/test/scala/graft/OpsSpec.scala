@@ -2318,6 +2318,35 @@ class OpsSpec extends SparkSuite {
     assert(got.map(_._2).toSet.subsetOf(adj.keySet.toSet))
   }
 
+  test("jackknife ratio SE equals the delete-a-group replay with exact complements") {
+    val Array(row) = graft.ops.Quality.jackknifeRatio(spark, sf).collect()
+    val (k, n, c, ratio, se) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4))
+    val units = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (uid, es) =>
+        (uid % 20L, if (es.exists(_._2 == "purchase")) 1L else 0L)
+      }.toSeq
+    val bk = units.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val (nAll, cAll) = (units.size.toLong, units.map(_._2).sum)
+    assert((k, n, c) === ((bk.size.toLong, nAll, cAll)))
+    assert(ratio === math.floor(cAll.toDouble / nAll.toDouble * 1e9 + 0.5).toLong)
+    val rks = bk.values.toSeq.map { case (nK, cK) =>
+      math.floor((cAll - cK).toDouble / (nAll - nK).toDouble * 1e9 + 0.5).toLong
+    }
+    val s1 = rks.sum
+    val s2 = rks.map(v => BigInt(v) * BigInt(v)).sum
+    val x = BigInt(k) * s2 - BigInt(s1) * BigInt(s1)
+    val expSe = math.floor(
+      math.sqrt((k - 1L).toDouble * x.toDouble) / k.toDouble + 0.5).toLong
+    assert(se === expSe, "jackknife SE replay")
+    // a ratio metric's jackknife spread is tiny next to the ratio itself
+    // on this corpus, but always nonnegative and defined
+    assert(se >= 0L && se < ratio)
+  }
+
   test("SPRT trajectory equals the integer likelihood-ratio replay with sticky stops") {
     val got = graft.ops.Quality.sprtMonitor(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

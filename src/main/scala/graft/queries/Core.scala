@@ -401,6 +401,30 @@ object Core {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy("grp")
 
+  /** q27: the DSv2 WRITE connector on the correctness path —
+    * [[graft.sources.KvSource]]'s full batch commit protocol (staged
+    * files → per-task WriterCommitMessage → atomic rename publish on the
+    * driver, truncate-on-overwrite) carrying a real aggregate through a
+    * write+read ROUNDTRIP: the per-customer order counts are written
+    * through graftkv (one part file per shuffle partition, exactly as a
+    * 1000-executor run would commit them) and read back through the same
+    * provider's Batch scan. The returned frame is the read-back rows
+    * themselves, so the oracle hash-checks every byte that crossed the
+    * connector, not a summary. SourcesSpec additionally pins the
+    * protocol: no staged files survive a commit, part count = partition
+    * count, overwrite truncates, and an aborted writer leaves no trace.
+    */
+  def q27Dsv2Write(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$ioDir/kv_counts"
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("v"))
+      .write.format("graft.sources.KvSource")
+      .option("path", out).mode("overwrite").save()
+    spark.read.format("graft.sources.KvSource").option("path", out).load()
+      .orderBy("k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -428,6 +452,7 @@ object Core {
     "q24_json_roundtrip"      -> (q24JsonRoundtrip _),
     "q25_bucketed_join"       -> (q25BucketedJoin _),
     "q26_dsv2_source"         -> (q26Dsv2Source _),
+    "q27_dsv2_write"          -> (q27Dsv2Write _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -500,6 +525,11 @@ object Core {
         |SELECT grp, COUNT(*) AS n_rows, CAST(SUM(val) AS BIGINT) AS sum_val,
         |       MIN(id) AS min_id, MAX(id) AS max_id
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identity contract: what the graftkv write+read roundtrip returns
+    // must be exactly the aggregate that was written through it
+    "q27_dsv2_write"          ->
+      """SELECT o_custkey AS k, COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
   )
 }
 

@@ -243,4 +243,42 @@ class SourcesSpec extends SparkSuite {
     assert(nulls.nonEmpty && nulls.forall(_ % 2 == 0),
       "null lang must appear exactly on v1 (even-id) rows")
   }
+
+  test("graftkv write connector honors the full batch commit protocol") {
+    import spark.implicits._
+    val dir = s"${graft.RunScoped.ioDir}/kv_law"
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 7L).as("v"))
+      .repartition(3)
+    df.write.format("graft.sources.KvSource").option("path", dir)
+      .mode("append").save()
+    def ls(prefix: String): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith(prefix)).sorted
+    // commit published exactly one part per partition and left no staging
+    assert(ls("part-").size === 3, "one part file per write partition")
+    assert(ls("_staged").isEmpty, "no staged files survive a commit")
+    // the roundtrip is lossless
+    val back = spark.read.format("graft.sources.KvSource").option("path", dir)
+      .load().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(back.toSeq === (0L until 100L).map(k => (k, k * 7L)))
+    // overwrite TRUNCATES: different partitioning, no leftover parts
+    df.repartition(2).write.format("graft.sources.KvSource").option("path", dir)
+      .mode("overwrite").save()
+    assert(ls("part-").size === 2, "overwrite must replace, not accumulate")
+    val back2 = spark.read.format("graft.sources.KvSource").option("path", dir)
+      .load().count()
+    assert(back2 === 100L)
+    // append ACCUMULATES (the mode distinction is real)
+    df.repartition(1).write.format("graft.sources.KvSource").option("path", dir)
+      .mode("append").save()
+    assert(spark.read.format("graft.sources.KvSource").option("path", dir)
+      .load().count() === 200L)
+    // a writer that aborts leaves NO trace — the task-failure contract
+    val w = new graft.sources.KvWriter(dir, 99)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2L))
+    assert(ls("_staged").nonEmpty, "writer stages before commit")
+    w.abort()
+    assert(ls("_staged").isEmpty, "abort must delete the staged file")
+    assert(ls("part-").size === 3, "abort must not touch published parts")
+  }
 }

@@ -1131,4 +1131,123 @@ object Quality {
       |           * CAST(k * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
       |         / CAST(k AS DOUBLE) + 0.5) AS BIGINT) AS se_jack_e9
       |FROM s, tot""".stripMargin
+
+  /** x238: UCB1 bandit replay (Auer et al. 2002) — the adaptive
+    * ALLOCATION side of experimentation ([[sprtMonitor]] decides when to
+    * STOP; this decides where to SPEND): replay the UCB1 policy over the
+    * daily (channel → same-day conversion) cells as a batched bandit —
+    * each day the policy plays the channel maximizing mean +
+    * √(2·ln T / n), seeded by one round-robin pull per arm, ties to the
+    * lowest arm index, and observes ONLY the chosen arm's day (the
+    * partial-feedback property that makes it a bandit, not an A/B test).
+    *
+    * Determinism: all state (per-arm observation and reward counts) is
+    * exact integers; the UCB index is one pinned expression per (arm,
+    * day) — the x170/x199 data-dependent ln/√ discipline — and the
+    * argmax takes the FIRST index attaining the list max, identically in
+    * both engines. The day×arm cell table is corpus-reduced in one
+    * aggregate (calendar-bounded rows); the replay is driver-side on it
+    * (the x229 boundary), and the oracle re-runs the WHOLE trajectory as
+    * a recursive CTE over per-day arm lists — every pull, observation,
+    * and e9 index hash-checks.
+    */
+  def ucbReplay(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("f1"),
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("f2"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("f3"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("f4"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val cells = ud.groupBy("day").agg(
+        sum(col("f1")).as("n1"), sum(col("f1") * col("y")).as("r1"),
+        sum(col("f2")).as("n2"), sum(col("f2") * col("y")).as("r2"),
+        sum(col("f3")).as("n3"), sum(col("f3") * col("y")).as("r3"),
+        sum(col("f4")).as("n4"), sum(col("f4") * col("y")).as("r4"))
+      .collect().map(r => (r.getLong(0),
+        Array(r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(7)),
+        Array(r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(8))))
+      .sortBy(_._1)                              // calendar-bounded driver table
+    val arms = Array("click", "error", "signup", "view")
+    val n = Array.fill(4)(0L)
+    val r = Array.fill(4)(0L)
+    val rows = cells.zipWithIndex.map { case ((day, cn, cr), ti) =>
+      val choice =
+        if (n.contains(0L)) n.indexOf(0L)
+        else {
+          val t = n.sum
+          val u = Array.tabulate(4)(i => r(i).toDouble / n(i).toDouble
+            + math.sqrt(2.0 * math.log(t.toDouble) / n(i).toDouble))
+          u.indexOf(u.max)
+        }
+      val ucbE9 =
+        if (n.contains(0L)) None
+        else {
+          val t = n.sum
+          Some(math.floor((r(choice).toDouble / n(choice).toDouble
+            + math.sqrt(2.0 * math.log(t.toDouble) / n(choice).toDouble))
+            * 1e9 + 0.5).toLong)
+        }
+      n(choice) += cn(choice)
+      r(choice) += cr(choice)
+      (day, ti + 1L, arms(choice), cn(choice), cr(choice),
+        n(choice), r(choice), ucbE9)
+    }
+    rows.toSeq
+      .toDF("day", "t", "arm", "n_day", "r_day", "n_cum", "r_cum", "ucb_e9")
+      .orderBy("t")
+  }
+
+  val ucbOracle: String =
+    """WITH RECURSIVE
+      |ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+      |         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS f2,
+      |         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f3,
+      |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f4,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |       FROM events GROUP BY 1, 2),
+      |cells AS MATERIALIZED (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS t,
+      |         [CAST(SUM(f1) AS BIGINT), CAST(SUM(f2) AS BIGINT),
+      |          CAST(SUM(f3) AS BIGINT), CAST(SUM(f4) AS BIGINT)] AS cn,
+      |         [CAST(SUM(f1 * y) AS BIGINT), CAST(SUM(f2 * y) AS BIGINT),
+      |          CAST(SUM(f3 * y) AS BIGINT), CAST(SUM(f4 * y) AS BIGINT)] AS cr
+      |  FROM ud GROUP BY day),
+      |it AS (
+      |  SELECT 0 AS t, CAST(NULL AS BIGINT) AS day,
+      |         [CAST(0 AS BIGINT), 0, 0, 0] AS n, [CAST(0 AS BIGINT), 0, 0, 0] AS r,
+      |         CAST(NULL AS INTEGER) AS choice,
+      |         CAST(NULL AS BIGINT) AS n_day, CAST(NULL AS BIGINT) AS r_day,
+      |         CAST(NULL AS BIGINT) AS ucb_e9
+      |  UNION ALL
+      |  SELECT c.t, c.day,
+      |         list_transform(range(1, 5), i ->
+      |           n[i] + CASE WHEN i = ch THEN c.cn[i] ELSE 0 END),
+      |         list_transform(range(1, 5), i ->
+      |           r[i] + CASE WHEN i = ch THEN c.cr[i] ELSE 0 END),
+      |         CAST(ch AS INTEGER), c.cn[ch], c.cr[ch],
+      |         CASE WHEN list_min(n) > 0 THEN
+      |           CAST(floor(u[ch] * 1000000000 + 0.5) AS BIGINT) END
+      |  FROM (SELECT it.t AS pt, it.n, it.r,
+      |               CASE WHEN list_min(it.n) = 0 THEN list_position(it.n, 0)
+      |                    ELSE list_position(u0, list_max(u0)) END AS ch,
+      |               u0 AS u
+      |        FROM (SELECT *,
+      |                list_transform(range(1, 5), i ->
+      |                  CASE WHEN n[i] > 0 THEN
+      |                    CAST(r[i] AS DOUBLE) / CAST(n[i] AS DOUBLE)
+      |                    + sqrt(2.0 * ln(CAST(n[1] + n[2] + n[3] + n[4] AS DOUBLE))
+      |                           / CAST(n[i] AS DOUBLE))
+      |                  ELSE 0.0 END) AS u0
+      |              FROM it) it) s
+      |  JOIN cells c ON c.t = s.pt + 1),
+      |arms AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+      |                               (3, 'signup'), (4, 'view')) a(i, arm))
+      |SELECT it.day, CAST(it.t AS BIGINT) AS t, arms.arm,
+      |       it.n_day, it.r_day,
+      |       it.n[it.choice] AS n_cum, it.r[it.choice] AS r_cum, it.ucb_e9
+      |FROM it JOIN arms ON arms.i = it.choice
+      |WHERE it.t >= 1 ORDER BY t""".stripMargin
 }

@@ -121,6 +121,7 @@ object Ext {
     "x235_good_turing"     -> ((s: SparkSession, d: String) => TextAnalysis.goodTuring(s, d)),
     "x236_nelson_aalen"    -> ((s: SparkSession, d: String) => Events.nelsonAalen(s, d)),
     "x237_jackknife_se"    -> ((s: SparkSession, d: String) => graft.ops.Quality.jackknifeRatio(s, d)),
+    "x238_ucb_replay"      -> ((s: SparkSession, d: String) => graft.ops.Quality.ucbReplay(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -524,6 +525,7 @@ object Ext {
     "x235_good_turing"     -> TextAnalysis.goodTuringOracle,
     "x236_nelson_aalen"    -> Events.nelsonAalenOracle,
     "x237_jackknife_se"    -> graft.ops.Quality.jackknifeOracle,
+    "x238_ucb_replay"      -> graft.ops.Quality.ucbOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

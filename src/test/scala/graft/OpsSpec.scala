@@ -2347,6 +2347,60 @@ class OpsSpec extends SparkSuite {
     assert(se >= 0L && se < ratio)
   }
 
+  test("UCB1 replay follows the index policy with round-robin seeding") {
+    val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    val arms = Array("click", "error", "signup", "view")
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((_, day), es) =>
+        val types = es.map(_._3).toSet
+        val y = if (types("purchase")) 1L else 0L
+        (day, arms.map(a => if (types(a)) 1L else 0L),
+          arms.map(a => if (types(a)) y else 0L))
+      }.toSeq
+    val cells = ud.groupBy(_._1).view.mapValues { g =>
+      (Array.tabulate(4)(i => g.map(_._2(i)).sum),
+        Array.tabulate(4)(i => g.map(_._3(i)).sum))
+    }.toSeq.sortBy(_._1)
+    val n = Array.fill(4)(0L)
+    val r = Array.fill(4)(0L)
+    val exp = cells.zipWithIndex.map { case ((day, (cn, cr)), ti) =>
+      val seeding = n.contains(0L)
+      val choice =
+        if (seeding) n.indexOf(0L)
+        else {
+          val t = n.sum
+          val u = Array.tabulate(4)(i => r(i).toDouble / n(i).toDouble
+            + math.sqrt(2.0 * math.log(t.toDouble) / n(i).toDouble))
+          u.indexOf(u.max)
+        }
+      val ucb = if (seeding) None else {
+        val t = n.sum
+        Some(math.floor((r(choice).toDouble / n(choice).toDouble
+          + math.sqrt(2.0 * math.log(t.toDouble) / n(choice).toDouble))
+          * 1e9 + 0.5).toLong)
+      }
+      n(choice) += cn(choice)
+      r(choice) += cr(choice)
+      (day, ti + 1L, arms(choice), cn(choice), cr(choice), n(choice), r(choice), ucb)
+    }
+    assert(got.toSeq === exp, "UCB1 trajectory mismatch")
+    // structure: the first four pulls are the round-robin seed with no
+    // index; afterwards every row carries its UCB index
+    assert(got.take(4).map(_._3).toSeq === arms.toSeq)
+    assert(got.take(4).forall(_._8.isEmpty))
+    assert(got.drop(4).forall(_._8.isDefined))
+    // rewards never exceed observations, cumulative or daily
+    got.foreach { case (_, _, _, nd, rd, nc, rc, _) =>
+      assert(rd <= nd && rc <= nc)
+    }
+  }
+
   test("SPRT trajectory equals the integer likelihood-ratio replay with sticky stops") {
     val got = graft.ops.Quality.sprtMonitor(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -1985,6 +1985,169 @@ object Analytics {
       |WHERE wday >= lo + 6 AND wday <= hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x239: EXACT isotonic regression of the daily conversion rate on
+    * time, via the minimax characterization f(i) = max_{j≤i} min_{k≥i}
+    * avg(j..k) (Barlow et al. 1972) — algebraically identical to PAVA's
+    * pool-adjacent-violators fit but with NO sequential pooling, so the
+    * whole fit is three window/aggregate passes any engine can run
+    * declaratively (m06's spark.ml isotonic is rows-only because PAVA's
+    * driver recursion isn't SQL-expressible; THIS form is, which moves
+    * the isotonic family onto the hash-checked path). Monotone-rate
+    * calibration over time is the drift-aware view of m03/m06's
+    * score-calibration.
+    *
+    * Exactness: every block average (C_k − C_{j−1})/(U_k − U_{j−1}) is
+    * ONE double division of exact integer prefix sums; the suffix-min /
+    * prefix-max passes compare those doubles bit-identically in both
+    * engines; e9 quantization happens once at the end. Scale shape: the
+    * fact reduces to the day grain immediately; the O(n²) pair frame and
+    * its windows live on the CALENDAR-bounded series (the a37/a38
+    * argument — n grows with days, not corpus).
+    */
+  def isotonicExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .groupBy("day").agg(count(lit(1)).as("u"), sum(col("y")).as("c"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .withColumn("i", row_number().over(Window.orderBy("day")))
+      .withColumn("ci", sum(col("c")).over(wCum))
+      .withColumn("ui", sum(col("u")).over(wCum))
+      .select(col("i"), col("day"), col("u"), col("c"),
+        col("ci"), col("ui"),
+        (col("ci") - col("c")).as("cprev"), (col("ui") - col("u")).as("uprev"))
+    val pairs = pre.select(col("i").as("j"), col("cprev"), col("uprev"))
+      .join(pre.select(col("i").as("k"), col("ci"), col("ui")),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("ci") - col("cprev")).cast("double")
+          / (col("ui") - col("uprev")).cast("double")).as("a"))
+    val sfx = pairs.withColumn("minavg",
+      min(col("a")).over(Window.partitionBy("j").orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val iso = sfx.groupBy(col("k").as("i")).agg(max(col("minavg")).as("f"))
+    pre.join(iso, "i")
+      .select(col("day"), col("u").as("n_users"), col("c").as("conversions"),
+        floor(col("c").cast("double") / col("u").cast("double")
+          * 1000000000d + 0.5d).cast("long").as("rate_e9"),
+        floor(col("f") * 1000000000d + 0.5d).cast("long").as("iso_e9"))
+      .orderBy("day")
+  }
+
+  val isotonicExactOracle: String =
+    """WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |            FROM events GROUP BY 1, 2),
+      |d AS (SELECT day, COUNT(*) AS u, CAST(SUM(y) AS BIGINT) AS c
+      |      FROM ud GROUP BY 1),
+      |pre AS (SELECT day, u, c,
+      |               row_number() OVER (ORDER BY day) AS i,
+      |               CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS ci,
+      |               CAST(SUM(u) OVER (ORDER BY day) AS BIGINT) AS ui
+      |        FROM d),
+      |pairs AS (SELECT j.i AS j, k.i AS k,
+      |                 CAST(k.ci - (j.ci - j.c) AS DOUBLE)
+      |                   / CAST(k.ui - (j.ui - j.u) AS DOUBLE) AS a
+      |          FROM pre j JOIN pre k ON j.i <= k.i),
+      |sfx AS (SELECT j, k,
+      |               MIN(a) OVER (PARTITION BY j ORDER BY k DESC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minavg
+      |        FROM pairs),
+      |iso AS (SELECT k AS i, MAX(minavg) AS f FROM sfx GROUP BY 1)
+      |SELECT pre.day, pre.u AS n_users, pre.c AS conversions,
+      |       CAST(floor(CAST(pre.c AS DOUBLE) / CAST(pre.u AS DOUBLE)
+      |         * 1000000000 + 0.5) AS BIGINT) AS rate_e9,
+      |       CAST(floor(f * 1000000000 + 0.5) AS BIGINT) AS iso_e9
+      |FROM pre JOIN iso ON iso.i = pre.i
+      |ORDER BY pre.day""".stripMargin
+
+  /** x240: rolling-origin forecast backtest (Tashman 2000's evaluation
+    * protocol) — the harness that KEEPS a forecaster honest: for every
+    * origin and horizon h ∈ 1..7, compare what each baseline would have
+    * predicted (naive = last value at origin; seasonal-naive = value one
+    * week back; drift = last value + h × average historical slope)
+    * against the realized daily revenue, and report per-(model, horizon)
+    * MAE — the backtest grid a46's Holt–Winters must beat to earn its
+    * keep.
+    *
+    * Exactness: the series is integer cents on the rank axis; naive and
+    * seasonal-naive errors are exact integer differences; the drift
+    * forecast's one double expression rounds to the cents grid BEFORE
+    * the error, so every |error| that enters a sum is an exact BIGINT
+    * and MAE is one final division. Scale shape: calendar-bounded series
+    * (~2.4k rows), 7 horizons × 3 models of window-free self-joins on
+    * the rank axis.
+    */
+  def backtestNaive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = dailyRevenue(spark, dir)
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .select(col("i"), col("cents"))
+    val y1 = s.filter(col("i") === 1L).select(col("cents").as("y1"))
+    val h = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("h")
+    val f = s.crossJoin(h)
+      .join(s.select(col("i").as("oi"), col("cents").as("yo")),
+        col("oi") === col("i") - col("h"))
+      .join(s.select(col("i").as("si"), col("cents").as("ys")),
+        col("si") === col("i") - lit(7L), "left_outer")
+      .crossJoin(broadcast(y1))
+    val drift = col("yo").cast("double") +
+      col("h").cast("double") * ((col("yo") - col("y1")).cast("double")
+        / (col("oi") - lit(1L)).cast("double"))
+    val errs = f.select(col("h"),
+        abs(col("cents") - col("yo")).as("e_naive"),
+        when(col("ys").isNotNull, abs(col("cents") - col("ys"))).as("e_snaive"),
+        when(col("oi") >= 2L,
+          abs(col("cents") - floor(drift + 0.5d).cast("long"))).as("e_drift"))
+    Seq(("naive", "e_naive"), ("snaive", "e_snaive"), ("drift", "e_drift"))
+      .map { case (m, c) =>
+        errs.filter(col(c).isNotNull).groupBy("h")
+          .agg(count(lit(1)).as("n"), sum(col(c)).as("sum_abs"))
+          .select(lit(m).as("model"), col("h"), col("n"), col("sum_abs"))
+      }.reduce(_ unionAll _)
+      .select(col("model"), col("h"), col("n"), col("sum_abs"),
+        floor(col("sum_abs").cast("double") / col("n").cast("double") + 0.5d)
+          .cast("long").as("mae_cents"))
+      .orderBy("model", "h")
+  }
+
+  val backtestOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |               FROM orders GROUP BY 1),
+      |s AS (SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+      |y1 AS (SELECT cents AS y1 FROM s WHERE i = 1),
+      |h AS (SELECT unnest(range(1, 8)) AS h),
+      |f AS (SELECT s.i, s.cents, h.h, o.cents AS yo, o.i AS oi, sn.cents AS ys, y1.y1
+      |      FROM s CROSS JOIN h
+      |      JOIN s o ON o.i = s.i - h.h
+      |      LEFT JOIN s sn ON sn.i = s.i - 7
+      |      CROSS JOIN y1),
+      |e AS (SELECT h,
+      |             abs(cents - yo) AS e_naive,
+      |             CASE WHEN ys IS NOT NULL THEN abs(cents - ys) END AS e_snaive,
+      |             CASE WHEN oi >= 2 THEN
+      |               abs(cents - CAST(floor(CAST(yo AS DOUBLE)
+      |                 + CAST(h AS DOUBLE) * (CAST(yo - y1 AS DOUBLE)
+      |                   / CAST(oi - 1 AS DOUBLE)) + 0.5) AS BIGINT)) END AS e_drift
+      |      FROM f),
+      |u AS (SELECT 'naive' AS model, h, COUNT(*) AS n,
+      |             CAST(SUM(e_naive) AS BIGINT) AS sum_abs
+      |      FROM e WHERE e_naive IS NOT NULL GROUP BY 2
+      |      UNION ALL
+      |      SELECT 'snaive', h, COUNT(*), CAST(SUM(e_snaive) AS BIGINT)
+      |      FROM e WHERE e_snaive IS NOT NULL GROUP BY 2
+      |      UNION ALL
+      |      SELECT 'drift', h, COUNT(*), CAST(SUM(e_drift) AS BIGINT)
+      |      FROM e WHERE e_drift IS NOT NULL GROUP BY 2)
+      |SELECT model, CAST(h AS BIGINT) AS h, n, sum_abs,
+      |       CAST(floor(CAST(sum_abs AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |         AS BIGINT) AS mae_cents
+      |FROM u ORDER BY model, h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),

@@ -2347,6 +2347,75 @@ class OpsSpec extends SparkSuite {
     assert(se >= 0L && se < ratio)
   }
 
+  test("exact isotonic fit equals PAVA pooling and preserves the weighted mean") {
+    val got = graft.queries.Analytics.isotonicExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // PAVA from first principles on the same day series
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(e => (e._1, e._2)).toSeq.map { case ((_, day), es) =>
+        (day, if (es.exists(_._3 == "purchase")) 1L else 0L)
+      }.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toSeq.sortBy(_._1)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    daily.foreach { case (_, (u, c)) =>
+      blocks += ((c, u, 1))
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a._1.toDouble / a._2.toDouble > b._1.toDouble / b._2.toDouble
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    val pava = blocks.flatMap { case (cS, uS, cnt) =>
+      Seq.fill(cnt)(cS.toDouble / uS.toDouble)
+    }
+    assert(got.length === daily.length)
+    got.zipWithIndex.foreach { case ((day, u, c, rate, iso), i) =>
+      assert((day, u, c) === ((daily(i)._1, daily(i)._2._1, daily(i)._2._2)))
+      assert(rate === math.floor(c.toDouble / u.toDouble * 1e9 + 0.5).toLong)
+      // the minimax form picks exactly the pooled block's average — the
+      // SAME division of the same integers PAVA computes — so equality
+      // holds at full e9 precision, not within a tolerance
+      assert(iso === math.floor(pava(i) * 1e9 + 0.5).toLong, s"day $day fit")
+    }
+    // monotone, and the fit preserves the weighted mean (Σ u·f = Σ c)
+    got.sliding(2).foreach { case Array(a, b) => assert(a._5 <= b._5) }
+    val lhs = got.map(t => t._2.toDouble * (t._5.toDouble / 1e9)).sum
+    assert(math.abs(lhs - got.map(_._3).sum.toDouble) < 1e-3 * got.map(_._3).sum)
+  }
+
+  test("rolling-origin backtest recomputes from the series for all three baselines") {
+    val got = graft.queries.Analytics.backtestNaive(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val s = graft.queries.Analytics.dailyRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val n = s.length
+    val y1 = s(0)
+    (1 to 7).foreach { h =>
+      val naive = (h until n).map(i => math.abs(s(i) - s(i - h)))
+      val snaive = (7 until n).map(i => math.abs(s(i) - s(i - 7)))
+      val drift = (h until n).filter(i => i - h >= 1).map { i =>
+        val o = i - h
+        val f = s(o).toDouble + h.toDouble * ((s(o) - y1).toDouble / o.toDouble)
+        math.abs(s(i) - math.floor(f + 0.5).toLong)
+      }
+      Seq(("naive", naive), ("snaive", snaive), ("drift", drift)).foreach {
+        case (m, errs) =>
+          val (cnt, sumAbs, mae) = got((m, h.toLong))
+          assert(cnt === errs.length.toLong, s"$m h=$h count")
+          assert(sumAbs === errs.sum, s"$m h=$h sum")
+          assert(mae === math.floor(errs.sum.toDouble / errs.length + 0.5).toLong)
+      }
+    }
+    assert(got.size === 21)
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

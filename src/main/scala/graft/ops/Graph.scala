@@ -312,6 +312,80 @@ object Graph {
       .orderBy("l_partkey")
   }
 
+  /** x241: harmonic closeness centrality (Marchiori & Latora 2000 — the
+    * closeness variant that stays well-defined on disconnected graphs)
+    * over the undirected nation trade graph: C_H(s) = Σ_{v≠s} 1/d(s,v),
+    * the "how quickly can s reach everyone" complement to x110's
+    * PageRank (prestige), x136's triangles (cohesion), x200's k-core
+    * (density) and x231's LPA (membership). All-pairs distances come
+    * from 6 Bellman–Ford rounds run as ONE relational iteration: the
+    * state is the full (src, node, dist) table and each round is a join
+    * against the hop-augmented edge list (self-loops at hop 0 make the
+    * step a single MIN aggregate — no second recursive reference), which
+    * is exactly the Pregel/BSP shape at cluster scale. Everything is
+    * integer: distances are hop counts, and each 1/d term quantizes as
+    * the exact integer division 10⁶ div d BEFORE the sum, so the
+    * centrality is an exact BIGINT — both engines run the identical six
+    * rounds and hash-match every score.
+    */
+  def harmonicCentrality(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val dirEdges = tradeEdges(spark, dir)
+    val und = dirEdges.select(col("src"), col("dst"))
+      .unionAll(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val hopEdges = und.withColumn("hop", lit(1L))
+      .unionAll(und.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("hop")))
+      .localCheckpoint()
+    var state = und.select(col("src")).distinct()
+      .select(col("src").as("s"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      state = state.join(hopEdges, col("node") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(min(col("dist") + col("hop")).as("dist"))
+        .select(col("s"), col("dst").as("node"), col("dist"))
+        .localCheckpoint()
+    }
+    state.filter(col("dist") > 0L)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harm_e6"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))), col("s") === col("n_nationkey"))
+      .select(col("s").cast("long").as("nationkey"), col("n_name").as("nation"),
+        col("n_reached"), col("harm_e6"))
+      .orderBy("nationkey")
+  }
+
+  val harmonicOracle: String =
+    """WITH RECURSIVE
+      |de AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |       FROM lineitem l
+      |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |       JOIN customer c ON o.o_custkey = c.c_custkey
+      |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |       GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT src, dst FROM
+      |        (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+      |nodes AS (SELECT DISTINCT src FROM und),
+      |ee AS MATERIALIZED (
+      |  SELECT src, dst, 1 AS hop FROM und
+      |  UNION ALL SELECT src, src, 0 FROM nodes),
+      |it AS (
+      |  SELECT 0 AS t, src AS s, src AS node, 0 AS dist FROM nodes
+      |  UNION ALL
+      |  SELECT t + 1, s, ee.dst AS node, MIN(dist + hop) AS dist
+      |  FROM it JOIN ee ON ee.src = it.node
+      |  WHERE t < 6 GROUP BY 1, 2, 3)
+      |SELECT CAST(f.s AS BIGINT) AS nationkey, n.n_name AS nation,
+      |       COUNT(*) AS n_reached,
+      |       CAST(SUM(1000000 // dist) AS BIGINT) AS harm_e6
+      |FROM (SELECT s, node, dist FROM it WHERE t = 6) f
+      |JOIN nation n ON n.n_nationkey = f.s
+      |WHERE dist > 0
+      |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin
+
   val labelPropagationOracle: String =
     """WITH RECURSIVE
       |bsk AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

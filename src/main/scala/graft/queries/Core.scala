@@ -425,6 +425,44 @@ object Core {
       .orderBy("k")
   }
 
+  /** q28: Write–Audit–Publish (the Netflix/Iceberg WAP pattern) composed
+    * from the engine's own parts — the data-eng discipline that a table
+    * is never visible to consumers until its audits pass: (1) WRITE the
+    * daily-revenue aggregate to a STAGING path through the graftkv
+    * connector's atomic commit; (2) AUDIT by reading staging back and
+    * checking the contract (nonempty, keys unique, no negative values,
+    * conservation: staged total equals the source total — computed as
+    * one aggregate each); (3) PUBLISH by copying the audited rows
+    * through a second atomic graftkv commit to the consumer path, which
+    * readers only ever see whole. The returned frame reads the
+    * PUBLISHED table, so the gate hash-checks what a consumer would
+    * actually get after the full pattern ran.
+    */
+  def q28WapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val staging = s"$ioDir/wap_staging"
+    val publish = s"$ioDir/wap_publish"
+    val src = Tables.orders(spark, dir)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("k").agg(sum(col("cents")).as("v"))
+    src.write.format("graft.sources.KvSource")
+      .option("path", staging).mode("overwrite").save()
+    val staged = spark.read.format("graft.sources.KvSource")
+      .option("path", staging).load()
+    val a = staged.agg(count(lit(1)).as("n"), countDistinct(col("k")).as("nk"),
+      min(col("v")).as("mn"), sum(col("v")).as("tot")).collect()(0)
+    val srcTotal = src.agg(sum(col("v"))).collect()(0).getLong(0)
+    require(a.getLong(0) > 0L, "WAP audit: staged table is empty")
+    require(a.getLong(0) == a.getLong(1), "WAP audit: duplicate keys staged")
+    require(a.getLong(2) >= 0L, "WAP audit: negative revenue staged")
+    require(a.getLong(3) == srcTotal, "WAP audit: staged total drifted from source")
+    staged.write.format("graft.sources.KvSource")
+      .option("path", publish).mode("overwrite").save()
+    spark.read.format("graft.sources.KvSource").option("path", publish).load()
+      .orderBy("k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -453,6 +491,7 @@ object Core {
     "q25_bucketed_join"       -> (q25BucketedJoin _),
     "q26_dsv2_source"         -> (q26Dsv2Source _),
     "q27_dsv2_write"          -> (q27Dsv2Write _),
+    "q28_wap_publish"         -> (q28WapPublish _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -529,6 +568,12 @@ object Core {
     // must be exactly the aggregate that was written through it
     "q27_dsv2_write"          ->
       """SELECT o_custkey AS k, COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // what the consumer reads after write-audit-publish must be exactly
+    // the source aggregate that entered staging
+    "q28_wap_publish"         ->
+      """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
   )
 }

@@ -2416,6 +2416,33 @@ class OpsSpec extends SparkSuite {
     assert(got.size === 21)
   }
 
+  test("harmonic centrality equals brute-force BFS over the undirected trade graph") {
+    val got = graft.ops.Graph.harmonicCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val edges = graft.ops.Graph.tradeEdges(spark, sf)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    got.foreach { case (nk, _, nReached, harm) =>
+      // level-synchronous BFS from nk
+      var dist = Map(nk -> 0L)
+      var level = Set(nk)
+      var hops = 0L
+      while (level.nonEmpty) {
+        hops += 1L
+        val next = level.flatMap(adj(_)).diff(dist.keySet)
+        next.foreach(v => dist += v -> hops)
+        level = next
+      }
+      val reached = dist.removed(nk)
+      assert(nReached === reached.size.toLong, s"nation $nk reach")
+      assert(harm === reached.values.map(d => 1000000L / d).sum, s"nation $nk harmonic")
+    }
+    assert(got.map(_._1).toSet === nodes)
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

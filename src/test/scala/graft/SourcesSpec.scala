@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, floor, lit, round, sum, unix_micros}
 import org.apache.spark.sql.types._
 
 import graft.sources.Ingest
@@ -280,5 +280,31 @@ class SourcesSpec extends SparkSuite {
     w.abort()
     assert(ls("_staged").isEmpty, "abort must delete the staged file")
     assert(ls("part-").size === 3, "abort must not touch published parts")
+  }
+
+  test("write-audit-publish gates on real contract violations") {
+    import spark.implicits._
+    // the happy path publishes exactly the source aggregate
+    val out = graft.queries.Core.q28WapPublish(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      .groupBy("k").agg(sum(col("v")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === exp.toSeq, "published table must equal the source aggregate")
+    // and the audit predicates are NOT vacuous: a staged table with a
+    // duplicated key is caught by the same uniqueness check q28 applies
+    val bad = s"${graft.RunScoped.ioDir}/wap_bad"
+    Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+      .repartition(1)
+      .write.format("graft.sources.KvSource").option("path", bad)
+      .mode("overwrite").save()
+    val staged = spark.read.format("graft.sources.KvSource").option("path", bad).load()
+    val a = staged.agg(count(lit(1)).as("n"),
+      countDistinct(col("k")).as("nk")).collect()(0)
+    assert(a.getLong(0) !== a.getLong(1),
+      "duplicate-key staging must fail the uniqueness audit")
   }
 }

@@ -1374,6 +1374,82 @@ object Similarity {
     chosen.reverse.toDF("step", "vec_id", "dist2").orderBy("step")
   }
 
+  /** x242: mutual-kNN graph clustering (Brito et al. 1997) — the
+    * density-style grouping the centroid methods (x177 k-means, x22 IVF)
+    * can't produce: two vectors cluster together only if each is among
+    * the other's k nearest neighbors, so chains of one-sided attraction
+    * (a hub pulling everything toward it) don't merge groups, and
+    * isolated points simply have no mutual edge (noise — the DBSCAN
+    * property, without DBSCAN's eps knob). Edges live within label
+    * blocks (the x15/x63 blocking discipline; at 100 TB the block is the
+    * IVF cell — per-key bounded, never a global all-pairs), kNN is the
+    * x20 rank shape with k = 5, and components come from the shared
+    * pointer-jumping [[graft.ext.Dedup.connectedComponents]] (O(log d)
+    * rounds). Everything is exact integers — e4-grid distances², (d²,
+    * id) rank keys, min-id labels — so the DuckDB twin (same window,
+    * same mutual semi-join, x63's transitive-closure reach) hash-matches
+    * every membership.
+    */
+  def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = graft.Layer.cached(spark, dir, s"mutualKnn@$k") {
+      val q = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000 " +
+          "+ 0.5) AS BIGINT))").as("q"))
+      val l = q.select(col("label").as("bl"), col("vec_id").as("a"), col("q").as("qa"))
+      val r = q.select(col("label").as("br"), col("vec_id").as("b"), col("q").as("qb"))
+      val d2 = aggregate(
+        zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      val scored = l.join(r, col("bl") === col("br") && col("a") =!= col("b"))
+        .select(col("a"), col("b"), d2.as("d2"))
+      val w = Window.partitionBy("a").orderBy(col("d2"), col("b"))
+      val knn = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k).select("a", "b")
+      val mutual = knn.join(knn.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"))
+        .filter(col("a") < col("b"))
+      graft.ext.Dedup.connectedComponents(mutual)
+    }
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("rep").as("cluster_rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  val mutualKnnOracle: String =
+    """WITH RECURSIVE
+      |q AS MATERIALIZED (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |              list_sum(list_transform(range(1, 65),
+      |                t -> (a.q[t] - b.q[t]) * (a.q[t] - b.q[t]))) AS d2
+      |       FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |knn AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rnk
+      |    FROM sc) WHERE rnk <= 5),
+      |mu AS (SELECT k1.a, k1.b FROM knn k1
+      |       JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+      |       WHERE k1.a < k1.b),
+      |edges AS (SELECT a, b FROM mu UNION SELECT b, a FROM mu),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |cl AS (SELECT id, CAST(MIN(r) AS BIGINT) AS rep FROM reach GROUP BY id),
+      |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+      |SELECT cl.id AS vec_id, CAST(q.label AS BIGINT) AS label,
+      |       cl.rep AS cluster_rep, CAST(sz.cluster_size AS BIGINT) AS cluster_size
+      |FROM cl JOIN sz USING (rep) JOIN q ON q.vec_id = cl.id
+      |ORDER BY vec_id""".stripMargin
+
   val kcenterOracle: String = {
     val dist = (a: String, b: String) =>
       s"list_sum(list_transform(range(1,65), t -> ($a[t]-$b[t])*($a[t]-$b[t])))"

@@ -125,6 +125,7 @@ object Ext {
     "x239_isotonic_exact"  -> ((s: SparkSession, d: String) => Analytics.isotonicExact(s, d)),
     "x240_backtest"        -> ((s: SparkSession, d: String) => Analytics.backtestNaive(s, d)),
     "x241_harmonic"        -> ((s: SparkSession, d: String) => graft.ops.Graph.harmonicCentrality(s, d)),
+    "x242_mutual_knn"      -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -532,6 +533,7 @@ object Ext {
     "x239_isotonic_exact"  -> Analytics.isotonicExactOracle,
     "x240_backtest"        -> Analytics.backtestOracle,
     "x241_harmonic"        -> graft.ops.Graph.harmonicOracle,
+    "x242_mutual_knn"      -> Similarity.mutualKnnOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

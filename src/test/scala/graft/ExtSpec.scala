@@ -1075,6 +1075,52 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("mutual-kNN clusters replay from brute-force and never span label blocks") {
+    val got = Similarity.mutualKnnClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(v => math.floor(v.toDouble * 1e4 + 0.5).toLong).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val knn = vecs.map { case (id, lb, q) =>
+      id -> vecs.filter(v => v._2 == lb && v._1 != id)
+        .map(v => (d2(q, v._3), v._1)).sorted.take(5).map(_._2).toSet
+    }.toMap
+    val mutual = (for {
+      (a, na) <- knn.toSeq; b <- na
+      if a < b && knn(b).contains(a)
+    } yield (a, b)).toSet
+    // union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = mutual.flatMap(p => Seq(p._1, p._2))
+    val rep = members.map(m => m -> find(m)).toMap
+    val size = rep.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.length === members.size, "clustered node set size")
+    val lbl = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case (id, lb, cr, cs) =>
+      assert(lb === lbl(id))
+      assert(cr === rep(id), s"vec $id rep")
+      assert(cs === size(rep(id)), s"vec $id size")
+      // blocking invariant: the representative shares the node's label
+      assert(lbl(cr) === lb, s"cluster $cr spans labels")
+    }
+    // noise exists or not, but never a singleton WITH an edge
+    assert(got.forall(_._4 >= 2L), "clusters have at least two members")
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -1392,15 +1392,34 @@ object Similarity {
     */
   def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val labels = graft.Layer.cached(spark, dir, s"mutualKnn@$k") {
+      // CELL-SIZE GOVERNOR (the deriveBands/x158-cap discipline): label
+      // blocks grow linearly with the corpus, so block-local pairs grow
+      // QUADRATICALLY — measured e ≈ 1 wall / 10× cost at 10× corpus
+      // before this bound (SCALE.md round-9). Sub-split every label by a
+      // content-addressed md5 bucket into ⌈n/(|labels|·512)⌉ cells so the
+      // expected cell stays ≤ ~512 vectors and pair volume is O(n·512) —
+      // the bounded-IVF-cell story made literal. nSub derives from two
+      // exact corpus counts in BOTH engines (1 at the oracle SFs, so the
+      // gate exercises the derivation, not a hardcoded 1); neighbors
+      // across cells are the documented miss, identical on both sides.
+      val Array(counts) = Tables.embeddings(spark, dir)
+        .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("nl"))
+        .collect()
+      val (nVec, nLab) = (counts.getLong(0), counts.getLong(1))
+      val nSub = math.max(1L, (nVec + nLab * 512L - 1L) / (nLab * 512L))
       val q = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+        (graft.ops.Sampling.bucket10k(col("vec_id"), 13) % nSub).as("sub"),
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000 " +
           "+ 0.5) AS BIGINT))").as("q"))
-      val l = q.select(col("label").as("bl"), col("vec_id").as("a"), col("q").as("qa"))
-      val r = q.select(col("label").as("br"), col("vec_id").as("b"), col("q").as("qb"))
+      val l = q.select(col("label").as("bl"), col("sub").as("sl"),
+        col("vec_id").as("a"), col("q").as("qa"))
+      val r = q.select(col("label").as("br"), col("sub").as("sr"),
+        col("vec_id").as("b"), col("q").as("qb"))
       val d2 = aggregate(
         zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
-      val scored = l.join(r, col("bl") === col("br") && col("a") =!= col("b"))
+      val scored = l.join(r, col("bl") === col("br") && col("sl") === col("sr")
+          && col("a") =!= col("b"))
         .select(col("a"), col("b"), d2.as("d2"))
       val w = Window.partitionBy("a").orderBy(col("d2"), col("b"))
       val knn = scored.withColumn("rnk", row_number().over(w))
@@ -1421,15 +1440,21 @@ object Similarity {
 
   val mutualKnnOracle: String =
     """WITH RECURSIVE
+      |gov AS (SELECT GREATEST(1, (COUNT(*) + COUNT(DISTINCT label) * 512 - 1)
+      |                           // (COUNT(DISTINCT label) * 512)) AS n_sub
+      |        FROM embeddings),
       |q AS MATERIALIZED (
       |  SELECT vec_id, label,
+      |         (('0x' || substr(md5(vec_id || ':13'), 1, 8))::BIGINT % 10000)
+      |           % (SELECT n_sub FROM gov) AS sub,
       |         list_transform(embedding,
       |           v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
       |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
       |              list_sum(list_transform(range(1, 65),
       |                t -> (a.q[t] - b.q[t]) * (a.q[t] - b.q[t]))) AS d2
-      |       FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |       FROM q a JOIN q b ON a.label = b.label AND a.sub = b.sub
+      |                        AND a.vec_id <> b.vec_id),
       |knn AS MATERIALIZED (
       |  SELECT a, b FROM (
       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rnk

@@ -1087,8 +1087,19 @@ class ExtSpec extends SparkSuite {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    // cell-size governor replay: nSub from the same exact counts, the
+    // sub cell from the same md5 bucket (1 cell at this SF — the law
+    // exercises the derivation, not a hardcoded passthrough)
+    val nLab = vecs.map(_._2).distinct.length.toLong
+    val nSub = math.max(1L, (vecs.length + nLab * 512L - 1L) / (nLab * 512L))
+    def sub(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:13".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 10000L) % nSub
+    }
     val knn = vecs.map { case (id, lb, q) =>
-      id -> vecs.filter(v => v._2 == lb && v._1 != id)
+      id -> vecs.filter(v => v._2 == lb && sub(v._1) == sub(id) && v._1 != id)
         .map(v => (d2(q, v._3), v._1)).sorted.take(5).map(_._2).toSet
     }.toMap
     val mutual = (for {

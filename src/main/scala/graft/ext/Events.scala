@@ -1630,6 +1630,166 @@ object Events {
       |        JOIN inb ON inb.j = ch.v + 1
       |ORDER BY ch.channel""".stripMargin
 
+  /** x244: journey entropy rate (Shannon 1948's source rate; Song et al.
+    * 2010's predictability framing) — HOW PREDICTABLE is user behavior:
+    * the x234 journey chain made recurrent (CONV/NULL feed back to START,
+    * i.e. journeys concatenate), its stationary distribution π from 200
+    * power-iteration sweeps, and the rate H = Σ_s π_s · H(P_s·) in
+    * nats — the floor on what ANY next-event predictor can achieve; a
+    * per-state breakdown shows WHERE the uncertainty lives (a state with
+    * H ≈ 0 is a corridor, high H a crossroads).
+    *
+    * Determinism: the 7×7 recurrent grid is exact integers (one
+    * windowed pass — the x234 derivation); probabilities are single
+    * divisions; π sweeps and both entropy folds are ascending-index
+    * left folds (`list_dot_product` discipline), with the x170-class
+    * data-dependent ln measured bit-identical across engines; one e9/e6
+    * quantization at the end. Driver-side on the 49-cell grid, oracle
+    * replays the same sweeps in one recursive CTE.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    val ord = ev.withColumn("rn", row_number().over(w))
+    val firstP = ord.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min(col("rn")).as("prn"))
+    val st = ord.join(firstP, Seq("user_id", "day"), "left_outer")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .select(col("user_id"), col("day"), col("rn"),
+        when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "error", 3L)
+          .when(col("event_type") === "signup", 4L)
+          .otherwise(5L).as("s"))
+    val w2 = Window.partitionBy("user_id", "day").orderBy("rn")
+    val mid = st.select(
+      coalesce(lag(col("s"), 1).over(w2), lit(1L)).as("a"), col("s").as("b"))
+    val lastS = st.groupBy("user_id", "day").agg(max_by(col("s"), col("rn")).as("a"))
+    val terminal = ord.select("user_id", "day").distinct()
+      .join(lastS, Seq("user_id", "day"), "left_outer")
+      .join(firstP, Seq("user_id", "day"), "left_outer")
+      .select(coalesce(col("a"), lit(1L)).as("a"),
+        when(col("prn").isNotNull, 6L).otherwise(7L).as("b"))
+    val grid = mid.unionAll(terminal).groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+      .toMap                                      // 49-cell driver boundary
+    val n = Array.tabulate(8, 8) { (i, j) =>
+      if (i == 6 || i == 7) {                     // recurrent: terminals → START
+        if (j == 1) (1 to 7).map(s => grid.getOrElse((s, i), 0L)).sum else 0L
+      } else grid.getOrElse((i, j), 0L)
+    }
+    val rs = Array.tabulate(8)(i => (1 to 7).map(n(i)(_)).sum)
+    val p = Array.tabulate(8, 8)((i, j) =>
+      if (rs(i) > 0L) n(i)(j).toDouble / rs(i).toDouble else 0.0)
+    var pi = Array(0.0, 1.0 / 7.0, 1.0 / 7.0, 1.0 / 7.0, 1.0 / 7.0,
+      1.0 / 7.0, 1.0 / 7.0, 1.0 / 7.0)
+    (0 until 200).foreach { _ =>
+      pi = Array.tabulate(8) { j =>
+        if (j == 0) 0.0
+        else {
+          var acc = 0.0
+          var s = 1
+          while (s <= 7) { acc = acc + pi(s) * p(s)(j); s += 1 }
+          acc
+        }
+      }
+    }
+    val h = Array.tabulate(8) { s =>
+      var acc = 0.0
+      var j = 1
+      while (j <= 7) {
+        acc = acc + (if (p(s)(j) > 0.0) -(p(s)(j) * math.log(p(s)(j))) else 0.0)
+        j += 1
+      }
+      acc
+    }
+    var rate = 0.0
+    var s = 1
+    while (s <= 7) { rate = rate + pi(s) * h(s); s += 1 }
+    val names = Array("", "START", "click", "error", "signup", "view", "CONV", "NULL")
+    (1 to 7).map { i =>
+      (names(i), rs(i),
+        math.floor(pi(i) * 1e9 + 0.5).toLong,
+        math.floor(h(i) * 1e6 + 0.5).toLong,
+        math.floor(rate * 1e6 + 0.5).toLong)
+    }.toDF("state", "n_out", "pi_e9", "h_state_e6", "entropy_rate_e6")
+      .orderBy("state")
+  }
+
+  val entropyRateOracle: String =
+    """WITH RECURSIVE
+      |ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |              epoch_us(ts) AS us, event_id, event_type FROM events),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |                                     ORDER BY us, event_id) AS rn
+      |        FROM ev),
+      |firstp AS (SELECT user_id, day, MIN(rn) AS prn FROM ord
+      |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |st AS (SELECT o.user_id, o.day, o.rn,
+      |              CASE o.event_type WHEN 'click' THEN 2 WHEN 'error' THEN 3
+      |                   WHEN 'signup' THEN 4 ELSE 5 END AS s
+      |       FROM ord o LEFT JOIN firstp f USING (user_id, day)
+      |       WHERE f.prn IS NULL OR o.rn < f.prn),
+      |mid AS (SELECT COALESCE(LAG(s) OVER (PARTITION BY user_id, day
+      |                                     ORDER BY rn), 1) AS a, s AS b
+      |        FROM st),
+      |term AS (SELECT COALESCE(l.a, 1) AS a,
+      |                CASE WHEN f.prn IS NOT NULL THEN 6 ELSE 7 END AS b
+      |         FROM (SELECT DISTINCT user_id, day FROM ord) j
+      |         LEFT JOIN (SELECT user_id, day, max_by(s, rn) AS a
+      |                    FROM st GROUP BY 1, 2) l USING (user_id, day)
+      |         LEFT JOIN firstp f USING (user_id, day)),
+      |cnt AS MATERIALIZED (SELECT a, b, COUNT(*) AS n
+      |       FROM (SELECT a, b FROM mid UNION ALL SELECT a, b FROM term)
+      |       GROUP BY 1, 2),
+      |grid7 AS (SELECT i.i AS i, j.j AS j FROM range(1, 8) i(i), range(1, 8) j(j)),
+      |base AS (SELECT g.i, g.j, COALESCE(cnt.n, 0) AS n
+      |         FROM grid7 g LEFT JOIN cnt ON cnt.a = g.i AND cnt.b = g.j),
+      |inb AS (SELECT j, SUM(n) AS n_in FROM base GROUP BY 1),
+      |rec AS (SELECT b.i, b.j,
+      |               CASE WHEN b.i IN (6, 7) THEN
+      |                 CASE WHEN b.j = 1 THEN ib.n_in ELSE 0 END
+      |               ELSE b.n END AS n
+      |        FROM base b JOIN inb ib ON ib.j = b.i),
+      |rsum AS (SELECT i, SUM(n) AS rs FROM rec GROUP BY 1),
+      |prow AS (SELECT r.i,
+      |                list(CASE WHEN s.rs > 0
+      |                          THEN CAST(r.n AS DOUBLE) / CAST(s.rs AS DOUBLE)
+      |                          ELSE 0.0 END ORDER BY r.j) AS pr
+      |         FROM rec r JOIN rsum s ON s.i = r.i GROUP BY 1),
+      |pm0 AS MATERIALIZED (SELECT list(pr ORDER BY i) AS p FROM prow),
+      |pm AS MATERIALIZED (
+      |  SELECT p, list_transform(range(1, 8), j ->
+      |           list_transform(range(1, 8), s -> p[s][j])) AS pt
+      |  FROM pm0),
+      |it AS (
+      |  SELECT 0 AS t,
+      |         [CAST(1.0 AS DOUBLE) / 7.0 for z in range(7)] AS pi
+      |  FROM pm
+      |  UNION ALL
+      |  SELECT t + 1,
+      |         list_transform(range(1, 8), j -> list_dot_product(pi, pt[j]))
+      |  FROM it, pm WHERE t < 200),
+      |hv AS (SELECT list_transform(range(1, 8), s ->
+      |         list_sum(list_transform(range(1, 8), j ->
+      |           CASE WHEN p[s][j] > 0 THEN -(p[s][j] * ln(p[s][j]))
+      |                ELSE 0.0 END))) AS h
+      |       FROM pm),
+      |fin AS (SELECT pi, h, list_dot_product(pi, h) AS rate
+      |        FROM (SELECT pi FROM it WHERE t = 200), hv),
+      |nm AS (SELECT * FROM (VALUES (1, 'START'), (2, 'click'), (3, 'error'),
+      |                             (4, 'signup'), (5, 'view'), (6, 'CONV'),
+      |                             (7, 'NULL')) v(i, state))
+      |SELECT nm.state, CAST(rsum.rs AS BIGINT) AS n_out,
+      |       CAST(floor(pi[nm.i] * 1000000000 + 0.5) AS BIGINT) AS pi_e9,
+      |       CAST(floor(h[nm.i] * 1000000 + 0.5) AS BIGINT) AS h_state_e6,
+      |       CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS entropy_rate_e6
+      |FROM nm JOIN rsum ON rsum.i = nm.i, fin
+      |ORDER BY nm.state""".stripMargin
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)

@@ -2148,6 +2148,69 @@ object Analytics {
       |         AS BIGINT) AS mae_cents
       |FROM u ORDER BY model, h""".stripMargin
 
+  /** x243: split-conformal prediction interval (Vovk 2005; Lei et al.
+    * 2018's split recipe) for the x240 seasonal-naive forecaster — the
+    * DISTRIBUTION-FREE interval that turns any point forecast into a
+    * calibrated band: nonconformity scores |y − ŷ| on a calibration
+    * window, the conformal quantile is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * score (α = 0.1), and marginal coverage ≥ 90% holds by
+    * exchangeability alone — no Gaussian residual assumption, which is
+    * exactly what a revenue series violates.
+    *
+    * Exactness: scores are exact integer cents; the conformal rank is
+    * integer arithmetic ⌈9(n+1)/10⌉; the quantile is a k-th ORDER
+    * STATISTIC (not an interpolated percentile), selected identically in
+    * both engines; coverage is an integer count ratio e6-floored once.
+    * Scale shape: calendar-bounded series; n_cal is one control-plane
+    * count; the order statistic is a sort-limit on the tiny calibration
+    * frame.
+    */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = dailyRevenue(spark, dir)
+      .withColumn("i", row_number().over(Window.orderBy("day")).cast("long"))
+      .select(col("i"), col("cents"))
+    val scored = s.join(s.select((col("i") + 7L).as("i"), col("cents").as("yhat")), "i")
+      .select(col("i"), abs(col("cents") - col("yhat")).as("score"))
+    val nFc = scored.count()                     // control-plane scalar
+    val nCal = nFc * 6L / 10L
+    val k = (9L * (nCal + 1L) + 9L) / 10L        // ⌈0.9·(n_cal+1)⌉
+    val cal = scored.filter(col("i") <= lit(7L + nCal))
+    val q = cal.orderBy("score").limit(k.toInt).agg(max(col("score")).as("q"))
+    val eval = scored.filter(col("i") > lit(7L + nCal))
+    eval.crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") <= col("q"), 1L).otherwise(0L)).as("covered"),
+        max(col("q")).as("q_cents"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"), col("q_cents"),
+        col("n_eval"), col("covered"),
+        floor(col("covered").cast("double") / col("n_eval").cast("double")
+          * 1000000d + 0.5d).cast("long").as("coverage_e6"))
+  }
+
+  val conformalOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |               FROM orders GROUP BY 1),
+      |s AS (SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+      |sc AS (SELECT s.i, abs(s.cents - p.cents) AS score
+      |       FROM s JOIN s p ON p.i = s.i - 7),
+      |n AS (SELECT COUNT(*) AS n_fc, COUNT(*) * 6 // 10 AS n_cal,
+      |             (9 * (COUNT(*) * 6 // 10 + 1) + 9) // 10 AS k
+      |      FROM sc),
+      |cal AS (SELECT score FROM sc, n WHERE i <= 7 + n_cal),
+      |q AS (SELECT MAX(score) AS q_cents
+      |      FROM (SELECT score FROM cal ORDER BY score LIMIT (SELECT k FROM n))),
+      |ev AS (SELECT COUNT(*) AS n_eval,
+      |              CAST(SUM(CASE WHEN score <= q_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |                AS covered
+      |       FROM sc, n, q WHERE i > 7 + n_cal)
+      |SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(k AS BIGINT) AS k,
+      |       q_cents, n_eval, covered,
+      |       CAST(floor(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE)
+      |         * 1000000 + 0.5) AS BIGINT) AS coverage_e6
+      |FROM ev, n, q""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),

@@ -126,6 +126,8 @@ object Ext {
     "x240_backtest"        -> ((s: SparkSession, d: String) => Analytics.backtestNaive(s, d)),
     "x241_harmonic"        -> ((s: SparkSession, d: String) => graft.ops.Graph.harmonicCentrality(s, d)),
     "x242_mutual_knn"      -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
+    "x243_conformal"       -> ((s: SparkSession, d: String) => Analytics.conformalInterval(s, d)),
+    "x244_entropy_rate"    -> ((s: SparkSession, d: String) => Events.entropyRate(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -534,6 +536,8 @@ object Ext {
     "x240_backtest"        -> Analytics.backtestOracle,
     "x241_harmonic"        -> graft.ops.Graph.harmonicOracle,
     "x242_mutual_knn"      -> Similarity.mutualKnnOracle,
+    "x243_conformal"       -> Analytics.conformalOracle,
+    "x244_entropy_rate"    -> Events.entropyRateOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -39,9 +39,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    Iceberg-style rename commit.
   *
   * Read support is included so q27 can prove the ROUNDTRIP: one input
-  * partition per part file. Schema is fixed `(k BIGINT, v BIGINT)`.
-  * All file I/O goes through the Hadoop FileSystem API, so the same
-  * connector runs against HDFS/S3A paths, not just local disk.
+  * partition per part file — the file is this format's unit of read
+  * parallelism (like an ORC stripe set or an unsplittable-codec text
+  * file), so write-side partitioning decides read-side parallelism; a
+  * production evolution would add row-group framing for sub-file splits.
+  * Schema is fixed `(k BIGINT, v BIGINT)`. All file I/O goes through the
+  * Hadoop FileSystem API, so the same connector runs against HDFS/S3A
+  * paths, not just local disk.
   */
 class KvSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

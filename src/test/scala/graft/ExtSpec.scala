@@ -1132,6 +1132,31 @@ class ExtSpec extends SparkSuite {
     assert(got.forall(_._4 >= 2L), "clusters have at least two members")
   }
 
+  test("entropy rate: stationary mass sums to one, terminals are corridors, rate = pi.h") {
+    val got = Events.entropyRate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === 7)
+    // π is a distribution (7 quantizations of half-ulp each)
+    assert(math.abs(got.map(_._3).sum - 1000000000L) <= 7L)
+    // CONV/NULL deterministically restart → zero entropy corridors
+    got.filter(t => t._1 == "CONV" || t._1 == "NULL").foreach { t =>
+      assert(t._4 === 0L, s"${t._1} must be a corridor")
+    }
+    // channel states are genuine crossroads on this corpus
+    got.filter(t => Set("START", "click", "error", "signup", "view")(t._1))
+      .foreach(t => assert(t._4 > 0L, s"${t._1} entropy"))
+    // the rate is consistent with Σ π_s·H_s at the quantization grid
+    val rate = got.head._5
+    assert(got.forall(_._5 === rate), "rate is a single chain-level constant")
+    val approx = got.map(t => (t._3.toDouble / 1e9) * (t._4.toDouble / 1e6)).sum
+    assert(math.abs(approx - rate.toDouble / 1e6) < 1e-4, "rate ≈ Σ π·H")
+    // outgoing mass: every journey that enters a terminal leaves it again
+    // (the recurrent construction), so n_out(CONV)+n_out(NULL) equals the
+    // journey count = n_out(START)
+    val byName = got.map(t => t._1 -> t._2).toMap
+    assert(byName("CONV") + byName("NULL") === byName("START"))
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -2443,6 +2443,27 @@ class OpsSpec extends SparkSuite {
     assert(got.map(_._1).toSet === nodes)
   }
 
+  test("split-conformal interval replays the order-statistic quantile and coverage") {
+    val Array(row) = graft.queries.Analytics.conformalInterval(spark, sf).collect()
+    val (nCal, k, q, nEval, covered, cov) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    val s = graft.queries.Analytics.dailyRevenue(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val scores = (7 until s.length).map(i => (i + 1, math.abs(s(i) - s(i - 7))))
+    val nFc = scores.length.toLong
+    assert(nCal === nFc * 6L / 10L)
+    assert(nCal + nEval === nFc)
+    assert(k === (9L * (nCal + 1L) + 9L) / 10L)
+    val cal = scores.filter(_._1 <= 7 + nCal).map(_._2).sorted
+    assert(q === cal(k.toInt - 1), "conformal quantile is the k-th order statistic")
+    val ev = scores.filter(_._1 > 7 + nCal).map(_._2)
+    assert(covered === ev.count(_ <= q).toLong)
+    assert(cov === math.floor(covered.toDouble / nEval.toDouble * 1e6 + 0.5).toLong)
+    // the guarantee is marginal (expectation over splits) — per-sample
+    // coverage must still be in a sane band around 1−α on this series
+    assert(cov > 800000L && cov <= 1000000L)
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

@@ -1132,6 +1132,153 @@ object Quality {
       |         / CAST(k AS DOUBLE) + 0.5) AS BIGINT) AS se_jack_e9
       |FROM s, tot""".stripMargin
 
+  /** x245: Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959) — the
+    * STRATIFIED 2×2 association test that pairs with [[stratifiedAte]]:
+    * x227 ESTIMATES the click→purchase effect adjusting for activity;
+    * this TESTS it, combining each activity stratum's hypergeometric
+    * surprise so a confounder-driven marginal association (Simpson's
+    * setup) can't fake significance:
+    *
+    *   χ²_CMH = (|Σ aᵢ − Σ Eᵢ| − ½)² / Σ Vᵢ,
+    *   Eᵢ = n_tᵢ·cᵢ/nᵢ,  Vᵢ = n_tᵢ·cᵢ·(nᵢ−n_tᵢ)·(nᵢ−cᵢ)/(nᵢ²(nᵢ−1)).
+    *
+    * The x228 exactness posture: every stratum's E and V are single
+    * pinned-double expressions on exact integer 2×2 margins, e6-floored
+    * BEFORE the cross-stratum sums (which are then exact BIGINT), and
+    * the final statistic is one pinned expression with the abTest
+    * V = 0 → null guard. Per-stratum rows are emitted with the combined
+    * χ² so the whole table is hash-checked, not just the scalar.
+    */
+  def cmhTest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val units = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("t"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(least(col("n_ev"), lit(5L)).as("stratum"), col("t"), col("y"))
+    val g = units.groupBy("stratum").agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("n_t"),
+      sum(col("y")).as("c"),
+      sum(col("t") * col("y")).as("a"))
+    val d: Column => Column = _.cast("double")
+    val e = d(col("n_t")) * d(col("c")) / d(col("n"))
+    val v = d(col("n_t")) * d(col("c")) * d(col("n") - col("n_t")) *
+      d(col("n") - col("c")) /
+      (d(col("n")) * d(col("n")) * d(col("n") - lit(1L)))
+    val rows = g.select(col("stratum"), col("n"), col("n_t"), col("c"), col("a"),
+      floor(e * 1000000d + 0.5d).cast("long").as("e_e6"),
+      when(col("n") > 1L, floor(v * 1000000d + 0.5d).cast("long"))
+        .otherwise(lit(0L)).as("v_e6"))
+    val tot = rows.agg(sum(col("a")).as("sa"), sum(col("e_e6")).as("se"),
+      sum(col("v_e6")).as("sv"))
+    val dev = abs(col("sa").cast("double") -
+      col("se").cast("double") / lit(1000000.0d)) - lit(0.5d)
+    rows.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("n_t"), col("c"), col("a"),
+        col("e_e6"), col("v_e6"),
+        when(col("sv") > 0L,
+          floor(dev * dev / (col("sv").cast("double") / lit(1000000.0d))
+            * 1000000d + 0.5d).cast("long")).as("cmh_chi2_e6"))
+      .orderBy("stratum")
+  }
+
+  val cmhOracle: String =
+    """WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  COUNT(*) AS n_ev,
+      |                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT LEAST(n_ev, 5) AS stratum, t, y FROM u),
+      |g AS (SELECT stratum, COUNT(*) AS n,
+      |             CAST(SUM(t) AS BIGINT) AS n_t,
+      |             CAST(SUM(y) AS BIGINT) AS c,
+      |             CAST(SUM(t * y) AS BIGINT) AS a
+      |      FROM s GROUP BY 1),
+      |r AS (SELECT stratum, n, n_t, c, a,
+      |             CAST(floor(CAST(n_t AS DOUBLE) * CAST(c AS DOUBLE)
+      |               / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e_e6,
+      |             CASE WHEN n > 1 THEN
+      |               CAST(floor(CAST(n_t AS DOUBLE) * CAST(c AS DOUBLE)
+      |                 * CAST(n - n_t AS DOUBLE) * CAST(n - c AS DOUBLE)
+      |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |                    * CAST(n - 1 AS DOUBLE))
+      |                 * 1000000 + 0.5) AS BIGINT)
+      |             ELSE 0 END AS v_e6
+      |      FROM g),
+      |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS sa,
+      |               CAST(SUM(e_e6) AS BIGINT) AS se,
+      |               CAST(SUM(v_e6) AS BIGINT) AS sv FROM r)
+      |SELECT stratum, CAST(n AS BIGINT) AS n, n_t, c, a, e_e6, v_e6,
+      |       CASE WHEN sv > 0 THEN
+      |         CAST(floor((abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+      |                     - 0.5)
+      |           * (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0) - 0.5)
+      |           / (CAST(sv AS DOUBLE) / 1000000.0)
+      |           * 1000000 + 0.5) AS BIGINT) END AS cmh_chi2_e6
+      |FROM r, tot ORDER BY stratum""".stripMargin
+
+  /** x246: Chapman capture–recapture estimate (Chapman 1951's
+    * bias-corrected Lincoln–Petersen) — "how many distinct entities
+    * exist that we have NOT seen": draw two independent
+    * content-addressed samples of the ordering-customer population (the
+    * x70 md5 discipline, seeds 3 and 11 — deterministic, layout-free),
+    * and estimate the total from the overlap:
+    *
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
+    *   V̂(N̂) = (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)).
+    *
+    * The data-quality use is auditing coverage: compare N̂ against the
+    * (here knowable) true distinct count to see the estimator's error —
+    * on a 100 TB store where COUNT(DISTINCT key) across silos is
+    * infeasible, two cheap hash-samples and one semi-join ARE feasible.
+    * All margins are exact integer counts; N̂ and V̂ are single pinned
+    * expressions e3/e0-floored once.
+    */
+  def chapmanEstimate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    val s1 = Sampling.bucket10k(col("o_custkey"), 3) < 3000L
+    val s2 = Sampling.bucket10k(col("o_custkey"), 11) < 3000L
+    val agg = cust.select(
+      s1.cast("long").as("in1"), s2.cast("long").as("in2"))
+      .agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"), count(lit(1)).as("true_n"))
+    val d: Column => Column = _.cast("double")
+    val nh = d(col("n1") + lit(1L)) * d(col("n2") + lit(1L)) /
+      d(col("m") + lit(1L)) - lit(1.0d)
+    val vh = d(col("n1") + lit(1L)) * d(col("n2") + lit(1L)) *
+      d(col("n1") - col("m")) * d(col("n2") - col("m")) /
+      (d(col("m") + lit(1L)) * d(col("m") + lit(1L)) * d(col("m") + lit(2L)))
+    agg.select(col("n1"), col("n2"), col("m"), col("true_n"),
+      floor(nh * 1000d + 0.5d).cast("long").as("n_hat_e3"),
+      floor(vh + 0.5d).cast("long").as("var_hat"),
+      floor(sqrt(vh) * 1000d + 0.5d).cast("long").as("se_e3"))
+  }
+
+  val chapmanOracle: String =
+    """WITH c AS (SELECT DISTINCT o_custkey FROM orders),
+      |f AS (SELECT
+      |        CASE WHEN (('0x' || substr(md5(o_custkey || ':3'), 1, 8))::BIGINT
+      |                   % 10000) < 3000 THEN 1 ELSE 0 END AS in1,
+      |        CASE WHEN (('0x' || substr(md5(o_custkey || ':11'), 1, 8))::BIGINT
+      |                   % 10000) < 3000 THEN 1 ELSE 0 END AS in2
+      |      FROM c),
+      |a AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2,
+      |             CAST(SUM(in1 * in2) AS BIGINT) AS m, COUNT(*) AS true_n
+      |      FROM f)
+      |SELECT n1, n2, m, true_n,
+      |       CAST(floor((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+      |         / CAST(m + 1 AS DOUBLE) - 1.0) * 1000 + 0.5) AS BIGINT) AS n_hat_e3,
+      |       CAST(floor(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+      |         * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+      |         / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+      |            * CAST(m + 2 AS DOUBLE)) + 0.5) AS BIGINT) AS var_hat,
+      |       CAST(floor(sqrt(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+      |         * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+      |         / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+      |            * CAST(m + 2 AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS se_e3
+      |FROM a""".stripMargin
+
   /** x238: UCB1 bandit replay (Auer et al. 2002) — the adaptive
     * ALLOCATION side of experimentation ([[sprtMonitor]] decides when to
     * STOP; this decides where to SPEND): replay the UCB1 policy over the

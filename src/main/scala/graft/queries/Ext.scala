@@ -128,6 +128,8 @@ object Ext {
     "x242_mutual_knn"      -> ((s: SparkSession, d: String) => Similarity.mutualKnnClusters(s, d)),
     "x243_conformal"       -> ((s: SparkSession, d: String) => Analytics.conformalInterval(s, d)),
     "x244_entropy_rate"    -> ((s: SparkSession, d: String) => Events.entropyRate(s, d)),
+    "x245_cmh_test"        -> ((s: SparkSession, d: String) => graft.ops.Quality.cmhTest(s, d)),
+    "x246_capture_recapture" -> ((s: SparkSession, d: String) => graft.ops.Quality.chapmanEstimate(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -538,6 +540,8 @@ object Ext {
     "x242_mutual_knn"      -> Similarity.mutualKnnOracle,
     "x243_conformal"       -> Analytics.conformalOracle,
     "x244_entropy_rate"    -> Events.entropyRateOracle,
+    "x245_cmh_test"        -> graft.ops.Quality.cmhOracle,
+    "x246_capture_recapture" -> graft.ops.Quality.chapmanOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

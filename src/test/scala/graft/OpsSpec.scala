@@ -2464,6 +2464,72 @@ class OpsSpec extends SparkSuite {
     assert(cov > 800000L && cov <= 1000000L)
   }
 
+  test("CMH test replays the stratified hypergeometric cells and shares x227's strata") {
+    val got = graft.ops.Quality.cmhTest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    val units = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(e => (e._1, e._2)).values.map { es =>
+        (math.min(es.size.toLong, 5L),
+          if (es.exists(_._3 == "click")) 1L else 0L,
+          if (es.exists(_._3 == "purchase")) 1L else 0L)
+      }.toSeq
+    var (sa, se, sv) = (0L, 0L, 0L)
+    got.foreach { case (st, n, nT, c, a, e6, v6, _) =>
+      val g = units.filter(_._1 == st)
+      assert(n === g.size.toLong && nT === g.map(_._2).sum && c === g.map(_._3).sum)
+      assert(a === g.collect { case (_, 1L, y) => y }.sum, s"stratum $st a-cell")
+      assert(e6 === math.floor(nT.toDouble * c.toDouble / n.toDouble * 1e6 + 0.5).toLong)
+      if (n > 1) {
+        val v = nT.toDouble * c.toDouble * (n - nT).toDouble * (n - c).toDouble /
+          (n.toDouble * n.toDouble * (n - 1).toDouble)
+        assert(v6 === math.floor(v * 1e6 + 0.5).toLong, s"stratum $st V")
+      }
+      sa += a; se += e6; sv += v6
+    }
+    val dev = math.abs(sa.toDouble - se.toDouble / 1e6) - 0.5
+    val expChi = math.floor(dev * dev / (sv.toDouble / 1e6) * 1e6 + 0.5).toLong
+    got.foreach(t => assert(t._8 === Some(expChi), "combined chi-square"))
+    // consistency with the x227 estimator's strata (same unit grid)
+    val ate = graft.ops.Quality.stratifiedAte(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (st, n, nT, _, _, _, _, _) =>
+      assert(ate.contains(st) && (n, nT) === ate(st), s"stratum $st cells drifted from x227")
+    }
+  }
+
+  test("Chapman capture-recapture replays the md5 samples and brackets the truth") {
+    val Array(row) = graft.ops.Quality.chapmanEstimate(spark, sf).collect()
+    val (n1, n2, m, trueN, nHat, varHat, se) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    def bucket(id: Long, seed: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$seed".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 10000L
+    }
+    val cust = graft.Tables.orders(spark, sf).select("o_custkey").distinct()
+      .collect().map(_.getLong(0))
+    val s1 = cust.filter(bucket(_, 3) < 3000L).toSet
+    val s2 = cust.filter(bucket(_, 11) < 3000L).toSet
+    assert((n1, n2, m, trueN) ===
+      ((s1.size.toLong, s2.size.toLong, s1.intersect(s2).size.toLong, cust.length.toLong)))
+    val nh = (n1 + 1).toDouble * (n2 + 1).toDouble / (m + 1).toDouble - 1.0
+    assert(nHat === math.floor(nh * 1e3 + 0.5).toLong)
+    val vh = (n1 + 1).toDouble * (n2 + 1).toDouble * (n1 - m).toDouble *
+      (n2 - m).toDouble /
+      ((m + 1).toDouble * (m + 1).toDouble * (m + 2).toDouble)
+    assert(varHat === math.floor(vh + 0.5).toLong)
+    assert(se === math.floor(math.sqrt(vh) * 1e3 + 0.5).toLong)
+    // structure: overlap bounded by both samples; the estimate brackets
+    // the (here knowable) truth within 3 standard errors
+    assert(m <= math.min(n1, n2))
+    assert(math.abs(nHat.toDouble / 1e3 - trueN.toDouble) <= 3.0 * se.toDouble / 1e3)
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

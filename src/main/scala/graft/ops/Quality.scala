@@ -1279,6 +1279,93 @@ object Quality {
       |            * CAST(m + 2 AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS se_e3
       |FROM a""".stripMargin
 
+  /** x247: deterministic HyperLogLog (Flajolet et al. 2007) — the
+    * MIRRORABLE cousin of x112's native `approx_count_distinct` (whose
+    * xxhash64 registers no second engine can replay, hence rows-only):
+    * build the sketch from scratch on the md5 hash (the x70 cross-engine
+    * primitive) so the REGISTERS THEMSELVES are engine-exact and the
+    * whole estimator lands on the hash-checked path. m = 256 buckets on
+    * the low 8 hash bits; ρ = 1-based position of the first set bit of
+    * the remaining 24 (via lpad(bin(w)) + instr — pure string ops both
+    * engines own); register M_j = max ρ.
+    *
+    * The indicator trick that makes it EXACT: every 2^(−M_j) term is a
+    * dyadic rational, so Σ 2^(25−M_j) is computed as an exact BIGINT
+    * (shifts, no floats) and the harmonic estimate α·m²·2²⁵/denom is ONE
+    * pinned double division; the small-range linear-counting branch
+    * m·ln(m/V) follows the measured x170 ln discipline. Emitted beside
+    * the knowable truth, so the sketch's error is itself gated. One pass
+    * over the raw FACT table (no pre-distinct — that is the point), two
+    * tiny aggregates after.
+    */
+  def hllExact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("o_custkey").cast("string"),
+      lit(":hll"))), 1, 8), 16, 10).cast("long")
+    val rows = graft.Tables.orders(spark, dir)
+      .select((h % 256L).as("bucket"), (h / 256L).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(instr(lpad(bin(col("w")), 24, "0"), "1").cast("long"))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m_j"))
+    val regs = spark.range(256).select(col("id").as("bucket"))
+      .join(rows, Seq("bucket"), "left_outer")
+      .select(col("bucket"), coalesce(col("m_j"), lit(0L)).as("m_j"))
+    val agg = regs.agg(
+      sum(expr("CAST(1 AS BIGINT) << CAST(25 - m_j AS INT)")).as("denom_s"),
+      sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as("v_zero"))
+    val truth = graft.Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_custkey")).as("true_n"))
+    val alpha = lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(256.0d))
+    val raw = alpha * lit(65536.0d) * lit(33554432.0d) /
+      col("denom_s").cast("double")
+    val est = when(raw <= lit(640.0d) && col("v_zero") > 0L,
+      lit(256.0d) * log(lit(256.0d) / col("v_zero").cast("double")))
+      .otherwise(raw)
+    agg.crossJoin(broadcast(truth))
+      .select(lit(256L).as("m"), col("v_zero"), col("denom_s"),
+        floor(raw * 1000d + 0.5d).cast("long").as("raw_e3"),
+        floor(est * 1000d + 0.5d).cast("long").as("est_e3"),
+        col("true_n"),
+        floor(est / col("true_n").cast("double") * 1000000d + 0.5d)
+          .cast("long").as("ratio_e6"))
+  }
+
+  val hllOracle: String =
+    """WITH h AS (SELECT ('0x' || substr(md5(o_custkey || ':hll'), 1, 8))::BIGINT AS v
+      |           FROM orders),
+      |r0 AS (SELECT v % 256 AS bucket,
+      |              CASE WHEN v // 256 = 0 THEN 25
+      |                   ELSE strpos(lpad(bin(v // 256), 24, '0'), '1') END AS rho
+      |       FROM h),
+      |rg AS (SELECT bucket, MAX(rho) AS m_j FROM r0 GROUP BY 1),
+      |regs AS (SELECT g.range AS bucket, COALESCE(rg.m_j, 0) AS m_j
+      |         FROM range(256) g LEFT JOIN rg ON rg.bucket = g.range),
+      |a AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - m_j AS INTEGER))
+      |               AS BIGINT) AS denom_s,
+      |             CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS v_zero
+      |      FROM regs),
+      |t AS (SELECT COUNT(DISTINCT o_custkey) AS true_n FROM orders),
+      |e AS (SELECT denom_s, v_zero, true_n,
+      |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |                + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |               * CAST(65536.0 AS DOUBLE) * CAST(33554432.0 AS DOUBLE)
+      |               / CAST(denom_s AS DOUBLE) AS raw
+      |      FROM a, t),
+      |f AS (SELECT *, CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+      |                     THEN CAST(256.0 AS DOUBLE)
+      |                          * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+      |                     ELSE raw END AS est
+      |      FROM e)
+      |SELECT CAST(256 AS BIGINT) AS m, v_zero, denom_s,
+      |       CAST(floor(raw * 1000 + 0.5) AS BIGINT) AS raw_e3,
+      |       CAST(floor(est * 1000 + 0.5) AS BIGINT) AS est_e3,
+      |       CAST(true_n AS BIGINT) AS true_n,
+      |       CAST(floor(est / CAST(true_n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |         AS ratio_e6
+      |FROM f""".stripMargin
+
   /** x238: UCB1 bandit replay (Auer et al. 2002) — the adaptive
     * ALLOCATION side of experimentation ([[sprtMonitor]] decides when to
     * STOP; this decides where to SPEND): replay the UCB1 policy over the

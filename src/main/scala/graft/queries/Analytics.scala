@@ -2211,6 +2211,82 @@ object Analytics {
       |         * 1000000 + 0.5) AS BIGINT) AS coverage_e6
       |FROM ev, n, q""".stripMargin
 
+  /** x248: Kendall's τ-b (Kendall 1945, tie-corrected) between daily
+    * revenue and daily ordering-customer count — the rank-concordance
+    * complement to a41's Spearman (τ counts PAIRWISE order agreements,
+    * so it is the U-statistic with the direct "probability a random day
+    * pair moves together" reading, and τ-b repairs both-margin ties
+    * where a42's Mann–Kendall S assumes none on the x-axis):
+    *
+    *   τ_b = (n_c − n_d) / √((n₀ − t_x)(n₀ − t_y)),  n₀ = n(n−1)/2.
+    *
+    * Exactness: every pair classifies by INTEGER sign comparisons
+    * (concordant / discordant / x-tie / y-tie / both-tie — a partition,
+    * asserted in the law), all five counts are exact BIGINTs from one
+    * calendar-bounded O(n²) pair join (the x239/a38 argument), and τ_b
+    * is one final pinned expression with a single √.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"),
+        countDistinct(col("o_custkey")).as("y"))
+    val s = daily.withColumn("i", row_number().over(Window.orderBy("day")))
+    val p = s.select(col("i").as("ia"), col("x").as("xa"), col("y").as("ya"))
+      .join(s.select(col("i").as("ib"), col("x").as("xb"), col("y").as("yb")),
+        col("ia") < col("ib"))
+    val dx = col("xa") - col("xb")
+    val dy = col("ya") - col("yb")
+    val cls = p.select(
+      when(dx =!= 0L && dy =!= 0L && (dx > 0L) === (dy > 0L), 1L)
+        .otherwise(0L).as("nc"),
+      when(dx =!= 0L && dy =!= 0L && (dx > 0L) =!= (dy > 0L), 1L)
+        .otherwise(0L).as("nd"),
+      when(dx === 0L && dy =!= 0L, 1L).otherwise(0L).as("tx"),
+      when(dx =!= 0L && dy === 0L, 1L).otherwise(0L).as("ty"),
+      when(dx === 0L && dy === 0L, 1L).otherwise(0L).as("txy"))
+    val a = cls.agg(sum(col("nc")).as("nc"), sum(col("nd")).as("nd"),
+      sum(col("tx")).as("tx"), sum(col("ty")).as("ty"),
+      sum(col("txy")).as("txy"),
+      count(lit(1)).as("n0"))
+    val d: Column => Column = _.cast("double")
+    val denom = sqrt(d(col("n0") - col("tx") - col("txy"))
+      * d(col("n0") - col("ty") - col("txy")))
+    a.select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"), col("txy"),
+      when(denom > lit(0.0d),
+        floor(d(col("nc") - col("nd")) / denom * 1000000d + 0.5d)
+          .cast("long")).as("tau_b_e6"))
+  }
+
+  val kendallOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+      |                      COUNT(DISTINCT o_custkey) AS y
+      |               FROM orders GROUP BY 1),
+      |s AS (SELECT row_number() OVER (ORDER BY day) AS i, x, y FROM daily),
+      |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      |      FROM s a JOIN s b ON a.i < b.i),
+      |c AS (SELECT
+      |        CAST(SUM(CASE WHEN dx <> 0 AND dy <> 0
+      |                      AND (dx > 0) = (dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |        CAST(SUM(CASE WHEN dx <> 0 AND dy <> 0
+      |                      AND (dx > 0) <> (dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |        CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |        CAST(SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |        CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+      |        COUNT(*) AS n0
+      |      FROM p)
+      |SELECT n0, nc, nd, tx, ty, txy,
+      |       CASE WHEN sqrt(CAST(n0 - tx - txy AS DOUBLE)
+      |                      * CAST(n0 - ty - txy AS DOUBLE)) > 0.0 THEN
+      |         CAST(floor(CAST(nc - nd AS DOUBLE)
+      |           / sqrt(CAST(n0 - tx - txy AS DOUBLE)
+      |                  * CAST(n0 - ty - txy AS DOUBLE))
+      |           * 1000000 + 0.5) AS BIGINT) END AS tau_b_e6
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),

@@ -130,6 +130,8 @@ object Ext {
     "x244_entropy_rate"    -> ((s: SparkSession, d: String) => Events.entropyRate(s, d)),
     "x245_cmh_test"        -> ((s: SparkSession, d: String) => graft.ops.Quality.cmhTest(s, d)),
     "x246_capture_recapture" -> ((s: SparkSession, d: String) => graft.ops.Quality.chapmanEstimate(s, d)),
+    "x247_hll_exact"       -> ((s: SparkSession, d: String) => graft.ops.Quality.hllExact(s, d)),
+    "x248_kendall_tau"     -> ((s: SparkSession, d: String) => Analytics.kendallTau(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -542,6 +544,8 @@ object Ext {
     "x244_entropy_rate"    -> Events.entropyRateOracle,
     "x245_cmh_test"        -> graft.ops.Quality.cmhOracle,
     "x246_capture_recapture" -> graft.ops.Quality.chapmanOracle,
+    "x247_hll_exact"       -> graft.ops.Quality.hllOracle,
+    "x248_kendall_tau"     -> Analytics.kendallOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

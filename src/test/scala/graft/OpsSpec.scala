@@ -2530,6 +2530,72 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(nHat.toDouble / 1e3 - trueN.toDouble) <= 3.0 * se.toDouble / 1e3)
   }
 
+  test("deterministic HLL registers replay from md5 and the estimate is in the error band") {
+    val Array(row) = graft.ops.Quality.hllExact(spark, sf).collect()
+    val (m, vZero, denomS, rawE3, estE3, trueN, ratio) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getLong(6))
+    val keys = graft.Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0))
+    def h32(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:hll".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val regs = Array.fill(256)(0L)
+    keys.foreach { k =>
+      val v = h32(k)
+      val b = (v % 256L).toInt
+      val w = v / 256L
+      val rho = if (w == 0L) 25L
+        else java.lang.Long.toBinaryString(w).reverse.padTo(24, '0')
+          .reverse.indexOf('1') + 1L
+      if (rho > regs(b)) regs(b) = rho
+    }
+    assert(m === 256L)
+    assert(vZero === regs.count(_ == 0L).toLong)
+    assert(denomS === regs.map(r => 1L << (25 - r).toInt).sum, "register sum replay")
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    val raw = alpha * 65536.0 * 33554432.0 / denomS.toDouble
+    assert(rawE3 === math.floor(raw * 1e3 + 0.5).toLong)
+    val est = if (raw <= 640.0 && vZero > 0)
+      256.0 * math.log(256.0 / vZero.toDouble) else raw
+    assert(estE3 === math.floor(est * 1e3 + 0.5).toLong)
+    assert(trueN === keys.distinct.length.toLong)
+    // HLL's standard error is 1.04/√m ≈ 6.5%; demand the estimate
+    // within 3σ of truth — a broken register map fails this immediately
+    assert(math.abs(ratio - 1000000L) <= 200000L, s"HLL error out of band: $ratio")
+  }
+
+  test("Kendall tau-b pair classes partition the pair space and replay exactly") {
+    val Array(row) = graft.queries.Analytics.kendallTau(spark, sf).collect()
+    val (n0, nc, nd, tx, ty, txy, tau) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      if (row.isNullAt(6)) None else Some(row.getLong(6)))
+    val daily = graft.Tables.orders(spark, sf)
+      .select(expr("CAST(floor(unix_micros(o_orderdate) / 86400000000) AS LONG)").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (g.map(_._2).sum, g.map(_._3).distinct.length.toLong) }
+    var (enc, end, etx, ety, etxy) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- daily.indices; j <- i + 1 until daily.length) {
+      val dx = daily(i)._1 - daily(j)._1
+      val dy = daily(i)._2 - daily(j)._2
+      if (dx != 0 && dy != 0 && (dx > 0) == (dy > 0)) enc += 1
+      else if (dx != 0 && dy != 0) end += 1
+      else if (dx == 0 && dy != 0) etx += 1
+      else if (dx != 0) ety += 1
+      else etxy += 1
+    }
+    assert((nc, nd, tx, ty, txy) === ((enc, end, etx, ety, etxy)), "pair classes")
+    assert(nc + nd + tx + ty + txy === n0, "classes partition the pair space")
+    assert(n0 === daily.length.toLong * (daily.length - 1L) / 2L)
+    val denom = math.sqrt((n0 - tx - txy).toDouble * (n0 - ty - txy).toDouble)
+    if (denom > 0)
+      assert(tau === Some(math.floor((nc - nd).toDouble / denom * 1e6 + 0.5).toLong))
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

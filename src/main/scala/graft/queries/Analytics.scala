@@ -2287,6 +2287,162 @@ object Analytics {
       |           * 1000000 + 0.5) AS BIGINT) END AS tau_b_e6
       |FROM c""".stripMargin
 
+  /** x249: two-proportion power / sample-size calculator — the DESIGN
+    * side of the experimentation toolkit (x201 tests, x226 stops, x238
+    * allocates, x237 sizes the variance, x245 adjusts; this answers
+    * "how long must the NEXT test run"): with the observed arm rates as
+    * the planning effect, the per-arm requirement at α = .05 two-sided,
+    * power = .8 is n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/Δ², and the dual MDE
+    * at the CURRENT size is Δ_min = (z_{α/2}+z_β)·√((p₁q₁+p₂q₂)/n).
+    *
+    * The z constants are spelled as identical full-precision literals in
+    * both engines (the x226 quantize-constants-once posture); the rates
+    * are single divisions of exact arm counts; each output is ONE pinned
+    * expression (ceil for the integer n). One fact-sized user aggregate.
+    */
+  def powerCalc(spark: SparkSession, dir: String): DataFrame = {
+    // (user, day) units — the x226/x227/x237 experimentation grain (the
+    // user-lifetime grain is saturated on this corpus: everyone
+    // eventually purchases, so Δ would be degenerate zero)
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val g = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("y"))).as("c1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === 1, col("y"))).as("c2"))
+    val z = lit(1.9599639845400545d) + lit(0.8416212335729143d)
+    val d: Column => Column = _.cast("double")
+    val p1 = d(col("c1")) / d(col("n1"))
+    val p2 = d(col("c2")) / d(col("n2"))
+    val varSum = p1 * (lit(1.0d) - p1) + p2 * (lit(1.0d) - p2)
+    val delta = p1 - p2
+    g.select(col("n1"), col("c1"), col("n2"), col("c2"),
+      floor(p1 * 1000000d + 0.5d).cast("long").as("p1_e6"),
+      floor(p2 * 1000000d + 0.5d).cast("long").as("p2_e6"),
+      floor(delta * 1000000d + 0.5d).cast("long").as("delta_e6"),
+      when(delta =!= lit(0.0d),
+        ceil(z * z * varSum / (delta * delta)).cast("long")).as("n_required"),
+      floor(z * sqrt(varSum / d(least(col("n1"), col("n2"))))
+        * 1000000d + 0.5d).cast("long").as("mde_e6"))
+  }
+
+  val powerOracle: String =
+    """WITH u AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT
+      |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y END) AS BIGINT) AS c1,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |        CAST(SUM(CASE WHEN user_id % 2 = 1 THEN y END) AS BIGINT) AS c2
+      |      FROM u),
+      |e AS (SELECT *,
+      |        CAST(1.9599639845400545 AS DOUBLE)
+      |          + CAST(0.8416212335729143 AS DOUBLE) AS z,
+      |        CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |        CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+      |      FROM g),
+      |v AS (SELECT *, p1 * (1.0 - p1) + p2 * (1.0 - p2) AS vs, p1 - p2 AS dl
+      |      FROM e)
+      |SELECT n1, c1, n2, c2,
+      |       CAST(floor(p1 * 1000000 + 0.5) AS BIGINT) AS p1_e6,
+      |       CAST(floor(p2 * 1000000 + 0.5) AS BIGINT) AS p2_e6,
+      |       CAST(floor(dl * 1000000 + 0.5) AS BIGINT) AS delta_e6,
+      |       CASE WHEN dl <> 0.0 THEN
+      |         CAST(ceil(z * z * vs / (dl * dl)) AS BIGINT) END AS n_required,
+      |       CAST(floor(z * sqrt(vs / CAST(LEAST(n1, n2) AS DOUBLE))
+      |         * 1000000 + 0.5) AS BIGINT) AS mde_e6
+      |FROM v""".stripMargin
+
+  /** x250: first-order partial correlation of daily revenue and buyer
+    * count CONTROLLING for order volume — the "is the correlation real
+    * or just both riding the same driver" adjuster:
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).
+    *
+    * Each pairwise r follows the a41/a34 exact-moment discipline: all
+    * nine sums of DECIMAL(38,0) cross-products (≡ DuckDB HUGEINT) are
+    * exact integers off ONE pass over the calendar-bounded day series;
+    * each r converts to double in the pinned num/√A/√B spelling, and the
+    * partial is one final pinned expression (degenerate |r| = 1 controls
+    * → null). All three raw r's are emitted beside the partial, so the
+    * adjustment itself is visible and hash-checked.
+    */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val daily = Tables.orders(spark, dir)
+      .groupBy(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"),
+        countDistinct(col("o_custkey")).as("y"),
+        count(lit(1)).as("z"))
+    val s = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+      sum(d38(col("y")) * d38(col("y"))).as("syy"),
+      sum(d38(col("z")) * d38(col("z"))).as("szz"),
+      sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+      sum(d38(col("x")) * d38(col("z"))).as("sxz"),
+      sum(d38(col("y")) * d38(col("z"))).as("syz"))
+    def r(ab: String, a: String, b: String, aa: String, bb: String): Column =
+      (d38(col("n")) * col(ab) - d38(col(s"s$a")) * d38(col(s"s$b"))).cast("double") /
+        sqrt((d38(col("n")) * col(aa) - d38(col(s"s$a")) * d38(col(s"s$a")))
+          .cast("double")) /
+        sqrt((d38(col("n")) * col(bb) - d38(col(s"s$b")) * d38(col(s"s$b")))
+          .cast("double"))
+    val rxy = r("sxy", "x", "y", "sxx", "syy")
+    val rxz = r("sxz", "x", "z", "sxx", "szz")
+    val ryz = r("syz", "y", "z", "syy", "szz")
+    val part = (rxy - rxz * ryz) /
+      sqrt((lit(1.0d) - rxz * rxz) * (lit(1.0d) - ryz * ryz))
+    s.select(col("n"),
+      floor(rxy * 1000000d + 0.5d).cast("long").as("r_xy_e6"),
+      floor(rxz * 1000000d + 0.5d).cast("long").as("r_xz_e6"),
+      floor(ryz * 1000000d + 0.5d).cast("long").as("r_yz_e6"),
+      when((lit(1.0d) - rxz * rxz) * (lit(1.0d) - ryz * ryz) > lit(0.0d),
+        floor(part * 1000000d + 0.5d).cast("long")).as("r_xy_given_z_e6"))
+  }
+
+  val partialCorrOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+      |                      COUNT(DISTINCT o_custkey) AS y,
+      |                      COUNT(*) AS z
+      |               FROM orders GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n,
+      |             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |             CAST(SUM(z) AS HUGEINT) AS sz,
+      |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |             SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |             SUM(CAST(z AS HUGEINT) * z) AS szz,
+      |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+      |             SUM(CAST(y AS HUGEINT) * z) AS syz
+      |      FROM daily),
+      |r AS (SELECT n,
+      |        CAST(n * sxy - sx * sy AS DOUBLE)
+      |          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |          / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+      |        CAST(n * sxz - sx * sz AS DOUBLE)
+      |          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |          / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+      |        CAST(n * syz - sy * sz AS DOUBLE)
+      |          / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+      |          / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      |      FROM s)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(floor(rxy * 1000000 + 0.5) AS BIGINT) AS r_xy_e6,
+      |       CAST(floor(rxz * 1000000 + 0.5) AS BIGINT) AS r_xz_e6,
+      |       CAST(floor(ryz * 1000000 + 0.5) AS BIGINT) AS r_yz_e6,
+      |       CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0 THEN
+      |         CAST(floor((rxy - rxz * ryz)
+      |           / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+      |           * 1000000 + 0.5) AS BIGINT) END AS r_xy_given_z_e6
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),

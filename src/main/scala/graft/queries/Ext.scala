@@ -132,6 +132,8 @@ object Ext {
     "x246_capture_recapture" -> ((s: SparkSession, d: String) => graft.ops.Quality.chapmanEstimate(s, d)),
     "x247_hll_exact"       -> ((s: SparkSession, d: String) => graft.ops.Quality.hllExact(s, d)),
     "x248_kendall_tau"     -> ((s: SparkSession, d: String) => Analytics.kendallTau(s, d)),
+    "x249_power_calc"      -> ((s: SparkSession, d: String) => Analytics.powerCalc(s, d)),
+    "x250_partial_corr"    -> ((s: SparkSession, d: String) => Analytics.partialCorr(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -546,6 +548,8 @@ object Ext {
     "x246_capture_recapture" -> graft.ops.Quality.chapmanOracle,
     "x247_hll_exact"       -> graft.ops.Quality.hllOracle,
     "x248_kendall_tau"     -> Analytics.kendallOracle,
+    "x249_power_calc"      -> Analytics.powerOracle,
+    "x250_partial_corr"    -> Analytics.partialCorrOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -2596,6 +2596,74 @@ class OpsSpec extends SparkSuite {
       assert(tau === Some(math.floor((nc - nd).toDouble / denom * 1e6 + 0.5).toLong))
   }
 
+  test("power calculator replays and its n_required actually powers the observed delta") {
+    val Array(row) = graft.queries.Analytics.powerCalc(spark, sf).collect()
+    val (n1, c1, n2, c2) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val units = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(e => (e._1, e._2)).toSeq.map { case ((uid, _), es) =>
+        (uid % 2L, if (es.exists(_._3 == "purchase")) 1L else 0L)
+      }
+    assert(n1 === units.count(_._1 == 0L).toLong)
+    assert(c1 === units.collect { case (0L, y) => y }.sum)
+    assert(n2 === units.count(_._1 == 1L).toLong)
+    assert(c2 === units.collect { case (1L, y) => y }.sum)
+    val z = 1.9599639845400545 + 0.8416212335729143
+    val p1 = c1.toDouble / n1
+    val p2 = c2.toDouble / n2
+    val vs = p1 * (1.0 - p1) + p2 * (1.0 - p2)
+    val dl = p1 - p2
+    assert(row.getLong(4) === math.floor(p1 * 1e6 + 0.5).toLong)
+    assert(row.getLong(5) === math.floor(p2 * 1e6 + 0.5).toLong)
+    assert(row.getLong(6) === math.floor(dl * 1e6 + 0.5).toLong)
+    if (dl != 0.0) {
+      val nReq = row.getLong(7)
+      assert(nReq === math.ceil(z * z * vs / (dl * dl)).toLong)
+      // self-consistency: a test sized at n_required can detect the
+      // observed delta — the MDE at n_required does not exceed |Δ|
+      assert(z * math.sqrt(vs / nReq.toDouble) <= math.abs(dl) + 1e-12)
+    }
+    assert(row.getLong(8) ===
+      math.floor(z * math.sqrt(vs / math.min(n1, n2).toDouble) * 1e6 + 0.5).toLong)
+  }
+
+  test("partial correlation replays from exact moments and stays in [-1, 1]") {
+    val Array(row) = graft.queries.Analytics.partialCorr(spark, sf).collect()
+    val daily = graft.Tables.orders(spark, sf)
+      .select(expr("CAST(floor(unix_micros(o_orderdate) / 86400000000) AS LONG)").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.map { g =>
+        (g.map(_._2).sum, g.map(_._3).distinct.size.toLong, g.size.toLong)
+      }.toSeq
+    val n = daily.length.toLong
+    assert(row.getLong(0) === n)
+    def corr(f: ((Long, Long, Long)) => Long, g: ((Long, Long, Long)) => Long): Double = {
+      val sa = daily.map(t => BigInt(f(t))).sum
+      val sb = daily.map(t => BigInt(g(t))).sum
+      val sab = daily.map(t => BigInt(f(t)) * BigInt(g(t))).sum
+      val saa = daily.map(t => BigInt(f(t)) * BigInt(f(t))).sum
+      val sbb = daily.map(t => BigInt(g(t)) * BigInt(g(t))).sum
+      (BigInt(n) * sab - sa * sb).toDouble /
+        math.sqrt((BigInt(n) * saa - sa * sa).toDouble) /
+        math.sqrt((BigInt(n) * sbb - sb * sb).toDouble)
+    }
+    val rxy = corr(_._1, _._2)
+    val rxz = corr(_._1, _._3)
+    val ryz = corr(_._2, _._3)
+    assert(row.getLong(1) === math.floor(rxy * 1e6 + 0.5).toLong, "r_xy")
+    assert(row.getLong(2) === math.floor(rxz * 1e6 + 0.5).toLong, "r_xz")
+    assert(row.getLong(3) === math.floor(ryz * 1e6 + 0.5).toLong, "r_yz")
+    val g2 = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    if (g2 > 0.0) {
+      val part = (rxy - rxz * ryz) / math.sqrt(g2)
+      assert(row.getLong(4) === math.floor(part * 1e6 + 0.5).toLong, "partial")
+      assert(math.abs(part) <= 1.0 + 1e-9)
+    }
+  }
+
   test("UCB1 replay follows the index policy with round-robin seeding") {
     val got = graft.ops.Quality.ucbReplay(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

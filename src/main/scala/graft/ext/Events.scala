@@ -1427,10 +1427,12 @@ object Events {
       .select(col("channel"), col("bit"),
         floor((wNum.cast("double") / lit(24.0d)) * (col("v1") - col("v"))
           * 1000000000d + 0.5d).cast("long").as("term_e9"))
-    val touched = users.crossJoin(broadcast(channels))
-      .filter(expr("(mask & bit) > 0"))
+    // touched counts re-aggregate the 16-row mask GRID, not the fact —
+    // the corpus is scanned once for this whole query
+    val touched = channels.crossJoin(grid)
+      .filter(expr("(m & bit) > 0"))
       .groupBy("channel")
-      .agg(count(lit(1)).as("touched_users"), sum(col("y")).as("touched_conv"))
+      .agg(sum(col("n")).as("touched_users"), sum(col("c")).as("touched_conv"))
     terms.groupBy("channel").agg(sum(col("term_e9")).as("phi_e9"))
       .join(touched, "channel")
       .select(col("channel"), col("touched_users"), col("touched_conv"),

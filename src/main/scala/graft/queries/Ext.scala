@@ -155,6 +155,7 @@ object Ext {
     // StreamingSpec pins exact stream ≡ batch score equality
     "s16_stream_inference" -> ((s: SparkSession, d: String) => Streams.streamingInference(s, d)),
     "s17_stream_late_drop" -> ((s: SparkSession, d: String) => Streams.lateDataDrop(s, d)),
+    "s18_stream_two_level" -> ((s: SparkSession, d: String) => Streams.twoLevelWindows(s, d)),
     // text analysis (X4)
     "x10_token_stats"      -> ((s: SparkSession, d: String) => TextAnalysis.tokenStats(s, d)),
     "x11_quality_filter"   -> ((s: SparkSession, d: String) => TextAnalysis.qualityFilter(s, d)),
@@ -500,6 +501,7 @@ object Ext {
     "x119_source_kl"       -> TextAnalysis.sourceKlOracle,
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "s17_stream_late_drop" -> Streams.lateDataDropOracle,
+    "s18_stream_two_level" -> Streams.twoLevelOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x160_ewma_daily"      -> Events.ewmaOracle,
     "x162_mutual_info"     -> Events.mutualInfoOracle,

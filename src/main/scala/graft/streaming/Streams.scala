@@ -58,6 +58,7 @@ object Streams {
     * without coordination — exactly how a production replay topic works.
     */
   private val heartbeatStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val twoLevelStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def heartbeatReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -755,4 +756,86 @@ object Streams {
       |SELECT CAST((us // 3600000000) * 3600 AS BIGINT) AS ws, event_type,
       |       COUNT(*) AS n
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** s18: CHAINED stateful aggregation — two stacked time-window
+    * aggregates in ONE streaming query (15-minute counts rolled into an
+    * hourly n_windows / total / peak profile), the multiple-stateful-
+    * operator capability Spark gained in 3.4/4.x that replaces the old
+    * two-job + intermediate-topic workaround; the second `groupBy`
+    * windows over the FIRST aggregate's window struct
+    * (`window(col("window"), "1 hour")`), and the engine propagates the
+    * watermark across the stateful boundary so append-mode emission
+    * stays correct end to end. The far-future heartbeat sentinels (the
+    * s11/s13 fixture — watermark-advancing, filtered before
+    * aggregation) flush every real window; peak_15m is the classic
+    * burst-detection readout (an hour with peak ≫ avg is spiky, not
+    * busy). Oracle: the same two-level rollup in batch SQL on aligned
+    * epoch buckets.
+    */
+  def twoLevelWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Multi-batch replay: bulk file then TWO punctuation files, one file
+    // per trigger. A single-batch replay left exactly the last hourly
+    // window unflushed — each stacked stateful operator observes the
+    // watermark one micro-batch late (the measured lag-2 behavior), so a
+    // two-operator chain needs two punctuation batches before the
+    // trailing empty batch for full append-mode emission.
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = Tables.normalizeTs(
+      Tables.load(spark, dir, "events").select(cols.map(col): _*))
+    val staged = twoLevelStaged.computeIfAbsent(dir, _ => {
+      val farUs = raw.agg(max(unix_micros(col("ts")))).first().getLong(0) +
+        100L * 3600 * 1000000L
+      val root = s"${graft.RunScoped.ioDir}/stream_twolevel_${Integer.toHexString(dir.hashCode)}"
+      new java.io.File(root).mkdirs()
+      // sentinel type is OUT OF DOMAIN and filtered AFTER the aggregate:
+      // a pre-aggregation row filter (user_id >= 0) gets pushed into the
+      // parquet scan, where row-group statistics prune the whole sentinel
+      // file — the watermark then never observes it (measured: batches
+      // ran with numInputRows = 0 and the watermark pinned at the real
+      // max). Late filtering must happen ABOVE the watermark node.
+      val batches = Seq(
+        raw,
+        Seq((-1L, farUs, -1L, "__sentinel", 0.0, "{}")).toDF(cols: _*)
+          .withColumn("ts", timestamp_micros(col("ts"))),
+        Seq((-2L, farUs + 3600000000L, -2L, "__sentinel", 0.0, "{}")).toDF(cols: _*)
+          .withColumn("ts", timestamp_micros(col("ts"))))
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$root/_tmp$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(root, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        graft.RunScoped.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
+      root
+    })
+    val fine = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hourly = fine
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"),
+        max(col("n")).as("peak_15m"))
+    runToMemory(hourly, "append")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"),
+        col("n_windows"), col("n_events"), col("peak_15m"))
+      .orderBy("ws", "event_type")
+  }
+
+  val twoLevelOracle: String =
+    """WITH f AS (SELECT (epoch_us(ts) // 900000000) * 900 AS w15, event_type,
+      |                  COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT CAST((w15 // 3600) * 3600 AS BIGINT) AS ws, event_type,
+      |       COUNT(*) AS n_windows, CAST(SUM(n) AS BIGINT) AS n_events,
+      |       CAST(MAX(n) AS BIGINT) AS peak_15m
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, unix_micros}
 
 import graft.ext.Events
 import graft.streaming.Streams
@@ -434,5 +434,31 @@ class StreamingSpec extends SparkSuite {
     // and no window from the late day leaked through
     val lateWindows = late.map(_._1 / 3600000000L * 3600L).toSet
     assert(streamed.keys.forall { case (ws, _) => !lateWindows.contains(ws) })
+  }
+
+  test("s18 chained windows equal the batch two-level rollup, sentinels excluded") {
+    val got = graft.streaming.Streams.twoLevelWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fine = ev.groupBy { case (us, t) => (us / 900000000L * 900L, t) }.view
+      .mapValues(_.size.toLong).toSeq
+    val exp = fine.groupBy { case ((w15, t), _) => (w15 / 3600L * 3600L, t) }.view
+      .mapValues { g =>
+        (g.size.toLong, g.map(_._2).sum, g.map(_._2).max)
+      }.toMap
+    assert(got === exp, "two-level rollup mismatch")
+    // the sentinel rows advanced the watermark but never surfaced
+    assert(!got.keys.exists(_._2 == "__sentinel"))
+    // both stateful levels are conservative: within an hour the peak
+    // 15-minute bucket never exceeds the hour total, and at most four
+    // fine windows roll into one hour
+    got.values.foreach { case (nw, total, peak) =>
+      assert(peak <= total && nw <= 4L && nw >= 1L)
+    }
+    // global conservation: Σ hourly totals = all events
+    assert(got.values.map(_._2).sum === ev.length.toLong)
   }
 }

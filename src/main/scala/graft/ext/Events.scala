@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -796,6 +796,87 @@ object Events {
         count(lit(1)).as("n_cells"), sum(col("term_e6")).as("chi2_e6"))
       .orderBy("event_type")
   }
+
+  /** x251: G-test of independence + Cramér's V (Sokal & Rohlf's
+    * likelihood-ratio companion to x163's Pearson χ² on the SAME
+    * Layer-shared (event_type × day-of-week) contingency cells): G =
+    * 2·Σ O·ln(O·n/(r·c)) is additive across partitions of the table
+    * (the property Pearson lacks — G over merged cells = Σ G of parts,
+    * asserted in the law), and Cramér's V = √(χ²/(n·min(r−1,c−1)))
+    * turns either statistic into a [0,1] effect size so "significant"
+    * and "large" stop being conflated.
+    *
+    * Exactness: only OBSERVED cells carry G terms (O·ln(...) → 0 as
+    * O → 0, so absent cells contribute exactly zero); each term is one
+    * pinned expression on exact integer margins e6-floored BEFORE the
+    * exact BIGINT sum (the x228 posture), and both χ² (recomputed
+    * whole-table with x163's own term formula) and V are single final
+    * pinned expressions. One metadata-sized pass over the shared cells.
+    */
+  def gTest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dowCells(spark, dir)
+    val cx = cells.groupBy("event_type").agg(sum(col("c_xy")).as("c_x"))
+    val cy = cells.groupBy("dow").agg(sum(col("c_xy")).as("c_y"))
+    val tot = cells.agg(sum(col("c_xy")).as("n"),
+      count_distinct(col("event_type")).as("r"),
+      count_distinct(col("dow")).as("c"))
+    val joined = cells.join(broadcast(cx), "event_type")
+      .join(broadcast(cy), "dow").crossJoin(broadcast(tot))
+    val d: Column => Column = _.cast("double")
+    val gTerm = d(col("c_xy")) *
+      log(d(col("c_xy")) * d(col("n")) / (d(col("c_x")) * d(col("c_y"))))
+    val chiNum = d(col("n")) * d(col("c_xy")) - d(col("c_x")) * d(col("c_y"))
+    val chiTerm = chiNum * chiNum / (d(col("n")) * d(col("c_x")) * d(col("c_y")))
+    val agg = joined.select(col("n"), col("r"), col("c"),
+        floor(gTerm * 1000000d + 0.5d).cast("long").as("g_term_e6"),
+        floor(chiTerm * 1000000d + 0.5d).cast("long").as("x_term_e6"))
+      .groupBy("n", "r", "c")
+      .agg(count(lit(1)).as("n_cells"),
+        (sum(col("g_term_e6")) * 2L).as("g_e6"),
+        sum(col("x_term_e6")).as("chi2_e6"))
+    agg.select(col("n"), col("r"), col("c"), col("n_cells"),
+      col("g_e6"), col("chi2_e6"),
+      floor(sqrt(col("chi2_e6").cast("double") / lit(1000000.0d)
+          / (col("n").cast("double") * least(col("r") - 1L, col("c") - 1L)
+            .cast("double")))
+        * 1000000d + 0.5d).cast("long").as("cramers_v_e6"))
+  }
+
+  val gTestOracle: String =
+    """WITH cells AS (SELECT event_type,
+      |                      CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow,
+      |                      COUNT(*) AS c_xy
+      |               FROM events GROUP BY 1, 2),
+      |cx AS (SELECT event_type, CAST(SUM(c_xy) AS BIGINT) AS c_x
+      |       FROM cells GROUP BY 1),
+      |cy AS (SELECT dow, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n,
+      |             COUNT(DISTINCT event_type) AS r,
+      |             COUNT(DISTINCT dow) AS c FROM cells),
+      |j AS (SELECT cells.c_xy, cx.c_x, cy.c_y, t.n, t.r, t.c
+      |      FROM cells JOIN cx USING (event_type) JOIN cy USING (dow), t),
+      |tm AS (SELECT n, r, c,
+      |         CAST(floor(CAST(c_xy AS DOUBLE)
+      |           * ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+      |                / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+      |           * 1000000 + 0.5) AS BIGINT) AS g_term_e6,
+      |         CAST(floor((CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+      |                     - CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))
+      |           * (CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+      |              - CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) * CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))
+      |           * 1000000 + 0.5) AS BIGINT) AS x_term_e6
+      |       FROM j),
+      |a AS (SELECT n, r, c, COUNT(*) AS n_cells,
+      |             CAST(SUM(g_term_e6) * 2 AS BIGINT) AS g_e6,
+      |             CAST(SUM(x_term_e6) AS BIGINT) AS chi2_e6
+      |      FROM tm GROUP BY 1, 2, 3)
+      |SELECT n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c, n_cells,
+      |       g_e6, chi2_e6,
+      |       CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0
+      |           / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+      |         * 1000000 + 0.5) AS BIGINT) AS cramers_v_e6
+      |FROM a""".stripMargin
 
   /** x168: Population Stability Index — THE model-monitoring drift metric
     * (PSI < 0.1 stable, > 0.25 retrain): how far the event-value

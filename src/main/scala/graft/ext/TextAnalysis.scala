@@ -1905,6 +1905,89 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** x252: Zipf rank–frequency slope — the power-law companion to x217's
+    * Heaps curve (Heaps says how VOCABULARY grows with corpus; Zipf says
+    * how MASS concentrates within vocabulary): OLS of ln(freq) on
+    * ln(rank) over the unigram table, whose slope ≈ −s is the Zipf
+    * exponent (≈ −1 on natural text; a synthetic flat vocabulary reads
+    * ≈ 0 — itself a corpus-diagnostic signal), with r² as the
+    * power-law-fit quality readout.
+    *
+    * Exactness: ranks come from one vocab-sized window (n_t DESC, token
+    * ASC tie-break); each ln lands on the e9 grid ONCE (the measured
+    * cross-engine ln discipline), and ALL moment sums run over those
+    * exact integers (DECIMAL(38,0)² ≡ HUGEINT — the x250 posture), so
+    * slope/intercept/r² are single pinned expressions whose e9 scale
+    * factors cancel algebraically. Corpus → vocab happens in the shared
+    * Layer; everything here is vocab-bounded.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val ranked = unigramCounts(spark, dir)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_t").desc, col("token"))))
+      .select(
+        floor(log(col("rnk").cast("double")) * 1000000000d + 0.5d)
+          .cast("long").as("x"),
+        floor(log(col("n_t").cast("double")) * 1000000000d + 0.5d)
+          .cast("long").as("y"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+      sum(d38(col("y")) * d38(col("y"))).as("syy"),
+      sum(d38(col("x")) * d38(col("y"))).as("sxy"))
+    val num = (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+      .cast("double")
+    val denX = (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+      .cast("double")
+    val denY = (d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy")))
+      .cast("double")
+    val slope = num / denX
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double") / lit(1000000000.0d)
+    s.select(col("n").as("n_types"),
+      floor(slope * 1000000d + 0.5d).cast("long").as("slope_e6"),
+      floor(intercept * 1000000d + 0.5d).cast("long").as("intercept_e6"),
+      floor(num * num / (denX * denY) * 1000000d + 0.5d)
+        .cast("long").as("r2_e6"))
+  }
+
+  val zipfOracle: String =
+    """WITH tok AS (SELECT u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |uc AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1),
+      |rk AS (SELECT n_t,
+      |              row_number() OVER (ORDER BY n_t DESC, token) AS rnk
+      |       FROM uc),
+      |q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000 + 0.5)
+      |               AS BIGINT) AS x,
+      |             CAST(floor(ln(CAST(n_t AS DOUBLE)) * 1000000000 + 0.5)
+      |               AS BIGINT) AS y
+      |      FROM rk),
+      |s AS (SELECT COUNT(*) AS n,
+      |             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |             SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM q)
+      |SELECT CAST(n AS BIGINT) AS n_types,
+      |       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * 1000000 + 0.5) AS BIGINT) AS slope_e6,
+      |       CAST(floor((CAST(sy AS DOUBLE)
+      |           - CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(sx AS DOUBLE))
+      |           / CAST(n AS DOUBLE) / 1000000000.0
+      |         * 1000000 + 0.5) AS BIGINT) AS intercept_e6,
+      |       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |           * CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |              * CAST(n * syy - sy * sy AS DOUBLE))
+      |         * 1000000 + 0.5) AS BIGINT) AS r2_e6
+      |FROM s""".stripMargin
+
   val goodTuringOracle: String =
     """WITH tok AS (SELECT u.t AS token
       |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),

@@ -134,6 +134,8 @@ object Ext {
     "x248_kendall_tau"     -> ((s: SparkSession, d: String) => Analytics.kendallTau(s, d)),
     "x249_power_calc"      -> ((s: SparkSession, d: String) => Analytics.powerCalc(s, d)),
     "x250_partial_corr"    -> ((s: SparkSession, d: String) => Analytics.partialCorr(s, d)),
+    "x251_g_test"          -> ((s: SparkSession, d: String) => Events.gTest(s, d)),
+    "x252_zipf_slope"      -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -552,6 +554,8 @@ object Ext {
     "x248_kendall_tau"     -> Analytics.kendallOracle,
     "x249_power_calc"      -> Analytics.powerOracle,
     "x250_partial_corr"    -> Analytics.partialCorrOracle,
+    "x251_g_test"          -> Events.gTestOracle,
+    "x252_zipf_slope"      -> TextAnalysis.zipfOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

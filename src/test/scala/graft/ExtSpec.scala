@@ -1157,6 +1157,72 @@ class ExtSpec extends SparkSuite {
     assert(byName("CONV") + byName("NULL") === byName("START"))
   }
 
+  test("G-test and Cramér's V replay from the contingency cells") {
+    val Array(row) = Events.gTest(spark, sf).collect()
+    val (n, r, c, nCells, g, chi2, v) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    val cells = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 86400000000) % 7").cast("long").as("dow"))
+      .collect().map(rr => (rr.getString(0), rr.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nAll = cells.values.sum
+    assert((n, r, c, nCells) ===
+      ((nAll, cx.size.toLong, cy.size.toLong, cells.size.toLong)))
+    assert(nCells <= r * c)
+    var (gS, xS) = (0L, 0L)
+    cells.foreach { case ((t, d), o) =>
+      gS += math.floor(o.toDouble *
+        math.log(o.toDouble * nAll.toDouble / (cx(t).toDouble * cy(d).toDouble))
+        * 1e6 + 0.5).toLong
+      val num = nAll.toDouble * o.toDouble - cx(t).toDouble * cy(d).toDouble
+      xS += math.floor(num * num /
+        (nAll.toDouble * cx(t).toDouble * cy(d).toDouble) * 1e6 + 0.5).toLong
+    }
+    assert(g === gS * 2L, "G statistic replay")
+    assert(chi2 === xS, "chi-square replay")
+    assert(v === math.floor(math.sqrt(chi2.toDouble / 1e6 /
+      (nAll.toDouble * math.min(r - 1, c - 1).toDouble)) * 1e6 + 0.5).toLong)
+    // both statistics agree asymptotically and the effect size is a
+    // proper fraction
+    assert(g > 0L && chi2 > 0L && v >= 0L && v <= 1000000L)
+    assert(math.abs(g - chi2).toDouble / chi2.toDouble < 0.25,
+      "G and chi-square should be close on a well-populated table")
+  }
+
+  test("Zipf slope replays from ranked unigrams and is nonpositive") {
+    val Array(row) = TextAnalysis.zipfSlope(spark, sf).collect()
+    val counts = graft.Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, nT) => (-nT, tok) }
+    val pts = counts.zipWithIndex.map { case ((_, nT), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e9 + 0.5).toLong,
+        math.floor(math.log(nT.toDouble) * 1e9 + 0.5).toLong)
+    }
+    val nn = pts.length.toLong
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val syy = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val num = (BigInt(nn) * sxy - sx * sy).toDouble
+    val denX = (BigInt(nn) * sxx - sx * sx).toDouble
+    val denY = (BigInt(nn) * syy - sy * sy).toDouble
+    assert(row.getLong(0) === nn)
+    val slope = num / denX
+    assert(row.getLong(1) === math.floor(slope * 1e6 + 0.5).toLong, "slope")
+    assert(row.getLong(2) === math.floor(
+      (sy.toDouble - slope * sx.toDouble) / nn.toDouble / 1e9 * 1e6 + 0.5).toLong)
+    assert(row.getLong(3) === math.floor(num * num / (denX * denY) * 1e6 + 0.5).toLong)
+    // frequencies are nonincreasing in rank, so the fitted slope cannot
+    // be positive; r² is a proper fraction
+    assert(row.getLong(1) <= 0L)
+    assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L)
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -1988,6 +1988,63 @@ object TextAnalysis {
       |         * 1000000 + 0.5) AS BIGINT) AS r2_e6
       |FROM s""".stripMargin
 
+  /** x253: term burstiness — the variance-to-mean index of dispersion
+    * D = σ²/μ of a token's per-document count, zeros included (Church &
+    * Gale 1995): a Poisson-scattered token reads D ≈ 1 (function-word
+    * behavior), a topical term clumps into few documents and reads
+    * D ≫ 1 — the signal tf-idf's df denominator only crudely proxies,
+    * and a direct input to stopword-list induction and keyword
+    * extraction. Top 20 by D (support ≥ 50 occurrences; ties by token).
+    *
+    * Exactness: zeros never materialize — D collapses algebraically to
+    * (N·Σc² − (Σc)²) / (N·Σc) on the PRESENCE rows' exact integer sums
+    * (the zero docs contribute 0 to both Σc and Σc², and N is the
+    * corpus doc count), so the whole statistic is one pinned division
+    * of exact integers, e6-floored once. One pass over the token
+    * stream, vocab-sized after.
+    */
+  def termBurstiness(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = Tables.documents(spark, dir).count()  // control-plane scalar
+    val perDoc = tokenStream(spark, dir)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs_present"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .filter(col("total") >= 50L)
+    val d = stats.select(col("token"), col("n_docs_present"), col("total"),
+      floor((lit(nDocs) * col("sum_sq") - col("total") * col("total"))
+        .cast("double")
+        / (lit(nDocs) * col("total")).cast("double") * 1000000d + 0.5d)
+        .cast("long").as("disp_e6"))
+    d.withColumn("rnk", row_number().over(
+        Window.orderBy(col("disp_e6").desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select(col("token"), col("n_docs_present"), col("total"),
+        col("disp_e6"), col("rnk").cast("long").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  val burstinessOracle: String =
+    """WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tok AS (SELECT doc_id, u.t AS token
+      |        FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |pd AS (SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (SELECT token, COUNT(*) AS n_docs_present,
+      |              CAST(SUM(c) AS BIGINT) AS total,
+      |              CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      |       FROM pd GROUP BY 1 HAVING SUM(c) >= 50),
+      |d AS (SELECT token, n_docs_present, total,
+      |             CAST(floor(CAST(n_docs * sum_sq - total * total AS DOUBLE)
+      |               / CAST(n_docs * total AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |               AS disp_e6
+      |      FROM st, nd),
+      |r AS (SELECT *, row_number() OVER (ORDER BY disp_e6 DESC, token) AS rnk
+      |      FROM d)
+      |SELECT token, CAST(n_docs_present AS BIGINT) AS n_docs_present, total,
+      |       disp_e6, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val goodTuringOracle: String =
     """WITH tok AS (SELECT u.t AS token
       |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),

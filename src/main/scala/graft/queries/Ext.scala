@@ -136,6 +136,7 @@ object Ext {
     "x250_partial_corr"    -> ((s: SparkSession, d: String) => Analytics.partialCorr(s, d)),
     "x251_g_test"          -> ((s: SparkSession, d: String) => Events.gTest(s, d)),
     "x252_zipf_slope"      -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "x253_burstiness"      -> ((s: SparkSession, d: String) => TextAnalysis.termBurstiness(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -556,6 +557,7 @@ object Ext {
     "x250_partial_corr"    -> Analytics.partialCorrOracle,
     "x251_g_test"          -> Events.gTestOracle,
     "x252_zipf_slope"      -> TextAnalysis.zipfOracle,
+    "x253_burstiness"      -> TextAnalysis.burstinessOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

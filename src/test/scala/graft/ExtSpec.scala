@@ -1223,6 +1223,38 @@ class ExtSpec extends SparkSuite {
     assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L)
   }
 
+  test("term burstiness replays the zero-inclusive dispersion from presence rows") {
+    val got = TextAnalysis.termBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1))
+    val nDocs = docs.length.toLong
+    val perDoc = docs.zipWithIndex.flatMap { case (toks, d) =>
+      toks.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) }
+    }
+    val stats = perDoc.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._3).sum, g.map(x => x._3 * x._3).sum)
+    }.toMap.filter(_._2._2 >= 50L)
+    val exp = stats.toSeq.map { case (t, (np, tot, sq)) =>
+      // zero-inclusive dispersion from presence sums alone: the algebraic
+      // collapse the operator relies on, here recomputed the LONG way
+      // with explicit zeros to prove the collapse
+      val cs = Array.fill(nDocs.toInt)(0L)
+      perDoc.filter(_._1 == t).foreach { case (_, d, c) => cs(d) = c }
+      val mu = cs.sum.toDouble / nDocs
+      val varZ = cs.map(c => (c - mu) * (c - mu)).sum / nDocs
+      val dispLong = varZ / mu
+      val dispAlg = (nDocs * sq - tot * tot).toDouble / (nDocs * tot).toDouble
+      assert(math.abs(dispLong - dispAlg) < 1e-9, s"$t: algebraic collapse broke")
+      (t, np, tot, math.floor(dispAlg * 1e6 + 0.5).toLong)
+    }.sortBy { case (t, _, _, d) => (-d, t) }.take(20)
+      .zipWithIndex.map { case ((t, np, tot, d), i) => (t, np, tot, d, i + 1L) }
+    assert(got.toSeq === exp, "burstiness top-20 mismatch")
+    // dispersion of a clumped token exceeds 1 (Poisson baseline) for
+    // the top of the ranking on any non-degenerate corpus
+    assert(got.head._4 > 1000000L)
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

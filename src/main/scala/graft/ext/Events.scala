@@ -945,6 +945,102 @@ object Events {
       |         * 1000000 + 0.5) AS BIGINT) AS psi_term_e6
       |FROM dense, t ORDER BY bin""".stripMargin
 
+  /** x254: 1-Wasserstein (earth-mover) drift distance per event type —
+    * the metric companion to x168's PSI (binned, scale-free) and x219's
+    * KS (sup-norm): W₁ = ∫|F₁−F₂| dv integrates the CDF gap over the
+    * VALUE AXIS, so it reports drift in the metric's own units (here:
+    * event-value points) and, unlike KS, keeps growing when the whole
+    * distribution translates. Same first-half/second-half period cut as
+    * PSI (day < lo + (hi−lo) DIV 2 from one broadcast span row).
+    *
+    * Exactness: values land on the e2 grid once per row; the empirical
+    * CDF gap at each grid point is the exact integer cross-product
+    * |cum₁·t₂ − cum₂·t₁| (≤ ~4·10¹¹ at sf0.1 — double-exact), and each
+    * trapezoid term (gap × Δv) rounds ONCE to e6 before the exact BIGINT
+    * sum. KS falls out of the same frame as the max of the e6-floored
+    * per-point gaps. Scale: one fact pass to (type, v_e2) counts; the
+    * window runs over the VALUE GRID per type (bounded by the value
+    * range × 100, not the corpus), so the sort is metadata-sized at any
+    * corpus scale.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val span = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val counts = ev.crossJoin(broadcast(span))
+      .select(col("event_type"), col("v_e2"),
+        when(col("day") < col("lo") + expr("(hi - lo) DIV 2"), lit(1L))
+          .otherwise(lit(0L)).as("in1"))
+      .groupBy("event_type", "v_e2")
+      .agg(sum(col("in1")).as("n1"),
+        (count(lit(1)) - sum(col("in1"))).as("n2"))
+    val tot = counts.groupBy("event_type")
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val w = Window.partitionBy("event_type").orderBy("v_e2")
+    val gap = counts
+      .withColumn("cum1", sum(col("n1")).over(w))
+      .withColumn("cum2", sum(col("n2")).over(w))
+      .withColumn("dv", lead(col("v_e2"), 1).over(w) - col("v_e2"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("t1"), col("t2"), col("dv"),
+        abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("x"))
+    gap
+      .select(col("event_type"), col("t1"), col("t2"),
+        floor(col("x").cast("double") / (col("t1") * col("t2")).cast("double")
+          * 1000000d + 0.5d).cast("long").as("df_e6"),
+        when(col("dv").isNull, lit(0L))
+          .otherwise(floor(col("x").cast("double")
+            / (col("t1") * col("t2")).cast("double")
+            * col("dv").cast("double") / lit(100d) * 1000000d + 0.5d)
+            .cast("long")).as("term_e6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_vals"), max(col("t1")).as("t1"),
+        max(col("t2")).as("t2"), sum(col("term_e6")).as("w1_e6"),
+        max(col("df_e6")).as("ks_e6"))
+      .orderBy("event_type")
+  }
+
+  val wassersteinOracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |c AS (SELECT event_type, v_e2,
+      |             CAST(SUM(CASE WHEN day < lo + (hi - lo) // 2
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |             CAST(COUNT(*) - SUM(CASE WHEN day < lo + (hi - lo) // 2
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM e, b GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(n1) AS BIGINT) AS t1,
+      |             CAST(SUM(n2) AS BIGINT) AS t2
+      |      FROM c GROUP BY 1),
+      |w AS (SELECT event_type, v_e2,
+      |             CAST(SUM(n1) OVER (PARTITION BY event_type ORDER BY v_e2)
+      |               AS BIGINT) AS cum1,
+      |             CAST(SUM(n2) OVER (PARTITION BY event_type ORDER BY v_e2)
+      |               AS BIGINT) AS cum2,
+      |             LEAD(v_e2) OVER (PARTITION BY event_type ORDER BY v_e2)
+      |               - v_e2 AS dv
+      |      FROM c),
+      |q AS (SELECT w.event_type, t1, t2,
+      |             CAST(floor(CAST(abs(cum1 * t2 - cum2 * t1) AS DOUBLE)
+      |               / CAST(t1 * t2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |               AS df_e6,
+      |             CASE WHEN dv IS NULL THEN 0
+      |                  ELSE CAST(floor(CAST(abs(cum1 * t2 - cum2 * t1) AS DOUBLE)
+      |                    / CAST(t1 * t2 AS DOUBLE) * CAST(dv AS DOUBLE) / 100
+      |                    * 1000000 + 0.5) AS BIGINT) END AS term_e6
+      |      FROM w JOIN t ON t.event_type = w.event_type)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_vals,
+      |       MAX(t1) AS t1, MAX(t2) AS t2,
+      |       CAST(SUM(term_e6) AS BIGINT) AS w1_e6,
+      |       MAX(df_e6) AS ks_e6
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x170: Kaplan–Meier time-to-conversion — the survival curve over
     * "days from a user's first event to their first purchase", with
     * purchase-less users right-CENSORED at their last-seen day (the

@@ -1366,6 +1366,127 @@ object Quality {
       |         AS ratio_e6
       |FROM f""".stripMargin
 
+  /** x255: KMV (k-minimum-values) distinct sketch with SET INTERSECTION —
+    * the estimator family member HLL ([[hllExact]]) cannot provide: HLL
+    * unions losslessly but can only inclusion-exclude intersections
+    * (variance explodes when |A∩B| ≪ |A∪B|); a KMV sketch is a uniform
+    * sample of the DISTINCT domain, so Jaccard is estimable directly from
+    * the k union-minima (Beyer et al., SIGMOD'07). Sets here: customers
+    * with a finished ('F') order vs customers with an open ('O') order.
+    *
+    * Determinism: the same md5-derived 60-bit key on both engines (the
+    * x247 discipline), so sketch contents hash-match — the oracle
+    * replays the construction, not just the estimate. Estimator: with
+    * fewer than k distinct values the sketch IS the set (estimate =
+    * exact size); otherwise (k−1)·2⁶⁰/h₍ₖ₎. Intersection = (|{x ∈
+    * U_k : x∈K_A ∧ x∈K_B}|/|U_k|) · est(A∪B) — the denominator is the
+    * REALIZED union-sketch size min(k, |A∪B|), which keeps the exact
+    * path (sketch = set) returning the exact intersection. Truth
+    * emitted beside every
+    * estimate (the x246 posture). Scale: one fact pass per set to
+    * DISTINCT keys, then per-partition top-k + merge (TakeOrdered — no
+    * global sort); everything downstream is k-sized.
+    */
+  def kmvOverlap(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    def hOf(c: Column): Column =
+      conv(substring(md5(concat(c.cast("string"), lit(":kmv"))), 1, 15), 16, 10)
+        .cast("long")
+    // k-sized sketches are localCheckpoint'd: each feeds three consumers
+    // (union, estimator, membership join) and re-deriving would re-run
+    // the fact-sized distinct per consumer; checkpoint blocks are
+    // GC-reclaimed, so nothing leaks across a long bench session.
+    def sketch(status: String): DataFrame =
+      orders.filter(col("o_orderstatus") === status)
+        .select(hOf(col("o_custkey")).as("h")).distinct()
+        .orderBy("h").limit(k).localCheckpoint()
+    val ka = sketch("F")
+    val kb = sketch("O")
+    val ku = ka.union(kb).distinct().orderBy("h").limit(k).localCheckpoint()
+    // estimates as one-row frames (no driver math on hash values beyond
+    // the k-sized sketch aggregates)
+    def estFrame(s: DataFrame, name: String): DataFrame =
+      s.agg(count(lit(1)).as("n_s"), max(col("h")).as("hk"))
+        .select(
+          when(col("n_s") < k, col("n_s").cast("double"))
+            .otherwise(lit((k - 1).toDouble)
+              * lit(1152921504606846976L).cast("double")
+              / col("hk").cast("double")).as(name))
+    val estA = estFrame(ka, "est_a")
+    val estB = estFrame(kb, "est_b")
+    val estU = estFrame(ku, "est_u")
+    val rho = ku
+      .join(ka.withColumn("ina", lit(1L)), Seq("h"), "left")
+      .join(kb.withColumn("inb", lit(1L)), Seq("h"), "left")
+      .agg(sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"), count(lit(1)).as("n_u"))
+    val truth = orders
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fa"),
+        max(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("fb"))
+      .agg(sum(col("fa")).as("true_a"), sum(col("fb")).as("true_b"),
+        sum(col("fa") * col("fb")).as("true_inter"))
+    rho.crossJoin(broadcast(estA)).crossJoin(broadcast(estB))
+      .crossJoin(broadcast(estU)).crossJoin(broadcast(truth))
+      .select(lit(k.toLong).as("k"), col("n_both"), col("n_u"),
+        floor(col("est_a") * 1000d + 0.5d).cast("long").as("est_a_e3"),
+        floor(col("est_b") * 1000d + 0.5d).cast("long").as("est_b_e3"),
+        floor(col("est_u") * 1000d + 0.5d).cast("long").as("est_union_e3"),
+        floor(col("n_both").cast("double") / col("n_u").cast("double")
+          * 1000000d + 0.5d).cast("long").as("jaccard_e6"),
+        floor(col("n_both").cast("double") / col("n_u").cast("double")
+          * col("est_u") * 1000d + 0.5d).cast("long").as("est_inter_e3"),
+        col("true_a"), col("true_b"), col("true_inter"))
+  }
+
+  val kmvOracle: String =
+    """WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey || ':kmv'), 1, 15))::BIGINT AS h
+      |            FROM orders WHERE o_orderstatus = 'F'),
+      |hb AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey || ':kmv'), 1, 15))::BIGINT AS h
+      |       FROM orders WHERE o_orderstatus = 'O'),
+      |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      |       ORDER BY h LIMIT 256),
+      |ea AS (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+      |                   ELSE CAST(255 AS DOUBLE)
+      |                        * CAST(1152921504606846976 AS DOUBLE)
+      |                        / CAST(MAX(h) AS DOUBLE) END AS est_a
+      |       FROM ka),
+      |eb AS (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+      |                   ELSE CAST(255 AS DOUBLE)
+      |                        * CAST(1152921504606846976 AS DOUBLE)
+      |                        / CAST(MAX(h) AS DOUBLE) END AS est_b
+      |       FROM kb),
+      |eu AS (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+      |                   ELSE CAST(255 AS DOUBLE)
+      |                        * CAST(1152921504606846976 AS DOUBLE)
+      |                        / CAST(MAX(h) AS DOUBLE) END AS est_u
+      |       FROM ku),
+      |r AS (SELECT CAST(SUM(CASE WHEN ku.h IN (SELECT h FROM ka)
+      |                            AND ku.h IN (SELECT h FROM kb)
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |             CAST(COUNT(*) AS BIGINT) AS n_u
+      |      FROM ku),
+      |tr AS (SELECT CAST(SUM(fa) AS BIGINT) AS true_a,
+      |              CAST(SUM(fb) AS BIGINT) AS true_b,
+      |              CAST(SUM(fa * fb) AS BIGINT) AS true_inter
+      |       FROM (SELECT o_custkey,
+      |                    MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fa,
+      |                    MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS fb
+      |             FROM orders GROUP BY 1))
+      |SELECT CAST(256 AS BIGINT) AS k, n_both, n_u,
+      |       CAST(floor(est_a * 1000 + 0.5) AS BIGINT) AS est_a_e3,
+      |       CAST(floor(est_b * 1000 + 0.5) AS BIGINT) AS est_b_e3,
+      |       CAST(floor(est_u * 1000 + 0.5) AS BIGINT) AS est_union_e3,
+      |       CAST(floor(CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)
+      |           * 1000000 + 0.5) AS BIGINT) AS jaccard_e6,
+      |       CAST(floor(CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)
+      |           * est_u * 1000 + 0.5) AS BIGINT) AS est_inter_e3,
+      |       true_a, true_b, true_inter
+      |FROM r, ea, eb, eu, tr""".stripMargin
+
   /** x238: UCB1 bandit replay (Auer et al. 2002) — the adaptive
     * ALLOCATION side of experimentation ([[sprtMonitor]] decides when to
     * STOP; this decides where to SPEND): replay the UCB1 policy over the

@@ -137,6 +137,8 @@ object Ext {
     "x251_g_test"          -> ((s: SparkSession, d: String) => Events.gTest(s, d)),
     "x252_zipf_slope"      -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "x253_burstiness"      -> ((s: SparkSession, d: String) => TextAnalysis.termBurstiness(s, d)),
+    "x254_wasserstein"     -> ((s: SparkSession, d: String) => Events.wassersteinDrift(s, d)),
+    "x255_kmv_overlap"     -> ((s: SparkSession, d: String) => graft.ops.Quality.kmvOverlap(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -558,6 +560,8 @@ object Ext {
     "x251_g_test"          -> Events.gTestOracle,
     "x252_zipf_slope"      -> TextAnalysis.zipfOracle,
     "x253_burstiness"      -> TextAnalysis.burstinessOracle,
+    "x254_wasserstein"     -> Events.wassersteinOracle,
+    "x255_kmv_overlap"     -> graft.ops.Quality.kmvOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

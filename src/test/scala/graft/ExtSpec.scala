@@ -1255,6 +1255,47 @@ class ExtSpec extends SparkSuite {
     assert(got.head._4 > 1000000L)
   }
 
+  test("Wasserstein drift replays the CDF-gap integral per event type") {
+    val got = Events.wassersteinDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_micros(ts) / 86400000000.0) AS LONG)").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS LONG)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = raw.map(_._2).min
+    val hi = raw.map(_._2).max
+    val cut = lo + (hi - lo) / 2
+    val exp = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val grid = rows.map(_._3).distinct.sorted
+      val n1 = grid.map(v => rows.count(r => r._3 == v && r._2 < cut).toLong)
+      val n2 = grid.map(v => rows.count(r => r._3 == v && r._2 >= cut).toLong)
+      val (t1, t2) = (n1.sum, n2.sum)
+      val cum1 = n1.scanLeft(0L)(_ + _).tail
+      val cum2 = n2.scanLeft(0L)(_ + _).tail
+      val dfE6 = grid.indices.map { i =>
+        math.floor(math.abs(cum1(i) * t2 - cum2(i) * t1).toDouble /
+          (t1 * t2).toDouble * 1e6 + 0.5).toLong
+      }
+      val termE6 = grid.indices.map { i =>
+        if (i == grid.length - 1) 0L
+        else math.floor(math.abs(cum1(i) * t2 - cum2(i) * t1).toDouble /
+          (t1 * t2).toDouble * (grid(i + 1) - grid(i)).toDouble / 100 *
+          1e6 + 0.5).toLong
+      }
+      (t, grid.length.toLong, t1, t2, termE6.sum, dfE6.max)
+    }
+    assert(got.toSeq === exp, "W1/KS replay mismatch")
+    // KS is a proper fraction of the CDF scale; W1 of any event type is
+    // bounded by the value range (Kantorovich duality with 1-Lipschitz f)
+    val range = (raw.map(_._3).max - raw.map(_._3).min).toDouble / 100
+    got.foreach { g =>
+      assert(g._6 <= 1000000L, s"${g._1}: KS > 1")
+      assert(g._5.toDouble / 1e6 <= range + 1e-6, s"${g._1}: W1 > value range")
+    }
+  }
+
   test("conversion lags recompute from the pair join and respect the 6h window") {
     val rows = Events.conversionLag(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

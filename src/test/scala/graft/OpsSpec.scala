@@ -2567,6 +2567,49 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(ratio - 1000000L) <= 200000L, s"HLL error out of band: $ratio")
   }
 
+  test("KMV sketches replay from md5 minima and the exact-path estimates are the truth") {
+    val Array(row) = graft.ops.Quality.kmvOverlap(spark, sf).collect()
+    val k = row.getLong(0).toInt
+    def h60(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:kmv".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val setA = rows.filter(_._2 == "F").map(_._1).distinct.toSet
+    val setB = rows.filter(_._2 == "O").map(_._1).distinct.toSet
+    val ka = setA.map(h60).toSeq.sorted.take(k)
+    val kb = setB.map(h60).toSeq.sorted.take(k)
+    val ku = (ka ++ kb).distinct.sorted.take(k)
+    def est(s: Seq[Long]): Double =
+      if (s.length < k) s.length.toDouble
+      else (k - 1).toDouble * 1152921504606846976L.toDouble / s.max.toDouble
+    val nBoth = ku.count(h => ka.contains(h) && kb.contains(h)).toLong
+    assert(row.getLong(1) === nBoth, "union-minima both-membership replay")
+    assert(row.getLong(2) === ku.length.toLong)
+    assert(row.getLong(3) === math.floor(est(ka) * 1e3 + 0.5).toLong)
+    assert(row.getLong(4) === math.floor(est(kb) * 1e3 + 0.5).toLong)
+    assert(row.getLong(5) === math.floor(est(ku) * 1e3 + 0.5).toLong)
+    assert(row.getLong(6) ===
+      math.floor(nBoth.toDouble / ku.length * 1e6 + 0.5).toLong)
+    assert(row.getLong(7) ===
+      math.floor(nBoth.toDouble / ku.length * est(ku) * 1e3 + 0.5).toLong)
+    assert(row.getLong(8) === setA.size.toLong)
+    assert(row.getLong(9) === setB.size.toLong)
+    assert(row.getLong(10) === (setA & setB).size.toLong)
+    // sf0.001 has < k distinct customers per status: the exact path must
+    // be live, meaning every estimate IS its truth (the property that
+    // makes small-partition sketch merges safe at scale)
+    if (setA.size < k && setB.size < k) {
+      assert(row.getLong(3) === setA.size.toLong * 1000L)
+      assert(row.getLong(4) === setB.size.toLong * 1000L)
+      assert(row.getLong(5) === (setA | setB).size.toLong * 1000L)
+      assert(row.getLong(7) === (setA & setB).size.toLong * 1000L)
+    }
+  }
+
   test("Kendall tau-b pair classes partition the pair space and replay exactly") {
     val Array(row) = graft.queries.Analytics.kendallTau(spark, sf).collect()
     val (n0, nc, nd, tx, ty, txy, tau) = (row.getLong(0), row.getLong(1),

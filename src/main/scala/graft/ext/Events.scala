@@ -1995,6 +1995,96 @@ object Events {
       .orderBy("view_hour")
   }
 
+  /** x257: time-decay + position-based (U-shaped) multi-touch attribution
+    * — the remaining two canonical credit models beside [[linearAttribution]]
+    * (equal split), x232 (exact Shapley), and x234 (Markov removal
+    * effect), on the SAME 6-hour view→purchase touch frame so the four
+    * models are directly comparable per view-hour. Time-decay halves a
+    * touch's weight per full hour of age (half-life = 1 h, the industry
+    * default): w = 2^(−⌊Δt/1h⌋) is an exact dyadic rational, so the
+    * weight is the INTEGER w_e9 = 10⁹ DIV 2^⌊Δt/1h⌋ (the x247
+    * discipline) — no transcendental pow whose libm rounding could
+    * diverge across engines. Position-based pays 40% to the first touch,
+    * 40% to the
+    * last, and splits 20% over the middle (100% / 50-50 for 1- and
+    * 2-touch paths).
+    *
+    * Exactness: both credit models are pure INTEGER arithmetic — weights
+    * are dyadic e9 integers, shares are `(v·10⁴·w) DIV Σw` and
+    * `(v·10⁴·…) DIV …` exactly as x180 — so hourly sums are exact BIGINTs
+    * on both engines; no double ever appears. Scale: the touch frame is
+    * the x180 join (per-user time-bounded — bounded fan-out); windows
+    * partition by conversion id (bounded by the 6-h lookback), and the
+    * output is 24 rows.
+    */
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_eid"),
+        col("us").as("view_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_eid"),
+        col("us").as("p_us"), col("v_e2"))
+    val wp = Window.partitionBy(col("p_eid"))
+    val wo = wp.orderBy(col("view_us"), col("v_eid"))
+    views.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("p_us") >= col("view_us") &&
+          col("p_us") <= col("view_us") + lit(21600000000L))
+      .withColumn("w_e9",
+        expr("1000000000 DIV shiftleft(CAST(1 AS BIGINT), CAST((p_us - view_us) DIV 3600000000 AS INT))"))
+      .withColumn("sw_e9", sum(col("w_e9")).over(wp))
+      .withColumn("n_touch", count(lit(1)).over(wp))
+      .withColumn("r", row_number().over(wo))
+      .select(expr("(view_us DIV 3600000000) % 24").as("view_hour"),
+        col("p_eid"),
+        expr("(v_e2 * 10000 * w_e9) DIV sw_e9").as("td_e6"),
+        expr("""CASE WHEN n_touch = 1 THEN v_e2 * 10000
+                     WHEN n_touch = 2 THEN (v_e2 * 10000) DIV 2
+                     WHEN r = 1 OR r = n_touch THEN (v_e2 * 10000 * 2) DIV 5
+                     ELSE (v_e2 * 10000) DIV (5 * (n_touch - 2)) END""")
+          .as("pos_e6"))
+      .groupBy("view_hour")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_eid")).as("n_purchases"),
+        sum(col("td_e6")).as("td_credit_e6"),
+        sum(col("pos_e6")).as("pos_credit_e6"))
+      .orderBy("view_hour")
+  }
+
+  val decayAttributionOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us,
+      |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |           FROM events),
+      |p AS (SELECT v.us AS view_us, pu.event_id AS p_eid, pu.v_e2,
+      |             1000000000 // (CAST(1 AS BIGINT)
+      |               << CAST((pu.us - v.us) // 3600000000 AS INTEGER)) AS w_e9,
+      |             COUNT(*) OVER (PARTITION BY pu.event_id) AS n_touch,
+      |             ROW_NUMBER() OVER (PARTITION BY pu.event_id
+      |                                ORDER BY v.us, v.event_id) AS r
+      |      FROM (SELECT user_id, event_id, us FROM e
+      |            WHERE event_type = 'view') v
+      |      JOIN (SELECT user_id, event_id, us, v_e2 FROM e
+      |            WHERE event_type = 'purchase') pu
+      |        ON pu.user_id = v.user_id
+      |       AND pu.us >= v.us AND pu.us <= v.us + 21600000000),
+      |s AS (SELECT *, SUM(w_e9) OVER (PARTITION BY p_eid) AS sw_e9 FROM p)
+      |SELECT (view_us // 3600000000) % 24 AS view_hour,
+      |       COUNT(*) AS n_touches,
+      |       COUNT(DISTINCT p_eid) AS n_purchases,
+      |       CAST(SUM((v_e2 * 10000 * w_e9) // sw_e9) AS BIGINT) AS td_credit_e6,
+      |       CAST(SUM(CASE WHEN n_touch = 1 THEN v_e2 * 10000
+      |                     WHEN n_touch = 2 THEN (v_e2 * 10000) // 2
+      |                     WHEN r = 1 OR r = n_touch THEN (v_e2 * 10000 * 2) // 5
+      |                     ELSE (v_e2 * 10000) // (5 * (n_touch - 2)) END)
+      |         AS BIGINT) AS pos_credit_e6
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val attributionOracle: String =
     """WITH e AS (SELECT user_id, event_type, event_id,
       |                  CAST(epoch_us(ts) AS BIGINT) AS us,

@@ -2443,6 +2443,95 @@ object Analytics {
       |           * 1000000 + 0.5) AS BIGINT) END AS r_xy_given_z_e6
       |FROM r""".stripMargin
 
+  /** x256: empirical-Bayes beta-binomial shrinkage of per-brand return
+    * rates (Robbins 1956; the "funnel plot killer"): a brand with 3
+    * returns in 7 lineitems must not outrank one with 300 in 1000, so
+    * every brand's raw rate x/n is pulled toward the cross-brand prior
+    * Beta(α, β), fitted by method of moments from the observed rates
+    * themselves — α+β is the prior pseudo-count, and the posterior mean
+    * (x + α)/(n + α + β) is the ranking-safe estimate. The same machinery
+    * ranks sellers, flags SKUs, and calibrates CTRs at 100 TB.
+    *
+    * Exactness: per-brand rates enter the moment fit as the exact
+    * integers (x·10⁹) DIV n; the cross-brand mean and sample variance are
+    * assembled from DECIMAL(38,0) sums of those integers (≡ HUGEINT) and
+    * convert to double ONCE in pinned order; α, β, and each posterior
+    * mean are single pinned expressions floored once at e6 (degenerate
+    * fits — zero variance or non-positive prior strength — null out, the
+    * abTest posture). Scale: one fact pass (broadcast part dim) to
+    * |brands| rows; the prior fit is a one-row broadcast.
+    */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val brands = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      // widen BEFORE the e9 scale-up: x·10⁹ would wrap BIGINT past ~9·10⁹
+      // returns per brand — well inside 100 TB territory
+      .withColumn("r_e9",
+        expr("(CAST(x AS DECIMAL(38,0)) * 1000000000) DIV n"))
+    val prior = brands.agg(count(lit(1)).as("b"),
+      sum(col("r_e9")).as("s1"),
+      sum(d38(col("r_e9")) * d38(col("r_e9"))).as("s2"))
+    val m = col("s1").cast("double") / col("b").cast("double") / lit(1.0e9d)
+    val vNum = (d38(col("b")) * col("s2") - d38(col("s1")) * d38(col("s1")))
+      .cast("double")
+    val v = vNum / col("b").cast("double") / (col("b") - 1L).cast("double") /
+      lit(1.0e18d)
+    val strength = m * (lit(1.0d) - m) / v - lit(1.0d)
+    val withPrior = brands.crossJoin(broadcast(prior
+      .select(col("b"),
+        when(vNum > 0d && strength > 0d, m).as("m"),
+        when(vNum > 0d && strength > 0d, strength).as("s"))))
+    withPrior.select(col("p_brand"), col("n"), col("x"),
+        expr("CAST((CAST(x AS DECIMAL(38,0)) * 1000000) DIV n AS BIGINT)")
+          .as("rate_e6"),
+        floor(col("m") * col("s") * 1000000d + 0.5d).cast("long").as("alpha_e6"),
+        floor((lit(1.0d) - col("m")) * col("s") * 1000000d + 0.5d)
+          .cast("long").as("beta_e6"),
+        floor((col("x").cast("double") + col("m") * col("s"))
+          / (col("n").cast("double") + col("s")) * 1000000d + 0.5d)
+          .cast("long").as("shrunk_e6"))
+      .orderBy("p_brand")
+  }
+
+  val ebShrinkageOracle: String =
+    """WITH br AS (SELECT p_brand, COUNT(*) AS n,
+      |                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |                     AS BIGINT) AS x
+      |            FROM lineitem JOIN part ON p_partkey = l_partkey
+      |            GROUP BY 1),
+      |r AS (SELECT p_brand, n, x,
+      |             CAST((CAST(x AS HUGEINT) * 1000000000) // n AS BIGINT) AS r_e9
+      |      FROM br),
+      |pr AS (SELECT COUNT(*) AS b, CAST(SUM(r_e9) AS BIGINT) AS s1,
+      |              SUM(CAST(r_e9 AS HUGEINT) * r_e9) AS s2
+      |       FROM r),
+      |f AS (SELECT b,
+      |             CAST(s1 AS DOUBLE) / CAST(b AS DOUBLE) / 1000000000.0 AS m,
+      |             CAST(b * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS vnum
+      |      FROM pr),
+      |g AS (SELECT b, m, vnum,
+      |             m * (1.0 - m)
+      |               / (vnum / CAST(b AS DOUBLE) / CAST(b - 1 AS DOUBLE)
+      |                  / 1e18) - 1.0 AS s
+      |      FROM f),
+      |h AS (SELECT CASE WHEN vnum > 0 AND s > 0 THEN m END AS m,
+      |             CASE WHEN vnum > 0 AND s > 0 THEN s END AS s
+      |      FROM g)
+      |SELECT p_brand, n, x,
+      |       CAST((CAST(x AS HUGEINT) * 1000000) // n AS BIGINT) AS rate_e6,
+      |       CAST(floor(m * s * 1000000 + 0.5) AS BIGINT) AS alpha_e6,
+      |       CAST(floor((1.0 - m) * s * 1000000 + 0.5) AS BIGINT) AS beta_e6,
+      |       CAST(floor((CAST(x AS DOUBLE) + m * s)
+      |         / (CAST(n AS DOUBLE) + s) * 1000000 + 0.5) AS BIGINT)
+      |         AS shrunk_e6
+      |FROM r, h ORDER BY p_brand""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),

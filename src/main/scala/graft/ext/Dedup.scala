@@ -290,12 +290,42 @@ object Dedup {
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     val df = inv.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    val subcap = inv.join(df, "g")
-    val cand = subcap.select(col("g"), col("doc_id").as("a"))
+    val subcap = inv.join(df.select("g"), "g")
+    // Count-first candidate generation: groupBy(a,b) over the sub-cap
+    // pair stream yields BOTH the candidate set (pairs sharing ≥ 1
+    // sub-cap shingle — the identical miss condition as a distinct())
+    // and inter_sub = |A∩B restricted to sub-cap shingles|, exactly
+    // (a shared shingle is sub-cap for both sides or for neither — df
+    // is global). A map-side-combinable count is cheaper than the
+    // distinct's dedup shuffle, and it powers the prune below.
+    val pairSub = subcap.select(col("g"), col("doc_id").as("a"))
       .join(subcap.select(col("g"), col("doc_id").as("b")), "g")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val verified = cand
+      .groupBy("a", "b").agg(count(lit(1)).as("inter_sub"))
+    // Per-doc hot-shingle budget: every shared shingle NOT counted by
+    // inter_sub has df > dfCap on both sides, so
+    // inter ≤ inter_sub + least(hot_a, hot_b) — an exact integer upper
+    // bound. A pair that passes EITHER directional threshold satisfies
+    // inter·10⁴ ≥ tBp·least(sza, szb), so pruning on the bound is
+    // output-lossless, and the expensive array-carrying exact verify
+    // runs on the handful of survivors instead of the ~n·cap candidate
+    // stream (measured sf0.1: 1.13 M candidates → 512 rows out; the
+    // array joins + array_intersect were ~80% of the operator's task
+    // time before the prune).
+    val stats = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .join(subcap.groupBy("doc_id").agg(count(lit(1)).as("n_sub")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("n_sub"), lit(0L))).as("hot"))
+    val pruned = pairSub
+      .join(stats.select(col("doc_id").as("a"), col("sz").as("sza_s"),
+        col("hot").as("hot_a")), "a")
+      .join(stats.select(col("doc_id").as("b"), col("sz").as("szb_s"),
+        col("hot").as("hot_b")), "b")
+      .filter((col("inter_sub") + least(col("hot_a"), col("hot_b"))) * 10000L >=
+        lit(tBp.toLong) * least(col("sza_s"), col("szb_s")))
+      .select("a", "b")
+    val verified = pruned
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
       .select(col("a"), col("b"),

@@ -1766,7 +1766,8 @@ object TextAnalysis {
     * whose FIRST doc is ≤ the k-th doc" — so the inherently-sequential
     * running DISTINCT becomes min(doc_id) per token (one map-combinable
     * aggregate) followed by a prefix sum of first-occurrence counts.
-    * Both prefix sums are [[graft.ops.Ranking.globalCumSum]] (two-phase
+    * Both prefix sums ride ONE [[graft.ops.Ranking.globalCumSums]] pass
+    * (two-phase
     * bucketed — no one-task global window on the doc grain, which IS
     * corpus-sized, unlike the calendar-bounded daily frames). The β fit
     * itself lives in ExtSpec (a driver-side OLS on the log-log curve);
@@ -1779,10 +1780,9 @@ object TextAnalysis {
       .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
     val joined = perDoc.join(firstOcc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-    val c1 = graft.ops.Ranking.globalCumSum(joined,
-      col("doc_id"), col("doc_id"), col("n_tok"), "cum_tokens")
-    val c2 = graft.ops.Ranking.globalCumSum(c1,
-      col("doc_id"), col("doc_id"), col("n_new"), "cum_vocab")
+    val c2 = graft.ops.Ranking.globalCumSums(joined,
+      col("doc_id"), col("doc_id"),
+      Seq(col("n_tok") -> "cum_tokens", col("n_new") -> "cum_vocab"))
     c2.select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
       .orderBy("doc_id")
   }

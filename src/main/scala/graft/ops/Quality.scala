@@ -631,8 +631,8 @@ object Quality {
     * the same distribution?") and drift detection (the nonparametric
     * sibling of x168's binned PSI: KS needs no bin choice). D =
     * max_v |F₁(v) − F₂(v)| evaluated on the distinct-value grain with
-    * BOTH ECDFs as exact integer cumulative counts (two two-phase
-    * cumsums), compared cross-multiplied — |c₁·n₂ − c₂·n₁| over n₁·n₂ —
+    * BOTH ECDFs as exact integer cumulative counts (ONE two-phase
+    * multi-weight cumsum), compared cross-multiplied — |c₁·n₂ − c₂·n₁| over n₁·n₂ —
     * so the max is taken over exact integers and the one division
     * happens once, on the argmax row. The argmax location (lowest such
     * v) is reported: that's the price where the two CDFs diverge most.
@@ -645,8 +645,8 @@ object Quality {
       .groupBy("v")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("n2"))
-    val c1 = Ranking.globalCumSum(g, col("v"), col("v"), col("n1"), "c1")
-    val c2 = Ranking.globalCumSum(c1, col("v"), col("v"), col("n2"), "c2")
+    val c2 = Ranking.globalCumSums(g, col("v"), col("v"),
+      Seq(col("n1") -> "c1", col("n2") -> "c2"))
     val tot = g.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     c2.crossJoin(broadcast(tot))
       .select(col("v"), col("t1"), col("t2"),

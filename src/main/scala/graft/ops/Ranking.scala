@@ -68,7 +68,21 @@ object Ranking {
     * Returns the input plus `cumCol` = inclusive running total as BIGINT.
     */
   def globalCumSum(df: DataFrame, order: Column, tieBreak: Column,
-                   weight: Column, cumCol: String, buckets: Int = 256): DataFrame = {
+                   weight: Column, cumCol: String, buckets: Int = 256): DataFrame =
+    globalCumSums(df, order, tieBreak, Seq(weight -> cumCol), buckets)
+
+  /** Multi-weight [[globalCumSum]]: ALL running totals over the SAME
+    * (order, tieBreak) sequence in ONE two-phase pass. Chaining two
+    * globalCumSum calls instead would feed the second call's three
+    * self-references (stats, within, offsets) the first call's whole
+    * tree — ~3× recomputation per chained level (the a36 chained-rank
+    * lesson); here the extra weights are just extra window/aggregate
+    * columns riding the one bucket shuffle.
+    */
+  def globalCumSums(df: DataFrame, order: Column, tieBreak: Column,
+                    weights: Seq[(Column, String)],
+                    buckets: Int = 256): DataFrame = {
+    require(weights.nonEmpty, "globalCumSums needs at least one weight")
     val stats = df.agg(min(order.cast("double")).as("v_min"),
       max(order.cast("double")).as("v_max"))
     val bucketed = df.crossJoin(broadcast(stats))
@@ -79,20 +93,29 @@ object Ranking {
               (col("v_max") - col("v_min")) * buckets),
             lit(buckets - 1).cast("long"))).cast("long"))
       .drop("v_min", "v_max")
-    val within = bucketed.withColumn("c_cum",
-      sum(weight.cast("long")).over(
-        Window.partitionBy(col("c_bucket")).orderBy(order, tieBreak)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = bucketed.groupBy("c_bucket")
-      .agg(sum(weight.cast("long")).as("c_w"))
-      .withColumn("c_offset",
-        coalesce(sum(col("c_w")).over(
-          Window.orderBy(col("c_bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("c_bucket", "c_offset")
-    within.join(broadcast(offsets), "c_bucket")
-      .withColumn(cumCol, col("c_cum") + col("c_offset"))
-      .drop("c_bucket", "c_cum", "c_offset")
+    val w = Window.partitionBy(col("c_bucket")).orderBy(order, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = weights.zipWithIndex.foldLeft(bucketed) {
+      case (acc, ((weight, _), i)) =>
+        acc.withColumn(s"c_cum_$i", sum(weight.cast("long")).over(w))
+    }
+    val wOff = Window.orderBy(col("c_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = bucketed.groupBy("c_bucket")
+      .agg(sum(weights.head._1.cast("long")).as("c_w_0"),
+        weights.tail.zipWithIndex.map { case ((weight, _), i) =>
+          sum(weight.cast("long")).as(s"c_w_${i + 1}")
+        }: _*)
+    val offsets = weights.indices.foldLeft(totals) { (acc, i) =>
+      acc.withColumn(s"c_offset_$i",
+        coalesce(sum(col(s"c_w_$i")).over(wOff), lit(0L)))
+    }.select(col("c_bucket") +: weights.indices.map(i => col(s"c_offset_$i")): _*)
+    val joined = within.join(broadcast(offsets), "c_bucket")
+    weights.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, cumCol), i)) =>
+        acc.withColumn(cumCol, col(s"c_cum_$i") + col(s"c_offset_$i"))
+    }.drop("c_bucket")
+      .drop(weights.indices.flatMap(i => Seq(s"c_cum_$i", s"c_offset_$i")): _*)
   }
 
   /** Exact global running MAX of `value` in (order asc, tieBreak asc) —

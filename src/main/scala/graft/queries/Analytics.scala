@@ -988,26 +988,35 @@ object Analytics {
     * (metric, custkey) — the same integer-grid cut as x123's split, with
     * no ntile() (whose remainder placement is an engine-specific choice).
     * Recency ranks DESCENDING (most-recent customers get rank n → score
-    * 5) by ranking the negated day gap. All three ranks run through the
-    * two-phase bucketed [[graft.ops.Ranking.globalRowNumber]] over the
-    * customer-grain aggregate — never a one-task global window, never the
-    * fact. Segment means convert exact cent sums to double once. Output
-    * is ≤125 segment rows at any SF.
+    * 5) by ranking last_day ascending — the same total order as the
+    * negated day gap, with no max-day anchor needed. All three ranks run
+    * through the two-phase bucketed
+    * [[graft.ops.Ranking.globalRowNumber]] over the customer-grain
+    * aggregate — never a one-task global window, never the fact — and
+    * run INDEPENDENTLY (see the in-body note: chaining compounds
+    * recomputation). Segment means convert exact cent sums to double
+    * once. Output is ≤125 segment rows at any SF.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val cust = custOrderProfile(spark, dir)
-    val maxDay = cust.agg(max(col("last_day")).as("max_day"))
-    val base = cust.crossJoin(broadcast(maxDay))
-      .select(col("o_custkey"), col("cents"), col("n_orders"),
-        (col("max_day") - col("last_day")).as("recency"))
-    val r1 = graft.ops.Ranking.globalRowNumber(
-      base, -col("recency"), col("o_custkey"), "r_rnk")
-    val r2 = graft.ops.Ranking.globalRowNumber(
-      r1, col("n_orders"), col("o_custkey"), "f_rnk")
-    val r3 = graft.ops.Ranking.globalRowNumber(
-      r2, col("cents"), col("o_custkey"), "m_rnk")
+    val base = custOrderProfile(spark, dir)
+    // Three INDEPENDENT ranks over the cached customer-grain frame,
+    // joined back on custkey — NOT rank-of-rank-of-rank: chaining feeds
+    // each globalRowNumber's three self-references (stats, bucketed,
+    // offsets) the PREVIOUS rank's whole tree, and the recomputation
+    // compounds ~3^depth (measured sf0.1: 644 s of executor task time
+    // chained vs 115 s independent, identical 115 output rows). Recency
+    // needs no max_day anchor for a RANK: rank by (−recency, key) ≡
+    // rank by (last_day, key) — monotone transform — so the max-day
+    // aggregate and its crossJoin drop out entirely.
+    def ranked(v: Column, out: String): DataFrame =
+      graft.ops.Ranking.globalRowNumber(base, v, col("o_custkey"), out)
+        .select(col("o_custkey").as(s"k_$out"), col(out))
     val n = base.agg(count(lit(1)).as("n_total")) // one-row broadcast, no driver action
-    r3.crossJoin(broadcast(n))
+    base
+      .join(ranked(col("last_day"), "r_rnk"), col("o_custkey") === col("k_r_rnk"))
+      .join(ranked(col("n_orders"), "f_rnk"), col("o_custkey") === col("k_f_rnk"))
+      .join(ranked(col("cents"), "m_rnk"), col("o_custkey") === col("k_m_rnk"))
+      .crossJoin(broadcast(n))
       .select(col("o_custkey"), col("cents"),
         (expr("((r_rnk - 1) * 5) DIV n_total") + 1L).as("r_score"),
         (expr("((f_rnk - 1) * 5) DIV n_total") + 1L).as("f_score"),

@@ -2812,4 +2812,61 @@ class ExtSpec extends SparkSuite {
       assert(math.abs(observed + backoff - 1d) < 1e-9, s"context $w1 mass")
     }
   }
+
+  test("decay/position attribution replays the dyadic weights and conserves value per model") {
+    val got = Events.decayAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byUser = ev.filter(_._2 == "view").groupBy(_._1).withDefaultValue(Array.empty)
+    // per purchase: ordered touch list, dyadic e9 weights, both credit models
+    case class T(hour: Long, peid: Long, td: Long, pos: Long)
+    val touches = ev.filter(_._2 == "purchase").flatMap { case (u, _, eid, pus, v) =>
+      val vs = byUser(u).filter(w => pus >= w._4 && pus <= w._4 + 21600000000L)
+        .sortBy(w => (w._4, w._3))
+      val n = vs.length.toLong
+      val ws = vs.map(w => 1000000000L / (1L << ((pus - w._4) / 3600000000L)))
+      val sw = ws.sum
+      vs.zipWithIndex.map { case (w, i) =>
+        val r = i + 1L
+        val pos =
+          if (n == 1) v * 10000L
+          else if (n == 2) (v * 10000L) / 2
+          else if (r == 1 || r == n) (v * 10000L * 2) / 5
+          else (v * 10000L) / (5 * (n - 2))
+        T((w._4 / 3600000000L) % 24, eid, (v * 10000L * ws(i)) / sw, pos)
+      }
+    }
+    val exp = touches.groupBy(_.hour).map { case (h, rows) =>
+      h -> (rows.length.toLong, rows.map(_.peid).distinct.length.toLong,
+        rows.map(_.td).sum, rows.map(_.pos).sum)
+    }
+    assert(got === exp, "decay/position attribution mismatch vs driver replay")
+    // conservation per purchase, both models: each credited total differs
+    // from the purchase value by strictly less than one e6 unit per
+    // integer DIV taken (n_touch floors for time-decay; ≤ n_touch + 2 for
+    // the position split's three-way partition)
+    touches.groupBy(_.peid).foreach { case (eid, rows) =>
+      val v = ev.find(e => e._3 == eid && e._2 == "purchase").get._5 * 10000L
+      val td = rows.map(_.td).sum
+      val pos = rows.map(_.pos).sum
+      assert(td <= v && v - td < rows.length, s"purchase $eid time-decay leak")
+      assert(pos <= v && v - pos < rows.length + 3L, s"purchase $eid position leak")
+    }
+    // time-decay is monotone: within a purchase, an older touch never
+    // out-earns a newer one (weights halve per full hour of age; the
+    // touch list is replayed oldest-first, so credits are non-decreasing)
+    touches.groupBy(_.peid).foreach { case (eid, rows) =>
+      rows.map(_.td).toSeq.sliding(2).foreach {
+        case Seq(older, newer) => assert(older <= newer, s"purchase $eid decay order")
+        case _ => ()
+      }
+    }
+  }
 }

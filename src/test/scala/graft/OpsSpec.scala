@@ -2852,4 +2852,48 @@ class OpsSpec extends SparkSuite {
       assert(gd === math.floor(did * 10000d + 0.5d).toLong, s"$s DiD")
     }
   }
+
+  test("EB shrinkage replays the moment fit and pulls every brand toward the prior") {
+    val got = graft.queries.Analytics.ebShrinkage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val rows = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), (col("l_returnflag") === "R").as("ret"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val brands = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rs) =>
+      (b, rs.length.toLong, rs.count(_._2).toLong)
+    }
+    // the operator's exact arithmetic, replayed: integer e9 rates into
+    // the moment fit; every double conversion in the impl's pinned order
+    val rE9 = brands.map { case (_, n, x) => (BigInt(x) * 1000000000L / n).toLong }
+    val b = brands.length.toLong
+    val s1 = rE9.sum
+    val s2 = rE9.map(r => BigInt(r) * r).sum
+    val m = s1.toDouble / b.toDouble / 1.0e9
+    val vNum = (BigInt(b) * s2 - BigInt(s1) * BigInt(s1)).toDouble
+    val v = vNum / b.toDouble / (b - 1L).toDouble / 1.0e18
+    val s = m * (1.0d - m) / v - 1.0d
+    assert(vNum > 0 && s > 0, "fixture must give a non-degenerate prior fit")
+    val alphaE6 = math.floor(m * s * 1000000d + 0.5d).toLong
+    val betaE6 = math.floor((1.0d - m) * s * 1000000d + 0.5d).toLong
+    val exp = brands.map { case (brand, n, x) =>
+      (brand, n, x, (BigInt(x) * 1000000L / n).toLong, alphaE6, betaE6,
+        math.floor((x.toDouble + m * s) / (n.toDouble + s) * 1000000d + 0.5d).toLong)
+    }
+    assert(got.toSeq === exp, "EB shrinkage mismatch vs driver replay")
+    // shrinkage law: every posterior mean lies between the raw rate and
+    // the prior mean (±1 e6 ulp of rounding), and a brand with more
+    // evidence than prior pseudo-count keeps more than half its gap
+    val mE6 = math.floor(m * 1000000d + 0.5d).toLong
+    got.foreach { case (brand, n, _, rate, _, _, shrunk) =>
+      val lo = math.min(rate, mE6) - 1
+      val hi = math.max(rate, mE6) + 1
+      assert(shrunk >= lo && shrunk <= hi, s"$brand posterior outside [rate, prior]")
+      if (n.toDouble > s)
+        assert(math.abs(shrunk - rate) <= math.abs(rate - mE6) / 2 + 1,
+          s"$brand over-shrunk despite n > prior strength")
+    }
+  }
 }

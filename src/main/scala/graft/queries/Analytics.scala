@@ -2541,6 +2541,208 @@ object Analytics {
       |         AS shrunk_e6
       |FROM r, h ORDER BY p_brand""".stripMargin
 
+  /** x258: one-way ANOVA F across order priorities — the k-group
+    * generalization of the two-arm z (x201) and rank-sum (x194) tests:
+    * does mean order value differ by priority class? F = (SSB/(g−1)) /
+    * (SSW/(N−g)) with η² = SSB/(SSB+SSW) as the effect size (the "is it
+    * LARGE" companion the p-value lacks).
+    *
+    * Exactness: per-group moments (n_g, Σx, Σx² DECIMAL-widened) are
+    * exact integers off one fact pass. The cross-group sum
+    * Σ_g S_g²/n_g is where naive double aggregation would break
+    * run-stability (summation order), so the FIXED 5-value priority
+    * domain is pivoted to columns (conditional aggregation) and folded
+    * in one explicit left-associative expression — the same pinned-fold
+    * discipline as the Ljung-Box lags below; every group term converts
+    * its exact integers to double once. Degenerate inputs (SSW = 0)
+    * null the statistics, the abTest posture. Scale: one fact pass to
+    * g = 5 rows; everything after is constant-size.
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val d: Column => Column = _.cast("double")
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"),
+        sum(d38(col("cents")) * d38(col("cents"))).as("q_g"))
+    val terms = priorities.map(p =>
+      sum(when(col("priority") === p, d(col("s_g")) * d(col("s_g")) / d(col("n_g")))))
+    val tot = g.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"), count(lit(1)).as("ng"),
+      terms.reduceLeft(_ + _).as("t")) // explicit left fold over the FIXED domain
+    val ssb = col("t") - d(col("s")) * d(col("s")) / d(col("n"))
+    val ssw = d(col("q")) - col("t")
+    g.crossJoin(broadcast(tot))
+      .select(col("priority"), col("n_g"), col("s_g").as("sum_cents"),
+        expr("s_g DIV n_g").as("mean_cents"),
+        when(ssw > 0d,
+          floor(ssb / d(col("ng") - 1L) * d(col("n") - col("ng")) / ssw
+            * 1000000d + 0.5d).cast("long")).as("f_e6"),
+        when(ssw > 0d,
+          floor(ssb / (ssb + ssw) * 1000000d + 0.5d).cast("long")).as("eta2_e6"))
+      .orderBy("priority")
+  }
+
+  val anovaOracle: String =
+    """WITH o AS (SELECT o_orderpriority AS priority,
+      |                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |           FROM orders),
+      |g AS (SELECT priority, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g,
+      |             SUM(CAST(cents AS HUGEINT) * cents) AS q_g
+      |      FROM o GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+      |               SUM(q_g) AS q, COUNT(*) AS ng,
+      |               ((((SUM(CASE WHEN priority = '1-URGENT'
+      |                     THEN CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) END)
+      |                 + SUM(CASE WHEN priority = '2-HIGH'
+      |                     THEN CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) END))
+      |                 + SUM(CASE WHEN priority = '3-MEDIUM'
+      |                     THEN CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) END))
+      |                 + SUM(CASE WHEN priority = '4-NOT SPECIFIED'
+      |                     THEN CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) END))
+      |                 + SUM(CASE WHEN priority = '5-LOW'
+      |                     THEN CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) END)) AS t
+      |        FROM g),
+      |f AS (SELECT t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+      |             CAST(q AS DOUBLE) - t AS ssw, n, ng FROM tot)
+      |SELECT g.priority, g.n_g, g.s_g AS sum_cents,
+      |       CAST(g.s_g // g.n_g AS BIGINT) AS mean_cents,
+      |       CASE WHEN f.ssw > 0 THEN CAST(floor(f.ssb / CAST(f.ng - 1 AS DOUBLE)
+      |              * CAST(f.n - f.ng AS DOUBLE) / f.ssw * 1000000 + 0.5) AS BIGINT) END AS f_e6,
+      |       CASE WHEN f.ssw > 0 THEN CAST(floor(f.ssb / (f.ssb + f.ssw)
+      |              * 1000000 + 0.5) AS BIGINT) END AS eta2_e6
+      |FROM g, f ORDER BY g.priority""".stripMargin
+
+  /** x259: Ljung–Box portmanteau test on daily revenue — "is this series
+    * white noise?", the один-row autocorrelation audit that gates every
+    * forecasting model (a46 Holt–Winters, x240 backtests), as one row:
+    * Q = n(n+2)·
+    * Σ_{k=1..7} ρ_k²/(n−k) against χ²₀.₀₅,₇. The ρ_k here are the
+    * CLASSICAL biased ACF (fixed denominator C0, mean-centered over the
+    * full series) — the definition Ljung–Box's null distribution
+    * assumes — unlike x172's per-lag Pearson.
+    *
+    * Exactness: the dense day grid (zero-fill, the x172/a37 posture)
+    * gives exact integer lag moments P_k, A_k, B_k off one 7-way offset
+    * explode; the mean-centered covariance is cleared of the rational
+    * mean by n²-scaling — n²C_k = n²P_k − nS(A_k+B_k) + (n−k)S², an
+    * exact DECIMAL(38,0) identity (headroom to ~10³⁴ cents² of daily
+    * Σx²; at fleet scale rescale the series to whole dollars) — so each
+    * ρ_k is ONE double division of two exact integers. The 7-lag sum is
+    * the pinned left fold over pivoted lag columns (the x258 pattern);
+    * the 5% decision compares the e6-floored Q against the χ² critical
+    * value as an integer, so both engines decide identically. Scale:
+    * the grid is calendar-bounded; the fact appears once, in the
+    * Layer-shared daily aggregate.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val d: Column => Column = _.cast("double")
+    val daily = dailyRevenue(spark, dir)
+    val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val dense = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(d38(col("x")) * d38(col("x"))).as("q0"))
+    val lagged = dense
+      .select(col("day"), col("x"), explode(sequence(lit(1L), lit(7L))).as("lag"))
+      .withColumn("tday", col("day") + col("lag"))
+      .join(dense.select(col("day").as("bday"), col("x").as("y")),
+        col("tday") === col("bday"))
+      .groupBy("lag")
+      .agg(sum(d38(col("x")) * d38(col("y"))).as("p_k"),
+        sum(col("x")).as("a_k"), sum(col("y")).as("b_k"),
+        count(lit(1)).as("n_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("lag"), col("n"),
+        (d38(col("n")) * d38(col("n")) * col("p_k")
+          - d38(col("n")) * d38(col("s")) * (d38(col("a_k")) + d38(col("b_k")))
+          + d38(col("n_k")) * d38(col("s")) * d38(col("s"))).as("num_k"),
+        (d38(col("n")) * (d38(col("n")) * col("q0")
+          - d38(col("s")) * d38(col("s")))).as("den"))
+    val one = lagged.groupBy("n", "den")
+      .pivot("lag", (1 to 7).map(_.toString))
+      .agg(first(col("num_k")))
+    def rho(k: Int): Column = d(col(k.toString)) / d(col("den"))
+    def term(k: Int): Column = rho(k) * rho(k) / d(col("n") - k)
+    val qLb = d(col("n")) * d(col("n") + 2L) *
+      (1 to 7).map(term).reduceLeft(_ + _) // pinned left fold, lag order
+    one.select(col("n").as("n_days") +:
+        (1 to 7).map(k =>
+          floor(rho(k) * 1000000d + 0.5d).cast("long").as(s"r${k}_e6")) :+
+          floor(qLb * 1000000d + 0.5d).cast("long").as("q_e6"): _*)
+      .withColumn("reject_5pct", // χ²(0.95, df=7) = 14.0671404493, e6-floored
+        when(col("q_e6") > lit(14067140L), 1L).otherwise(0L))
+  }
+
+  val ljungBoxOracle: String =
+    """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+      |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |               FROM orders GROUP BY 1),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      |dense AS (SELECT g.day, COALESCE(daily.cents, 0) AS x
+      |          FROM (SELECT unnest(generate_series(lo, hi)) AS day FROM span) g
+      |          LEFT JOIN daily USING (day)),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |               SUM(CAST(x AS HUGEINT) * x) AS q0 FROM dense),
+      |lg AS (SELECT l.lag, SUM(CAST(a.x AS HUGEINT) * b.x) AS p_k,
+      |              CAST(SUM(a.x) AS BIGINT) AS a_k, CAST(SUM(b.x) AS BIGINT) AS b_k,
+      |              COUNT(*) AS n_k
+      |       FROM dense a CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      |       JOIN dense b ON b.day = a.day + l.lag
+      |       GROUP BY 1),
+      |m AS (SELECT lag, t.n,
+      |             CAST(t.n AS HUGEINT) * t.n * p_k
+      |               - CAST(t.n AS HUGEINT) * t.s * (CAST(a_k AS HUGEINT) + b_k)
+      |               + CAST(n_k AS HUGEINT) * t.s * t.s AS num_k,
+      |             CAST(t.n AS HUGEINT) * (CAST(t.n AS HUGEINT) * t.q0
+      |               - CAST(t.s AS HUGEINT) * t.s) AS den
+      |      FROM lg, tot t),
+      |p AS (SELECT ANY_VALUE(n) AS n, ANY_VALUE(den) AS den,
+      |             SUM(CASE WHEN lag = 1 THEN num_k END) AS k1,
+      |             SUM(CASE WHEN lag = 2 THEN num_k END) AS k2,
+      |             SUM(CASE WHEN lag = 3 THEN num_k END) AS k3,
+      |             SUM(CASE WHEN lag = 4 THEN num_k END) AS k4,
+      |             SUM(CASE WHEN lag = 5 THEN num_k END) AS k5,
+      |             SUM(CASE WHEN lag = 6 THEN num_k END) AS k6,
+      |             SUM(CASE WHEN lag = 7 THEN num_k END) AS k7
+      |      FROM m),
+      |r AS (SELECT n,
+      |             CAST(k1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+      |             CAST(k2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+      |             CAST(k3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+      |             CAST(k4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4,
+      |             CAST(k5 AS DOUBLE) / CAST(den AS DOUBLE) AS r5,
+      |             CAST(k6 AS DOUBLE) / CAST(den AS DOUBLE) AS r6,
+      |             CAST(k7 AS DOUBLE) / CAST(den AS DOUBLE) AS r7
+      |      FROM p),
+      |q AS (SELECT n, r1, r2, r3, r4, r5, r6, r7,
+      |             CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) *
+      |             ((((((r1 * r1 / CAST(n - 1 AS DOUBLE)
+      |                + r2 * r2 / CAST(n - 2 AS DOUBLE))
+      |                + r3 * r3 / CAST(n - 3 AS DOUBLE))
+      |                + r4 * r4 / CAST(n - 4 AS DOUBLE))
+      |                + r5 * r5 / CAST(n - 5 AS DOUBLE))
+      |                + r6 * r6 / CAST(n - 6 AS DOUBLE))
+      |                + r7 * r7 / CAST(n - 7 AS DOUBLE)) AS qlb
+      |      FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |       CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS r1_e6,
+      |       CAST(floor(r2 * 1000000 + 0.5) AS BIGINT) AS r2_e6,
+      |       CAST(floor(r3 * 1000000 + 0.5) AS BIGINT) AS r3_e6,
+      |       CAST(floor(r4 * 1000000 + 0.5) AS BIGINT) AS r4_e6,
+      |       CAST(floor(r5 * 1000000 + 0.5) AS BIGINT) AS r5_e6,
+      |       CAST(floor(r6 * 1000000 + 0.5) AS BIGINT) AS r6_e6,
+      |       CAST(floor(r7 * 1000000 + 0.5) AS BIGINT) AS r7_e6,
+      |       CAST(floor(qlb * 1000000 + 0.5) AS BIGINT) AS q_e6,
+      |       CASE WHEN CAST(floor(qlb * 1000000 + 0.5) AS BIGINT) > 14067140
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS reject_5pct
+      |FROM q""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_approx_distinct"  -> (approxDistinct _),
     "a10_approx_percentile" -> (approxPercentiles _),
@@ -2594,6 +2796,8 @@ object Analytics {
     "a47_price_elasticity" -> (priceElasticity _),
     "a48_rolling_wau"      -> (rollingWau _),
     "a49_diff_in_diff"     -> (diffInDiff _),
+    "x258_anova_f"         -> (anovaF _),
+    "x259_ljung_box"       -> (ljungBox _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2617,6 +2821,8 @@ object Analytics {
     "a47_price_elasticity" -> priceElasticityOracle,
     "a48_rolling_wau"      -> rollingWauOracle,
     "a49_diff_in_diff"     -> diffInDiffOracle,
+    "x258_anova_f"         -> anovaOracle,
+    "x259_ljung_box"       -> ljungBoxOracle,
     "a32_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |                  CAST(l_quantity AS BIGINT) AS qty,

@@ -2896,4 +2896,77 @@ class OpsSpec extends SparkSuite {
           s"$brand over-shrunk despite n > prior strength")
     }
   }
+
+  test("ANOVA F replays the pinned-fold decomposition and partitions the total SS") {
+    val got = graft.queries.Analytics.anovaF(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length === 5, "five priority classes")
+    val obs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val gs = priorities.map { p =>
+      val xs = obs.filter(_._1 == p).map(_._2)
+      (p, xs.length.toLong, xs.sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val n = gs.map(_._2).sum
+    val s = gs.map(_._3).sum
+    val q = gs.map(_._4).sum
+    // the operator's exact fold order: group terms left-folded in the
+    // fixed priority order, each from exact integers
+    val t = gs.map(g => g._3.toDouble * g._3.toDouble / g._2.toDouble)
+      .reduceLeft(_ + _)
+    val ssb = t - s.toDouble * s.toDouble / n.toDouble
+    val ssw = q.toDouble - t
+    val fE6 = math.floor(ssb / 4d * (n - 5L).toDouble / ssw * 1000000d + 0.5d).toLong
+    val eta2E6 = math.floor(ssb / (ssb + ssw) * 1000000d + 0.5d).toLong
+    val exp = gs.map { case (p, ng, sg, _) =>
+      (p, ng, sg, sg / ng, fE6, eta2E6)
+    }
+    assert(got.toSeq === exp, "ANOVA mismatch vs driver replay")
+    // variance partition: SSB and SSW are both non-negative and η² ∈ [0, 1]
+    assert(ssb >= -1e-6 * q.toDouble && ssw > 0, "SS partition signs")
+    assert(eta2E6 >= 0L && eta2E6 <= 1000000L, "eta2 out of [0,1]")
+  }
+
+  test("Ljung-Box replays the n2-scaled ACF and decides via the integer critical value") {
+    val Array(row) = graft.queries.Analytics.ljungBox(spark, sf).collect()
+    val daily = graft.Tables.orders(spark, sf)
+      .select(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+    val lo = daily.keys.min
+    val hi = daily.keys.max
+    val xs = (lo to hi).map(d => daily.getOrElse(d, 0L)).toArray
+    val n = xs.length.toLong
+    val s = xs.sum
+    val q0 = xs.map(x => BigInt(x) * x).sum
+    val den = BigInt(n) * (BigInt(n) * q0 - BigInt(s) * BigInt(s))
+    val rhos = (1 to 7).map { k =>
+      val pairs = (0 until xs.length - k).map(i => (xs(i), xs(i + k)))
+      val pk = pairs.map { case (x, y) => BigInt(x) * y }.sum
+      val ak = pairs.map(_._1).sum
+      val bk = pairs.map(_._2).sum
+      val num = BigInt(n) * n * pk - BigInt(n) * s * (BigInt(ak) + BigInt(bk)) +
+        BigInt(n - k) * s * s
+      num.toDouble / den.toDouble
+    }
+    val qLb = n.toDouble * (n + 2L).toDouble *
+      (1 to 7).map(k => rhos(k - 1) * rhos(k - 1) / (n - k).toDouble)
+        .reduceLeft(_ + _)
+    assert(row.getLong(0) === n, "dense day count")
+    (1 to 7).foreach { k =>
+      assert(row.getLong(k) === math.floor(rhos(k - 1) * 1000000d + 0.5d).toLong,
+        s"rho_$k mismatch")
+      // biased ACF is bounded by Cauchy-Schwarz
+      assert(math.abs(row.getLong(k)) <= 1000000L, s"rho_$k out of [-1,1]")
+    }
+    val qE6 = math.floor(qLb * 1000000d + 0.5d).toLong
+    assert(row.getLong(8) === qE6, "Q mismatch")
+    assert(row.getLong(9) === (if (qE6 > 14067140L) 1L else 0L), "decision")
+  }
 }

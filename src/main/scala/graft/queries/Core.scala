@@ -463,6 +463,30 @@ object Core {
       .orderBy("k")
   }
 
+  /** q29: CUBE aggregation — the multi-grain OLAP surface (GROUPING SETS
+    * / ROLLUP / CUBE) the engine had not yet exposed on the correctness
+    * path: one pass emits all four grains of (priority × status) — both,
+    * each alone, and the grand total — as Spark's `cube()`, which plans
+    * a single Expand + hash aggregate (each input row fans to its 4
+    * grouping sets map-side; partial aggregation still applies), NOT
+    * four scans. grouping_id() disambiguates the grains bit-for-bit
+    * against DuckDB's GROUPING(); the rolled-up NULLs are labeled
+    * '(all)' so the ORDER BY is engine-neutral (no NULLS FIRST/LAST
+    * divergence — Spark sorts ASC nulls first, DuckDB nulls last).
+    */
+  def q29CubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .cube("priority", "status")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_e2"))
+      .select(coalesce(col("priority"), lit("(all)")).as("priority"),
+        coalesce(col("status"), lit("(all)")).as("status"),
+        col("gid"), col("n_orders"), col("rev_e2"))
+      .orderBy("gid", "priority", "status")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -492,6 +516,7 @@ object Core {
     "q26_dsv2_source"         -> (q26Dsv2Source _),
     "q27_dsv2_write"          -> (q27Dsv2Write _),
     "q28_wap_publish"         -> (q28WapPublish _),
+    "q29_cube_agg"            -> (q29CubeAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -575,6 +600,19 @@ object Core {
       """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // all four CUBE grains in one statement; GROUPING() is the same
+    // bitmask convention as Spark's grouping_id(), and the '(all)'
+    // labels keep the ORDER BY engine-neutral (no NULL placement)
+    "q29_cube_agg"            ->
+      """SELECT COALESCE(priority, '(all)') AS priority,
+        |       COALESCE(status, '(all)') AS status,
+        |       CAST(GROUPING(priority, status) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS rev_e2
+        |FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY CUBE (priority, status)
+        |ORDER BY gid, priority, status""".stripMargin,
   )
 }
 

@@ -2969,4 +2969,24 @@ class OpsSpec extends SparkSuite {
     assert(row.getLong(8) === qE6, "Q mismatch")
     assert(row.getLong(9) === (if (qE6 > 14067140L) 1L else 0L), "decision")
   }
+
+  test("CUBE grains are mutually consistent and the plan is one Expand, not four scans") {
+    val df = graft.queries.Core.q29CubeAgg(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val leaf = rows.filter(_._3 == 0L)
+    Seq(1L, 2L, 3L).foreach { gid =>
+      val grain = rows.filter(_._3 == gid)
+      assert(grain.map(_._4).sum === leaf.map(_._4).sum, s"gid=$gid count drift")
+      assert(grain.map(_._5).sum === leaf.map(_._5).sum, s"gid=$gid revenue drift")
+    }
+    assert(rows.count(_._3 == 3L) === 1, "exactly one grand-total row")
+    assert(rows.filter(_._3 == 3L).forall(r => r._1 == "(all)" && r._2 == "(all)"))
+    // one Expand over one relation — the single-pass CUBE shape (the
+    // optimized logical plan; the physical string prints twice under AQE)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case p if p.nodeName == "Expand" => p }.size === 1,
+      "expected exactly one Expand")
+    assert(opt.collectLeaves().size === 1, "expected exactly one scan")
+  }
 }

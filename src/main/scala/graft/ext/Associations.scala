@@ -615,4 +615,174 @@ object Associations {
       |SELECT brand, wins, comparisons, pi_e9,
       |       row_number() OVER (ORDER BY pi_e9 DESC, brand) AS rnk
       |FROM fin ORDER BY brand""".stripMargin
+
+  /** x260: NDCG@5 of the item-CF recommender under a TEMPORAL holdout —
+    * the evaluation the serving pair x199/x205 was missing: train the
+    * CF neighborhood on the first half of the order calendar, recommend
+    * top-5 unseen items per customer, score against what the customer
+    * ACTUALLY bought (new items only) in the second half. This is the
+    * leakage-free protocol (x141's purged-split discipline applied to
+    * recommendation): similarities never see a holdout basket.
+    *
+    * Exactness: NDCG is usually a log2 soup; here the five rank
+    * discounts 1/log2(r+1) are pre-rounded e9 INTEGER CONSTANTS shared
+    * verbatim by both engines (w = [1e9, 630929754, 5e8, 430676558,
+    * 386852807]), so per-user DCG is an exact integer dot product, the
+    * ideal DCG is a prefix-sum CASE over min(n_rel, 5), and
+    * ndcg_e6 = (dcg·10⁶) DIV idcg is an exact integer DIV — no
+    * transcendental is ever evaluated at query time. The cut day is
+    * lo + (hi−lo) DIV 2 of the order span (corpus-derived, the x219
+    * posture). Scale: the CF pair space is basket-bounded (the x199
+    * argument) on the train half; recs are |owned|·k per user; the
+    * metric reduces to ONE row. Users enter the denominator iff they
+    * have BOTH a rec list and ≥1 new holdout item (documented grain).
+    */
+  def ndcgEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"))
+    val span = ord.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("lo + (hi - lo) DIV 2").as("cut"))
+    val o2 = ord.crossJoin(broadcast(span))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val trainLines = o2.filter(col("day") < col("cut"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+    val trainBaskets = trainLines.select("l_orderkey", "l_partkey").distinct()
+    val trainOwned = trainLines.select("o_custkey", "l_partkey").distinct()
+    val holdOwned = o2.filter(col("day") >= col("cut"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+    val itemN = trainBaskets.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val p0 = trainBaskets.select(col("l_orderkey").as("bk"), col("l_partkey").as("a"))
+      .join(trainBaskets.select(col("l_orderkey").as("bk"), col("l_partkey").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val sym = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    val nbrs = sym
+      .join(itemN.select(col("l_partkey").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemN.select(col("l_partkey").as("b"), col("n_item").as("n_b")), "b")
+      .select(col("a"), col("b"),
+        floor(col("n_ab").cast("double")
+          / sqrt(col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("cos_e6"))
+      .withColumn("nrnk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("cos_e6").desc, col("b"))))
+      .filter(col("nrnk") <= k)
+      .select("a", "b", "cos_e6")
+    val recs = trainOwned.join(nbrs, trainOwned("l_partkey") === nbrs("a"))
+      .select(col("o_custkey"), col("b"), col("cos_e6"))
+      .join(trainOwned.select(col("o_custkey"), col("l_partkey").as("b")),
+        Seq("o_custkey", "b"), "left_anti")
+      .groupBy("o_custkey", "b")
+      .agg(sum(col("cos_e6")).as("score_e6"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("score_e6").desc, col("b"))))
+      .filter(col("r") <= k)
+    val relHold = holdOwned
+      .join(trainOwned, Seq("o_custkey", "l_partkey"), "left_anti")
+    val nRel = relHold.groupBy("o_custkey").agg(count(lit(1)).as("n_rel"))
+    val wCase = expr("""CASE r WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+                        WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+                        ELSE 386852807 END""")
+    val perUser = recs
+      .join(relHold.select(col("o_custkey"), col("l_partkey").as("b"))
+        .withColumn("hit", lit(1L)), Seq("o_custkey", "b"), "left")
+      .select(col("o_custkey"), col("r"), coalesce(col("hit"), lit(0L)).as("h"),
+        (coalesce(col("hit"), lit(0L)) * wCase).as("g"))
+      .groupBy("o_custkey")
+      .agg(sum(col("g")).as("dcg_e9"),
+        sum(when(col("r") === 1, col("h")).otherwise(0L)).as("h1"),
+        sum(when(col("r") === 2, col("h")).otherwise(0L)).as("h2"),
+        sum(when(col("r") === 3, col("h")).otherwise(0L)).as("h3"),
+        sum(when(col("r") === 4, col("h")).otherwise(0L)).as("h4"),
+        sum(when(col("r") === 5, col("h")).otherwise(0L)).as("h5"))
+      .join(nRel, "o_custkey") // metric grain: rec list AND >=1 new holdout item
+      .withColumn("idcg_e9", expr(
+        """CASE least(n_rel, 5) WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929754
+           WHEN 3 THEN 2130929754 WHEN 4 THEN 2561606312
+           ELSE 2948459119 END"""))
+      .withColumn("ndcg_e6", expr("(dcg_e9 * 1000000) DIV idcg_e9"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("h1")).as("hits_at_1"), sum(col("h2")).as("hits_at_2"),
+        sum(col("h3")).as("hits_at_3"), sum(col("h4")).as("hits_at_4"),
+        sum(col("h5")).as("hits_at_5"),
+        sum(col("ndcg_e6")).as("sum_ndcg_e6"))
+      .withColumn("mean_ndcg_e6", expr("sum_ndcg_e6 DIV n_users"))
+  }
+
+  val ndcgOracle: String =
+    """WITH ord AS (SELECT o_orderkey, o_custkey,
+      |                    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day
+      |             FROM orders),
+      |span AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS cut FROM ord),
+      |tl AS (SELECT o.o_orderkey, o.o_custkey, l.l_partkey
+      |       FROM ord o JOIN lineitem l ON l.l_orderkey = o.o_orderkey, span
+      |       WHERE o.day < span.cut),
+      |tb AS MATERIALIZED (SELECT DISTINCT o_orderkey AS bk, l_partkey FROM tl),
+      |town AS MATERIALIZED (SELECT DISTINCT o_custkey, l_partkey FROM tl),
+      |hown AS (SELECT DISTINCT o.o_custkey, l.l_partkey
+      |         FROM ord o JOIN lineitem l ON l.l_orderkey = o.o_orderkey, span
+      |         WHERE o.day >= span.cut),
+      |itemn AS (SELECT l_partkey, COUNT(*) AS n_item FROM tb GROUP BY 1),
+      |p0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |       FROM tb x JOIN tb y ON x.bk = y.bk AND x.l_partkey < y.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT a, b, n_ab FROM p0
+      |        UNION ALL SELECT b, a, n_ab FROM p0),
+      |nb AS MATERIALIZED (SELECT a, b, cos_e6 FROM (
+      |       SELECT s.a, s.b,
+      |              CAST(floor(CAST(s.n_ab AS DOUBLE)
+      |                / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+      |                * 1000000 + 0.5) AS BIGINT) AS cos_e6,
+      |              ROW_NUMBER() OVER (PARTITION BY s.a
+      |                ORDER BY CAST(floor(CAST(s.n_ab AS DOUBLE)
+      |                  / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+      |                  * 1000000 + 0.5) AS BIGINT) DESC, s.b) AS nrnk
+      |       FROM sym s JOIN itemn ia ON s.a = ia.l_partkey
+      |                  JOIN itemn ib ON s.b = ib.l_partkey)
+      |       WHERE nrnk <= 5),
+      |recs AS (SELECT o_custkey, b, r FROM (
+      |       SELECT c.o_custkey, c.b, SUM(c.cos_e6) AS score_e6,
+      |              ROW_NUMBER() OVER (PARTITION BY c.o_custkey
+      |                ORDER BY SUM(c.cos_e6) DESC, c.b) AS r
+      |       FROM (SELECT t.o_custkey, nb.b, nb.cos_e6
+      |             FROM town t JOIN nb ON nb.a = t.l_partkey
+      |             WHERE NOT EXISTS (SELECT 1 FROM town t2
+      |               WHERE t2.o_custkey = t.o_custkey AND t2.l_partkey = nb.b)) c
+      |       GROUP BY c.o_custkey, c.b)
+      |       WHERE r <= 5),
+      |rel AS MATERIALIZED (SELECT h.o_custkey, h.l_partkey FROM hown h
+      |       WHERE NOT EXISTS (SELECT 1 FROM town t
+      |         WHERE t.o_custkey = h.o_custkey AND t.l_partkey = h.l_partkey)),
+      |nrel AS (SELECT o_custkey, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+      |pu AS (SELECT rc.o_custkey,
+      |              SUM(CASE WHEN rl.l_partkey IS NOT NULL THEN
+      |                    CASE rc.r WHEN 1 THEN 1000000000 WHEN 2 THEN 630929754
+      |                      WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+      |                      ELSE 386852807 END ELSE 0 END) AS dcg_e9,
+      |              SUM(CASE WHEN rc.r = 1 AND rl.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+      |              SUM(CASE WHEN rc.r = 2 AND rl.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS h2,
+      |              SUM(CASE WHEN rc.r = 3 AND rl.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS h3,
+      |              SUM(CASE WHEN rc.r = 4 AND rl.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS h4,
+      |              SUM(CASE WHEN rc.r = 5 AND rl.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS h5
+      |       FROM recs rc LEFT JOIN rel rl
+      |         ON rl.o_custkey = rc.o_custkey AND rl.l_partkey = rc.b
+      |       GROUP BY 1),
+      |scored AS (SELECT pu.*, nrel.n_rel,
+      |                  CASE LEAST(nrel.n_rel, 5) WHEN 1 THEN 1000000000
+      |                    WHEN 2 THEN 1630929754 WHEN 3 THEN 2130929754
+      |                    WHEN 4 THEN 2561606312 ELSE 2948459119 END AS idcg_e9
+      |           FROM pu JOIN nrel USING (o_custkey))
+      |SELECT COUNT(*) AS n_users,
+      |       CAST(SUM(h1) AS BIGINT) AS hits_at_1,
+      |       CAST(SUM(h2) AS BIGINT) AS hits_at_2,
+      |       CAST(SUM(h3) AS BIGINT) AS hits_at_3,
+      |       CAST(SUM(h4) AS BIGINT) AS hits_at_4,
+      |       CAST(SUM(h5) AS BIGINT) AS hits_at_5,
+      |       CAST(SUM((dcg_e9 * 1000000) // idcg_e9) AS BIGINT) AS sum_ndcg_e6,
+      |       CAST(SUM((dcg_e9 * 1000000) // idcg_e9) // COUNT(*) AS BIGINT) AS mean_ndcg_e6
+      |FROM scored""".stripMargin
 }

@@ -2869,4 +2869,63 @@ class ExtSpec extends SparkSuite {
       }
     }
   }
+
+  test("NDCG@5 replays the integer-discount protocol over the temporal split") {
+    val Array(row) = graft.ext.Associations.ndcgEval(spark, sf).collect()
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(unix_micros(col("o_orderdate")) / 86400000000L).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lines = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = ords.map(_._3).min + (ords.map(_._3).max - ords.map(_._3).min) / 2
+    val byOrder = lines.groupBy(_._1).view.mapValues(_.map(_._2)).toMap.withDefaultValue(Array.empty)
+    val trainPairs = ords.filter(_._3 < cut)
+      .flatMap(o => byOrder(o._1).map(p => (o._1, o._2, p)))
+    val tb = trainPairs.map(t => (t._1, t._3)).distinct
+    val town = trainPairs.map(t => (t._2, t._3)).distinct.toSet
+    val hown = ords.filter(_._3 >= cut)
+      .flatMap(o => byOrder(o._1).map(p => (o._2, p))).distinct
+    val itemN = tb.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCnt = tb.groupBy(_._1).values.toSeq.flatMap { rs =>
+      val is = rs.map(_._2).toSeq
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2)
+    val nbrs = pairCnt.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .map { case (a, b, n) => (a, b, math.floor(
+        n.toDouble / math.sqrt(itemN(a).toDouble * itemN(b).toDouble)
+          * 1e6 + 0.5).toLong) }
+      .groupBy(_._1).flatMap { case (_, cs) =>
+        cs.sortBy(c => (-c._3, c._2)).take(5)
+      }.toSeq
+    val nbrsByA = nbrs.groupBy(_._1).withDefaultValue(Seq.empty)
+    val w = Seq(1000000000L, 630929754L, 500000000L, 430676558L, 386852807L)
+    val idcg = Seq(1000000000L, 1630929754L, 2130929754L, 2561606312L, 2948459119L)
+    val rel = hown.filterNot(town.contains).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val perUser = town.groupBy(_._1).toSeq.flatMap { case (cust, ownedPairs) =>
+      val owned = ownedPairs.map(_._2)
+      val cand = owned.toSeq.flatMap(p => nbrsByA(p))
+        .filterNot(c => owned.contains(c._2))
+        .groupBy(_._2).map { case (b, cs) => (b, cs.map(_._3).sum) }
+        .toSeq.sortBy(c => (-c._2, c._1)).take(5).zipWithIndex
+      val relSet = rel.getOrElse(cust, Set.empty)
+      if (cand.isEmpty || relSet.isEmpty) None
+      else {
+        val hits = cand.map { case ((b, _), i) => (i + 1, relSet.contains(b)) }
+        val dcg = hits.collect { case (r, true) => w(r - 1) }.sum
+        Some((hits, (dcg * 1000000L) / idcg(math.min(relSet.size, 5) - 1)))
+      }
+    }
+    assert(row.getLong(0) === perUser.length.toLong, "n_users")
+    (1 to 5).foreach { r =>
+      val expHits = perUser.map(_._1.count(h => h._1 == r && h._2).toLong).sum
+      assert(row.getLong(r) === expHits, s"hits@$r")
+    }
+    assert(row.getLong(6) === perUser.map(_._2).sum, "sum NDCG")
+    assert(row.getLong(7) === perUser.map(_._2).sum / perUser.length, "mean NDCG")
+    // NDCG is a proper score: every per-user value lives in [0, 1e6]
+    assert(perUser.forall(u => u._2 >= 0L && u._2 <= 1000000L), "NDCG out of [0,1]")
+  }
 }

@@ -1,0 +1,228 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-key exact top-k as a FIRST-CLASS operator — rung (c) of the
+  * custom-operator ladder in full: a logical node, a planner strategy,
+  * and a two-phase physical pair, registered per-session through the
+  * PUBLIC `spark.experimental.extraStrategies` hook (and available at
+  * build time via graft.functions.GraftExtensions' injectPlannerStrategy).
+  *
+  * WHY an operator instead of the window idiom
+  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`): the window
+  * must shuffle EVERY input row to its key's reducer and sort the whole
+  * group before it can discard rank k+1 — there is no partial
+  * aggregation for row_number, so a 100 TB fact crossing the exchange IS
+  * the plan. Top-k per key, however, combines map-side exactly like a
+  * sum: each input partition independently keeps at most k rows per key
+  * (a bounded min-heap; provably sufficient — any row outside a
+  * partition-local top-k is outside the global top-k), so the exchange
+  * ships ≤ k·partitions rows PER KEY regardless of fact size, and the
+  * final phase re-prunes the ≤ k·P survivors. Same exactness, shuffle
+  * bytes shrunk by the group-size/k ratio.
+  *
+  * Semantics: rows ranked per key by (order DESC, tie ASC); ties beyond
+  * the (order, tie) pair do not exist when tie is unique per key (the
+  * caller's contract for a deterministic result, same as every window
+  * query in this repo). Rows with a NULL order or tie are dropped —
+  * documented, mirrored in oracles via `WHERE order IS NOT NULL`. The
+  * output schema is the child's columns plus an IntegerType rank
+  * (1-based).
+  *
+  * Scale/memory contract: each task holds ≤ k rows per DISTINCT KEY IN
+  * ITS PARTITION — the operator's state is output-sized, never
+  * group-sized. Keys and retained rows are defensively copied out of the
+  * scan's reused buffers.
+  */
+case class TopKPerKey(
+    key: Expression,
+    order: Expression,
+    tie: Expression,
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** DataFrame-level entry: plans `df` through the custom operator. The
+    * strategy registration on `spark.experimental.extraStrategies` is
+    * idempotent and session-scoped (the same documented posture as
+    * streamingDistinct's provider conf).
+    */
+  def of(df: DataFrame, key: String, order: String, tie: String, k: Int,
+         rankName: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    // resolve against the ANALYZED child ourselves: the node is built
+    // below the analyzer's unresolved-column machinery, so its
+    // expressions must already be bound attributes
+    def attr(name: String): Attribute = analyzed.output
+      .find(a => spark.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val node = TopKPerKey(attr(key), attr(order), attr(tie), k,
+      AttributeReference(rankName, IntegerType, nullable = false)(), analyzed)
+    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
+  }
+
+  /** x261: top-3 parts per brand by exact revenue — the custom operator
+    * on the correctness path: the per-(brand, part) revenue aggregate
+    * (exact e2 cents) flows through [[TopKPerKey]], so the gate
+    * hash-checks the whole logical-node → strategy → two-phase-exec
+    * stack against the window-idiom SQL it replaces.
+    */
+  def topBrandParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rev = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(graft.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_partkey")
+      .agg(sum(col("cents")).as("rev_e2"))
+    of(rev, "p_brand", "rev_e2", "l_partkey", 3, "rnk")
+      .orderBy("p_brand", "rnk")
+  }
+
+  val topBrandPartsOracle: String =
+    """WITH rev AS (SELECT p.p_brand, l.l_partkey,
+      |                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+      |                      AS BIGINT) AS rev_e2
+      |             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |             GROUP BY 1, 2)
+      |SELECT p_brand, l_partkey, rev_e2, rnk FROM (
+      |  SELECT p_brand, l_partkey, rev_e2,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+}
+
+/** Plans the logical node as partial-prune → (exchange) → final-rank. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKPerKey =>
+      val partial = TopKPerKeyPartialExec(t.key, t.order, t.tie, t.k, planLater(t.child))
+      TopKPerKeyFinalExec(t.key, t.order, t.tie, t.k, t.rankAttr, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded-heap pruning over an InternalRow iterator. */
+private[plans] object TopKPrune {
+  final case class Entry(ord: Long, tie: Long, row: InternalRow)
+  // PriorityQueue dequeues the MAX under this ordering, so "max" must be
+  // the WORST retained row: lowest order value, then highest tie.
+  val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) => {
+    val c = java.lang.Long.compare(b.ord, a.ord)
+    if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
+  }
+
+  def better(a: Entry, b: Entry): Boolean = worstFirst.compare(a, b) < 0
+
+  /** Consume `rows`, keep ≤ k best per key. Keys and rows are copied. */
+  def prune(rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
+            tieE: Expression, k: Int): scala.collection.mutable.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]] = {
+    val m = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.PriorityQueue[Entry]]
+    rows.foreach { row =>
+      val o = ordE.eval(row)
+      val t = tieE.eval(row)
+      if (o != null && t != null) { // documented: null-ordered rows drop
+        val kv = keyE.eval(row) match {
+          case s: UTF8String => s.copy() // scan buffers are reused
+          case other => other
+        }
+        val e = Entry(o.asInstanceOf[Long], t.asInstanceOf[Long], row.copy())
+        val pq = m.getOrElseUpdate(kv,
+          scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst))
+        if (pq.size < k) pq.enqueue(e)
+        else if (better(e, pq.head)) { pq.dequeue(); pq.enqueue(e) }
+      }
+    }
+    m
+  }
+}
+
+/** Phase 1: partition-local top-k per key — the map-side combine
+  * row_number() cannot have. No distribution requirement; emits the
+  * retained rows unchanged (rank is assigned after the exchange).
+  */
+case class TopKPerKeyPartialExec(
+    key: Expression, order: Expression, tie: Expression, k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override lazy val metrics = Map("numOutputRows" ->
+    org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyB, ordB, tieB) = (BindReferences.bindReference(key, child.output),
+      BindReferences.bindReference(order, child.output),
+      BindReferences.bindReference(tie, child.output))
+    val kk = k
+    val numOut = longMetric("numOutputRows")
+    child.execute().mapPartitions({ it =>
+      TopKPrune.prune(it, keyB, ordB, tieB, kk)
+        .valuesIterator.flatMap(_.iterator.map { e => numOut += 1; e.row })
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Phase 2: requires clustering on the key (Spark inserts the exchange),
+  * re-prunes the ≤ k·P survivors per key, and emits rows best-first with
+  * the 1-based rank column appended.
+  */
+case class TopKPerKeyFinalExec(
+    key: Expression, order: Expression, tie: Expression, k: Int,
+    rankAttr: AttributeReference, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+  override lazy val metrics = Map("numOutputRows" ->
+    org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyB, ordB, tieB) = (BindReferences.bindReference(key, child.output),
+      BindReferences.bindReference(order, child.output),
+      BindReferences.bindReference(tie, child.output))
+    val kk = k
+    val outAttrs = output
+    val numOut = longMetric("numOutputRows")
+    child.execute().mapPartitions { it =>
+      val m = TopKPrune.prune(it, keyB, ordB, tieB, kk)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      m.valuesIterator.flatMap { pq =>
+        // dequeue order is worst-first; reverse for best-first ranks
+        val best = pq.dequeueAll.reverseIterator.toSeq
+        best.iterator.zipWithIndex.map { case (e, i) =>
+          rankRow.update(0, i + 1)
+          numOut += 1
+          proj(joined(e.row, rankRow)).copy()
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+/** The custom logical-node → strategy → two-phase-exec operator. */
+class PlansSpec extends SparkSuite {
+
+  test("TopKPerKey equals the window idiom on real data and plans partial below the exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_partkey")
+      .agg(sum(col("cents")).as("rev_e2"))
+    val got = TopKPerKey.of(rev, "p_brand", "rev_e2", "l_partkey", 3, "rnk")
+    val exp = rev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_brand"))
+          .orderBy(col("rev_e2").desc, col("l_partkey"))))
+      .filter(col("rnk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet === exp.toSet,
+      "custom operator diverges from the window idiom")
+    // physical shape: partial prune BEFORE the exchange, final after —
+    // the map-side combine row_number() cannot have
+    val plan = got.queryExecution.executedPlan.toString
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iFinal = plan.indexOf("TopKPerKeyFinal")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0 && iFinal >= 0 && iExchange >= 0, s"operators missing:\n$plan")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      "expected final above the hash exchange above partial (tree prints top-down)")
+  }
+
+  test("TopKPerKey semantics: ties break ascending, short groups emit whole, null order drops") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, Long)](
+      ("a", 10L, 1L), ("a", 10L, 2L), ("a", 10L, 3L), ("a", 10L, 4L), // 4-way tie
+      ("b", 5L, 9L), ("b", 7L, 8L),                                   // short group
+      ("c", null, 1L), ("c", 3L, 2L),                                 // null order drops
+    ).toDF("k", "v", "t")
+    val got = TopKPerKey.of(df, "k", "v", "t", 3, "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._4))
+    assert(got.toSeq === Seq(
+      ("a", 10L, 1L, 1), ("a", 10L, 2L, 2), ("a", 10L, 3L, 3), // tie → t asc, cut at k
+      ("b", 7L, 8L, 1), ("b", 5L, 9L, 2),
+      ("c", 3L, 2L, 1)))
+  }
+
+  test("TopKPerKey partial phase ships at most k rows per key per input partition") {
+    import spark.implicits._
+    // one hot key spread over 8 partitions, 1000 rows each: the window
+    // idiom would shuffle all 8000 rows; the partial phase must cut the
+    // exchange input to <= k rows per (key, partition)
+    val df = spark.range(0, 8000, 1, 8)
+      .select(lit("hot").as("k"), col("id").as("v"), col("id").as("t"))
+    val got = TopKPerKey.of(df, "k", "v", "t", 5, "rnk")
+    val rows = got.collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(rows.sortBy(_._2).map(_._1).toSeq === Seq(7999L, 7998L, 7997L, 7996L, 7995L))
+    // read the partial phase's output-row metric: the shuffle received
+    // <= k * 8 rows, not 8000. AQE folds exchanges into QueryStage
+    // leaves, so the walk must cross both wrappers.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findPartials(p: SparkPlan): Seq[graft.plans.TopKPerKeyPartialExec] = p match {
+      case a: AdaptiveSparkPlanExec => findPartials(a.executedPlan)
+      case s: QueryStageExec => findPartials(s.plan)
+      case t: graft.plans.TopKPerKeyPartialExec => t +: t.children.flatMap(findPartials)
+      case other => other.children.flatMap(findPartials)
+    }
+    val partials = findPartials(got.queryExecution.executedPlan)
+    assert(partials.nonEmpty, "no TopKPerKeyPartialExec in the executed plan")
+    // partial emits <= 5 * 8 = 40; the window idiom would emit 8000
+    partials.flatMap(_.metrics.get("numOutputRows")).foreach(m =>
+      assert(m.value <= 40L, s"partial prune leaked ${m.value} rows through the exchange"))
+  }
+}

@@ -128,7 +128,13 @@ object ScaleGen {
         timestamp_micros(lit(1704067200000000L) +
           pmod(hash(col("id"), lit(19)), lit(86400000000L * 1095))).as("o_orderdate"),
         round(pmod(hash(col("id"), lit(20)), lit(49900000)) / 100.0 + 1000.0, 2)
-          .as("o_totalprice"))
+          .as("o_totalprice"),
+        // 3-value status like the testdata (F/O/P near-uniform), hash-
+        // derived — added for the KMV sketch family (x255); all prior
+        // columns are value-identical to the r8/r9 corpora
+        element_at(array(lit("F"), lit("O"), lit("P")),
+          (pmod(hash(col("id"), lit(21)), lit(3)) + 1).cast("int"))
+          .as("o_orderstatus"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // embeddings: 64-dim float vectors in [-1, 1), hash-derived per

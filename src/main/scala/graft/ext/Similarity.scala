@@ -223,6 +223,155 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** x262: product-quantization (PQ) approximate similarity search
+    * (Jégou et al., TPAMI 2011) — the memory-side scale path the
+    * quantization family still lacked: SQ8 (x184) shrinks SCALARS, PQ
+    * shrinks the whole vector to M sub-CODES (here 4 × 8-way = 12 bits a
+    * vector), so a 100 TB corpus's index fits in RAM and candidate
+    * scoring is M table lookups per vector instead of a dim-length scan.
+    * Codebooks are per-subspace spherical k-means trained by the SAME
+    * exact integer sum-vector Lloyd as x126/x22 (all M subspaces in ONE
+    * loop, keyed (s, c_id) — one broadcast score + two keyed aggregates
+    * per iteration, never per-subspace passes); scoring is the blockwise-
+    * cosine ADC: score(q, v) = Σ_s cos(q_s, centroid(v, s)), the
+    * spherical analogue of the classical L2 lookup table.
+    *
+    * Serving is the textbook TWO-STAGE shape: the ADC scan selects a
+    * `poolK` candidate shortlist per query (the cheap, compressed-domain
+    * stage — this is what scans 100 TB), then the exact float cosine
+    * re-ranks ONLY the shortlist to top-k (the x20 CosineSimF kernel on
+    * ≤ poolK rows per query — output-sized work). Measured at sf0.01:
+    * the raw 24-bit ADC ranking alone recalls ~0.1–0.4 of the exact
+    * top-10 on this uniform-random corpus (near-orthogonal vectors are
+    * PQ's adversarial case); the re-ranked pool recovers most of it —
+    * the recall law in ExtSpec pins the floor.
+    *
+    * Exactness: the fit is the x126 integer state (order- and
+    * partitioning-independent, oracle-replayable); the query LUT is
+    * nQueries·M·K cells, each ONE pinned dot/(√·√) double e6-floored
+    * once; ADC totals are exact BIGINT sums of LUT cells, pooled by the
+    * x261 custom top-k operator with a total (score DESC, vec_id ASC)
+    * order; the re-rank cosine is the native CosineSimF expression with
+    * the x20 rounding. Scale: codebooks are M·K rows broadcast; encoding
+    * is one linear pass; the pool exchange ships ≤ poolK rows per
+    * (query, partition); the re-rank window is poolK-bounded. At fleet
+    * scale compose with x22's IVF lists (IVF-PQ).
+    */
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 8, kCode: Int = 16,
+             topK: Int = 10, nQueries: Int = 3, poolK: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val seedMod = math.max(1L, e.count() / kCode)
+    val sub = 64 / m
+    val subv = quantizedVecs(e)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("q"))
+      .select(col("vec_id"), col("s"), expr(s"slice(q, s * $sub + 1, $sub)").as("qs"))
+    def assign(cent: DataFrame): DataFrame =
+      subv.join(broadcast(cent), "s")
+        .select(col("vec_id"), col("s"), col("c_id"),
+          intCos(col("qs"), col("sv")).as("ccos"))
+        .groupBy("vec_id", "s")
+        .agg(max_by(col("c_id"), struct(col("ccos"), negate(col("c_id")))).as("code"))
+    var cent = subv.filter(col("vec_id") % seedMod === 0)
+      .select(col("s"), col("vec_id").as("c_id"), col("qs").as("sv"))
+    for (_ <- 1 to 2) {
+      cent = subv.join(assign(cent), Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .groupBy("s", "code", "pos").agg(sum(col("v")).as("sv1"))
+        .groupBy("s", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("sv1")))).as("pv"))
+        .select(col("s"), col("code").as("c_id"),
+          transform(col("pv"), p => p.getField("sv1")).as("sv"))
+    }
+    val codes = assign(cent)
+    val lut = subv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("s"), col("qs"))
+      .join(broadcast(cent), "s")
+      .select(col("qid"), col("s"), col("c_id").as("code"),
+        floor(intCos(col("qs"), col("sv")) * 1000000d + 0.5d)
+          .cast("long").as("lut_e6"))
+    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_e6")).as("adc_e6"))
+    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pool
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(e.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
+      .withColumn("cos", gf.cosine_sim(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w)) // poolK-bounded partitions
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("vec_id"), col("adc_e6"),
+        round(col("cos"), 4).as("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** x262 oracle — the [[pqTopK]] fit, encode, LUT, and ADC rank
+    * replayed in DuckDB list SQL: same e4 grid, same (s, c_id)-keyed
+    * exact sum-vector Lloyd (init = every ⌊n/8⌋-th vector's subvectors,
+    * two iterations), same pinned cosine with e6 floor, exact BIGINT
+    * ADC sums, same (adc DESC, vec_id ASC) top-10.
+    */
+  val pqTopKOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,9), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cos(q: String, s: String): String =
+      s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
+    def fdot(u: String, v: String): String =
+      s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+    def fcos(u: String, v: String): String =
+      s"${fdot(u, v)} / (sqrt(${fdot(u, u)}) * sqrt(${fdot(v, v)}))"
+    def assignCte(name: String, prevC: String): String =
+      s"""$name AS (SELECT vec_id, s, c_id AS code FROM (
+         |  SELECT sv0.vec_id, sv0.s, c.c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY sv0.vec_id, sv0.s
+         |           ORDER BY ${cos("sv0.qs", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM subv sv0 JOIN $prevC c ON c.s = sv0.s) WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, prevA: String): String =
+      s"""$name AS (
+         |  SELECT s, code AS c_id, list(CAST(sm AS BIGINT) ORDER BY pos) AS sv
+         |  FROM (SELECT a.s, a.code, p.i AS pos, SUM(sv0.qs[p.i]) AS sm
+         |        FROM $prevA a JOIN subv sv0 ON sv0.vec_id = a.vec_id AND sv0.s = a.s,
+         |             range(1, 9) p(i)
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH nn AS (SELECT GREATEST(1, COUNT(*) // 16) AS seedmod FROM embeddings),
+       |qv AS (SELECT vec_id,
+       |         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |subv AS (SELECT vec_id, s.i - 1 AS s, q[((s.i-1)*8+1):((s.i-1)*8+8)] AS qs
+       |         FROM qv, range(1, 9) s(i)),
+       |c0 AS (SELECT s, vec_id AS c_id, qs AS sv FROM subv, nn WHERE vec_id % seedmod = 0),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("codes", "c2")},
+       |lut AS (SELECT sq.vec_id AS qid, sq.s, c.c_id AS code,
+       |               CAST(floor(${cos("sq.qs", "c.sv")} * 1000000 + 0.5) AS BIGINT) AS lut_e6
+       |        FROM subv sq JOIN c2 c ON c.s = sq.s WHERE sq.vec_id < 3),
+       |adc AS (SELECT l.qid, cd.vec_id, CAST(SUM(l.lut_e6) AS BIGINT) AS adc_e6
+       |        FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+       |        GROUP BY 1, 2),
+       |pool AS (SELECT qid, vec_id, adc_e6 FROM (
+       |  SELECT qid, vec_id, adc_e6,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY adc_e6 DESC, vec_id) AS prnk
+       |  FROM adc) WHERE prnk <= 50),
+       |fv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |rr AS (SELECT p.qid, p.vec_id, p.adc_e6,
+       |              ${fcos("qe.ev", "ne.ev")} AS cos
+       |       FROM pool p
+       |       JOIN fv qe ON qe.vec_id = p.qid
+       |       JOIN fv ne ON ne.vec_id = p.vec_id)
+       |SELECT qid, vec_id, adc_e6, ROUND(cos, 4) AS cos, rnk FROM (
+       |  SELECT qid, vec_id, adc_e6, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM rr)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** x220: Maximal-Marginal-Relevance diversified top-k (Carbonell &
     * Goldstein, SIGIR'98) — the retrieval-diversity re-rank a training-
     * data pipeline runs over its ANN shortlist so five near-identical

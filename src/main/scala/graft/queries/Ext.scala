@@ -143,6 +143,7 @@ object Ext {
     "x257_decay_attrib"    -> ((s: SparkSession, d: String) => Events.decayAttribution(s, d)),
     "x260_ndcg_eval"       -> ((s: SparkSession, d: String) => Associations.ndcgEval(s, d)),
     "x261_topk_perkey"     -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topBrandParts(s, d)),
+    "x262_pq_topk"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -570,6 +571,7 @@ object Ext {
     "x257_decay_attrib"    -> Events.decayAttributionOracle,
     "x260_ndcg_eval"       -> Associations.ndcgOracle,
     "x261_topk_perkey"     -> graft.plans.TopKPerKey.topBrandPartsOracle,
+    "x262_pq_topk"         -> Similarity.pqTopKOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

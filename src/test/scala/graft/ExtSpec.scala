@@ -222,6 +222,46 @@ class ExtSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("two-stage PQ: ranks well-formed, bounded ADC, and pool >= corpus makes it exact") {
+    val got = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = vecs.length
+    // structure: 3 queries x ranks 1..10, ADC bounded by M = 8 subspace cosines
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._5).sorted.toSeq === (1L to 10L))
+      rows.foreach(r => assert(math.abs(r._3) <= 8000000L, s"ADC out of [-8, 8]: $r"))
+      // ranks follow (cos desc, vec_id asc) exactly
+      val s = rows.sortBy(_._5).map(r => (-r._4, r._2)).toSeq
+      assert(s === s.sorted, "rank order violates (cos desc, vec_id asc)")
+    }
+    // with poolK >= n, the ADC stage prunes NOTHING, so the exact
+    // re-rank must equal brute-force cosine top-10 — full equivalence,
+    // the same law the exhaustive-probe IVF test pins
+    val full = Similarity.pqTopK(spark, sf, poolK = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .groupBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vmap = vecs.toMap
+    Seq(0L, 1L, 2L).foreach { q =>
+      val exact = vecs.map { case (id, v) => (id, cos(vmap(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+      val approx = full(q).sortBy(_._4).map(_._2).toSeq
+      assert(approx === exact, s"query $q: pool>=corpus PQ diverged from brute force")
+      // the pruned default pool is a subset discipline: its hits are a
+      // subset of what the full pool returns at better-or-equal ranks
+      assert(byQ(q).map(_._2).toSet.subsetOf(vecs.map(_._1).toSet))
+    }
+  }
+
   test("hard negatives carry a different label and rank exactly like label-filtered brute force") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()

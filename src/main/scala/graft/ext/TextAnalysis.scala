@@ -2063,4 +2063,56 @@ object TextAnalysis {
       |         / CAST(n_total AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p0_e6
       |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
       |ORDER BY r""".stripMargin
+
+  /** x263: per-document TF-IDF keyword extraction — the transpose of
+    * x95's BM25 (BM25 ranks DOCS for a query term; this ranks TERMS for
+    * each doc): top-3 tokens by tf·idf, the classic zero-training
+    * keyword/tag generator and the feature layer under every sparse
+    * retriever. idf = ln(N/df) over the Layer-shared unigram/df
+    * machinery; score = tf · idf_e6 is an EXACT integer (idf e6-floors
+    * its single ln once — the measured-ln discipline — and tf is a
+    * count), so the per-doc ranking compares exact integers with a
+    * token tie-break. The per-doc window partition is vocab-bounded
+    * (≤ |vocab| rows), never corpus-wide. One token-stream pass; df and
+    * N are vocab-sized/one-row broadcasts.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenStream(spark, dir).select("doc_id", "token")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = toks.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("token"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * 1000000d + 0.5d).cast("long").as("idf_e6"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("token"))
+    tf.join(broadcast(idf), "token")
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * col("idf_e6")).as("score_e6"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfOracle: String =
+    """WITH tok AS (SELECT doc_id, u.t AS token
+      |             FROM documents, UNNEST(string_split(text, ' ')) u(t)),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+      |idf AS (SELECT token,
+      |               CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+      |                 * 1000000 + 0.5) AS BIGINT) AS idf_e6
+      |        FROM df, nd),
+      |s AS (SELECT tf.doc_id, tf.token, tf.tf,
+      |             CAST(tf.tf * idf.idf_e6 AS BIGINT) AS score_e6
+      |      FROM tf JOIN idf USING (token)),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score_e6 DESC, token) AS rnk FROM s)
+      |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_e6,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 }

@@ -1605,4 +1605,121 @@ object Quality {
       |       it.n[it.choice] AS n_cum, it.r[it.choice] AS r_cum, it.ucb_e9
       |FROM it JOIN arms ON arms.i = it.choice
       |WHERE it.t >= 1 ORDER BY t""".stripMargin
+
+  /** x264: Mahalanobis-distance outliers over (price, quantity,
+    * discount) — the MULTIVARIATE audit x124's per-column z-scores
+    * cannot do: a line that is unremarkable on every axis but
+    * off-manifold jointly (huge price at deep discount) only shows in
+    * the covariance-whitened distance d² = (x−μ)ᵀΣ⁻¹(x−μ). Top-10
+    * most-anomalous lines, the triage list a data-quality pipeline
+    * feeds to review.
+    *
+    * Exactness: one fact pass collects the 3-var moment row (Σx_i and
+    * all Σx_ix_j DECIMAL(38,0)-widened — exact). The rational mean is
+    * cleared the x259 way: with ẑ = n·x − S (exact BIGINT per row) and
+    * the n²-scaled scatter C_ij = n·P_ij − S_i·S_j (exact DECIMAL),
+    * d² = (n−1)/n · ẑᵀC⁻¹ẑ. The 3×3 inverse is closed-form cofactors —
+    * computed ONCE in the broadcast one-row frame as pinned doubles
+    * over the exact C entries — and each row's quadratic form is one
+    * fixed-order 6-term expression, e6-floored once. Degenerate
+    * scatter (det ≤ 0) nulls out, the abTest posture. Scale: one scan,
+    * one 1-row broadcast, TakeOrdered(10) — no fact-sized sort.
+    */
+  def mahalanobisOutliers(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    val d38: Column => Column = _.cast("decimal(38,0)")
+    val d: Column => Column = _.cast("double")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x1"),
+        col("l_quantity").cast("long").as("x2"),
+        round(col("l_discount") * 100, 0).cast("long").as("x3"))
+    val mom = li.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(d38(col("x1")) * d38(col("x1"))).as("p11"),
+      sum(d38(col("x2")) * d38(col("x2"))).as("p22"),
+      sum(d38(col("x3")) * d38(col("x3"))).as("p33"),
+      sum(d38(col("x1")) * d38(col("x2"))).as("p12"),
+      sum(d38(col("x1")) * d38(col("x3"))).as("p13"),
+      sum(d38(col("x2")) * d38(col("x3"))).as("p23"))
+    def cC(p: String, a: String, b: String): Column =
+      (d38(col("n")) * col(p) - d38(col(a)) * d38(col(b))).cast("double")
+    val inv = mom.select(col("n"), col("s1"), col("s2"), col("s3"),
+        cC("p11", "s1", "s1").as("c11"), cC("p22", "s2", "s2").as("c22"),
+        cC("p33", "s3", "s3").as("c33"), cC("p12", "s1", "s2").as("c12"),
+        cC("p13", "s1", "s3").as("c13"), cC("p23", "s2", "s3").as("c23"))
+      .select(col("n"), col("s1"), col("s2"), col("s3"),
+        (col("c11") * (col("c22") * col("c33") - col("c23") * col("c23"))
+          - col("c12") * (col("c12") * col("c33") - col("c13") * col("c23"))
+          + col("c13") * (col("c12") * col("c23") - col("c13") * col("c22")))
+          .as("det"),
+        (col("c22") * col("c33") - col("c23") * col("c23")).as("i11"),
+        (col("c11") * col("c33") - col("c13") * col("c13")).as("i22"),
+        (col("c11") * col("c22") - col("c12") * col("c12")).as("i33"),
+        (col("c13") * col("c23") - col("c12") * col("c33")).as("i12"),
+        (col("c12") * col("c23") - col("c13") * col("c22")).as("i13"),
+        (col("c12") * col("c13") - col("c11") * col("c23")).as("i23"))
+    def z(i: Int): Column = d(col("n") * col(s"x$i") - col(s"s$i"))
+    val quad = (z(1) * z(1) * col("i11") + z(2) * z(2) * col("i22")
+      + z(3) * z(3) * col("i33") + lit(2.0d) * z(1) * z(2) * col("i12")
+      + lit(2.0d) * z(1) * z(3) * col("i13")
+      + lit(2.0d) * z(2) * z(3) * col("i23"))
+    li.crossJoin(broadcast(inv))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x1").as("price_e2"), col("x2").as("qty"), col("x3").as("disc_e2"),
+        when(col("det") > 0d,
+          floor(d(col("n") - 1L) / d(col("n")) * quad / col("det")
+            * 1000000d + 0.5d).cast("long")).as("d2_e6"))
+      .orderBy(col("d2_e6").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+  }
+
+  val mahalanobisOracle: String =
+    """WITH li AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x1,
+      |                   CAST(l_quantity AS BIGINT) AS x2,
+      |                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x3
+      |            FROM lineitem),
+      |mom AS (SELECT COUNT(*) AS n,
+      |               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+      |               CAST(SUM(x3) AS BIGINT) AS s3,
+      |               SUM(CAST(x1 AS HUGEINT) * x1) AS p11,
+      |               SUM(CAST(x2 AS HUGEINT) * x2) AS p22,
+      |               SUM(CAST(x3 AS HUGEINT) * x3) AS p33,
+      |               SUM(CAST(x1 AS HUGEINT) * x2) AS p12,
+      |               SUM(CAST(x1 AS HUGEINT) * x3) AS p13,
+      |               SUM(CAST(x2 AS HUGEINT) * x3) AS p23
+      |        FROM li),
+      |cm AS (SELECT n, s1, s2, s3,
+      |              CAST(n * p11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS c11,
+      |              CAST(n * p22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE) AS c22,
+      |              CAST(n * p33 - CAST(s3 AS HUGEINT) * s3 AS DOUBLE) AS c33,
+      |              CAST(n * p12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE) AS c12,
+      |              CAST(n * p13 - CAST(s1 AS HUGEINT) * s3 AS DOUBLE) AS c13,
+      |              CAST(n * p23 - CAST(s2 AS HUGEINT) * s3 AS DOUBLE) AS c23
+      |       FROM mom),
+      |inv AS (SELECT n, s1, s2, s3,
+      |               c11 * (c22 * c33 - c23 * c23)
+      |                 - c12 * (c12 * c33 - c13 * c23)
+      |                 + c13 * (c12 * c23 - c13 * c22) AS det,
+      |               c22 * c33 - c23 * c23 AS i11,
+      |               c11 * c33 - c13 * c13 AS i22,
+      |               c11 * c22 - c12 * c12 AS i33,
+      |               c13 * c23 - c12 * c33 AS i12,
+      |               c12 * c23 - c13 * c22 AS i13,
+      |               c12 * c13 - c11 * c23 AS i23
+      |        FROM cm),
+      |s AS (SELECT li.l_orderkey, li.l_linenumber,
+      |             li.x1 AS price_e2, li.x2 AS qty, li.x3 AS disc_e2,
+      |             CASE WHEN inv.det > 0 THEN CAST(floor(
+      |               CAST(inv.n - 1 AS DOUBLE) / CAST(inv.n AS DOUBLE)
+      |               * (CAST(inv.n * li.x1 - inv.s1 AS DOUBLE) * CAST(inv.n * li.x1 - inv.s1 AS DOUBLE) * inv.i11
+      |                  + CAST(inv.n * li.x2 - inv.s2 AS DOUBLE) * CAST(inv.n * li.x2 - inv.s2 AS DOUBLE) * inv.i22
+      |                  + CAST(inv.n * li.x3 - inv.s3 AS DOUBLE) * CAST(inv.n * li.x3 - inv.s3 AS DOUBLE) * inv.i33
+      |                  + 2.0 * CAST(inv.n * li.x1 - inv.s1 AS DOUBLE) * CAST(inv.n * li.x2 - inv.s2 AS DOUBLE) * inv.i12
+      |                  + 2.0 * CAST(inv.n * li.x1 - inv.s1 AS DOUBLE) * CAST(inv.n * li.x3 - inv.s3 AS DOUBLE) * inv.i13
+      |                  + 2.0 * CAST(inv.n * li.x2 - inv.s2 AS DOUBLE) * CAST(inv.n * li.x3 - inv.s3 AS DOUBLE) * inv.i23)
+      |               / inv.det * 1000000 + 0.5) AS BIGINT) END AS d2_e6
+      |      FROM li, inv)
+      |SELECT * FROM s ORDER BY d2_e6 DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
 }

@@ -487,6 +487,39 @@ object Core {
         col("gid"), col("n_orders"), col("rev_e2"))
       .orderBy("gid", "priority", "status")
 
+  /** q30: the analytic window-function surface in one statement — lag /
+    * lead / first_value / running last / sliding-frame sum / rank /
+    * percent_rank / cume_dist over the daily-revenue series, the SQL
+    * surface a migrating user reaches for daily. Runs on the
+    * calendar-bounded daily frame (≤ |days| rows — a global window here
+    * is metadata-sized, the a35 10-row posture, NOT a fact-sized
+    * one-task sort; fact-grain rankings go through the two-phase
+    * [[graft.ops.Ranking.globalRowNumber]]). ntile is deliberately
+    * ABSENT: its remainder placement is an engine-specific choice (the
+    * x123 lesson) — the integer-grid cut covers that need. percent_rank
+    * and cume_dist are exact rationals of ranks, e6-floored once.
+    */
+  def q30WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    val sliding = w.rowsBetween(-3, 3)
+    val running = w.rowsBetween(Window.unboundedPreceding, 0)
+    graft.queries.Analytics.dailyRevenue(spark, dir)
+      .select(col("day"), col("cents"),
+        lag(col("cents"), 1).over(w).as("prev_cents"),
+        lead(col("cents"), 1).over(w).as("next_cents"),
+        first(col("cents")).over(running).as("first_cents"),
+        last(col("cents")).over(running).as("running_cents"),
+        sum(col("cents")).over(sliding).as("sum7_cents"),
+        count(lit(1)).over(sliding).as("n7"),
+        rank().over(Window.orderBy(col("cents"), col("day"))).cast("long").as("rev_rank"),
+        floor(percent_rank().over(Window.orderBy(col("cents"), col("day")))
+          * 1000000d + 0.5d).cast("long").as("pr_e6"),
+        floor(cume_dist().over(Window.orderBy(col("cents"), col("day")))
+          * 1000000d + 0.5d).cast("long").as("cd_e6"))
+      .orderBy("day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -517,6 +550,7 @@ object Core {
     "q27_dsv2_write"          -> (q27Dsv2Write _),
     "q28_wap_publish"         -> (q28WapPublish _),
     "q29_cube_agg"            -> (q29CubeAgg _),
+    "q30_window_suite"        -> (q30WindowSuite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,6 +647,28 @@ object Core {
         |      FROM orders)
         |GROUP BY CUBE (priority, status)
         |ORDER BY gid, priority, status""".stripMargin,
+    // the full analytic-window surface over the daily frame; frames and
+    // tie-broken orders are spelled identically on both engines
+    "q30_window_suite"        ->
+      """WITH daily AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+        |                      SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |               FROM orders GROUP BY 1)
+        |SELECT day, CAST(cents AS BIGINT) AS cents,
+        |       CAST(LAG(cents, 1) OVER w AS BIGINT) AS prev_cents,
+        |       CAST(LEAD(cents, 1) OVER w AS BIGINT) AS next_cents,
+        |       CAST(FIRST_VALUE(cents) OVER wr AS BIGINT) AS first_cents,
+        |       CAST(LAST_VALUE(cents) OVER wr AS BIGINT) AS running_cents,
+        |       CAST(SUM(cents) OVER ws AS BIGINT) AS sum7_cents,
+        |       COUNT(*) OVER ws AS n7,
+        |       RANK() OVER wv AS rev_rank,
+        |       CAST(floor(PERCENT_RANK() OVER wv * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+        |       CAST(floor(CUME_DIST() OVER wv * 1000000 + 0.5) AS BIGINT) AS cd_e6
+        |FROM daily
+        |WINDOW w AS (ORDER BY day),
+        |       wr AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       ws AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+        |       wv AS (ORDER BY cents, day)
+        |ORDER BY day""".stripMargin,
   )
 }
 

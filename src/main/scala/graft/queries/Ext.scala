@@ -144,6 +144,8 @@ object Ext {
     "x260_ndcg_eval"       -> ((s: SparkSession, d: String) => Associations.ndcgEval(s, d)),
     "x261_topk_perkey"     -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topBrandParts(s, d)),
     "x262_pq_topk"         -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "x263_tfidf_keywords"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfKeywords(s, d)),
+    "x264_mahalanobis"     -> ((s: SparkSession, d: String) => graft.ops.Quality.mahalanobisOutliers(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -572,6 +574,8 @@ object Ext {
     "x260_ndcg_eval"       -> Associations.ndcgOracle,
     "x261_topk_perkey"     -> graft.plans.TopKPerKey.topBrandPartsOracle,
     "x262_pq_topk"         -> Similarity.pqTopKOracle,
+    "x263_tfidf_keywords"  -> TextAnalysis.tfidfOracle,
+    "x264_mahalanobis"     -> graft.ops.Quality.mahalanobisOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

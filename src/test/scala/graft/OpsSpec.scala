@@ -2989,4 +2989,91 @@ class OpsSpec extends SparkSuite {
       "expected exactly one Expand")
     assert(opt.collectLeaves().size === 1, "expected exactly one scan")
   }
+
+  test("window suite: lag/lead inverse, running last = cents, rank endpoints exact") {
+    val rows = graft.queries.Core.q30WindowSuite(spark, sf).collect()
+    val n = rows.length
+    assert(n > 100)
+    // lag/lead are mutual inverses along the day order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) === b.getLong(1), "lead(a) != cents(b)") // next_cents
+      assert(b.getLong(2) === a.getLong(1), "lag(b) != cents(a)")  // prev_cents
+      case _ => ()
+    }
+    // the running frame ends at the current row: running_cents == cents
+    rows.foreach(r => assert(r.getLong(5) === r.getLong(1)))
+    // first_cents is constant = the first day's cents
+    assert(rows.forall(_.getLong(4) === rows.head.getLong(1)))
+    // rank endpoints: exactly one row has pr_e6 = 0 and one has 1e6 (ties
+    // broken by day, so ranks are a permutation of 1..n)
+    assert(rows.map(_.getLong(8)).sorted.toSeq === (1L to n.toLong), "rev_rank not a permutation")
+    assert(rows.map(r => r.getLong(9)).count(_ == 0L) === 1)
+    assert(rows.map(r => r.getLong(9)).count(_ == 1000000L) === 1)
+    // cume_dist of the max-rank row is exactly 1
+    assert(rows.map(r => r.getLong(10)).max === 1000000L)
+    // sliding frame counts: 4..7 at the edges, 7 in the interior
+    assert(rows.map(_.getLong(7)).min === 4L && rows.map(_.getLong(7)).max === 7L)
+  }
+
+  test("TF-IDF keywords: per-doc ranks ordered, scores exact tf*idf integers") {
+    val got = graft.queries.Ext.all("x263_tfidf_keywords")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // replay idf from the raw corpus
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = toks.map(_._1).distinct.length
+    val dfm = toks.distinct.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length).toMap
+    val idf = dfm.map { case (t, df) =>
+      t -> math.floor(math.log(nDocs.toDouble / df.toDouble) * 1e6 + 0.5).toLong }
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (doc, tok, tfGot, score, _) =>
+      assert(tfGot === tf((doc, tok)), s"tf mismatch at ($doc, $tok)")
+      assert(score === tfGot * idf(tok), s"score != tf*idf at ($doc, $tok)")
+    }
+    // ranks within a doc are 1..k with non-increasing scores
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._5)
+      assert(s.map(_._5).toSeq === (1L to s.length))
+      assert(s.map(_._4).toSeq === s.map(_._4).sortBy(-_).toSeq)
+    }
+  }
+
+  test("Mahalanobis top-10 equals the driver replay over exact scatter") {
+    val got = graft.ops.Quality.mahalanobisOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    val xs = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        col("l_quantity").cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Array(r.getLong(2), r.getLong(3), r.getLong(4))))
+    val n = xs.length.toLong
+    val s = Array.tabulate(3)(i => xs.map(_._3(i)).sum)
+    val p = Array.tabulate(3, 3)((i, j) =>
+      xs.map(r => BigInt(r._3(i)) * r._3(j)).sum)
+    val c = Array.tabulate(3, 3)((i, j) =>
+      (BigInt(n) * p(i)(j) - BigInt(s(i)) * BigInt(s(j))).toDouble)
+    val det = c(0)(0) * (c(1)(1) * c(2)(2) - c(1)(2) * c(1)(2)) -
+      c(0)(1) * (c(0)(1) * c(2)(2) - c(0)(2) * c(1)(2)) +
+      c(0)(2) * (c(0)(1) * c(1)(2) - c(0)(2) * c(1)(1))
+    assert(det > 0, "degenerate scatter in fixture")
+    val i11 = c(1)(1) * c(2)(2) - c(1)(2) * c(1)(2)
+    val i22 = c(0)(0) * c(2)(2) - c(0)(2) * c(0)(2)
+    val i33 = c(0)(0) * c(1)(1) - c(0)(1) * c(0)(1)
+    val i12 = c(0)(2) * c(1)(2) - c(0)(1) * c(2)(2)
+    val i13 = c(0)(1) * c(1)(2) - c(0)(2) * c(1)(1)
+    val i23 = c(0)(1) * c(0)(2) - c(0)(0) * c(1)(2)
+    val exp = xs.map { case (ok, ln, v) =>
+      val z = Array.tabulate(3)(i => (n * v(i) - s(i)).toDouble)
+      val quad = z(0) * z(0) * i11 + z(1) * z(1) * i22 + z(2) * z(2) * i33 +
+        2.0 * z(0) * z(1) * i12 + 2.0 * z(0) * z(2) * i13 + 2.0 * z(1) * z(2) * i23
+      (ok, ln, math.floor((n - 1).toDouble / n.toDouble * quad / det * 1e6 + 0.5).toLong)
+    }.sortBy(r => (-r._3, r._1, r._2)).take(10)
+    assert(got.toSeq === exp.toSeq, "Mahalanobis top-10 mismatch vs driver replay")
+    // whitened distances are non-negative
+    assert(got.forall(_._3 >= 0L))
+  }
 }

@@ -208,6 +208,38 @@ object OracleSql {
     * stay isolated). ignore_errors mirrors Spark's DROPMALFORMED: the
     * three planted bad lines must vanish on both sides.
     */
+  /** ≙ ReorderModel.gainsTable (x265): the same cand/train_pairs CTEs as
+    * q13, the integer heuristic score, and the full rank → decile →
+    * rate/lift/cumulative-gain pipeline in integer arithmetic.
+    */
+  val x265_gains_table: String =
+    withCtes(ordersI, basket, productFeats, candidates("1, 2"), trainPairs,
+      """scored AS (
+        |  SELECT c.orderID, c.productID,
+        |         CASE WHEN t.orderID IS NOT NULL THEN 1 ELSE 0 END AS label,
+        |         (CAST(pf.numreorders AS BIGINT) * 1000000) // pf.numorders AS score_e6
+        |  FROM cand c
+        |  JOIN product_feats pf ON pf.productID = c.productID
+        |  LEFT JOIN train_pairs t
+        |    ON t.orderID = c.orderID AND t.productID = c.productID)""".stripMargin,
+      """rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_e6 DESC, orderID, productID) AS rnk
+        |       FROM scored)""".stripMargin,
+      """tot AS (SELECT COUNT(*) AS n_total, CAST(SUM(label) AS BIGINT) AS pos_total
+        |        FROM scored)""".stripMargin,
+      """dd AS (SELECT ((rnk - 1) * 10) // n_total AS decile,
+        |              COUNT(*) AS n_rows, CAST(SUM(label) AS BIGINT) AS n_pos
+        |       FROM rk, tot GROUP BY 1)""".stripMargin,
+      """cg AS (SELECT dd.decile, dd.n_rows, dd.n_pos,
+        |              SUM(dd.n_pos) OVER (ORDER BY dd.decile) AS cum_pos,
+        |              t.n_total, t.pos_total
+        |       FROM dd, tot t)""".stripMargin)(
+      """SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+        |       CAST((n_pos * 1000000) // n_rows AS BIGINT) AS rate_e6,
+        |       CAST((CAST(n_pos AS HUGEINT) * n_total * 1000000)
+        |            // (CAST(n_rows AS HUGEINT) * pos_total) AS BIGINT) AS lift_e6,
+        |       CAST((cum_pos * 1000000) // pos_total AS BIGINT) AS cum_gain_e6
+        |FROM cg ORDER BY decile""".stripMargin)
+
   val q18_csv_roundtrip: String =
     s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       o_orderdate, o_orderpriority

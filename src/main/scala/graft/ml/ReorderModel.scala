@@ -584,4 +584,51 @@ object ReorderModel {
     }
     x
   }
+
+  /** x265: decile gains / lift table — the business-facing model-eval
+    * readout beside x194's AUC (AUC summarizes ranking quality in one
+    * number; the gains table answers "if I act on the top decile, what
+    * do I capture?"). Scored on the EXACT integer heuristic the
+    * submission path already serves (per-product reorder propensity
+    * (numreorders·10⁶) DIV numorders — m-family model scores are
+    * seed-dependent and stay rows-only by design), labeled by the q13
+    * train-pair existence flag.
+    *
+    * Exactness: score, ranks, decile cuts, rates, lifts, and cumulative
+    * gains are ALL integer arithmetic — the global rank is the
+    * two-phase bucketed [[graft.ops.Ranking.globalRowNumber]] over
+    * (−score, (orderID, productID)) (never a one-task window on the
+    * candidate fact), the decile is the x123 integer-grid cut, and
+    * lift widens to DECIMAL(38,0) before the ×10⁶ (pos·n_total·10⁶
+    * wraps BIGINT at fleet scale). The cumulative window runs on the
+    * 10-row decile frame — metadata-sized.
+    */
+  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = Insta.withLabel(spark, dir,
+        Insta.candidates(spark, dir, Seq(1L, 2L)))
+      .select(col("orderID"), col("productID"), col("label"))
+    val score = Insta.productFeatures(spark, dir)
+      .select(col("productID"),
+        expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
+    val scored = labeled.join(score, "productID")
+    val ranked = graft.ops.Ranking.globalRowNumber(
+      scored, negate(col("score_e6")),
+      struct(col("orderID"), col("productID")), "rnk")
+    val tot = scored.agg(count(lit(1)).as("n_total"), sum(col("label")).as("pos_total"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("((rnk - 1) * 10) DIV n_total").as("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"),
+        first(col("n_total")).as("n_total"), first(col("pos_total")).as("pos_total"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0) // 10-row frame: metadata
+    dec.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        expr("(n_pos * 1000000) DIV n_rows").as("rate_e6"),
+        expr("""CAST((CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000)
+                DIV (CAST(n_rows AS DECIMAL(38,0)) * pos_total) AS BIGINT)""")
+          .as("lift_e6"),
+        expr("(cum_pos * 1000000) DIV pos_total").as("cum_gain_e6"))
+      .orderBy("decile")
+  }
 }

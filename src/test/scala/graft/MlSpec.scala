@@ -317,4 +317,28 @@ class MlSpec extends SparkSuite {
     val best = got.filter(_._3).head
     assert(got.forall(r => best._2 <= r._2))
   }
+
+  test("gains table: deciles partition the scored set, cumulative gain closes at 1") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.ReorderModel.gainsTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (0L to 9L), "ten deciles, in order")
+    // partition laws against the independently-recomputed totals
+    val labeled = graft.insta.Insta.withLabel(spark, sf,
+        graft.insta.Insta.candidates(spark, sf, Seq(1L, 2L)))
+      .agg(count(lit(1)), sum(col("label"))).collect()(0)
+    assert(rows.map(_._2).sum === labeled.getLong(0), "decile rows != candidate count")
+    assert(rows.map(_._3).sum === labeled.getLong(1), "decile positives != label total")
+    // rates and cumulative gain are proper fractions; the gain closes at 1
+    rows.foreach { r =>
+      assert(r._4 >= 0L && r._4 <= 1000000L, s"rate out of [0,1]: $r")
+      assert(r._6 >= 0L && r._6 <= 1000000L, s"cum gain out of [0,1]: $r")
+    }
+    assert(rows.last._6 === 1000000L, "cumulative gain must close at exactly 1")
+    // cumulative gain is non-decreasing in decile order
+    assert(rows.map(_._6).toSeq === rows.map(_._6).sorted.toSeq)
+    // decile sizes are the integer-grid cut: they differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
+  }
 }

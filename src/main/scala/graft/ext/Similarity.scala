@@ -257,8 +257,12 @@ object Similarity {
     * (query, partition); the re-rank window is poolK-bounded. At fleet
     * scale compose with x22's IVF lists (IVF-PQ).
     */
-  def pqTopK(spark: SparkSession, dir: String, m: Int = 8, kCode: Int = 16,
-             topK: Int = 10, nQueries: Int = 3, poolK: Int = 50): DataFrame = {
+  /** Shared x262/x266 PQ state: the subvector frame, the (s, c_id)-keyed
+    * exact sum-vector codebooks (2 Lloyd iterations, Layer-cached —
+    * strictly M·K rows), and each vector's code assignment.
+    */
+  private def pqState(spark: SparkSession, dir: String, m: Int, kCode: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
     val seedMod = math.max(1L, e.count() / kCode)
     val sub = 64 / m
@@ -271,39 +275,104 @@ object Similarity {
           intCos(col("qs"), col("sv")).as("ccos"))
         .groupBy("vec_id", "s")
         .agg(max_by(col("c_id"), struct(col("ccos"), negate(col("c_id")))).as("code"))
-    var cent = subv.filter(col("vec_id") % seedMod === 0)
-      .select(col("s"), col("vec_id").as("c_id"), col("qs").as("sv"))
-    for (_ <- 1 to 2) {
-      cent = subv.join(assign(cent), Seq("vec_id", "s"))
-        .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("pos", "v")))
-        .groupBy("s", "code", "pos").agg(sum(col("v")).as("sv1"))
-        .groupBy("s", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("sv1")))).as("pv"))
-        .select(col("s"), col("code").as("c_id"),
-          transform(col("pv"), p => p.getField("sv1")).as("sv"))
+    val cent = graft.Layer.cached(spark, dir, s"pqCent@$m#$kCode") {
+      var c = subv.filter(col("vec_id") % seedMod === 0)
+        .select(col("s"), col("vec_id").as("c_id"), col("qs").as("sv"))
+      for (_ <- 1 to 2) {
+        c = subv.join(assign(c), Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("qs")).as(Seq("pos", "v")))
+          .groupBy("s", "code", "pos").agg(sum(col("v")).as("sv1"))
+          .groupBy("s", "code")
+          .agg(array_sort(collect_list(struct(col("pos"), col("sv1")))).as("pv"))
+          .select(col("s"), col("code").as("c_id"),
+            transform(col("pv"), p => p.getField("sv1")).as("sv"))
+      }
+      c
     }
-    val codes = assign(cent)
-    val lut = subv.filter(col("vec_id") < nQueries)
+    (subv, cent, assign(cent))
+  }
+
+  /** The e6-floored blockwise-cosine lookup table for queries vec_id <
+    * nQueries — nQueries·M·K cells, one pinned cosine each.
+    */
+  private def pqLut(subv: DataFrame, cent: DataFrame, nQueries: Int): DataFrame =
+    subv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("s"), col("qs"))
       .join(broadcast(cent), "s")
       .select(col("qid"), col("s"), col("c_id").as("code"),
         floor(intCos(col("qs"), col("sv")) * 1000000d + 0.5d)
           .cast("long").as("lut_e6"))
+
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 8, kCode: Int = 16,
+             topK: Int = 10, nQueries: Int = 3, poolK: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (subv, cent, codes) = pqState(spark, dir, m, kCode)
+    val lut = pqLut(subv, cent, nQueries)
     val adc = codes.join(broadcast(lut), Seq("s", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("lut_e6")).as("adc_e6"))
     val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk")
+    exactRerank(e, pool, topK)
+  }
+
+  /** The exact-cosine re-rank of a (qid, vec_id, adc_e6) shortlist —
+    * shared by x262 and x266; pool-bounded window partitions.
+    */
+  private def exactRerank(e: DataFrame, pool: DataFrame, topK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     pool
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
       .join(e.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
       .withColumn("cos", gf.cosine_sim(col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w)) // poolK-bounded partitions
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("vec_id"), col("adc_e6"),
         round(col("cos"), 4).as("cos"), col("rnk").cast("long").as("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** x266: IVF-PQ — the two indexes COMPOSED, the architecture every
+    * production vector store serves from (FAISS's IVFPQ): the x22
+    * coarse quantizer prunes the corpus to the query's `probe` nearest
+    * inverted lists (cluster pruning — the stage that makes the scan
+    * sublinear in n), the x262 PQ codes score ONLY the surviving
+    * candidates in the compressed domain (M lookups per candidate, no
+    * vector reads), and the exact cosine re-ranks the shortlist. Every
+    * stage keeps the exact-integer state discipline of its parent
+    * operator, so the whole composed index — coarse fit, probe choice,
+    * PQ fit, codes, ADC, re-rank — is deterministic and replayed by the
+    * oracle end to end. Recall differs from x262 only by the IVF miss
+    * (a true neighbor whose cluster is not probed — x22's documented
+    * approximation), which the ExtSpec probe-everything law removes.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, m: Int = 8, kCode: Int = 16,
+                topK: Int = 10, nQueries: Int = 3, poolK: Int = 50,
+                nProbe: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val (_, mod, defProbe) = ivfGeometry(e.count())
+    val probe = if (nProbe > 0) nProbe else defProbe
+    val qv = quantizedVecs(e)
+    val coarse = centroidSums(qv, mod)
+    val member = assignClusters(qv, coarse) // (vec_id, cluster)
+    val probed = qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q"))
+      .crossJoin(broadcast(coarse))
+      .select(col("qid"), col("c_id"), intCos(col("q"), col("sv")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rk") <= probe)
+      .select(col("qid"), col("c_id").as("cluster"))
+    val (subv, cent, codes) = pqState(spark, dir, m, kCode)
+    val lut = pqLut(subv, cent, nQueries)
+    val cand = probed.join(member, "cluster").select("qid", "vec_id")
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("lut_e6")).as("adc_e6"))
+    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk")
+    exactRerank(e, pool, topK)
   }
 
   /** x262 oracle — the [[pqTopK]] fit, encode, LUT, and ADC rank
@@ -600,6 +669,87 @@ object Similarity {
          |      FROM scored)
          |SELECT q_id, n_id, ROUND(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** x266 oracle — [[kmeansCtes]] (the coarse 64-dim fit, ending in the
+    * af membership and c2 centroids) + the x22 probe derivation + the
+    * x262 PQ fit/encode/LUT renamed p* + candidate restriction to the
+    * probed clusters + ADC + exact re-rank. The COMPOSED index replayed
+    * end to end.
+    */
+  val ivfPqOracle: String = {
+    def dot8(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,9), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cos8(q: String, s: String): String =
+      s"(CAST(${dot8(q, s)} AS DOUBLE) / (sqrt(CAST(${dot8(q, q)} AS DOUBLE)) * sqrt(CAST(${dot8(s, s)} AS DOUBLE))))"
+    def dot64(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
+    def cos64(q: String, s: String): String =
+      s"(CAST(${dot64(q, s)} AS DOUBLE) / (sqrt(CAST(${dot64(q, q)} AS DOUBLE)) * sqrt(CAST(${dot64(s, s)} AS DOUBLE))))"
+    def dotF(u: String, v: String): String =
+      s"list_sum(list_transform(range(1, len($u) + 1), i -> $u[i] * $v[i]))"
+    def cosF(u: String, v: String): String =
+      s"${dotF(u, v)} / (sqrt(${dotF(u, u)}) * sqrt(${dotF(v, v)}))"
+    def passign(name: String, prevC: String): String =
+      s"""$name AS (SELECT vec_id, s, c_id AS code FROM (
+         |  SELECT sv0.vec_id, sv0.s, c.c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY sv0.vec_id, sv0.s
+         |           ORDER BY ${cos8("sv0.qs", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM subv sv0 JOIN $prevC c ON c.s = sv0.s) WHERE rk = 1)""".stripMargin
+    def pupdate(name: String, prevA: String): String =
+      s"""$name AS (
+         |  SELECT s, code AS c_id, list(CAST(sm AS BIGINT) ORDER BY pos) AS sv
+         |  FROM (SELECT a.s, a.code, p.i AS pos, SUM(sv0.qs[p.i]) AS sm
+         |        FROM $prevA a JOIN subv sv0 ON sv0.vec_id = a.vec_id AND sv0.s = a.s,
+         |             range(1, 9) p(i)
+         |        GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    kmeansCtes +
+      s""",
+         |geo2 AS (SELECT GREATEST(2, CAST(ceil(sqrt(CAST(
+         |           GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+         |           AS DOUBLE))) AS BIGINT)) AS probe
+         |         FROM nn),
+         |qp AS (SELECT qid, cluster FROM (
+         |  SELECT qv.vec_id AS qid, c.c_id AS cluster,
+         |         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |           ORDER BY ${cos64("qv.q", "c.sv")} DESC, c.c_id) AS rk
+         |  FROM qv CROSS JOIN c2 c WHERE qv.vec_id < 3), geo2
+         |  WHERE rk <= probe),
+         |pnn AS (SELECT GREATEST(1, COUNT(*) // 16) AS seedmod FROM embeddings),
+         |subv AS (SELECT vec_id, s.i - 1 AS s, q[((s.i-1)*8+1):((s.i-1)*8+8)] AS qs
+         |         FROM qv, range(1, 9) s(i)),
+         |pc0 AS (SELECT s, vec_id AS c_id, qs AS sv FROM subv, pnn WHERE vec_id % seedmod = 0),
+         |${passign("pa1", "pc0")},
+         |${pupdate("pc1", "pa1")},
+         |${passign("pa2", "pc1")},
+         |${pupdate("pc2", "pa2")},
+         |${passign("pcodes", "pc2")},
+         |lut AS (SELECT sq.vec_id AS qid, sq.s, c.c_id AS code,
+         |               CAST(floor(${cos8("sq.qs", "c.sv")} * 1000000 + 0.5) AS BIGINT) AS lut_e6
+         |        FROM subv sq JOIN pc2 c ON c.s = sq.s WHERE sq.vec_id < 3),
+         |candi AS (SELECT qp.qid, af.vec_id FROM qp JOIN af ON af.cluster = qp.cluster),
+         |adc AS (SELECT ca.qid, ca.vec_id, CAST(SUM(l.lut_e6) AS BIGINT) AS adc_e6
+         |        FROM candi ca JOIN pcodes cd ON cd.vec_id = ca.vec_id
+         |        JOIN lut l ON l.qid = ca.qid AND l.s = cd.s AND l.code = cd.code
+         |        GROUP BY 1, 2),
+         |pool AS (SELECT qid, vec_id, adc_e6 FROM (
+         |  SELECT qid, vec_id, adc_e6,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY adc_e6 DESC, vec_id) AS prnk
+         |  FROM adc) WHERE prnk <= 50),
+         |fvv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |rr AS (SELECT p.qid, p.vec_id, p.adc_e6,
+         |              ${cosF("qe.ev", "ne.ev")} AS cos
+         |       FROM pool p
+         |       JOIN fvv qe ON qe.vec_id = p.qid
+         |       JOIN fvv ne ON ne.vec_id = p.vec_id)
+         |SELECT qid, vec_id, adc_e6, ROUND(cos, 4) AS cos, rnk FROM (
+         |  SELECT qid, vec_id, adc_e6, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM rr)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
   /** x89 twin — [[kmeansCtes]] + SemDeDup's candidate structure: TOP-2

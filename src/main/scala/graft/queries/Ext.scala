@@ -147,6 +147,7 @@ object Ext {
     "x263_tfidf_keywords"  -> ((s: SparkSession, d: String) => TextAnalysis.tfidfKeywords(s, d)),
     "x264_mahalanobis"     -> ((s: SparkSession, d: String) => graft.ops.Quality.mahalanobisOutliers(s, d)),
     "x265_gains_table"     -> ((s: SparkSession, d: String) => graft.ml.ReorderModel.gainsTable(s, d)),
+    "x266_ivf_pq"          -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -578,6 +579,7 @@ object Ext {
     "x263_tfidf_keywords"  -> TextAnalysis.tfidfOracle,
     "x264_mahalanobis"     -> graft.ops.Quality.mahalanobisOracle,
     "x265_gains_table"     -> graft.OracleSql.x265_gains_table,
+    "x266_ivf_pq"          -> Similarity.ivfPqOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

@@ -262,6 +262,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ with every cluster probed equals plain two-stage PQ exactly") {
+    // exhaustive probing removes the IVF approximation: every vector
+    // lives in exactly one probed cluster, so the candidate set is the
+    // corpus and the composed index must equal x262 byte for byte
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val (nlist, _, _) = Similarity.ivfGeometry(n)
+    val full = Similarity.ivfPqTopK(spark, sf, nProbe = nlist.toInt).collect().toSeq
+    val pq = Similarity.pqTopK(spark, sf).collect().toSeq
+    assert(full === pq, "exhaustive-probe IVF-PQ diverged from plain PQ")
+    // the default probe returns well-formed rank lists whose members are
+    // a subset of the probed clusters' population by construction
+    val probed = Similarity.ivfPqTopK(spark, sf).collect()
+    probed.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq === (1L to rs.length))
+    }
+  }
+
   test("hard negatives carry a different label and rank exactly like label-filtered brute force") {
     val labels = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()

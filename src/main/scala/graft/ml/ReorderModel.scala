@@ -611,15 +611,24 @@ object ReorderModel {
     val score = Insta.productFeatures(spark, dir)
       .select(col("productID"),
         expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
-    val scored = labeled.join(score, "productID")
+    // localCheckpoint (the m04 posture): globalRowNumber references its
+    // input three times (stats, within, offsets) and the totals row a
+    // fourth — without a materialized frame the candidate/label join DAG
+    // re-runs per reference (measured 88 s of task time at sf0.1 for a
+    // 10-row result; ~4x less checkpointed). Released eagerly below.
+    val scored = labeled.join(score, "productID").localCheckpoint()
     val ranked = graft.ops.Ranking.globalRowNumber(
       scored, negate(col("score_e6")),
       struct(col("orderID"), col("productID")), "rnk")
     val tot = scored.agg(count(lit(1)).as("n_total"), sum(col("label")).as("pos_total"))
+    // the decile frame is 10 rows: checkpointing IT eagerly lets the
+    // fact-sized scored blocks be released before the caller consumes us
     val dec = ranked.crossJoin(broadcast(tot))
       .groupBy(expr("((rnk - 1) * 10) DIV n_total").as("decile"))
       .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"),
         first(col("n_total")).as("n_total"), first(col("pos_total")).as("pos_total"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(scored)
     val w = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, 0) // 10-row frame: metadata
     dec.withColumn("cum_pos", sum(col("n_pos")).over(w))

@@ -611,24 +611,22 @@ object ReorderModel {
     val score = Insta.productFeatures(spark, dir)
       .select(col("productID"),
         expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
-    // localCheckpoint (the m04 posture): globalRowNumber references its
-    // input three times (stats, within, offsets) and the totals row a
-    // fourth — without a materialized frame the candidate/label join DAG
-    // re-runs per reference (measured 88 s of task time at sf0.1 for a
-    // 10-row result; ~4x less checkpointed). Released eagerly below.
-    val scored = labeled.join(score, "productID").localCheckpoint()
+    // NO checkpoint, deliberately: globalRowNumber's two `within`
+    // references share one exchange subtree (ReuseExchange dedupes the
+    // identical window shuffle), so the candidate/label join runs ~2×,
+    // not 3× — and materializing the candidate-grain frame is the wrong
+    // trade at scale (measured on the 30× corpus: a localCheckpoint of
+    // the ~120 M-row scored frame spilled the block manager and put the
+    // wall at 301 s; recomputing holds it to the join's own cost).
+    val scored = labeled.join(score, "productID")
     val ranked = graft.ops.Ranking.globalRowNumber(
       scored, negate(col("score_e6")),
       struct(col("orderID"), col("productID")), "rnk")
     val tot = scored.agg(count(lit(1)).as("n_total"), sum(col("label")).as("pos_total"))
-    // the decile frame is 10 rows: checkpointing IT eagerly lets the
-    // fact-sized scored blocks be released before the caller consumes us
     val dec = ranked.crossJoin(broadcast(tot))
       .groupBy(expr("((rnk - 1) * 10) DIV n_total").as("decile"))
       .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"),
         first(col("n_total")).as("n_total"), first(col("pos_total")).as("pos_total"))
-      .localCheckpoint()
-    org.apache.spark.sql.graftshim.ColumnBridge.unpersistCheckpointed(scored)
     val w = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, 0) // 10-row frame: metadata
     dec.withColumn("cum_pos", sum(col("n_pos")).over(w))

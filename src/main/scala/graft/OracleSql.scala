@@ -240,6 +240,34 @@ object OracleSql {
         |       CAST((cum_pos * 1000000) // pos_total AS BIGINT) AS cum_gain_e6
         |FROM cg ORDER BY decile""".stripMargin)
 
+  /** ≙ ReorderModel.averagePrecision (x267): same scored frame and total
+    * order as x265; each AP term is the exact integer (cumPos·10⁹) // k.
+    */
+  val x267_avg_precision: String =
+    withCtes(ordersI, basket, productFeats, candidates("1, 2"), trainPairs,
+      """scored AS (
+        |  SELECT c.orderID, c.productID,
+        |         CASE WHEN t.orderID IS NOT NULL THEN 1 ELSE 0 END AS label,
+        |         (CAST(pf.numreorders AS BIGINT) * 1000000) // pf.numorders AS score_e6
+        |  FROM cand c
+        |  JOIN product_feats pf ON pf.productID = c.productID
+        |  LEFT JOIN train_pairs t
+        |    ON t.orderID = c.orderID AND t.productID = c.productID)""".stripMargin,
+      """cm AS (
+        |  SELECT label,
+        |         ROW_NUMBER() OVER wo AS rnk,
+        |         SUM(label) OVER (ORDER BY score_e6 DESC, orderID, productID
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+        |  FROM scored
+        |  WINDOW wo AS (ORDER BY score_e6 DESC, orderID, productID))""".stripMargin)(
+      """SELECT COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+        |       CAST(SUM(CASE WHEN label = 1
+        |                     THEN (cumpos * 1000000000) // rnk ELSE 0 END)
+        |            // SUM(label) AS BIGINT) AS ap_e9,
+        |       CAST((CAST(SUM(label) AS HUGEINT) * 1000000000) // COUNT(*) AS BIGINT)
+        |         AS prevalence_e9
+        |FROM cm""".stripMargin)
+
   val q18_csv_roundtrip: String =
     s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       o_orderdate, o_orderpriority

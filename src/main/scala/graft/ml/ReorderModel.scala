@@ -638,4 +638,42 @@ object ReorderModel {
         expr("(cum_pos * 1000000) DIV pos_total").as("cum_gain_e6"))
       .orderBy("decile")
   }
+
+  /** x267: exact average precision — the third leg of the ranking-eval
+    * trio (x194 AUC summarizes pairwise order, x265 gains the decile
+    * action view; AP weights precision AT each relevant hit, the
+    * retrieval-community headline). Same score/label frame and the SAME
+    * deterministic total order as x265 (score DESC, orderID, productID
+    * — ties resolved, so AP is well-defined and engine-identical).
+    *
+    * Exactness: the usual AP is a sum of n_pos rationals cumPos_k/k
+    * with distinct denominators — unpinnable as a double fold at fact
+    * size. Each term is instead the exact INTEGER (cumPos_k·10⁹) DIV k
+    * (the x228 quantize-then-sum posture: the e9 floor is part of the
+    * metric's definition), so the sum and the final DIV by n_pos are
+    * exact BIGINT/DECIMAL arithmetic — no double anywhere. Both running
+    * quantities (rank AND cumulative positives) ride ONE multi-weight
+    * [[graft.ops.Ranking.globalCumSums]] pass — never a one-task global
+    * window over the candidate fact. Output: one row (n, n_pos, ap_e9,
+    * plus the random-baseline prevalence for calibration).
+    */
+  def averagePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Insta.withLabel(spark, dir,
+        Insta.candidates(spark, dir, Seq(1L, 2L)))
+      .select(col("orderID"), col("productID"), col("label"))
+    val score = Insta.productFeatures(spark, dir)
+      .select(col("productID"),
+        expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
+    val scored = labeled.join(score, "productID")
+    val cum = graft.ops.Ranking.globalCumSums(
+      scored, negate(col("score_e6")), struct(col("orderID"), col("productID")),
+      Seq(lit(1L) -> "rnk", col("label") -> "cumpos"))
+    cum.agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        sum(when(col("label") === 1L,
+          expr("(cumpos * 1000000000) DIV rnk")).otherwise(0L))
+          .cast("decimal(38,0)").as("s"))
+      .select(col("n"), col("n_pos"),
+        expr("CAST(CAST(s AS DECIMAL(38,0)) DIV n_pos AS BIGINT)").as("ap_e9"),
+        expr("(n_pos * 1000000000) DIV n").as("prevalence_e9"))
+  }
 }

@@ -148,6 +148,7 @@ object Ext {
     "x264_mahalanobis"     -> ((s: SparkSession, d: String) => graft.ops.Quality.mahalanobisOutliers(s, d)),
     "x265_gains_table"     -> ((s: SparkSession, d: String) => graft.ml.ReorderModel.gainsTable(s, d)),
     "x266_ivf_pq"          -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "x267_avg_precision"   -> ((s: SparkSession, d: String) => graft.ml.ReorderModel.averagePrecision(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -580,6 +581,7 @@ object Ext {
     "x264_mahalanobis"     -> graft.ops.Quality.mahalanobisOracle,
     "x265_gains_table"     -> graft.OracleSql.x265_gains_table,
     "x266_ivf_pq"          -> Similarity.ivfPqOracle,
+    "x267_avg_precision"   -> graft.OracleSql.x267_avg_precision,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

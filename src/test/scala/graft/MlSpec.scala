@@ -341,4 +341,32 @@ class MlSpec extends SparkSuite {
     // decile sizes are the integer-grid cut: they differ by at most 1
     assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
   }
+
+  test("average precision replays the integer-term sum and beats prevalence") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = graft.ml.ReorderModel.averagePrecision(spark, sf).collect()
+    val scored = graft.insta.Insta.withLabel(spark, sf,
+        graft.insta.Insta.candidates(spark, sf, Seq(1L, 2L)))
+      .join(graft.insta.Insta.productFeatures(spark, sf)
+        .select(col("productID"),
+          expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("s")),
+        "productID")
+      .select(col("orderID"), col("productID"), col("label"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ranked = scored.sortBy(r => (-r._4, r._1, r._2))
+    var cum = 0L
+    var sum = BigInt(0)
+    ranked.zipWithIndex.foreach { case (r, i) =>
+      cum += r._3
+      if (r._3 == 1L) sum += (BigInt(cum) * 1000000000L) / (i + 1L)
+    }
+    val nPos = ranked.map(_._3).sum
+    assert(row.getLong(0) === ranked.length.toLong, "n")
+    assert(row.getLong(1) === nPos, "n_pos")
+    assert(BigInt(row.getLong(2)) === sum / nPos, "AP mismatch vs driver replay")
+    assert(row.getLong(3) === nPos * 1000000000L / ranked.length, "prevalence")
+    // AP of the reorder-propensity scorer must beat the random baseline
+    assert(row.getLong(2) > row.getLong(3), "scorer no better than random")
+    assert(row.getLong(2) <= 1000000000L, "AP out of [0, 1]")
+  }
 }

@@ -130,6 +130,102 @@ object Events {
       |FROM c JOIN s USING (src)
       |ORDER BY src, dst""".stripMargin
 
+  /** x268: Markov next-event prediction accuracy under a TEMPORAL
+    * holdout — the EVALUATION the journey family (x98 transition matrix,
+    * x234 removal effects, x244 entropy rate) was missing: does the
+    * first-half transition model actually PREDICT second-half behavior,
+    * and by how much over the no-model baseline? Train = transitions
+    * whose source event falls before the span-median day (the x260
+    * discipline — the model never sees a holdout transition); prediction
+    * = per-source argmax transition count (ties break on type ASC —
+    * deterministic); baseline = always predicting the train-global
+    * majority next type. Per source type: train/test volumes, the
+    * model's hit rate, and the baseline's — all EXACT integers
+    * (accuracies are (hits·10⁶) DIV n). Lift over baseline is the
+    * entropy-rate story (x244) made operational. Scale: two
+    * user-partitioned lead() windows (bounded by per-user activity) and
+    * type-grain aggregates; the model is a |types|²-row broadcast.
+    */
+  def markovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val span = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("lo + (hi - lo) DIV 2").as("cut"))
+    val trans = ev
+      .select(col("user_id"), col("day"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .crossJoin(broadcast(span))
+    val train = trans.filter(col("day") < col("cut"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    // per-source argmax prediction over the |types|²-row model frame —
+    // a metadata-sized window; ties break on type ASC (deterministic)
+    val pred = train
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("predicted"))
+    val globalMode = train.groupBy("dst").agg(sum(col("n")).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("dst")))) // |types| rows: metadata
+      .filter(col("rk") === 1)
+      .select(col("dst").as("baseline_pred"))
+    val test = trans.filter(col("day") >= col("cut"))
+    test.join(broadcast(pred), "src")
+      .crossJoin(broadcast(globalMode))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("dst") === col("predicted"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("dst") === col("baseline_pred"), 1L).otherwise(0L))
+          .as("n_baseline_hits"),
+        first(col("predicted")).as("predicted"))
+      .join(broadcast(train.groupBy("src").agg(sum(col("n")).as("n_train"))), "src")
+      .select(col("src"), col("predicted"), col("n_train"), col("n_test"),
+        col("n_hits"), expr("(n_hits * 1000000) DIV n_test").as("acc_e6"),
+        expr("(n_baseline_hits * 1000000) DIV n_test").as("baseline_e6"))
+      .orderBy("src")
+  }
+
+  val markovAccuracyOracle: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                   epoch_us(ts) AS us, event_id
+      |            FROM events),
+      |span AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS cut FROM ev),
+      |tr AS (SELECT day, event_type AS src,
+      |              LEAD(event_type) OVER (PARTITION BY user_id
+      |                ORDER BY us, event_id) AS dst
+      |       FROM ev),
+      |t2 AS (SELECT day, src, dst FROM tr WHERE dst IS NOT NULL),
+      |train AS (SELECT src, dst, COUNT(*) AS n FROM t2, span
+      |          WHERE day < cut GROUP BY 1, 2),
+      |pred AS (SELECT src, dst AS predicted FROM (
+      |  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+      |    ORDER BY n DESC, dst) AS rk FROM train) WHERE rk = 1),
+      |gm AS (SELECT dst AS baseline_pred FROM (
+      |  SELECT dst, SUM(n) AS n FROM train GROUP BY 1)
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, dst) = 1),
+      |test AS (SELECT t2.src, t2.dst FROM t2, span WHERE t2.day >= span.cut),
+      |ev2 AS (SELECT test.src, COUNT(*) AS n_test,
+      |               CAST(SUM(CASE WHEN test.dst = pred.predicted THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_hits,
+      |               CAST(SUM(CASE WHEN test.dst = gm.baseline_pred THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_baseline_hits,
+      |               ANY_VALUE(pred.predicted) AS predicted
+      |        FROM test JOIN pred USING (src), gm
+      |        GROUP BY 1),
+      |tn AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_train FROM train GROUP BY 1)
+      |SELECT ev2.src, ev2.predicted, tn.n_train, ev2.n_test, ev2.n_hits,
+      |       CAST((ev2.n_hits * 1000000) // ev2.n_test AS BIGINT) AS acc_e6,
+      |       CAST((ev2.n_baseline_hits * 1000000) // ev2.n_test AS BIGINT) AS baseline_e6
+      |FROM ev2 JOIN tn USING (src)
+      |ORDER BY ev2.src""".stripMargin
+
   /** SCD2 dimension versioning — turn a change log into slowly-changing-
     * dimension intervals: each user's signup/click/... stream is treated
     * as attribute-change events, and every event opens a version valid

@@ -149,6 +149,7 @@ object Ext {
     "x265_gains_table"     -> ((s: SparkSession, d: String) => graft.ml.ReorderModel.gainsTable(s, d)),
     "x266_ivf_pq"          -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "x267_avg_precision"   -> ((s: SparkSession, d: String) => graft.ml.ReorderModel.averagePrecision(s, d)),
+    "x268_markov_accuracy" -> ((s: SparkSession, d: String) => Events.markovAccuracy(s, d)),
     "x182_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
     // rows-only by design: PAVA over seeded-RF holdout scores (m01 class);
     // MlSpec pins monotonicity/bounds/determinism
@@ -582,6 +583,7 @@ object Ext {
     "x265_gains_table"     -> graft.OracleSql.x265_gains_table,
     "x266_ivf_pq"          -> Similarity.ivfPqOracle,
     "x267_avg_precision"   -> graft.OracleSql.x267_avg_precision,
+    "x268_markov_accuracy" -> Events.markovAccuracyOracle,
     "x182_pmi_collocations" -> TextAnalysis.pmiOracle,
     "x183_active_users"    -> Events.activeUsersOracle,
     "x184_sq8_topk"        -> Similarity.sq8TopKOracle,

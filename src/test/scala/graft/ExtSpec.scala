@@ -2927,6 +2927,47 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("Markov accuracy replays the temporal-split protocol and bounds hold") {
+    val got = graft.ext.Events.markovAccuracy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cut = ev.map(_._3).min + (ev.map(_._3).max - ev.map(_._3).min) / 2
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._5))
+      s.zip(s.tail).map { case (a, b) => (a._3, a._2, b._2) } // (day of src, src, dst)
+    }
+    val train = trans.filter(_._1 < cut).groupBy(t => (t._2, t._3))
+      .view.mapValues(_.size.toLong).toMap
+    val pred = train.keys.map(_._1).toSeq.distinct.map { s =>
+      s -> train.filter(_._1._1 == s).toSeq
+        .sortBy { case ((_, d), n) => (-n, d) }.head._1._2
+    }.toMap
+    val basePred = train.groupBy(_._1._2).view.mapValues(_.values.sum).toSeq
+      .sortBy { case (d, n) => (-n, d) }.head._1
+    val test = trans.filter(_._1 >= cut).filter(t => pred.contains(t._2))
+    val exp = test.groupBy(_._2).toSeq.sortBy(_._1).map { case (s, rows) =>
+      val hits = rows.count(_._3 == pred(s)).toLong
+      val bHits = rows.count(_._3 == basePred).toLong
+      val nTrain = train.filter(_._1._1 == s).values.sum
+      (s, pred(s), nTrain, rows.length.toLong, hits,
+        hits * 1000000L / rows.length, bHits * 1000000L / rows.length)
+    }
+    assert(got.toSeq.sortBy(_._1) === exp, "Markov accuracy mismatch vs driver replay")
+    // the per-source argmax model can never lose to the global-majority
+    // baseline ON ITS OWN TRAINING DISTRIBUTION; on the holdout it can,
+    // but accuracies are proper fractions and volumes partition the test set
+    got.foreach { r =>
+      assert(r._6 >= 0L && r._6 <= 1000000L && r._7 >= 0L && r._7 <= 1000000L)
+      assert(r._5 <= r._4, "hits exceed test volume")
+    }
+  }
+
   test("NDCG@5 replays the integer-discount protocol over the temporal split") {
     val Array(row) = graft.ext.Associations.ndcgEval(spark, sf).collect()
     val ords = graft.Tables.orders(spark, sf)

@@ -156,35 +156,41 @@ object Events {
         unix_micros(col("ts")).as("us"), col("event_id"))
     val span = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(expr("lo + (hi - lo) DIV 2").as("cut"))
-    val trans = ev
+    // ONE window pass: hit/miss depends only on (src, dst), so the whole
+    // evaluation collapses to the |types|²-row train/test count grid —
+    // the fact-sized transition stream is consumed exactly once
+    val g = ev
       .select(col("user_id"), col("day"), col("event_type").as("src"),
         lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .crossJoin(broadcast(span))
-    val train = trans.filter(col("day") < col("cut"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-    // per-source argmax prediction over the |types|²-row model frame —
-    // a metadata-sized window; ties break on type ASC (deterministic)
-    val pred = train
+      .groupBy("src", "dst")
+      .agg(sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).as("n_te"))
+    // per-source argmax prediction over the grid (train-present pairs
+    // only); ties break on type ASC (deterministic)
+    val pred = g.filter(col("n_tr") > 0L)
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("n").desc, col("dst"))))
+        Window.partitionBy(col("src")).orderBy(col("n_tr").desc, col("dst"))))
       .filter(col("rk") === 1)
       .select(col("src"), col("dst").as("predicted"))
-    val globalMode = train.groupBy("dst").agg(sum(col("n")).as("n"))
+    val globalMode = g.groupBy("dst").agg(sum(col("n_tr")).as("n"))
+      .filter(col("n") > 0L)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n").desc, col("dst")))) // |types| rows: metadata
       .filter(col("rk") === 1)
       .select(col("dst").as("baseline_pred"))
-    val test = trans.filter(col("day") >= col("cut"))
-    test.join(broadcast(pred), "src")
+    g.join(broadcast(pred), "src")
       .crossJoin(broadcast(globalMode))
       .groupBy("src")
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(col("dst") === col("predicted"), 1L).otherwise(0L)).as("n_hits"),
-        sum(when(col("dst") === col("baseline_pred"), 1L).otherwise(0L))
+      .agg(sum(col("n_te")).as("n_test"),
+        sum(when(col("dst") === col("predicted"), col("n_te")).otherwise(0L))
+          .as("n_hits"),
+        sum(when(col("dst") === col("baseline_pred"), col("n_te")).otherwise(0L))
           .as("n_baseline_hits"),
-        first(col("predicted")).as("predicted"))
-      .join(broadcast(train.groupBy("src").agg(sum(col("n")).as("n_train"))), "src")
+        first(col("predicted")).as("predicted"),
+        sum(col("n_tr")).as("n_train"))
+      .filter(col("n_test") > 0L)
       .select(col("src"), col("predicted"), col("n_train"), col("n_test"),
         col("n_hits"), expr("(n_hits * 1000000) DIV n_test").as("acc_e6"),
         expr("(n_baseline_hits * 1000000) DIV n_test").as("baseline_e6"))

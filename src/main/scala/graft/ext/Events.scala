@@ -1089,11 +1089,17 @@ object Events {
       .join(broadcast(tot), "event_type")
       .select(col("event_type"), col("t1"), col("t2"), col("dv"),
         abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("x"))
+    // degenerate-input guard (the abTest posture): an event type whose
+    // rows all fall on ONE side of the span cut gives t1 = 0 or t2 = 0 —
+    // x/0 is Infinity here but a cast ERROR in DuckDB, so both engines
+    // null the terms out instead (w1_e6/ks_e6 go NULL for that type)
+    val ok = col("t1") > 0L && col("t2") > 0L
     gap
       .select(col("event_type"), col("t1"), col("t2"),
-        floor(col("x").cast("double") / (col("t1") * col("t2")).cast("double")
-          * 1000000d + 0.5d).cast("long").as("df_e6"),
-        when(col("dv").isNull, lit(0L))
+        when(ok, floor(col("x").cast("double") / (col("t1") * col("t2")).cast("double")
+          * 1000000d + 0.5d).cast("long")).as("df_e6"),
+        when(!ok, lit(null).cast("long"))
+          .when(col("dv").isNull, lit(0L))
           .otherwise(floor(col("x").cast("double")
             / (col("t1") * col("t2")).cast("double")
             * col("dv").cast("double") / lit(100d) * 1000000d + 0.5d)
@@ -1129,10 +1135,12 @@ object Events {
       |               - v_e2 AS dv
       |      FROM c),
       |q AS (SELECT w.event_type, t1, t2,
-      |             CAST(floor(CAST(abs(cum1 * t2 - cum2 * t1) AS DOUBLE)
-      |               / CAST(t1 * t2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-      |               AS df_e6,
-      |             CASE WHEN dv IS NULL THEN 0
+      |             CASE WHEN t1 = 0 OR t2 = 0 THEN NULL
+      |                  ELSE CAST(floor(CAST(abs(cum1 * t2 - cum2 * t1) AS DOUBLE)
+      |                    / CAST(t1 * t2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |                  END AS df_e6,
+      |             CASE WHEN t1 = 0 OR t2 = 0 THEN NULL
+      |                  WHEN dv IS NULL THEN 0
       |                  ELSE CAST(floor(CAST(abs(cum1 * t2 - cum2 * t1) AS DOUBLE)
       |                    / CAST(t1 * t2 AS DOUBLE) * CAST(dv AS DOUBLE) / 100
       |                    * 1000000 + 0.5) AS BIGINT) END AS term_e6

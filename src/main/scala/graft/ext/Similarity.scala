@@ -226,8 +226,9 @@ object Similarity {
   /** x262: product-quantization (PQ) approximate similarity search
     * (Jégou et al., TPAMI 2011) — the memory-side scale path the
     * quantization family still lacked: SQ8 (x184) shrinks SCALARS, PQ
-    * shrinks the whole vector to M sub-CODES (here 4 × 8-way = 12 bits a
-    * vector), so a 100 TB corpus's index fits in RAM and candidate
+    * shrinks the whole vector to M sub-CODES (shipped defaults m = 8
+    * subspaces × 16-way codebooks = 32 bits a vector), so a 100 TB
+    * corpus's index fits in RAM and candidate
     * scoring is M table lookups per vector instead of a dim-length scan.
     * Codebooks are per-subspace spherical k-means trained by the SAME
     * exact integer sum-vector Lloyd as x126/x22 (all M subspaces in ONE

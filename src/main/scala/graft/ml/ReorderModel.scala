@@ -669,9 +669,13 @@ object ReorderModel {
       scored, negate(col("score_e6")), struct(col("orderID"), col("productID")),
       Seq(lit(1L) -> "rnk", col("label") -> "cumpos"))
     cum.agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        // widen INSIDE the aggregate: the e9 terms individually fit a
+        // BIGINT but their SUM wraps past ~9.2e9 positives, while DuckDB
+        // auto-widens SUM(BIGINT) to HUGEINT — the divergence would land
+        // exactly at fleet scale, so accumulate in DECIMAL(38,0) here too
         sum(when(col("label") === 1L,
-          expr("(cumpos * 1000000000) DIV rnk")).otherwise(0L))
-          .cast("decimal(38,0)").as("s"))
+          expr("(cumpos * 1000000000) DIV rnk")).otherwise(0L)
+          .cast("decimal(38,0)")).as("s"))
       .select(col("n"), col("n_pos"),
         expr("CAST(CAST(s AS DECIMAL(38,0)) DIV n_pos AS BIGINT)").as("ap_e9"),
         expr("(n_pos * 1000000000) DIV n").as("prevalence_e9"))

@@ -76,7 +76,15 @@ object TopKPerKey {
       .find(a => spark.sessionState.conf.resolver(a.name, name))
       .getOrElse(throw new IllegalArgumentException(
         s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
-    val node = TopKPerKey(attr(key), attr(order), attr(tie), k,
+    // the physical heap compares order/tie as primitive longs; anything
+    // else would ClassCastException mid-job, so fail at plan time instead
+    def longAttr(name: String): Attribute = {
+      val a = attr(name)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"TopKPerKey: column '$name' must be LongType (cast it first), got ${a.dataType.simpleString}")
+      a
+    }
+    val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), k,
       AttributeReference(rankName, IntegerType, nullable = false)(), analyzed)
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
   }
@@ -149,11 +157,13 @@ private[plans] object TopKPrune {
           case s: UTF8String => s.copy() // scan buffers are reused
           case other => other
         }
-        val e = Entry(o.asInstanceOf[Long], t.asInstanceOf[Long], row.copy())
+        // defer row.copy() until the entry is actually admitted — the
+        // common case at steady state is rejection, which must not allocate
+        val e = Entry(o.asInstanceOf[Long], t.asInstanceOf[Long], null)
         val pq = m.getOrElseUpdate(kv,
           scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst))
-        if (pq.size < k) pq.enqueue(e)
-        else if (better(e, pq.head)) { pq.dequeue(); pq.enqueue(e) }
+        if (pq.size < k) pq.enqueue(e.copy(row = row.copy()))
+        else if (better(e, pq.head)) { pq.dequeue(); pq.enqueue(e.copy(row = row.copy())) }
       }
     }
     m

@@ -115,6 +115,24 @@ object Similarity {
     (nlist, mod, probe)
   }
 
+  /** Coarse-fit training stride — the FAISS sampled-fit recipe made a
+    * derived dial (the x242 cell-governor discipline: BOTH engines
+    * derive it from the exact corpus count): Lloyd trains on every
+    * trainMod-th vector, capped at ~16·nlist training points, so the
+    * fit costs 16·nlist² = 16n score-ops instead of iters·n·√n — the
+    * measured r9 superlinearity (task e 1.26 at 10→30×) was exactly
+    * those full-corpus training assignments. The one remaining
+    * full-corpus pass is the SERVING membership assignment (built once
+    * per index). trainMod = 1 below n = 1024 (sf0.01's gate corpus
+    * trains on everything — outputs there are bit-identical to r9);
+    * at sf0.1 (n = 2000) the stride is already 2, so the hash gate
+    * exercises the sampled path, not just the formula.
+    */
+  private[graft] def ivfTrainMod(n: Long): Long = {
+    val (nlist, _, _) = ivfGeometry(n)
+    math.max(1L, n / (16L * nlist))
+  }
+
   /** The e4-quantized integer view of the embedding corpus `(vec_id, q:
     * array<long>)` — the spherical-k-means STATE grid (and the same grid
     * the covariance/PCA family quantizes on). Everything downstream of
@@ -127,9 +145,14 @@ object Similarity {
       transform(col("embedding"),
         v => floor(v.cast("double") * 10000d + 0.5d).cast("long")).as("q"))
 
-  /** Exact BIGINT dot of two long arrays (codegen'd fold — no UDF). */
-  private def dotLL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+  /** Exact BIGINT dot of two long arrays — the native single-pass kernel
+    * (graft.functions.Int8Dot, codegen'd): same ascending left fold and
+    * exact integer sum as the aggregate(zip_with(...)) composition it
+    * replaces, without materializing the product array per pair. On the
+    * n×nlist assignment grid this is the hot multiply of the whole IVF
+    * family.
+    */
+  private def dotLL(a: Column, b: Column): Column = gf.int8_dot(a, b)
 
   /** Cosine between a quantized vector and an integer SUM-vector
     * centroid: cosine is scale-invariant, so a cluster's centroid never
@@ -156,11 +179,24 @@ object Similarity {
     * formulation: highest ccos, then lowest c_id. Inputs are the
     * [[quantizedVecs]] q and [[centroidSums]] sv columns.
     */
-  private[graft] def assignClusters(qv: DataFrame, cent: DataFrame): DataFrame =
-    qv.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"), intCos(col("q"), col("sv")).as("ccos"))
+  private[graft] def assignClusters(qv: DataFrame, cent: DataFrame): DataFrame = {
+    // hoist both norms OUT of the n×nlist pair loop: sqrt(q·q) once per
+    // vector, sqrt(sv·sv) once per centroid — the per-pair work drops
+    // from three dot products to one, and the score double is
+    // BIT-IDENTICAL to the inline intCos formula (same exact-integer
+    // dots, same sqrt inputs, same multiply/divide order), so every
+    // oracle replay is untouched
+    val qn = qv.select(col("vec_id"), col("q"),
+      sqrt(dotLL(col("q"), col("q")).cast("double")).as("qnorm"))
+    val cn = cent.select(col("c_id"), col("sv"),
+      sqrt(dotLL(col("sv"), col("sv")).cast("double")).as("cnorm"))
+    qn.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("c_id"),
+        (dotLL(col("q"), col("sv")).cast("double") /
+          (col("qnorm") * col("cnorm"))).as("ccos"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("ccos"), negate(col("c_id")))).as("cluster"))
+  }
 
   /** Spherical k-means centroids, trained with a few distributed Lloyd
     * iterations in pure DataFrame ops: assign each quantized vector to
@@ -176,11 +212,16 @@ object Similarity {
     * pairwise blowup, and the only full-payload shuffle is the n-row
     * membership re-join.
     */
-  private def centroidSums(qv: DataFrame, seedMod: Long, iters: Int = 2): DataFrame = {
+  private def centroidSums(qv: DataFrame, seedMod: Long, trainMod: Long,
+                           iters: Int = 2): DataFrame = {
+    // sampled fit: Lloyd sees only every trainMod-th vector (~16·nlist
+    // points — see ivfTrainMod); seeds keep the full-corpus stride so
+    // the init is unchanged where trainMod = 1
+    val train = qv.filter(col("vec_id") % trainMod === 0)
     var cent = qv.filter(col("vec_id") % seedMod === 0)
       .select(col("vec_id").as("c_id"), col("q").as("sv"))
     for (_ <- 1 to iters) {
-      val assigned = qv.join(assignClusters(qv, cent), "vec_id")
+      val assigned = train.join(assignClusters(train, cent), "vec_id")
         .select(col("cluster"), col("q"))
       cent = assigned
         .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
@@ -209,9 +250,10 @@ object Similarity {
     */
   def kmeansReport(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (_, mod, _) = ivfGeometry(e.count())
+    val n = e.count()
+    val (_, mod, _) = ivfGeometry(n)
     val qv = quantizedVecs(e)
-    val cent = centroidSums(qv, mod)
+    val cent = centroidSums(qv, mod, ivfTrainMod(n))
     qv.join(assignClusters(qv, cent), "vec_id")
       .join(broadcast(cent), col("cluster") === col("c_id"))
       .select(col("cluster"),
@@ -352,10 +394,11 @@ object Similarity {
                 nProbe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
-    val (_, mod, defProbe) = ivfGeometry(e.count())
+    val n = e.count()
+    val (_, mod, defProbe) = ivfGeometry(n)
     val probe = if (nProbe > 0) nProbe else defProbe
     val qv = quantizedVecs(e)
-    val coarse = centroidSums(qv, mod)
+    val coarse = centroidSums(qv, mod, ivfTrainMod(n))
     val member = assignClusters(qv, coarse) // (vec_id, cluster)
     val probed = qv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q"))
@@ -566,7 +609,9 @@ object Similarity {
 
   /** Shared x126/x22/x89 oracle machinery: the spherical-k-means fit
     * replayed in DuckDB — e4 quantization, seed init (vec_id % seedmod),
-    * two Lloyd iterations with exact BIGINT sum-vector centroids, the
+    * two Lloyd iterations over the vec_id % trainmod SAMPLE (the
+    * [[ivfTrainMod]] bounded fit), full-corpus final assignment, exact
+    * BIGINT sum-vector centroids, the
     * same (cos DESC, c_id ASC) argmax. Integer dots are list_reduce
     * folds (exact BIGINT ≡ Spark's long fold); the single floating step
     * per score is the pinned dot/(√·√) expression. `geo` derives nlist/
@@ -577,32 +622,39 @@ object Similarity {
       s"list_reduce(list_transform(range(1,65), t -> $a[t]*$b[t]), (x,y)->x+y)"
     def cos(q: String, s: String): String =
       s"(CAST(${dot(q, s)} AS DOUBLE) / (sqrt(CAST(${dot(q, q)} AS DOUBLE)) * sqrt(CAST(${dot(s, s)} AS DOUBLE))))"
-    def assignCte(name: String, prevC: String): String =
+    def assignCte(name: String, prevC: String, src: String): String =
       s"""$name AS (SELECT vec_id, q, c_id AS cluster FROM (
          |  SELECT qv.vec_id, qv.q, c.c_id,
          |         ROW_NUMBER() OVER (PARTITION BY qv.vec_id
          |           ORDER BY ${cos("qv.q", "c.sv")} DESC, c.c_id) AS rk
-         |  FROM qv CROSS JOIN $prevC c) WHERE rk = 1)""".stripMargin
+         |  FROM $src qv CROSS JOIN $prevC c) WHERE rk = 1)""".stripMargin
     def updateCte(name: String, prevA: String): String =
       s"""$name AS (
          |  SELECT cluster AS c_id, list(CAST(sm AS BIGINT) ORDER BY pos) AS sv
          |  FROM (SELECT cluster, p.i AS pos, SUM(q[p.i]) AS sm
          |        FROM $prevA, range(1, 65) p(i) GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
+    // trainmod mirrors ivfTrainMod: Lloyd trains on every trainmod-th
+    // vector (tv), bounded ~16·nlist; the final af membership assigns
+    // the FULL corpus — the x242 governor discipline (derived, not
+    // hardcoded, in both engines)
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |geo AS (SELECT n,
        |          GREATEST(1, n // GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))
-       |            AS seedmod
+       |            AS seedmod,
+       |          GREATEST(1, n // (16 * GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))))
+       |            AS trainmod
        |        FROM nn),
        |qv AS (SELECT vec_id,
        |         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
        |       FROM embeddings),
+       |tv AS (SELECT vec_id, q FROM qv, geo WHERE vec_id % trainmod = 0),
        |c0 AS (SELECT vec_id AS c_id, q AS sv FROM qv, geo WHERE vec_id % seedmod = 0),
-       |${assignCte("a1", "c0")},
+       |${assignCte("a1", "c0", "tv")},
        |${updateCte("c1", "a1")},
-       |${assignCte("a2", "c1")},
+       |${assignCte("a2", "c1", "tv")},
        |${updateCte("c2", "a2")},
-       |${assignCte("af", "c2")}""".stripMargin
+       |${assignCte("af", "c2", "qv")}""".stripMargin
   }
 
   /** x126 twin — [[kmeansCtes]] + the report: per final cluster, member
@@ -798,10 +850,12 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int = 10, k: Int = 5, nProbe: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (_, seedMod, derivedProbe) = ivfGeometry(e.count())
+    val n = e.count()
+    val (_, seedMod, derivedProbe) = ivfGeometry(n)
     val probe = if (nProbe > 0) nProbe else derivedProbe
     val qv = quantizedVecs(e)
-    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroidSums(qv, seedMod))
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(
+      centroidSums(qv, seedMod, ivfTrainMod(n)))
     // candidates live in exactly one cluster: aggregate argmax (map-side
     // partials, n key-rows shuffled — see assignClusters), then ONE n-row
     // join re-attaches the embedding payload
@@ -841,13 +895,21 @@ object Similarity {
     * clusters. Used by [[semanticDedup]] for candidate generation, where
     * single assignment would miss pairs straddling a Voronoi boundary.
     */
-  private[graft] def assignTopClusters(qv: DataFrame, cent: DataFrame, p: Int): DataFrame =
-    qv.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"), intCos(col("q"), col("sv")).as("ccos"))
+  private[graft] def assignTopClusters(qv: DataFrame, cent: DataFrame, p: Int): DataFrame = {
+    // same hoisted-norm trick as assignClusters (bit-identical scores)
+    val qn = qv.select(col("vec_id"), col("q"),
+      sqrt(dotLL(col("q"), col("q")).cast("double")).as("qnorm"))
+    val cn = cent.select(col("c_id"), col("sv"),
+      sqrt(dotLL(col("sv"), col("sv")).cast("double")).as("cnorm"))
+    qn.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("c_id"),
+        (dotLL(col("q"), col("sv")).cast("double") /
+          (col("qnorm") * col("cnorm"))).as("ccos"))
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(struct(negate(col("ccos")).as("nc"), col("c_id")))),
         1, p).as("top"))
       .select(col("vec_id"), explode(col("top.c_id")).as("cluster"))
+  }
 
   /** SemDeDup-style semantic deduplication: k-means clusters prune the
     * pair space, then cosine near-duplicates are removed within shared
@@ -868,9 +930,11 @@ object Similarity {
     */
   def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (_, seedMod, _) = ivfGeometry(e.count())
+    val n = e.count()
+    val (_, seedMod, _) = ivfGeometry(n)
     val qv = quantizedVecs(e)
-    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(centroidSums(qv, seedMod))
+    val cent = graft.Layer.cached(spark, dir, "ivfCentroids")(
+      centroidSums(qv, seedMod, ivfTrainMod(n)))
     val member = e.join(assignTopClusters(qv, cent, 2), "vec_id")
     val a = member.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = member.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("vb"))

@@ -595,41 +595,95 @@ object ReorderModel {
     * train-pair existence flag.
     *
     * Exactness: score, ranks, decile cuts, rates, lifts, and cumulative
-    * gains are ALL integer arithmetic — the global rank is the
-    * two-phase bucketed [[graft.ops.Ranking.globalRowNumber]] over
-    * (−score, (orderID, productID)) (never a one-task window on the
-    * candidate fact), the decile is the x123 integer-grid cut, and
-    * lift widens to DECIMAL(38,0) before the ×10⁶ (pos·n_total·10⁶
-    * wraps BIGINT at fleet scale). The cumulative window runs on the
-    * 10-row decile frame — metadata-sized.
+    * gains are ALL integer arithmetic — rank AND running positives ride
+    * ONE multi-weight [[graft.ops.Ranking.globalCumSums]] pass over
+    * (−score, (orderID, productID)) (the x267 spine; never a one-task
+    * window on the candidate fact), the decile is the x123 integer-grid
+    * cut of that running rank, and lift widens to DECIMAL(38,0) before
+    * the ×10⁶ (pos·n_total·10⁶ wraps BIGINT at fleet scale). The
+    * remaining window runs on the 10-row decile frame — metadata-sized.
     */
-  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored candidate frame x265/x267 rank over, carrying `g_hint` —
+    * a MASS-UNIFORM monotone bucket proxy for the (−score, orderID,
+    * productID) sort order. Why it exists: the per-product integer score
+    * takes very few distinct values at the candidate grain (measured at
+    * 30×: 17 distinct values, ONE holding 99.96% of 40 M rows), so
+    * bucketing the two-phase rank on the raw score puts the whole corpus
+    * in one bucket and the per-bucket window SERIALIZES — the pinned
+    * ~175 s wall of r9's x265. The hint stretches each score value's
+    * band by its MASS (cdf_lo..cdf_lo+share, from the per-value
+    * numorders totals — a ≤|distinct scores|-row frame off the cached
+    * product features) and spreads rows inside the band by scaled
+    * orderID, so a linear bucket grid over the hint is load-balanced no
+    * matter how degenerate the score distribution is. Monotone in the
+    * sort order by construction (bands ordered by score DESC; orderID
+    * scaled into [0, share) within a band; productID ties share a
+    * bucket), so the ranks — and every oracle hash — are unchanged.
+    *
+    * NO checkpoint, deliberately: the rank machinery's two references
+    * share one exchange subtree, and materializing the candidate-grain
+    * frame is the wrong trade at scale (measured on the 30× corpus: a
+    * localCheckpoint of the ~120 M-row scored frame spilled the block
+    * manager and put the wall at 301 s; recomputing holds it to the
+    * join's own cost).
+    */
+  private def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labeled = Insta.withLabel(spark, dir,
         Insta.candidates(spark, dir, Seq(1L, 2L)))
       .select(col("orderID"), col("productID"), col("label"))
     val score = Insta.productFeatures(spark, dir)
       .select(col("productID"),
-        expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
-    // NO checkpoint, deliberately: globalRowNumber's two `within`
-    // references share one exchange subtree (ReuseExchange dedupes the
-    // identical window shuffle), so the candidate/label join runs ~2×,
-    // not 3× — and materializing the candidate-grain frame is the wrong
-    // trade at scale (measured on the 30× corpus: a localCheckpoint of
-    // the ~120 M-row scored frame spilled the block manager and put the
-    // wall at 301 s; recomputing holds it to the join's own cost).
-    val scored = labeled.join(score, "productID")
-    val ranked = graft.ops.Ranking.globalRowNumber(
+        expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"),
+        col("numorders"))
+    val wPrev = Window.orderBy(col("score_e6").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("score_e6").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = score.groupBy("score_e6")
+      .agg(sum(col("numorders")).as("v_mass"))
+      .select(col("score_e6"),
+        (coalesce(sum(col("v_mass")).over(wPrev), lit(0L)).cast("double") /
+          sum(col("v_mass")).over(wAll).cast("double")).as("cdf_lo"),
+        (col("v_mass").cast("double") /
+          sum(col("v_mass")).over(wAll).cast("double")).as("cdf_share"))
+    val oid = graft.Tables.orders(spark, dir).agg(max(col("o_orderkey")).as("max_oid"))
+    labeled.join(score.select("productID", "score_e6"), "productID")
+      .join(broadcast(cdf), "score_e6")
+      .crossJoin(broadcast(oid))
+      .withColumn("g_hint", col("cdf_lo") +
+        col("orderID").cast("double") / (col("max_oid").cast("double") + 1d) *
+          col("cdf_share"))
+      .select("orderID", "productID", "label", "score_e6", "g_hint")
+  }
+
+  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredCandidates(spark, dir)
+    // ONE multi-weight cumsum pass (the x267 spine): rnk is the running
+    // count of 1s — exactly globalRowNumber's rank — and cumpos the
+    // running positives, so the decile regroup reads BOTH the grid cut
+    // and the cumulative gains off the same bucketed pass instead of
+    // rank-then-recount (r9 measured the two-pass shape at wall e 0.69
+    // vs this spine's 0.42 on the same candidate grain)
+    val ranked = graft.ops.Ranking.globalCumSums(
       scored, negate(col("score_e6")),
-      struct(col("orderID"), col("productID")), "rnk")
-    val tot = scored.agg(count(lit(1)).as("n_total"), sum(col("label")).as("pos_total"))
-    val dec = ranked.crossJoin(broadcast(tot))
+      struct(col("orderID"), col("productID")),
+      Seq(lit(1L) -> "rnk", col("label") -> "cumpos"),
+      // n_total/pos_total arrive ATTACHED from the cumsum pass's own
+      // B-row totals frame — a separate scored.agg would recompute the
+      // candidate join a third time (measured +34% task at 30×)
+      totals = Seq("n_total", "pos_total"),
+      bucketHint = Some(col("g_hint")))
+    val dec = ranked
       .groupBy(expr("((rnk - 1) * 10) DIV n_total").as("decile"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"),
+      // the decile's LAST row's inclusive cumpos IS the cumulative
+      // positives through the decile — no second window over the fact
+      .agg(count(lit(1)).as("n_rows"), max(col("cumpos")).as("cum_pos"),
         first(col("n_total")).as("n_total"), first(col("pos_total")).as("pos_total"))
     val w = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, 0) // 10-row frame: metadata
-    dec.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .rowsBetween(Window.unboundedPreceding, -1) // 10-row frame: metadata
+    dec.withColumn("n_pos", col("cum_pos") - coalesce(max(col("cum_pos")).over(w), lit(0L)))
       .select(col("decile"), col("n_rows"), col("n_pos"),
         expr("(n_pos * 1000000) DIV n_rows").as("rate_e6"),
         expr("""CAST((CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000)
@@ -658,16 +712,11 @@ object ReorderModel {
     * plus the random-baseline prevalence for calibration).
     */
   def averagePrecision(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = Insta.withLabel(spark, dir,
-        Insta.candidates(spark, dir, Seq(1L, 2L)))
-      .select(col("orderID"), col("productID"), col("label"))
-    val score = Insta.productFeatures(spark, dir)
-      .select(col("productID"),
-        expr("(CAST(numreorders AS BIGINT) * 1000000) DIV numorders").as("score_e6"))
-    val scored = labeled.join(score, "productID")
+    val scored = scoredCandidates(spark, dir)
     val cum = graft.ops.Ranking.globalCumSums(
       scored, negate(col("score_e6")), struct(col("orderID"), col("productID")),
-      Seq(lit(1L) -> "rnk", col("label") -> "cumpos"))
+      Seq(lit(1L) -> "rnk", col("label") -> "cumpos"),
+      bucketHint = Some(col("g_hint")))
     cum.agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
         // widen INSIDE the aggregate: the e9 terms individually fit a
         // BIGINT but their SUM wraps past ~9.2e9 positives, while DuckDB

@@ -79,37 +79,73 @@ object Ranking {
     * lesson); here the extra weights are just extra window/aggregate
     * columns riding the one bucket shuffle.
     */
+  /** @param bucketHint optional SKEW dial: a column MONOTONE
+    *   NON-DECREASING in the (order, tieBreak) sort sequence but finer
+    *   than `order` — e.g. order·C + tieProxy with C above the proxy's
+    *   range. When the order value repeats heavily (a per-product score
+    *   fanned out to a candidate grain: few distinct values, millions of
+    *   rows each), bucketing on the raw value piles whole tie-groups
+    *   into single buckets and the per-bucket window SERIALIZES on the
+    *   hot ones; a finer monotone hint spreads a tie-group across
+    *   buckets while keeping every bucket boundary order-respecting, so
+    *   the ranks are bit-identical (the within-bucket sort still uses
+    *   the true (order, tieBreak) key). Monotone-in-order is the ONLY
+    *   correctness requirement; collisions just share a bucket.
+    */
   def globalCumSums(df: DataFrame, order: Column, tieBreak: Column,
                     weights: Seq[(Column, String)],
-                    buckets: Int = 256): DataFrame = {
+                    buckets: Int = 256,
+                    totals: Seq[String] = Nil,
+                    bucketHint: Option[Column] = None): DataFrame = {
     require(weights.nonEmpty, "globalCumSums needs at least one weight")
-    val stats = df.agg(min(order.cast("double")).as("v_min"),
-      max(order.cast("double")).as("v_max"))
+    require(totals.isEmpty || totals.size == weights.size,
+      s"totals must be empty or align 1:1 with weights (${totals.size} vs ${weights.size})")
+    val bv = bucketHint.getOrElse(order)
+    val stats = df.agg(min(bv.cast("double")).as("v_min"),
+      max(bv.cast("double")).as("v_max"))
     val bucketed = df.crossJoin(broadcast(stats))
       .withColumn("c_bucket",
         when(col("v_max") === col("v_min"), lit(0L))
           .otherwise(least(
-            floor((order.cast("double") - col("v_min")) /
+            floor((bv.cast("double") - col("v_min")) /
               (col("v_max") - col("v_min")) * buckets),
             lit(buckets - 1).cast("long"))).cast("long"))
       .drop("v_min", "v_max")
     val w = Window.partitionBy(col("c_bucket")).orderBy(order, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = weights.zipWithIndex.foldLeft(bucketed) {
-      case (acc, ((weight, _), i)) =>
-        acc.withColumn(s"c_cum_$i", sum(weight.cast("long")).over(w))
-    }
+    // all cumulants in ONE projection: chained withColumn calls re-alias
+    // the sort expressions per window, so Catalyst planned one Window
+    // operator (and one FULL SORT of the fact) per weight — a single
+    // select collapses every same-spec window function into one Window
+    // node over one sort (plan-asserted in OpsSpec)
+    val within = bucketed.select(
+      col("*") +: weights.zipWithIndex.map { case ((weight, _), i) =>
+        sum(weight.cast("long")).over(w).as(s"c_cum_$i")
+      }: _*)
     val wOff = Window.orderBy(col("c_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = bucketed.groupBy("c_bucket")
+    val bucketTotals = bucketed.groupBy("c_bucket")
       .agg(sum(weights.head._1.cast("long")).as("c_w_0"),
         weights.tail.zipWithIndex.map { case ((weight, _), i) =>
           sum(weight.cast("long")).as(s"c_w_${i + 1}")
         }: _*)
-    val offsets = weights.indices.foldLeft(totals) { (acc, i) =>
+    // the GRAND totals ride the same B-row frame the offsets need — an
+    // unbounded window beside the preceding-only one, so a caller that
+    // needs "cum / total" (deciles, normalized CDFs) gets the totals
+    // attached for free instead of re-aggregating the whole input tree
+    // (a third recomputation of a fact-sized join — the r10 x265 lesson)
+    val wAll = Window.orderBy(col("c_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = weights.indices.foldLeft(bucketTotals) { (acc, i) =>
       acc.withColumn(s"c_offset_$i",
         coalesce(sum(col(s"c_w_$i")).over(wOff), lit(0L)))
-    }.select(col("c_bucket") +: weights.indices.map(i => col(s"c_offset_$i")): _*)
+    }
+    val offsets1 = totals.zipWithIndex.foldLeft(offsets0) {
+      case (acc, (totalCol, i)) =>
+        acc.withColumn(totalCol, sum(col(s"c_w_$i")).over(wAll))
+    }
+    val offsets = offsets1.select(col("c_bucket") +:
+      (weights.indices.map(i => col(s"c_offset_$i")) ++ totals.map(col)): _*)
     val joined = within.join(broadcast(offsets), "c_bucket")
     weights.zipWithIndex.foldLeft(joined) {
       case (acc, ((_, cumCol), i)) =>

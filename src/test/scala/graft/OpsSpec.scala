@@ -48,6 +48,46 @@ class OpsSpec extends SparkSuite {
     assert(gotC === Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
   }
 
+  test("multi-weight globalCumSums: one fact Window node, bucketHint preserves results") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 5L, 1L), (2L, 5L, 0L), (3L, 2L, 1L), (4L, 5L, 1L),
+      (5L, 9L, 0L), (6L, 2L, 0L), (7L, 9L, 1L), (8L, 5L, 0L))
+      .toDF("id", "v", "lab")
+    val want = df
+      .withColumn("rnk", sum(lit(1L)).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cp", sum(col("lab")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "rnk", "cp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = graft.ops.Ranking.globalCumSums(df, col("v"), col("id"),
+      Seq(lit(1L) -> "rnk", col("lab") -> "cp"), buckets = 4)
+    assert(plain.select("id", "rnk", "cp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === want)
+    // the r10 plan law: chained withColumn used to plan one Window (and
+    // one FULL SORT of the fact) PER WEIGHT; both cumulants must share a
+    // single Window node over the bucket partitioning
+    // a fact Window PARTITIONS by c_bucket (prints "], [c_bucket#NNL], [");
+    // the B-row offsets window only ORDERS by it (no partition bracket)
+    val factWin = "\\], \\[c_bucket#\\d+L\\], \\[".r
+    val factWindows = plain.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Window") && factWin.findFirstIn(l).isDefined)
+    assert(factWindows == 1,
+      s"expected ONE merged fact Window node, got $factWindows")
+    // a monotone bucketHint (here: a finer composite that splits the
+    // tie-heavy v across buckets by id) must not change any output
+    val hinted = graft.ops.Ranking.globalCumSums(df, col("v"), col("id"),
+      Seq(lit(1L) -> "rnk", col("lab") -> "cp"), buckets = 4,
+      totals = Seq("t_n", "t_pos"),
+      bucketHint = Some(col("v").cast("double") * 100d + col("id").cast("double")))
+    val hs = hinted.select("id", "rnk", "cp", "t_n", "t_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hs.map(r => (r._1, r._2, r._3)).toSet === want)
+    // attached totals equal the global aggregates on every row
+    assert(hs.forall(r => r._4 == 8L && r._5 == 4L))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At 100 TB a selective dim filter should reach the fact scan even when
     // the dim is too big to broadcast: Spark's InjectRuntimeFilter builds a

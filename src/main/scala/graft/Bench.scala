@@ -76,6 +76,50 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val warm = if (mode != "cold") pass("warm", cold = false) else Map.empty[String, Double]
     val cold = if (mode != "warm") pass("cold", cold = true) else Map.empty[String, Double]
+    // ---- contention sentinel -------------------------------------------
+    // Three CONSTANT-WORK canaries (single-scan aggregates whose task
+    // seconds are corpus-determined): if their executor task time inflates
+    // vs the committed reference, the pass ran under external CPU
+    // contention and its walls are not comparable round-over-round — the
+    // r9 driver artifact was exactly such a poisoned pass (a13 0.4 → 6.1
+    // task-s for identical work) and only per-query forensics caught it.
+    // Reference = min(warm, cold) task seconds in the committed
+    // docs/BENCH_DETAIL.json (min, because a prior pass may itself have
+    // been contended); a pass flags `contended` when ≥ 2 of 3 canaries
+    // exceed 2× their reference. Only meaningful at the committed sf.
+    val canaryNames = Seq("a13_small_qty_parts", "a29_supplier_parts", "x141_weighted_repl")
+    val canaryRefs: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("docs/BENCH_DETAIL.json")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val sfOk = text.contains("\"sf\": \"" + sfDir + "\"")
+        if (!sfOk) Map.empty
+        else canaryNames.flatMap { n =>
+          val re = ("\"" + n + "\": \\{[^}]*\"warm_task_s\": ([0-9.]+|null), \"cold_task_s\": ([0-9.]+|null)").r
+          re.findFirstMatchIn(text).flatMap { m =>
+            val vals = Seq(m.group(1), m.group(2)).filter(_ != "null").map(_.toDouble)
+            if (vals.isEmpty) None else Some(n -> vals.min)
+          }
+        }.toMap
+      }
+    }
+    def canaryRatios(tag: String): Map[String, Double] =
+      canaryNames.flatMap { n =>
+        for {
+          ref <- canaryRefs.get(n) if ref > 0
+          cur <- taskTimes.get(s"$tag:$n")
+        } yield n -> (cur / 1000.0 / ref)
+      }.toMap
+    // null when unjudgeable (no reference / restricted run missing canaries)
+    def contended(tag: String): String = {
+      val rs = canaryRatios(tag)
+      if (rs.size < 2) "null" else (rs.values.count(_ > 2.0) * 2 >= rs.size + 1).toString
+    }
+    def canaryJson(tag: String): String =
+      canaryRatios(tag).map { case (n, r) =>
+        s"""\"$n\":{\"ref_task_s\":${f"${canaryRefs(n)}%.3f"},\"task_s\":${f"${taskTimes(s"$tag:$n") / 1000.0}%.3f"},\"ratio\":${f"$r%.2f"}}"""
+      }.mkString("{", ",", "}")
     // Failed (-1) entries are excluded from the totals so a crash can only
     // make the totals look *incomplete*, never faster.
     def total(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
@@ -128,6 +172,11 @@ object Bench {
            |  "n_queries": ${names.size},
            |  "warm_total": ${f"${total(warm)}%.3f"},
            |  "cold_total": ${f"${total(cold)}%.3f"},
+           |  "canary_semantics": "constant-work sentinels vs min(warm,cold) task seconds in the previously committed detail; a pass with a majority of canaries over 2x ran under external CPU contention and its walls must not be compared round-over-round (the r9 poisoned-warm lesson). null = no same-sf reference.",
+           |  "warm_canaries": ${canaryJson("warm")},
+           |  "cold_canaries": ${canaryJson("cold")},
+           |  "warm_contended": ${contended("warm")},
+           |  "cold_contended": ${contended("cold")},
            |  "n_errors": ${errors.size},
            |  "queries": {
            |${lines.mkString(",\n")}
@@ -140,7 +189,7 @@ object Bench {
     }
     def taskTotal(tag: String): Double =
       taskTimes.collect { case (k, v) if k.startsWith(tag + ":") => v }.sum / 1000.0
-    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"warm_contended":${contended("warm")},"cold_contended":${contended("cold")},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.
     spark.stop()

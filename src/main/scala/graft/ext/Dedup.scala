@@ -639,6 +639,92 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
     prefixFilteredPairs(spark, dir, minJaccard, dfCap = None)
 
+  /** Per-(lang, shingle) document-frequency frame — the x269 probe
+    * surface (the same inverted frame the PPJoin prefix already builds).
+    */
+  private[graft] def shingleDfFrame(docs: DataFrame): DataFrame =
+    shingled(docs, 3)
+      .select(col("lang"), explode(col("shingles")).as("s"))
+      .groupBy("lang", "s").agg(count(lit(1)).as("df"))
+
+  /** Share of DISTINCT shingles that are corpus-hot (df > dfCap) — the
+    * saturation statistic of SCALE.md's routing prose: ≈0 on a Heaps-law
+    * corpus (vocabulary keeps growing, sub-cap evidence dominates), →1
+    * when the vocabulary has saturated and every posting list is hot.
+    * One aggregate, 1-row driver boundary; exact 0/1 counts so the
+    * double ratio is engine-identical.
+    */
+  private[graft] def saturationShare(dfFrame: DataFrame, dfCap: Int): Double =
+    dfFrame.agg(coalesce(avg(when(col("df") > dfCap, 1d).otherwise(0d)), lit(0d)))
+      .head.getDouble(0)
+
+  /** x269: saturation-ROUTED near-dup — the r9 SCALE.md routing finding
+    * made executable. The measured facts it encodes: on the 30× fully
+    * saturated corpus (every observed 3-shingle hotter than the cap) the
+    * exact PPJoin channel (x15) goes superlinear (task e 1.60, and
+    * MinHash 1.92 — posting-list concentration, not duplicate count,
+    * governs the pair space), while the df-capped channel (x158) holds
+    * task e 0.96 at ANY saturation by refusing boilerplate-only
+    * evidence; on a Heaps-law corpus (β ≈ 0.5, the 100 TB web case) the
+    * exact channel is both safe (e ≈ 0.65) and strictly more complete,
+    * so capping by default would give away recall for nothing. The
+    * routing probe is [[saturationShare]] over the shingle df frame —
+    * computed BEFORE any pair join is attempted — with the 0.5-share
+    * switch: saturated → [[cappedNeardupPairs]], else
+    * [[ngramJaccardPairs]]. The decision is a 1-row driver boundary, and
+    * the ORACLE derives the same share from the same frame and gates
+    * each channel's SQL on it, so the routing itself (not just the
+    * routed result) is hash-checked at every gate SF. ExtSpec pins both
+    * directions with synthetic fixtures (a saturated corpus routes
+    * capped, a Heaps corpus routes exact).
+    */
+  def routedNearDup(spark: SparkSession, dir: String,
+                    minJaccard: Double = 0.6, dfCap: Int = 64): DataFrame = {
+    val sat = saturationShare(
+      shingleDfFrame(Tables.documents(spark, dir)), dfCap)
+    if (sat >= 0.5) cappedNeardupPairs(spark, dir, minJaccard, dfCap)
+    else ngramJaccardPairs(spark, dir, minJaccard)
+  }
+
+  /** x269 oracle — the probe CTE computes the identical saturation share
+    * and each channel's SQL (x15's all-pairs twin; x158's min-shared-df
+    * gate) is admitted by the matching WHERE on it, so exactly one
+    * branch of the UNION ALL survives and it is the branch the Scala
+    * router picked.
+    */
+  def routedNearDupOracle(minJaccard: Double = 0.6, dfCap: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |                                      i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |  FROM t),
+       |f AS (SELECT sh.lang, u.s AS s, COUNT(*) AS df
+       |      FROM sh, UNNEST(sh.s) u(s) GROUP BY 1, 2),
+       |probe AS (SELECT COALESCE(AVG(CASE WHEN df > $dfCap THEN 1.0 ELSE 0.0 END), 0.0) AS sat
+       |          FROM f),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
+       |         list_filter(a.s, x -> list_contains(b.s, x)) AS shared,
+       |         ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+       |               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |q AS (SELECT a, b, lang, shared, jaccard FROM p WHERE jaccard >= $minJaccard),
+       |mx AS (SELECT q.a, q.b, q.lang, u.s AS s FROM q, UNNEST(q.shared) u(s)),
+       |m AS (SELECT mx.a, mx.b, MIN(f.df) AS mindf
+       |      FROM mx JOIN f ON f.lang = mx.lang AND f.s = mx.s
+       |      GROUP BY 1, 2)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT q.a, q.b, q.jaccard FROM q
+       |  WHERE (SELECT sat FROM probe) < 0.5
+       |  UNION ALL
+       |  SELECT q.a, q.b, q.jaccard
+       |  FROM q JOIN m ON m.a = q.a AND m.b = q.b
+       |  WHERE (SELECT sat FROM probe) >= 0.5 AND m.mindf <= $dfCap)
+       |ORDER BY a, b""".stripMargin
+
   private def prefixFilteredPairs(spark: SparkSession, dir: String, minJaccard: Double,
                                   dfCap: Option[Int]): DataFrame =
   graft.Layer.cached(spark, dir, s"jaccardPairs@$minJaccard${dfCap.fold("")("#" + _)}") {

@@ -131,6 +131,32 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("x269 routing law: saturated corpus routes capped, Heaps-law corpus routes PPJoin") {
+    import spark.implicits._
+    // saturated fixture: every doc repeats the SAME tiny shingle set, so
+    // every distinct shingle is hotter than the cap — the regime the 30×
+    // SCALE study measured (all posting lists hot, pair space superlinear)
+    val saturated = (1 to 40).map(i => (i.toLong, "en", "a b c d e"))
+      .toDF("doc_id", "lang", "text")
+    val satShare = Dedup.saturationShare(Dedup.shingleDfFrame(saturated), dfCap = 8)
+    assert(satShare >= 0.5, s"saturated fixture must route capped, share=$satShare")
+    // Heaps-law fixture: fresh vocabulary per doc — df = 1 everywhere,
+    // sub-cap evidence dominates, the exact channel is safe and complete
+    val heaps = (1 to 40).map(i => (i.toLong, "en", s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "lang", "text")
+    val heapsShare = Dedup.saturationShare(Dedup.shingleDfFrame(heaps), dfCap = 8)
+    assert(heapsShare < 0.5, s"Heaps fixture must route PPJoin, share=$heapsShare")
+    // and on the gate corpus the routed output IS one of the two channels
+    val routed = Dedup.routedNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gateShare = Dedup.saturationShare(
+      Dedup.shingleDfFrame(graft.Tables.documents(spark, sf)), dfCap = 64)
+    val expected = (if (gateShare >= 0.5) Dedup.cappedNeardupPairs(spark, sf)
+                    else Dedup.ngramJaccardPairs(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed === expected)
+  }
+
   test("simhash near-dups overlap exact near-dups on planted duplicates") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

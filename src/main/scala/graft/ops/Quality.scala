@@ -1366,6 +1366,141 @@ object Quality {
       |         AS ratio_e6
       |FROM f""".stripMargin
 
+  /** x270: deterministic-HLL MERGEABLE ROLLUP — x112's incremental-
+    * maintenance shape (per-(event_type, day) sketch state appended by a
+    * daily job, rolled up to per-type distincts with NO re-scan of the
+    * event log) rebuilt on [[hllExact]]'s md5 registers so the whole
+    * rollup — state, merge, estimate — lands on the hash-checked path.
+    * x112's Datasketches blobs stay the production variant (their
+    * xxhash64 registers no second engine can replay, hence rows-only);
+    * this twin gives the sketch-state family an oracle-checked member.
+    *
+    * The state is the register TABLE itself: (event_type, day, bucket) →
+    * max ρ, at most |types|·|days|·256 rows regardless of fact size.
+    * Merge across days is register-wise MAX — associative and
+    * commutative, so the merged registers equal the direct single-pass
+    * registers bit-for-bit; `merge_exact` compares the merged and direct
+    * (denominator, v_zero) pairs to pin that algebra as data, the x112
+    * law. Estimation follows x247 exactly: dyadic Σ 2^(25−M_j) as an
+    * exact BIGINT, ONE pinned double division for the harmonic estimate,
+    * linear-counting branch below 2.5·m. The direct registers and the
+    * exact per-type distinct ride along only to expose the estimator's
+    * error at test scale; at 100 TB the persisted daily state is the
+    * only thing read — that is the operator's point.
+    */
+  def hllRollup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":hll"))), 1, 8), 16, 10).cast("long")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        (h % 256L).as("bucket"),
+        when((h / 256L) === 0L, lit(25L))
+          .otherwise(instr(lpad(bin(h / 256L), 24, "0"), "1").cast("long"))
+          .as("rho"))
+    // the persisted per-(type, day) sketch state: register-wise max
+    val daily = ev.groupBy("event_type", "day", "bucket")
+      .agg(max(col("rho")).as("m_j"))
+    // rollup = register-wise max over the daily states (sketch union)
+    val merged = daily.groupBy("event_type", "bucket").agg(max(col("m_j")).as("m_j"))
+    // direct one-pass registers — test-scale companion for the merge law
+    val direct = ev.groupBy("event_type", "bucket").agg(max(col("rho")).as("m_j"))
+    val nDays = daily.select("event_type", "day").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val types = daily.select("event_type").distinct()
+    val grid = spark.range(256).select(col("id").as("bucket"))
+      .crossJoin(broadcast(types))
+    def denoms(regs: DataFrame, sfx: String): DataFrame =
+      grid.join(regs, Seq("event_type", "bucket"), "left_outer")
+        .select(col("event_type"), coalesce(col("m_j"), lit(0L)).as("m_j"))
+        .groupBy("event_type")
+        .agg(sum(expr("CAST(1 AS BIGINT) << CAST(25 - m_j AS INT)"))
+          .as(s"denom_$sfx"),
+          sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as(s"vzero_$sfx"))
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    val alpha = lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(256.0d))
+    val raw = alpha * lit(65536.0d) * lit(33554432.0d) /
+      col("denom_m").cast("double")
+    val est = when(raw <= lit(640.0d) && col("vzero_m") > 0L,
+      lit(256.0d) * log(lit(256.0d) / col("vzero_m").cast("double")))
+      .otherwise(raw)
+    denoms(merged, "m").join(denoms(direct, "d"), "event_type")
+      .join(nDays, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("n_days"),
+        col("vzero_m").as("v_zero"), col("denom_m").as("denom_s"),
+        floor(est * 1000d + 0.5d).cast("long").as("est_e3"),
+        col("n_exact"),
+        (col("denom_m") === col("denom_d") && col("vzero_m") === col("vzero_d"))
+          .cast("long").as("merge_exact"),
+        floor(est / col("n_exact").cast("double") * 1000000d + 0.5d)
+          .cast("long").as("ratio_e6"))
+      .orderBy("event_type")
+  }
+
+  val hllRollupOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                   ('0x' || substr(md5(user_id || ':hll'), 1, 8))::BIGINT AS v
+      |            FROM events),
+      |r0 AS (SELECT event_type, day, v % 256 AS bucket,
+      |              CASE WHEN v // 256 = 0 THEN 25
+      |                   ELSE strpos(lpad(bin(v // 256), 24, '0'), '1') END AS rho
+      |       FROM ev),
+      |daily AS (SELECT event_type, day, bucket, MAX(rho) AS m_j
+      |          FROM r0 GROUP BY 1, 2, 3),
+      |mrg AS (SELECT event_type, bucket, MAX(m_j) AS m_j FROM daily GROUP BY 1, 2),
+      |drt AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM r0 GROUP BY 1, 2),
+      |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      |       FROM daily GROUP BY 1),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |grid AS (SELECT t.event_type, g.range AS bucket
+      |         FROM range(256) g CROSS JOIN types t),
+      |dm AS (SELECT grid.event_type,
+      |              CAST(SUM(CAST(1 AS BIGINT)
+      |                << CAST(25 - COALESCE(m.m_j, 0) AS INTEGER)) AS BIGINT)
+      |                AS denom_m,
+      |              CAST(SUM(CASE WHEN COALESCE(m.m_j, 0) = 0 THEN 1 ELSE 0 END)
+      |                AS BIGINT) AS vzero_m
+      |       FROM grid LEFT JOIN mrg m
+      |         ON m.event_type = grid.event_type AND m.bucket = grid.bucket
+      |       GROUP BY 1),
+      |dd AS (SELECT grid.event_type,
+      |              CAST(SUM(CAST(1 AS BIGINT)
+      |                << CAST(25 - COALESCE(d.m_j, 0) AS INTEGER)) AS BIGINT)
+      |                AS denom_d,
+      |              CAST(SUM(CASE WHEN COALESCE(d.m_j, 0) = 0 THEN 1 ELSE 0 END)
+      |                AS BIGINT) AS vzero_d
+      |       FROM grid LEFT JOIN drt d
+      |         ON d.event_type = grid.event_type AND d.bucket = grid.bucket
+      |       GROUP BY 1),
+      |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      |       FROM events GROUP BY 1),
+      |e AS (SELECT dm.event_type, nd.n_days, dm.vzero_m, dm.denom_m,
+      |             dd.denom_d, dd.vzero_d, ex.n_exact,
+      |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |                + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |               * CAST(65536.0 AS DOUBLE) * CAST(33554432.0 AS DOUBLE)
+      |               / CAST(dm.denom_m AS DOUBLE) AS raw
+      |      FROM dm
+      |      JOIN dd ON dd.event_type = dm.event_type
+      |      JOIN nd ON nd.event_type = dm.event_type
+      |      JOIN ex ON ex.event_type = dm.event_type),
+      |f AS (SELECT *, CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND vzero_m > 0
+      |                     THEN CAST(256.0 AS DOUBLE)
+      |                          * ln(CAST(256.0 AS DOUBLE) / CAST(vzero_m AS DOUBLE))
+      |                     ELSE raw END AS est
+      |      FROM e)
+      |SELECT event_type, n_days, vzero_m AS v_zero, denom_m AS denom_s,
+      |       CAST(floor(est * 1000 + 0.5) AS BIGINT) AS est_e3,
+      |       n_exact,
+      |       CAST(CASE WHEN denom_m = denom_d AND vzero_m = vzero_d
+      |            THEN 1 ELSE 0 END AS BIGINT) AS merge_exact,
+      |       CAST(floor(est / CAST(n_exact AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |         AS ratio_e6
+      |FROM f
+      |ORDER BY event_type""".stripMargin
+
   /** x255: KMV (k-minimum-values) distinct sketch with SET INTERSECTION —
     * the estimator family member HLL ([[hllExact]]) cannot provide: HLL
     * unions losslessly but can only inclusion-exclude intersections

@@ -211,6 +211,7 @@ object Ext {
     "x17_simhash_neardup"  -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "x158_capped_neardup"  -> ((s: SparkSession, d: String) => Dedup.cappedNeardupPairs(s, d)),
     "x269_routed_neardup"  -> ((s: SparkSession, d: String) => Dedup.routedNearDup(s, d)),
+    "x270_hll_rollup"      -> ((s: SparkSession, d: String) => graft.ops.Quality.hllRollup(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
@@ -625,6 +626,7 @@ object Ext {
     "x87_fuzzy_decontam"   -> Dedup.fuzzyDecontaminateOracle(),
     "x158_capped_neardup"  -> Dedup.cappedNeardupOracle(),
     "x269_routed_neardup"  -> Dedup.routedNearDupOracle(),
+    "x270_hll_rollup"      -> graft.ops.Quality.hllRollupOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

@@ -3116,4 +3116,26 @@ class OpsSpec extends SparkSuite {
     // whitened distances are non-negative
     assert(got.forall(_._3 >= 0L))
   }
+
+  test("HLL rollup: merged registers equal direct, estimate tracks exact distinct") {
+    val rows = graft.ops.Quality.hllRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, vZero, denomS) =
+        (r.getAs[Long]("n_days"), r.getAs[Long]("v_zero"), r.getAs[Long]("denom_s"))
+      // register-wise max is associative: day-rollup ≡ one-pass sketch
+      assert(r.getAs[Long]("merge_exact") === 1L,
+        s"merge law broken for ${r.getAs[String]("event_type")}")
+      assert(nDays >= 1L)
+      // denominator bounds: m registers each contribute 2^0 .. 2^25
+      assert(vZero >= 0L && vZero <= 256L)
+      assert(denomS >= 256L && denomS <= 256L * 33554432L)
+      // the estimator stays within the band HLL's theory promises at
+      // m=256 (σ ≈ 1.04/√m ≈ 6.5%) — 4σ gives a deterministic-fixture
+      // margin without tracking the exact hash realization
+      val ratio = r.getAs[Long]("ratio_e6").toDouble / 1e6
+      assert(ratio > 0.74 && ratio < 1.26,
+        s"estimate off by ${ratio}x for ${r.getAs[String]("event_type")}")
+    }
+  }
 }

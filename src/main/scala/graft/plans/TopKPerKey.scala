@@ -121,6 +121,58 @@ object TopKPerKey {
       |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
       |  FROM rev)
       |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+
+  /** The FACT-GRAIN measured pair (x271 / x272): top-2 lineitems per
+    * part, straight off the raw lineitem scan — no pre-aggregate, so the
+    * exchange carries whatever the chosen idiom lets through. x271 routes
+    * through [[TopKPerKey]] (partial phase ships ≤ k rows per key per
+    * input partition); x272 is the row_number() window idiom a migrating
+    * user writes first (shuffles EVERY fact row to its key's partition,
+    * sorts, then discards all but k). Identical semantics, identical
+    * oracle — the pair exists so SCALE.md can pit the two plans against
+    * each other on the generator's log2-skewed partkey profile and
+    * record the exchange-volume gap as a measured number, not a claim.
+    * tie = orderkey·8 + linenumber (linenumber ∈ 1..7) — a single exact
+    * BIGINT total order, same expression both engines.
+    */
+  private def factGrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        (col("l_orderkey").cast("long") * lit(8L)
+          + col("l_linenumber").cast("long")).as("tie"))
+  }
+
+  def topFactPerPart(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    of(factGrain(spark, dir), "l_partkey", "cents", "tie", 2, "rnk")
+      .orderBy("l_partkey", "rnk")
+  }
+
+  def topFactPerPartWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("cents").desc, col("tie"))
+    factGrain(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .orderBy("l_partkey", "rnk")
+  }
+
+  val topFactPerPartOracle: String =
+    """WITH li AS (SELECT l_partkey,
+      |                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+      |                   CAST(l_orderkey AS BIGINT) * 8
+      |                     + CAST(l_linenumber AS BIGINT) AS tie
+      |            FROM lineitem)
+      |SELECT l_partkey, cents, tie, rnk FROM (
+      |  SELECT l_partkey, cents, tie,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |           ORDER BY cents DESC, tie) AS INTEGER) AS rnk
+      |  FROM li)
+      |WHERE rnk <= 2 ORDER BY l_partkey, rnk""".stripMargin
 }
 
 /** Plans the logical node as partial-prune → (exchange) → final-rank. */

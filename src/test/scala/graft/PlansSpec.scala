@@ -79,4 +79,13 @@ class PlansSpec extends SparkSuite {
     partials.flatMap(_.metrics.get("numOutputRows")).foreach(m =>
       assert(m.value <= 40L, s"partial prune leaked ${m.value} rows through the exchange"))
   }
+
+  test("fact-grain measured pair: operator and window idiom agree row for row") {
+    val a = graft.plans.TopKPerKey.topFactPerPart(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val b = graft.plans.TopKPerKey.topFactPerPartWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(a === b, "x271/x272 diverged — the SCALE comparison would be apples to oranges")
+    assert(a.nonEmpty)
+  }
 }

@@ -1501,6 +1501,141 @@ object Quality {
       |FROM f
       |ORDER BY event_type""".stripMargin
 
+  /** x273: DDSketch quantile rollup (Masson/Lee/Rim, VLDB'19) — the
+    * MERGEABLE-QUANTILE member the sketch-state family lacked: HLL
+    * ([[hllRollup]]) merges registers by MAX, CMS/Misra–Gries by SUM,
+    * KMV by min-set — none answers "p99 latency per type, rolled up
+    * daily, no fact re-scan". DDSketch's state is a log-γ bucketed
+    * histogram: bucket ⌈ln v/ln γ⌉ guarantees every value in a bucket
+    * is within relative error α of every other (γ = (1+α)/(1−α), α = 1%
+    * here), counts merge by ADDITION, and the q-quantile is the first
+    * bucket whose running count reaches ⌈q·n⌉ — fully deterministic, so
+    * unlike t-digest/KLL the whole sketch is hash-checkable.
+    *
+    * State = (event_type, day, bucket) → (count, min v, max v): three
+    * merge algebras riding one row (SUM / MIN / MAX — each associative,
+    * so the daily rollup equals the direct sketch; the same x112/x270
+    * law). The ln-quotient bucket index is the ONE double op (the
+    * measured x170 ln discipline; everything else is exact integers on
+    * the e2-quantized value). The guarantee lands as DATA: the exact
+    * q-th ORDER STATISTIC (selected as the x243 sort-rank, not an
+    * interpolation, via the value-grid cumsum — a ≤|distinct v|-row
+    * frame, never a fact sort) is emitted beside the chosen bucket's
+    * observed [lo, hi], and `within` pins exact ∈ [lo, hi] — the
+    * bucket-capture guarantee DDSketch's α promises. Zero/negative
+    * values are outside the log domain and excluded on BOTH sides
+    * (the paper's positive-value contract). At 100 TB only the
+    * persisted daily state is read; the exact column is the test-scale
+    * companion this operator exists to avoid.
+    */
+  def ddsketchQuantiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .filter(col("v_e2") >= 1L)
+    val bucket = ceil(log(col("v_e2").cast("double")) /
+      log(lit(1.01d) / lit(0.99d))).cast("long").as("bucket")
+    // the persisted per-(type, day) sketch state — count/min/max per bucket
+    val state = ev.select(col("event_type"), col("day"), bucket, col("v_e2"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("cnt"), min(col("v_e2")).as("lo_e2"),
+        max(col("v_e2")).as("hi_e2"))
+    // rollup: SUM counts, MIN lo, MAX hi — three associative merges
+    val merged = state.groupBy("event_type", "bucket")
+      .agg(sum(col("cnt")).as("cnt"), min(col("lo_e2")).as("lo_e2"),
+        max(col("hi_e2")).as("hi_e2"))
+    // running count over the bucket grid (≤ ~800 buckets per type —
+    // metadata-sized window, the a35 posture)
+    val wCum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = merged.select(col("event_type"), col("bucket"), col("lo_e2"),
+      col("hi_e2"), sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wN).as("n"))
+    val qs = spark.range(1).select(
+      explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    // the q-quantile bucket: smallest bucket with cum >= ceil(q*n/100)
+    val picked = cum.crossJoin(broadcast(qs))
+      .withColumn("k", expr("(n * q + 99) DIV 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("event_type", "q")
+      .agg(min_by(struct(col("bucket"), col("lo_e2"), col("hi_e2"),
+        col("n"), col("k")), col("bucket")).as("s"))
+      .select(col("event_type"), col("q"), col("s.bucket").as("bucket"),
+        col("s.lo_e2").as("lo_e2"), col("s.hi_e2").as("hi_e2"),
+        col("s.n").as("n"), col("s.k").as("k"))
+    // exact q-th order statistic via the value-grid cumsum (x243's
+    // sort-rank selection, distributed over the grid, never a fact sort)
+    val grid = ev.groupBy("event_type", "v_e2").agg(count(lit(1)).as("c"))
+    val wVal = Window.partitionBy("event_type").orderBy("v_e2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gridCum = grid.select(col("event_type"), col("v_e2"),
+      sum(col("c")).over(wVal).as("vcum"))
+    val exact = gridCum.crossJoin(broadcast(qs))
+      .join(picked.select(col("event_type"), col("q"), col("k")),
+        Seq("event_type", "q"))
+      .filter(col("vcum") >= col("k"))
+      .groupBy("event_type", "q")
+      .agg(min(col("v_e2")).as("exact_e2"))
+    picked.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"), col("bucket"),
+        col("lo_e2"), col("hi_e2"), col("exact_e2"),
+        (col("exact_e2") >= col("lo_e2") && col("exact_e2") <= col("hi_e2"))
+          .cast("long").as("within"))
+      .orderBy("event_type", "q")
+  }
+
+  val ddsketchOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |            FROM events
+      |            WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
+      |b AS (SELECT event_type, day, v_e2,
+      |             CAST(ceil(ln(CAST(v_e2 AS DOUBLE))
+      |               / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+      |               AS BIGINT) AS bucket
+      |      FROM ev),
+      |state AS (SELECT event_type, day, bucket, COUNT(*) AS cnt,
+      |                 MIN(v_e2) AS lo_e2, MAX(v_e2) AS hi_e2
+      |          FROM b GROUP BY 1, 2, 3),
+      |mrg AS (SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt,
+      |               MIN(lo_e2) AS lo_e2, MAX(hi_e2) AS hi_e2
+      |        FROM state GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bucket, lo_e2, hi_e2,
+      |               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |        FROM mrg),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q),
+      |picked AS (SELECT event_type, q, MIN(bucket) AS bucket
+      |           FROM cum CROSS JOIN qs
+      |           WHERE cum >= (n * q + 99) // 100
+      |           GROUP BY 1, 2),
+      |pick2 AS (SELECT p.event_type, p.q, p.bucket, c.lo_e2, c.hi_e2, c.n,
+      |                 (c.n * p.q + 99) // 100 AS k
+      |          FROM picked p JOIN cum c
+      |            ON c.event_type = p.event_type AND c.bucket = p.bucket),
+      |grid AS (SELECT event_type, v_e2, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+      |gcum AS (SELECT event_type, v_e2,
+      |                CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v_e2
+      |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vcum
+      |         FROM grid),
+      |ex AS (SELECT g.event_type, p.q, MIN(g.v_e2) AS exact_e2
+      |       FROM gcum g JOIN pick2 p ON p.event_type = g.event_type
+      |       WHERE g.vcum >= p.k
+      |       GROUP BY 1, 2)
+      |SELECT p.event_type, CAST(p.q AS BIGINT) AS q, p.n, p.bucket,
+      |       p.lo_e2, p.hi_e2, e.exact_e2,
+      |       CAST(CASE WHEN e.exact_e2 >= p.lo_e2 AND e.exact_e2 <= p.hi_e2
+      |            THEN 1 ELSE 0 END AS BIGINT) AS within
+      |FROM pick2 p JOIN ex e ON e.event_type = p.event_type AND e.q = p.q
+      |ORDER BY p.event_type, p.q""".stripMargin
+
   /** x255: KMV (k-minimum-values) distinct sketch with SET INTERSECTION —
     * the estimator family member HLL ([[hllExact]]) cannot provide: HLL
     * unions losslessly but can only inclusion-exclude intersections

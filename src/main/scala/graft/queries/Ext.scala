@@ -214,6 +214,7 @@ object Ext {
     "x270_hll_rollup"      -> ((s: SparkSession, d: String) => graft.ops.Quality.hllRollup(s, d)),
     "x271_topk_fact"       -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topFactPerPart(s, d)),
     "x272_topk_fact_window" -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topFactPerPartWindow(s, d)),
+    "x273_ddsketch"        -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchQuantiles(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
@@ -631,6 +632,7 @@ object Ext {
     "x270_hll_rollup"      -> graft.ops.Quality.hllRollupOracle,
     "x271_topk_fact"       -> graft.plans.TopKPerKey.topFactPerPartOracle,
     "x272_topk_fact_window" -> graft.plans.TopKPerKey.topFactPerPartOracle,
+    "x273_ddsketch"        -> graft.ops.Quality.ddsketchOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

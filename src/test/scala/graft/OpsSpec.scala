@@ -3117,6 +3117,29 @@ class OpsSpec extends SparkSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("DDSketch: exact quantile captured in the returned bucket, width within gamma") {
+    val rows = graft.ops.Quality.ddsketchQuantiles(spark, sf).collect()
+    assert(rows.length >= 3, "expected >= 1 type x 3 quantiles")
+    val gamma = 1.01d / 0.99d
+    rows.foreach { r =>
+      val (lo, hi, exact) = (r.getAs[Long]("lo_e2"), r.getAs[Long]("hi_e2"),
+        r.getAs[Long]("exact_e2"))
+      // the alpha-guarantee: the true order statistic lands in the bucket
+      assert(r.getAs[Long]("within") === 1L,
+        s"capture law broken: $exact not in [$lo, $hi]")
+      // a log-gamma bucket spans at most a gamma ratio (so any value in
+      // it is within alpha of the true quantile)
+      assert(hi.toDouble <= lo.toDouble * gamma + 1.0,
+        s"bucket wider than gamma: [$lo, $hi]")
+      assert(r.getAs[Long]("n") > 0L && r.getAs[Long]("bucket") >= 0L)
+    }
+    // quantiles are monotone per type: p50 <= p90 <= p99 on the exact side
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byQ = rs.sortBy(_.getAs[Long]("q")).map(_.getAs[Long]("exact_e2"))
+      assert(byQ.toSeq === byQ.sorted.toSeq, "order statistics not monotone in q")
+    }
+  }
+
   test("HLL rollup: merged registers equal direct, estimate tracks exact distinct") {
     val rows = graft.ops.Quality.hllRollup(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -38,11 +38,23 @@ object Bench {
     // asynchronously — each window closes with a listener-bus drain via
     // the graftshim bridge, not a sleep-poll.
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // Shuffle write volume per query (records + bytes), same snapshot
+    // protocol as task time: the exchange-size signal that adjudicates
+    // plan-shape claims (e.g. x271 vs x272 — bounded-heap prune vs
+    // shuffle-everything window) in the artifact itself.
+    val shufRec = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufMb = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        if (t.taskMetrics != null) {
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
+          shufRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          shufMb.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     val taskTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shufRecs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shufBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     // A failed query records the sentinel -1, never its wall time: a crashed
     // query must be distinguishable from a fast one in the artifact.
     def pass(tag: String, cold: Boolean): Map[String, Double] =
@@ -50,9 +62,9 @@ object Bench {
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
         .map { case (name, fn) =>
         if (cold) Layer.clear(spark)
-        val tasks0 = {
+        val (tasks0, rec0, byt0) = {
           org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
-          taskMs.get()
+          (taskMs.get(), shufRec.get(), shufMb.get())
         }
         val t0 = System.nanoTime()
         val secs =
@@ -67,9 +79,11 @@ object Bench {
           }
         org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
         taskTimes += s"$tag:$name" -> (taskMs.get() - tasks0)
+        shufRecs += s"$tag:$name" -> (shufRec.get() - rec0)
+        shufBytes += s"$tag:$name" -> (shufMb.get() - byt0)
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
-        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s")
+        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufMb.get() - byt0) / 1048576.0}%8.1f MiB")
         name -> secs
       }
     def fmt(m: Map[String, Double]): String =
@@ -159,8 +173,12 @@ object Bench {
       // above) — the contention-immune signal the wall columns lack
       def taskCell(tag: String, n: String): String =
         taskTimes.get(s"$tag:$n").map(v => f"${v / 1000.0}%.3f").getOrElse("null")
+      // shuffle write rows per query (cold pass — warm shares Layers, so
+      // cold is the per-plan number): the exchange-volume evidence column
+      def shufCell(tag: String, n: String): String =
+        shufRecs.get(s"$tag:$n").map(_.toString).getOrElse("null")
       val lines = names.map(n =>
-        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}}""")
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}}""")
       val body =
         s"""{
            |  "round": $round,

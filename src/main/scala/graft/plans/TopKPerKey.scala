@@ -125,13 +125,22 @@ object TopKPerKey {
   /** The FACT-GRAIN measured pair (x271 / x272): top-2 lineitems per
     * part, straight off the raw lineitem scan — no pre-aggregate, so the
     * exchange carries whatever the chosen idiom lets through. x271 routes
-    * through [[TopKPerKey]] (partial phase ships ≤ k rows per key per
-    * input partition); x272 is the row_number() window idiom a migrating
-    * user writes first (shuffles EVERY fact row to its key's partition,
-    * sorts, then discards all but k). Identical semantics, identical
-    * oracle — the pair exists so SCALE.md can pit the two plans against
-    * each other on the generator's log2-skewed partkey profile and
-    * record the exchange-volume gap as a measured number, not a claim.
+    * through [[TopKPerKey]]; x272 is the row_number() window idiom a
+    * migrating user writes first. Identical semantics, identical oracle.
+    *
+    * WHAT THE MEASUREMENT FOUND (SCALE.md round-10): on Spark 4 the two
+    * plans shuffle the same rows TO THE ROW — `InferWindowGroupLimit`
+    * plans Sort → WindowGroupLimit(Partial) BELOW the exchange whenever
+    * a literal `row_number() ≤ k` filter is statically visible, and its
+    * codegen'd sort+limit runs ~30% cheaper in task time than this
+    * operator's interpreted bounded heap. Guidance: WRITE THE WINDOW
+    * IDIOM when the rank filter is a literal; reach for [[TopKPerKey]]
+    * when the inference cannot fire — computed/per-key k, rank consumed
+    * as a column without a filter, or composition inside a larger
+    * logical plan — where the k·P exchange bound still holds and the
+    * pre-3.5 window shape ships everything (PlansSpec pins 40 rows vs
+    * 8 000 on the hot-key fixture).
+    *
     * tie = orderkey·8 + linenumber (linenumber ∈ 1..7) — a single exact
     * BIGINT total order, same expression both engines.
     */

@@ -337,6 +337,7 @@ object Ext {
     "s09_stream_state_v2"  -> ((s: SparkSession, d: String) => Streams.statefulUserTotalsV2(s, d)),
     "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
     "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
+    "s19_stream_hll"       -> ((s: SparkSession, d: String) => Streams.streamingHllDistinct(s, d)),
     "s13_stream_full_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseFullJoin(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
     "s14_stream_topk"      -> ((s: SparkSession, d: String) => Streams.streamingTopK(s, d)),
@@ -523,6 +524,7 @@ object Ext {
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "s17_stream_late_drop" -> Streams.lateDataDropOracle,
     "s18_stream_two_level" -> Streams.twoLevelOracle,
+    "s19_stream_hll"       -> Streams.streamingHllOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x160_ewma_daily"      -> Events.ewmaOracle,
     "x162_mutual_info"     -> Events.mutualInfoOracle,

@@ -526,6 +526,144 @@ object Streams {
     }
   }
 
+  /** s19: DETERMINISTIC streaming HLL — the [[DistinctSketchProcessor]]
+    * shape rebuilt on the x247/x270 md5 registers, so a STATEFUL
+    * streaming query lands on the hash-checked path for the first time:
+    * the state (256 register bytes + row count per key) evolves by
+    * register-wise max across micro-batches, max is associative and
+    * commutative, so the final state is REPLAY-INVARIANT — independent
+    * of batch boundaries and row order — and equals the one-shot batch
+    * sketch, which the DuckDB oracle rebuilds from the raw table. The
+    * Datasketches s12 stays the production variant; this twin is the
+    * proof the streaming state machinery computes the same algebra.
+    *
+    * Exactness discipline: the hash is the same md5(user_id || ':hll')
+    * first-8-hex value Spark/DuckDB compute (here via MessageDigest on
+    * the identical string, first 4 digest bytes as the unsigned 32-bit
+    * value); ρ = 25 − bitlength(h DIV 256) replays lpad(bin())/instr
+    * exactly; the dyadic denominator is an exact BIGINT shift-sum and
+    * the estimate e3-floors ONE pinned double division (the x247
+    * float-op order verbatim).
+    */
+  private class DeterministicHllProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long, Long)] {
+    @transient private var regs: ValueState[Array[Byte]] = _
+    @transient private var nRows: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      regs = getHandle.getValueState[Array[Byte]]("regs",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+      nRows = getHandle.getValueState[Long]("nrows",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
+      val m = if (regs.exists()) regs.get() else new Array[Byte](256)
+      var n = if (nRows.exists()) nRows.get() else 0L
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { r =>
+        val d = md.digest((r._2.toString + ":hll").getBytes("UTF-8"))
+        md.reset()
+        // first 8 hex chars of the digest = first 4 bytes, unsigned
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val bucket = (h % 256L).toInt
+        val w = h / 256L
+        val rho = if (w == 0L) 25
+          else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > m(bucket)) m(bucket) = rho.toByte
+        n += 1L
+      }
+      regs.update(m)
+      nRows.update(n)
+      var denom = 0L; var vz = 0L; var i = 0
+      while (i < 256) {
+        denom += 1L << (25 - m(i)); if (m(i) == 0) vz += 1L; i += 1
+      }
+      // the x247 estimator verbatim: one pinned double division, same
+      // float-op order as the SQL twin
+      val alpha = 0.7213d / (1.0d + 1.079d / 256.0d)
+      val raw = alpha * 65536.0d * 33554432.0d / denom.toDouble
+      val est = if (raw <= 640.0d && vz > 0L)
+        256.0d * math.log(256.0d / vz.toDouble) else raw
+      Iterator.single((key, n, denom, vz,
+        math.floor(est * 1000d + 0.5d).toLong))
+    }
+  }
+
+  /** s19 entry: deterministic-HLL distinct users per type over the event
+    * replay; RocksDB provider (transformWithState's requirement — the
+    * same documented conf posture as [[streamingDistinct]]). The final
+    * (largest-n) update per type is the completed state and hash-checks
+    * against the oracle's one-shot register build.
+    */
+  def streamingHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventStream(spark, dir)
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      val updated = src.groupByKey(_._1)
+        .transformWithState(new DeterministicHllProcessor, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("event_type", "n_events", "denom_s", "v_zero", "est_e3")
+      val table = runToMemory(updated, "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n_events").desc)
+      table.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_events"), col("denom_s"),
+          col("v_zero"), col("est_e3"))
+        .orderBy("event_type")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  val streamingHllOracle: String =
+    """WITH h AS (SELECT event_type,
+      |                  ('0x' || substr(md5(user_id || ':hll'), 1, 8))::BIGINT AS v
+      |           FROM events),
+      |r0 AS (SELECT event_type, v % 256 AS bucket,
+      |              CASE WHEN v // 256 = 0 THEN 25
+      |                   ELSE strpos(lpad(bin(v // 256), 24, '0'), '1') END AS rho
+      |       FROM h),
+      |rg AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM r0 GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type FROM h),
+      |grid AS (SELECT t.event_type, g.range AS bucket
+      |         FROM range(256) g CROSS JOIN types t),
+      |a AS (SELECT grid.event_type,
+      |             CAST(SUM(CAST(1 AS BIGINT)
+      |               << CAST(25 - COALESCE(rg.m_j, 0) AS INTEGER)) AS BIGINT)
+      |               AS denom_s,
+      |             CAST(SUM(CASE WHEN COALESCE(rg.m_j, 0) = 0 THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS v_zero
+      |      FROM grid LEFT JOIN rg
+      |        ON rg.event_type = grid.event_type AND rg.bucket = grid.bucket
+      |      GROUP BY 1),
+      |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |        FROM events GROUP BY 1),
+      |e AS (SELECT a.event_type, cnt.n_events, a.denom_s, a.v_zero,
+      |             (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |                + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |               * CAST(65536.0 AS DOUBLE) * CAST(33554432.0 AS DOUBLE)
+      |               / CAST(denom_s AS DOUBLE) AS raw
+      |      FROM a JOIN cnt ON cnt.event_type = a.event_type),
+      |f AS (SELECT *, CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND v_zero > 0
+      |                     THEN CAST(256.0 AS DOUBLE)
+      |                          * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+      |                     ELSE raw END AS est
+      |      FROM e)
+      |SELECT event_type, n_events, denom_s, v_zero,
+      |       CAST(floor(est * 1000 + 0.5) AS BIGINT) AS est_e3
+      |FROM f
+      |ORDER BY event_type""".stripMargin
+
   /** Stream-static enrichment join (the remaining X9 join shape): the
     * event stream joins the BATCH customer dim per micro-batch — the
     * canonical "enrich a stream with a dimension table" pattern. The

@@ -545,7 +545,7 @@ object Streams {
     * the estimate e3-floors ONE pinned double division (the x247
     * float-op order verbatim).
     */
-  private class DeterministicHllProcessor
+  private[graft] class DeterministicHllProcessor
       extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long, Long)] {
     @transient private var regs: ValueState[Array[Byte]] = _
     @transient private var nRows: ValueState[Long] = _

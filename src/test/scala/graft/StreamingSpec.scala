@@ -45,6 +45,69 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet === Set((1L, 2L, 3.0), (2L, 1L, 10.0), (1L, 3L, 7.0)))
   }
 
+  test("s19 deterministic HLL is replay-invariant across batch splits and replays driver registers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val data = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      def run(chunks: Seq[Seq[(String, Long)]]): Map[String, (Long, Long, Long, Long)] = {
+        val mem = MemoryStream[(String, Long)]
+        val out = mem.toDS().groupByKey(_._1)
+          .transformWithState(new graft.streaming.Streams.DeterministicHllProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("event_type", "n_events", "denom_s", "v_zero", "est_e3")
+        val name = s"graft_s19_law_${chunks.size}"
+        val q = out.writeStream.outputMode("update").format("memory")
+          .queryName(name).start()
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+        // the final (largest-n) update per key is the completed state
+        spark.table(name).collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      }
+      val whole = run(Seq(data))
+      val split = run(data.grouped(math.max(1, data.size / 3 + 1)).toSeq)
+      // batch-boundary invariance: max-merge is associative, so 1 batch = 3
+      assert(whole === split, "final state depends on batch boundaries")
+      // driver replay of the register algebra, exact to the bit
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = scala.collection.mutable.Map[String, Array[Byte]]()
+      val ns = scala.collection.mutable.Map[String, Long]()
+      data.foreach { case (t, uid) =>
+        val d = md.digest((uid.toString + ":hll").getBytes("UTF-8")); md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val m = regs.getOrElseUpdate(t, new Array[Byte](256))
+        val w = h / 256L
+        val rho = if (w == 0L) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        val b = (h % 256L).toInt
+        if (rho > m(b)) m(b) = rho.toByte
+        ns(t) = ns.getOrElse(t, 0L) + 1L
+      }
+      regs.foreach { case (t, m) =>
+        var denom = 0L; var vz = 0L; var i = 0
+        while (i < 256) { denom += 1L << (25 - m(i)); if (m(i) == 0) vz += 1L; i += 1 }
+        val (gotN, gotDenom, gotVz, _) = whole(t)
+        assert(gotN === ns(t) && gotDenom === denom && gotVz === vz,
+          s"streaming registers diverge from driver replay for $t")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup final key set equals batch distinct") {
     import org.apache.spark.sql.functions.{lower, md5, regexp_replace, col}
     val batch = Tables.documents(spark, sf)

@@ -246,6 +246,56 @@ object Sampling {
        |SELECT doc_id, w AS n_tokens, key_micro FROM k
        |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  /** x274: PER-STRATUM weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES) — the curation quota the sampler family
+    * lacked: x109 draws one GLOBAL weighted sample, x141 draws WITH
+    * replacement, x102 caps per domain UNIFORMLY; "k docs per source,
+    * ∝ token count, no repeats" is the shape an LLM data mix actually
+    * ships. A-ES keys each row by u^(1/w) and keeps the per-stratum
+    * top-k; ranking by ln(u)/w is the same total order with NO pow call
+    * (ln is the one transcendental — the measured x170 discipline — and
+    * the quotient floors ONCE to an e15 integer, so the comparator both
+    * engines sort on is exact).
+    *
+    * Routed through [[graft.plans.TopKPerKey]] deliberately: per-stratum
+    * quota with caller-supplied k is the NON-LITERAL pattern the r10
+    * pair measurement reserves the custom operator for (no statically
+    * visible `rank ≤ literal` filter for InferWindowGroupLimit), and the
+    * partial phase bounds the exchange to k rows per (source, input
+    * partition) — at 100 TB the sample leaves each executor
+    * quota-sized, never corpus-sized. u = (md5 48-bit + 1)/2⁴⁸ ∈
+    * (0, 1] — never 0, so ln is finite; w ≥ 1 tokens.
+    */
+  def stratifiedAes(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":aes"))), 1, 12), 16, 10).cast("long") + lit(1L)).cast("double") /
+      lit(281474976710656.0d)
+    val keyed = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("key_e15",
+        floor(log(u) / col("w").cast("double") * lit(1e15d)).cast("long"))
+    graft.plans.TopKPerKey.of(keyed, "source", "key_e15", "doc_id", k, "rnk")
+      .select(col("source"), col("rnk"), col("doc_id"), col("w"), col("key_e15"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val stratifiedAesOracle: String =
+    """WITH d AS (SELECT source, doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents),
+      |u AS (SELECT source, doc_id, w,
+      |             CAST(floor(ln(CAST(('0x' || substr(md5(doc_id || ':aes'), 1, 12))::BIGINT
+      |                    + 1 AS DOUBLE) / 281474976710656.0)
+      |               / CAST(w AS DOUBLE) * 1e15) AS BIGINT) AS key_e15
+      |      FROM d),
+      |r AS (SELECT source, doc_id, w, key_e15,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |               ORDER BY key_e15 DESC, doc_id) AS INTEGER) AS rnk
+      |      FROM u)
+      |SELECT source, rnk, doc_id, w, key_e15 FROM r
+      |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin
+
   /** x141: weighted sampling WITH replacement — the multinomial draw
     * [[weightedSample]]'s A-ES cannot express (A-ES is without
     * replacement; an epoch-mixing pipeline drawing documents ∝ weight

@@ -215,6 +215,7 @@ object Ext {
     "x271_topk_fact"       -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topFactPerPart(s, d)),
     "x272_topk_fact_window" -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topFactPerPartWindow(s, d)),
     "x273_ddsketch"        -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchQuantiles(s, d)),
+    "x274_stratified_aes"  -> ((s: SparkSession, d: String) => graft.ops.Sampling.stratifiedAes(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
@@ -635,6 +636,7 @@ object Ext {
     "x271_topk_fact"       -> graft.plans.TopKPerKey.topFactPerPartOracle,
     "x272_topk_fact_window" -> graft.plans.TopKPerKey.topFactPerPartOracle,
     "x273_ddsketch"        -> graft.ops.Quality.ddsketchOracle,
+    "x274_stratified_aes"  -> graft.ops.Sampling.stratifiedAesOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

@@ -3117,6 +3117,33 @@ class OpsSpec extends SparkSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("stratified A-ES replays the driver-side per-source top-k exactly") {
+    val got = graft.ops.Sampling.stratifiedAes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = docs.map { case (s, id, w) =>
+      val d = md.digest((id.toString + ":aes").getBytes("UTF-8")); md.reset()
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      val u = (h + 1L).toDouble / 281474976710656.0d
+      val key = math.floor(math.log(u) / w.toDouble * 1e15d).toLong
+      (s, id, w, key)
+    }.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(10).zipWithIndex
+        .map { case (r, i) => (s, i + 1, r._2, r._3, r._4) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === exp, "A-ES selection diverges from the driver replay")
+    // without-replacement: no doc repeats; quota respected per source
+    assert(got.map(_._3).distinct.size === got.size)
+    got.groupBy(_._1).values.foreach(g => assert(g.size <= 10))
+  }
+
   test("DDSketch: exact quantile captured in the returned bucket, width within gamma") {
     val rows = graft.ops.Quality.ddsketchQuantiles(spark, sf).collect()
     assert(rows.length >= 3, "expected >= 1 type x 3 quantiles")

@@ -94,4 +94,77 @@ object AsOf {
       |FROM orders o
       |ASOF JOIN events e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** x275: POINT-IN-TIME dimension join (the feature-store / label-join
+    * shape) — each training row (event) enriched with the SCD2 version
+    * valid AT THE ROW'S OWN TIMESTAMP, where the dimension is the
+    * customer's order-priority change log (each order opens a version,
+    * the x99 interval build applied to orders). This is the
+    * leakage-safety primitive every ML label pipeline needs: joining
+    * `is_current` (or worse, the raw latest attribute) leaks future
+    * state into training rows, and the x104/x165 split hygiene is void
+    * if the FEATURES time-travel.
+    *
+    * Scale shape: NOT an interval theta-join (whose candidate product is
+    * rows × versions). SCD2 intervals are non-overlapping per key, so
+    * the valid version is the last change at-or-before t — the as-of
+    * carry: union both inputs, ONE shuffle on user_id, one in-partition
+    * sort, last-non-null carry. The running `version` is a running count
+    * of change rows in the same window — the interval identity comes
+    * along for free, no join product ever exists. Tie discipline: a
+    * change at exactly the row's instant IS visible (kind 0 sorts
+    * first); two changes at one instant yield a zero-width interval the
+    * oracle's interval join also skips — both engines keep the later.
+    * Rows before a user's first change drop (inner PIT). Output is
+    * row-grain, exact integers + the catalog string.
+    */
+  def pitDimensionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val chg = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      col("o_orderkey").as("chg_id"),
+      col("o_orderpriority").as("attr_value"),
+      lit(null).cast("long").as("event_id"),
+      lit(0).as("kind"))
+    val rows = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(null).cast("long").as("chg_id"),
+      lit(null).cast("string").as("attr_value"),
+      col("event_id"),
+      lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"),
+        coalesce(col("chg_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg.unionByName(rows)
+      .select(col("*"),
+        last(col("attr_value"), ignoreNulls = true).over(w).as("pit_attr"),
+        last(when(col("kind") === 0, col("t_us")), ignoreNulls = true).over(w)
+          .as("valid_from_us"),
+        sum((col("kind") === 0).cast("long")).over(w).as("version"))
+      .filter(col("kind") === 1 && col("pit_attr").isNotNull)
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("pit_attr").as("attr_value"), col("valid_from_us"))
+      .orderBy("event_id")
+  }
+
+  val pitOracle: String =
+    """WITH v AS (SELECT o_custkey AS user_id,
+      |                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |                  o_orderpriority AS attr_value,
+      |                  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+      |                    AS valid_from_us,
+      |                  CAST(LEAD(epoch_us(CAST(o_orderdate AS TIMESTAMP))) OVER w
+      |                    AS BIGINT) AS valid_to_us
+      |           FROM orders
+      |           WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)), o_orderkey)),
+      |e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+      |      FROM events)
+      |SELECT e.event_id, e.user_id, v.version, v.attr_value, v.valid_from_us
+      |FROM e JOIN v
+      |  ON v.user_id = e.user_id AND e.t_us >= v.valid_from_us
+      |  AND (v.valid_to_us IS NULL OR e.t_us < v.valid_to_us)
+      |ORDER BY e.event_id""".stripMargin
 }

@@ -3117,6 +3117,33 @@ class OpsSpec extends SparkSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("PIT join never leaks future state and matches the interval-join replay") {
+    val got = graft.ops.AsOf.pitDimensionJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chgs = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, cs) => u -> cs.sortBy(c => (c._2, c._3)) }
+    val evT = evs.map(e => e._1 -> e._3).toMap
+    got.foreach { case (eid, uid, ver, attr, vfrom) =>
+      // the joined version opened AT OR BEFORE the row's own time
+      assert(vfrom <= evT(eid), s"future leak: event $eid at ${evT(eid)} got version from $vfrom")
+      // interval-join replay: the valid version is the last change <= t
+      val cs = chgs(uid)
+      val idx = cs.lastIndexWhere(_._2 <= evT(eid))
+      assert(idx >= 0 && ver === idx + 1L && attr === cs(idx)._4 && vfrom === cs(idx)._2,
+        s"PIT version mismatch for event $eid")
+    }
+    // inner semantics: every event with a prior change is present
+    val expectedN = evs.count(e => chgs.get(e._2).exists(_.exists(_._2 <= e._3)))
+    assert(got.length === expectedN, "row count diverges from the interval replay")
+  }
+
   test("stratified A-ES replays the driver-side per-source top-k exactly") {
     val got = graft.ops.Sampling.stratifiedAes(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -23,16 +23,26 @@ object ScaleGen {
     "stream", "table", "the", "value", "vector", "window")
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: ScaleGen <outDir> <multiplier> [dupBoost]")
+    require(args.length >= 2 && args.length <= 4,
+      "usage: ScaleGen <outDir> <multiplier> [dupBoost] [vocabMode]")
     val out = args(0)
     val m = args(1).toInt
     // dupBoost k multiplies the planted exact/near-dup RATE by ~k (the
     // moduli divide by k): the SCALE.md round-9 knob for pinning the
     // pair family's behavior on a dup-heavy corpus. Default 1 keeps the
     // r7/r8 corpora byte-identical.
-    val dupBoost = if (args.length == 3) args(2).toInt else 1
+    val dupBoost = if (args.length >= 3) args(2).toInt else 1
     require(dupBoost >= 1 && dupBoost <= 100, s"dupBoost $dupBoost out of range")
+    // vocabMode "heaps" (round-10): synthetic word ids drawn from a
+    // vocabulary of ⌈600·√m⌉ types, so V(tokens) ≈ K·n^0.5 — the
+    // Heaps-law regime of a real web corpus, where sub-cap shingles
+    // dominate and the EXACT near-dup channels are the right route.
+    // The default ("fixed") keeps every prior corpus byte-identical;
+    // heaps mode exists to measure the x269 router's OTHER direction
+    // at scale (the saturated direction is the default corpus itself).
+    val vocabMode = if (args.length == 4) args(3) else "fixed"
+    require(vocabMode == "fixed" || vocabMode == "heaps",
+      s"vocabMode $vocabMode must be fixed|heaps")
     val exactMod = math.max(2, 625 / dupBoost)
     val nearMod = math.max(3, 400 / dupBoost)
     val spark = SparkSession.builder()
@@ -57,7 +67,12 @@ object ScaleGen {
       .withColumn("n_tok", (abs(hash(col("cid"), lit(1))) % 91 + 10).cast("int"))
       .withColumn("body", concat_ws(" ",
         transform(sequence(lit(1), col("n_tok")),
-          i => element_at(vocabCol, (abs(hash(col("cid"), i)) % 31 + 1).cast("int")))))
+          i =>
+            if (vocabMode == "heaps")
+              concat(lit("w"), pmod(hash(col("cid"), i),
+                lit(math.ceil(600.0 * math.sqrt(m.toDouble)).toLong)))
+            else
+              element_at(vocabCol, (abs(hash(col("cid"), i)) % 31 + 1).cast("int")))))
       .withColumn("text",
         when(col("id") % nearMod === 2, concat(col("body"), lit(" dup")))
           .otherwise(col("body")))

@@ -680,8 +680,16 @@ object Dedup {
     */
   def routedNearDup(spark: SparkSession, dir: String,
                     minJaccard: Double = 0.6, dfCap: Int = 64): DataFrame = {
+    // probe off the LAYER-CACHED shingle pass the selected channel also
+    // consumes: routing costs one df aggregate over a shared frame by
+    // construction (the h30 A/B measured this change task-neutral —
+    // the apparent routed-vs-bare gap there was pass-order JIT, not a
+    // double derivation — but one shared derivation is the right shape
+    // regardless; counts and hashes unchanged)
     val sat = saturationShare(
-      shingleDfFrame(Tables.documents(spark, dir)), dfCap)
+      shingled3(spark, dir)
+        .select(col("lang"), explode(col("shingles")).as("s"))
+        .groupBy("lang", "s").agg(count(lit(1)).as("df")), dfCap)
     if (sat >= 0.5) cappedNeardupPairs(spark, dir, minJaccard, dfCap)
     else ngramJaccardPairs(spark, dir, minJaccard)
   }

@@ -80,6 +80,31 @@ class PlansSpec extends SparkSuite {
       assert(m.value <= 40L, s"partial prune leaked ${m.value} rows through the exchange"))
   }
 
+  test("stratified A-ES ships a quota-bounded exchange regardless of corpus size") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val got = graft.ops.Sampling.stratifiedAes(spark, sf)
+    val n = got.count()
+    assert(n > 0)
+    def findPartials(p: SparkPlan): Seq[graft.plans.TopKPerKeyPartialExec] = p match {
+      case a: AdaptiveSparkPlanExec => findPartials(a.executedPlan)
+      case s: QueryStageExec => findPartials(s.plan)
+      case t: graft.plans.TopKPerKeyPartialExec => t +: t.children.flatMap(findPartials)
+      case other => other.children.flatMap(findPartials)
+    }
+    val partials = findPartials(got.queryExecution.executedPlan)
+    assert(partials.nonEmpty, "A-ES did not plan through TopKPerKeyPartialExec")
+    val sources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    val parts = spark.sparkContext.defaultParallelism.toLong
+    // the k·P bound: <= k per (source, input partition) — the exchange is
+    // quota-sized at ANY corpus size (measured constant 801 rows at
+    // 1×/10×/30× in SCALE.md round-10)
+    partials.flatMap(_.metrics.get("numOutputRows")).foreach(m =>
+      assert(m.value <= 10L * sources * (parts + 4),
+        s"A-ES partial shipped ${m.value} rows past the quota bound"))
+  }
+
   test("fact-grain measured pair: operator and window idiom agree row for row") {
     val a = graft.plans.TopKPerKey.topFactPerPart(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq

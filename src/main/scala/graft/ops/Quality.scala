@@ -1636,6 +1636,118 @@ object Quality {
       |FROM pick2 p JOIN ex e ON e.event_type = p.event_type AND e.q = p.q
       |ORDER BY p.event_type, p.q""".stripMargin
 
+  /** x276: quantile DRIFT from the [[ddsketchQuantiles]] daily state —
+    * the monitoring query the mergeable rollup exists for: the SAME
+    * (type, day, bucket) state rows, sliced at the span-median day (the
+    * x260 temporal discipline) and merged per half, give per-type
+    * p50/p90/p99 for each period and their shift — NO fact re-scan, two
+    * different rollups of one persisted table. A wasserstein-style full
+    * distribution distance (x254) answers "did it move"; this answers
+    * the operator question "did the p99 move and by how much", per
+    * quantile, with DDSketch's α-relative-error bound on each side.
+    * The drift is reported on the bucket MIDPOINT COUNTERPART each
+    * engine owns exactly: the chosen bucket's observed [lo, hi] and the
+    * integer bucket-index delta (each index step ≈ 2α relative shift,
+    * so `d_bucket` IS the drift in ~2% units — engine-exact integers,
+    * no transcendental at query time).
+    */
+  def ddsketchDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("v_e2"))
+      .filter(col("v_e2") >= 1L)
+    val med = ev.agg(floor((min(col("day")) + max(col("day"))) / 2L)
+      .cast("long").as("mid"))
+    val bucket = ceil(log(col("v_e2").cast("double")) /
+      log(lit(1.01d) / lit(0.99d))).cast("long").as("bucket")
+    // the SAME daily state shape as x273, tagged by period at merge time
+    val state = ev.select(col("event_type"), col("day"), bucket, col("v_e2"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("cnt"), min(col("v_e2")).as("lo_e2"),
+        max(col("v_e2")).as("hi_e2"))
+    val merged = state.crossJoin(broadcast(med))
+      .withColumn("period", (col("day") > col("mid")).cast("int"))
+      .groupBy("event_type", "period", "bucket")
+      .agg(sum(col("cnt")).as("cnt"), min(col("lo_e2")).as("lo_e2"),
+        max(col("hi_e2")).as("hi_e2"))
+    val wCum = Window.partitionBy("event_type", "period").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("event_type", "period")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = merged.select(col("event_type"), col("period"), col("bucket"),
+      col("lo_e2"), col("hi_e2"), sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wN).as("n"))
+    val qs = spark.range(1).select(
+      explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+    val picked = cum.crossJoin(broadcast(qs))
+      .filter(col("cum") >= expr("(n * q + 99) DIV 100"))
+      .groupBy("event_type", "period", "q")
+      .agg(min_by(struct(col("bucket"), col("lo_e2"), col("hi_e2")),
+        col("bucket")).as("s"))
+      .select(col("event_type"), col("period"), col("q"),
+        col("s.bucket").as("bucket"), col("s.lo_e2").as("lo_e2"),
+        col("s.hi_e2").as("hi_e2"))
+    val a = picked.filter(col("period") === 0)
+      .select(col("event_type"), col("q"), col("bucket").as("bucket_a"),
+        col("lo_e2").as("lo_a_e2"), col("hi_e2").as("hi_a_e2"))
+    val b = picked.filter(col("period") === 1)
+      .select(col("event_type"), col("q"), col("bucket").as("bucket_b"),
+        col("lo_e2").as("lo_b_e2"), col("hi_e2").as("hi_b_e2"))
+    a.join(b, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("bucket_a"), col("bucket_b"),
+        (col("bucket_b") - col("bucket_a")).as("d_bucket"),
+        col("lo_a_e2"), col("hi_a_e2"), col("lo_b_e2"), col("hi_b_e2"))
+      .orderBy("event_type", "q")
+  }
+
+  val ddsketchDriftOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+      |            FROM events
+      |            WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
+      |md AS (SELECT CAST(floor((MIN(day) + MAX(day)) / 2) AS BIGINT) AS mid FROM ev),
+      |b AS (SELECT event_type, day, v_e2,
+      |             CAST(ceil(ln(CAST(v_e2 AS DOUBLE))
+      |               / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+      |               AS BIGINT) AS bucket
+      |      FROM ev),
+      |state AS (SELECT event_type, day, bucket, COUNT(*) AS cnt,
+      |                 MIN(v_e2) AS lo_e2, MAX(v_e2) AS hi_e2
+      |          FROM b GROUP BY 1, 2, 3),
+      |mrg AS (SELECT event_type,
+      |               CAST(CASE WHEN state.day > md.mid THEN 1 ELSE 0 END AS INTEGER)
+      |                 AS period,
+      |               bucket, CAST(SUM(cnt) AS BIGINT) AS cnt,
+      |               MIN(lo_e2) AS lo_e2, MAX(hi_e2) AS hi_e2
+      |        FROM state, md GROUP BY 1, 2, 3),
+      |cum AS (SELECT event_type, period, bucket, lo_e2, hi_e2,
+      |               CAST(SUM(cnt) OVER (PARTITION BY event_type, period
+      |                 ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |               CAST(SUM(cnt) OVER (PARTITION BY event_type, period)
+      |                 AS BIGINT) AS n
+      |        FROM mrg),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q),
+      |pk AS (SELECT event_type, period, q, MIN(bucket) AS bucket
+      |       FROM cum CROSS JOIN qs
+      |       WHERE cum >= (n * q + 99) // 100
+      |       GROUP BY 1, 2, 3),
+      |pick2 AS (SELECT p.event_type, p.period, p.q, p.bucket, c.lo_e2, c.hi_e2
+      |          FROM pk p JOIN cum c ON c.event_type = p.event_type
+      |            AND c.period = p.period AND c.bucket = p.bucket)
+      |SELECT a.event_type, CAST(a.q AS BIGINT) AS q,
+      |       a.bucket AS bucket_a, bb.bucket AS bucket_b,
+      |       bb.bucket - a.bucket AS d_bucket,
+      |       a.lo_e2 AS lo_a_e2, a.hi_e2 AS hi_a_e2,
+      |       bb.lo_e2 AS lo_b_e2, bb.hi_e2 AS hi_b_e2
+      |FROM pick2 a JOIN pick2 bb
+      |  ON bb.event_type = a.event_type AND bb.q = a.q
+      |  AND a.period = 0 AND bb.period = 1
+      |ORDER BY a.event_type, a.q""".stripMargin
+
   /** x255: KMV (k-minimum-values) distinct sketch with SET INTERSECTION —
     * the estimator family member HLL ([[hllExact]]) cannot provide: HLL
     * unions losslessly but can only inclusion-exclude intersections

@@ -217,6 +217,7 @@ object Ext {
     "x273_ddsketch"        -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchQuantiles(s, d)),
     "x274_stratified_aes"  -> ((s: SparkSession, d: String) => graft.ops.Sampling.stratifiedAes(s, d)),
     "x275_pit_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoin(s, d)),
+    "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
     "x62_decontaminate"    -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
@@ -639,6 +640,7 @@ object Ext {
     "x273_ddsketch"        -> graft.ops.Quality.ddsketchOracle,
     "x274_stratified_aes"  -> graft.ops.Sampling.stratifiedAesOracle,
     "x275_pit_join"        -> graft.ops.AsOf.pitOracle,
+    "x276_ddsketch_drift"  -> graft.ops.Quality.ddsketchDriftOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

@@ -3117,6 +3117,24 @@ class OpsSpec extends SparkSuite {
     assert(got.forall(_._3 >= 0L))
   }
 
+  test("DDSketch drift: deltas consistent, per-period quantile buckets monotone in q") {
+    val rows = graft.ops.Quality.ddsketchDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_bucket") ===
+        r.getAs[Long]("bucket_b") - r.getAs[Long]("bucket_a"))
+      assert(r.getAs[Long]("lo_a_e2") <= r.getAs[Long]("hi_a_e2"))
+      assert(r.getAs[Long]("lo_b_e2") <= r.getAs[Long]("hi_b_e2"))
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byQ = rs.sortBy(_.getAs[Long]("q"))
+      assert(byQ.map(_.getAs[Long]("bucket_a")).toSeq ===
+        byQ.map(_.getAs[Long]("bucket_a")).sorted.toSeq)
+      assert(byQ.map(_.getAs[Long]("bucket_b")).toSeq ===
+        byQ.map(_.getAs[Long]("bucket_b")).sorted.toSeq)
+    }
+  }
+
   test("PIT join never leaks future state and matches the interval-join replay") {
     val got = graft.ops.AsOf.pitDimensionJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))

@@ -43,13 +43,13 @@ object Bench {
     // plan-shape claims (e.g. x271 vs x272 — bounded-heap prune vs
     // shuffle-everything window) in the artifact itself.
     val shufRec = new java.util.concurrent.atomic.AtomicLong(0)
-    val shufMb = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufBytesAcc = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) {
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
           shufRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          shufMb.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shufBytesAcc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
     })
     val taskTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -62,9 +62,9 @@ object Bench {
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
         .map { case (name, fn) =>
         if (cold) Layer.clear(spark)
-        val (tasks0, rec0, byt0) = {
+        val (tasks0, rec0, bytes0) = {
           org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
-          (taskMs.get(), shufRec.get(), shufMb.get())
+          (taskMs.get(), shufRec.get(), shufBytesAcc.get())
         }
         val t0 = System.nanoTime()
         val secs =
@@ -80,10 +80,10 @@ object Bench {
         org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
         taskTimes += s"$tag:$name" -> (taskMs.get() - tasks0)
         shufRecs += s"$tag:$name" -> (shufRec.get() - rec0)
-        shufBytes += s"$tag:$name" -> (shufMb.get() - byt0)
+        shufBytes += s"$tag:$name" -> (shufBytesAcc.get() - bytes0)
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
-        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufMb.get() - byt0) / 1048576.0}%8.1f MiB")
+        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufBytesAcc.get() - bytes0) / 1048576.0}%8.1f MiB")
         name -> secs
       }
     def fmt(m: Map[String, Double]): String =

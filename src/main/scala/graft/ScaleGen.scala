@@ -22,17 +22,24 @@ object ScaleGen {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
 
+  private val usage =
+    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] " +
+      "(trailing args are recognized BY VALUE — an integer is dupBoost, " +
+      "fixed/heaps is vocabMode — so `ScaleGen out 10 heaps` works without " +
+      "passing the default dupBoost)"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 4,
-      "usage: ScaleGen <outDir> <multiplier> [dupBoost] [vocabMode]")
+    require(args.length >= 2 && args.length <= 4, usage)
     val out = args(0)
     val m = args(1).toInt
+    // Trailing args parse BY VALUE, not by position: `heaps` in slot 3
+    // used to hit dupBoost's toInt with an unhelpful NumberFormatException
+    // even though the intent was unambiguous. An integer is dupBoost, a
+    // mode word is vocabMode, anything else fails with the usage string.
     // dupBoost k multiplies the planted exact/near-dup RATE by ~k (the
     // moduli divide by k): the SCALE.md round-9 knob for pinning the
     // pair family's behavior on a dup-heavy corpus. Default 1 keeps the
     // r7/r8 corpora byte-identical.
-    val dupBoost = if (args.length >= 3) args(2).toInt else 1
-    require(dupBoost >= 1 && dupBoost <= 100, s"dupBoost $dupBoost out of range")
     // vocabMode "heaps" (round-10): synthetic word ids drawn from a
     // vocabulary of ⌈600·√m⌉ types, so V(tokens) ≈ K·n^0.5 — the
     // Heaps-law regime of a real web corpus, where sub-cap shingles
@@ -40,9 +47,15 @@ object ScaleGen {
     // The default ("fixed") keeps every prior corpus byte-identical;
     // heaps mode exists to measure the x269 router's OTHER direction
     // at scale (the saturated direction is the default corpus itself).
-    val vocabMode = if (args.length == 4) args(3) else "fixed"
-    require(vocabMode == "fixed" || vocabMode == "heaps",
-      s"vocabMode $vocabMode must be fixed|heaps")
+    var dupBoost = 1
+    var vocabMode = "fixed"
+    args.drop(2).foreach {
+      case v if v.forall(_.isDigit) && v.nonEmpty => dupBoost = v.toInt
+      case v @ ("fixed" | "heaps") => vocabMode = v
+      case other => throw new IllegalArgumentException(
+        s"unrecognized argument '$other' — $usage")
+    }
+    require(dupBoost >= 1 && dupBoost <= 100, s"dupBoost $dupBoost out of range")
     val exactMod = math.max(2, 625 / dupBoost)
     val nearMod = math.max(3, 400 / dupBoost)
     val spark = SparkSession.builder()

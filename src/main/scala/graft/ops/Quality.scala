@@ -1650,6 +1650,18 @@ object Quality {
     * integer bucket-index delta (each index step ≈ 2α relative shift,
     * so `d_bucket` IS the drift in ~2% units — engine-exact integers,
     * no transcendental at query time).
+    *
+    * KNOWN SEMANTIC LIMIT (deliberate, oracle-mirrored): the final
+    * period-0 × period-1 join is INNER, so an event_type whose events
+    * fall entirely within one half of the day span has no counterpart
+    * row and is ABSENT from the drift output — "appeared" / "vanished"
+    * types are a presence question, not a quantile-shift question, and
+    * this operator answers only the latter. A monitor that must flag
+    * presence changes pairs this with x260's per-period type counts
+    * (one aggregate over the same state); folding nullable counterpart
+    * buckets in here via a full outer join would make every downstream
+    * consumer null-guard d_bucket for a case a cheaper query already
+    * covers.
     */
   def ddsketchDrift(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {

@@ -96,7 +96,12 @@ class PlansSpec extends SparkSuite {
     assert(partials.nonEmpty, "A-ES did not plan through TopKPerKeyPartialExec")
     val sources = graft.Tables.documents(spark, sf)
       .select("source").distinct().count()
-    val parts = spark.sparkContext.defaultParallelism.toLong
+    // P = the ACTUAL scan partition count of the documents table (file
+    // layout / maxPartitionBytes decide this, and it can exceed
+    // defaultParallelism on a many-file or large-file layout — the bound
+    // must come from the same partitioning the partial exec ran over,
+    // not from the cluster's core count)
+    val parts = graft.Tables.documents(spark, sf).rdd.getNumPartitions.toLong
     // the k·P bound: <= k per (source, input partition) — the exchange is
     // quota-sized at ANY corpus size (measured constant 801 rows at
     // 1×/10×/30× in SCALE.md round-10)

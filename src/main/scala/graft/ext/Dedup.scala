@@ -448,8 +448,20 @@ object Dedup {
     * graduates from rows-only to hash-matched. Output: candidate pairs
     * with exact Jaccard distance ≤ maxDist.
     */
-  def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7,
+                   budget: Long = pairBudget): DataFrame = {
     val keyed = minhashSigs(spark, dir, minhashTables(maxDist))
+    // bare-channel saturation guard (the x16 twin of x15's m100 abort):
+    // Σ c·(c−1)/2 over the (table, minhash) bucket populations is EXACTLY
+    // the row count the bucket self-join below will emit before distinct —
+    // on a saturated corpus the per-table min-hash collapses to a handful
+    // of values and this goes to ~b·n²/2 (the measured 1.92 task exponent).
+    // One aggregate over the Layer-cached signature frame, refused before
+    // any pair ships.
+    requirePairBudget(
+      candidatePairEstimate(
+        keyed.groupBy("t", "mh").agg(count(lit(1)).as("c")), "c"),
+      budget, "minhashPairs (x16)")
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.t") === col("y.t") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -581,7 +593,10 @@ object Dedup {
     */
   def cappedNeardupPairs(spark: SparkSession, dir: String,
                          minJaccard: Double = 0.6, dfCap: Int = 64): DataFrame =
-    prefixFilteredPairs(spark, dir, minJaccard, Some(dfCap))
+    // unguarded by construction: the df cap bounds per-shingle candidate
+    // work at cap² and total volume at O(n·cap) — no saturation regime
+    // can blow this channel up, which is the whole reason it exists
+    prefixFilteredPairs(spark, dir, minJaccard, Some(dfCap), guard = None)
 
   /** x158 oracle: the SEMANTIC contract, not the plan — the capped-prefix
     * PPJoin's output equals exactly {qualifying pairs whose RAREST shared
@@ -636,8 +651,9 @@ object Dedup {
     * hot-shingle blowup of a plain inverted-index join (one shingle in 1%
     * of a 100 TB corpus → count² pairs) cannot happen.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6): DataFrame =
-    prefixFilteredPairs(spark, dir, minJaccard, dfCap = None)
+  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.6,
+                        budget: Long = pairBudget): DataFrame =
+    prefixFilteredPairs(spark, dir, minJaccard, dfCap = None, guard = Some(budget))
 
   /** Per-(lang, shingle) document-frequency frame — the x269 probe
     * surface (the same inverted frame the PPJoin prefix already builds).
@@ -657,6 +673,44 @@ object Dedup {
   private[graft] def saturationShare(dfFrame: DataFrame, dfCap: Int): Double =
     dfFrame.agg(coalesce(avg(when(col("df") > dfCap, 1d).otherwise(0d)), lit(0d)))
       .head.getDouble(0)
+
+  /** Candidate-pair budget for the BARE exact near-dup channels (x15
+    * PPJoin, x16 MinHash). The round-10 m100 rehearsal proved the failure
+    * mode: on a saturation-hot corpus both channels shipped 35–66 GiB of
+    * doomed pair shuffle before aborting — 11,600 burned task-seconds for
+    * a join that could never finish. The guard refuses BEFORE the pair
+    * join is attempted, for the cost of one aggregate over a frame the
+    * channel already builds. Default 2·10⁹ estimated pairs (≈ 32 GB of
+    * 16-byte pair keys — the abort's scale); override via
+    * SPARK_GRAFT_PAIR_BUDGET. Gate SFs sit 3–6 orders of magnitude below
+    * (sf0.01: 3.7 k, sf0.1: 326 k vs the saturated m100's ~10¹³), so the
+    * refusal can never fire on a healthy corpus by accident.
+    */
+  private[graft] def pairBudget: Long =
+    sys.env.get("SPARK_GRAFT_PAIR_BUDGET").map(_.toLong).getOrElse(2000000000L)
+
+  /** Σ c·(c−1)/2 over a bucket-population frame — the row count the
+    * bucket self-join would emit before any verify (exact for x16's
+    * (table, minhash) buckets; an upper bound for x15's df frame, since
+    * prefix filtering only shrinks posting lists). Double arithmetic by
+    * design: this is a refuse/admit estimate, and Σ df² on a web-scale
+    * saturated corpus overflows Long (10⁹ docs × hot lists → > 10¹⁹).
+    */
+  private[graft] def candidatePairEstimate(buckets: DataFrame, cntCol: String): Double =
+    buckets.agg(coalesce(
+        sum(col(cntCol).cast("double") * (col(cntCol).cast("double") - 1d) / 2d), lit(0d)))
+      .head.getDouble(0)
+
+  private def requirePairBudget(est: Double, budget: Long, channel: String): Unit =
+    require(est <= budget.toDouble,
+      f"$channel refused: candidate-pair estimate $est%.3g exceeds the " +
+        f"pair budget $budget%d — this corpus is saturation-hot for the bare " +
+        "exact channel (every posting list corpus-hot ⇒ the pair join is " +
+        "superlinear and was measured to abort at 100×, SCALE.md). Use " +
+        "routedNearDup (x269) to auto-route, or cappedNeardupPairs (x158) " +
+        "for the df-capped channel whose volume is O(n·cap) at any " +
+        "saturation; raise SPARK_GRAFT_PAIR_BUDGET only with cluster " +
+        "shuffle capacity to match.")
 
   /** x269: saturation-ROUTED near-dup — the r9 SCALE.md routing finding
     * made executable. The measured facts it encodes: on the 30× fully
@@ -734,12 +788,19 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
 
   private def prefixFilteredPairs(spark: SparkSession, dir: String, minJaccard: Double,
-                                  dfCap: Option[Int]): DataFrame =
+                                  dfCap: Option[Int], guard: Option[Long]): DataFrame =
   graft.Layer.cached(spark, dir, s"jaccardPairs@$minJaccard${dfCap.fold("")("#" + _)}") {
     val docs = shingled3(spark, dir)
       .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
     val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+    // bare-channel saturation guard (x15's m100 abort, round-10): refuse
+    // LOUDLY off the df frame — one aggregate over the Layer-shared
+    // shingle pass — before a doomed pair join ships anything. Runs once
+    // per (session, dir, threshold): the Layer memoizes the built frame,
+    // and a refusal throws before anything is cached.
+    guard.foreach(b =>
+      requirePairBudget(candidatePairEstimate(df, "df"), b, "ngramJaccardPairs (x15)"))
     // per-doc prefix under the global (df asc, shingle asc) total order.
     // Length |A|−L+1 with the required-overlap bound L computed in INTEGER
     // basis points: double floor(1−t)·sz under-counts by 1 whenever 1−t

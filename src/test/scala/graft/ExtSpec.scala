@@ -157,6 +157,51 @@ class ExtSpec extends SparkSuite {
     assert(routed === expected)
   }
 
+  test("x15/x16 bare channels refuse LOUDLY above the pair budget; Heaps corpora pass through") {
+    import spark.implicits._
+    // the round-10 m100 lesson as a law: a saturated corpus must make the
+    // BARE exact channels fail fast at the guard (estimate aggregate only
+    // — milliseconds here, vs the measured 11,600 task-s doomed-shuffle
+    // abort), while a Heaps-law corpus under the SAME budget passes
+    // through untouched. Fixtures go through parquet so the guard runs on
+    // the real (spark, dir) channel entrypoints.
+    val base = java.nio.file.Files.createTempDirectory("graft_pair_budget").toString
+    val satDir = s"$base/sat"
+    val heapsDir = s"$base/heaps"
+    // saturated: 40 identical docs — 3 distinct shingles, each df = 40,
+    // estimate = 3·(40·39/2) = 2340 ≫ budget 100
+    (1 to 40).map(i => (i.toLong, "en", "a b c d e"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$satDir/documents.parquet")
+    // Heaps: fresh vocabulary per doc (df = 1 ⇒ estimate 0) plus ONE
+    // planted exact dup so the pass-through result is provably nonempty
+    // on both channels (identical shingle sets ⇒ every minhash table
+    // collides deterministically)
+    ((1 to 40).map(i => (i.toLong, "en", s"w${i}a w${i}b w${i}c w${i}d w${i}e")) :+
+      ((41L, "en", "w1a w1b w1c w1d w1e")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$heapsDir/documents.parquet")
+    val e15 = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(spark, satDir, 0.6, budget = 100L))
+    assert(e15.getMessage.contains("routedNearDup") &&
+      e15.getMessage.contains("SPARK_GRAFT_PAIR_BUDGET"),
+      s"x15 refusal must point the caller at the router: ${e15.getMessage}")
+    val e16 = intercept[IllegalArgumentException](
+      Dedup.minhashPairs(spark, satDir, 0.7, budget = 100L))
+    assert(e16.getMessage.contains("routedNearDup"),
+      s"x16 refusal must point the caller at the router: ${e16.getMessage}")
+    // same budget, Heaps corpus: both channels run and find the planted dup
+    val ppjoin = Dedup.ngramJaccardPairs(spark, heapsDir, 0.6, budget = 100L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ppjoin.contains((1L, 41L)), s"planted dup missing from $ppjoin")
+    val mh = Dedup.minhashPairs(spark, heapsDir, 0.7, budget = 100L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.contains((1L, 41L)), s"planted dup missing from $mh")
+    // and the CAPPED channel accepts the saturated corpus without a guard:
+    // its volume is O(n·cap) by construction — saturation cannot blow it up
+    Dedup.cappedNeardupPairs(spark, satDir, 0.6, 8).count()
+  }
+
   test("simhash near-dups overlap exact near-dups on planted duplicates") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

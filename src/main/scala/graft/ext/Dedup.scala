@@ -150,6 +150,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x277: deterministic-bloom corpus delta — [[bloomDelta]]'s semantics
+    * re-expressed on the HASH-CHECKED path, the x270/s19 discipline
+    * (md5-derived state the oracle can replay; the JVM-internal
+    * Datasketches/BloomFilter build stays the production variant).
+    * Construction: k = 7 bit positions per content key, position_j =
+    * int(md5(key ':' j)[0:15 hex]) mod 2²⁰; the seen-set's SET BITS
+    * materialize as a register table of AT MOST 2²⁰ rows — CONSTANT in
+    * corpus size, so it broadcasts at any scale and the arrivals side
+    * never shuffles (the same no-shuffle plan shape as x101's broadcast
+    * filter probe). An arrival is admitted iff ANY of its k positions is
+    * unset — bloom semantics with the SAME safe error direction: a false
+    * negative is impossible (a true duplicate's key sets exactly the
+    * positions the probe reads), a false positive over-drops a genuinely
+    * new document, recoverable on a later ingest. DuckDB computes the
+    * identical positions from the identical md5 strings, so the full
+    * delta — including any collision-driven drops — is replayable and
+    * x277 rides the hash-matched gate that x101 (whose FP set is a
+    * function of Spark's filter internals) cannot.
+    */
+  def deterministicBloomDelta(spark: SparkSession, dir: String,
+                              k: Int = 7, mBits: Long = 1L << 20): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .withColumn("content_key", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    def positions(c: org.apache.spark.sql.Column) = array((0 until k).map(j =>
+      pmod(conv(substring(md5(concat(c, lit(":"), lit(j.toString))), 1, 15), 16, 10)
+        .cast("long"), lit(mBits))): _*)
+    val seenBits = keyed.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(positions(col("content_key"))).as("bit"))
+      .distinct()
+      .withColumn("set", lit(1))
+    keyed.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("content_key"),
+        explode(positions(col("content_key"))).as("bit"))
+      .join(broadcast(seenBits), Seq("bit"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(min(coalesce(col("set"), lit(0))).as("all_set"))
+      .filter(col("all_set") === 0)
+      .select("doc_id", "content_key")
+      .orderBy("doc_id")
+  }
+
+  /** x277 oracle: the identical md5 bit derivation, register set, and
+    * all-k-set admission test in DuckDB.
+    */
+  val detBloomDeltaOracle: String =
+    """WITH k AS (SELECT doc_id,
+      |                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
+      |           FROM documents),
+      |bits AS (SELECT doc_id, content_key,
+      |                ('0x' || substr(md5(content_key || ':' || j), 1, 15))::BIGINT
+      |                  % 1048576 AS bit
+      |         FROM k CROSS JOIN UNNEST(range(0, 7)) t(j)),
+      |seen AS (SELECT DISTINCT bit FROM bits WHERE doc_id % 10 <> 0)
+      |SELECT doc_id, content_key FROM bits
+      |WHERE doc_id % 10 = 0
+      |GROUP BY doc_id, content_key
+      |HAVING MIN(CASE WHEN bit IN (SELECT bit FROM seen) THEN 1 ELSE 0 END) = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination — flag training documents sharing any
     * 4-token n-gram with the eval set (the pre-training hygiene step that
     * keeps benchmark text out of the corpus; n-gram collision is the

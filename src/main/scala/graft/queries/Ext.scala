@@ -302,6 +302,7 @@ object Ext {
     "x86_intradoc_dedup"   -> ((s: SparkSession, d: String) => graft.ops.Chunking.intraDocDedup(s, d)),
     "x100_crossdoc_dedup"  -> ((s: SparkSession, d: String) => graft.ops.Chunking.crossDocDedup(s, d)),
     "x101_bloom_delta"     -> ((s: SparkSession, d: String) => Dedup.bloomDelta(s, d)),
+    "x277_det_bloom_delta" -> ((s: SparkSession, d: String) => Dedup.deterministicBloomDelta(s, d)),
     "x74_repetition"       -> ((s: SparkSession, d: String) => TextAnalysis.repetitionSignals(s, d)),
     "x75_pii_scrub"        -> ((s: SparkSession, d: String) => TextAnalysis.piiScrub(s, d)),
     "x76_vocab_topk"       -> ((s: SparkSession, d: String) => TextAnalysis.vocabTopK(s, d)),
@@ -641,6 +642,7 @@ object Ext {
     "x274_stratified_aes"  -> graft.ops.Sampling.stratifiedAesOracle,
     "x275_pit_join"        -> graft.ops.AsOf.pitOracle,
     "x276_ddsketch_drift"  -> graft.ops.Quality.ddsketchDriftOracle,
+    "x277_det_bloom_delta" -> Dedup.detBloomDeltaOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,
     "x90_dsir_weights"     -> TextAnalysis.dsirOracle,
     "x91_sign_projection"  -> Similarity.signProjectionOracle,

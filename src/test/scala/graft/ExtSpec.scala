@@ -157,6 +157,21 @@ class ExtSpec extends SparkSuite {
     assert(routed === expected)
   }
 
+  test("x277 deterministic-bloom delta: no false negatives, FP over-drop within budget") {
+    // bloom error direction: admitted ⊆ exact delta (a true duplicate can
+    // NEVER slip through — its key sets exactly the bits the probe reads),
+    // and the only divergence is FP over-drop, bounded far under (k·n/m)^k
+    val exact = Dedup.corpusDelta(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.deterministicBloomDelta(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom.subsetOf(exact),
+      s"false negatives admitted: ${bloom.diff(exact)}")
+    val dropped = exact.diff(bloom)
+    assert(dropped.size <= math.max(1, exact.size / 100),
+      s"FP over-drop ${dropped.size}/${exact.size} exceeds the 1% budget")
+  }
+
   test("x15/x16 bare channels refuse LOUDLY above the pair budget; Heaps corpora pass through") {
     import spark.implicits._
     // the round-10 m100 lesson as a law: a saturated corpus must make the

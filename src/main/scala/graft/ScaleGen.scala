@@ -162,7 +162,14 @@ object ScaleGen {
         // columns are value-identical to the r8/r9 corpora
         element_at(array(lit("F"), lit("O"), lit("P")),
           (pmod(hash(col("id"), lit(21)), lit(3)) + 1).cast("int"))
-          .as("o_orderstatus"))
+          .as("o_orderstatus"),
+        // 5-value priority like the testdata (TPC-H domain, near-uniform),
+        // hash-derived — added round-11 so x275's PIT join enters the
+        // 1×/10×/30× protocol; all prior columns stay value-identical
+        element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW")),
+          (pmod(hash(col("id"), lit(22)), lit(5)) + 1).cast("int"))
+          .as("o_orderpriority"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // embeddings: 64-dim float vectors in [-1, 1), hash-derived per

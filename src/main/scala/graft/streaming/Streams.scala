@@ -34,16 +34,33 @@ object Streams {
     * (hour, type)), AvailableNow replay. Oracle-checked against the same
     * SQL as the batch query.
     */
+  /** Layout-tolerant streaming reader for `<dir>/<name>.parquet`: the
+    * driver testdata ships each table as ONE parquet FILE (so the source
+    * reads the sf dir under a pathGlobFilter), while ScaleGen — and any
+    * real lake — writes a parquet DIRECTORY of part files, where that
+    * same leaf-name glob matches nothing and a streaming query would
+    * silently replay ZERO rows. One driver-side stat call picks the
+    * right shape; this is what admits the s-family to the 1×/10×/30×
+    * SCALE protocol (round-11 — streaming queries previously had no
+    * scale rows at all).
+    */
+  private def tableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = Tables.load(spark, dir, name).schema
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(path).isDirectory)
+      spark.readStream.schema(raw).parquet(path.toString)
+    else
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", s"$name.parquet")
+        .parquet(dir)
+  }
+
   /** File-source replay of the events table with the raw (nanos-as-long)
     * schema, normalized to µs timestamps like the batch reader.
     */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.load(spark, dir, "events").schema
-    Tables.normalizeTs(
-      spark.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-  }
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(tableStream(spark, dir, "events"))
 
   /** Heartbeat replay fixture for the outer stream-stream joins (s11,
     * s13): the raw events plus ONE far-future sentinel per side (each
@@ -168,10 +185,7 @@ object Streams {
     * StreamingSpec on a MemoryStream.
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.load(spark, dir, "documents").schema
-    val keys = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val keys = tableStream(spark, dir, "documents")
       .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_key"))
       .dropDuplicates("content_key")
     runToMemory(keys, "append").orderBy("content_key")
@@ -187,11 +201,8 @@ object Streams {
     * logic is declarative columns rather than driver code.
     */
   def qualityStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.load(spark, dir, "documents").schema
     val toks = split(col("text"), " ")
-    val gated = spark.readStream.schema(raw)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val gated = tableStream(spark, dir, "documents")
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("ttr", round(size(array_distinct(toks)) / size(toks), 4))
       .filter(col("n_tokens") >= 30 && col("ttr") >= 0.3)

@@ -100,20 +100,45 @@ object Similarity {
 
   /** Derived IVF geometry — the scale dials as pure functions of corpus
     * count, mirroring the LSH band derivation in [[Dedup.deriveBands]]:
-    * nlist = ⌈√n⌉ cluster seeds (every ⌊n/nlist⌋-th vector), so the
-    * centroid broadcast grows as √n·dim — a fixed seed modulus would grow
-    * it LINEARLY in n and break the broadcast at corpus scale — and each
-    * cluster holds ~√n candidates. Default nProbe = ⌈√nlist⌉ ≈ n^¼, so
-    * per-query work is nProbe·n/nlist ≈ n^¾ — asymptotically sublinear —
-    * while the probed share shrinks slowly enough that the ExtSpec recall
-    * law holds. Returns (nlist, seedModulus, nProbe).
+    * nlist = ⌈√n⌉ cluster seeds (every ⌊n/nlist⌋-th vector), CAPPED at
+    * 12·⌈n^¼⌉ (round-11; the SCALE.md membership-assignment lever made
+    * default). The cap is the build-cost governor: serving-index
+    * membership assigns the FULL corpus against all centroids — n·nlist
+    * score-ops — and uncapped √n geometry makes that n^1.5, the measured
+    * residual of the r10 m100 row. Capped, build cost is ≤ 12·n^1.25
+    * while per-query probed candidates grow ~n^0.875 (probe = ⌈√nlist⌉ ≈
+    * √12·n^⅛ of clusters holding n^¾/12 each) — the classic IVF
+    * trade of build time against probe width, resolved toward build
+    * because the assignment is the ONE unavoidable full-corpus pass.
+    * 12 makes the cap inert below n = 12⁴ = 20 736 (⌈√n⌉ ≤ 12·⌈n^¼⌉ ⟺
+    * n^¼ ≤ 12), so both gate SFs keep their uncapped geometry
+    * bit-for-bit; the m30/m100 SCALE corpora exercise the capped path.
+    * Expressed as ceil/sqrt/least only — IEEE-exact in BOTH engines, the
+    * derived-oracle discipline (sqrt is correctly rounded, so
+    * `12·⌈√√n⌉` is the same integer in DuckDB and the JVM; a pow(n,0.25)
+    * would not be). The centroid broadcast then grows as
+    * min(√n, 12·n^¼)·dim — a fixed seed modulus would grow it LINEARLY
+    * in n and break the broadcast at corpus scale. Default nProbe =
+    * ⌈√nlist⌉, so the ExtSpec recall law holds at every geometry.
+    * Returns (nlist, seedModulus, nProbe).
     */
   private[graft] def ivfGeometry(n: Long): (Long, Long, Int) = {
-    val nlist = math.max(4L, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong)
+    val nn = math.max(1L, n).toDouble
+    val root = math.ceil(math.sqrt(nn)).toLong
+    val cap = 12L * math.ceil(math.sqrt(math.sqrt(nn))).toLong
+    val nlist = math.max(4L, math.min(root, cap))
     val mod = math.max(1L, n / nlist)
     val probe = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     (nlist, mod, probe)
   }
+
+  /** The [[ivfGeometry]] nlist derivation as DuckDB SQL over a column
+    * `n` — interpolated into every oracle CTE that mirrors the geometry,
+    * so the Scala formula and the SQL formula cannot drift apart.
+    */
+  private def nlistSql: String =
+    "GREATEST(4, LEAST(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), " +
+      "12 * CAST(ceil(sqrt(sqrt(CAST(n AS DOUBLE)))) AS BIGINT)))"
 
   /** Coarse-fit training stride — the FAISS sampled-fit recipe made a
     * derived dial (the x242 cell-governor discipline: BOTH engines
@@ -640,9 +665,9 @@ object Similarity {
     // hardcoded, in both engines)
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |geo AS (SELECT n,
-       |          GREATEST(1, n // GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))
+       |          GREATEST(1, n // $nlistSql)
        |            AS seedmod,
-       |          GREATEST(1, n // (16 * GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))))
+       |          GREATEST(1, n // (16 * $nlistSql))
        |            AS trainmod
        |        FROM nn),
        |qv AS (SELECT vec_id,
@@ -699,7 +724,7 @@ object Similarity {
     kmeansCtes +
       s""",
          |geo2 AS (SELECT GREATEST(2, CAST(ceil(sqrt(CAST(
-         |           GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+         |           $nlistSql
          |           AS DOUBLE))) AS BIGINT)) AS probe
          |         FROM nn),
          |qp AS (SELECT q_id, cluster FROM (
@@ -760,7 +785,7 @@ object Similarity {
     kmeansCtes +
       s""",
          |geo2 AS (SELECT GREATEST(2, CAST(ceil(sqrt(CAST(
-         |           GREATEST(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+         |           $nlistSql
          |           AS DOUBLE))) AS BIGINT)) AS probe
          |         FROM nn),
          |qp AS (SELECT qid, cluster FROM (

@@ -516,11 +516,19 @@ object Dedup {
     // on a saturated corpus the per-table min-hash collapses to a handful
     // of values and this goes to ~b·n²/2 (the measured 1.92 task exponent).
     // One aggregate over the Layer-cached signature frame, refused before
-    // any pair ships.
+    // any pair ships. The effective budget is a QUARTER of the shared
+    // dial: unlike x15's df-frame estimate (an upper bound that prefix
+    // filtering then shrinks ~3×), this estimate is exact on candidates
+    // but each candidate still fans through the distinct exchange and two
+    // verify joins — measured at the saturated m100: 7.8·10⁸ estimated
+    // candidates shipped 2.3·10⁹ shuffle rows / 66 GiB before aborting.
+    // Calibration on the same corpus family: saturated m100 estimates
+    // (x15 2.9·10⁹, x16 7.8·10⁸) refuse; the healthy 30× protocol corpus
+    // (x15 2.6·10⁸, x16 ~7·10⁷) clears both dials with ≥ 2× margin.
     requirePairBudget(
       candidatePairEstimate(
         keyed.groupBy("t", "mh").agg(count(lit(1)).as("c")), "c"),
-      budget, "minhashPairs (x16)")
+      budget / 4, "minhashPairs (x16)")
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.t") === col("y.t") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -102,29 +102,60 @@ object Bench {
     // been contended); a pass flags `contended` when ≥ 2 of 3 canaries
     // exceed 2× their reference. Only meaningful at the committed sf.
     val canaryNames = Seq("a13_small_qty_parts", "a29_supplier_parts", "x141_weighted_repl")
-    val canaryRefs: Map[String, Double] = {
+    // Reference task seconds per query = min(warm, cold) task_s in the
+    // previously committed same-sf detail (min, because a prior pass may
+    // itself have been contended). Feeds BOTH the 3-canary sentinel and
+    // the round-11 per-query self-certification below.
+    val refTaskS: Map[String, Double] = {
       val f = java.nio.file.Paths.get("docs/BENCH_DETAIL.json")
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
         val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        val sfOk = text.contains("\"sf\": \"" + sfDir + "\"")
-        if (!sfOk) Map.empty
-        else canaryNames.flatMap { n =>
-          val re = ("\"" + n + "\": \\{[^}]*\"warm_task_s\": ([0-9.]+|null), \"cold_task_s\": ([0-9.]+|null)").r
-          re.findFirstMatchIn(text).flatMap { m =>
-            val vals = Seq(m.group(1), m.group(2)).filter(_ != "null").map(_.toDouble)
-            if (vals.isEmpty) None else Some(n -> vals.min)
-          }
-        }.toMap
+        if (!text.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
+        else {
+          val re = ("\"([A-Za-z0-9_]+)\": \\{[^}]*\"warm_task_s\": ([0-9.]+|null)," +
+            " \"cold_task_s\": ([0-9.]+|null)").r
+          re.findAllMatchIn(text).flatMap { m =>
+            val vals = Seq(m.group(2), m.group(3)).filter(_ != "null").map(_.toDouble)
+            if (vals.isEmpty) None else Some(m.group(1) -> vals.min)
+          }.toMap
+        }
       }
     }
-    def canaryRatios(tag: String): Map[String, Double] =
-      canaryNames.flatMap { n =>
-        for {
-          ref <- canaryRefs.get(n) if ref > 0
-          cur <- taskTimes.get(s"$tag:$n")
-        } yield n -> (cur / 1000.0 / ref)
+    val canaryRefs: Map[String, Double] =
+      canaryNames.flatMap(n => refTaskS.get(n).map(n -> _)).toMap
+    // task_s ratio vs the committed reference, per query — the raw
+    // self-certification signal (task time is contention-DAMPED but not
+    // immune: hypervisor steal inflates executorRunTime too, the r10
+    // throttle finding)
+    def ratioOf(tag: String, n: String): Option[Double] =
+      for {
+        ref <- refTaskS.get(n) if ref > 0.05 // sub-50ms refs are noise
+        cur <- taskTimes.get(s"$tag:$n")
+      } yield cur / 1000.0 / ref
+    // Per-query TRUST flag via a rolling median over PASS ORDER (round-11,
+    // verdict directive 2): external contention is a WINDOW phenomenon —
+    // it inflates every query scheduled inside it — while a genuine plan
+    // regression is isolated to its own query. A query's wall/task is
+    // trustworthy iff the median ratio of its ±4 pass-order neighbors
+    // (itself included) stays ≤ 2×: a real 10× regression in a calm
+    // window keeps a ~1× neighborhood median (flagged trusted, so the
+    // regression is adjudicable), whereas a throttled stretch drags the
+    // whole neighborhood median up (flagged untrusted — the r10
+    // three-run forensics, now computed in-artifact).
+    def trustFlags(tag: String): Map[String, Boolean] = {
+      val order = taskTimes.keys.toSeq
+        .filter(_.startsWith(tag + ":")).map(_.stripPrefix(tag + ":"))
+      val rs = order.map(n => ratioOf(tag, n))
+      order.indices.flatMap { i =>
+        val win = (math.max(0, i - 4) to math.min(order.size - 1, i + 4))
+          .flatMap(rs)
+        if (win.size < 3) None
+        else Some(order(i) -> (win.sorted.apply(win.size / 2) <= 2.0))
       }.toMap
+    }
+    def canaryRatios(tag: String): Map[String, Double] =
+      canaryNames.flatMap(n => ratioOf(tag, n).map(n -> _)).toMap
     // null when unjudgeable (no reference / restricted run missing canaries)
     def contended(tag: String): String = {
       val rs = canaryRatios(tag)
@@ -154,6 +185,8 @@ object Bench {
     }
     emitParts("warm", warm)
     emitParts("cold", cold)
+    val trustW = trustFlags("warm")
+    val trustC = trustFlags("cold")
     // Builder-owned per-query table: the driver artifact keeps only the
     // TAIL of stdout (~31 queries survive), so the full per-query
     // warm/cold map also lands in-repo as docs/BENCH_DETAIL.json — one
@@ -177,8 +210,12 @@ object Bench {
       // cold is the per-plan number): the exchange-volume evidence column
       def shufCell(tag: String, n: String): String =
         shufRecs.get(s"$tag:$n").map(_.toString).getOrElse("null")
+      def ratioCell(tag: String, n: String): String =
+        ratioOf(tag, n).map(r => f"$r%.2f").getOrElse("null")
+      def trustCell(m: Map[String, Boolean], n: String): String =
+        m.get(n).map(_.toString).getOrElse("null")
       val lines = names.map(n =>
-        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}}""")
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}, "warm_ratio": ${ratioCell("warm", n)}, "cold_ratio": ${ratioCell("cold", n)}, "warm_trusted": ${trustCell(trustW, n)}, "cold_trusted": ${trustCell(trustC, n)}}""")
       val body =
         s"""{
            |  "round": $round,
@@ -191,6 +228,9 @@ object Bench {
            |  "warm_total": ${f"${total(warm)}%.3f"},
            |  "cold_total": ${f"${total(cold)}%.3f"},
            |  "canary_semantics": "constant-work sentinels vs min(warm,cold) task seconds in the previously committed detail; a pass with a majority of canaries over 2x ran under external CPU contention and its walls must not be compared round-over-round (the r9 poisoned-warm lesson). null = no same-sf reference.",
+           |  "trust_semantics": "per-query self-certification (round-11): X_ratio = this pass's task_s / min(warm,cold) task_s in the previously committed same-sf detail; X_trusted = the rolling MEDIAN ratio of the query's +-4 pass-order neighbors stayed <= 2x. Contention is a window phenomenon, so an untrusted flag marks a throttled stretch whose walls must not be compared round-over-round, while a genuine single-query regression keeps a calm neighborhood median and stays trusted (= adjudicable). null = new query / no reference / window too small.",
+           |  "untrusted_warm": ${trustW.valuesIterator.count(_ == false)},
+           |  "untrusted_cold": ${trustC.valuesIterator.count(_ == false)},
            |  "warm_canaries": ${canaryJson("warm")},
            |  "cold_canaries": ${canaryJson("cold")},
            |  "warm_contended": ${contended("warm")},
@@ -207,7 +247,7 @@ object Bench {
     }
     def taskTotal(tag: String): Double =
       taskTimes.collect { case (k, v) if k.startsWith(tag + ":") => v }.sum / 1000.0
-    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"warm_contended":${contended("warm")},"cold_contended":${contended("cold")},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"warm_contended":${contended("warm")},"cold_contended":${contended("cold")},"untrusted_warm":${trustW.valuesIterator.count(_ == false)},"untrusted_cold":${trustC.valuesIterator.count(_ == false)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.
     spark.stop()

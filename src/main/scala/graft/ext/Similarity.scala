@@ -379,7 +379,12 @@ object Similarity {
     val adc = codes.join(broadcast(lut), Seq("s", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("lut_e6")).as("adc_e6"))
-    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk")
+    // sortPartial = false: the few-queries/many-candidates profile — the
+    // heap partial holds <= poolK rows per qid (pool-sized state, no
+    // partition buffer); sorting the ADC stream to keep a 50-row pool
+    // would be the wrong trade (see TopKPerKey's discipline scaladoc)
+    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk",
+      sortPartial = false)
     exactRerank(e, pool, topK)
   }
 
@@ -440,7 +445,12 @@ object Similarity {
       .join(broadcast(lut), Seq("qid", "s", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("lut_e6")).as("adc_e6"))
-    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk")
+    // sortPartial = false: the few-queries/many-candidates profile — the
+    // heap partial holds <= poolK rows per qid (pool-sized state, no
+    // partition buffer); sorting the ADC stream to keep a 50-row pool
+    // would be the wrong trade (see TopKPerKey's discipline scaladoc)
+    val pool = graft.plans.TopKPerKey.of(adc, "qid", "adc_e6", "vec_id", poolK, "prnk",
+      sortPartial = false)
     exactRerank(e, pool, topK)
   }
 

@@ -275,7 +275,13 @@ object Sampling {
         size(split(col("text"), " ")).cast("long").as("w"))
       .withColumn("key_e15",
         floor(log(u) / col("w").cast("double") * lit(1e15d)).cast("long"))
-    graft.plans.TopKPerKey.of(keyed, "source", "key_e15", "doc_id", k, "rnk")
+    // sortPartial = false: the quota profile (20 strata, fact-sized
+    // partitions) is exactly where the bounded heap wins — steady-state
+    // rejection is one compare with no allocation and the partial holds
+    // ≤ k rows per stratum, while the sorted discipline would buffer and
+    // order the WHOLE document partition to keep 200 rows of it
+    graft.plans.TopKPerKey.of(keyed, "source", "key_e15", "doc_id", k, "rnk",
+        sortPartial = false)
       .select(col("source"), col("rnk"), col("doc_id"), col("w"), col("key_e15"))
       .orderBy(col("source"), col("rnk"))
   }

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,24 +23,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation for row_number, so a 100 TB fact crossing the exchange IS
   * the plan. Top-k per key, however, combines map-side exactly like a
   * sum: each input partition independently keeps at most k rows per key
-  * (a bounded min-heap; provably sufficient — any row outside a
-  * partition-local top-k is outside the global top-k), so the exchange
-  * ships ≤ k·partitions rows PER KEY regardless of fact size, and the
-  * final phase re-prunes the ≤ k·P survivors. Same exactness, shuffle
-  * bytes shrunk by the group-size/k ratio.
+  * (provably sufficient — any row outside a partition-local top-k is
+  * outside the global top-k), so the exchange ships ≤ k·partitions rows
+  * PER KEY regardless of fact size, and the final phase re-prunes the
+  * ≤ k·P survivors. Same exactness, shuffle bytes shrunk by the
+  * group-size/k ratio. (On Spark 4, `InferWindowGroupLimit` already
+  * plans this map-side prune for the LITERAL `row_number() ≤ k` filter
+  * idiom; this operator exists for the regimes where the inference
+  * cannot fire — computed k, rank consumed as a column, composition
+  * inside larger plans — see the x271/x272 measured pair.)
   *
-  * Semantics: rows ranked per key by (order DESC, tie ASC); ties beyond
-  * the (order, tie) pair do not exist when tie is unique per key (the
-  * caller's contract for a deterministic result, same as every window
-  * query in this repo). Rows with a NULL order or tie are dropped —
-  * documented, mirrored in oracles via `WHERE order IS NOT NULL`. The
-  * output schema is the child's columns plus an IntegerType rank
-  * (1-based).
+  * TWO partial disciplines, chosen by the caller's group profile
+  * (round-11, closing the r10 ~30% interpreted-heap gap):
   *
-  * Scale/memory contract: each task holds ≤ k rows per DISTINCT KEY IN
-  * ITS PARTITION — the operator's state is output-sized, never
-  * group-sized. Keys and retained rows are defensively copied out of the
-  * scan's reused buffers.
+  *  - `sortPartial = true` (default): the exec nodes REQUIRE a child
+  *    ordering of (key ASC, order DESC, tie ASC); EnsureRequirements
+  *    plans Spark's own SortExec (UnsafeExternalRowSorter with a
+  *    generated comparator — the exact machinery WindowGroupLimit's
+  *    fast path rides, radix-sorting the sort prefix, spill-safe), and
+  *    the partial degenerates to an allocation-free streaming
+  *    group-limit scan. Re-measured at m30: the heap partial paid +39%
+  *    task time vs the window idiom on a 600 k-key profile (the per-key
+  *    HashMap+PriorityQueue state goes cache-hostile as distinct keys
+  *    per partition grow); the sorted partial is the window plan's own
+  *    shape, so the gap is zero by construction.
+  *  - `sortPartial = false`: the original bounded-heap prune — state is
+  *    ≤ k rows per distinct key in the partition (output-sized, NEVER
+  *    partition-sized, nothing buffers or spills). This is the right
+  *    discipline when keys are FEW and rows per key are fact-scale (the
+  *    x274 A-ES quota profile: 20 strata × top-10 over the whole
+  *    corpus): steady-state rejection is one compare against the heap
+  *    head with no allocation, while a sort would buffer and order the
+  *    entire fact partition to keep 200 rows of it.
+  *
+  * Semantics (identical under both disciplines, asserted by the
+  * PlansSpec equivalence law): rows ranked per key by (order DESC, tie
+  * ASC); tie unique per key is the caller's determinism contract, same
+  * as every window query in this repo. Rows with a NULL order or tie
+  * are dropped — documented, mirrored in oracles via `WHERE order IS
+  * NOT NULL`. The output schema is the child's columns plus an
+  * IntegerType rank (1-based).
   */
 case class TopKPerKey(
     key: Expression,
@@ -48,7 +70,8 @@ case class TopKPerKey(
     tie: Expression,
     k: Int,
     rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    sortPartial: Boolean = true) extends UnaryNode {
   require(k >= 1, s"top-k needs k >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -60,10 +83,11 @@ object TopKPerKey {
   /** DataFrame-level entry: plans `df` through the custom operator. The
     * strategy registration on `spark.experimental.extraStrategies` is
     * idempotent and session-scoped (the same documented posture as
-    * streamingDistinct's provider conf).
+    * streamingDistinct's provider conf). `sortPartial` picks the partial
+    * discipline — see the class scaladoc for the profile guidance.
     */
   def of(df: DataFrame, key: String, order: String, tie: String, k: Int,
-         rankName: String = "rank"): DataFrame = {
+         rankName: String = "rank", sortPartial: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
@@ -76,7 +100,7 @@ object TopKPerKey {
       .find(a => spark.sessionState.conf.resolver(a.name, name))
       .getOrElse(throw new IllegalArgumentException(
         s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
-    // the physical heap compares order/tie as primitive longs; anything
+    // the physical scan compares order/tie as primitive longs; anything
     // else would ClassCastException mid-job, so fail at plan time instead
     def longAttr(name: String): Attribute = {
       val a = attr(name)
@@ -85,7 +109,8 @@ object TopKPerKey {
       a
     }
     val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), k,
-      AttributeReference(rankName, IntegerType, nullable = false)(), analyzed)
+      AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
+      sortPartial)
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
   }
 
@@ -128,18 +153,19 @@ object TopKPerKey {
     * through [[TopKPerKey]]; x272 is the row_number() window idiom a
     * migrating user writes first. Identical semantics, identical oracle.
     *
-    * WHAT THE MEASUREMENT FOUND (SCALE.md round-10): on Spark 4 the two
-    * plans shuffle the same rows TO THE ROW — `InferWindowGroupLimit`
-    * plans Sort → WindowGroupLimit(Partial) BELOW the exchange whenever
-    * a literal `row_number() ≤ k` filter is statically visible, and its
-    * codegen'd sort+limit runs ~30% cheaper in task time than this
-    * operator's interpreted bounded heap. Guidance: WRITE THE WINDOW
-    * IDIOM when the rank filter is a literal; reach for [[TopKPerKey]]
+    * WHAT THE MEASUREMENTS FOUND: on Spark 4 the two plans shuffle the
+    * same rows TO THE ROW — `InferWindowGroupLimit` plans Sort →
+    * WindowGroupLimit(Partial) BELOW the exchange whenever a literal
+    * `row_number() ≤ k` filter is statically visible (SCALE.md r10).
+    * The r10 task-time gap (~30% against the interpreted bounded heap,
+    * re-confirmed +39% at m30's 600 k-key profile) is CLOSED in r11 by
+    * the sorted partial, which is the window plan's own
+    * sort-then-group-limit shape. Guidance stands: write the window
+    * idiom when the rank filter is a literal; reach for [[TopKPerKey]]
     * when the inference cannot fire — computed/per-key k, rank consumed
-    * as a column without a filter, or composition inside a larger
-    * logical plan — where the k·P exchange bound still holds and the
-    * pre-3.5 window shape ships everything (PlansSpec pins 40 rows vs
-    * 8 000 on the hot-key fixture).
+    * as a column without a filter, composition inside a larger logical
+    * plan, or the few-strata quota profile where `sortPartial = false`
+    * keeps the partial buffer-free (x274's constant 801-row exchange).
     *
     * tie = orderkey·8 + linenumber (linenumber ∈ 1..7) — a single exact
     * BIGINT total order, same expression both engines.
@@ -184,17 +210,23 @@ object TopKPerKey {
       |WHERE rnk <= 2 ORDER BY l_partkey, rnk""".stripMargin
 }
 
-/** Plans the logical node as partial-prune → (exchange) → final-rank. */
+/** Plans the logical node as (sort) → partial-prune → exchange →
+  * (sort) → final-rank. Under `sortPartial` the sorts come from
+  * EnsureRequirements satisfying the execs' requiredChildOrdering —
+  * Spark's own codegen'd sorter, never hand-rolled.
+  */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
-      val partial = TopKPerKeyPartialExec(t.key, t.order, t.tie, t.k, planLater(t.child))
-      TopKPerKeyFinalExec(t.key, t.order, t.tie, t.k, t.rankAttr, partial) :: Nil
+      val partial = TopKPerKeyPartialExec(t.key, t.order, t.tie, t.k,
+        planLater(t.child), t.sortPartial)
+      TopKPerKeyFinalExec(t.key, t.order, t.tie, t.k, t.rankAttr, partial,
+        t.sortPartial) :: Nil
     case _ => Nil
   }
 }
 
-/** Shared bounded-heap pruning over an InternalRow iterator. */
+/** Shared pruning kernels over an InternalRow iterator. */
 private[plans] object TopKPrune {
   final case class Entry(ord: Long, tie: Long, row: InternalRow)
   // PriorityQueue dequeues the MAX under this ordering, so "max" must be
@@ -206,7 +238,18 @@ private[plans] object TopKPrune {
 
   def better(a: Entry, b: Entry): Boolean = worstFirst.compare(a, b) < 0
 
-  /** Consume `rows`, keep ≤ k best per key. Keys and rows are copied. */
+  /** The (key ASC, order DESC, tie ASC) requirement the sorted discipline
+    * asks of EnsureRequirements — order DESC carries NULLS LAST and tie
+    * ASC NULLS FIRST (Spark defaults), but null placement is irrelevant:
+    * the scan drops null-ordered rows wherever they land.
+    */
+  def requiredOrdering(key: Expression, order: Expression, tie: Expression): Seq[SortOrder] =
+    Seq(SortOrder(key, Ascending), SortOrder(order, Descending), SortOrder(tie, Ascending))
+
+  /** Bounded-heap prune: consume `rows`, keep ≤ k best per key — state is
+    * output-sized (≤ k rows per distinct key in the partition), nothing
+    * buffers. Keys and rows are copied out of the scan's reused buffers.
+    */
   def prune(rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
             tieE: Expression, k: Int): scala.collection.mutable.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]] = {
     val m = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.PriorityQueue[Entry]]
@@ -229,17 +272,61 @@ private[plans] object TopKPrune {
     }
     m
   }
+
+  /** Streaming group-limit over (key, order DESC, tie)-SORTED input:
+    * emit `f(row, rankWithinKey)` for the first k non-null-ordered rows
+    * of each key run. Zero per-row allocation beyond the held key copy
+    * at group boundaries — the partial's inner loop under the sorted
+    * discipline.
+    */
+  def groupLimit[T](rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
+                    tieE: Expression, k: Int)(f: (InternalRow, Int) => T): Iterator[T] =
+    new Iterator[T] {
+      private var curKey: Any = null
+      private var haveKey = false
+      private var taken = 0
+      private var ready: InternalRow = null
+      private def advance(): Unit = {
+        while (ready == null && rows.hasNext) {
+          val row = rows.next()
+          if (ordE.eval(row) != null && tieE.eval(row) != null) {
+            val kv = keyE.eval(row)
+            val same = haveKey && java.util.Objects.equals(curKey, kv)
+            if (!same) {
+              curKey = kv match {
+                case s: UTF8String => s.copy() // held across next() calls
+                case other => other
+              }
+              haveKey = true
+              taken = 0
+            }
+            if (taken < k) { taken += 1; ready = row }
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready != null }
+      override def next(): T = {
+        advance()
+        val r = ready; ready = null
+        f(r, taken)
+      }
+    }
 }
 
 /** Phase 1: partition-local top-k per key — the map-side combine
   * row_number() cannot have. No distribution requirement; emits the
   * retained rows unchanged (rank is assigned after the exchange).
+  * `sorted = true` asks EnsureRequirements for the (key, order DESC,
+  * tie) child sort and streams a group-limit; `sorted = false` runs the
+  * buffer-free bounded heap. See [[TopKPerKey]] for the profile trade.
   */
 case class TopKPerKeyPartialExec(
     key: Expression, order: Expression, tie: Expression, k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, sorted: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sorted) Seq(TopKPrune.requiredOrdering(key, order, tie)) else Seq(Nil)
   override lazy val metrics = Map("numOutputRows" ->
     org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
@@ -248,10 +335,14 @@ case class TopKPerKeyPartialExec(
       BindReferences.bindReference(order, child.output),
       BindReferences.bindReference(tie, child.output))
     val kk = k
+    val useSorted = sorted
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions({ it =>
-      TopKPrune.prune(it, keyB, ordB, tieB, kk)
-        .valuesIterator.flatMap(_.iterator.map { e => numOut += 1; e.row })
+      if (useSorted)
+        TopKPrune.groupLimit(it, keyB, ordB, tieB, kk) { (row, _) => numOut += 1; row }
+      else
+        TopKPrune.prune(it, keyB, ordB, tieB, kk)
+          .valuesIterator.flatMap(_.iterator.map { e => numOut += 1; e.row })
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
@@ -260,14 +351,19 @@ case class TopKPerKeyPartialExec(
 
 /** Phase 2: requires clustering on the key (Spark inserts the exchange),
   * re-prunes the ≤ k·P survivors per key, and emits rows best-first with
-  * the 1-based rank column appended.
+  * the 1-based rank column appended. Under the sorted discipline the
+  * post-exchange sort is over ≤ k·P rows per key — survivor-sized, and
+  * the rank IS the group-limit counter.
   */
 case class TopKPerKeyFinalExec(
     key: Expression, order: Expression, tie: Expression, k: Int,
-    rankAttr: AttributeReference, child: SparkPlan) extends UnaryExecNode {
+    rankAttr: AttributeReference, child: SparkPlan,
+    sorted: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(key)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sorted) Seq(TopKPrune.requiredOrdering(key, order, tie)) else Seq(Nil)
   override lazy val metrics = Map("numOutputRows" ->
     org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
@@ -276,20 +372,29 @@ case class TopKPerKeyFinalExec(
       BindReferences.bindReference(order, child.output),
       BindReferences.bindReference(tie, child.output))
     val kk = k
+    val useSorted = sorted
     val outAttrs = output
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions { it =>
-      val m = TopKPrune.prune(it, keyB, ordB, tieB, kk)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      m.valuesIterator.flatMap { pq =>
-        // dequeue order is worst-first; reverse for best-first ranks
-        val best = pq.dequeueAll.reverseIterator.toSeq
-        best.iterator.zipWithIndex.map { case (e, i) =>
-          rankRow.update(0, i + 1)
+      if (useSorted)
+        TopKPrune.groupLimit(it, keyB, ordB, tieB, kk) { (row, rank) =>
+          rankRow.update(0, rank)
           numOut += 1
-          proj(joined(e.row, rankRow)).copy()
+          proj(joined(row, rankRow)).copy()
+        }
+      else {
+        val m = TopKPrune.prune(it, keyB, ordB, tieB, kk)
+        m.valuesIterator.flatMap { pq =>
+          // dequeue order is worst-first; reverse for best-first ranks
+          val best = pq.dequeueAll.reverseIterator.toSeq
+          best.iterator.zipWithIndex.map { case (e, i) =>
+            rankRow.update(0, i + 1)
+            numOut += 1
+            proj(joined(e.row, rankRow)).copy()
+          }
         }
       }
     }

@@ -149,6 +149,100 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** The x275 inputs as frames — shared by the single-window PIT, the
+    * bucketed carry below, and the OpsSpec hot-key fixtures.
+    */
+  private[graft] def pitChanges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+      col("o_orderkey").as("chg_id"),
+      col("o_orderpriority").as("attr_value"))
+
+  private[graft] def pitRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+
+  /** x278: the BUCKETED two-phase PIT carry — [[pitDimensionJoin]] for
+    * the per-key tail its single window cannot survive: that plan's task
+    * grain is ONE KEY (a user with millions of events + versions sorts
+    * and carries in one partition task), which is fine on corpora whose
+    * per-key grain is bounded (every ScaleGen corpus — SCALE.md r11) and
+    * fatal on a power-law key. This variant's task grain is (key,
+    * TIME-BUCKET): identical output, three bounded stages —
+    *
+    *  1. per-(key, bucket) BOUNDARY STATE: the last change in the bucket
+    *     (a max_by aggregate — map-side combinable, never a sort) plus
+    *     the bucket's change count;
+    *  2. exclusive-prefix carry of that state across each key's bucket
+    *     GRID (a window over ≤ nBuckets rows per key — grid-sized,
+    *     metadata not fact);
+    *  3. the same as-of carry as x275 WITHIN each (key, bucket)
+    *     partition, seeded by the carried boundary state; version =
+    *     carried change count + the in-bucket running count.
+    *
+    * The bucket width is span/nBuckets, derived from the data's own
+    * min/max instants (1-row driver boundary) — a PLAN dial only: any
+    * width yields byte-identical output (changes in earlier buckets have
+    * strictly smaller t_us, ties share a bucket, so the carry
+    * composition is exact), which is why x278 rides the SAME oracle as
+    * x275 and the hash gate pins the equivalence. OpsSpec additionally
+    * pins row-for-row equality against the single-window plan on a
+    * planted hot-key fixture where bucketing actually splits the key.
+    */
+  def pitDimensionJoinBucketed(spark: SparkSession, dir: String,
+                               nBuckets: Int = 256): DataFrame =
+    pitCarryBucketed(pitChanges(spark, dir), pitRows(spark, dir), nBuckets)
+
+  /** Frame-level core of [[pitDimensionJoinBucketed]]; see there. */
+  private[graft] def pitCarryBucketed(changes: DataFrame, rows: DataFrame,
+                                      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    val chg = changes.select(col("user_id"), col("t_us"), col("chg_id"),
+      col("attr_value"), lit(null).cast("long").as("event_id"), lit(0).as("kind"))
+    val ev = rows.select(col("user_id"), col("t_us"),
+      lit(null).cast("long").as("chg_id"), lit(null).cast("string").as("attr_value"),
+      col("event_id"), lit(1).as("kind"))
+    val u = chg.unionByName(ev)
+    // span-derived width; empty input → the filter below yields nothing
+    val bounds = u.agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi")).head()
+    if (bounds.isNullAt(0)) return u.filter(lit(false))
+      .select(col("event_id"), col("user_id"), lit(0L).as("version"),
+        col("attr_value"), col("t_us").as("valid_from_us"))
+    val lo = bounds.getLong(0)
+    val w = math.max(1L, (bounds.getLong(1) - lo) / nBuckets + 1)
+    val b = u.withColumn("bucket", expr(s"(t_us - $lo) DIV $w"))
+    // stage 1: boundary state per (key, bucket) — an aggregate, not a sort
+    val bstate = b.filter(col("kind") === 0)
+      .groupBy("user_id", "bucket")
+      .agg(max_by(struct(col("attr_value"), col("t_us")),
+          struct(col("t_us"), col("chg_id"))).as("bs"),
+        count(lit(1)).as("n_chg"))
+    // stage 2: exclusive-prefix carry over each key's bucket grid
+    val grid = b.select("user_id", "bucket").distinct()
+      .join(bstate, Seq("user_id", "bucket"), "left")
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = grid.select(col("user_id"), col("bucket"),
+      last(col("bs"), ignoreNulls = true).over(wPrev).as("cs"),
+      coalesce(sum(col("n_chg")).over(wPrev), lit(0L)).as("c_version"))
+    // stage 3: the x275 carry WITHIN (key, bucket), seeded by the carry
+    val w2 = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("t_us"), col("kind"), coalesce(col("chg_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(carried, Seq("user_id", "bucket"))
+      .select(col("event_id"), col("user_id"), col("kind"),
+        coalesce(last(col("attr_value"), ignoreNulls = true).over(w2),
+          col("cs.attr_value")).as("pit_attr"),
+        coalesce(last(when(col("kind") === 0, col("t_us")), ignoreNulls = true).over(w2),
+          col("cs.t_us")).as("valid_from_us"),
+        (col("c_version") + sum((col("kind") === 0).cast("long")).over(w2)).as("version"))
+      .filter(col("kind") === 1 && col("pit_attr").isNotNull)
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("pit_attr").as("attr_value"), col("valid_from_us"))
+      .orderBy("event_id")
+  }
+
   val pitOracle: String =
     """WITH v AS (SELECT o_custkey AS user_id,
       |                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,

@@ -217,6 +217,8 @@ object Ext {
     "x273_ddsketch"        -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchQuantiles(s, d)),
     "x274_stratified_aes"  -> ((s: SparkSession, d: String) => graft.ops.Sampling.stratifiedAes(s, d)),
     "x275_pit_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoin(s, d)),
+    "x278_pit_bucketed"    -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoinBucketed(s, d)),
+    "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "x61_corpus_delta"     -> ((s: SparkSession, d: String) => Dedup.corpusDelta(s, d)),
@@ -641,6 +643,11 @@ object Ext {
     "x273_ddsketch"        -> graft.ops.Quality.ddsketchOracle,
     "x274_stratified_aes"  -> graft.ops.Sampling.stratifiedAesOracle,
     "x275_pit_join"        -> graft.ops.AsOf.pitOracle,
+    // x278/s20 deliberately ride x275's oracle VERBATIM: the bucketed
+    // carry is a plan-only rewrite and the streaming PIT is the online
+    // twin — all three must agree row for row, and the hash gate pins it
+    "x278_pit_bucketed"    -> graft.ops.AsOf.pitOracle,
+    "s20_stream_pit"       -> graft.ops.AsOf.pitOracle,
     "x276_ddsketch_drift"  -> graft.ops.Quality.ddsketchDriftOracle,
     "x277_det_bloom_delta" -> Dedup.detBloomDeltaOracle,
     "x108_cms_counts"      -> TextAnalysis.cmsOracle,

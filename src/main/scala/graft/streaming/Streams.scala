@@ -692,6 +692,44 @@ object Streams {
     runToMemory(enriched, "append").orderBy("event_id")
   }
 
+  /** s20: STREAMING point-in-time join — the feature-store ONLINE path
+    * (x275's batch label-join is the offline twin): each micro-batch of
+    * arriving events is enriched with the SCD2 version valid at the
+    * event's OWN timestamp, never the current one — the serving-time
+    * no-leakage guarantee. The dimension is the batch-built interval
+    * table (each order opens a version, lead() closes the previous —
+    * the x99 build), re-planned per micro-batch like every stream-static
+    * dim (a version published between triggers is visible to the next
+    * batch); the join is an equi-join on the key plus the half-open
+    * interval predicate, stateless — no watermark, no state store, and
+    * the stream side never shuffles when the dim broadcasts. SCD2
+    * intervals are non-overlapping per key, so each event matches AT
+    * MOST ONE version and append mode emits the batch PIT result
+    * exactly — s20 rides x275's oracle verbatim, pinning the
+    * offline/online parity a feature store must have.
+    */
+  def pitStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("chg_id"))
+    val versions = Tables.orders(spark, dir).select(
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+        col("o_orderkey").as("chg_id"),
+        col("o_orderpriority").as("attr_value"))
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .select("user_id", "version", "attr_value", "valid_from_us", "valid_to_us")
+    val joined = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .join(versions, Seq("user_id"))
+      .filter(col("t_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("attr_value"), col("valid_from_us"))
+    runToMemory(joined, "append").orderBy("event_id")
+  }
+
   /** Watermarked session windows in append mode: only sessions finalized
     * by the 1-hour watermark are emitted — exactly the late-data semantics
     * a production stream would have, so the tail of the replay is withheld

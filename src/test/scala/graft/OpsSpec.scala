@@ -3162,6 +3162,37 @@ class OpsSpec extends SparkSuite {
     assert(got.length === expectedN, "row count diverges from the interval replay")
   }
 
+  test("bucketed PIT carry equals the single-window plan, including on a hot key it must split") {
+    import spark.implicits._
+    // gate-corpus equivalence: the bucket width is a plan dial only
+    val single = graft.ops.AsOf.pitDimensionJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    val bucketed = graft.ops.AsOf.pitDimensionJoinBucketed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    assert(single === bucketed, "x278 diverged from x275 on the gate corpus")
+    // hot-key fixture: ONE user owns a long interleaved history, so the
+    // single-window plan would serialize it in one task while the carry
+    // splits it across buckets — and the outputs must still agree
+    // exactly at bucket boundaries (changes landing on them included)
+    val chg = (0 until 97).map(i =>
+      (7L, i.toLong * 1000L, 100L + i, s"v$i")).toDF("user_id", "t_us", "chg_id", "attr_value")
+    val rows = (0 until 997).map(i =>
+      (7L, i.toLong * 97L + 3L, 9000L + i)).toDF("user_id", "t_us", "event_id")
+    def replay(n: Int) = graft.ops.AsOf.pitCarryBucketed(chg, rows, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    val fine = replay(16)   // splits the key across 16 buckets
+    val one = replay(1)     // degenerates to the single-window carry
+    assert(fine === one, "bucket width changed the PIT output")
+    assert(fine.nonEmpty)
+    // spot-verify the carry against the definition on a few events
+    fine.take(50).foreach { case (eid, _, ver, attr, vfrom) =>
+      val t = (eid - 9000L) * 97L + 3L
+      val idx = math.min(96L, t / 1000L) // last change at or before t
+      assert(ver === idx + 1 && attr === s"v$idx" && vfrom === idx * 1000L,
+        s"event $eid at $t: got (v$ver, $attr, $vfrom)")
+    }
+  }
+
   test("stratified A-ES replays the driver-side per-source top-k exactly") {
     val got = graft.ops.Sampling.stratifiedAes(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))

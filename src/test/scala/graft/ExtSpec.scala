@@ -278,11 +278,16 @@ class ExtSpec extends SparkSuite {
     }
   }
 
-  test("IVF geometry derives sqrt-scaled cluster and probe counts") {
-    // nlist = ceil(sqrt(n)), seed modulus spreads seeds evenly, probe = ceil(sqrt(nlist))
+  test("IVF geometry derives sqrt-scaled cluster and probe counts, capped at 12*n^(1/4)") {
+    // nlist = min(ceil(sqrt(n)), 12*ceil(n^1/4)), seed modulus spreads
+    // seeds evenly, probe = ceil(sqrt(nlist)); the cap is inert below
+    // n = 12^4 = 20736 (both gate SFs keep uncapped geometry)
     assert(Similarity.ivfGeometry(500) === ((23L, 21L, 5)))
     assert(Similarity.ivfGeometry(2000) === ((45L, 44L, 7)))
-    assert(Similarity.ivfGeometry(1L << 30) === ((32768L, 32768L, 182)))
+    assert(Similarity.ivfGeometry(20736) === ((144L, 144L, 12))) // last uncapped point
+    // 2^30 vectors: uncapped sqrt would be 32768 centroids; the cap holds
+    // the serving assignment at n * 2184 score-ops (12 * 182)
+    assert(Similarity.ivfGeometry(1L << 30) === ((2184L, 491640L, 47)))
     assert(Similarity.ivfGeometry(1) === ((4L, 1L, 2))) // degenerate floor
   }
 

@@ -31,8 +31,11 @@ object PropertySpec extends Properties("Kernels") {
   property("ivf geometry: sublinear dials at every corpus size") =
     forAll(Gen.choose(1L, 10000000L)) { n =>
       val (nlist, mod, probe) = graft.ext.Similarity.ivfGeometry(n)
-      // √n-sized centroid table, every mod-th vector seeds, probe ≈ n^¼
-      nlist >= 4 && nlist >= math.ceil(math.sqrt(n.toDouble)).toLong &&
+      // min(√n, 12·n^¼)-sized centroid table (the r11 build-cost cap),
+      // every mod-th vector seeds, probe = ⌈√nlist⌉
+      val root = math.ceil(math.sqrt(n.toDouble)).toLong
+      val cap = 12L * math.ceil(math.sqrt(math.sqrt(n.toDouble))).toLong
+      nlist == math.max(4L, math.min(root, cap)) &&
         mod >= 1 && mod <= math.max(1L, n) && probe >= 2 && probe.toLong <= nlist
     }
 

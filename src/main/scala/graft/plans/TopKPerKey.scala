@@ -71,8 +71,9 @@ case class TopKPerKey(
     k: Int,
     rankAttr: AttributeReference,
     child: LogicalPlan,
-    sortPartial: Boolean = true) extends UnaryNode {
-  require(k >= 1, s"top-k needs k >= 1, got $k")
+    sortPartial: Boolean = true,
+    kCol: Option[Expression] = None) extends UnaryNode {
+  require(kCol.isDefined || k >= 1, s"top-k needs k >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -114,6 +115,38 @@ object TopKPerKey {
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
   }
 
+  /** VARIABLE-QUOTA entry: per-key k read from a LongType COLUMN (the
+    * caller's contract: constant within a key; a null or non-positive
+    * quota drops the key). This is the operator's reason to exist in its
+    * purest form — with k a runtime column there is no literal
+    * `row_number() ≤ k` filter anywhere in the plan, so Spark's
+    * InferWindowGroupLimit can NEVER plan the map-side prune for the
+    * window idiom (it ships every fact row), while this partial still
+    * bounds the exchange at Σ min(k_key, rows) per partition.
+    */
+  def ofVarK(df: DataFrame, key: String, order: String, tie: String, kCol: String,
+             rankName: String = "rank", sortPartial: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output
+      .find(a => spark.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
+    def longAttr(name: String): Attribute = {
+      val a = attr(name)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"TopKPerKey: column '$name' must be LongType (cast it first), got ${a.dataType.simpleString}")
+      a
+    }
+    val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), 1,
+      AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
+      sortPartial, kCol = Some(longAttr(kCol)))
+    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
+  }
+
   /** x261: top-3 parts per brand by exact revenue — the custom operator
     * on the correctness path: the per-(brand, part) revenue aggregate
     * (exact e2 cents) flows through [[TopKPerKey]], so the gate
@@ -146,6 +179,47 @@ object TopKPerKey {
       |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
       |  FROM rev)
       |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+
+  /** x279: TIERED per-brand quota ranking — the variable-k regime made a
+    * gate query: each brand keeps its top-`quota` parts by exact revenue,
+    * where quota = 1 + (brand number mod 3) is a RUNTIME COLUMN (in
+    * production: a curation tier read from a config dim). This is the
+    * plan shape the operator exists for in its purest form — no literal
+    * rank filter exists anywhere, so InferWindowGroupLimit cannot plan
+    * the window idiom's map-side prune (it would ship every (brand,
+    * part) row), while [[TopKPerKey]]'s partial still bounds the
+    * exchange at Σ quota_b per partition. The quota derivation is
+    * content-derived and SQL-mirrored (substr + cast, both engines).
+    */
+  def topBrandPartsTiered(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rev = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(graft.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_partkey")
+      .agg(sum(col("cents")).as("rev_e2"))
+      .withColumn("quota",
+        (lit(1L) + substring(col("p_brand"), 7, 8).cast("long") % 3L).as("quota"))
+    ofVarK(rev, "p_brand", "rev_e2", "l_partkey", "quota", "rnk")
+      .orderBy("p_brand", "rnk")
+  }
+
+  val topBrandPartsTieredOracle: String =
+    """WITH rev AS (SELECT p.p_brand, l.l_partkey,
+      |                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+      |                      AS BIGINT) AS rev_e2
+      |             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |             GROUP BY 1, 2),
+      |q AS (SELECT *, 1 + (CAST(substr(p_brand, 7) AS BIGINT) % 3) AS quota FROM rev)
+      |SELECT p_brand, l_partkey, rev_e2, quota, rnk FROM (
+      |  SELECT p_brand, l_partkey, rev_e2, quota,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
+      |  FROM q)
+      |WHERE rnk <= quota ORDER BY p_brand, rnk""".stripMargin
 
   /** The FACT-GRAIN measured pair (x271 / x272): top-2 lineitems per
     * part, straight off the raw lineitem scan — no pre-aggregate, so the
@@ -219,9 +293,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
       val partial = TopKPerKeyPartialExec(t.key, t.order, t.tie, t.k,
-        planLater(t.child), t.sortPartial)
+        planLater(t.child), t.sortPartial, t.kCol)
       TopKPerKeyFinalExec(t.key, t.order, t.tie, t.k, t.rankAttr, partial,
-        t.sortPartial) :: Nil
+        t.sortPartial, t.kCol) :: Nil
     case _ => Nil
   }
 }
@@ -246,17 +320,37 @@ private[plans] object TopKPrune {
   def requiredOrdering(key: Expression, order: Expression, tie: Expression): Seq[SortOrder] =
     Seq(SortOrder(key, Ascending), SortOrder(order, Descending), SortOrder(tie, Ascending))
 
-  /** Bounded-heap prune: consume `rows`, keep ≤ k best per key — state is
-    * output-sized (≤ k rows per distinct key in the partition), nothing
-    * buffers. Keys and rows are copied out of the scan's reused buffers.
+  /** Per-row retention limit: the static k, or — under the variable-k
+    * discipline — the bound quota column (LongType; null → 0, clamped to
+    * Int range).
+    */
+  def limiter(k: Int, kCol: Option[Expression],
+              childOutput: Seq[Attribute]): InternalRow => Int = kCol match {
+    case None => _ => k
+    case Some(e) =>
+      val b = BindReferences.bindReference(e, childOutput)
+      row => {
+        val v = b.eval(row)
+        if (v == null) 0
+        else math.min(Int.MaxValue.toLong, math.max(0L, v.asInstanceOf[Long])).toInt
+      }
+  }
+
+  /** Bounded-heap prune: consume `rows`, keep ≤ limit(row) best per key —
+    * state is output-sized (≤ k rows per distinct key in the partition),
+    * nothing buffers. `limitOf` is constant for static k and reads the
+    * quota column under the variable-k discipline (the caller's contract:
+    * constant within a key; null/non-positive quota drops the key). Keys
+    * and rows are copied out of the scan's reused buffers.
     */
   def prune(rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
-            tieE: Expression, k: Int): scala.collection.mutable.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]] = {
+            tieE: Expression, limitOf: InternalRow => Int): scala.collection.mutable.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]] = {
     val m = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.PriorityQueue[Entry]]
     rows.foreach { row =>
       val o = ordE.eval(row)
       val t = tieE.eval(row)
-      if (o != null && t != null) { // documented: null-ordered rows drop
+      val cap = if (o != null && t != null) limitOf(row) else 0
+      if (cap > 0) { // documented: null-ordered / zero-quota rows drop
         val kv = keyE.eval(row) match {
           case s: UTF8String => s.copy() // scan buffers are reused
           case other => other
@@ -266,7 +360,7 @@ private[plans] object TopKPrune {
         val e = Entry(o.asInstanceOf[Long], t.asInstanceOf[Long], null)
         val pq = m.getOrElseUpdate(kv,
           scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst))
-        if (pq.size < k) pq.enqueue(e.copy(row = row.copy()))
+        if (pq.size < cap) pq.enqueue(e.copy(row = row.copy()))
         else if (better(e, pq.head)) { pq.dequeue(); pq.enqueue(e.copy(row = row.copy())) }
       }
     }
@@ -280,7 +374,7 @@ private[plans] object TopKPrune {
     * discipline.
     */
   def groupLimit[T](rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
-                    tieE: Expression, k: Int)(f: (InternalRow, Int) => T): Iterator[T] =
+                    tieE: Expression, limitOf: InternalRow => Int)(f: (InternalRow, Int) => T): Iterator[T] =
     new Iterator[T] {
       private var curKey: Any = null
       private var haveKey = false
@@ -300,7 +394,7 @@ private[plans] object TopKPrune {
               haveKey = true
               taken = 0
             }
-            if (taken < k) { taken += 1; ready = row }
+            if (taken < limitOf(row)) { taken += 1; ready = row }
           }
         }
       }
@@ -322,7 +416,8 @@ private[plans] object TopKPrune {
   */
 case class TopKPerKeyPartialExec(
     key: Expression, order: Expression, tie: Expression, k: Int,
-    child: SparkPlan, sorted: Boolean = false) extends UnaryExecNode {
+    child: SparkPlan, sorted: Boolean = false,
+    kCol: Option[Expression] = None) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
@@ -334,14 +429,14 @@ case class TopKPerKeyPartialExec(
     val (keyB, ordB, tieB) = (BindReferences.bindReference(key, child.output),
       BindReferences.bindReference(order, child.output),
       BindReferences.bindReference(tie, child.output))
-    val kk = k
+    val limitOf = TopKPrune.limiter(k, kCol, child.output)
     val useSorted = sorted
     val numOut = longMetric("numOutputRows")
     child.execute().mapPartitions({ it =>
       if (useSorted)
-        TopKPrune.groupLimit(it, keyB, ordB, tieB, kk) { (row, _) => numOut += 1; row }
+        TopKPrune.groupLimit(it, keyB, ordB, tieB, limitOf) { (row, _) => numOut += 1; row }
       else
-        TopKPrune.prune(it, keyB, ordB, tieB, kk)
+        TopKPrune.prune(it, keyB, ordB, tieB, limitOf)
           .valuesIterator.flatMap(_.iterator.map { e => numOut += 1; e.row })
     }, preservesPartitioning = true)
   }
@@ -358,7 +453,8 @@ case class TopKPerKeyPartialExec(
 case class TopKPerKeyFinalExec(
     key: Expression, order: Expression, tie: Expression, k: Int,
     rankAttr: AttributeReference, child: SparkPlan,
-    sorted: Boolean = false) extends UnaryExecNode {
+    sorted: Boolean = false,
+    kCol: Option[Expression] = None) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(key)) :: Nil
@@ -371,7 +467,7 @@ case class TopKPerKeyFinalExec(
     val (keyB, ordB, tieB) = (BindReferences.bindReference(key, child.output),
       BindReferences.bindReference(order, child.output),
       BindReferences.bindReference(tie, child.output))
-    val kk = k
+    val limitOf = TopKPrune.limiter(k, kCol, child.output)
     val useSorted = sorted
     val outAttrs = output
     val numOut = longMetric("numOutputRows")
@@ -380,13 +476,13 @@ case class TopKPerKeyFinalExec(
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       if (useSorted)
-        TopKPrune.groupLimit(it, keyB, ordB, tieB, kk) { (row, rank) =>
+        TopKPrune.groupLimit(it, keyB, ordB, tieB, limitOf) { (row, rank) =>
           rankRow.update(0, rank)
           numOut += 1
           proj(joined(row, rankRow)).copy()
         }
       else {
-        val m = TopKPrune.prune(it, keyB, ordB, tieB, kk)
+        val m = TopKPrune.prune(it, keyB, ordB, tieB, limitOf)
         m.valuesIterator.flatMap { pq =>
           // dequeue order is worst-first; reverse for best-first ranks
           val best = pq.dequeueAll.reverseIterator.toSeq

@@ -218,6 +218,7 @@ object Ext {
     "x274_stratified_aes"  -> ((s: SparkSession, d: String) => graft.ops.Sampling.stratifiedAes(s, d)),
     "x275_pit_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoin(s, d)),
     "x278_pit_bucketed"    -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoinBucketed(s, d)),
+    "x279_topk_tiered"     -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topBrandPartsTiered(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
@@ -647,6 +648,7 @@ object Ext {
     // carry is a plan-only rewrite and the streaming PIT is the online
     // twin — all three must agree row for row, and the hash gate pins it
     "x278_pit_bucketed"    -> graft.ops.AsOf.pitOracle,
+    "x279_topk_tiered"     -> graft.plans.TopKPerKey.topBrandPartsTieredOracle,
     "s20_stream_pit"       -> graft.ops.AsOf.pitOracle,
     "x276_ddsketch_drift"  -> graft.ops.Quality.ddsketchDriftOracle,
     "x277_det_bloom_delta" -> Dedup.detBloomDeltaOracle,

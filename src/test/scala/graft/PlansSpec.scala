@@ -52,6 +52,44 @@ class PlansSpec extends SparkSuite {
       ("c", 3L, 2L, 1)))
   }
 
+  test("variable-k TopKPerKey: per-key quotas honored, exchange quota-bounded, both disciplines agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // three keys with quotas 1/3/0 over 8 fact-sized input partitions: a
+    // zero quota drops its key entirely, and the partial may ship at
+    // most quota rows per (key, partition) = (1+3+0)*8 = 32 — the
+    // window idiom has NO literal rank filter here, so
+    // InferWindowGroupLimit cannot save it (it would ship all 9000)
+    val df = spark.range(0, 9000, 1, 8)
+      .select((col("id") % 3).cast("string").as("k"), col("id").as("v"), col("id").as("t"),
+        when(col("id") % 3 === 0, 1L).when(col("id") % 3 === 1, 3L)
+          .otherwise(0L).as("quota"))
+    def run(sorted: Boolean) = {
+      val got = graft.plans.TopKPerKey.ofVarK(df.toDF(), "k", "v", "t", "quota",
+        "rnk", sortPartial = sorted)
+      val rows = got.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(4))).toSet
+      (got, rows)
+    }
+    val (gotS, rowsS) = run(sorted = true)
+    val (_, rowsH) = run(sorted = false)
+    assert(rowsS === rowsH, "variable-k disciplines diverged")
+    // quota semantics: key 0 keeps its single best, key 1 its top 3,
+    // key 2 nothing (ids 0..8999; key j's members are ids ≡ j mod 3)
+    assert(rowsS === Set(("0", 8997L, 1),
+      ("1", 8998L, 1), ("1", 8995L, 2), ("1", 8992L, 3)))
+    def findPartials(p: SparkPlan): Seq[graft.plans.TopKPerKeyPartialExec] = p match {
+      case a: AdaptiveSparkPlanExec => findPartials(a.executedPlan)
+      case s: QueryStageExec => findPartials(s.plan)
+      case t: graft.plans.TopKPerKeyPartialExec => t +: t.children.flatMap(findPartials)
+      case other => other.children.flatMap(findPartials)
+    }
+    val partials = findPartials(gotS.queryExecution.executedPlan)
+    assert(partials.nonEmpty, "variable-k did not plan through TopKPerKeyPartialExec")
+    partials.flatMap(_.metrics.get("numOutputRows")).foreach(m =>
+      assert(m.value <= 32L, s"variable-k partial leaked ${m.value} rows past the quota bound"))
+  }
+
   test("TopKPerKey partial phase ships at most k rows per key per input partition") {
     import spark.implicits._
     // one hot key spread over 8 partitions, 1000 rows each: the window

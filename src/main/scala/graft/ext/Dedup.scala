@@ -789,30 +789,71 @@ object Dedup {
     * evidence; on a Heaps-law corpus (β ≈ 0.5, the 100 TB web case) the
     * exact channel is both safe (e ≈ 0.65) and strictly more complete,
     * so capping by default would give away recall for nothing. The
-    * routing probe is [[saturationShare]] over the shingle df frame —
-    * computed BEFORE any pair join is attempted — with the 0.5-share
-    * switch: saturated → [[cappedNeardupPairs]], else
-    * [[ngramJaccardPairs]]. The decision is a 1-row driver boundary, and
-    * the ORACLE derives the same share from the same frame and gates
-    * each channel's SQL on it, so the routing itself (not just the
-    * routed result) is hash-checked at every gate SF. ExtSpec pins both
-    * directions with synthetic fixtures (a saturated corpus routes
-    * capped, a Heaps corpus routes exact).
+    * routing probe is [[routeToCapped]] over the shingle df frame —
+    * computed BEFORE any pair join is attempted — with TWO gates
+    * (round-11): the 0.5 saturation SHARE, and the Σ df·(df−1)/2
+    * candidate MASS against [[RouteMassBudget]] (share alone is blind
+    * to a Heaps-law corpus whose few mega-hot boilerplate shingles make
+    * the exact join a multi-billion-row shuffle). Either gate →
+    * [[cappedNeardupPairs]], else [[ngramJaccardPairs]]. The decision
+    * is a 1-row driver boundary, and the ORACLE derives the same share
+    * AND mass from the same frame and gates each channel's SQL on
+    * them, so the routing itself (not just the routed result) is
+    * hash-checked at every gate SF. ExtSpec pins all three directions
+    * with synthetic fixtures (a saturated corpus routes capped, a
+    * mass-hot low-share corpus routes capped, a Heaps corpus routes
+    * exact).
     */
+  /** The router's mass-gate threshold — a DOCUMENTED CONSTANT, not the
+    * env dial: the oracle must compute the identical routing decision,
+    * and SQL cannot read this process's environment. (The env dial
+    * stays what it is — the bare channels' refusal budget.)
+    */
+  private[graft] val RouteMassBudget: Long = 2000000000L
+
+  /** The routing decision (true = capped channel), from TWO signals over
+    * the shared df frame — round-11 closes the share-only blind spot:
+    *
+    *  - SHARE (r10): fraction of distinct shingles with df > cap — the
+    *    vocabulary-saturation statistic (→1 when the whole vocabulary is
+    *    hot, the m100 regime).
+    *  - MASS (r11): Σ df·(df−1)/2, the candidate-pair estimate — a
+    *    corpus can sit far BELOW the 0.5 share (a Heaps-law vocabulary
+    *    with a handful of mega-hot boilerplate shingles) while those few
+    *    posting lists alone make the exact pair join a multi-billion-row
+    *    shuffle. Share misses it; mass catches it. Terms compute on
+    *    least(df, 10⁵) so the BIGINT sum cannot overflow on any feasible
+    *    corpus (a single df ≥ 63 246 already crosses the 2·10⁹ gate, so
+    *    the clamp never changes a decision — it only bounds the
+    *    arithmetic), exactly mirrored in the oracle's integer SQL.
+    */
+  private[graft] def routeToCapped(dfFrame: DataFrame, dfCap: Int,
+                                   routeBudget: Long): Boolean = {
+    val probe = dfFrame.agg(
+      coalesce(avg(when(col("df") > dfCap, 1d).otherwise(0d)), lit(0d)).as("sat"),
+      coalesce(sum(expr("least(df, 100000) * (least(df, 100000) - 1) DIV 2")),
+        lit(0L)).as("mass")).head()
+    probe.getDouble(0) >= 0.5 || probe.getLong(1) > routeBudget
+  }
+
   def routedNearDup(spark: SparkSession, dir: String,
-                    minJaccard: Double = 0.6, dfCap: Int = 64): DataFrame = {
+                    minJaccard: Double = 0.6, dfCap: Int = 64,
+                    routeBudget: Long = RouteMassBudget): DataFrame = {
     // probe off the LAYER-CACHED shingle pass the selected channel also
-    // consumes: routing costs one df aggregate over a shared frame by
+    // consumes: routing costs one aggregate over a shared frame by
     // construction (the h30 A/B measured this change task-neutral —
     // the apparent routed-vs-bare gap there was pass-order JIT, not a
     // double derivation — but one shared derivation is the right shape
     // regardless; counts and hashes unchanged)
-    val sat = saturationShare(
+    val capped = routeToCapped(
       shingled3(spark, dir)
         .select(col("lang"), explode(col("shingles")).as("s"))
-        .groupBy("lang", "s").agg(count(lit(1)).as("df")), dfCap)
-    if (sat >= 0.5) cappedNeardupPairs(spark, dir, minJaccard, dfCap)
-    else ngramJaccardPairs(spark, dir, minJaccard)
+        .groupBy("lang", "s").agg(count(lit(1)).as("df")), dfCap, routeBudget)
+    if (capped) cappedNeardupPairs(spark, dir, minJaccard, dfCap)
+    // budget = MaxValue: the router's informed decision IS the guard
+    // here — double jeopardy against the env dial would let an env
+    // override silently veto a routing the oracle has already mirrored
+    else ngramJaccardPairs(spark, dir, minJaccard, budget = Long.MaxValue)
   }
 
   /** x269 oracle — the probe CTE computes the identical saturation share
@@ -821,7 +862,8 @@ object Dedup {
     * branch of the UNION ALL survives and it is the branch the Scala
     * router picked.
     */
-  def routedNearDupOracle(minJaccard: Double = 0.6, dfCap: Int = 64): String =
+  def routedNearDupOracle(minJaccard: Double = 0.6, dfCap: Int = 64,
+                          routeBudget: Long = RouteMassBudget): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -832,7 +874,9 @@ object Dedup {
        |  FROM t),
        |f AS (SELECT sh.lang, u.s AS s, COUNT(*) AS df
        |      FROM sh, UNNEST(sh.s) u(s) GROUP BY 1, 2),
-       |probe AS (SELECT COALESCE(AVG(CASE WHEN df > $dfCap THEN 1.0 ELSE 0.0 END), 0.0) AS sat
+       |probe AS (SELECT COALESCE(AVG(CASE WHEN df > $dfCap THEN 1.0 ELSE 0.0 END), 0.0) AS sat,
+       |                 COALESCE(SUM(LEAST(df, 100000) * (LEAST(df, 100000) - 1) // 2),
+       |                          0) AS mass
        |          FROM f),
        |p AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
@@ -848,10 +892,13 @@ object Dedup {
        |SELECT a, b, jaccard FROM (
        |  SELECT q.a, q.b, q.jaccard FROM q
        |  WHERE (SELECT sat FROM probe) < 0.5
+       |    AND (SELECT mass FROM probe) <= $routeBudget
        |  UNION ALL
        |  SELECT q.a, q.b, q.jaccard
        |  FROM q JOIN m ON m.a = q.a AND m.b = q.b
-       |  WHERE (SELECT sat FROM probe) >= 0.5 AND m.mindf <= $dfCap)
+       |  WHERE ((SELECT sat FROM probe) >= 0.5
+       |         OR (SELECT mass FROM probe) > $routeBudget)
+       |    AND m.mindf <= $dfCap)
        |ORDER BY a, b""".stripMargin
 
   private def prefixFilteredPairs(spark: SparkSession, dir: String, minJaccard: Double,

@@ -146,12 +146,30 @@ class ExtSpec extends SparkSuite {
       .toDF("doc_id", "lang", "text")
     val heapsShare = Dedup.saturationShare(Dedup.shingleDfFrame(heaps), dfCap = 8)
     assert(heapsShare < 0.5, s"Heaps fixture must route PPJoin, share=$heapsShare")
+    assert(!Dedup.routeToCapped(Dedup.shingleDfFrame(heaps), 8, Dedup.RouteMassBudget),
+      "Heaps fixture must route exact under both gates")
+    // mass-hot fixture (the r11 second gate): Heaps vocabulary PLUS one
+    // boilerplate shingle every doc shares — share stays far under 0.5
+    // (one hot shingle among 200+ unique ones) but that single posting
+    // list alone makes the candidate mass 40·39/2 = 780, so a budget
+    // under that must route CAPPED where the share gate alone would
+    // have attempted the doomed exact join
+    val massHot = (1 to 40).map(i =>
+        (i.toLong, "en", s"common1 common2 common3 w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "lang", "text")
+    val massShare = Dedup.saturationShare(Dedup.shingleDfFrame(massHot), dfCap = 8)
+    assert(massShare < 0.5, s"mass fixture must stay under the share gate, share=$massShare")
+    assert(Dedup.routeToCapped(Dedup.shingleDfFrame(massHot), 8, routeBudget = 500L),
+      "mass-hot fixture must route capped via the mass gate")
+    assert(!Dedup.routeToCapped(Dedup.shingleDfFrame(massHot), 8, routeBudget = 100000L),
+      "the mass gate must release when the budget covers the posting lists")
     // and on the gate corpus the routed output IS one of the two channels
     val routed = Dedup.routedNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val gateShare = Dedup.saturationShare(
-      Dedup.shingleDfFrame(graft.Tables.documents(spark, sf)), dfCap = 64)
-    val expected = (if (gateShare >= 0.5) Dedup.cappedNeardupPairs(spark, sf)
+    val gateCapped = Dedup.routeToCapped(
+      Dedup.shingleDfFrame(graft.Tables.documents(spark, sf)), 64,
+      Dedup.RouteMassBudget)
+    val expected = (if (gateCapped) Dedup.cappedNeardupPairs(spark, sf)
                     else Dedup.ngramJaccardPairs(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(routed === expected)

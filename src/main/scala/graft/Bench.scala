@@ -102,35 +102,45 @@ object Bench {
     // been contended); a pass flags `contended` when ≥ 2 of 3 canaries
     // exceed 2× their reference. Only meaningful at the committed sf.
     val canaryNames = Seq("a13_small_qty_parts", "a29_supplier_parts", "x141_weighted_repl")
-    // Reference task seconds per query = min(warm, cold) task_s in the
-    // previously committed same-sf detail (min, because a prior pass may
-    // itself have been contended). Feeds BOTH the 3-canary sentinel and
-    // the round-11 per-query self-certification below.
-    val refTaskS: Map[String, Double] = {
+    // Per-(pass, query) reference task seconds from the previously
+    // committed same-sf detail. References are PASS-MATCHED (warm vs
+    // warm, cold vs cold): the warm pass shares Layers, so a
+    // Layer-consumer's warm task can be 100× under its cold task by
+    // design — a min(warm, cold) reference would make every such
+    // query's cold ratio read as a phantom 100× "regression" (the first
+    // full r11 run showed exactly that: x139 cold_ratio 148 with cold
+    // task IMPROVED round-over-round). Canaries keep the min() (their
+    // warm ≈ cold by construction — single-scan constant work, nothing
+    // Layer-shared — and min forgives a contended prior pass).
+    val (refWarm, refCold): (Map[String, Double], Map[String, Double]) = {
       val f = java.nio.file.Paths.get("docs/BENCH_DETAIL.json")
-      if (!java.nio.file.Files.exists(f)) Map.empty
+      if (!java.nio.file.Files.exists(f)) (Map.empty, Map.empty)
       else {
         val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        if (!text.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
+        if (!text.contains("\"sf\": \"" + sfDir + "\"")) (Map.empty, Map.empty)
         else {
           val re = ("\"([A-Za-z0-9_]+)\": \\{[^}]*\"warm_task_s\": ([0-9.]+|null)," +
             " \"cold_task_s\": ([0-9.]+|null)").r
-          re.findAllMatchIn(text).flatMap { m =>
-            val vals = Seq(m.group(2), m.group(3)).filter(_ != "null").map(_.toDouble)
-            if (vals.isEmpty) None else Some(m.group(1) -> vals.min)
-          }.toMap
+          val ms = re.findAllMatchIn(text).toSeq
+          def side(g: Int) = ms.flatMap(m =>
+            if (m.group(g) == "null") None else Some(m.group(1) -> m.group(g).toDouble)).toMap
+          (side(2), side(3))
         }
       }
     }
     val canaryRefs: Map[String, Double] =
-      canaryNames.flatMap(n => refTaskS.get(n).map(n -> _)).toMap
-    // task_s ratio vs the committed reference, per query — the raw
-    // self-certification signal (task time is contention-DAMPED but not
-    // immune: hypervisor steal inflates executorRunTime too, the r10
-    // throttle finding)
+      canaryNames.flatMap { n =>
+        val vals = Seq(refWarm.get(n), refCold.get(n)).flatten
+        if (vals.isEmpty) None else Some(n -> vals.min)
+      }.toMap
+    // task_s ratio vs the committed PASS-MATCHED reference, per query —
+    // the raw self-certification signal (task time is contention-DAMPED
+    // but not immune: hypervisor steal inflates executorRunTime too, the
+    // r10 throttle finding)
     def ratioOf(tag: String, n: String): Option[Double] =
       for {
-        ref <- refTaskS.get(n) if ref > 0.05 // sub-50ms refs are noise
+        ref <- (if (tag == "warm") refWarm else refCold).get(n)
+        if ref > 0.05 // sub-50ms refs are noise
         cur <- taskTimes.get(s"$tag:$n")
       } yield cur / 1000.0 / ref
     // Per-query TRUST flag via a rolling median over PASS ORDER (round-11,
@@ -155,7 +165,12 @@ object Bench {
       }.toMap
     }
     def canaryRatios(tag: String): Map[String, Double] =
-      canaryNames.flatMap(n => ratioOf(tag, n).map(n -> _)).toMap
+      canaryNames.flatMap { n =>
+        for {
+          ref <- canaryRefs.get(n) if ref > 0
+          cur <- taskTimes.get(s"$tag:$n")
+        } yield n -> (cur / 1000.0 / ref)
+      }.toMap
     // null when unjudgeable (no reference / restricted run missing canaries)
     def contended(tag: String): String = {
       val rs = canaryRatios(tag)

@@ -240,20 +240,70 @@ object Events {
     * dim build every warehouse runs, expressed without a single global
     * sort. Epoch-µs interval bounds (the s06 precision discipline).
     */
-  def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Versions(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("attr_value"),
+          unix_micros(col("ts")).as("valid_from_us")))
+      .orderBy("user_id", "version")
+
+  /** The change-log → version build over a prepared (user_id, event_id,
+    * attr_value, valid_from_us) frame — shared by the full build (x99)
+    * and the incremental maintenance path (x280).
+    */
+  private[graft] def scd2Of(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from_us"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        col("event_type").as("attr_value"),
-        unix_micros(col("ts")).as("valid_from_us"))
+    changes
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to_us").isNull)
       .select("user_id", "version", "event_id", "attr_value",
         "valid_from_us", "valid_to_us", "is_current")
-      .orderBy("user_id", "version")
+  }
+
+  /** x280: INCREMENTAL SCD2 maintenance — the warehouse MERGE pattern
+    * x99's full rebuild cannot afford at 100 TB: when a late slice of
+    * the change log arrives, only the AFFECTED KEYS' versions rebuild,
+    * and everyone else's rows pass through untouched (in production,
+    * untouched partitions are never rewritten at all). The demo split is
+    * deterministic so the oracle can replay it: arrivals = changes in
+    * the last 1/1000 of the observed span (cutoff = lo + (hi−lo)·999
+    * DIV 1000, exact integer µs in both engines) — ~1–2% of keys
+    * affected at the gate shape, so the untouched path genuinely
+    * dominates. The rebuild reconstructs the affected keys' change rows
+    * FROM THE VERSION TABLE ITSELF (each version row is its change row
+    * — user, event_id, attr, valid_from), so the base fact is never
+    * re-scanned: incremental cost is O(affected keys' history +
+    * arrivals), not O(log). Output ≡ the full rebuild by construction
+    * (version numbering, valid_to chaining, and is_current all
+    * recompute inside each rebuilt key; untouched keys have no arrivals
+    * so their base rows are already final), and x280 rides x99's oracle
+    * VERBATIM — the incremental-equals-full contract is hash-checked at
+    * every gate SF.
+    */
+  def incrementalScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("attr_value"),
+        unix_micros(col("ts")).as("valid_from_us"))
+    val bounds = ev.agg(min(col("valid_from_us")).as("lo"),
+      max(col("valid_from_us")).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return scd2Of(ev).orderBy("user_id", "version")
+    val lo = bounds.getLong(0)
+    val cutoff = lo + (bounds.getLong(1) - lo) * 999L / 1000L
+    val baseV = scd2Of(ev.filter(col("valid_from_us") <= cutoff))
+    val arrivals = ev.filter(col("valid_from_us") > cutoff)
+    val affected = arrivals.select("user_id").distinct()
+    val untouched = baseV.join(broadcast(affected), Seq("user_id"), "left_anti")
+    val rebuilt = scd2Of(
+      baseV.join(broadcast(affected), Seq("user_id"), "left_semi")
+        .select("user_id", "event_id", "attr_value", "valid_from_us")
+        .unionByName(arrivals))
+    untouched.unionByName(rebuilt).orderBy("user_id", "version")
   }
 
   val scd2Oracle: String =

@@ -219,6 +219,7 @@ object Ext {
     "x275_pit_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoin(s, d)),
     "x278_pit_bucketed"    -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoinBucketed(s, d)),
     "x279_topk_tiered"     -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topBrandPartsTiered(s, d)),
+    "x280_incr_scd2"       -> ((s: SparkSession, d: String) => Events.incrementalScd2(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
     "x60_clean_corpus"     -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
@@ -649,6 +650,9 @@ object Ext {
     // twin — all three must agree row for row, and the hash gate pins it
     "x278_pit_bucketed"    -> graft.ops.AsOf.pitOracle,
     "x279_topk_tiered"     -> graft.plans.TopKPerKey.topBrandPartsTieredOracle,
+    // x280 rides x99's oracle VERBATIM: incremental maintenance must
+    // equal the full rebuild row for row — the hash gate IS the contract
+    "x280_incr_scd2"       -> Events.scd2Oracle,
     "s20_stream_pit"       -> graft.ops.AsOf.pitOracle,
     "x276_ddsketch_drift"  -> graft.ops.Quality.ddsketchDriftOracle,
     "x277_det_bloom_delta" -> Dedup.detBloomDeltaOracle,

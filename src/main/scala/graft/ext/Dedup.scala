@@ -754,7 +754,13 @@ object Dedup {
     * refusal can never fire on a healthy corpus by accident.
     */
   private[graft] def pairBudget: Long =
-    sys.env.get("SPARK_GRAFT_PAIR_BUDGET").map(_.toLong).getOrElse(2000000000L)
+    sys.env.get("SPARK_GRAFT_PAIR_BUDGET") match {
+      case None => 2000000000L
+      case Some(v) =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"SPARK_GRAFT_PAIR_BUDGET must be a positive integer, got '$v'")
+        v.toLong
+    }
 
   /** Σ c·(c−1)/2 over a bucket-population frame — the row count the
     * bucket self-join would emit before any verify (exact for x16's

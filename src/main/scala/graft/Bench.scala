@@ -244,7 +244,7 @@ object Bench {
            |  "cold_total": ${f"${total(cold)}%.3f"},
            |  "canary_semantics": "constant-work sentinels vs min(warm,cold) task seconds in the previously committed detail; a pass with a majority of canaries over 2x ran under external CPU contention and its walls must not be compared round-over-round (the r9 poisoned-warm lesson). null = no same-sf reference.",
            |  "count_semantics": "the bench action is .count(): Catalyst prunes columns the count does not read, which can legitimately remove a Window/Project a query exists to compute (x99's row_number: 1-16 shuffle rows here because ColumnPruning drops the unused window, leaving a scan-side partial count). Such rows measure the count-consumer's plan, not the materialization - the Verify path (full parquet dump) is where those operators' real work is exercised and hash-checked.",
-           |  "trust_semantics": "per-query self-certification (round-11): X_ratio = this pass's task_s / min(warm,cold) task_s in the previously committed same-sf detail; X_trusted = the rolling MEDIAN ratio of the query's +-4 pass-order neighbors stayed <= 2x. Contention is a window phenomenon, so an untrusted flag marks a throttled stretch whose walls must not be compared round-over-round, while a genuine single-query regression keeps a calm neighborhood median and stays trusted (= adjudicable). null = new query / no reference / window too small.",
+           |  "trust_semantics": "per-query self-certification (round-11): X_ratio = this pass's task_s / the SAME pass's task_s in the previously committed same-sf detail (PASS-MATCHED - warm vs warm, cold vs cold; a min(warm,cold) reference would read every Layer-consumer's cold as a phantom 100x regression since its warm shares Layers by design). X_trusted = the rolling MEDIAN ratio of the query's +-4 pass-order NEIGHBORS stayed <= 2x; contention is a window phenomenon, so an untrusted flag marks a throttled stretch whose walls must not be compared round-over-round, while a genuine single-query regression keeps a calm neighborhood median and stays trusted (= adjudicable). A query with no own reference (X_ratio null, e.g. new this round) still gets a trust flag from its neighborhood; X_trusted is null only when fewer than 3 neighbors have ratios.",
            |  "untrusted_warm": ${trustW.valuesIterator.count(_ == false)},
            |  "untrusted_cold": ${trustC.valuesIterator.count(_ == false)},
            |  "warm_canaries": ${canaryJson("warm")},

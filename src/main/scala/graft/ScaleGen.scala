@@ -47,17 +47,24 @@ object ScaleGen {
     // The default ("fixed") keeps every prior corpus byte-identical;
     // heaps mode exists to measure the x269 router's OTHER direction
     // at scale (the saturated direction is the default corpus itself).
-    var dupBoost = 1
-    var vocabMode = "fixed"
+    var dupBoost = Option.empty[Int]
+    var vocabModeArg = Option.empty[String]
     args.drop(2).foreach {
-      case v if v.forall(_.isDigit) && v.nonEmpty => dupBoost = v.toInt
-      case v @ ("fixed" | "heaps") => vocabMode = v
+      case v @ ("fixed" | "heaps") =>
+        require(vocabModeArg.isEmpty, s"vocabMode given twice — $usage")
+        vocabModeArg = Some(v)
+      case v if v.toIntOption.isDefined =>
+        require(dupBoost.isEmpty, s"dupBoost given twice — $usage")
+        dupBoost = v.toIntOption
       case other => throw new IllegalArgumentException(
         s"unrecognized argument '$other' — $usage")
     }
-    require(dupBoost >= 1 && dupBoost <= 100, s"dupBoost $dupBoost out of range")
-    val exactMod = math.max(2, 625 / dupBoost)
-    val nearMod = math.max(3, 400 / dupBoost)
+    val vocabMode = vocabModeArg.getOrElse("fixed")
+    require(dupBoost.forall(b => b >= 1 && b <= 100),
+      s"dupBoost ${dupBoost.get} out of range 1..100 — $usage")
+    val boost = dupBoost.getOrElse(1)
+    val exactMod = math.max(2, 625 / boost)
+    val nearMod = math.max(3, 400 / boost)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -757,9 +757,10 @@ object Dedup {
     sys.env.get("SPARK_GRAFT_PAIR_BUDGET") match {
       case None => 2000000000L
       case Some(v) =>
-        require(v.nonEmpty && v.forall(_.isDigit),
-          s"SPARK_GRAFT_PAIR_BUDGET must be a positive integer, got '$v'")
-        v.toLong
+        val parsed = v.toLongOption
+        require(parsed.exists(_ >= 1L),
+          s"SPARK_GRAFT_PAIR_BUDGET must be a positive integer within Long range, got '$v'")
+        parsed.get
     }
 
   /** Σ c·(c−1)/2 over a bucket-population frame — the row count the

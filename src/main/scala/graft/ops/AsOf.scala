@@ -119,16 +119,12 @@ object AsOf {
     * row-grain, exact integers + the catalog string.
     */
   def pitDimensionJoin(spark: SparkSession, dir: String): DataFrame = {
-    val chg = Tables.orders(spark, dir).select(
-      col("o_custkey").as("user_id"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
-      col("o_orderkey").as("chg_id"),
-      col("o_orderpriority").as("attr_value"),
+    val chg = pitChanges(spark, dir).select(
+      col("user_id"), col("t_us"), col("chg_id"), col("attr_value"),
       lit(null).cast("long").as("event_id"),
       lit(0).as("kind"))
-    val rows = Tables.events(spark, dir).select(
-      col("user_id"),
-      unix_micros(col("ts")).as("t_us"),
+    val rows = pitRows(spark, dir).select(
+      col("user_id"), col("t_us"),
       lit(null).cast("long").as("chg_id"),
       lit(null).cast("string").as("attr_value"),
       col("event_id"),

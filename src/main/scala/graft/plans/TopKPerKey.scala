@@ -88,21 +88,28 @@ object TopKPerKey {
     * discipline — see the class scaladoc for the profile guidance.
     */
   def of(df: DataFrame, key: String, order: String, tie: String, k: Int,
-         rankName: String = "rank", sortPartial: Boolean = true): DataFrame = {
+         rankName: String = "rank", sortPartial: Boolean = true): DataFrame =
+    plan(df, key, order, tie, k, rankName, sortPartial, kCol = None)
+
+  /** Shared plan builder for [[of]] / [[ofVarK]]: idempotent strategy
+    * registration, resolution against the ANALYZED child (the node is
+    * built below the analyzer's unresolved-column machinery, so its
+    * expressions must already be bound attributes), and the plan-time
+    * LongType check (the physical scan compares order/tie/quota as
+    * primitive longs; anything else would ClassCastException mid-job).
+    */
+  private def plan(df: DataFrame, key: String, order: String, tie: String,
+                   k: Int, rankName: String, sortPartial: Boolean,
+                   kCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val analyzed = df.queryExecution.analyzed
-    // resolve against the ANALYZED child ourselves: the node is built
-    // below the analyzer's unresolved-column machinery, so its
-    // expressions must already be bound attributes
     def attr(name: String): Attribute = analyzed.output
       .find(a => spark.sessionState.conf.resolver(a.name, name))
       .getOrElse(throw new IllegalArgumentException(
         s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
-    // the physical scan compares order/tie as primitive longs; anything
-    // else would ClassCastException mid-job, so fail at plan time instead
     def longAttr(name: String): Attribute = {
       val a = attr(name)
       require(a.dataType == org.apache.spark.sql.types.LongType,
@@ -111,7 +118,7 @@ object TopKPerKey {
     }
     val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), k,
       AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
-      sortPartial)
+      sortPartial, kCol = kCol.map(longAttr))
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
   }
 
@@ -125,27 +132,8 @@ object TopKPerKey {
     * bounds the exchange at Σ min(k_key, rows) per partition.
     */
   def ofVarK(df: DataFrame, key: String, order: String, tie: String, kCol: String,
-             rankName: String = "rank", sortPartial: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute = analyzed.output
-      .find(a => spark.sessionState.conf.resolver(a.name, name))
-      .getOrElse(throw new IllegalArgumentException(
-        s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
-    def longAttr(name: String): Attribute = {
-      val a = attr(name)
-      require(a.dataType == org.apache.spark.sql.types.LongType,
-        s"TopKPerKey: column '$name' must be LongType (cast it first), got ${a.dataType.simpleString}")
-      a
-    }
-    val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), 1,
-      AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
-      sortPartial, kCol = Some(longAttr(kCol)))
-    org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)
-  }
+             rankName: String = "rank", sortPartial: Boolean = true): DataFrame =
+    plan(df, key, order, tie, k = 1, rankName, sortPartial, kCol = Some(kCol))
 
   /** x261: top-3 parts per brand by exact revenue — the custom operator
     * on the correctness path: the per-(brand, part) revenue aggregate

@@ -712,11 +712,10 @@ object Streams {
     import org.apache.spark.sql.expressions.Window
     val wv = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from_us"), col("chg_id"))
-    val versions = Tables.orders(spark, dir).select(
-        col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
-        col("o_orderkey").as("chg_id"),
-        col("o_orderpriority").as("attr_value"))
+    // the SAME change-log derivation as the batch PIT pair (AsOf.pitChanges
+    // — one definition across x275/x278/s20, so the three cannot drift)
+    val versions = graft.ops.AsOf.pitChanges(spark, dir)
+      .withColumnRenamed("t_us", "valid_from_us")
       .withColumn("version", row_number().over(wv).cast("long"))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
       .select("user_id", "version", "attr_value", "valid_from_us", "valid_to_us")

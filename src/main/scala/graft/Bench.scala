@@ -119,7 +119,12 @@ object Bench {
         val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
         if (!text.contains("\"sf\": \"" + sfDir + "\"")) (Map.empty, Map.empty)
         else {
-          val re = ("\"([A-Za-z0-9_]+)\": \\{[^}]*\"warm_task_s\": ([0-9.]+|null)," +
+          // [^{}]* (braces excluded): a gap that admitted '{' let the match
+          // start at the enclosing `"queries": {` opener and swallow the
+          // FIRST query's values under the key "queries" — that query then
+          // had no pass-matched reference every round (r11 advice: a01's
+          // warm/cold ratios were permanently null).
+          val re = ("\"([A-Za-z0-9_]+)\": \\{[^{}]*\"warm_task_s\": ([0-9.]+|null)," +
             " \"cold_task_s\": ([0-9.]+|null)").r
           val ms = re.findAllMatchIn(text).toSeq
           def side(g: Int) = ms.flatMap(m =>

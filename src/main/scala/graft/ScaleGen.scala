@@ -23,13 +23,13 @@ object ScaleGen {
     "stream", "table", "the", "value", "vector", "window")
 
   private val usage =
-    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] " +
+    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] [skew] " +
       "(trailing args are recognized BY VALUE — an integer is dupBoost, " +
-      "fixed/heaps is vocabMode — so `ScaleGen out 10 heaps` works without " +
-      "passing the default dupBoost)"
+      "fixed/heaps is vocabMode, skew is keyMode — so `ScaleGen out 10 heaps` " +
+      "or `ScaleGen out 10 skew` works without passing the default dupBoost)"
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 4, usage)
+    require(args.length >= 2 && args.length <= 5, usage)
     val out = args(0)
     val m = args(1).toInt
     // Trailing args parse BY VALUE, not by position: `heaps` in slot 3
@@ -47,12 +47,26 @@ object ScaleGen {
     // The default ("fixed") keeps every prior corpus byte-identical;
     // heaps mode exists to measure the x269 router's OTHER direction
     // at scale (the saturated direction is the default corpus itself).
+    // keyMode "skew" (round-12): a POWER-LAW key profile for the
+    // events/orders USER grain — user 0 owns ~20% of all events AND all
+    // orders (so both the PIT fact side and its version/change side
+    // concentrate on one key), with the remaining mass Zipf(1)-ish over
+    // the rest of the domain via the inverse-CDF trick k = ⌊N^u⌋. This is
+    // the corpus r11's verdict says ScaleGen could not exhibit: per-key
+    // grain GROWS with m (hot key ≈ 20k·m events + 30k·m orders), so a
+    // one-task-per-key plan (x275's single window) serializes while a
+    // bounded-grain plan (x278 / the routed x281) stays flat. Default
+    // keeps every prior corpus byte-identical.
     var dupBoost = Option.empty[Int]
     var vocabModeArg = Option.empty[String]
+    var keyModeArg = Option.empty[String]
     args.drop(2).foreach {
       case v @ ("fixed" | "heaps") =>
         require(vocabModeArg.isEmpty, s"vocabMode given twice — $usage")
         vocabModeArg = Some(v)
+      case v @ "skew" =>
+        require(keyModeArg.isEmpty, s"keyMode given twice — $usage")
+        keyModeArg = Some(v)
       case v if v.toIntOption.isDefined =>
         require(dupBoost.isEmpty, s"dupBoost given twice — $usage")
         dupBoost = v.toIntOption
@@ -60,6 +74,7 @@ object ScaleGen {
         s"unrecognized argument '$other' — $usage")
     }
     val vocabMode = vocabModeArg.getOrElse("fixed")
+    val skewKeys = keyModeArg.isDefined
     require(dupBoost.forall(b => b >= 1 && b <= 100),
       s"dupBoost ${dupBoost.get} out of range 1..100 — $usage")
     val boost = dupBoost.getOrElse(1)
@@ -75,6 +90,18 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val vocabCol = array(vocab.map(lit): _*)
+
+    // skew keyMode's draw, hash-derived like everything else: 20% of ids
+    // hit key 0 (the hot user); the rest land on ⌊(domain−1)^u⌋ with u
+    // uniform in [0,1) — the Zipf(1) inverse CDF (P(k) ∝ 1/k up to the
+    // log-normalizer), so the tail itself is power-law, not uniform.
+    // seedSel/seedU keep the hot-or-not coin independent of the rank draw.
+    def skewedKey(seedSel: Int, seedU: Int, domain: Long) =
+      when(pmod(hash(col("id"), lit(seedSel)), lit(100)) < 20, lit(0L))
+        .otherwise(least(lit(domain - 1),
+          floor(pow(lit((domain - 1).toDouble),
+            pmod(hash(col("id"), lit(seedU)), lit(1000000L)).cast("double")
+              / 1000000.0)).cast("long")))
 
     // documents: text of 10–100 tokens from the 31-word vocab; one exact
     // copy per 625 ids (the observed 8-groups-per-5000), one near-dup
@@ -144,7 +171,8 @@ object ScaleGen {
         col("id").as("event_id"),
         timestamp_micros(lit(1704067200000000L) +
           pmod(hash(col("id"), lit(12)), lit(86400000000L * 30))).as("ts"),
-        pmod(hash(col("id"), lit(13)), lit(1500L * m)).as("user_id"),
+        (if (skewKeys) skewedKey(13, 113, 1500L * m)
+         else pmod(hash(col("id"), lit(13)), lit(1500L * m))).as("user_id"),
         element_at(array(lit("click"), lit("view"), lit("purchase"),
           lit("signup"), lit("error")),
           (pmod(hash(col("id"), lit(14)), lit(5)) + 1).cast("int")).as("event_type"),
@@ -159,7 +187,12 @@ object ScaleGen {
     val nOrd = 150000L * m
     spark.range(nOrd).select(
         col("id").as("o_orderkey"),
-        pmod(hash(col("id"), lit(18)), lit(15000L * m)).as("o_custkey"),
+        // skew keyMode draws o_custkey from the EVENTS user domain
+        // (1500·m, not 15000·m): the hot key must be hot on BOTH the PIT
+        // fact side and its version side, and the tail keys must actually
+        // collide across the two tables for per-key history to grow in m
+        (if (skewKeys) skewedKey(18, 118, 1500L * m)
+         else pmod(hash(col("id"), lit(18)), lit(15000L * m))).as("o_custkey"),
         timestamp_micros(lit(1704067200000000L) +
           pmod(hash(col("id"), lit(19)), lit(86400000000L * 1095))).as("o_orderdate"),
         round(pmod(hash(col("id"), lit(20)), lit(49900000)) / 100.0 + 1000.0, 2)

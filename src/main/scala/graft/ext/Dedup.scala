@@ -508,7 +508,7 @@ object Dedup {
     * with exact Jaccard distance ≤ maxDist.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7,
-                   budget: Long = pairBudget): DataFrame = {
+                   budget: Long = pairBudget / 4): DataFrame = {
     val keyed = minhashSigs(spark, dir, minhashTables(maxDist))
     // bare-channel saturation guard (the x16 twin of x15's m100 abort):
     // Σ c·(c−1)/2 over the (table, minhash) bucket populations is EXACTLY
@@ -516,8 +516,10 @@ object Dedup {
     // on a saturated corpus the per-table min-hash collapses to a handful
     // of values and this goes to ~b·n²/2 (the measured 1.92 task exponent).
     // One aggregate over the Layer-cached signature frame, refused before
-    // any pair ships. The effective budget is a QUARTER of the shared
-    // dial: unlike x15's df-frame estimate (an upper bound that prefix
+    // any pair ships. The DEFAULT budget is a QUARTER of the shared dial
+    // (derated in the parameter default, so an explicit caller budget is
+    // enforced exactly as given — the x15 ngramJaccardPairs convention):
+    // unlike x15's df-frame estimate (an upper bound that prefix
     // filtering then shrinks ~3×), this estimate is exact on candidates
     // but each candidate still fans through the distinct exchange and two
     // verify joins — measured at the saturated m100: 7.8·10⁸ estimated
@@ -528,7 +530,7 @@ object Dedup {
     requirePairBudget(
       candidatePairEstimate(
         keyed.groupBy("t", "mh").agg(count(lit(1)).as("c")), "c"),
-      budget / 4, "minhashPairs (x16)")
+      budget, "minhashPairs (x16)")
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.t") === col("y.t") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -295,7 +295,13 @@ object Events {
       return scd2Of(ev).orderBy("user_id", "version")
     val lo = bounds.getLong(0)
     val cutoff = lo + (bounds.getLong(1) - lo) * 999L / 1000L
-    val baseV = scd2Of(ev.filter(col("valid_from_us") <= cutoff))
+    // Null timestamps ride the BASE slice: a `<= cutoff` / `> cutoff`
+    // split drops null valid_from_us from BOTH sides, so on a corpus
+    // with null event timestamps the incremental result would silently
+    // lose rows the full rebuild (and the verbatim x99 oracle) retain —
+    // the incremental-equals-full contract must hold row-for-row.
+    val baseV = scd2Of(ev.filter(col("valid_from_us") <= cutoff ||
+      col("valid_from_us").isNull))
     val arrivals = ev.filter(col("valid_from_us") > cutoff)
     val affected = arrivals.select("user_id").distinct()
     val untouched = baseV.join(broadcast(affected), Seq("user_id"), "left_anti")

@@ -118,12 +118,18 @@ object AsOf {
     * Rows before a user's first change drop (inner PIT). Output is
     * row-grain, exact integers + the catalog string.
     */
-  def pitDimensionJoin(spark: SparkSession, dir: String): DataFrame = {
-    val chg = pitChanges(spark, dir).select(
+  def pitDimensionJoin(spark: SparkSession, dir: String): DataFrame =
+    pitCarry(pitChanges(spark, dir), pitRows(spark, dir))
+
+  /** Frame-level core of [[pitDimensionJoin]] — the SINGLE-WINDOW carry
+    * (task grain = one key); shared with the routed entry below.
+    */
+  private[graft] def pitCarry(changes: DataFrame, rows: DataFrame): DataFrame = {
+    val chg = changes.select(
       col("user_id"), col("t_us"), col("chg_id"), col("attr_value"),
       lit(null).cast("long").as("event_id"),
       lit(0).as("kind"))
-    val rows = pitRows(spark, dir).select(
+    val ev = rows.select(
       col("user_id"), col("t_us"),
       lit(null).cast("long").as("chg_id"),
       lit(null).cast("string").as("attr_value"),
@@ -133,7 +139,7 @@ object AsOf {
       .orderBy(col("t_us"), col("kind"),
         coalesce(col("chg_id"), col("event_id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chg.unionByName(rows)
+    chg.unionByName(ev)
       .select(col("*"),
         last(col("attr_value"), ignoreNulls = true).over(w).as("pit_attr"),
         last(when(col("kind") === 0, col("t_us")), ignoreNulls = true).over(w)
@@ -186,9 +192,18 @@ object AsOf {
     * pins row-for-row equality against the single-window plan on a
     * planted hot-key fixture where bucketing actually splits the key.
     */
+  /** nBuckets ≤ 0 (the default) derives the bucket count from the probed
+    * key grain ([[pitRoute]]) instead of a caller literal; any explicit
+    * positive value is honored as given (output is identical either way —
+    * the count is a plan dial).
+    */
   def pitDimensionJoinBucketed(spark: SparkSession, dir: String,
-                               nBuckets: Int = 256): DataFrame =
-    pitCarryBucketed(pitChanges(spark, dir), pitRows(spark, dir), nBuckets)
+                               nBuckets: Int = 0): DataFrame = {
+    val chg = pitChanges(spark, dir)
+    val rows = pitRows(spark, dir)
+    val n = if (nBuckets >= 1) nBuckets else pitRoute(chg, rows)._3
+    pitCarryBucketed(chg, rows, n)
+  }
 
   /** Frame-level core of [[pitDimensionJoinBucketed]]; see there. */
   private[graft] def pitCarryBucketed(changes: DataFrame, rows: DataFrame,
@@ -237,6 +252,67 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("version"),
         col("pit_attr").as("attr_value"), col("valid_from_us"))
       .orderBy("event_id")
+  }
+
+  /** The PIT router's grain threshold — a DOCUMENTED CONSTANT (the x269
+    * discipline): the largest per-key row count (changes + facts) the
+    * single-window plan is allowed to serialize into one task. At the
+    * carry's ~40-byte row width, 2 M rows is ~80 MB of one-task sort and
+    * a few seconds of one-core carry — beyond that the hot key's task
+    * IS the stage wall and the bucketed plan's ~2.2× shuffle overhead
+    * (SCALE.md r11) is the cheaper side of the trade.
+    */
+  private[graft] val PitGrainBudget: Long = 2000000L
+
+  /** Bucketed-path task-grain target: the derived bucket count aims each
+    * (key, bucket) task at ~budget/4 rows for the HOTTEST key (colder
+    * keys land far below), so the routed plan clears the straggler with
+    * 4× headroom without exploding the grid frame.
+    */
+  private[graft] val PitTargetBucketRows: Long = PitGrainBudget / 4
+
+  /** The routing probe: max per-key row count over changes ∪ rows — ONE
+    * aggregate (map-side-combinable count per key, then a 1-row max) and
+    * a driver boundary of exactly one row. Returns (maxKeyRows,
+    * useBucketed, nBuckets): the decision compares against the grain
+    * budget, and nBuckets derives from the MEASURED grain (hot key rows /
+    * target rows per bucket, clamped to [16, 4096]) instead of a caller
+    * literal — time buckets split by span, so a hot key whose history is
+    * roughly uniform in time lands ~maxKeyRows/nBuckets rows per task;
+    * a single instant's ties always share a bucket (exactness needs
+    * them co-located, and they cannot be split by any time cut anyway).
+    */
+  private[graft] def pitRoute(changes: DataFrame, rows: DataFrame,
+                              grainBudget: Long = PitGrainBudget): (Long, Boolean, Int) = {
+    val maxKeyRows = changes.select(col("user_id"))
+      .unionAll(rows.select(col("user_id")))
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val nBuckets = math.min(4096L, math.max(16L,
+      (maxKeyRows + PitTargetBucketRows - 1) / PitTargetBucketRows)).toInt
+    (maxKeyRows, maxKeyRows > grainBudget, nBuckets)
+  }
+
+  /** x281: the ROUTED point-in-time join — [[pitDimensionJoin]]'s
+    * single-window carry when the probed per-key grain is bounded (every
+    * healthy corpus: one exchange, minimal shuffle rows), and
+    * [[pitCarryBucketed]] with a grain-derived bucket count when one
+    * key's history exceeds [[PitGrainBudget]] (the power-law corpus
+    * where the single window would serialize that key into one straggler
+    * task — ScaleGen's `skew` keyMode, SCALE.md r12). The oracle mirrors
+    * the routing TRIVIALLY: both channels are hash-checked BYTE-IDENTICAL
+    * (x278 rides x275's oracle verbatim — bucketing is a plan dial, not
+    * a semantics dial), so x281 rides the same oracle no matter which
+    * side the probe picks; unlike x269's UNION-of-gated-channels oracle,
+    * no decision replay is needed because no decision can change a row.
+    * OpsSpec pins the decision itself both ways on fixtures.
+    */
+  def pitDimensionJoinRouted(spark: SparkSession, dir: String): DataFrame = {
+    val chg = pitChanges(spark, dir)
+    val rows = pitRows(spark, dir)
+    val (_, bucketed, nBuckets) = pitRoute(chg, rows)
+    if (bucketed) pitCarryBucketed(chg, rows, nBuckets)
+    else pitCarry(chg, rows)
   }
 
   val pitOracle: String =

@@ -116,7 +116,28 @@ object TopKPerKey {
         s"TopKPerKey: column '$name' must be LongType (cast it first), got ${a.dataType.simpleString}")
       a
     }
-    val node = TopKPerKey(attr(key), longAttr(order), longAttr(tie), k,
+    // The run-boundary check in groupLimit compares evaluated key values
+    // with Objects.equals and copies only UTF8String across next() calls.
+    // That is only sound for atomic value-comparable types: a STRUCT key
+    // evaluates to a reused UnsafeRow (the held curKey would mutate in
+    // place — every row compares equal, one quota for the partition) and
+    // a BINARY key yields Array[Byte] with identity equals (every row a
+    // new group). Reject those shapes at PLAN time rather than corrupt
+    // output at run time.
+    val keyAttr = attr(key)
+    keyAttr.dataType match {
+      case org.apache.spark.sql.types.StringType
+           | org.apache.spark.sql.types.BooleanType
+           | org.apache.spark.sql.types.DateType
+           | org.apache.spark.sql.types.TimestampType
+           | org.apache.spark.sql.types.TimestampNTZType => ()
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case dt => throw new IllegalArgumentException(
+        s"TopKPerKey: key '$key' must be an atomic value type (string/" +
+          s"numeric/boolean/date/timestamp), got ${dt.simpleString}; " +
+          "hash or cast composite keys to a scalar first")
+    }
+    val node = TopKPerKey(keyAttr, longAttr(order), longAttr(tie), k,
       AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
       sortPartial, kCol = kCol.map(longAttr))
     org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark, node)

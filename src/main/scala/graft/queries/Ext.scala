@@ -218,6 +218,7 @@ object Ext {
     "x274_stratified_aes"  -> ((s: SparkSession, d: String) => graft.ops.Sampling.stratifiedAes(s, d)),
     "x275_pit_join"        -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoin(s, d)),
     "x278_pit_bucketed"    -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoinBucketed(s, d)),
+    "x281_pit_routed"      -> ((s: SparkSession, d: String) => graft.ops.AsOf.pitDimensionJoinRouted(s, d)),
     "x279_topk_tiered"     -> ((s: SparkSession, d: String) => graft.plans.TopKPerKey.topBrandPartsTiered(s, d)),
     "x280_incr_scd2"       -> ((s: SparkSession, d: String) => Events.incrementalScd2(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
@@ -649,6 +650,12 @@ object Ext {
     // carry is a plan-only rewrite and the streaming PIT is the online
     // twin — all three must agree row for row, and the hash gate pins it
     "x278_pit_bucketed"    -> graft.ops.AsOf.pitOracle,
+    // x281 (the grain-probe ROUTER) also rides it: both of its channels
+    // are the two plans above, proven byte-identical by these very
+    // gates, so no routing decision can change a row — the oracle
+    // mirrors the router by construction (cf. x269, where the channels
+    // DIFFER and the oracle must replay the decision)
+    "x281_pit_routed"      -> graft.ops.AsOf.pitOracle,
     "x279_topk_tiered"     -> graft.plans.TopKPerKey.topBrandPartsTieredOracle,
     // x280 rides x99's oracle VERBATIM: incremental maintenance must
     // equal the full rebuild row for row — the hash gate IS the contract

@@ -3193,6 +3193,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("PIT router: grain probe picks the channel and derives nBuckets from measured grain") {
+    import spark.implicits._
+    // gate corpus: per-key grain is far below the budget → single window
+    val chg = graft.ops.AsOf.pitChanges(spark, sf)
+    val rows = graft.ops.AsOf.pitRows(spark, sf)
+    val (grain, bucketed, _) = graft.ops.AsOf.pitRoute(chg, rows)
+    assert(grain > 0 && !bucketed,
+      s"gate corpus (max key grain $grain) must route single-window")
+    // routed output ≡ the single-window plan it picked
+    val routed = graft.ops.AsOf.pitDimensionJoinRouted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    val single = graft.ops.AsOf.pitDimensionJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    assert(routed === single, "x281 diverged from x275 on the gate corpus")
+    // hot-key direction: one key over the budget → bucketed, and the
+    // derived bucket count comes from the MEASURED grain (9 M rows on one
+    // key / 500 k target = 18 buckets), not a caller literal
+    val hotRows = spark.range(9000000L)
+      .select(lit(7L).as("user_id"), col("id").as("t_us"), col("id").as("event_id"))
+    val hotChg = Seq((7L, 0L, 1L, "v0")).toDF("user_id", "t_us", "chg_id", "attr_value")
+    val (hotGrain, hotBucketed, hotN) = graft.ops.AsOf.pitRoute(hotChg, hotRows)
+    assert(hotGrain === 9000001L && hotBucketed, "hot key must route bucketed")
+    assert(hotN === 19, s"derived nBuckets $hotN != ceil(9000001/500000)")
+    // clamp law: an empty probe floors at the 16-bucket minimum
+    val (z, zb, zn) = graft.ops.AsOf.pitRoute(hotChg.filter(lit(false)),
+      hotRows.filter(lit(false)))
+    assert(z === 0L && !zb && zn === 16)
+  }
+
   test("stratified A-ES replays the driver-side per-source top-k exactly") {
     val got = graft.ops.Sampling.stratifiedAes(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))

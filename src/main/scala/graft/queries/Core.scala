@@ -520,6 +520,40 @@ object Core {
       .orderBy("day")
   }
 
+  /** q31: the DSv2 CATALOG surface end-to-end (r11 verdict "What's
+    * missing" #1) — the SAME per-customer aggregate as q27, but no
+    * DataFrame-reader option ever names a path: the session registers
+    * [[graft.sources.GraftCatalog]] as catalog `graft`, DDL creates the
+    * namespace and a graftkv table THROUGH it, `writeTo(...).append()`
+    * resolves the identifier via `loadTable` and commits through the kv
+    * batch protocol, and the read back is `spark.table("graft.db…")` —
+    * the full CatalogPlugin → TableCatalog → Table → Scan resolution
+    * chain a SQL-first user exercises. Rides q27's oracle shape
+    * verbatim (identity contract: what the catalog read returns is
+    * exactly the aggregate that was inserted), so the whole catalog
+    * stack sits on the hash-checked path; SourcesSpec pins the DDL laws
+    * (create/list/exists/rename/drop, duplicate-create and
+    * unknown-table errors, metadata published by atomic rename).
+    * DROP + CREATE per run keeps the query idempotent under the bench's
+    * warm/cold replays. The k column coalesces to a non-null expression
+    * because the table schema declares k/v NOT NULL and the v2 insert
+    * path (unlike the q27 writer-options path) enforces nullability at
+    * analysis — o_custkey is never null in fact, but its parquet schema
+    * cannot promise that.
+    */
+  def q31CatalogRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.order_counts")
+    spark.sql("CREATE TABLE graft.db.order_counts USING graftkv")
+    Tables.orders(spark, dir)
+      .groupBy(coalesce(col("o_custkey"), lit(0L)).as("k"))
+      .agg(count(lit(1)).as("v"))
+      .writeTo("graft.db.order_counts").append()
+    spark.table("graft.db.order_counts").orderBy("k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -551,6 +585,7 @@ object Core {
     "q28_wap_publish"         -> (q28WapPublish _),
     "q29_cube_agg"            -> (q29CubeAgg _),
     "q30_window_suite"        -> (q30WindowSuite _),
+    "q31_catalog_roundtrip"   -> (q31CatalogRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,6 +661,12 @@ object Core {
     // identity contract: what the graftkv write+read roundtrip returns
     // must be exactly the aggregate that was written through it
     "q27_dsv2_write"          ->
+      """SELECT o_custkey AS k, COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // identity contract through the CATALOG resolution chain: what
+    // spark.table("graft.db.order_counts") returns must be exactly the
+    // aggregate inserted through writeTo().append()
+    "q31_catalog_roundtrip"   ->
       """SELECT o_custkey AS k, COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     // what the consumer reads after write-audit-publish must be exactly

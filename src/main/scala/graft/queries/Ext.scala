@@ -347,6 +347,7 @@ object Ext {
     "s10_stream_gaps"      -> ((s: SparkSession, d: String) => Streams.silentGaps(s, d)),
     "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
     "s19_stream_hll"       -> ((s: SparkSession, d: String) => Streams.streamingHllDistinct(s, d)),
+    "s21_state_reader"     -> ((s: SparkSession, d: String) => Streams.stateReaderHll(s, d)),
     "s13_stream_full_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseFullJoin(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
     "s14_stream_topk"      -> ((s: SparkSession, d: String) => Streams.streamingTopK(s, d)),
@@ -534,6 +535,11 @@ object Ext {
     "s17_stream_late_drop" -> Streams.lateDataDropOracle,
     "s18_stream_two_level" -> Streams.twoLevelOracle,
     "s19_stream_hll"       -> Streams.streamingHllOracle,
+    // s21 rides s19's oracle VERBATIM: the state READER must reproduce
+    // from RocksDB bytes exactly what the processor computed online —
+    // the replay-invariant max algebra makes the two identical by
+    // construction, and the shared oracle hash-checks the reader stack
+    "s21_state_reader"     -> Streams.streamingHllOracle,
     "x120_daily_trend"     -> Events.trendOracle,
     "x160_ewma_daily"      -> Events.ewmaOracle,
     "x162_mutual_info"     -> Events.mutualInfoOracle,

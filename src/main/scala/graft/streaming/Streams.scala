@@ -17,14 +17,23 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
-  private def runToMemory(agg: DataFrame, mode: String): DataFrame = {
+  /** `checkpoint`: by default the memory sink gets a throwaway temp
+    * checkpoint; s21 pins one so the completed run's state store is
+    * addressable by the state data source afterwards. A PINNED
+    * checkpoint makes the run idempotent rather than repeated: a second
+    * start() finds every input file already committed, processes zero
+    * batches, and leaves the state exactly as the first run did — which
+    * is precisely the contract the state READER wants.
+    */
+  private def runToMemory(agg: DataFrame, mode: String,
+                          checkpoint: Option[String] = None): DataFrame = {
     val qname = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
+    val w = agg.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(qname)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     q.awaitTermination()
     agg.sparkSession.table(qname)
   }
@@ -625,6 +634,74 @@ object Streams {
         .partitionBy(col("event_type")).orderBy(col("n_events").desc)
       table.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_events"), col("denom_s"),
+          col("v_zero"), col("est_e3"))
+        .orderBy("event_type")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** s21: STATE-STORE INTROSPECTION (r11 verdict "What's missing" #2) —
+    * Spark 4's state data source (`format("statestore")`) read over
+    * s19's completed RocksDB state, so an operator can audit a streaming
+    * job's state WITHOUT replaying it: run the s19 pipeline once against
+    * a pinned checkpoint, then read the `regs` and `nrows` state
+    * variables back as DataFrames and recompute the HLL summary FROM THE
+    * STATE BYTES (denominator, zero-register count, e3-floored estimate
+    * — the x247 float-op order verbatim, applied to registers that came
+    * out of RocksDB rather than out of the processor). Because the s19
+    * algebra is replay-invariant (register-wise max), the state-derived
+    * summary equals the batch register build — s21 rides s19's oracle
+    * VERBATIM, which makes the state READER itself hash-checked: a
+    * corrupted read (wrong variable, wrong key decode, torn bytes) can
+    * not produce the oracle's rows. At 100 TB the same read pattern
+    * inspects any transformWithState job's keyed state at
+    * partition-parallel speed (one reader per state-store shard),
+    * which is the debugging surface a stateful pipeline otherwise lacks.
+    * StreamingSpec additionally pins s21 row-for-row against s19's own
+    * output (same session, same corpus), tying state to stream output.
+    */
+  def stateReaderHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = s"${graft.RunScoped.ioDir}/s21_state_ckpt"
+      val src = eventStream(spark, dir)
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      val updated = src.groupByKey(_._1)
+        .transformWithState(new DeterministicHllProcessor, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("event_type", "n_events", "denom_s", "v_zero", "est_e3")
+      runToMemory(updated, "update", checkpoint = Some(ckpt))
+      def stateVar(name: String): DataFrame =
+        spark.read.format("statestore")
+          .option("path", ckpt).option("stateVarName", name).load()
+      val regs = stateVar("regs")
+        .select(col("key.value").as("event_type"),
+          col("value.value").as("m"))
+        .as[(String, Array[Byte])]
+        .map { case (t, m) =>
+          var denom = 0L; var vz = 0L; var i = 0
+          while (i < 256) {
+            denom += 1L << (25 - m(i)); if (m(i) == 0) vz += 1L; i += 1
+          }
+          val alpha = 0.7213d / (1.0d + 1.079d / 256.0d)
+          val raw = alpha * 65536.0d * 33554432.0d / denom.toDouble
+          val est = if (raw <= 640.0d && vz > 0L)
+            256.0d * math.log(256.0d / vz.toDouble) else raw
+          (t, denom, vz, math.floor(est * 1000d + 0.5d).toLong)
+        }.toDF("event_type", "denom_s", "v_zero", "est_e3")
+      val nrows = stateVar("nrows")
+        .select(col("key.value").as("event_type"),
+          col("value.value").as("n_events"))
+      nrows.join(regs, Seq("event_type"))
         .select(col("event_type"), col("n_events"), col("denom_s"),
           col("v_zero"), col("est_e3"))
         .orderBy("event_type")

@@ -119,13 +119,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
-  test("approx_count_distinct lands within the configured error of exact") {
-    val rows = graft.queries.Analytics.approxDistinct(spark, sf).collect()
-    rows.foreach { r =>
+  test("approx_count_distinct lands within the configured error of exact; a08 claims it as data") {
+    // raw-estimate tolerance (the estimate itself is off a08's hashed
+    // surface, so pin it here)
+    val raw = Tables.events(spark, sf).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact")).collect()
+    raw.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.1,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    // and the query's emitted claim agrees: bound = ceil(exact/10),
+    // within_bound true everywhere on the gate corpus
+    val rows = graft.queries.Analytics.approxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bound_users") ===
+        math.ceil(r.getAs[Long]("exact_users") * 0.10).toLong)
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getString(0)}: estimate escaped its 10% band")
     }
   }
 
@@ -274,12 +288,25 @@ class OpsSpec extends SparkSuite {
       "clear() must still release the surviving entry (no leak from skipping the eager unpersist)")
   }
 
-  test("approx_percentile lands near the exact median per group") {
-    graft.queries.Analytics.approxPercentiles(spark, sf).collect().foreach { r =>
+  test("approx_percentile lands near the exact median per group; a10 claims the rank band as data") {
+    // raw-estimate tolerance (the estimate itself is off a10's hashed
+    // surface, so pin it here)
+    Tables.documents(spark, sf).groupBy("lang")
+      .agg(expr("approx_percentile(n_chars, 0.5, 1000)").as("approx"),
+        expr("percentile(n_chars, 0.5)").as("exact")).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getDouble(2)
       assert(math.abs(approx - exact) / exact <= 0.15,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    // and the query's emitted claim: band ordered, estimate inside it
+    val rows = graft.queries.Analytics.approxPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p45") <= r.getAs[Double]("p50_exact") &&
+        r.getAs[Double]("p50_exact") <= r.getAs[Double]("p55"))
+      assert(r.getAs[Boolean]("within_rank_band"),
+        s"${r.getString(0)}: approx median escaped [p45, p55]")
     }
   }
 

@@ -156,4 +156,125 @@ class PlansSpec extends SparkSuite {
     assert(a === b, "x271/x272 diverged — the SCALE comparison would be apples to oranges")
     assert(a.nonEmpty)
   }
+
+  // ---- plan-contract sweep (r11 verdict directive 7) -------------------
+  // The load-bearing plan guarantees as a REGRESSION GATE: for the
+  // heaviest batch queries (top cold task-s in docs/BENCH_DETAIL.json,
+  // ML fits and streaming replays excluded — their cost is the trainer /
+  // the micro-batch loop, not a batch plan), execute at the gate SF and
+  // pin (a) the shuffle-exchange count, (b) the partition-less-window
+  // count, (c) zero non-broadcast cartesian products. A Spark upgrade or
+  // refactor that silently re-plans a guarantee away (adds an exchange,
+  // degrades a two-phase ranking to a one-task window, un-broadcasts a
+  // dim into a cartesian) fails here with the offending plan printed.
+  // Budgets are CURRENT counts, not aspirations — tightening is a win,
+  // loosening must be a reviewed decision in this table.
+
+  /** AQE-aware plan flatten: descends through adaptive roots, query
+    * stages, and subqueries; stops at InMemoryTableScan (a consumer's
+    * plan must not be charged for its cached build) and at reused
+    * exchanges (counted once, at the original).
+    */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val inner: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _: InMemoryTableScanExec => Seq.empty
+      case _: ReusedExchangeExec => Seq.empty
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: (inner.flatMap(flattenPlan) ++ p.subqueries.flatMap(flattenPlan))
+  }
+
+  private def planCounts(name: String): (Int, Int, Int, Int, String) = {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Layer.clear(spark) // always probe the COLD plan: a Layer hit swaps
+    // a build subtree for an InMemoryTableScan and the count drifts with
+    // whatever ran before this sweep
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    (nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.count { case w: WindowExec => w.partitionSpec.isEmpty; case _ => false },
+      nodes.count(_.isInstanceOf[CartesianProductExec]),
+      nodes.count(_.isInstanceOf[ExpandExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("plan-contract sweep: top task-s batch queries hold their exchange and window budgets") {
+    // (query, max shuffle exchanges, max partition-less windows) —
+    // values are the MEASURED counts at the gate SF (r12). The
+    // partition-less windows that remain are all GRID-frame windows
+    // (bucket/boundary frames of the two-phase rankings — ≤ B rows by
+    // construction), never a fact window: a regression that adds one
+    // more trips the budget. q25's 2 exchanges are its final aggregate +
+    // total-order ORDER BY; the JOIN itself planning zero exchanges is
+    // pinned by OpsSpec's co-bucketed law (and by the sensitivity test
+    // below, which shows the count jumping when bucketing is disabled).
+    val budgets: Seq[(String, Int, Int)] = Seq(
+      ("x265_gains_table", 18, 6),
+      ("x267_avg_precision", 17, 5),
+      ("q14_feature_matrix", 3, 0),
+      ("q10_users_final", 1, 0),
+      ("x215_triple_itemsets", 8, 0),
+      ("x213_substitutes", 5, 0),
+      ("x242_mutual_knn", 2, 0),
+      ("a38_theilsen_trend", 8, 1),
+      ("q13_labels", 2, 0),
+      ("a36_rfm_segments", 18, 3),
+      ("q09_user_prior_features", 1, 0),
+      ("a35_gini_lorenz", 17, 3),
+      ("q06_products_dim_join", 1, 0),
+      ("q05_product_features", 1, 0),
+      ("q12_candidates", 1, 0),
+      ("x200_kcore", 3, 0),
+      ("q11_userproduct_features", 1, 0),
+      ("x231_label_prop", 3, 0),
+      ("x110_trade_pagerank", 11, 0),
+      ("x96_quality_fusion", 22, 3),
+      ("q25_bucketed_join", 2, 0),
+      ("x147_column_stats_hll", 2, 0))
+    val failures = budgets.flatMap { case (name, maxEx, maxGw) =>
+      val (nEx, nGw, nCp, nXp, plan) = planCounts(name)
+      info(f"$name%-26s exchanges=$nEx%2d globalWindows=$nGw cartesians=$nCp expands=$nXp")
+      val errs = Seq(
+        (nEx > maxEx) -> s"$name: $nEx shuffle exchanges (budget $maxEx)",
+        (nGw > maxGw) -> s"$name: $nGw partition-less fact windows (budget $maxGw)",
+        (nCp > 0) -> s"$name: $nCp cartesian products (budget 0)",
+        // x147's reason to exist: approximate NDV stats plan NO Expand
+        // (the exact-NDV x124 pays one — that asymmetry IS the guarantee)
+        (name == "x147_column_stats_hll" && nXp > 0) ->
+          s"$name: $nXp Expand nodes (HLL stats must plan none)")
+        .collect { case (true, msg) => msg }
+      if (errs.nonEmpty) Seq(errs.mkString("; ") + s"\n$plan") else Nil
+    }
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+  }
+
+  test("plan-contract sweep detector actually fires: disabling bucketing re-plans q25 with exchanges") {
+    // broadcast must be off too: at the tiny gate SF, AQE would hide the
+    // lost bucketing behind a broadcast join and the count would not move
+    val keys = Seq("spark.sql.sources.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "false")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "-1")
+      val (nEx, _, _, _, _) = planCounts("q25_bucketed_join")
+      assert(nEx > 2,
+        "sensitivity check: with bucketing disabled the detector must see added exchanges")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

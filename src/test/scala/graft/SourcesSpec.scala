@@ -307,4 +307,53 @@ class SourcesSpec extends SparkSuite {
     assert(a.getLong(0) !== a.getLong(1),
       "duplicate-key staging must fail the uniqueness audit")
   }
+
+  test("GraftCatalog DDL laws: create/list/exists/rename/drop, both providers, SQL-only access") {
+    import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException
+    val root = s"${graft.RunScoped.ioDir}/cat_law"
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.db")
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).contains("db"))
+    // kv table: create → listed → insert via SQL → select via SQL
+    spark.sql("DROP TABLE IF EXISTS gtest.db.t1")
+    spark.sql("CREATE TABLE gtest.db.t1 USING graftkv")
+    assert(spark.sql("SHOW TABLES IN gtest.db").collect()
+      .map(_.getString(1)).contains("t1"), "created table must list")
+    intercept[TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE gtest.db.t1 USING graftkv")
+    }
+    spark.sql("INSERT INTO gtest.db.t1 SELECT id AS k, id * 3 AS v FROM range(50)")
+    val got = spark.sql("SELECT k, v FROM gtest.db.t1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === (0L until 50L).map(k => (k, k * 3L)))
+    // metadata published atomically: the namespace dir holds the meta
+    // file and data dir, never a staged remnant
+    val nsFiles = new java.io.File(s"$root/db").listFiles().map(_.getName)
+    assert(nsFiles.contains("t1.gt") && !nsFiles.exists(_.startsWith("_staged")),
+      s"unexpected namespace contents: ${nsFiles.mkString(",")}")
+    // seq table through the catalog: options persist in metadata, reads
+    // go through the same pushdown-capable scan stack
+    spark.sql("DROP TABLE IF EXISTS gtest.db.s1")
+    spark.sql("CREATE TABLE gtest.db.s1 USING graftseq OPTIONS (n '1000', slices '4')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gtest.db.s1 WHERE id >= 900")
+      .collect()(0).getLong(0) === 100L)
+    // rename moves metadata AND data; the old name stops resolving
+    spark.sql("ALTER TABLE gtest.db.t1 RENAME TO db.t2")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gtest.db.t2").collect()(0).getLong(0) === 50L)
+    val afterRename = spark.sql("SHOW TABLES IN gtest.db").collect().map(_.getString(1))
+    assert(afterRename.contains("t2") && !afterRename.contains("t1"))
+    // drop removes both listings and data; selecting a dropped table fails
+    spark.sql("DROP TABLE gtest.db.t2")
+    spark.sql("DROP TABLE gtest.db.s1")
+    assert(spark.sql("SHOW TABLES IN gtest.db").collect().isEmpty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gtest.db.t2").collect()
+    }
+    // provider validation is at CREATE time, not first read
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.db.bad USING parquet")
+    }
+  }
 }

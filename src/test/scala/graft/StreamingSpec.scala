@@ -524,4 +524,17 @@ class StreamingSpec extends SparkSuite {
     // global conservation: Σ hourly totals = all events
     assert(got.values.map(_._2).sum === ev.length.toLong)
   }
+
+  test("state reader reproduces s19's output from the RocksDB bytes alone") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val fromState = graft.streaming.Streams.stateReaderHll(spark, sf)
+      .collect().map(key).toSeq
+    val fromStream = graft.streaming.Streams.streamingHllDistinct(spark, sf)
+      .collect().map(key).toSeq
+    assert(fromState.nonEmpty)
+    // the reader's rows ARE the stream's final rows: state ↔ output tied
+    assert(fromState === fromStream,
+      "statestore read diverged from the processor's own final updates")
+  }
 }

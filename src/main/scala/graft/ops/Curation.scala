@@ -59,8 +59,16 @@ object Curation {
       .agg(min(struct(col("doc_id"), col("n_tokens"), col("ttr_bp"))).as("s"))
       .select(col("s.doc_id").as("doc_id"), col("s.n_tokens").as("n_tokens"),
         col("s.ttr_bp").as("ttr_bp"))
-    // stage 3: near-dup losers (Layer-shared pair set, key-projected)
-    val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
+    // stage 3: near-dup losers through the ROUTED entry (round-12,
+    // verdict stretch 8): on every gate corpus the probe picks the exact
+    // channel — the same Layer-shared pair set as before, hashes
+    // unchanged — but on a saturated 100× corpus the bare channel would
+    // REFUSE (the r10 m100 abort) and the router completes via the
+    // capped channel instead, which is what lets the whole x135
+    // composition run at m100. The oracle gates both channels on the
+    // same derived probe (the x269 discipline), so the routing is
+    // hash-checked inside this pipeline too.
+    val losers = Dedup.routedNearDup(spark, dir, 0.6)
       .select(col("b").as("doc_id")).distinct()
     // stage 4: eval contamination (Layer-shared gram stream)
     val grams = Dedup.grams4(spark, dir)
@@ -106,7 +114,8 @@ object Curation {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val flags = graft.Layer.cached(spark, dir, "funnelFlags") {
-      val losers = Dedup.ngramJaccardPairs(spark, dir, 0.6)
+      // routed like x135 stage 3 (same entry, same Layer-shared frames)
+      val losers = Dedup.routedNearDup(spark, dir, 0.6)
         .select(col("b").as("doc_id")).distinct()
       val grams = Dedup.grams4(spark, dir)
       val evalGrams = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
@@ -164,6 +173,43 @@ object Curation {
   }
 
   /** DuckDB twin: the x135 CTE chain with one count row per stage. */
+  /** The ROUTED near-dup losers as a SQL fragment (CTE tail appended
+    * after a `sh(doc_id, lang, s)` shingle CTE): the x269 oracle's
+    * probe + two-channel UNION, projected to the loser (b) side. The
+    * probe CTE computes the same saturation share and candidate mass as
+    * `Dedup.routeToCapped`; exactly one UNION branch survives its WHERE
+    * gate — the branch the Scala router picked — so the routing is
+    * hash-checked inside both curation oracles. dfCap 64 mirrors
+    * routedNearDup's default; the mass budget is
+    * [[graft.ext.Dedup.RouteMassBudget]] (single-sourced).
+    */
+  private def routedLosersSql: String =
+    s"""f AS (SELECT sh.lang, u.s AS s, COUNT(*) AS df
+       |      FROM sh, UNNEST(sh.s) u(s) GROUP BY 1, 2),
+       |probe AS (SELECT COALESCE(AVG(CASE WHEN df > 64 THEN 1.0 ELSE 0.0 END), 0.0) AS sat,
+       |                 COALESCE(SUM(LEAST(df, 100000) * (LEAST(df, 100000) - 1) // 2),
+       |                          0) AS mass
+       |          FROM f),
+       |pp AS (SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
+       |              list_filter(a.s, x -> list_contains(b.s, x)) AS shared,
+       |              ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
+       |                    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |qq AS (SELECT a, b, lang, shared FROM pp WHERE jaccard >= 0.6),
+       |mxx AS (SELECT qq.a, qq.b, qq.lang, u.s AS s FROM qq, UNNEST(qq.shared) u(s)),
+       |mm AS (SELECT mxx.a, mxx.b, MIN(f.df) AS mindf
+       |       FROM mxx JOIN f ON f.lang = mxx.lang AND f.s = mxx.s
+       |       GROUP BY 1, 2),
+       |losers AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT qq.b AS doc_id FROM qq
+       |  WHERE (SELECT sat FROM probe) < 0.5
+       |    AND (SELECT mass FROM probe) <= ${graft.ext.Dedup.RouteMassBudget}
+       |  UNION ALL
+       |  SELECT qq.b AS doc_id FROM qq JOIN mm ON mm.a = qq.a AND mm.b = qq.b
+       |  WHERE ((SELECT sat FROM probe) >= 0.5
+       |         OR (SELECT mass FROM probe) > ${graft.ext.Dedup.RouteMassBudget})
+       |    AND mm.mindf <= 64))""".stripMargin
+
   val funnelOracle: String =
     """WITH tr AS (SELECT doc_id, text,
       |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -183,10 +229,7 @@ object Curation {
       |              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
       |       FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |losers AS (SELECT DISTINCT b.doc_id AS doc_id
-      |           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |           WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
-      |                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |""".stripMargin + routedLosersSql + """,
       |pnd AS (SELECT * FROM exk WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
       |dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -241,10 +284,7 @@ object Curation {
       |              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
       |       FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |losers AS (SELECT DISTINCT b.doc_id AS doc_id
-      |           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |           WHERE ROUND(len(list_filter(a.s, x -> list_contains(b.s, x))) /
-      |                       len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6),
+      |""".stripMargin + routedLosersSql + """,
       |dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
       |d4 AS (SELECT doc_id, u.gram FROM dd,

@@ -44,12 +44,18 @@ object Bench {
     // shuffle-everything window) in the artifact itself.
     val shufRec = new java.util.concurrent.atomic.AtomicLong(0)
     val shufBytesAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    // Longest single task in the current window — the STRAGGLER signal a
+    // task-total cannot show (a one-key serialization leaves totals near
+    // the balanced plan's while one task IS the stage wall). Reset per
+    // query by the snapshot protocol below.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) {
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
           shufRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
           shufBytesAcc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          maxTaskMs.accumulateAndGet(t.taskMetrics.executorRunTime, Math.max(_, _))
         }
     })
     val taskTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -64,6 +70,7 @@ object Bench {
         if (cold) Layer.clear(spark)
         val (tasks0, rec0, bytes0) = {
           org.apache.spark.graftshim.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+          maxTaskMs.set(0)
           (taskMs.get(), shufRec.get(), shufBytesAcc.get())
         }
         val t0 = System.nanoTime()
@@ -83,7 +90,7 @@ object Bench {
         shufBytes += s"$tag:$name" -> (shufBytesAcc.get() - bytes0)
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
-        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufBytesAcc.get() - bytes0) / 1048576.0}%8.1f MiB")
+        System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  maxtask ${maxTaskMs.get() / 1000.0}%7.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufBytesAcc.get() - bytes0) / 1048576.0}%8.1f MiB")
         name -> secs
       }
     def fmt(m: Map[String, Double]): String =

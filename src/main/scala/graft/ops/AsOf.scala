@@ -183,14 +183,16 @@ object AsOf {
     *     partition, seeded by the carried boundary state; version =
     *     carried change count + the in-bucket running count.
     *
-    * The bucket width is span/nBuckets, derived from the data's own
-    * min/max instants (1-row driver boundary) — a PLAN dial only: any
-    * width yields byte-identical output (changes in earlier buckets have
-    * strictly smaller t_us, ties share a bucket, so the carry
-    * composition is exact), which is why x278 rides the SAME oracle as
-    * x275 and the hash gate pins the equivalence. OpsSpec additionally
-    * pins row-for-row equality against the single-window plan on a
-    * planted hot-key fixture where bucketing actually splits the key.
+    * Buckets are EQUAL-FREQUENCY (global t_us quantile cut points, a
+    * grid-sized driver boundary — see [[pitCarryBucketed]] for why
+    * equal-width failed the r12 power-law measurement) — a PLAN dial
+    * only: any monotone time partition yields byte-identical output
+    * (changes in earlier buckets have strictly smaller t_us, ties share
+    * a bucket, so the carry composition is exact), which is why x278
+    * rides the SAME oracle as x275 and the hash gate pins the
+    * equivalence. OpsSpec additionally pins row-for-row equality
+    * against the single-window plan on a planted hot-key fixture where
+    * bucketing actually splits the key.
     */
   /** nBuckets ≤ 0 (the default) derives the bucket count from the probed
     * key grain ([[pitRoute]]) instead of a caller literal; any explicit
@@ -205,7 +207,23 @@ object AsOf {
     pitCarryBucketed(chg, rows, n)
   }
 
-  /** Frame-level core of [[pitDimensionJoinBucketed]]; see there. */
+  /** Frame-level core of [[pitDimensionJoinBucketed]]; see there.
+    *
+    * Bucket assignment is EQUAL-FREQUENCY, not equal-width (round-12):
+    * the r12 power-law measurement caught uniform span division failing
+    * exactly where this operator matters — the events occupy 30 days of
+    * the orders dim's 3-year span, so EVERY fact row of the hot key
+    * landed in one (key, bucket) cell and the straggler survived
+    * bucketing (maxtask unchanged vs the single window, SCALE.md r12).
+    * Cut points are global t_us quantiles (one mergeable
+    * percentile_approx pass over the union — never a value collect),
+    * so each bucket holds ~|union|/nBuckets rows REGARDLESS of how time
+    * mass is distributed. Any monotone-in-time partition with ties
+    * co-located yields byte-identical output (the carry composition is
+    * exact across every cut), so this stays a PLAN dial — x278 still
+    * rides x275's oracle verbatim, and the cut points being
+    * approximate/nondeterministic in principle cannot change a row.
+    */
   private[graft] def pitCarryBucketed(changes: DataFrame, rows: DataFrame,
                                       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
@@ -215,14 +233,32 @@ object AsOf {
       lit(null).cast("long").as("chg_id"), lit(null).cast("string").as("attr_value"),
       col("event_id"), lit(1).as("kind"))
     val u = chg.unionByName(ev)
-    // span-derived width; empty input → the filter below yields nothing
-    val bounds = u.agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi")).head()
-    if (bounds.isNullAt(0)) return u.filter(lit(false))
-      .select(col("event_id"), col("user_id"), lit(0L).as("version"),
-        col("attr_value"), col("t_us").as("valid_from_us"))
-    val lo = bounds.getLong(0)
-    val w = math.max(1L, (bounds.getLong(1) - lo) / nBuckets + 1)
-    val b = u.withColumn("bucket", expr(s"(t_us - $lo) DIV $w"))
+    // grid-sized driver boundary: nBuckets−1 quantile cut points of the
+    // union's time axis (µs fit a double exactly below 2^53 — year
+    // ~2255 — and rounding is monotone, so bucket order is preserved
+    // and ties still share a bucket in any case)
+    val cuts: Seq[Double] =
+      if (nBuckets == 1) Seq.empty // one bucket = the single-window carry
+      else {
+        val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+        val cutRow = u.agg(expr(
+          s"percentile_approx(t_us, array(${qs.mkString(",")}), 10000)")).head()
+        // null = empty input: nothing to carry
+        if (cutRow.isNullAt(0)) return u.filter(lit(false))
+          .select(col("event_id"), col("user_id"), lit(0L).as("version"),
+            col("attr_value"), col("t_us").as("valid_from_us"))
+        cutRow.getSeq[Long](0).map(_.toDouble).distinct.sorted
+      }
+    val b =
+      if (cuts.isEmpty) u.withColumn("bucket", lit(0L))
+      else {
+        val splits = (Double.NegativeInfinity +: cuts :+ Double.PositiveInfinity).toArray
+        new org.apache.spark.ml.feature.Bucketizer()
+          .setInputCol("t_d").setOutputCol("bucket_d").setSplits(splits)
+          .transform(u.withColumn("t_d", col("t_us").cast("double")))
+          .withColumn("bucket", col("bucket_d").cast("long"))
+          .drop("t_d", "bucket_d")
+      }
     // stage 1: boundary state per (key, bucket) — an aggregate, not a sort
     val bstate = b.filter(col("kind") === 0)
       .groupBy("user_id", "bucket")

@@ -212,6 +212,43 @@ object ScaleGen {
           .as("o_orderpriority"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // dimension tables for the trade-graph family (x110/x136/x241 join
+    // lineitem/orders through customer/supplier to nation) — absent until
+    // round 12, which is why the iterative graph family had no scale
+    // rows. Same schemas/dtypes as the driver testdata; nationkey
+    // hash-derived over the fixed 25-nation domain so the GRAPH stays
+    // 25 nodes at every m (the trade graph's scale axis is the FACT
+    // volume aggregated into edges, not the node count — exactly the
+    // production shape of an entity graph built from events).
+    // customer covers the plain o_custkey domain (15000·m); supplier
+    // covers l_suppkey (2000·m). region: the fixed 5.
+    spark.range(25).select(
+        col("id").cast("int").as("n_nationkey"),
+        concat(lit("nation"), col("id")).as("n_name"),
+        pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    spark.range(5).select(
+        col("id").cast("int").as("r_regionkey"),
+        concat(lit("region"), col("id")).as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.range(15000L * m).select(
+        col("id").as("c_custkey"),
+        concat(lit("cust"), col("id")).as("c_name"),
+        pmod(hash(col("id"), lit(23)), lit(25)).cast("int").as("c_nationkey"),
+        round(pmod(hash(col("id"), lit(24)), lit(1100000)) / 100.0 - 1000.0, 2)
+          .as("c_acctbal"),
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+          (pmod(hash(col("id"), lit(25)), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    spark.range(2000L * m).select(
+        col("id").as("s_suppkey"),
+        concat(lit("supp"), col("id")).as("s_name"),
+        pmod(hash(col("id"), lit(26)), lit(25)).cast("int").as("s_nationkey"),
+        round(pmod(hash(col("id"), lit(27)), lit(1100000)) / 100.0 - 1000.0, 2)
+          .as("s_acctbal"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
     // embeddings: 64-dim float vectors in [-1, 1), hash-derived per
     // (vec_id, dim); 10 labels — the shape x148's covariance pass and the
     // similarity family consume (2 000·m matches sf0.1's 2 000 at 1×)

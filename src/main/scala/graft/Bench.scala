@@ -61,6 +61,7 @@ object Bench {
     val taskTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shufRecs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shufBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val maxTasks = scala.collection.mutable.LinkedHashMap[String, Long]()
     // A failed query records the sentinel -1, never its wall time: a crashed
     // query must be distinguishable from a fast one in the artifact.
     def pass(tag: String, cold: Boolean): Map[String, Double] =
@@ -88,6 +89,7 @@ object Bench {
         taskTimes += s"$tag:$name" -> (taskMs.get() - tasks0)
         shufRecs += s"$tag:$name" -> (shufRec.get() - rec0)
         shufBytes += s"$tag:$name" -> (shufBytesAcc.get() - bytes0)
+        maxTasks += s"$tag:$name" -> maxTaskMs.get()
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
         System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  maxtask ${maxTaskMs.get() / 1000.0}%7.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufBytesAcc.get() - bytes0) / 1048576.0}%8.1f MiB")
@@ -237,12 +239,17 @@ object Bench {
       // cold is the per-plan number): the exchange-volume evidence column
       def shufCell(tag: String, n: String): String =
         shufRecs.get(s"$tag:$n").map(_.toString).getOrElse("null")
+      // longest single task (cold pass): the straggler column — a
+      // one-key serialization leaves totals near the balanced plan's
+      // while one task IS the stage wall (the r12 x275 finding)
+      def maxTaskCell(tag: String, n: String): String =
+        maxTasks.get(s"$tag:$n").map(v => f"${v / 1000.0}%.3f").getOrElse("null")
       def ratioCell(tag: String, n: String): String =
         ratioOf(tag, n).map(r => f"$r%.2f").getOrElse("null")
       def trustCell(m: Map[String, Boolean], n: String): String =
         m.get(n).map(_.toString).getOrElse("null")
       val lines = names.map(n =>
-        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}, "warm_ratio": ${ratioCell("warm", n)}, "cold_ratio": ${ratioCell("cold", n)}, "warm_trusted": ${trustCell(trustW, n)}, "cold_trusted": ${trustCell(trustC, n)}}""")
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_max_task_s": ${maxTaskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}, "warm_ratio": ${ratioCell("warm", n)}, "cold_ratio": ${ratioCell("cold", n)}, "warm_trusted": ${trustCell(trustW, n)}, "cold_trusted": ${trustCell(trustC, n)}}""")
       val body =
         s"""{
            |  "round": $round,

@@ -348,6 +348,7 @@ object Ext {
     "s12_stream_distinct"  -> ((s: SparkSession, d: String) => Streams.streamingDistinct(s, d)),
     "s19_stream_hll"       -> ((s: SparkSession, d: String) => Streams.streamingHllDistinct(s, d)),
     "s21_state_reader"     -> ((s: SparkSession, d: String) => Streams.stateReaderHll(s, d)),
+    "s22_state_legacy"     -> ((s: SparkSession, d: String) => Streams.stateReaderUserTotals(s, d)),
     "s13_stream_full_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseFullJoin(s, d)),
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
     "s14_stream_topk"      -> ((s: SparkSession, d: String) => Streams.streamingTopK(s, d)),
@@ -785,6 +786,12 @@ object Ext {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // final per-user stream state must equal the batch aggregate
     "s03_stream_stateful"  ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // s22 rides s03's oracle VERBATIM: what the state READER decodes
+    // from the HDFS-backed store must be exactly the final per-user
+    // state, which by the s03 contract is the batch aggregate
+    "s22_state_legacy"     ->
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )

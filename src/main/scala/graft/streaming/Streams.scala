@@ -729,6 +729,41 @@ object Streams {
     }
   }
 
+  /** s22: state introspection for the LEGACY state API — s21's twin over
+    * `flatMapGroupsWithState` (s03's per-user running (count, total)
+    * accumulator) and the DEFAULT HDFS-backed store provider, so the
+    * state-reader surface covers BOTH state APIs (GroupState and
+    * transformWithState) and BOTH providers (HDFS-backed here, RocksDB
+    * in s21). Legacy-operator state needs no stateVarName: the reader
+    * returns (key, value, partition_id) with the key/value structs
+    * shaped by the operator's encoders. The final state per user IS the
+    * batch aggregate (the s03 contract), so s22 rides s03's oracle
+    * verbatim and a torn/misdecoded state read cannot hash-match.
+    */
+  def stateReaderUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ckpt = s"${graft.RunScoped.ioDir}/s22_state_ckpt"
+    val src = eventStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          Iterator((uid, n, t))
+      }
+      .toDF("user_id", "n", "total")
+    runToState(updated, "update", ckpt)
+    spark.read.format("statestore").option("path", ckpt).load()
+      // legacy-API state nests the operator's value under `groupState`
+      .select(col("key.value").as("user_id"),
+        col("value.groupState._1").as("n"),
+        round(col("value.groupState._2"), 4).as("total"))
+      .orderBy("user_id")
+  }
+
   val streamingHllOracle: String =
     """WITH h AS (SELECT event_type,
       |                  ('0x' || substr(md5(user_id || ':hll'), 1, 8))::BIGINT AS v

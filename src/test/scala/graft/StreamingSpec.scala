@@ -537,4 +537,14 @@ class StreamingSpec extends SparkSuite {
     assert(fromState === fromStream,
       "statestore read diverged from the processor's own final updates")
   }
+
+  test("legacy-API state reader decodes the HDFS-backed store to s03's final state") {
+    val fromState = graft.streaming.Streams.stateReaderUserTotals(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromStream = graft.streaming.Streams.statefulUserTotals(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromState.nonEmpty)
+    assert(fromState === fromStream,
+      "legacy statestore read diverged from the stream's final per-user state")
+  }
 }

@@ -117,6 +117,13 @@ object AsOf {
     * oracle's interval join also skips — both engines keep the later.
     * Rows before a user's first change drop (inner PIT). Output is
     * row-grain, exact integers + the catalog string.
+    *
+    * Task-grain caveat (measured, SCALE.md r12): the single window's
+    * task grain is ONE KEY — on a power-law corpus the hot key's task
+    * IS the stage wall (93% at 1.5 M rows/key). Production callers
+    * should prefer [[pitDimensionJoinRouted]] (x281), which keeps this
+    * plan on bounded-grain corpora and switches to the bucketed carry
+    * past the probed grain budget.
     */
   def pitDimensionJoin(spark: SparkSession, dir: String): DataFrame =
     pitCarry(pitChanges(spark, dir), pitRows(spark, dir))

@@ -224,7 +224,10 @@ class PlansSpec extends SparkSuite {
       ("q14_feature_matrix", 3, 0),
       ("q10_users_final", 1, 0),
       ("x215_triple_itemsets", 8, 0),
-      ("x213_substitutes", 5, 0),
+      // 5 or 6: one of x213's joins sits at the AQE broadcast boundary at
+      // this SF, so the runtime SMJ→BHJ decision adds/removes one
+      // exchange run-to-run; 6 is the observed ceiling of BOTH plans
+      ("x213_substitutes", 6, 0),
       ("x242_mutual_knn", 2, 0),
       ("a38_theilsen_trend", 8, 1),
       ("q13_labels", 2, 0),

@@ -732,6 +732,22 @@ object Dedup {
       .select(col("lang"), explode(col("shingles")).as("s"))
       .groupBy("lang", "s").agg(count(lit(1)).as("df"))
 
+  /** The corpus's (lang, shingle) → df frame, persisted once per
+    * (session, sf dir) — round-13: the x269 routing probe and BOTH
+    * near-dup channels consume this same aggregate, and before this
+    * layer existed the probe re-ran the explode+groupBy on every
+    * routedNearDup call even when the channel's pair result was already
+    * memoized (the r12 x135/x142 warm regression: the pipeline paid the
+    * df aggregate twice per warm pass). One Layer entry; the probe is
+    * now a genuine 1-row aggregate over a cached frame, and the
+    * channels' prefix join reads the identical blocks.
+    */
+  private[graft] def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    graft.Layer.cached(spark, dir, "shingleDf")(
+      shingled3(spark, dir)
+        .select(col("lang"), explode(col("shingles")).as("s"))
+        .groupBy("lang", "s").agg(count(lit(1)).as("df")))
+
   /** Share of DISTINCT shingles that are corpus-hot (df > dfCap) — the
     * saturation statistic of SCALE.md's routing prose: ≈0 on a Heaps-law
     * corpus (vocabulary keeps growing, sub-cap evidence dominates), →1
@@ -848,16 +864,16 @@ object Dedup {
   def routedNearDup(spark: SparkSession, dir: String,
                     minJaccard: Double = 0.6, dfCap: Int = 64,
                     routeBudget: Long = RouteMassBudget): DataFrame = {
-    // probe off the LAYER-CACHED shingle pass the selected channel also
-    // consumes: routing costs one aggregate over a shared frame by
-    // construction (the h30 A/B measured this change task-neutral —
-    // the apparent routed-vs-bare gap there was pass-order JIT, not a
-    // double derivation — but one shared derivation is the right shape
-    // regardless; counts and hashes unchanged)
-    val capped = routeToCapped(
-      shingled3(spark, dir)
-        .select(col("lang"), explode(col("shingles")).as("s"))
-        .groupBy("lang", "s").agg(count(lit(1)).as("df")), dfCap, routeBudget)
+    // probe off the LAYER-CACHED df frame the selected channel also
+    // consumes (round-13, the r12 x135/x142 warm fix): before, only the
+    // SHINGLE pass was shared and the explode+groupBy df aggregate
+    // re-ran per probe even when the channel's pair result was already
+    // memoized — the pipeline queries paid that aggregate on every warm
+    // pass. Now [[shingleDf]] persists the aggregate once per (session,
+    // dir); the probe is a 1-row scan of cached blocks and the channels'
+    // prefix join reads the same entry. Counts and hashes unchanged
+    // (the frame is identical — only its caching moved).
+    val capped = routeToCapped(shingleDf(spark, dir), dfCap, routeBudget)
     if (capped) cappedNeardupPairs(spark, dir, minJaccard, dfCap)
     // budget = MaxValue: the router's informed decision IS the guard
     // here — double jeopardy against the env dial would let an env
@@ -916,7 +932,9 @@ object Dedup {
     val docs = shingled3(spark, dir)
       .select(col("lang"), col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
     val inv = docs.select(col("lang"), col("doc_id"), col("sz"), explode(col("shingles")).as("s"))
-    val df = inv.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+    // the Layer-shared df aggregate — the same persisted frame the x269
+    // routing probe reads (round-13; previously rebuilt here from `inv`)
+    val df = shingleDf(spark, dir)
     // bare-channel saturation guard (x15's m100 abort, round-10): refuse
     // LOUDLY off the df frame — one aggregate over the Layer-shared
     // shingle pass — before a doomed pair join ships anything. Runs once

@@ -89,7 +89,10 @@ object Bench {
         taskTimes += s"$tag:$name" -> (taskMs.get() - tasks0)
         shufRecs += s"$tag:$name" -> (shufRec.get() - rec0)
         shufBytes += s"$tag:$name" -> (shufBytesAcc.get() - bytes0)
-        maxTasks += s"$tag:$name" -> maxTaskMs.get()
+        // a failed query's partially-accumulated max task is NOT a
+        // measurement — record the same -1 sentinel as its wall so the
+        // artifact can't present a crash as a real straggler reading
+        maxTasks += s"$tag:$name" -> (if (secs == -1.0) -1L else maxTaskMs.get())
         // stderr progress line per query: a run killed by an external
         // timeout still leaves a per-query trail to find the hotspot
         System.err.println(f"[bench] $tag $name%-24s ${secs}%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s  maxtask ${maxTaskMs.get() / 1000.0}%7.2f s  shuf ${(shufRec.get() - rec0)}%10d rows ${(shufBytesAcc.get() - bytes0) / 1048576.0}%8.1f MiB")
@@ -216,6 +219,68 @@ object Bench {
     emitParts("cold", cold)
     val trustW = trustFlags("warm")
     val trustC = trustFlags("cold")
+    // ---- in-run retry of untrusted queries (round-13, verdict #3) ----
+    // Contention is a transient window phenomenon: by the time both
+    // passes have drained, the stretch that poisoned a query's wall has
+    // usually passed (the r12 driver artifact carried 10 warm / 18 cold
+    // untrusted rows that the builder's later clean rerun proved
+    // environmental). So the bench itself now re-runs each self-flagged
+    // untrusted query ONCE after the passes, with its pass semantics
+    // (cold: Layer cleared first; warm: one unmeasured run rebuilds the
+    // query's own Layer deps, then the measured run), and records the
+    // retry BESIDE the original — never replacing it: the artifact keeps
+    // the full forensic trail (original task_s + ratio, retry task_s +
+    // ratio) and a query counts resolved when its retry ratio clears the
+    // same 2× trust threshold. Retries are judged by their OWN ratio
+    // (no neighborhood median — a post-suite retry has no pass-order
+    // neighbors). Disable with SPARK_GRAFT_BENCH_RETRY=0.
+    val retryTasks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val retryWalls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retryOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    // SPARK_GRAFT_BENCH_FORCE_RETRY: comma-separated names treated as
+    // untrusted — demonstrates the retry path on a calm box (the
+    // BENCH_BREAK convention for the error path)
+    val forceRetry = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE_RETRY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    def retryUntrusted(tag: String, flags: Map[String, Boolean]): Unit = {
+      val order = taskTimes.keys.toSeq
+        .filter(_.startsWith(tag + ":")).map(_.stripPrefix(tag + ":"))
+      order.filter(n => flags.get(n).contains(false) || forceRetry.contains(n)).foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try {
+            if (tag == "cold") Layer.clear(spark)
+            else fn(spark, sfDir).count() // unmeasured: warms this query's Layers
+            org.apache.spark.graftshim.ListenerBridge
+              .waitUntilListenerBusEmpty(spark.sparkContext)
+            val tasks0 = taskMs.get()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.graftshim.ListenerBridge
+              .waitUntilListenerBusEmpty(spark.sparkContext)
+            retryTasks += s"$tag:$n" -> (taskMs.get() - tasks0)
+            retryWalls += s"$tag:$n" -> wall
+            System.err.println(f"[bench] retry:$tag $n%-24s $wall%8.2f s  task ${(taskMs.get() - tasks0) / 1000.0}%8.2f s")
+          } catch {
+            case e: Throwable =>
+              errors += s"retry:$tag:$n" -> e.toString.take(200).replaceAll("[\"\\\\\\n]", " ")
+          }
+        }
+      }
+    }
+    if (retryOn) { retryUntrusted("warm", trustW); retryUntrusted("cold", trustC) }
+    def retryRatioOf(tag: String, n: String): Option[Double] =
+      for {
+        ref <- (if (tag == "warm") refWarm else refCold).get(n)
+        if ref > 0.05
+        cur <- retryTasks.get(s"$tag:$n")
+      } yield cur / 1000.0 / ref
+    // unresolved = still untrusted after the retry pass: flagged, and the
+    // retry either failed, has no reference, or still reads > 2×
+    def unresolved(tag: String, flags: Map[String, Boolean]): Int =
+      flags.count { case (n, ok) =>
+        !ok && !retryRatioOf(tag, n).exists(_ <= 2.0)
+      }
     // Builder-owned per-query table: the driver artifact keeps only the
     // TAIL of stdout (~31 queries survive), so the full per-query
     // warm/cold map also lands in-repo as docs/BENCH_DETAIL.json — one
@@ -241,15 +306,27 @@ object Bench {
         shufRecs.get(s"$tag:$n").map(_.toString).getOrElse("null")
       // longest single task (cold pass): the straggler column — a
       // one-key serialization leaves totals near the balanced plan's
-      // while one task IS the stage wall (the r12 x275 finding)
+      // while one task IS the stage wall (the r12 x275 finding). The
+      // failed-query sentinel (-1) emits as null: a crash's partial
+      // accumulation is not a measurement (r12 ADVICE).
       def maxTaskCell(tag: String, n: String): String =
-        maxTasks.get(s"$tag:$n").map(v => f"${v / 1000.0}%.3f").getOrElse("null")
+        maxTasks.get(s"$tag:$n").filter(_ >= 0L)
+          .map(v => f"${v / 1000.0}%.3f").getOrElse("null")
       def ratioCell(tag: String, n: String): String =
         ratioOf(tag, n).map(r => f"$r%.2f").getOrElse("null")
       def trustCell(m: Map[String, Boolean], n: String): String =
         m.get(n).map(_.toString).getOrElse("null")
+      // untrusted queries carry their quiet-window retry beside the
+      // original (round-13): the flagged measurement stays in the
+      // artifact, the retry adjudicates it
+      def retryCells(n: String): String =
+        Seq("warm", "cold").map { tag =>
+          retryTasks.get(s"$tag:$n").map { v =>
+            s""", "${tag}_retry_task_s": ${f"${v / 1000.0}%.3f"}, "${tag}_retry_ratio": ${retryRatioOf(tag, n).map(r => f"$r%.2f").getOrElse("null")}"""
+          }.getOrElse("")
+        }.mkString
       val lines = names.map(n =>
-        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_max_task_s": ${maxTaskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}, "warm_ratio": ${ratioCell("warm", n)}, "cold_ratio": ${ratioCell("cold", n)}, "warm_trusted": ${trustCell(trustW, n)}, "cold_trusted": ${trustCell(trustC, n)}}""")
+        s"""    "$n": {"warm": ${cell(warm, n)}, "cold": ${cell(cold, n)}, "warm_task_s": ${taskCell("warm", n)}, "cold_task_s": ${taskCell("cold", n)}, "cold_max_task_s": ${maxTaskCell("cold", n)}, "cold_shuffle_rows": ${shufCell("cold", n)}, "warm_ratio": ${ratioCell("warm", n)}, "cold_ratio": ${ratioCell("cold", n)}, "warm_trusted": ${trustCell(trustW, n)}, "cold_trusted": ${trustCell(trustC, n)}${retryCells(n)}}""")
       val body =
         s"""{
            |  "round": $round,
@@ -266,6 +343,11 @@ object Bench {
            |  "trust_semantics": "per-query self-certification (round-11): X_ratio = this pass's task_s / the SAME pass's task_s in the previously committed same-sf detail (PASS-MATCHED - warm vs warm, cold vs cold; a min(warm,cold) reference would read every Layer-consumer's cold as a phantom 100x regression since its warm shares Layers by design). X_trusted = the rolling MEDIAN ratio of the query's +-4 pass-order NEIGHBORS stayed <= 2x; contention is a window phenomenon, so an untrusted flag marks a throttled stretch whose walls must not be compared round-over-round, while a genuine single-query regression keeps a calm neighborhood median and stays trusted (= adjudicable). A query with no own reference (X_ratio null, e.g. new this round) still gets a trust flag from its neighborhood; X_trusted is null only when fewer than 3 neighbors have ratios.",
            |  "untrusted_warm": ${trustW.valuesIterator.count(_ == false)},
            |  "untrusted_cold": ${trustC.valuesIterator.count(_ == false)},
+           |  "retry_semantics": "round-13: each untrusted query re-ran ONCE after both passes drained (cold: Layer cleared; warm: one unmeasured run rebuilds its Layers, then the measured run). The retry lands BESIDE the original as X_retry_task_s / X_retry_ratio - the flagged measurement is never replaced. unresolved_X counts queries still > 2x (or unjudgeable) on retry: those are real regressions or persistent contention, not transient noise.",
+           |  "retried_warm": ${retryTasks.keysIterator.count(_.startsWith("warm:"))},
+           |  "retried_cold": ${retryTasks.keysIterator.count(_.startsWith("cold:"))},
+           |  "unresolved_warm": ${unresolved("warm", trustW)},
+           |  "unresolved_cold": ${unresolved("cold", trustC)},
            |  "warm_canaries": ${canaryJson("warm")},
            |  "cold_canaries": ${canaryJson("cold")},
            |  "warm_contended": ${contended("warm")},
@@ -282,7 +364,7 @@ object Bench {
     }
     def taskTotal(tag: String): Double =
       taskTimes.collect { case (k, v) if k.startsWith(tag + ":") => v }.sum / 1000.0
-    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"warm_contended":${contended("warm")},"cold_contended":${contended("cold")},"untrusted_warm":${trustW.valuesIterator.count(_ == false)},"untrusted_cold":${trustC.valuesIterator.count(_ == false)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
+    println(s"""{"metric":"total","value":${total(primary)},"unit":"sec","sf":"$sfDir","warm_total":${total(warm)},"cold_total":${total(cold)},"warm_task_total":${taskTotal("warm")},"cold_task_total":${taskTotal("cold")},"warm_contended":${contended("warm")},"cold_contended":${contended("cold")},"untrusted_warm":${trustW.valuesIterator.count(_ == false)},"untrusted_cold":${trustC.valuesIterator.count(_ == false)},"unresolved_warm":${unresolved("warm", trustW)},"unresolved_cold":${unresolved("cold", trustC)},"n_queries":${primary.size},"n_errors":${errors.size},"errors":$errJson}""")
     // rc stays 0 even on query errors: the driver must always collect the
     // artifact; n_errors/errors in the tail line is the explicit signal.
     spark.stop()

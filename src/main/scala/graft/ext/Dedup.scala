@@ -506,6 +506,14 @@ object Dedup {
     * md5 hash family makes the whole pipeline DuckDB-mirrorable — x16
     * graduates from rows-only to hash-matched. Output: candidate pairs
     * with exact Jaccard distance ≤ maxDist.
+    *
+    * BEHAVIORAL NOTE (round-12 change, r12 ADVICE changelog): through
+    * round 11 an explicit `budget` argument was enforced as budget/4
+    * (the derate applied inside the body); since round 12 the derate
+    * lives only in the parameter DEFAULT and an explicit budget B is
+    * enforced exactly as B — callers who passed an explicit budget
+    * before r12 now get a 4× looser guard than the old behavior and
+    * should pass B/4 to reproduce it.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxDist: Double = 0.7,
                    budget: Long = pairBudget / 4): DataFrame = {

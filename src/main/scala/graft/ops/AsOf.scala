@@ -260,9 +260,17 @@ object AsOf {
       if (cuts.isEmpty) u.withColumn("bucket", lit(0L))
       else {
         val splits = (Double.NegativeInfinity +: cuts :+ Double.PositiveInfinity).toArray
+        // null t_us → −Inf → bucket 0 (r12 ADVICE): Bucketizer's default
+        // handleInvalid=error would crash on a null timestamp (a real
+        // corpus case — Events.scala routes them too), and the single-
+        // window channel sorts ASC NULLS FIRST, so "earliest bucket" is
+        // the byte-identical placement: all null-time rows precede every
+        // timed row in both plans, and the within-bucket window's own
+        // nulls-first order finishes the job.
         new org.apache.spark.ml.feature.Bucketizer()
           .setInputCol("t_d").setOutputCol("bucket_d").setSplits(splits)
-          .transform(u.withColumn("t_d", col("t_us").cast("double")))
+          .transform(u.withColumn("t_d",
+            coalesce(col("t_us").cast("double"), lit(Double.NegativeInfinity))))
           .withColumn("bucket", col("bucket_d").cast("long"))
           .drop("t_d", "bucket_d")
       }
@@ -320,10 +328,16 @@ object AsOf {
     * useBucketed, nBuckets): the decision compares against the grain
     * budget, and nBuckets derives from the MEASURED grain (hot key rows /
     * target rows per bucket, clamped to [16, 4096]) instead of a caller
-    * literal — time buckets split by span, so a hot key whose history is
-    * roughly uniform in time lands ~maxKeyRows/nBuckets rows per task;
-    * a single instant's ties always share a bucket (exactness needs
-    * them co-located, and they cannot be split by any time cut anyway).
+    * literal. Per-cell bound under the EQUAL-FREQUENCY cuts (r12): each
+    * global bucket holds ~|union|/nBuckets rows by construction, so any
+    * (key, bucket) cell is bounded by that REGARDLESS of the key's time
+    * distribution — the guarantee the r12 measurement forced (equal-width
+    * span cuts left a hot key whose 30-day history sat inside one cut
+    * interval entirely in one cell). In the skew regime that matters the
+    * hot key carries most of the union's mass, so its cells average
+    * ~maxKeyRows/nBuckets ≈ the target grain with the whole-bucket size
+    * as the hard ceiling; a single instant's ties always share a bucket
+    * (exactness needs them co-located, and no time cut can split them).
     */
   private[graft] def pitRoute(changes: DataFrame, rows: DataFrame,
                               grainBudget: Long = PitGrainBudget): (Long, Boolean, Int) = {

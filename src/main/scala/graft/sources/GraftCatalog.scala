@@ -73,10 +73,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces ---------------------------------------------------
 
+  /** Directory names the catalog itself writes on the data plane — a
+    * table's `.gtdata` part-file directory and in-flight `_staged-*`
+    * commit directories. They live INSIDE namespace directories, so a
+    * raw listing would report them as child namespaces (r12 ADVICE:
+    * `SHOW NAMESPACES IN graft.db` listed a phantom `t1.gtdata` once
+    * data was written). Reserved names are invisible to namespace
+    * listing/existence and refused by createNamespace.
+    */
+  private def isReservedDir(name: String): Boolean =
+    name.endsWith(".gtdata") || name.startsWith("_staged-")
+
   override def listNamespaces(): Array[Array[String]] = {
     val f = fs
     f.listStatus(root).filter(_.isDirectory)
-      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+      .map(_.getPath.getName).filterNot(isReservedDir)
+      .map(Array(_)).sortBy(_.head)
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
@@ -84,11 +96,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = nsDir(namespace)
     if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(d).filter(_.isDirectory)
-      .map(s => namespace :+ s.getPath.getName).sortBy(_.last)
+      .map(_.getPath.getName).filterNot(isReservedDir)
+      .map(namespace :+ _).sortBy(_.last)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(nsDir(namespace))
+    namespace.isEmpty ||
+      (!namespace.exists(isReservedDir) && fs.exists(nsDir(namespace)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -97,6 +111,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
+    require(!namespace.exists(isReservedDir),
+      s"namespace ${namespace.mkString(".")} uses a reserved segment " +
+        "(*.gtdata / _staged-*) — these name the catalog's own data and " +
+        "staging directories")
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
     fs.mkdirs(nsDir(namespace))
   }

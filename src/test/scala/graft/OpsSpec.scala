@@ -3220,6 +3220,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("bucketed PIT carry: null t_us rides the first bucket, matching the nulls-first single-window order") {
+    import spark.implicits._
+    // r12 ADVICE: Bucketizer's default handleInvalid=error crashed on a
+    // null timestamp (a real corpus case — Events.scala routes them too).
+    // Contract: null-time rows are 'earliest' in BOTH plans (ASC NULLS
+    // FIRST), so bucketed output must stay byte-identical to the n=1
+    // single-window degenerate with nulls present on both inputs.
+    val chg = ((0 until 97).map(i => (7L, Some(i.toLong * 1000L), 100L + i, s"v$i")) :+
+      ((7L, Option.empty[Long], 99L, "v-null")))
+      .toDF("user_id", "t_us", "chg_id", "attr_value")
+    val rows = ((0 until 197).map(i => (7L, Some(i.toLong * 500L + 3L), 9000L + i)) :+
+      ((7L, Option.empty[Long], 8999L)))
+      .toDF("user_id", "t_us", "event_id")
+    def replay(n: Int) = graft.ops.AsOf.pitCarryBucketed(chg, rows, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val fine = replay(16)
+    val one = replay(1)
+    assert(fine === one, "null t_us changed the bucketed PIT output vs the single window")
+    // the null-time event joined the null-time change (both earliest),
+    // and every timed event still sees the latest timed change ≤ t
+    val byEvent = fine.map(r => r._1 -> r).toMap
+    assert(byEvent(8999L)._4 === "v-null" && byEvent(8999L)._5.isEmpty,
+      "null-time event must join the null-time change with a null valid_from")
+    val e100 = byEvent(9100L) // t = 50 003 → last timed change v50 at 50 000
+    assert(e100._4 === "v50" && e100._5 === Some(50000L),
+      s"timed event after null insertion got ${e100._4}/${e100._5}")
+  }
+
   test("PIT router: grain probe picks the channel and derives nBuckets from measured grain") {
     import spark.implicits._
     // gate corpus: per-key grain is far below the budget → single window

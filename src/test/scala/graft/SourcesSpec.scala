@@ -356,4 +356,31 @@ class SourcesSpec extends SparkSuite {
       spark.sql("CREATE TABLE gtest.db.bad USING parquet")
     }
   }
+
+  test("GraftCatalog: data and staging directories are not namespaces (r12 advice)") {
+    val root = s"${graft.RunScoped.ioDir}/cat_resv"
+    spark.conf.set("spark.sql.catalog.gres", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gres.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gres.db")
+    spark.sql("DROP TABLE IF EXISTS gres.db.t1")
+    spark.sql("CREATE TABLE gres.db.t1 USING graftkv")
+    spark.sql("INSERT INTO gres.db.t1 SELECT id AS k, id AS v FROM range(10)")
+    // the kv data directory is on disk…
+    assert(new java.io.File(s"$root/db/t1.gtdata").isDirectory,
+      "fixture broken: expected a t1.gtdata data directory")
+    // …but never surfaces as a child namespace (the phantom the advice flagged)
+    val children = spark.sql("SHOW NAMESPACES IN gres.db").collect().map(_.getString(0))
+    assert(!children.exists(_.contains("gtdata")),
+      s"data dir leaked into namespace listing: ${children.mkString(",")}")
+    val top = spark.sql("SHOW NAMESPACES IN gres").collect().map(_.getString(0))
+    assert(top.contains("db") && !top.exists(_.contains("gtdata")))
+    // reserved names are refused at CREATE NAMESPACE, not silently shadowed
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gres.`t9.gtdata`")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gres.`_staged-evil`")
+    }
+    spark.sql("DROP TABLE gres.db.t1")
+  }
 }

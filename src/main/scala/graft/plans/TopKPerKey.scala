@@ -116,27 +116,28 @@ object TopKPerKey {
         s"TopKPerKey: column '$name' must be LongType (cast it first), got ${a.dataType.simpleString}")
       a
     }
-    // The run-boundary check in groupLimit compares evaluated key values
-    // with Objects.equals and copies only UTF8String across next() calls.
-    // That is only sound for atomic value-comparable types: a STRUCT key
-    // evaluates to a reused UnsafeRow (the held curKey would mutate in
-    // place — every row compares equal, one quota for the partition) and
-    // a BINARY key yields Array[Byte] with identity equals (every row a
-    // new group). Reject those shapes at PLAN time rather than corrupt
-    // output at run time.
+    // Key-type gate (round-13: struct/binary/array keys UNLOCKED via the
+    // TopKPrune.keyReader projection codec — composite keys no longer
+    // need a manual concat). What must still be refused at PLAN time is
+    // any type whose equal values lack a canonical byte form: a MAP's
+    // entry order is unspecified, so two logically equal maps can
+    // serialize differently and would silently split one group in two.
+    // Float/double keys (atomic or nested) follow raw-bits equality like
+    // Spark's own hash aggregation pre-normalization: normalize -0.0/NaN
+    // first if the source can produce them.
     val keyAttr = attr(key)
-    keyAttr.dataType match {
-      case org.apache.spark.sql.types.StringType
-           | org.apache.spark.sql.types.BooleanType
-           | org.apache.spark.sql.types.DateType
-           | org.apache.spark.sql.types.TimestampType
-           | org.apache.spark.sql.types.TimestampNTZType => ()
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case dt => throw new IllegalArgumentException(
-        s"TopKPerKey: key '$key' must be an atomic value type (string/" +
-          s"numeric/boolean/date/timestamp), got ${dt.simpleString}; " +
-          "hash or cast composite keys to a scalar first")
+    def refuseMaps(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+      case _: org.apache.spark.sql.types.MapType =>
+        throw new IllegalArgumentException(
+          s"TopKPerKey: key '$key' contains a map type " +
+            s"(${keyAttr.dataType.simpleString}) — maps have no canonical " +
+            "byte order, so equal keys could split groups; restructure the " +
+            "key as a struct or sorted array first")
+      case s: org.apache.spark.sql.types.StructType => s.fields.foreach(f => refuseMaps(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => refuseMaps(a.elementType)
+      case _ => ()
     }
+    refuseMaps(keyAttr.dataType)
     val node = TopKPerKey(keyAttr, longAttr(order), longAttr(tie), k,
       AttributeReference(rankName, IntegerType, nullable = false)(), analyzed,
       sortPartial, kCol = kCol.map(longAttr))
@@ -188,6 +189,46 @@ object TopKPerKey {
       |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
       |  FROM rev)
       |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+
+  /** x282: the STRUCT-KEY gate (round-13, verdict #6) — top-2 parts per
+    * (brand, size) COMPOSITE key (string + int fields) through [[TopKPerKey]], the shape
+    * the r12 plan-time refusal forced callers to concat by hand. The key
+    * is a two-field struct column; the partial/final execs group on its
+    * canonical UnsafeProjection bytes ([[TopKPrune.keyReader]]), the
+    * exchange hash-partitions on the struct, and the sorted discipline's
+    * EnsureRequirements sort orders it field-wise — all public Spark
+    * machinery. Hash-matched against the PARTITION BY b, c window idiom,
+    * so the whole composite-key path (projection codec, boundary compare,
+    * struct exchange) sits on the correctness gate.
+    */
+  def topBrandContainerParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rev = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(graft.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size", "l_partkey")
+      .agg(sum(col("cents")).as("rev_e2"))
+      .withColumn("bc", struct(col("p_brand"), col("p_size")))
+    of(rev, "bc", "rev_e2", "l_partkey", 2, "rnk")
+      .select("p_brand", "p_size", "l_partkey", "rev_e2", "rnk")
+      .orderBy("p_brand", "p_size", "rnk")
+  }
+
+  val topBrandContainerPartsOracle: String =
+    """WITH rev AS (SELECT p.p_brand, p.p_size, l.l_partkey,
+      |                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+      |                      AS BIGINT) AS rev_e2
+      |             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |             GROUP BY 1, 2, 3)
+      |SELECT p_brand, p_size, l_partkey, rev_e2, rnk FROM (
+      |  SELECT p_brand, p_size, l_partkey, rev_e2,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+      |           ORDER BY rev_e2 DESC, l_partkey) AS INTEGER) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 2 ORDER BY p_brand, p_size, rnk""".stripMargin
 
   /** x279: TIERED per-brand quota ranking — the variable-k regime made a
     * gate query: each brand keeps its top-`quota` parts by exact revenue,
@@ -321,6 +362,35 @@ private[plans] object TopKPrune {
 
   def better(a: Entry, b: Entry): Boolean = worstFirst.compare(a, b) < 0
 
+  /** Key codec (round-13): how a grouping key is read off a row and held
+    * across rows. Atomic value types eval directly (their boxed values
+    * are value-comparable; UTF8String is copied when held because scan
+    * buffers are reused). STRUCT / ARRAY / BINARY keys are canonicalized
+    * through an UnsafeProjection into a single-field UnsafeRow whose
+    * byte-wise equals/hashCode is Spark's own hash-aggregation key
+    * discipline — equal map-free values always serialize to equal bytes,
+    * which is exactly why MapType keys are refused at plan time. Returns
+    * (read, copyOf): `read` may hand back a buffer-reused value; `copyOf`
+    * makes it safe to hold. Build INSIDE mapPartitions (the projection is
+    * not serializable).
+    */
+  def keyReader(keyB: Expression): (InternalRow => Any, Any => Any) =
+    keyB.dataType match {
+      case _: org.apache.spark.sql.types.StructType
+           | _: org.apache.spark.sql.types.ArrayType
+           | org.apache.spark.sql.types.BinaryType =>
+        val proj = UnsafeProjection.create(Seq(keyB))
+        (row => proj(row), {
+          case r: org.apache.spark.sql.catalyst.expressions.UnsafeRow => r.copy()
+          case other => other
+        })
+      case _ =>
+        (row => keyB.eval(row), {
+          case s: UTF8String => s.copy()
+          case other => other
+        })
+    }
+
   /** The (key ASC, order DESC, tie ASC) requirement the sorted discipline
     * asks of EnsureRequirements — order DESC carries NULLS LAST and tie
     * ASC NULLS FIRST (Spark defaults), but null placement is irrelevant:
@@ -354,21 +424,25 @@ private[plans] object TopKPrune {
     */
   def prune(rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
             tieE: Expression, limitOf: InternalRow => Int): scala.collection.mutable.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]] = {
+    val (readKey, copyKey) = keyReader(keyE)
     val m = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.PriorityQueue[Entry]]
     rows.foreach { row =>
       val o = ordE.eval(row)
       val t = tieE.eval(row)
       val cap = if (o != null && t != null) limitOf(row) else 0
       if (cap > 0) { // documented: null-ordered / zero-quota rows drop
-        val kv = keyE.eval(row) match {
-          case s: UTF8String => s.copy() // scan buffers are reused
-          case other => other
-        }
-        // defer row.copy() until the entry is actually admitted — the
-        // common case at steady state is rejection, which must not allocate
+        // lookup with the (possibly buffer-reused) read value; COPY only
+        // when inserting a new key — the steady-state rejection path
+        // allocates nothing (rows are likewise copied only on admission)
+        val kv = readKey(row)
         val e = Entry(o.asInstanceOf[Long], t.asInstanceOf[Long], null)
-        val pq = m.getOrElseUpdate(kv,
-          scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst))
+        val pq = m.get(kv) match {
+          case Some(q) => q
+          case None =>
+            val q = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
+            m.put(copyKey(kv), q)
+            q
+        }
         if (pq.size < cap) pq.enqueue(e.copy(row = row.copy()))
         else if (better(e, pq.head)) { pq.dequeue(); pq.enqueue(e.copy(row = row.copy())) }
       }
@@ -385,6 +459,7 @@ private[plans] object TopKPrune {
   def groupLimit[T](rows: Iterator[InternalRow], keyE: Expression, ordE: Expression,
                     tieE: Expression, limitOf: InternalRow => Int)(f: (InternalRow, Int) => T): Iterator[T] =
     new Iterator[T] {
+      private val (readKey, copyKey) = keyReader(keyE)
       private var curKey: Any = null
       private var haveKey = false
       private var taken = 0
@@ -393,13 +468,10 @@ private[plans] object TopKPrune {
         while (ready == null && rows.hasNext) {
           val row = rows.next()
           if (ordE.eval(row) != null && tieE.eval(row) != null) {
-            val kv = keyE.eval(row)
+            val kv = readKey(row)
             val same = haveKey && java.util.Objects.equals(curKey, kv)
             if (!same) {
-              curKey = kv match {
-                case s: UTF8String => s.copy() // held across next() calls
-                case other => other
-              }
+              curKey = copyKey(kv) // held across next() calls
               haveKey = true
               taken = 0
             }

@@ -90,6 +90,46 @@ class PlansSpec extends SparkSuite {
       assert(m.value <= 32L, s"variable-k partial leaked ${m.value} rows past the quota bound"))
   }
 
+  test("struct/binary keys: quotas hold per composite key, both disciplines match the window idiom, map keys refuse") {
+    import org.apache.spark.sql.expressions.Window
+    // 15 composite (k1, k2) groups interleaved across 8 partitions so the
+    // run-boundary compare sees alternating groups — a codec that held a
+    // mutating buffer would merge them (one quota for the partition)
+    val df = spark.range(0, 6000, 1, 8)
+      .select((col("id") % 5).cast("string").as("k1"), (col("id") % 3).as("k2"),
+        col("id").as("v"), col("id").as("t"))
+      .withColumn("kk", struct(col("k1"), col("k2")))
+    def run(sorted: Boolean) =
+      TopKPerKey.of(df, "kk", "v", "t", 2, "rnk", sortPartial = sorted)
+        .select("k1", "k2", "v", "rnk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val s = run(sorted = true)
+    assert(s === run(sorted = false), "struct-key disciplines diverged")
+    val w = Window.partitionBy("k1", "k2").orderBy(col("v").desc, col("t"))
+    val exp = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .select("k1", "k2", "v", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(s === exp, "struct-key operator diverged from the window idiom")
+    // binary key (Array[Byte] has identity equals — the codec must group
+    // by content): top-1 per k1 via its utf8 bytes = top-1 per k1
+    val gotB = TopKPerKey.of(df.withColumn("kb", col("k1").cast("binary")),
+        "kb", "v", "t", 1, "rnk")
+      .select("k1", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expB = df.withColumn("r", row_number().over(
+        Window.partitionBy("k1").orderBy(col("v").desc, col("t"))))
+      .filter(col("r") === 1)
+      .select("k1", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotB === expB, "binary key grouped by identity, not content")
+    // maps have no canonical byte order: refused at plan time, nested too
+    intercept[IllegalArgumentException] {
+      TopKPerKey.of(df.withColumn("km", map(col("k1"), col("k2"))), "km", "v", "t", 1)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey.of(df.withColumn("km2", struct(map(col("k1"), col("k2")).as("m"))),
+        "km2", "v", "t", 1)
+    }
+  }
+
   test("TopKPerKey partial phase ships at most k rows per key per input partition") {
     import spark.implicits._
     // one hot key spread over 8 partitions, 1000 rows each: the window

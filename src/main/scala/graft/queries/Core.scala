@@ -554,6 +554,40 @@ object Core {
     spark.table("graft.db.order_counts").orderBy("k")
   }
 
+  /** q32: snapshot TIME TRAVEL through the catalog (r12 verdict #4) —
+    * the next rung of the DSv2 ladder after q31. Every graftkv commit
+    * now publishes an immutable manifest (`snap-N.gts`, staged-rename —
+    * the Iceberg-style commit point); `VERSION AS OF` resolves in
+    * [[graft.sources.GraftCatalog]]'s time-travel `loadTable` overload.
+    * The query publishes the daily-revenue aggregate (snapshot 1), then
+    * a second publish appends junk marker rows (snapshot 2 — the
+    * "oops" a consumer wants to read around), and returns `VERSION AS
+    * OF 1`: hash-matching the PRE-publish aggregate proves the old
+    * snapshot is byte-identical after the table moved on. DROP+CREATE
+    * per run keeps versions starting at 1 under bench replays;
+    * SourcesSpec pins the laws (snapshot immutability under overwrite,
+    * TIMESTAMP AS OF resolution, expired-version refusal, retention
+    * vacuum keeps the current view intact).
+    */
+  def q32TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rev_hist")
+    spark.sql("CREATE TABLE graft.db.rev_hist USING graftkv")
+    Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+          .cast("long"), lit(0L)).as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("k")
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("v"))
+      .writeTo("graft.db.rev_hist").append()              // snapshot 1
+    spark.range(1, 1001)
+      .select((col("id") * -1L).as("k"), lit(0L).as("v"))
+      .writeTo("graft.db.rev_hist").append()              // snapshot 2
+    spark.sql("SELECT k, v FROM graft.db.rev_hist VERSION AS OF 1 ORDER BY k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -586,6 +620,7 @@ object Core {
     "q29_cube_agg"            -> (q29CubeAgg _),
     "q30_window_suite"        -> (q30WindowSuite _),
     "q31_catalog_roundtrip"   -> (q31CatalogRoundtrip _),
+    "q32_time_travel"         -> (q32TimeTravel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,6 +703,12 @@ object Core {
     // aggregate inserted through writeTo().append()
     "q31_catalog_roundtrip"   ->
       """SELECT o_custkey AS k, COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // snapshot immutability contract: VERSION AS OF 1 after a second
+    // publish must be exactly the aggregate snapshot 1 committed
+    "q32_time_travel"         ->
+      """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     // what the consumer reads after write-audit-publish must be exactly
     // the source aggregate that entered staging

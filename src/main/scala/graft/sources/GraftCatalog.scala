@@ -154,6 +154,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `VERSION AS OF` (round-13, verdict #4): time-travel reads resolve
+    * here — Spark's analyzer calls this overload for
+    * `SELECT … FROM graft.db.t VERSION AS OF 2`. Only graftkv tables
+    * carry snapshots (each kv commit publishes an immutable manifest);
+    * the version string must be that manifest number. Writes to a
+    * versioned table are refused by the table itself.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val meta = readMeta(ident)
+    require(meta.getOrElse("provider", "graftkv") == "graftkv",
+      s"table $ident (provider ${meta.getOrElse("provider", "graftkv")}) " +
+        "does not support VERSION AS OF — only graftkv tables keep snapshots")
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF on $ident needs a snapshot number, got '$version'"))
+    val dir = dataDir(ident).toString
+    KvSource.readSnapshot(dir, v) // fail fast at resolution, not mid-scan
+    new KvTable(dir, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve to the
+    * latest snapshot committed at or before it via the manifest header
+    * timestamps.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val meta = readMeta(ident)
+    require(meta.getOrElse("provider", "graftkv") == "graftkv",
+      s"table $ident does not support TIMESTAMP AS OF — only graftkv " +
+        "tables keep snapshots")
+    val dir = dataDir(ident).toString
+    new KvTable(dir, Some(KvSource.versionAt(dir, timestampMicros / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

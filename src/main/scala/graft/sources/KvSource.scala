@@ -32,11 +32,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    leaves no trace;
   *  - the driver's `BatchWrite.commit` PUBLISHES atomically: only
   *    messages from the one committed attempt per partition are renamed
-  *    to `part-<partition>.gkv` (truncate deletes prior parts first);
-  *    `BatchWrite.abort` deletes the stragglers. Readers only ever list
-  *    `part-*.gkv`, so a concurrent reader sees the old table or the new
-  *    one, never a torn mix — the same visibility contract as a Hive/
-  *    Iceberg-style rename commit.
+  *    to `part-<partition>.gkv`, then ONE MANIFEST (`snap-<version>.gts`,
+  *    the file list + commit timestamp) is staged-renamed LAST — the
+  *    Iceberg-style commit point. Readers resolve the latest manifest,
+  *    so a concurrent reader sees the previous snapshot or the new one,
+  *    never a torn mix; `BatchWrite.abort` deletes the stragglers.
+  *    Truncate is LOGICAL (the new manifest just lists only the new
+  *    files): prior parts stay on disk because earlier snapshots
+  *    reference them, which is what makes `VERSION AS OF` / `TIMESTAMP
+  *    AS OF` reads (round-13) a pure manifest lookup —
+  *    [[KvSource.expireSnapshots]] is the retention vacuum.
   *
   * Read support is included so q27 can prove the ROUNDTRIP: one input
   * partition per part file — the file is this format's unit of read
@@ -54,7 +59,14 @@ class KvSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null, "graftkv requires option 'path'")
-    new KvTable(path)
+    // path-API time travel: .option("versionAsOf", "2") — the catalog
+    // route goes through GraftCatalog.loadTable(ident, version) instead
+    val version = Option(properties.get("versionAsOf")).map { v =>
+      val n = v.toLongOption
+      require(n.exists(_ >= 1), s"graftkv versionAsOf must be a positive integer, got '$v'")
+      n.get
+    }
+    new KvTable(path, version)
   }
 }
 
@@ -74,17 +86,134 @@ object KvSource {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".gkv"))
       .sortBy(_.getName)
   }
+
+  // ---- snapshot manifests (round-13: VERSION / TIMESTAMP AS OF) ------
+  //
+  // Every commit publishes `snap-<version>.gts`: a header line
+  // `ts_ms=<commit millis>` followed by the part-file NAMES the snapshot
+  // comprises, written staged and RENAMED LAST — so a concurrent reader
+  // resolves either the previous manifest or the new one, never a
+  // half-renamed part set (strictly stronger than the pre-r13 listing
+  // read, which could observe a multi-file commit midway). Old part
+  // files are retained (old snapshots reference them); [[expireSnapshots]]
+  // is the vacuum. A directory with no manifest (legacy / hand-built)
+  // falls back to listing part-*.gkv.
+
+  private val SnapRe = "^snap-(\\d{8})\\.gts$".r
+
+  private[sources] def snapVersions(path: String): Seq[Long] = {
+    val f = fs(path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case SnapRe(n) => n.toLong }.sorted
+  }
+
+  private[sources] def snapPath(path: String, v: Long): Path =
+    new Path(path, f"snap-$v%08d.gts")
+
+  /** (commit ts_ms, part-file names) of snapshot `v`; throws with the
+    * available versions when `v` does not exist (expired or never made).
+    */
+  private[sources] def readSnapshot(path: String, v: Long): (Long, Seq[String]) = {
+    val f = fs(path)
+    val p = snapPath(path, v)
+    require(f.exists(p), s"graftkv $path has no snapshot version $v " +
+      s"(available: ${snapVersions(path).mkString(", ")})")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(p), "UTF-8"))
+    try {
+      val header = in.readLine()
+      require(header != null && header.startsWith("ts_ms="),
+        s"corrupt graftkv manifest $p")
+      (header.stripPrefix("ts_ms=").toLong,
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).toSeq)
+    } finally in.close()
+  }
+
+  /** Files a read at `version` (None = current) scans: the manifest's
+    * list, or — when the directory has never been committed through the
+    * manifest protocol — the legacy part listing.
+    */
+  private[sources] def resolveParts(path: String, version: Option[Long]): Seq[Path] =
+    version match {
+      case Some(v) => readSnapshot(path, v)._2.map(n => new Path(path, n))
+      case None =>
+        val vs = snapVersions(path)
+        if (vs.isEmpty) partFiles(path)
+        else readSnapshot(path, vs.last)._2.map(n => new Path(path, n))
+    }
+
+  /** Publish a manifest listing `parts` as the next snapshot version:
+    * staged write, atomic rename to the allocated number. A lost
+    * allocation race (another committer renamed the same number first —
+    * rename-no-overwrite is the atomicity anchor, the same one the .gt
+    * metadata publish rides) re-reads the latest version and retries, so
+    * concurrent publishes serialize into distinct versions, neither torn.
+    */
+  private[sources] def publishSnapshot(path: String, parts: Seq[String]): Long = {
+    val f = fs(path)
+    var attempt = 0
+    while (attempt < 64) {
+      val v = snapVersions(path).lastOption.getOrElse(0L) + 1
+      val staged = new Path(path, s"_staged-snap-${UUID.randomUUID().toString.take(8)}")
+      val out = f.create(staged, true)
+      try {
+        out.write(s"ts_ms=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        parts.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+      } finally out.close()
+      val target = snapPath(path, v)
+      if (!f.exists(target) && f.rename(staged, target)) return v
+      f.delete(staged, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"graftkv $path: could not allocate a snapshot version in 64 attempts")
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest snapshot committed at or
+    * before `tsMs` (ties take the higher version — manifest numbers are
+    * the total order within a millisecond).
+    */
+  private[graft] def versionAt(path: String, tsMs: Long): Long = {
+    val ok = snapVersions(path).filter(v => readSnapshot(path, v)._1 <= tsMs)
+    require(ok.nonEmpty,
+      s"graftkv $path has no snapshot at or before ts_ms=$tsMs")
+    ok.last
+  }
+
+  /** Retention vacuum: keep the newest `keep` manifests, delete older
+    * manifests and every part file no RETAINED manifest references.
+    * Reads of expired versions fail loudly with the remaining range;
+    * the current snapshot is untouched at any `keep ≥ 1`.
+    */
+  def expireSnapshots(path: String, keep: Int): Unit = {
+    require(keep >= 1, s"expireSnapshots keep must be >= 1, got $keep")
+    val vs = snapVersions(path)
+    if (vs.size <= keep) return
+    val (old, kept) = vs.splitAt(vs.size - keep)
+    val referenced = kept.flatMap(v => readSnapshot(path, v)._2).toSet
+    val f = fs(path)
+    old.foreach(v => f.delete(snapPath(path, v), false))
+    partFiles(path).filterNot(p => referenced.contains(p.getName))
+      .foreach(p => f.delete(p, false))
+  }
 }
 
-private class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graftkv($path)"
+private[sources] class KvTable(path: String, version: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"graftkv($path${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = KvSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KvScan(path)
+    () => new KvScan(path, version)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"graftkv: cannot write to snapshot $version of $path — snapshots are immutable")
     val s = info.schema()
     require(s.fields.length == 2 && s.fields.forall(_.dataType == LongType),
       s"graftkv writes exactly (BIGINT, BIGINT), got ${s.simpleString}")
@@ -112,13 +241,23 @@ private class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     new KvWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
-    if (truncate) KvSource.partFiles(path).foreach(p => f.delete(p, false))
-    messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).foreach { m =>
+    // round-13: truncate no longer DELETES prior parts — earlier
+    // snapshots reference them (expireSnapshots is the vacuum). The mode
+    // lives in the manifest: truncate's snapshot lists only this job's
+    // files, append's lists the prior snapshot's plus them.
+    val newParts = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).map { m =>
       val fin = new Path(path, f"part-$jobId%s-${m.partition}%05d.gkv")
       f.delete(fin, false)                      // idempotent re-commit
       require(f.rename(new Path(m.staged), fin),
         s"graftkv commit: rename ${m.staged} -> $fin failed")
+      fin.getName
     }
+    val prior =
+      if (truncate) Seq.empty
+      else KvSource.resolveParts(path, None).map(_.getName).filterNot(newParts.contains)
+    // the manifest rename is the COMMIT POINT: parts land first, the
+    // snapshot that names them becomes visible last and atomically
+    KvSource.publishSnapshot(path, prior ++ newParts)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -155,13 +294,14 @@ private[graft] class KvWriter(path: String, partitionId: Int) extends DataWriter
   override def close(): Unit = ()
 }
 
-private class KvScan(path: String) extends Scan with Batch {
+private class KvScan(path: String, version: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = KvSource.schema
   override def toBatch: Batch = this
-  override def description(): String = s"graftkv $path"
+  override def description(): String =
+    s"graftkv $path${version.fold("")(v => s" version $v")}"
   override def planInputPartitions(): Array[InputPartition] =
-    KvSource.partFiles(path).map(p => KvFilePartition(p.toString): InputPartition)
-      .toArray
+    KvSource.resolveParts(path, version)
+      .map(p => KvFilePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => new KvFileReader(p.asInstanceOf[KvFilePartition].file)
 }

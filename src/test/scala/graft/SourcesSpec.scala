@@ -254,20 +254,26 @@ class SourcesSpec extends SparkSuite {
     def ls(prefix: String): Seq[String] =
       new java.io.File(dir).listFiles().toSeq.map(_.getName)
         .filter(_.startsWith(prefix)).sorted
-    // commit published exactly one part per partition and left no staging
+    // commit published exactly one part per partition, one manifest, and
+    // left no staging
     assert(ls("part-").size === 3, "one part file per write partition")
+    assert(ls("snap-") === Seq("snap-00000001.gts"), "commit must publish a manifest")
     assert(ls("_staged").isEmpty, "no staged files survive a commit")
     // the roundtrip is lossless
     val back = spark.read.format("graft.sources.KvSource").option("path", dir)
       .load().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(back.toSeq === (0L until 100L).map(k => (k, k * 7L)))
-    // overwrite TRUNCATES: different partitioning, no leftover parts
+    // overwrite TRUNCATES LOGICALLY (round-13): the new snapshot lists
+    // only the new files — prior parts stay on disk because snapshot 1
+    // still references them (expireSnapshots is the vacuum)
     df.repartition(2).write.format("graft.sources.KvSource").option("path", dir)
       .mode("overwrite").save()
-    assert(ls("part-").size === 2, "overwrite must replace, not accumulate")
-    val back2 = spark.read.format("graft.sources.KvSource").option("path", dir)
-      .load().count()
-    assert(back2 === 100L)
+    assert(ls("part-").size === 5, "snapshotting retains prior parts for time travel")
+    assert(ls("snap-").size === 2)
+    val cur = spark.read.format("graft.sources.KvSource").option("path", dir).load()
+    assert(cur.count() === 100L, "current read must see only the overwrite")
+    assert(cur.rdd.getNumPartitions === 2,
+      "current read must plan only the current snapshot's 2 files")
     // append ACCUMULATES (the mode distinction is real)
     df.repartition(1).write.format("graft.sources.KvSource").option("path", dir)
       .mode("append").save()
@@ -279,7 +285,78 @@ class SourcesSpec extends SparkSuite {
     assert(ls("_staged").nonEmpty, "writer stages before commit")
     w.abort()
     assert(ls("_staged").isEmpty, "abort must delete the staged file")
-    assert(ls("part-").size === 3, "abort must not touch published parts")
+    assert(ls("part-").size === 6, "abort must not touch published parts")
+  }
+
+  test("graftkv snapshots: VERSION/TIMESTAMP AS OF, immutability under overwrite, retention vacuum") {
+    import graft.sources.KvSource
+    val dir = s"${graft.RunScoped.ioDir}/kv_snap"
+    def write(n: Long, mult: Long, mode: String, parts: Int): Unit =
+      spark.range(n).select(col("id").as("k"), (col("id") * mult).as("v"))
+        .repartition(parts)
+        .write.format("graft.sources.KvSource").option("path", dir).mode(mode).save()
+    def readV(v: Option[Long]) = {
+      val r = spark.read.format("graft.sources.KvSource").option("path", dir)
+      v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    }
+    write(50, 7L, "overwrite", 3)  // snapshot 1
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    write(10, 11L, "overwrite", 2) // snapshot 2: logically replaces v1
+    Thread.sleep(5)
+    write(5, 13L, "append", 1)     // snapshot 3: v2 + 5 rows
+    val v1 = (0L until 50L).map(k => (k, k * 7L))
+    val v2 = (0L until 10L).map(k => (k, k * 11L))
+    val v3 = ((0L until 10L).map(k => (k, k * 11L)) ++
+      (0L until 5L).map(k => (k, k * 13L))).sorted
+    // old snapshots are immutable after the table moved on
+    assert(readV(Some(1L)) === v1, "VERSION AS OF 1 must survive two later publishes")
+    assert(readV(Some(2L)) === v2)
+    assert(readV(Some(3L)) === v3)
+    assert(readV(None) === v3, "current read = latest snapshot")
+    // TIMESTAMP AS OF resolves by manifest commit time
+    assert(KvSource.versionAt(dir, tsBetween) === 1L)
+    assert(KvSource.versionAt(dir, System.currentTimeMillis()) === 3L)
+    // unknown versions refuse loudly with the available range
+    val e = intercept[Exception] { readV(Some(9L)) }
+    assert(e.getMessage.contains("no snapshot version 9"))
+    // retention: keep 1 → expired manifests gone, unreferenced parts
+    // vacuumed, the current view intact
+    KvSource.expireSnapshots(dir, keep = 1)
+    assert(readV(None) === v3, "vacuum must not change the current view")
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("snap-")) === 1)
+    assert(names.count(_.startsWith("part-")) === 3,
+      "vacuum must delete parts only the expired snapshots referenced")
+    intercept[Exception] { readV(Some(1L)) }
+  }
+
+  test("catalog time travel: VERSION AS OF and TIMESTAMP AS OF through GraftCatalog SQL") {
+    val root = s"${graft.RunScoped.ioDir}/cat_tt"
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtt.db")
+    spark.sql("DROP TABLE IF EXISTS gtt.db.t")
+    spark.sql("CREATE TABLE gtt.db.t USING graftkv")
+    spark.sql("INSERT INTO gtt.db.t SELECT id AS k, id * 2 AS v FROM range(20)")
+    Thread.sleep(5)
+    val tsBetween = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gtt.db.t SELECT id AS k, id * 100 AS v FROM range(100, 103)")
+    val v1 = (0L until 20L).map(k => (k, k * 2L))
+    def rows(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows("SELECT k, v FROM gtt.db.t VERSION AS OF 1") === v1)
+    assert(rows(s"SELECT k, v FROM gtt.db.t TIMESTAMP AS OF '$tsBetween'") === v1)
+    assert(rows("SELECT k, v FROM gtt.db.t").size === 23, "current view sees both inserts")
+    // a seq table has no snapshots: VERSION AS OF refuses at resolution
+    spark.sql("DROP TABLE IF EXISTS gtt.db.s")
+    spark.sql("CREATE TABLE gtt.db.s USING graftseq OPTIONS (n '10', slices '2')")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gtt.db.s VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("does not support VERSION AS OF"))
   }
 
   test("write-audit-publish gates on real contract violations") {

@@ -210,7 +210,8 @@ object AsOf {
                                nBuckets: Int = 0): DataFrame = {
     val chg = pitChanges(spark, dir)
     val rows = pitRows(spark, dir)
-    val n = if (nBuckets >= 1) nBuckets else pitRoute(chg, rows)._3
+    val n = if (nBuckets >= 1) nBuckets
+            else routeFromGrain(pitGrainStats(spark, dir))._2
     pitCarryBucketed(chg, rows, n)
   }
 
@@ -345,9 +346,80 @@ object AsOf {
       .unionAll(rows.select(col("user_id")))
       .groupBy("user_id").agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val (bucketed, nBuckets) = routeFromGrain(maxKeyRows, grainBudget)
+    (maxKeyRows, bucketed, nBuckets)
+  }
+
+  /** The routing DECISION from a measured (or stats-served) grain —
+    * shared by the live probe and the statistics path so both routes
+    * derive identical plans from the same number.
+    */
+  private[graft] def routeFromGrain(maxKeyRows: Long,
+                                    grainBudget: Long = PitGrainBudget): (Boolean, Int) = {
     val nBuckets = math.min(4096L, math.max(16L,
       (maxKeyRows + PitTargetBucketRows - 1) / PitTargetBucketRows)).toInt
-    (maxKeyRows, maxKeyRows > grainBudget, nBuckets)
+    (maxKeyRows > grainBudget, nBuckets)
+  }
+
+  // ---- grain STATISTICS (round-13, verdict #5) -----------------------
+  //
+  // The r12 router re-scanned the fact per call to measure the per-key
+  // grain — at 100 TB that probe is itself a full fact pass, and the
+  // grain is a property of the TABLES, not the query. The profile now
+  // persists as a one-line stats file (the ANALYZE discipline): keyed by
+  // a SOURCE SIGNATURE over the two input directories' file listings
+  // (name, length, mtime — a metadata listing, never a data scan), so a
+  // rewritten corpus invalidates the entry and the next call re-probes
+  // and refreshes. Staged write + rename, the repo's publish discipline.
+  // Store root: spark.graft.statsDir (default /tmp/graft_stats — stable
+  // across processes, so a Verify probe also serves the Bench run).
+
+  private def statsRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.statsDir").getOrElse("/tmp/graft_stats")
+
+  /** Metadata-only fingerprint of the PIT inputs (orders + events). */
+  private[graft] def pitSourceSignature(dir: String): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val parts = Seq("orders", "events").flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) Seq(s"$t:absent")
+      else f.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The corpus's max per-key PIT grain, SERVED FROM STATISTICS when the
+    * stored signature matches the live listing (no fact scan), refreshed
+    * via the live probe otherwise. OpsSpec pins all three behaviors
+    * (probe-and-persist, serve-without-probe, stale-signature re-probe).
+    */
+  private[graft] def pitGrainStats(spark: SparkSession, dir: String): Long = {
+    val sig = pitSourceSignature(dir)
+    val fileName = "pit_grain-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16) + ".gstats"
+    val root = new java.io.File(statsRoot(spark))
+    val f = new java.io.File(root, fileName)
+    if (f.isFile) {
+      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.contains('=')).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      if (kv.get("sig").contains(sig) && kv.contains("max_key_rows"))
+        return kv("max_key_rows").toLong
+    }
+    val grain = pitRoute(pitChanges(spark, dir), pitRows(spark, dir))._1
+    root.mkdirs()
+    val staged = new java.io.File(root,
+      s"_staged-$fileName-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = new java.io.PrintWriter(staged, "UTF-8")
+    try { w.println(s"sig=$sig"); w.println(s"max_key_rows=$grain") }
+    finally w.close()
+    if (!staged.renameTo(f)) staged.delete() // lost race: the winner's entry serves
+    grain
   }
 
   /** x281: the ROUTED point-in-time join — [[pitDimensionJoin]]'s
@@ -365,9 +437,12 @@ object AsOf {
     * OpsSpec pins the decision itself both ways on fixtures.
     */
   def pitDimensionJoinRouted(spark: SparkSession, dir: String): DataFrame = {
+    // round-13: the grain comes from TABLE STATISTICS when fresh (no
+    // per-query fact scan — the r12 watch item); the decision function is
+    // the same one the live probe feeds, so routing is unchanged either way
+    val (bucketed, nBuckets) = routeFromGrain(pitGrainStats(spark, dir))
     val chg = pitChanges(spark, dir)
     val rows = pitRows(spark, dir)
-    val (_, bucketed, nBuckets) = pitRoute(chg, rows)
     if (bucketed) pitCarryBucketed(chg, rows, nBuckets)
     else pitCarry(chg, rows)
   }

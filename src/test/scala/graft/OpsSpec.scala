@@ -3249,6 +3249,36 @@ class OpsSpec extends SparkSuite {
       s"timed event after null insertion got ${e100._4}/${e100._5}")
   }
 
+  test("PIT grain statistics: probe persists, fresh stats serve without a scan, stale signature re-probes") {
+    val statsDir = s"${graft.RunScoped.ioDir}/stats_test"
+    spark.conf.set("spark.graft.statsDir", statsDir)
+    try {
+      // first call: live probe, entry persisted
+      val grain = graft.ops.AsOf.pitGrainStats(spark, sf)
+      assert(grain > 0)
+      val f = new java.io.File(statsDir).listFiles()
+        .filter(_.getName.startsWith("pit_grain")).head
+      val sig = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .find(_.startsWith("sig=")).get
+      def write(lines: String*): Unit = {
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+      }
+      // doctored value under the VALID signature is served verbatim —
+      // proof the fact is not re-scanned while stats are fresh
+      write(sig, s"max_key_rows=${grain + 999}")
+      assert(graft.ops.AsOf.pitGrainStats(spark, sf) === grain + 999,
+        "fresh stats must serve without a probe")
+      // broken signature = stale stats: live re-probe, entry refreshed
+      write("sig=stale", s"max_key_rows=${grain + 999}")
+      assert(graft.ops.AsOf.pitGrainStats(spark, sf) === grain,
+        "stale stats must fall back to the live probe")
+      val back = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+      assert(back.contains(s"max_key_rows=$grain") && back.contains(sig),
+        "re-probe must refresh the persisted entry")
+    } finally spark.conf.unset("spark.graft.statsDir")
+  }
+
   test("PIT router: grain probe picks the channel and derives nBuckets from measured grain") {
     import spark.implicits._
     // gate corpus: per-key grain is far below the budget → single window

@@ -23,10 +23,11 @@ object ScaleGen {
     "stream", "table", "the", "value", "vector", "window")
 
   private val usage =
-    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] [skew] " +
+    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] [skew] [hub] " +
       "(trailing args are recognized BY VALUE — an integer is dupBoost, " +
-      "fixed/heaps is vocabMode, skew is keyMode — so `ScaleGen out 10 heaps` " +
-      "or `ScaleGen out 10 skew` works without passing the default dupBoost)"
+      "fixed/heaps is vocabMode, skew is keyMode, hub is graphMode — so " +
+      "`ScaleGen out 10 heaps` or `ScaleGen out 10 hub` works without " +
+      "passing the default dupBoost)"
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 && args.length <= 5, usage)
@@ -57,9 +58,21 @@ object ScaleGen {
     // one-task-per-key plan (x275's single window) serializes while a
     // bounded-grain plan (x278 / the routed x281) stays flat. Default
     // keeps every prior corpus byte-identical.
+    // graphMode "hub" (round-13): a POWER-LAW DEGREE HUB in the entity
+    // graphs — part 0 receives 20% of all lineitem rows (so the
+    // co-purchase graph x200/x231 peel/propagate over grows a star
+    // center whose degree ≈ the whole part domain), the rest Zipf(1)
+    // via the same inverse-CDF draw; and nation 0 receives 20% of all
+    // customers (so the x110/x241 trade graph's fact→edge aggregate
+    // concentrates on one src nation). This is the corpus r12's verdict
+    // says the iterative family was never measured under: the
+    // co-purchase rounds shuffle on NODE id, so one hub node is the
+    // same one-key-serializes shape x275 exhibited on users. Default
+    // keeps every prior corpus byte-identical.
     var dupBoost = Option.empty[Int]
     var vocabModeArg = Option.empty[String]
     var keyModeArg = Option.empty[String]
+    var graphModeArg = Option.empty[String]
     args.drop(2).foreach {
       case v @ ("fixed" | "heaps") =>
         require(vocabModeArg.isEmpty, s"vocabMode given twice — $usage")
@@ -67,6 +80,9 @@ object ScaleGen {
       case v @ "skew" =>
         require(keyModeArg.isEmpty, s"keyMode given twice — $usage")
         keyModeArg = Some(v)
+      case v @ "hub" =>
+        require(graphModeArg.isEmpty, s"graphMode given twice — $usage")
+        graphModeArg = Some(v)
       case v if v.toIntOption.isDefined =>
         require(dupBoost.isEmpty, s"dupBoost given twice — $usage")
         dupBoost = v.toIntOption
@@ -75,6 +91,7 @@ object ScaleGen {
     }
     val vocabMode = vocabModeArg.getOrElse("fixed")
     val skewKeys = keyModeArg.isDefined
+    val hubGraph = graphModeArg.isDefined
     require(dupBoost.forall(b => b >= 1 && b <= 100),
       s"dupBoost ${dupBoost.get} out of range 1..100 — $usage")
     val boost = dupBoost.getOrElse(1)
@@ -140,7 +157,10 @@ object ScaleGen {
     val nLi = 600000L * m
     spark.range(nLi).select(
         pmod(col("id"), lit(150000L * m)).as("l_orderkey"),
-        pmod(hash(col("id"), lit(3)), lit(20000L * m)).as("l_partkey"),
+        // graphMode hub: part 0 on 20% of lines, Zipf tail elsewhere —
+        // the co-purchase star center whose degree grows with the domain
+        (if (hubGraph) skewedKey(3, 103, 20000L * m)
+         else pmod(hash(col("id"), lit(3)), lit(20000L * m))).as("l_partkey"),
         pmod(hash(col("id"), lit(4)), lit(2000L * m)).as("l_suppkey"),
         (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
         (pmod(hash(col("id"), lit(5)), lit(50)) + 1).cast("double").as("l_quantity"),
@@ -234,7 +254,10 @@ object ScaleGen {
     spark.range(15000L * m).select(
         col("id").as("c_custkey"),
         concat(lit("cust"), col("id")).as("c_name"),
-        pmod(hash(col("id"), lit(23)), lit(25)).cast("int").as("c_nationkey"),
+        // graphMode hub: nation 0 holds 20% of customers — the trade
+        // graph's fact→edge aggregate concentrates on one src nation
+        (if (hubGraph) skewedKey(23, 223, 25).cast("int")
+         else pmod(hash(col("id"), lit(23)), lit(25)).cast("int")).as("c_nationkey"),
         round(pmod(hash(col("id"), lit(24)), lit(1100000)) / 100.0 - 1000.0, 2)
           .as("c_acctbal"),
         element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),

@@ -201,19 +201,89 @@ object Graph {
     * peel takes many rounds to pin that the cap is honest). Returns
     * (id, core_deg) for surviving nodes: their degree within the core.
     */
-  private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  /** Hot-NODE degree budget for the iterative family's per-round joins
+    * (round-13, verdict #2 — the x269/x281 routing discipline applied to
+    * GRAPH nodes): a node-id equi-join ships every edge row of a key to
+    * one reducer task, so a power-law hub serializes its whole adjacency
+    * per round. The r13 hub-corpus measurement exhibited it: x200's
+    * longest task grew 4.0 → 25.6 s from m30 → m100 (superlinear; 35% of
+    * the stage wall) while the balanced tasks stayed sub-second. Above
+    * this per-node edge count the routed plans split the hub off into a
+    * BROADCAST channel (hub membership/labels are ≤ |hubs| rows — tiny
+    * by construction) and only the uniform remainder shuffles. The
+    * budget is where the measured trade flips (SCALE.md r13): at hub
+    * degree ~600 k (the hub m30 corpus) the unrouted straggler is
+    * ~2–4 s/round and routing's channel-split overhead costs more than
+    * it saves; at ~2 M (m100) the straggler is 25.6 s and the routed
+    * plan halves BOTH the wall and the task total (the hub rows skip
+    * the per-round shuffle join entirely, 900 → 489 task-s). The probe
+    * is one map-side-combinable degree aggregate, run once per call,
+    * and every gate corpus sits orders of magnitude below the budget so
+    * routed and unrouted plans coincide there.
+    */
+  private[graft] val HubDegreeBudget: Long = 1000000L
+
+  /** Degree-probed hub set: node ids whose symmetric-edge count exceeds
+    * the budget. One aggregate + a hub-sized driver boundary (the L3
+    * grid-collect posture).
+    */
+  private[graft] def hubNodes(sym: DataFrame, idCol: String,
+                              budget: Long = HubDegreeBudget): Seq[Long] =
+    sym.groupBy(col(idCol)).agg(count(lit(1)).as("d"))
+      .filter(col("d") > budget).select(col(idCol))
+      .collect().map(_.getLong(0)).toSeq
+
+  private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int,
+                             hubBudget: Long = HubDegreeBudget): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // hub routing (round-13): sym splits ONCE into four STATIC channels
+    // by endpoint hub-membership (each checkpointed — the r13 A/B
+    // measured this against flag-filters over the one frame, and the
+    // channel materialization wins: per-round flag filters re-scan the
+    // full 193 M-row frame 4× per round, while the split pays one extra
+    // pass total and each round reads only channel-sized blocks). Per
+    // round the hub endpoints filter against the ≤|hubs|-row alive set
+    // map-side (isin over a driver boundary) while non-hub endpoints
+    // keep the uniform alive join — the hub's adjacency never lands on
+    // one reducer AND never crosses the per-round exchange at all
+    // (gh100: task total 900 → 489 s, maxtask 25.6 → 12.1 s). hubs
+    // empty (every gate corpus) degenerates to the exact pre-r13
+    // two-join plan.
+    val hubs = hubNodes(sym, "a", hubBudget)
+    val (cHH, cHx, cxH, cxx) =
+      if (hubs.isEmpty) (null, null, null, sym)
+      else {
+        val ah = col("a").isin(hubs: _*)
+        val bh = col("b").isin(hubs: _*)
+        (sym.filter(ah && bh).localCheckpoint(),
+          sym.filter(ah && !bh).localCheckpoint(),
+          sym.filter(!ah && bh).localCheckpoint(),
+          sym.filter(!ah && !bh).localCheckpoint())
+      }
+    def aliveEdges(alive: DataFrame): DataFrame =
+      if (hubs.isEmpty)
+        cxx.join(alive.select(col("id").as("a")), "a")
+          .join(alive.select(col("id").as("b")), "b")
+      else {
+        val aliveHub = alive.filter(col("id").isin(hubs: _*))
+          .collect().map(_.getLong(0)).toSeq // ≤ |hubs| rows
+        val aIn = col("a").isin(aliveHub: _*)
+        val bIn = col("b").isin(aliveHub: _*)
+        cHH.filter(aIn && bIn)
+          .unionAll(cHx.filter(aIn).join(alive.select(col("id").as("b")), "b"))
+          .unionAll(cxH.filter(bIn).join(alive.select(col("id").as("a")), "a"))
+          .unionAll(cxx.join(alive.select(col("id").as("a")), "a")
+            .join(alive.select(col("id").as("b")), "b"))
+          .select(col("a"), col("b"))
+      }
     var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
     var n = alive.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val deg = sym
-        .join(alive.select(col("id").as("a")), "a")
-        .join(alive.select(col("id").as("b")), "b")
-        .groupBy("a").agg(count(lit(1)).as("deg"))
+      val deg = aliveEdges(alive).groupBy("a").agg(count(lit(1)).as("deg"))
       val next = deg.filter(col("deg") >= k).select(col("a").as("id"))
         .localCheckpoint()
       val m = next.count()
@@ -222,8 +292,7 @@ object Graph {
       n = m
       rounds += 1
     }
-    sym.join(alive.select(col("id").as("a")), "a")
-      .join(alive.select(col("id").as("b")), "b")
+    aliveEdges(alive)
       .groupBy("a").agg(count(lit(1)).as("core_deg"))
       .select(col("a").as("id"), col("core_deg"))
   }
@@ -293,11 +362,41 @@ object Graph {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
       .localCheckpoint()
+    val labels = lpaLabels(edges, rounds)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("l_partkey"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("l_partkey")
+  }
+
+  /** Frame-level LPA rounds over symmetrized weighted edges
+    * (src, dst, w) → converged (node, label). Hub routing (round-13, the
+    * kCoreOf discipline): the per-round join keys on dst, so a power-law
+    * hub's whole adjacency lands on one reducer task. Edges split ONCE
+    * by dst hub-membership; per round the hub channel joins a BROADCAST
+    * of the ≤|hubs|-row label slice while the uniform remainder keeps
+    * the shuffle join. Empty hubs (every gate corpus) = the exact
+    * pre-r13 single-join plan. Output identical either way: the
+    * union-then-aggregate sees the same (src, label, w) multiset.
+    */
+  private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
+                               hubBudget: Long = HubDegreeBudget): DataFrame = {
+    val hubs = hubNodes(edges, "dst", hubBudget)
+    val (eHub, eRest) =
+      if (hubs.isEmpty) (null, edges)
+      else (edges.filter(col("dst").isin(hubs: _*)).localCheckpoint(),
+        edges.filter(!col("dst").isin(hubs: _*)).localCheckpoint())
+    def joined(labels: DataFrame): DataFrame =
+      if (hubs.isEmpty) eRest.join(labels, col("dst") === col("node"))
+      else eHub.join(broadcast(labels.filter(col("node").isin(hubs: _*))),
+          col("dst") === col("node"))
+        .unionAll(eRest.join(labels, col("dst") === col("node")))
     val base = 4294967296L // 2^32 > any partkey; score·base + label stays < 2^63
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     (0 until rounds).foreach { _ =>
-      labels = edges.join(labels, col("dst") === col("node"))
+      labels = joined(labels)
         .groupBy(col("src"), col("label")).agg(sum(col("w")).as("s"))
         .groupBy(col("src"))
         .agg(max(col("s") * lit(base) + (lit(base - 1L) - col("label"))).as("key"))
@@ -305,11 +404,7 @@ object Graph {
           (lit(base - 1L) - (col("key") % lit(base))).as("label"))
         .localCheckpoint()
     }
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "label")
-      .select(col("node").as("l_partkey"), col("label").as("community"),
-        col("community_size"))
-      .orderBy("l_partkey")
+    labels
   }
 
   /** x241: harmonic closeness centrality (Marchiori & Latora 2000 — the

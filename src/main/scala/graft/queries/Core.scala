@@ -588,6 +588,49 @@ object Core {
     spark.sql("SELECT k, v FROM graft.db.rev_hist VERSION AS OF 1 ORDER BY k")
   }
 
+  /** q33: CDC BETWEEN SNAPSHOTS — the diff surface the new manifest
+    * protocol unlocks (the Delta/Iceberg `table_changes` idiom): two
+    * graftkv publishes (snapshot 1 = per-customer order counts over a
+    * carve, snapshot 2 = per-customer revenue cents over a different
+    * carve), then the change set BETWEEN them as a full-outer join of
+    * the two `versionAsOf` reads — rows classified insert (new key),
+    * delete (gone key), update (value changed); unchanged rows drop.
+    * Both snapshot frames derive from `orders`, so DuckDB replays the
+    * identical diff with no connector involved: a wrong manifest
+    * resolution, torn version read, or misclassified row cannot
+    * hash-match. The table directory resets per run (versions restart
+    * at 1 — idempotent under bench replays).
+    */
+  def q33SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$ioDir/kv_diff"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 3 =!= 0)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("v"))
+      .write.format("graft.sources.KvSource")
+      .option("path", path).mode("overwrite").save()     // snapshot 1
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 5 =!= 0)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("v"))
+      .write.format("graft.sources.KvSource")
+      .option("path", path).mode("overwrite").save()     // snapshot 2
+    def at(v: Int, as: String) = spark.read.format("graft.sources.KvSource")
+      .option("path", path).option("versionAsOf", v.toString).load()
+      .select(col("k"), col("v").as(as))
+    at(1, "v_old").join(at(2, "v_new"), Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("v_old").isNull, "insert")
+          .when(col("v_new").isNull, "delete")
+          .when(col("v_old") =!= col("v_new"), "update")
+          .otherwise("unchanged"))
+      .filter(col("op") =!= "unchanged")
+      .select(col("k"), col("op"), col("v_old"), col("v_new"))
+      .orderBy("k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -621,6 +664,7 @@ object Core {
     "q30_window_suite"        -> (q30WindowSuite _),
     "q31_catalog_roundtrip"   -> (q31CatalogRoundtrip _),
     "q32_time_travel"         -> (q32TimeTravel _),
+    "q33_snapshot_diff"       -> (q33SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -704,6 +748,23 @@ object Core {
     "q31_catalog_roundtrip"   ->
       """SELECT o_custkey AS k, COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // the snapshot diff replayed with no connector: both version frames
+    // derive from orders, so the full-outer classification is engine-
+    // neutral and a torn version read cannot hash-match
+    "q33_snapshot_diff"       ->
+      """WITH v1 AS (SELECT o_custkey AS k, COUNT(*) AS v
+        |            FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1),
+        |v2 AS (SELECT o_custkey AS k,
+        |              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |       FROM orders WHERE o_custkey % 5 <> 0 GROUP BY 1)
+        |SELECT COALESCE(v1.k, v2.k) AS k,
+        |       CASE WHEN v1.k IS NULL THEN 'insert'
+        |            WHEN v2.k IS NULL THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |       v1.v AS v_old, v2.v AS v_new
+        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.v <> v2.v
+        |ORDER BY k""".stripMargin,
     // snapshot immutability contract: VERSION AS OF 1 after a second
     // publish must be exactly the aggregate snapshot 1 committed
     "q32_time_travel"         ->

@@ -1665,6 +1665,33 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("graph hub routing: routed k-core and LPA equal the unrouted plans on a planted star hub") {
+    import spark.implicits._
+    // star hub: node 0 connects to 1..200 (degree 200), plus a K4 clique
+    // 500-503 and a chain — forcing a low hub budget routes node 0 through
+    // the broadcast channel, and the output must be identical to the
+    // unrouted plan (the pre-r13 join shape, budget = MaxValue)
+    val edges = ((1L to 200L).map(i => (0L, i)) ++ Seq(
+      (500L, 501L), (500L, 502L), (500L, 503L), (501L, 502L),
+      (501L, 503L), (502L, 503L), (503L, 1L))).toDF("a", "b")
+    def core(budget: Long) = graft.ops.Graph.kCoreOf(edges, 2, 12, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val routed = core(budget = 100L)   // degree 400 sym > 100 → hub fires
+    val plain = core(budget = Long.MaxValue)
+    assert(routed === plain, "hub-routed k-core diverged from the unrouted plan")
+    assert(routed.nonEmpty)
+    // LPA: weighted star + clique, same equivalence under forced routing
+    val wedges0 = edges.select(col("a"), col("b"), lit(1L).as("n_ab"))
+    val sym = wedges0.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
+      .unionAll(wedges0.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
+    def lpa(budget: Long) = graft.ops.Graph.lpaLabels(sym, 5, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(lpa(100L) === lpa(Long.MaxValue), "hub-routed LPA diverged")
+    // the probe itself: degree 400 > 100 flags exactly the hub
+    assert(graft.ops.Graph.hubNodes(sym, "dst", 100L) === Seq(0L))
+    assert(graft.ops.Graph.hubNodes(sym, "dst", 100000L).isEmpty)
+  }
+
   test("k-core peel: adversarial chain takes many rounds; driver peel agrees") {
     import spark.implicits._
     // K4 clique (the 2-core/3-core survivor) + a 6-node tail chain hanging

@@ -75,6 +75,92 @@ object Graph {
       .orderBy(col("pr_micro").desc, col("nationkey"))
   }
 
+  /** x283: weighted PageRank over the co-purchase PART graph — x110's
+    * integer-exact update transplanted to a REAL node domain (thousands
+    * of parts at the gate SFs, millions on scale corpora) where the
+    * per-round rank⋈edges join keys on NODE id, so a power-law hub
+    * serializes it exactly like x200/x231's rounds (SCALE.md r13). Hub
+    * routing (the [[hubNodes]] discipline): the out-weight denominator
+    * folds into the edge frame ONCE (static join, checkpointed), so each
+    * round is ranks⋈edgesW on src — hub-src rows take a BROADCAST of the
+    * ≤|hubs|-row rank slice, the remainder the uniform shuffle join, and
+    * the per-dst contribution sum is map-side combinable either way.
+    * Arithmetic is the x110 micro-unit discipline: pr'(v) = (base +
+    * 850·Σ (pr(u)·w ÷ wout(u))) ÷ 1000, all BIGINT floor division, so
+    * DuckDB unrolls the identical three rounds and hash-matches every
+    * node's rank.
+    */
+  def partPagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = graft.ext.Associations.copurchasePairs(spark, dir)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
+    pagerankRanks(sym, iters)
+      .select(col("id").as("l_partkey"), col("pr").cast("long").as("pr_micro"))
+      .orderBy(col("pr_micro").desc, col("l_partkey"))
+  }
+
+  /** Frame-level x283 rounds over symmetric weighted edges (src, dst, w)
+    * → (id, pr) micro-unit ranks; hub routing per the class note above.
+    */
+  private[graft] def pagerankRanks(sym: DataFrame, iters: Int,
+                                   hubBudget: Long = HubDegreeBudget): DataFrame = {
+    val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
+    val edgesW = sym.join(out, "src").localCheckpoint()
+    val hubs = hubNodes(edgesW, "src", hubBudget)
+    val (eHub, eRest) =
+      if (hubs.isEmpty) (null, edgesW)
+      else (edgesW.filter(col("src").isin(hubs: _*)).localCheckpoint(),
+        edgesW.filter(!col("src").isin(hubs: _*)).localCheckpoint())
+    def contribs(pr: DataFrame): DataFrame = {
+      val rest = eRest.join(pr, col("src") === col("id"))
+      val all = if (hubs.isEmpty) rest
+        else eHub.join(broadcast(pr.filter(col("id").isin(hubs: _*))),
+          col("src") === col("id")).unionAll(rest)
+      all.select(col("dst"), expr("(pr * w) div wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+    }
+    val nodes = edgesW.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = nodes.count() // control-plane scalar, the x110 posture
+    val base = 150000000L / n
+    var pr = nodes.withColumn("pr", lit(1000000L / n))
+    for (_ <- 1 to iters) {
+      pr = nodes.join(contribs(pr), col("id") === col("dst"), "left_outer")
+        .select(col("id"), expr(s"($base + 850 * coalesce(s, 0)) div 1000").as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  val partPagerankOracle: String =
+    """WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |      FROM baskets x JOIN baskets y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst, n_ab AS w FROM p
+      |      UNION ALL SELECT b, a, n_ab FROM p),
+      |o AS MATERIALIZED (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |pr0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS pr FROM nodes),
+      |c1 AS (SELECT e.dst, SUM((pr0.pr * e.w) // o.wout) AS s
+      |       FROM e JOIN o USING (src) JOIN pr0 ON pr0.id = e.src GROUP BY 1),
+      |pr1 AS (SELECT nodes.id,
+      |               ((150000000 // (SELECT n FROM nn)) + 850 * COALESCE(c1.s, 0)) // 1000 AS pr
+      |        FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+      |c2 AS (SELECT e.dst, SUM((pr1.pr * e.w) // o.wout) AS s
+      |       FROM e JOIN o USING (src) JOIN pr1 ON pr1.id = e.src GROUP BY 1),
+      |pr2 AS (SELECT nodes.id,
+      |               ((150000000 // (SELECT n FROM nn)) + 850 * COALESCE(c2.s, 0)) // 1000 AS pr
+      |        FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+      |c3 AS (SELECT e.dst, SUM((pr2.pr * e.w) // o.wout) AS s
+      |       FROM e JOIN o USING (src) JOIN pr2 ON pr2.id = e.src GROUP BY 1),
+      |pr3 AS (SELECT nodes.id,
+      |               ((150000000 // (SELECT n FROM nn)) + 850 * COALESCE(c3.s, 0)) // 1000 AS pr
+      |        FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+      |SELECT id AS l_partkey, CAST(pr AS BIGINT) AS pr_micro FROM pr3
+      |ORDER BY pr_micro DESC, l_partkey""".stripMargin
+
   /** x136: per-node triangle participation over the undirected trade
     * graph — the clustering/cohesion signal (a nation inside many trade
     * triangles sits in a dense bloc; spam/collusion detection runs the

@@ -1687,6 +1687,10 @@ class OpsSpec extends SparkSuite {
     def lpa(budget: Long) = graft.ops.Graph.lpaLabels(sym, 5, budget)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(lpa(100L) === lpa(Long.MaxValue), "hub-routed LPA diverged")
+    // PageRank: same equivalence on the weighted star
+    def prr(budget: Long) = graft.ops.Graph.pagerankRanks(sym, 3, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(prr(100L) === prr(Long.MaxValue), "hub-routed PageRank diverged")
     // the probe itself: degree 400 > 100 flags exactly the hub
     assert(graft.ops.Graph.hubNodes(sym, "dst", 100L) === Seq(0L))
     assert(graft.ops.Graph.hubNodes(sym, "dst", 100000L).isEmpty)

@@ -344,6 +344,47 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** x284: VARIANT shredding — Spark 4's semi-structured VARIANT type
+    * on the correctness path (`parse_json` → `variant_get` /
+    * `try_variant_get` typed-path extraction), the open-schema ingestion
+    * surface an LLM metadata pipeline reaches for when JSON fields are
+    * not known up front (x19's `from_json` needs a declared schema; a
+    * variant column defers typing to the extraction site and keeps the
+    * binary encoding columnar-prunable). Two sources exercise the codec:
+    * the corpus's real `props` JSON, and a NESTED document (object +
+    * array) constructed deterministically from typed columns via
+    * `to_json(named_struct(...))` — so the oracle is an IDENTITY
+    * contract: shredding the round-tripped document must return exactly
+    * the original columns (a wrong path, 0-vs-1-based index, or type
+    * coercion cannot hash-match), and the missing-path probe must be
+    * null, not an error. All expressions are codegen-native Catalyst —
+    * no UDFs.
+    */
+  def variantShred(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("doc", expr(
+        "parse_json(to_json(named_struct('t', event_type, 'who', " +
+          "named_struct('u', user_id, 'c', cast(round(value * 100, 0) as long)), " +
+          "'ids', array(event_id, user_id))))"))
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("variant_get(doc, '$.t', 'string')").as("t"),
+        expr("variant_get(doc, '$.who.u', 'long')").as("u"),
+        expr("variant_get(doc, '$.who.c', 'long')").as("cents"),
+        expr("variant_get(doc, '$.ids[1]', 'long')").as("second_id"),
+        expr("try_variant_get(doc, '$.who.missing', 'long')").as("absent"))
+      .orderBy("event_id")
+
+  val variantShredOracle: String =
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |       event_type AS t,
+      |       user_id AS u,
+      |       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |       user_id AS second_id,
+      |       CAST(NULL AS BIGINT) AS absent
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** X6: tumbling 1-hour window per event_type. The groupBy(window(...))
     * is a single hash-aggregate — window assignment is a projection, so
     * partial aggregation happens map-side before the shuffle.

@@ -161,6 +161,54 @@ object Graph {
       |SELECT id AS l_partkey, CAST(pr AS BIGINT) AS pr_micro FROM pr3
       |ORDER BY pr_micro DESC, l_partkey""".stripMargin
 
+  /** x285: RECURSIVE CTE reachability — Spark 4's `WITH RECURSIVE`
+    * (UnionLoop) on the correctness path: depth-bounded BFS from the
+    * smallest part over the co-purchase graph, the SQL-first idiom a
+    * migrating warehouse user writes for hierarchies/reachability before
+    * reaching for the driver-loop operators (x63 CC, x110 PageRank). The
+    * recursive step is LEVEL-DEDUPED (SELECT DISTINCT per iteration), so
+    * each level is ≤ |nodes| rows and the path-count explosion a naive
+    * UNION ALL BFS suffers on dense graphs cannot happen; the depth
+    * bound terminates the loop identically in both engines, and the
+    * final MIN(depth) per node makes the result order-independent.
+    * DuckDB runs the character-identical recursion.
+    */
+  def recursiveReach(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""WITH RECURSIVE
+         |baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+         |            FROM parquet.`$dir/lineitem.parquet`),
+         |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+         |      FROM baskets x JOIN baskets y
+         |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |seed AS (SELECT MIN(a) AS id FROM p),
+         |r(id, depth) AS (
+         |  SELECT id, 0 FROM seed
+         |  UNION ALL
+         |  SELECT DISTINCT e.dst, r.depth + 1
+         |  FROM r JOIN e ON e.src = r.id WHERE r.depth < 3)
+         |SELECT id AS l_partkey, CAST(MIN(depth) AS BIGINT) AS hops
+         |FROM r GROUP BY id ORDER BY l_partkey""".stripMargin)
+
+  val recursiveReachOracle: String =
+    """WITH RECURSIVE
+      |baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+      |      FROM baskets x JOIN baskets y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |seed AS (SELECT MIN(a) AS id FROM p),
+      |r(id, depth) AS (
+      |  SELECT id, 0 FROM seed
+      |  UNION ALL
+      |  SELECT DISTINCT e.dst, r.depth + 1
+      |  FROM r JOIN e ON e.src = r.id WHERE r.depth < 3)
+      |SELECT id AS l_partkey, CAST(MIN(depth) AS BIGINT) AS hops
+      |FROM r GROUP BY id ORDER BY l_partkey""".stripMargin
+
   /** x136: per-node triangle participation over the undirected trade
     * graph — the clustering/cohesion signal (a nation inside many trade
     * triangles sits in a dense bloc; spam/collusion detection runs the

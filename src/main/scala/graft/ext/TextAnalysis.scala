@@ -2115,4 +2115,42 @@ object TextAnalysis {
       |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_e6,
       |       CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** x286: SQL-DEFINED scalar functions (Spark 4's `CREATE FUNCTION …
+    * RETURN <expr>`) on the correctness path — the warehouse-UDF surface
+    * a SQL-first team standardizes quality logic in. Unlike a JVM UDF
+    * (an optimizer-opaque closure, the anti-pattern this repo has zero
+    * of), a SQL UDF REWRITES to its body at analysis
+    * (ResolveSQLFunctions), so whole-stage codegen sees plain Catalyst
+    * expressions and pushdown/pruning still work. Two functions compose
+    * (the token counter feeds the diversity score), both pure integer
+    * arithmetic; DuckDB inlines the identical expressions, so a wrong
+    * rewrite, argument binding, or null path cannot hash-match.
+    */
+  def sqlUdfQuality(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_ntok(text STRING)
+        |RETURNS BIGINT RETURN CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_ttr_bp(text STRING)
+        |RETURNS BIGINT RETURN
+        |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000L
+        |    div graft_ntok(text)""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(graft_ntok(text)) AS BIGINT) AS toks,
+         |       CAST(SUM(CASE WHEN graft_ttr_bp(text) >= 3000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_diverse
+         |FROM parquet.`$dir/documents.parquet`
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val sqlUdfQualityOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+      |       CAST(SUM(CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+      |                              AS BIGINT) * 10000
+      |                          // len(string_split(text, ' ')) >= 3000
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

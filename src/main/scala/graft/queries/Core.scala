@@ -631,6 +631,28 @@ object Core {
       .orderBy("k")
   }
 
+
+  /** q34: correlated LATERAL subquery with a per-row ORDER BY + LIMIT —
+    * the "top order per customer" SQL a warehouse user writes as a
+    * lateral instead of a window, exercising Spark's lateral-join
+    * decorrelation (the subquery cannot run row-at-a-time at scale; the
+    * optimizer rewrites it into the ranked-join plan the window idiom
+    * produces). Tie broken on o_orderkey, money in exact cents, so
+    * DuckDB's LATERAL evaluates the same total order; customers without
+    * orders drop (inner lateral) in both engines.
+    */
+  def q34LateralTopOrder(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c.c_custkey, l.o_orderkey,
+         |       CAST(l.cents AS BIGINT) AS cents
+         |FROM parquet.`$dir/customer.parquet` c,
+         |LATERAL (SELECT o_orderkey,
+         |                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |         FROM parquet.`$dir/orders.parquet` o
+         |         WHERE o.o_custkey = c.c_custkey
+         |         ORDER BY cents DESC, o_orderkey LIMIT 1) l
+         |ORDER BY c.c_custkey""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -665,6 +687,7 @@ object Core {
     "q31_catalog_roundtrip"   -> (q31CatalogRoundtrip _),
     "q32_time_travel"         -> (q32TimeTravel _),
     "q33_snapshot_diff"       -> (q33SnapshotDiff _),
+    "q34_lateral_top_order"   -> (q34LateralTopOrder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -765,6 +788,16 @@ object Core {
         |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
         |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.v <> v2.v
         |ORDER BY k""".stripMargin,
+    // the lateral evaluated as DuckDB's row-at-a-time LATERAL vs
+    // Spark's decorrelated ranked join - same rows or no hash match
+    "q34_lateral_top_order"   ->
+      """SELECT c.c_custkey, l.o_orderkey, CAST(l.cents AS BIGINT) AS cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY cents DESC, o_orderkey LIMIT 1) l
+        |ORDER BY c.c_custkey""".stripMargin,
     // snapshot immutability contract: VERSION AS OF 1 after a second
     // publish must be exactly the aggregate snapshot 1 committed
     "q32_time_travel"         ->

@@ -224,6 +224,7 @@ object Ext {
     "x283_part_pagerank"   -> ((s: SparkSession, d: String) => graft.ops.Graph.partPagerank(s, d)),
     "x284_variant_shred"   -> ((s: SparkSession, d: String) => Events.variantShred(s, d)),
     "x285_recursive_cte"   -> ((s: SparkSession, d: String) => graft.ops.Graph.recursiveReach(s, d)),
+    "x286_sql_udf"         -> ((s: SparkSession, d: String) => TextAnalysis.sqlUdfQuality(s, d)),
     "x280_incr_scd2"       -> ((s: SparkSession, d: String) => Events.incrementalScd2(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
@@ -672,6 +673,7 @@ object Ext {
     "x283_part_pagerank"   -> graft.ops.Graph.partPagerankOracle,
     "x284_variant_shred"   -> Events.variantShredOracle,
     "x285_recursive_cte"   -> graft.ops.Graph.recursiveReachOracle,
+    "x286_sql_udf"         -> TextAnalysis.sqlUdfQualityOracle,
     // x280 rides x99's oracle VERBATIM: incremental maintenance must
     // equal the full rebuild row for row — the hash gate IS the contract
     "x280_incr_scd2"       -> Events.scd2Oracle,

@@ -2153,4 +2153,33 @@ object TextAnalysis {
       |                          // len(string_split(text, ' ')) >= 3000
       |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** x287: SQL-standard LISTAGG (Spark 4) — `listagg(DISTINCT expr,
+    * sep) WITHIN GROUP (ORDER BY …)`, the ISO string-aggregation surface
+    * a migrating warehouse user expects (the repo's A12 gate covers the
+    * collect_list/array_join idiom; this is the standard spelling, with
+    * dedup and an explicit deterministic within-group order). DuckDB's
+    * string_agg(DISTINCT … ORDER BY …) evaluates the identical ordered
+    * concatenation, so separator placement, dedup, and ordering are all
+    * on the hash.
+    */
+  def listaggTypes(spark: SparkSession, dir: String): DataFrame =
+    // DISTINCT inside listagg + WITHIN GROUP trips a Spark 4.1.2
+    // analyzer cast (AttributeReference -> SortOrder); the pre-deduped
+    // subquery expresses the same contract and keeps the standard
+    // WITHIN GROUP ordered-concatenation on the gate
+    spark.sql(
+      s"""SELECT p_brand,
+         |       listagg(p_type, '|') WITHIN GROUP (ORDER BY p_type) AS types,
+         |       CAST(COUNT(*) AS BIGINT) AS n_types
+         |FROM (SELECT DISTINCT p_brand, p_type
+         |      FROM parquet.`$dir/part.parquet`)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  val listaggTypesOracle: String =
+    """SELECT p_brand,
+      |       string_agg(p_type, '|' ORDER BY p_type) AS types,
+      |       CAST(COUNT(*) AS BIGINT) AS n_types
+      |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 }

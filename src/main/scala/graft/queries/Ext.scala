@@ -225,6 +225,7 @@ object Ext {
     "x284_variant_shred"   -> ((s: SparkSession, d: String) => Events.variantShred(s, d)),
     "x285_recursive_cte"   -> ((s: SparkSession, d: String) => graft.ops.Graph.recursiveReach(s, d)),
     "x286_sql_udf"         -> ((s: SparkSession, d: String) => TextAnalysis.sqlUdfQuality(s, d)),
+    "x287_listagg"         -> ((s: SparkSession, d: String) => TextAnalysis.listaggTypes(s, d)),
     "x280_incr_scd2"       -> ((s: SparkSession, d: String) => Events.incrementalScd2(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
@@ -674,6 +675,7 @@ object Ext {
     "x284_variant_shred"   -> Events.variantShredOracle,
     "x285_recursive_cte"   -> graft.ops.Graph.recursiveReachOracle,
     "x286_sql_udf"         -> TextAnalysis.sqlUdfQualityOracle,
+    "x287_listagg"         -> TextAnalysis.listaggTypesOracle,
     // x280 rides x99's oracle VERBATIM: incremental maintenance must
     // equal the full rebuild row for row — the hash gate IS the contract
     "x280_incr_scd2"       -> Events.scd2Oracle,

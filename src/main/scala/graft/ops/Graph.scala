@@ -105,8 +105,19 @@ object Graph {
   private[graft] def pagerankRanks(sym: DataFrame, iters: Int,
                                    hubBudget: Long = HubDegreeBudget): DataFrame = {
     val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
-    val edgesW = sym.join(out, "src").localCheckpoint()
-    val hubs = hubNodes(edgesW, "src", hubBudget)
+    val hubs = hubNodes(sym, "src", hubBudget)
+    // the STATIC wout join is itself src-keyed, so an unrouted plan
+    // would concentrate the hub's whole adjacency on one reducer here
+    // too (measured: a 22.9 s task at hub-m100 before this split — the
+    // same shape the per-round joins route away). The hub channel takes
+    // wout from a broadcast of the ≤|hubs|-row slice and NEVER shuffles
+    // on src; the remainder keeps the uniform shuffle join.
+    val edgesW =
+      (if (hubs.isEmpty) sym.join(out, "src")
+       else sym.filter(col("src").isin(hubs: _*))
+         .join(broadcast(out.filter(col("src").isin(hubs: _*))), "src")
+         .unionAll(sym.filter(!col("src").isin(hubs: _*)).join(out, "src")))
+        .localCheckpoint()
     val (eHub, eRest) =
       if (hubs.isEmpty) (null, edgesW)
       else (edgesW.filter(col("src").isin(hubs: _*)).localCheckpoint(),

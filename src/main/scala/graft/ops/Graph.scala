@@ -416,12 +416,20 @@ object Graph {
           .collect().map(_.getLong(0)).toSeq // ≤ |hubs| rows
         val aIn = col("a").isin(aliveHub: _*)
         val bIn = col("b").isin(aliveHub: _*)
-        cHH.filter(aIn && bIn)
-          .unionAll(cHx.filter(aIn).join(alive.select(col("id").as("b")), "b"))
-          .unionAll(cxH.filter(bIn).join(alive.select(col("id").as("a")), "a"))
+        // USING-joins put the join key FIRST (a join on "b" yields
+        // columns (b, a)) and unionAll is POSITIONAL, so every branch
+        // must be normalized to (a, b) BY NAME before the union — the
+        // round-14 fix for the r13 endpoint-swap bug that collapsed hub
+        // degrees to hub-hub edges (OpsSpec pins a hub that must
+        // SURVIVE the core, which the swap demonstrably evicts).
+        cHH.filter(aIn && bIn).select(col("a"), col("b"))
+          .unionAll(cHx.filter(aIn).join(alive.select(col("id").as("b")), "b")
+            .select(col("a"), col("b")))
+          .unionAll(cxH.filter(bIn).join(alive.select(col("id").as("a")), "a")
+            .select(col("a"), col("b")))
           .unionAll(cxx.join(alive.select(col("id").as("a")), "a")
-            .join(alive.select(col("id").as("b")), "b"))
-          .select(col("a"), col("b"))
+            .join(alive.select(col("id").as("b")), "b")
+            .select(col("a"), col("b")))
       }
     var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
     var n = alive.count()

@@ -1680,6 +1680,20 @@ class OpsSpec extends SparkSuite {
     val plain = core(budget = Long.MaxValue)
     assert(routed === plain, "hub-routed k-core diverged from the unrouted plan")
     assert(routed.nonEmpty)
+    // ADVICE r13 regression: a hub that must SURVIVE the core. The star
+    // fixture above masks endpoint-order bugs because its spokes peel
+    // regardless; here hub 0 is glued to triangle {1,2,3} so its survival
+    // depends on correctly counted hub<->non-hub degrees — the r13
+    // endpoint-swap collapsed hub degree to hub-hub edges and evicted it.
+    val hubCore = ((4L to 13L).map(i => (0L, i)) ++ Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L))).toDF("a", "b")
+    def core2(budget: Long) = graft.ops.Graph.kCoreOf(hubCore, 3, 12, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
+    assert(core2(Long.MaxValue) === expected, "unrouted hub-in-core baseline")
+    assert(core2(5L) === expected,
+      "routed k-core must keep the hub: hub<->non-hub edges endpoint-correct")
     // LPA: weighted star + clique, same equivalence under forced routing
     val wedges0 = edges.select(col("a"), col("b"), lit(1L).as("n_ab"))
     val sym = wedges0.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))

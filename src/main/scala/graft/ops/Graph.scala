@@ -182,19 +182,29 @@ object Graph {
     * UNION ALL BFS suffers on dense graphs cannot happen; the depth
     * bound terminates the loop identically in both engines, and the
     * final MIN(depth) per node makes the result order-independent.
-    * DuckDB runs the character-identical recursion.
+    * DuckDB runs the recursion over the character-identical pair frame
+    * (rebuilt from lineitem in the oracle — the Layer cache is a Spark
+    * runtime artifact, not a semantic one).
+    *
+    * Round-14 (verdict #1): the CTE prologue no longer rebuilds baskets
+    * + the co-purchase pair aggregate from raw parquet inside the SQL
+    * text — that rebuild was the suite's most expensive plan (14.4 M
+    * cold shuffle rows, 24× the median) and re-paid the graph family's
+    * one fact-sized aggregate that x283/x200/x231 read from the Layer.
+    * The cached frame is spliced in as a dir-keyed temp view; the WITH
+    * RECURSIVE UnionLoop stays intact as the surface under test.
     */
-  def recursiveReach(spark: SparkSession, dir: String): DataFrame =
+  def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.Associations.copurchasePairs(spark, dir)
+    // dir-keyed so two dirs in one session can't serve each other's
+    // frame (Integer.toHexString is sign-safe: always [0-9a-f]+)
+    val view = "graft_copairs_" + Integer.toHexString(dir.hashCode)
+    pairs.createOrReplaceTempView(view)
     spark.sql(
       s"""WITH RECURSIVE
-         |baskets AS (SELECT DISTINCT l_orderkey, l_partkey
-         |            FROM parquet.`$dir/lineitem.parquet`),
-         |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
-         |      FROM baskets x JOIN baskets y
-         |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
-         |seed AS (SELECT MIN(a) AS id FROM p),
+         |e AS (SELECT a AS src, b AS dst FROM $view
+         |      UNION ALL SELECT b, a FROM $view),
+         |seed AS (SELECT MIN(a) AS id FROM $view),
          |r(id, depth) AS (
          |  SELECT id, 0 FROM seed
          |  UNION ALL
@@ -202,6 +212,7 @@ object Graph {
          |  FROM r JOIN e ON e.src = r.id WHERE r.depth < 3)
          |SELECT id AS l_partkey, CAST(MIN(depth) AS BIGINT) AS hops
          |FROM r GROUP BY id ORDER BY l_partkey""".stripMargin)
+  }
 
   val recursiveReachOracle: String =
     """WITH RECURSIVE

@@ -30,7 +30,11 @@ object ScaleGen {
       "passing the default dupBoost)"
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 5, usage)
+    // 2 positional + up to FOUR recognized trailing options (dupBoost,
+    // fixed|heaps, skew, hub) — r14 ADVICE: the old <=5 bound rejected
+    // `ScaleGen out 10 5 heaps skew hub` even though the by-value
+    // parsing composes all four
+    require(args.length >= 2 && args.length <= 6, usage)
     val out = args(0)
     val m = args(1).toInt
     // Trailing args parse BY VALUE, not by position: `heaps` in slot 3

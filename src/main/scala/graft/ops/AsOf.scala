@@ -374,52 +374,24 @@ object AsOf {
   // Store root: spark.graft.statsDir (default /tmp/graft_stats — stable
   // across processes, so a Verify probe also serves the Bench run).
 
-  private def statsRoot(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.statsDir").getOrElse("/tmp/graft_stats")
-
   /** Metadata-only fingerprint of the PIT inputs (orders + events). */
-  private[graft] def pitSourceSignature(dir: String): String = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val parts = Seq("orders", "events").flatMap { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-      val f = p.getFileSystem(conf)
-      if (!f.exists(p)) Seq(s"$t:absent")
-      else f.listStatus(p).toSeq.sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-    }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  private[graft] def pitSourceSignature(spark: SparkSession, dir: String): String =
+    Stats.sourceSignature(spark, dir, Seq("orders", "events"))
 
   /** The corpus's max per-key PIT grain, SERVED FROM STATISTICS when the
     * stored signature matches the live listing (no fact scan), refreshed
     * via the live probe otherwise. OpsSpec pins all three behaviors
     * (probe-and-persist, serve-without-probe, stale-signature re-probe).
+    * Round-14: the store rides [[Stats]]' Hadoop FileContext publish, so
+    * statsDir accepts any Hadoop-supported URI (the java.io.File store
+    * was the repo's one non-HDFS/S3A-ready publish path).
     */
   private[graft] def pitGrainStats(spark: SparkSession, dir: String): Long = {
-    val sig = pitSourceSignature(dir)
-    val fileName = "pit_grain-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16) + ".gstats"
-    val root = new java.io.File(statsRoot(spark))
-    val f = new java.io.File(root, fileName)
-    if (f.isFile) {
-      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .filter(_.contains('=')).map { l =>
-          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-        }.toMap
-      if (kv.get("sig").contains(sig) && kv.contains("max_key_rows"))
-        return kv("max_key_rows").toLong
-    }
-    val grain = pitRoute(pitChanges(spark, dir), pitRows(spark, dir))._1
-    root.mkdirs()
-    val staged = new java.io.File(root,
-      s"_staged-$fileName-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = new java.io.PrintWriter(staged, "UTF-8")
-    try { w.println(s"sig=$sig"); w.println(s"max_key_rows=$grain") }
-    finally w.close()
-    if (!staged.renameTo(f)) staged.delete() // lost race: the winner's entry serves
-    grain
+    val sig = pitSourceSignature(spark, dir)
+    val fileName = "pit_grain-" + Stats.md5(dir).take(16) + ".gstats"
+    Stats.served(spark, fileName, sig, "max_key_rows") {
+      pitRoute(pitChanges(spark, dir), pitRows(spark, dir))._1.toString
+    }.toLong
   }
 
   /** x281: the ROUTED point-in-time join — [[pitDimensionJoin]]'s

@@ -94,7 +94,7 @@ object Graph {
     val pairs = graft.ext.Associations.copurchasePairs(spark, dir)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
-    pagerankRanks(sym, iters)
+    pagerankRanks(sym, iters, served = Some((spark, dir)))
       .select(col("id").as("l_partkey"), col("pr").cast("long").as("pr_micro"))
       .orderBy(col("pr_micro").desc, col("l_partkey"))
   }
@@ -103,9 +103,14 @@ object Graph {
     * → (id, pr) micro-unit ranks; hub routing per the class note above.
     */
   private[graft] def pagerankRanks(sym: DataFrame, iters: Int,
-                                   hubBudget: Long = HubDegreeBudget): DataFrame = {
+                                   hubBudget: Long = HubDegreeBudget,
+                                   served: Option[(SparkSession, String)] = None): DataFrame = {
     val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
-    val hubs = hubNodes(sym, "src", hubBudget)
+    val hubs = served match {
+      case Some((sp, dir)) =>
+        hubNodesServed(sp, dir, "pagerank|src", hubBudget)(hubNodes(sym, "src", hubBudget))
+      case None => hubNodes(sym, "src", hubBudget)
+    }
     // the STATIC wout join is itself src-keyed, so an unrouted plan
     // would concentrate the hub's whole adjacency on one reducer here
     // too (measured: a 22.9 s task at hub-m100 before this split — the
@@ -389,8 +394,31 @@ object Graph {
       .filter(col("d") > budget).select(col(idCol))
       .collect().map(_.getLong(0)).toSeq
 
+  /** Round-14 (verdict #3): the hub set SERVED FROM TABLE STATISTICS —
+    * the X286x discipline the PIT router gained in r13, applied to the
+    * graph probe. The degree profile is a pure function of the edge
+    * frame's source table (every routed caller's edges derive from
+    * `$dir/lineitem.parquet` via the Layer-shared pair frame), so the
+    * probe result persists keyed by a metadata-only source signature +
+    * the probe context (caller, id column, budget); a fresh entry serves
+    * the hub set with NO degree aggregate, a rewritten corpus flips the
+    * signature and re-probes. OpsSpec mirrors the PIT store's
+    * three-behavior laws (probe-and-persist / serve-without-scan /
+    * stale-re-probe) on this entry.
+    */
+  private[graft] def hubNodesServed(spark: SparkSession, dir: String, key: String,
+                                    budget: Long)(probe: => Seq[Long]): Seq[Long] = {
+    val sig = Stats.sourceSignature(spark, dir, Seq("lineitem"))
+    val fileName = "hub_nodes-" + Stats.md5(s"$dir|$key|$budget").take(16) + ".gstats"
+    Stats.served(spark, fileName, sig, "hubs")(probe.mkString(",")) match {
+      case "" => Seq.empty
+      case s  => s.split(',').toSeq.map(_.trim.toLong)
+    }
+  }
+
   private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int,
-                             hubBudget: Long = HubDegreeBudget): DataFrame = {
+                             hubBudget: Long = HubDegreeBudget,
+                             served: Option[(SparkSession, String)] = None): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -407,7 +435,11 @@ object Graph {
     // (gh100: task total 900 → 489 s, maxtask 25.6 → 12.1 s). hubs
     // empty (every gate corpus) degenerates to the exact pre-r13
     // two-join plan.
-    val hubs = hubNodes(sym, "a", hubBudget)
+    val hubs = served match {
+      case Some((sp, dir)) =>
+        hubNodesServed(sp, dir, "kcore|a", hubBudget)(hubNodes(sym, "a", hubBudget))
+      case None => hubNodes(sym, "a", hubBudget)
+    }
     val (cHH, cHx, cxH, cxx) =
       if (hubs.isEmpty) (null, null, null, sym)
       else {
@@ -473,7 +505,8 @@ object Graph {
     * sf0.001), and the DuckDB twin unrolls the identical 12 rounds.
     */
   def kCoreParts(spark: SparkSession, dir: String): DataFrame =
-    kCoreOf(graft.ext.Associations.copurchasePairs(spark, dir), 3, 12)
+    kCoreOf(graft.ext.Associations.copurchasePairs(spark, dir), 3, 12,
+      served = Some((spark, dir)))
       .select(col("id").as("l_partkey"), col("core_deg"))
       .orderBy("l_partkey")
 
@@ -526,7 +559,7 @@ object Graph {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
       .localCheckpoint()
-    val labels = lpaLabels(edges, rounds)
+    val labels = lpaLabels(edges, rounds, served = Some((spark, dir)))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("node").as("l_partkey"), col("label").as("community"),
@@ -545,8 +578,13 @@ object Graph {
     * union-then-aggregate sees the same (src, label, w) multiset.
     */
   private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
-                               hubBudget: Long = HubDegreeBudget): DataFrame = {
-    val hubs = hubNodes(edges, "dst", hubBudget)
+                               hubBudget: Long = HubDegreeBudget,
+                               served: Option[(SparkSession, String)] = None): DataFrame = {
+    val hubs = served match {
+      case Some((sp, dir)) =>
+        hubNodesServed(sp, dir, "lpa|dst", hubBudget)(hubNodes(edges, "dst", hubBudget))
+      case None => hubNodes(edges, "dst", hubBudget)
+    }
     val (eHub, eRest) =
       if (hubs.isEmpty) (null, edges)
       else (edges.filter(col("dst").isin(hubs: _*)).localCheckpoint(),

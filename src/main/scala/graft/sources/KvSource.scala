@@ -115,7 +115,7 @@ object KvSource {
   /** (commit ts_ms, part-file names) of snapshot `v`; throws with the
     * available versions when `v` does not exist (expired or never made).
     */
-  private[sources] def readSnapshot(path: String, v: Long): (Long, Seq[String]) = {
+  private[graft] def readSnapshot(path: String, v: Long): (Long, Seq[String]) = {
     val f = fs(path)
     val p = snapPath(path, v)
     require(f.exists(p), s"graftkv $path has no snapshot version $v " +
@@ -146,26 +146,58 @@ object KvSource {
     }
 
   /** Publish a manifest listing `parts` as the next snapshot version:
-    * staged write, atomic rename to the allocated number. A lost
-    * allocation race (another committer renamed the same number first —
-    * rename-no-overwrite is the atomicity anchor, the same one the .gt
-    * metadata publish rides) re-reads the latest version and retries, so
-    * concurrent publishes serialize into distinct versions, neither torn.
+    * staged write, rename-no-overwrite to the allocated number. A lost
+    * allocation race (another committer took the number first) retries
+    * at the next version, so concurrent publishes serialize into
+    * distinct versions, neither torn.
+    *
+    * Round-14 (ADVICE): the pre-r14 exists()+rename() pair was not
+    * atomic on the default local filesystem (POSIX rename overwrites),
+    * so two racing committers could both pass the exists check and the
+    * second silently clobbered the first's COMMITTED manifest. The
+    * allocation now renames through [[org.apache.hadoop.fs.FileContext]]
+    * with `Options.Rename.NONE` — atomic rename-if-absent on HDFS-class
+    * filesystems (the real-cluster story) — and then RE-READS the
+    * target and claims the version only if the bytes are this
+    * committer's staged payload, which catches any race a non-atomic
+    * local rename let through before the verify read. Payloads are
+    * distinct whenever the part lists differ; identical payloads
+    * colliding on one version is the no-op race (both committers
+    * published the same snapshot).
     */
-  private[sources] def publishSnapshot(path: String, parts: Seq[String]): Long = {
-    val f = fs(path)
+  private[graft] def publishSnapshot(path: String, parts: Seq[String]): Long = {
+    // all manifest I/O through FileContext: rename-if-absent semantics,
+    // and the local impl (RawLocalFs) writes no .crc sidecars that a
+    // data-file-only rename would orphan
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(path).toUri, new Configuration())
     var attempt = 0
     while (attempt < 64) {
       val v = snapVersions(path).lastOption.getOrElse(0L) + 1
       val staged = new Path(path, s"_staged-snap-${UUID.randomUUID().toString.take(8)}")
-      val out = f.create(staged, true)
-      try {
-        out.write(s"ts_ms=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        parts.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
-      } finally out.close()
+      val payload = (s"ts_ms=${System.currentTimeMillis()}" +: parts)
+        .map(_ + "\n").mkString
+      val out = fc.create(staged,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent())
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
       val target = snapPath(path, v)
-      if (!f.exists(target) && f.rename(staged, target)) return v
-      f.delete(staged, false)
+      val renamed =
+        try { fc.rename(staged, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
+        catch { case _: java.io.IOException => false } // taken: retry next v
+      if (!renamed) fc.delete(staged, false)
+      else {
+        val in = fc.open(target)
+        val got = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        if (got == payload) return v // verified: this committer owns v
+      }
       attempt += 1
     }
     throw new IllegalStateException(

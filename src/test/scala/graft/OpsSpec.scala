@@ -1710,6 +1710,42 @@ class OpsSpec extends SparkSuite {
     assert(graft.ops.Graph.hubNodes(sym, "dst", 100000L).isEmpty)
   }
 
+  test("hub-node statistics: probe persists, fresh stats serve without a scan, stale signature re-probes") {
+    import spark.implicits._
+    val statsDir = s"${graft.RunScoped.ioDir}/hubstats_test"
+    spark.conf.set("spark.graft.statsDir", statsDir)
+    try {
+      val sym = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L)).toDF("src", "dst")
+      def served(key: String, budget: Long)(probe: => Seq[Long]) =
+        graft.ops.Graph.hubNodesServed(spark, sf, key, budget)(probe)
+      // first call: live probe (node 1, out-degree 3 > 2), entry persisted
+      assert(served("t1", 2L)(graft.ops.Graph.hubNodes(sym, "src", 2L)) === Seq(1L))
+      val f = new java.io.File(statsDir).listFiles()
+        .filter(_.getName.startsWith("hub_nodes")).head
+      val sig = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .find(_.startsWith("sig=")).get
+      def write(lines: String*): Unit = {
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+      }
+      // doctored hub set under the VALID signature is served verbatim —
+      // proof the degree aggregate does not run while stats are fresh
+      write(sig, "hubs=42,43")
+      assert(served("t1", 2L)(sys.error("fresh stats must not probe")) ===
+        Seq(42L, 43L))
+      // broken signature = stale stats: live re-probe, entry refreshed
+      write("sig=stale", "hubs=42,43")
+      assert(served("t1", 2L)(graft.ops.Graph.hubNodes(sym, "src", 2L)) === Seq(1L))
+      val back = scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+      assert(back.contains("hubs=1") && back.contains(sig),
+        "re-probe must refresh the persisted entry")
+      // the EMPTY hub set (every gate corpus) round-trips and serves
+      // without a probe — the common case must not degenerate to re-probing
+      assert(served("t2", 2L)(Seq.empty).isEmpty)
+      assert(served("t2", 2L)(sys.error("fresh empty entry must not probe")).isEmpty)
+    } finally spark.conf.unset("spark.graft.statsDir")
+  }
+
   test("k-core peel: adversarial chain takes many rounds; driver peel agrees") {
     import spark.implicits._
     // K4 clique (the 2-core/3-core survivor) + a 6-node tail chain hanging

@@ -332,6 +332,40 @@ class SourcesSpec extends SparkSuite {
     intercept[Exception] { readV(Some(1L)) }
   }
 
+  test("graftkv snapshots: racing committers serialize into distinct intact versions") {
+    import graft.sources.KvSource
+    val dir = s"${graft.RunScoped.ioDir}/kv_race"
+    // seed snapshot 1 so the racers contend on version 2
+    spark.range(3).select(col("id").as("k"), col("id").as("v"))
+      .write.format("graft.sources.KvSource").option("path", dir)
+      .mode("overwrite").save()
+    // 8 committers race distinct part lists through publishSnapshot —
+    // the r13 exists()+rename() allocation could silently clobber a
+    // COMMITTED manifest (POSIX rename overwrites); the r14 protocol
+    // (rename-if-absent + payload re-read) must hand every committer
+    // its own version with its own payload intact
+    val parts = (0 until 8).map(i => Seq(s"part-$i.gkv"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = parts.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = KvSource.publishSnapshot(dir, p)
+        })
+      }
+      val versions = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.distinct.size === 8, s"version collision: $versions")
+      // every committer's manifest holds exactly its own part list
+      parts.zip(versions).foreach { case (p, v) =>
+        assert(KvSource.readSnapshot(dir, v)._2 === p,
+          s"manifest $v was clobbered (expected $p)")
+      }
+      // no staged turds survive
+      val staged = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("_staged-"))
+      assert(staged.isEmpty, s"staged files left behind: ${staged.toSeq}")
+    } finally pool.shutdownNow()
+  }
+
   test("catalog time travel: VERSION AS OF and TIMESTAMP AS OF through GraftCatalog SQL") {
     val root = s"${graft.RunScoped.ioDir}/cat_tt"
     spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")

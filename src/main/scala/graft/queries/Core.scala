@@ -653,6 +653,39 @@ object Core {
          |         ORDER BY cents DESC, o_orderkey LIMIT 1) l
          |ORDER BY c.c_custkey""".stripMargin)
 
+  /** q35: `TIMESTAMP AS OF` through SQL end-to-end (r13 verdict #6) —
+    * q32 gates `VERSION AS OF`; the timestamp spelling was covered only
+    * by SourcesSpec driving `GraftCatalog.loadTable(ident, micros)`
+    * directly. This publishes the per-day order-count aggregate
+    * (snapshot 1), captures a wall-clock instant strictly between the
+    * commits (5 ms guard sleeps on both sides — manifest commit times
+    * are millisecond-grained), publishes junk marker rows (snapshot 2),
+    * and reads `TIMESTAMP AS OF '<between>'`: hash-matching the
+    * pre-junk aggregate proves the timestamp resolves to snapshot 1's
+    * manifest, not the current view. DROP+CREATE per run keeps the
+    * manifest clock fresh under bench replays.
+    */
+  def q35TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.day_counts")
+    spark.sql("CREATE TABLE graft.db.day_counts USING graftkv")
+    Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+      .writeTo("graft.db.day_counts").append()            // snapshot 1
+    Thread.sleep(5)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    spark.range(1, 501)
+      .select((col("id") * -1L).as("k"), lit(0L).as("v"))
+      .writeTo("graft.db.day_counts").append()            // snapshot 2
+    spark.sql(s"SELECT k, v FROM graft.db.day_counts " +
+      s"TIMESTAMP AS OF '$between' ORDER BY k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -688,6 +721,7 @@ object Core {
     "q32_time_travel"         -> (q32TimeTravel _),
     "q33_snapshot_diff"       -> (q33SnapshotDiff _),
     "q34_lateral_top_order"   -> (q34LateralTopOrder _),
+    "q35_ts_travel"           -> (q35TimestampTravel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,6 +832,12 @@ object Core {
         |         FROM orders o WHERE o.o_custkey = c.c_custkey
         |         ORDER BY cents DESC, o_orderkey LIMIT 1) l
         |ORDER BY c.c_custkey""".stripMargin,
+    // TIMESTAMP AS OF between two commits must resolve to snapshot 1's
+    // manifest - exactly the pre-junk aggregate
+    "q35_ts_travel"           ->
+      """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+        |       COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     // snapshot immutability contract: VERSION AS OF 1 after a second
     // publish must be exactly the aggregate snapshot 1 committed
     "q32_time_travel"         ->

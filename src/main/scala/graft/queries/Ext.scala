@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.OracleSqlExt
-import graft.ext.{Associations, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Associations, Dedup, Events, Multimodal, Similarity, SqlSurfaces, TextAnalysis}
 import graft.ml.ReorderModel
 import graft.streaming.Streams
 
@@ -226,6 +226,8 @@ object Ext {
     "x285_recursive_cte"   -> ((s: SparkSession, d: String) => graft.ops.Graph.recursiveReach(s, d)),
     "x286_sql_udf"         -> ((s: SparkSession, d: String) => TextAnalysis.sqlUdfQuality(s, d)),
     "x287_listagg"         -> ((s: SparkSession, d: String) => TextAnalysis.listaggTypes(s, d)),
+    "x288_pipe_syntax"     -> ((s: SparkSession, d: String) => SqlSurfaces.pipeSyntaxPricing(s, d)),
+    "x289_group_by_all"    -> ((s: SparkSession, d: String) => SqlSurfaces.groupByAllCounts(s, d)),
     "x280_incr_scd2"       -> ((s: SparkSession, d: String) => Events.incrementalScd2(s, d)),
     "s20_stream_pit"       -> ((s: SparkSession, d: String) => graft.streaming.Streams.pitStream(s, d)),
     "x276_ddsketch_drift"  -> ((s: SparkSession, d: String) => graft.ops.Quality.ddsketchDrift(s, d)),
@@ -676,6 +678,8 @@ object Ext {
     "x285_recursive_cte"   -> graft.ops.Graph.recursiveReachOracle,
     "x286_sql_udf"         -> TextAnalysis.sqlUdfQualityOracle,
     "x287_listagg"         -> TextAnalysis.listaggTypesOracle,
+    "x288_pipe_syntax"     -> SqlSurfaces.pipeSyntaxPricingOracle,
+    "x289_group_by_all"    -> SqlSurfaces.groupByAllCountsOracle,
     // x280 rides x99's oracle VERBATIM: incremental maintenance must
     // equal the full rebuild row for row — the hash gate IS the contract
     "x280_incr_scd2"       -> Events.scd2Oracle,

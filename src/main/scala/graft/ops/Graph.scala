@@ -104,39 +104,49 @@ object Graph {
     */
   private[graft] def pagerankRanks(sym: DataFrame, iters: Int,
                                    hubBudget: Long = HubDegreeBudget,
-                                   served: Option[(SparkSession, String)] = None): DataFrame = {
+                                   served: Option[(SparkSession, String)] = None,
+                                   broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
     val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
-    val hubs = served match {
+    val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = nodes.count() // control-plane scalar, the x110 posture
+    // whole-rank-frame broadcast channel (round-14): under the node
+    // budget BOTH the static wout join and every per-round rank join
+    // take the |nodes|-row side as a broadcast — the edge frame never
+    // crosses an exchange at all; only the per-dst partial-agg output
+    // shuffles. Above the budget the r13 hub routing is the scale path.
+    val useBcast = n <= broadcastNodeBudget
+    lazy val hubs = served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "pagerank|src", hubBudget)(hubNodes(sym, "src", hubBudget))
       case None => hubNodes(sym, "src", hubBudget)
     }
-    // the STATIC wout join is itself src-keyed, so an unrouted plan
-    // would concentrate the hub's whole adjacency on one reducer here
-    // too (measured: a 22.9 s task at hub-m100 before this split — the
-    // same shape the per-round joins route away). The hub channel takes
-    // wout from a broadcast of the ≤|hubs|-row slice and NEVER shuffles
-    // on src; the remainder keeps the uniform shuffle join.
+    // the STATIC wout join is itself src-keyed, so an unrouted shuffle
+    // plan would concentrate the hub's whole adjacency on one reducer
+    // here too (measured: a 22.9 s task at hub-m100 before this split —
+    // the same shape the per-round joins route away). The hub channel
+    // takes wout from a broadcast of the ≤|hubs|-row slice and NEVER
+    // shuffles on src; the remainder keeps the uniform shuffle join.
     val edgesW =
-      (if (hubs.isEmpty) sym.join(out, "src")
+      (if (useBcast) sym.join(broadcast(out), "src")
+       else if (hubs.isEmpty) sym.join(out, "src")
        else sym.filter(col("src").isin(hubs: _*))
          .join(broadcast(out.filter(col("src").isin(hubs: _*))), "src")
          .unionAll(sym.filter(!col("src").isin(hubs: _*)).join(out, "src")))
         .localCheckpoint()
-    val (eHub, eRest) =
+    lazy val (eHub, eRest) =
       if (hubs.isEmpty) (null, edgesW)
       else (edgesW.filter(col("src").isin(hubs: _*)).localCheckpoint(),
         edgesW.filter(!col("src").isin(hubs: _*)).localCheckpoint())
     def contribs(pr: DataFrame): DataFrame = {
-      val rest = eRest.join(pr, col("src") === col("id"))
-      val all = if (hubs.isEmpty) rest
+      val all =
+        if (useBcast) edgesW.join(broadcast(pr), col("src") === col("id"))
+        else if (hubs.isEmpty) eRest.join(pr, col("src") === col("id"))
         else eHub.join(broadcast(pr.filter(col("id").isin(hubs: _*))),
-          col("src") === col("id")).unionAll(rest)
+          col("src") === col("id"))
+          .unionAll(eRest.join(pr, col("src") === col("id")))
       all.select(col("dst"), expr("(pr * w) div wout").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
     }
-    val nodes = edgesW.select(col("src").as("id")).distinct().localCheckpoint()
-    val n = nodes.count() // control-plane scalar, the x110 posture
     val base = 150000000L / n
     var pr = nodes.withColumn("pr", lit(1000000L / n))
     for (_ <- 1 to iters) {
@@ -418,7 +428,8 @@ object Graph {
 
   private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int,
                              hubBudget: Long = HubDegreeBudget,
-                             served: Option[(SparkSession, String)] = None): DataFrame = {
+                             served: Option[(SparkSession, String)] = None,
+                             broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -435,12 +446,21 @@ object Graph {
     // (gh100: task total 900 → 489 s, maxtask 25.6 → 12.1 s). hubs
     // empty (every gate corpus) degenerates to the exact pre-r13
     // two-join plan.
-    val hubs = served match {
+    var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
+    var n = alive.count()
+    // whole-alive-set broadcast channel (round-14): the alive frame is
+    // one BIGINT per node and only SHRINKS, so under the node budget
+    // both per-round joins are map-side and the edge frame never
+    // crosses an exchange — decided once up front (n is monotone)
+    val useBcast = n <= broadcastNodeBudget
+    lazy val hubs = served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "kcore|a", hubBudget)(hubNodes(sym, "a", hubBudget))
       case None => hubNodes(sym, "a", hubBudget)
     }
-    val (cHH, cHx, cxH, cxx) =
+    // channels materialize ONLY on the shuffle path (lazy: the broadcast
+    // channel needs neither the hub probe nor the split's checkpoints)
+    lazy val (cHH, cHx, cxH, cxx) =
       if (hubs.isEmpty) (null, null, null, sym)
       else {
         val ah = col("a").isin(hubs: _*)
@@ -451,7 +471,10 @@ object Graph {
           sym.filter(!ah && !bh).localCheckpoint())
       }
     def aliveEdges(alive: DataFrame): DataFrame =
-      if (hubs.isEmpty)
+      if (useBcast)
+        sym.join(broadcast(alive.select(col("id").as("a"))), "a")
+          .join(broadcast(alive.select(col("id").as("b"))), "b")
+      else if (hubs.isEmpty)
         cxx.join(alive.select(col("id").as("a")), "a")
           .join(alive.select(col("id").as("b")), "b")
       else {
@@ -474,8 +497,6 @@ object Graph {
             .join(alive.select(col("id").as("b")), "b")
             .select(col("a"), col("b")))
       }
-    var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
-    var n = alive.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -577,26 +598,53 @@ object Graph {
     * pre-r13 single-join plan. Output identical either way: the
     * union-then-aggregate sees the same (src, label, w) multiset.
     */
+  /** Node-count budget for the iterative family's WHOLE-STATE-FRAME
+    * broadcast channel (round-14, verdict #7): every per-round join in
+    * this family pairs the |edges|-row frame against a per-NODE state
+    * frame (LPA labels, k-core alive set, PageRank ranks — each ≤ two
+    * BIGINTs/row), and when the state side is too big to broadcast the
+    * join ships the EDGE frame through a node-keyed exchange — at
+    * hub-m100 that is ~190 M edge rows shuffled PER ROUND, and it is
+    * why r13's hub routing halved the maxtask but left totals ~par
+    * (the hub's rows skipped the join, everyone else's still crossed
+    * the exchange). Up to ~4 M nodes (~64 MB) the whole state frame
+    * broadcasts and the join becomes map-side: ZERO edge-frame
+    * exchanges per round — only the partial-agg output shuffles.
+    * Beyond the budget (a billion-node web graph) the shuffle channel
+    * with hub routing remains the scale path. Overridable per run via
+    * SPARK_GRAFT_GRAPH_BCAST_BUDGET (the SPARK_GRAFT_PAIR_BUDGET
+    * precedent) — how the A/B scale measurements force each channel.
+    */
+  private[graft] def GraphBroadcastNodeBudget: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_BCAST_BUDGET").map(_.toLong)
+      .getOrElse(4000000L)
+
   private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
                                hubBudget: Long = HubDegreeBudget,
-                               served: Option[(SparkSession, String)] = None): DataFrame = {
-    val hubs = served match {
+                               served: Option[(SparkSession, String)] = None,
+                               broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
+    val base = 4294967296L // 2^32 > any partkey; score·base + label stays < 2^63
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val nNodes = labels.count() // control-plane scalar, the x110 posture
+    lazy val hubs = served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "lpa|dst", hubBudget)(hubNodes(edges, "dst", hubBudget))
       case None => hubNodes(edges, "dst", hubBudget)
     }
-    val (eHub, eRest) =
+    // channels materialize ONLY on the shuffle path (lazy: the broadcast
+    // channel needs neither the hub probe nor the split's checkpoints)
+    lazy val (eHub, eRest) =
       if (hubs.isEmpty) (null, edges)
       else (edges.filter(col("dst").isin(hubs: _*)).localCheckpoint(),
         edges.filter(!col("dst").isin(hubs: _*)).localCheckpoint())
     def joined(labels: DataFrame): DataFrame =
-      if (hubs.isEmpty) eRest.join(labels, col("dst") === col("node"))
+      if (nNodes <= broadcastNodeBudget)
+        edges.join(broadcast(labels), col("dst") === col("node"))
+      else if (hubs.isEmpty) eRest.join(labels, col("dst") === col("node"))
       else eHub.join(broadcast(labels.filter(col("node").isin(hubs: _*))),
           col("dst") === col("node"))
         .unionAll(eRest.join(labels, col("dst") === col("node")))
-    val base = 4294967296L // 2^32 > any partkey; score·base + label stays < 2^63
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
     (0 until rounds).foreach { _ =>
       labels = joined(labels)
         .groupBy(col("src"), col("label")).agg(sum(col("w")).as("s"))

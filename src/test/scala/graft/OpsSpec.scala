@@ -1674,11 +1674,15 @@ class OpsSpec extends SparkSuite {
     val edges = ((1L to 200L).map(i => (0L, i)) ++ Seq(
       (500L, 501L), (500L, 502L), (500L, 503L), (501L, 502L),
       (501L, 503L), (502L, 503L), (503L, 1L))).toDF("a", "b")
-    def core(budget: Long) = graft.ops.Graph.kCoreOf(edges, 2, 12, budget)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def core(budget: Long, bcast: Long = 0L) =
+      graft.ops.Graph.kCoreOf(edges, 2, 12, budget, None, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val routed = core(budget = 100L)   // degree 400 sym > 100 → hub fires
     val plain = core(budget = Long.MaxValue)
     assert(routed === plain, "hub-routed k-core diverged from the unrouted plan")
+    // r14 broadcast channel: whole-alive-set broadcast ≡ shuffle plans
+    assert(core(Long.MaxValue, Long.MaxValue) === plain,
+      "broadcast-channel k-core diverged from the shuffle plan")
     assert(routed.nonEmpty)
     // ADVICE r13 regression: a hub that must SURVIVE the core. The star
     // fixture above masks endpoint-order bugs because its spokes peel
@@ -1688,23 +1692,37 @@ class OpsSpec extends SparkSuite {
     val hubCore = ((4L to 13L).map(i => (0L, i)) ++ Seq(
       (0L, 1L), (0L, 2L), (0L, 3L),
       (1L, 2L), (1L, 3L), (2L, 3L))).toDF("a", "b")
-    def core2(budget: Long) = graft.ops.Graph.kCoreOf(hubCore, 3, 12, budget)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def core2(budget: Long, bcast: Long = 0L) =
+      graft.ops.Graph.kCoreOf(hubCore, 3, 12, budget, None, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val expected = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
     assert(core2(Long.MaxValue) === expected, "unrouted hub-in-core baseline")
     assert(core2(5L) === expected,
       "routed k-core must keep the hub: hub<->non-hub edges endpoint-correct")
+    assert(core2(Long.MaxValue, Long.MaxValue) === expected,
+      "broadcast-channel k-core must keep the hub")
     // LPA: weighted star + clique, same equivalence under forced routing
     val wedges0 = edges.select(col("a"), col("b"), lit(1L).as("n_ab"))
     val sym = wedges0.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
       .unionAll(wedges0.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
-    def lpa(budget: Long) = graft.ops.Graph.lpaLabels(sym, 5, budget)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    assert(lpa(100L) === lpa(Long.MaxValue), "hub-routed LPA diverged")
-    // PageRank: same equivalence on the weighted star
-    def prr(budget: Long) = graft.ops.Graph.pagerankRanks(sym, 3, budget)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def lpa(budget: Long, bcast: Long) =
+      graft.ops.Graph.lpaLabels(sym, 5, budget, None, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // r14: three channels — whole-label-frame broadcast (the default on
+    // any graph under ~4M nodes), uniform shuffle (bcast budget 0), and
+    // hub-routed shuffle (forced hub) — must agree row-for-row
+    val viaBroadcast = lpa(Long.MaxValue, Long.MaxValue)
+    val viaShuffle = lpa(Long.MaxValue, 0L)
+    val viaHub = lpa(100L, 0L)
+    assert(viaShuffle === viaBroadcast, "LPA shuffle channel diverged from broadcast")
+    assert(viaHub === viaBroadcast, "hub-routed LPA diverged")
+    // PageRank: same three-channel equivalence on the weighted star
+    def prr(budget: Long, bcast: Long = 0L) =
+      graft.ops.Graph.pagerankRanks(sym, 3, budget, None, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(prr(100L) === prr(Long.MaxValue), "hub-routed PageRank diverged")
+    assert(prr(Long.MaxValue, Long.MaxValue) === prr(Long.MaxValue),
+      "broadcast-channel PageRank diverged from the shuffle plan")
     // the probe itself: degree 400 > 100 flags exactly the hub
     assert(graft.ops.Graph.hubNodes(sym, "dst", 100L) === Seq(0L))
     assert(graft.ops.Graph.hubNodes(sym, "dst", 100000L).isEmpty)

@@ -607,17 +607,28 @@ object Graph {
     * hub-m100 that is ~190 M edge rows shuffled PER ROUND, and it is
     * why r13's hub routing halved the maxtask but left totals ~par
     * (the hub's rows skipped the join, everyone else's still crossed
-    * the exchange). Up to ~4 M nodes (~64 MB) the whole state frame
-    * broadcasts and the join becomes map-side: ZERO edge-frame
-    * exchanges per round — only the partial-agg output shuffles.
-    * Beyond the budget (a billion-node web graph) the shuffle channel
-    * with hub routing remains the scale path. Overridable per run via
-    * SPARK_GRAFT_GRAPH_BCAST_BUDGET (the SPARK_GRAFT_PAIR_BUDGET
-    * precedent) — how the A/B scale measurements force each channel.
+    * the exchange).
+    *
+    * MEASURED OFF BY DEFAULT (SCALE.md r14): at gh100 the per-node
+    * state frames are ~2.4 MB (301 k nodes) — UNDER Spark's 10 MB
+    * auto-broadcast threshold — so AQE already converts every
+    * per-round state join to a broadcast join at runtime, and the
+    * matched-canary A/B read the explicit hint 2.3× WORSE on k-core
+    * (2313 vs 936 task-s, maxtask 122 vs 37 s) and worse on LPA: the
+    * static hint duplicates what AQE does while discarding AQE's
+    * runtime re-planning of the downstream aggregate exchanges. The
+    * channel's real target is the band AQE cannot reach — state frames
+    * of ~10–64 MB (~0.6–4 M nodes), where the shuffle plan ships the
+    * full edge frame through a node-keyed exchange per round — and no
+    * corpus of that shape exists on this box to calibrate a default,
+    * so the budget defaults to 0 (channel off, AQE trusted) and the
+    * band is an explicit dial: SPARK_GRAFT_GRAPH_BCAST_BUDGET=<nodes>
+    * (the SPARK_GRAFT_PAIR_BUDGET precedent). Three-channel row-for-row
+    * equivalence is pinned in OpsSpec regardless of the dial.
     */
   private[graft] def GraphBroadcastNodeBudget: Long =
     sys.env.get("SPARK_GRAFT_GRAPH_BCAST_BUDGET").map(_.toLong)
-      .getOrElse(4000000L)
+      .getOrElse(0L)
 
   private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
                                hubBudget: Long = HubDegreeBudget,

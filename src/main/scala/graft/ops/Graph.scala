@@ -105,7 +105,8 @@ object Graph {
   private[graft] def pagerankRanks(sym: DataFrame, iters: Int,
                                    hubBudget: Long = HubDegreeBudget,
                                    served: Option[(SparkSession, String)] = None,
-                                   broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
+                                   broadcastNodeBudget: Long = GraphBroadcastNodeBudget,
+                                   hubMinNodes: Long = HubRoutingMinNodes): DataFrame = {
     val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
     val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count() // control-plane scalar, the x110 posture
@@ -115,7 +116,7 @@ object Graph {
     // crosses an exchange at all; only the per-dst partial-agg output
     // shuffles. Above the budget the r13 hub routing is the scale path.
     val useBcast = n <= broadcastNodeBudget
-    lazy val hubs = served match {
+    lazy val hubs = if (n <= hubMinNodes) Seq.empty[Long] else served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "pagerank|src", hubBudget)(hubNodes(sym, "src", hubBudget))
       case None => hubNodes(sym, "src", hubBudget)
@@ -392,7 +393,31 @@ object Graph {
     * and every gate corpus sits orders of magnitude below the budget so
     * routed and unrouted plans coincide there.
     */
-  private[graft] val HubDegreeBudget: Long = 1000000L
+  private[graft] def HubDegreeBudget: Long =
+    sys.env.get("SPARK_GRAFT_HUB_BUDGET").map(_.toLong)
+      .getOrElse(1000000L) // r14: env dial (PAIR_BUDGET precedent) so the
+                           // routed/unrouted A/B can run on the FIXED plan
+                           // without a rebuild; default unchanged
+
+  /** Node-count FLOOR below which hub routing never engages (round-14).
+    * The hub split's premise is that the per-round state join is a REAL
+    * node-keyed shuffle whose hub reducer serializes the adjacency —
+    * but below ~625 k nodes the state frame is under Spark's 10 MB
+    * auto-broadcast threshold (16 B/node), AQE converts the join to a
+    * broadcast at runtime, the exchange the hub would serialize does
+    * not exist, and the split is pure overhead. Measured on the FIXED
+    * k-core at gh100 (301 k nodes, 2 M-edge hub), matched canaries:
+    * routed 88.0 s (1206 task | 52.9 max) vs unrouted 62.2 (801 |
+    * 21.7) — the r13 "routing halves k-core" claim was an artifact of
+    * the endpoint-swapped plan doing less work. Above the floor the
+    * state join is a genuine shuffle and the r13 routing machinery
+    * (probe → channel split → broadcast hub slices) is the scale path;
+    * the planted-fixture laws keep it correct by forcing the floor to
+    * 0 in tests. Env dial: SPARK_GRAFT_HUB_MIN_NODES.
+    */
+  private[graft] def HubRoutingMinNodes: Long =
+    sys.env.get("SPARK_GRAFT_HUB_MIN_NODES").map(_.toLong)
+      .getOrElse(625000L)
 
   /** Degree-probed hub set: node ids whose symmetric-edge count exceeds
     * the budget. One aggregate + a hub-sized driver boundary (the L3
@@ -429,7 +454,8 @@ object Graph {
   private[graft] def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int,
                              hubBudget: Long = HubDegreeBudget,
                              served: Option[(SparkSession, String)] = None,
-                             broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
+                             broadcastNodeBudget: Long = GraphBroadcastNodeBudget,
+                             hubMinNodes: Long = HubRoutingMinNodes): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -453,7 +479,7 @@ object Graph {
     // both per-round joins are map-side and the edge frame never
     // crosses an exchange — decided once up front (n is monotone)
     val useBcast = n <= broadcastNodeBudget
-    lazy val hubs = served match {
+    lazy val hubs = if (n <= hubMinNodes) Seq.empty[Long] else served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "kcore|a", hubBudget)(hubNodes(sym, "a", hubBudget))
       case None => hubNodes(sym, "a", hubBudget)
@@ -633,12 +659,13 @@ object Graph {
   private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
                                hubBudget: Long = HubDegreeBudget,
                                served: Option[(SparkSession, String)] = None,
-                               broadcastNodeBudget: Long = GraphBroadcastNodeBudget): DataFrame = {
+                               broadcastNodeBudget: Long = GraphBroadcastNodeBudget,
+                               hubMinNodes: Long = HubRoutingMinNodes): DataFrame = {
     val base = 4294967296L // 2^32 > any partkey; score·base + label stays < 2^63
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     val nNodes = labels.count() // control-plane scalar, the x110 posture
-    lazy val hubs = served match {
+    lazy val hubs = if (nNodes <= hubMinNodes) Seq.empty[Long] else served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "lpa|dst", hubBudget)(hubNodes(edges, "dst", hubBudget))
       case None => hubNodes(edges, "dst", hubBudget)

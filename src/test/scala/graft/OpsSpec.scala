@@ -1675,7 +1675,7 @@ class OpsSpec extends SparkSuite {
       (500L, 501L), (500L, 502L), (500L, 503L), (501L, 502L),
       (501L, 503L), (502L, 503L), (503L, 1L))).toDF("a", "b")
     def core(budget: Long, bcast: Long = 0L) =
-      graft.ops.Graph.kCoreOf(edges, 2, 12, budget, None, bcast)
+      graft.ops.Graph.kCoreOf(edges, 2, 12, budget, None, bcast, 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val routed = core(budget = 100L)   // degree 400 sym > 100 → hub fires
     val plain = core(budget = Long.MaxValue)
@@ -1693,7 +1693,7 @@ class OpsSpec extends SparkSuite {
       (0L, 1L), (0L, 2L), (0L, 3L),
       (1L, 2L), (1L, 3L), (2L, 3L))).toDF("a", "b")
     def core2(budget: Long, bcast: Long = 0L) =
-      graft.ops.Graph.kCoreOf(hubCore, 3, 12, budget, None, bcast)
+      graft.ops.Graph.kCoreOf(hubCore, 3, 12, budget, None, bcast, 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val expected = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
     assert(core2(Long.MaxValue) === expected, "unrouted hub-in-core baseline")
@@ -1706,7 +1706,7 @@ class OpsSpec extends SparkSuite {
     val sym = wedges0.select(col("a").as("src"), col("b").as("dst"), col("n_ab").as("w"))
       .unionAll(wedges0.select(col("b").as("src"), col("a").as("dst"), col("n_ab").as("w")))
     def lpa(budget: Long, bcast: Long) =
-      graft.ops.Graph.lpaLabels(sym, 5, budget, None, bcast)
+      graft.ops.Graph.lpaLabels(sym, 5, budget, None, bcast, 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     // r14: three channels — whole-label-frame broadcast (the default on
     // any graph under ~4M nodes), uniform shuffle (bcast budget 0), and
@@ -1718,7 +1718,7 @@ class OpsSpec extends SparkSuite {
     assert(viaHub === viaBroadcast, "hub-routed LPA diverged")
     // PageRank: same three-channel equivalence on the weighted star
     def prr(budget: Long, bcast: Long = 0L) =
-      graft.ops.Graph.pagerankRanks(sym, 3, budget, None, bcast)
+      graft.ops.Graph.pagerankRanks(sym, 3, budget, None, bcast, 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(prr(100L) === prr(Long.MaxValue), "hub-routed PageRank diverged")
     assert(prr(Long.MaxValue, Long.MaxValue) === prr(Long.MaxValue),

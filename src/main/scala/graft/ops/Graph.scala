@@ -213,8 +213,12 @@ object Graph {
   def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.ext.Associations.copurchasePairs(spark, dir)
     // dir-keyed so two dirs in one session can't serve each other's
-    // frame (Integer.toHexString is sign-safe: always [0-9a-f]+)
-    val view = "graft_copairs_" + Integer.toHexString(dir.hashCode)
+    // frame — keyed on the dir's md5 (r15 ADVICE: a 32-bit
+    // String.hashCode collision between two corpus dirs would silently
+    // substitute the wrong pair frame into a hash-checked gate; the
+    // Streams scratch-path uses of the hashCode idiom only risk a path
+    // clash, this one risks a wrong ANSWER)
+    val view = "graft_copairs_" + Stats.md5(dir).take(16)
     pairs.createOrReplaceTempView(view)
     spark.sql(
       s"""WITH RECURSIVE

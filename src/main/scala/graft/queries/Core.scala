@@ -676,9 +676,19 @@ object Core {
         .cast("long"), lit(0L)).as("k"))
       .groupBy("k").agg(count(lit(1)).as("v"))
       .writeTo("graft.db.day_counts").append()            // snapshot 1
-    Thread.sleep(5)
-    val between = new java.sql.Timestamp(System.currentTimeMillis())
-    Thread.sleep(5)
+    Thread.sleep(20)
+    // r15 ADVICE: format the captured instant EXPLICITLY in the session
+    // timezone — Timestamp.toString renders in the JVM default zone
+    // while Spark parses the literal under spark.sql.session.timeZone,
+    // so any session running non-default-TZ shifted the instant by the
+    // UTC offset and resolved the wrong snapshot. Guard sleeps widened
+    // 5 → 20 ms (manifest commit times are millisecond-grained and the
+    // wall clock is not monotone under small NTP slews).
+    val between = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+      .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis()))
+    Thread.sleep(20)
     spark.range(1, 501)
       .select((col("id") * -1L).as("k"), lit(0L).as("v"))
       .writeTo("graft.db.day_counts").append()            // snapshot 2

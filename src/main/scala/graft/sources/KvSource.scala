@@ -145,25 +145,54 @@ object KvSource {
         else readSnapshot(path, vs.last)._2.map(n => new Path(path, n))
     }
 
-  /** Publish a manifest listing `parts` as the next snapshot version:
-    * staged write, rename-no-overwrite to the allocated number. A lost
-    * allocation race (another committer took the number first) retries
-    * at the next version, so concurrent publishes serialize into
-    * distinct versions, neither torn.
+  private[sources] def claimPath(path: String, v: Long): Path =
+    new Path(path, f"_claim-$v%08d")
+
+  /** Atomic create-if-absent of the version claim file: true iff THIS
+    * caller created it. On `file:` paths this goes through NIO
+    * `Files.createFile` (O_CREAT|O_EXCL — a kernel-atomic fence, which
+    * the Hadoop local FS cannot offer: RawLocalFs's CREATE-without-
+    * OVERWRITE is an exists-check-then-open pair); on HDFS-class
+    * filesystems `FileContext.create(CREATE)` is the namenode-atomic
+    * equivalent.
+    */
+  private def claimVersion(fc: org.apache.hadoop.fs.FileContext,
+                           path: String, v: Long): Boolean = {
+    val claim = claimPath(path, v)
+    val scheme = new Path(path).toUri.getScheme
+    try {
+      if (scheme == null || scheme == "file") {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(claim.toUri.getPath))
+      } else {
+        fc.create(claim, java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+      }
+      true
+    } catch {
+      // FileAlreadyExistsException (both the NIO and Hadoop spellings)
+      // extends IOException: the version is taken, caller retries next v
+      case _: java.io.IOException => false
+    }
+  }
+
+  /** Publish a manifest listing `parts` as the next snapshot version.
+    * A lost allocation race (another committer took the number first)
+    * retries at the next version, so concurrent publishes serialize
+    * into distinct versions, neither torn.
     *
-    * Round-14 (ADVICE): the pre-r14 exists()+rename() pair was not
-    * atomic on the default local filesystem (POSIX rename overwrites),
-    * so two racing committers could both pass the exists check and the
-    * second silently clobbered the first's COMMITTED manifest. The
-    * allocation now renames through [[org.apache.hadoop.fs.FileContext]]
-    * with `Options.Rename.NONE` — atomic rename-if-absent on HDFS-class
-    * filesystems (the real-cluster story) — and then RE-READS the
-    * target and claims the version only if the bytes are this
-    * committer's staged payload, which catches any race a non-atomic
-    * local rename let through before the verify read. Payloads are
-    * distinct whenever the part lists differ; identical payloads
-    * colliding on one version is the no-op race (both committers
-    * published the same snapshot).
+    * Round-15 (ADVICE): version ownership is now decided by a TRUE
+    * atomic create-if-absent fence ([[claimVersion]]) BEFORE the
+    * manifest rename. The r14 protocol (Rename.NONE + payload
+    * verify-read) still had a local-FS hole: RawLocalFs's Rename.NONE
+    * is exists-check-then-POSIX-rename, so committer B's overwriting
+    * rename could land AFTER committer A's verify-read succeeded — both
+    * returned the same version. With the fence, exactly one committer
+    * ever attempts the rename to a given number, the rename cannot
+    * collide, and the verify-read is retained only as a cheap
+    * belt-and-braces corruption check. Claim files are `_`-prefixed
+    * (invisible to readers and to [[snapVersions]]) and vacuumed with
+    * their manifests by [[expireSnapshots]].
     */
   private[graft] def publishSnapshot(path: String, parts: Seq[String]): Long = {
     // all manifest I/O through FileContext: rename-if-absent semantics,
@@ -171,23 +200,23 @@ object KvSource {
     // data-file-only rename would orphan
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(path).toUri, new Configuration())
+    fs(path).mkdirs(new Path(path)) // the claim may be the dir's first file
     var attempt = 0
+    var v = snapVersions(path).lastOption.getOrElse(0L) + 1
     while (attempt < 64) {
-      val v = snapVersions(path).lastOption.getOrElse(0L) + 1
-      val staged = new Path(path, s"_staged-snap-${UUID.randomUUID().toString.take(8)}")
-      val payload = (s"ts_ms=${System.currentTimeMillis()}" +: parts)
-        .map(_ + "\n").mkString
-      val out = fc.create(staged,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-        org.apache.hadoop.fs.Options.CreateOpts.createParent())
-      try out.write(payload.getBytes("UTF-8")) finally out.close()
-      val target = snapPath(path, v)
-      val renamed =
-        try { fc.rename(staged, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
-        catch { case _: java.io.IOException => false } // taken: retry next v
-      if (!renamed) fc.delete(staged, false)
-      else {
+      if (claimVersion(fc, path, v)) {
+        // v is OWNED: no other committer passes the fence for this
+        // number, so the rename below cannot race another publisher
+        val staged = new Path(path, s"_staged-snap-${UUID.randomUUID().toString.take(8)}")
+        val payload = (s"ts_ms=${System.currentTimeMillis()}" +: parts)
+          .map(_ + "\n").mkString
+        val out = fc.create(staged,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        val target = snapPath(path, v)
+        fc.rename(staged, target, org.apache.hadoop.fs.Options.Rename.NONE)
         val in = fc.open(target)
         val got = try {
           val buf = new java.io.ByteArrayOutputStream()
@@ -196,8 +225,15 @@ object KvSource {
           while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
           new String(buf.toByteArray, "UTF-8")
         } finally in.close()
-        if (got == payload) return v // verified: this committer owns v
+        require(got == payload,
+          s"graftkv $path: manifest $target does not match its claimed " +
+            "payload — filesystem violated the claim fence")
+        return v
       }
+      // claim taken: another committer owns v — step past it (their
+      // manifest may not have landed yet, so re-listing alone could
+      // re-propose the same number)
+      v = math.max(v + 1, snapVersions(path).lastOption.getOrElse(0L) + 1)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -227,7 +263,10 @@ object KvSource {
     val (old, kept) = vs.splitAt(vs.size - keep)
     val referenced = kept.flatMap(v => readSnapshot(path, v)._2).toSet
     val f = fs(path)
-    old.foreach(v => f.delete(snapPath(path, v), false))
+    old.foreach { v =>
+      f.delete(snapPath(path, v), false)
+      f.delete(claimPath(path, v), false) // the version's allocation fence
+    }
     partFiles(path).filterNot(p => referenced.contains(p.getName))
       .foreach(p => f.delete(p, false))
   }

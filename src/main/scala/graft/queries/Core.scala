@@ -696,6 +696,38 @@ object Core {
       s"TIMESTAMP AS OF '$between' ORDER BY k")
   }
 
+  /** q36: `<table>.history` — the snapshot log as a SQL relation (r14
+    * verdict #4, the `DESCRIBE HISTORY` complement to time travel).
+    * Three commits with PINNED part counts (repartition decides the
+    * writer-task count, each task writes exactly one `.gkv` file):
+    * append(2 partitions) → overwrite(3) → append(1) — so history must
+    * read (v1, 2 parts, append), (v2, 3, overwrite — the overwrite
+    * manifest lists ONLY its own files), (v3, 4 — the append manifest
+    * lists prior's 3 plus its 1, append). Commit wall-times are
+    * asserted only as positive and non-decreasing (`ts_ok`): the VALUES
+    * oracle is a literal twin, deterministic given the commit sequence,
+    * exactly because no wall-clock value appears in a compared column.
+    */
+  def q36History(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.hist_demo")
+    spark.sql("CREATE TABLE graft.db.hist_demo USING graftkv")
+    val daily = Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+    daily.repartition(2).writeTo("graft.db.hist_demo").append()
+    daily.repartition(3).writeTo("graft.db.hist_demo").overwrite(lit(true))
+    daily.repartition(1).writeTo("graft.db.hist_demo").append()
+    spark.sql(
+      """SELECT version, n_parts, operation,
+        |       ts_ms > 0 AND
+        |       ts_ms >= coalesce(lag(ts_ms) OVER (ORDER BY version), 0) AS ts_ok
+        |FROM graft.db.hist_demo.history ORDER BY version""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -732,6 +764,7 @@ object Core {
     "q33_snapshot_diff"       -> (q33SnapshotDiff _),
     "q34_lateral_top_order"   -> (q34LateralTopOrder _),
     "q35_ts_travel"           -> (q35TimestampTravel _),
+    "q36_history"             -> (q36History _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -848,6 +881,17 @@ object Core {
       """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
         |       COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // the snapshot log is deterministic given the commit sequence:
+    // version order, per-manifest part counts (writer tasks are pinned
+    // by repartition), operation labels, and monotone commit times —
+    // a literal twin, no wall-clock value in any compared column
+    "q36_history"             ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'append',    TRUE),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'overwrite', TRUE),
+        |  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), 'append',    TRUE))
+        |  AS t(version, n_parts, operation, ts_ok)
+        |ORDER BY version""".stripMargin,
     // snapshot immutability contract: VERSION AS OF 1 after a second
     // publish must be exactly the aggregate snapshot 1 committed
     "q32_time_travel"         ->

@@ -144,6 +144,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = fs.exists(metaFile(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>.history` metadata table (round-15): `SELECT … FROM
+    // graft.db.t.history` parses as Identifier(ns = [db, t], name =
+    // history) — when no REAL table named `history` exists there and the
+    // namespace tail names a graftkv table, serve its snapshot log
+    // ([[KvHistoryTable]]). A user-created table literally named
+    // `history` shadows the metadata route (its meta file exists, the
+    // normal path below wins).
+    if (ident.name() == "history" && ident.namespace().nonEmpty &&
+        !fs.exists(metaFile(ident))) {
+      val ns = ident.namespace()
+      val parent = Identifier.of(ns.init, ns.last)
+      if (tableExists(parent) &&
+          readMeta(parent).getOrElse("provider", "graftkv") == "graftkv")
+        return new KvHistoryTable(dataDir(parent).toString)
+    }
     val meta = readMeta(ident)
     meta.getOrElse("provider", "graftkv") match {
       case "graftkv" => new KvTable(dataDir(ident).toString)

@@ -112,10 +112,15 @@ object KvSource {
   private[sources] def snapPath(path: String, v: Long): Path =
     new Path(path, f"snap-$v%08d.gts")
 
-  /** (commit ts_ms, part-file names) of snapshot `v`; throws with the
-    * available versions when `v` does not exist (expired or never made).
+  /** (commit ts_ms, operation, part-file names) of snapshot `v`; throws
+    * with the available versions when `v` does not exist (expired or
+    * never made). The `op=` header line (round-15, the history table's
+    * operation column) is optional — pre-r15 manifests read as
+    * operation "write". Part names never contain '=' (fixed
+    * `part-<jobid>-<n>.gkv` spelling), so header lines are
+    * unambiguously separable.
     */
-  private[graft] def readSnapshot(path: String, v: Long): (Long, Seq[String]) = {
+  private[graft] def readSnapshotMeta(path: String, v: Long): (Long, String, Seq[String]) = {
     val f = fs(path)
     val p = snapPath(path, v)
     require(f.exists(p), s"graftkv $path has no snapshot version $v " +
@@ -126,10 +131,19 @@ object KvSource {
       val header = in.readLine()
       require(header != null && header.startsWith("ts_ms="),
         s"corrupt graftkv manifest $p")
-      (header.stripPrefix("ts_ms=").toLong,
-        Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .filter(_.nonEmpty).toSeq)
+      val rest = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toSeq
+      val (meta, parts) = rest.partition(_.contains('='))
+      val op = meta.collectFirst { case l if l.startsWith("op=") =>
+        l.stripPrefix("op=") }.getOrElse("write")
+      (header.stripPrefix("ts_ms=").toLong, op, parts)
     } finally in.close()
+  }
+
+  /** (commit ts_ms, part-file names) of snapshot `v`. */
+  private[graft] def readSnapshot(path: String, v: Long): (Long, Seq[String]) = {
+    val (ts, _, parts) = readSnapshotMeta(path, v)
+    (ts, parts)
   }
 
   /** Files a read at `version` (None = current) scans: the manifest's
@@ -194,7 +208,10 @@ object KvSource {
     * (invisible to readers and to [[snapVersions]]) and vacuumed with
     * their manifests by [[expireSnapshots]].
     */
-  private[graft] def publishSnapshot(path: String, parts: Seq[String]): Long = {
+  private[graft] def publishSnapshot(path: String, parts: Seq[String],
+                                     op: String = "write"): Long = {
+    require(!op.contains('\n') && !op.contains('='),
+      s"graftkv operation label must be a bare word, got '$op'")
     // all manifest I/O through FileContext: rename-if-absent semantics,
     // and the local impl (RawLocalFs) writes no .crc sidecars that a
     // data-file-only rename would orphan
@@ -208,7 +225,7 @@ object KvSource {
         // v is OWNED: no other committer passes the fence for this
         // number, so the rename below cannot race another publisher
         val staged = new Path(path, s"_staged-snap-${UUID.randomUUID().toString.take(8)}")
-        val payload = (s"ts_ms=${System.currentTimeMillis()}" +: parts)
+        val payload = (Seq(s"ts_ms=${System.currentTimeMillis()}", s"op=$op") ++ parts)
           .map(_ + "\n").mkString
         val out = fc.create(staged,
           java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
@@ -328,7 +345,8 @@ private class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
       else KvSource.resolveParts(path, None).map(_.getName).filterNot(newParts.contains)
     // the manifest rename is the COMMIT POINT: parts land first, the
     // snapshot that names them becomes visible last and atomically
-    KvSource.publishSnapshot(path, prior ++ newParts)
+    KvSource.publishSnapshot(path, prior ++ newParts,
+      if (truncate) "overwrite" else "append")
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -375,6 +393,71 @@ private class KvScan(path: String, version: Option[Long] = None) extends Scan wi
       .map(p => KvFilePartition(p.toString): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => new KvFileReader(p.asInstanceOf[KvFilePartition].file)
+}
+
+/** `<table>.history` — the snapshot log as a queryable relation (round-15,
+  * verdict #4: the `DESCRIBE HISTORY` complement to time travel). Resolved
+  * by [[GraftCatalog.loadTable]] for `SELECT … FROM graft.db.t.history`;
+  * schema `(version BIGINT, ts_ms BIGINT, n_parts BIGINT, operation
+  * STRING)`, one row per retained manifest, oldest first. The scan is
+  * METADATA-ONLY: rows come from the manifest headers (the same O(#snapshots)
+  * driver-side listing `VERSION AS OF` resolution already pays — no part
+  * file is opened), computed at planning time and shipped to one reader as
+  * the partition payload, so a 1000-executor cluster spends exactly one
+  * empty-ish task on it. Reading history of an expired version is
+  * impossible by construction (expired manifests are deleted, their rows
+  * simply absent).
+  */
+private[sources] class KvHistoryTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftkv($path).history"
+  override def schema(): StructType = KvHistoryTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvHistoryScan(path)
+}
+
+private[sources] object KvHistoryTable {
+  val schema: StructType = new StructType()
+    .add("version", LongType, nullable = false)
+    .add("ts_ms", LongType, nullable = false)
+    .add("n_parts", LongType, nullable = false)
+    .add("operation", org.apache.spark.sql.types.StringType, nullable = false)
+}
+
+private class KvHistoryScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvHistoryTable.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graftkv $path history"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = KvSource.snapVersions(path).map { v =>
+      val (ts, op, parts) = KvSource.readSnapshotMeta(path, v)
+      KvHistoryRow(v, ts, parts.size.toLong, op)
+    }
+    Array(KvHistoryPartition(rows.toArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) =>
+      new KvHistoryReader(p.asInstanceOf[KvHistoryPartition].rows)
+}
+
+private case class KvHistoryRow(version: Long, tsMs: Long, nParts: Long,
+                                op: String)
+
+private case class KvHistoryPartition(rows: Array[KvHistoryRow])
+  extends InputPartition
+
+private class KvHistoryReader(rows: Array[KvHistoryRow])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows.length }
+  override def get(): InternalRow = {
+    val r = rows(i)
+    InternalRow(r.version, r.tsMs, r.nParts,
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.op))
+  }
+  override def close(): Unit = ()
 }
 
 private case class KvFilePartition(file: String) extends InputPartition

@@ -393,6 +393,35 @@ class SourcesSpec extends SparkSuite {
     assert(e.getMessage.contains("does not support VERSION AS OF"))
   }
 
+  test("graftkv history table: snapshot log rows, vacuum visibility, real-table shadowing") {
+    val root = s"${graft.RunScoped.ioDir}/cat_hist"
+    spark.conf.set("spark.sql.catalog.gh", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gh.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gh.db")
+    spark.sql("DROP TABLE IF EXISTS gh.db.t")
+    spark.sql("CREATE TABLE gh.db.t USING graftkv")
+    spark.sql("INSERT INTO gh.db.t SELECT id AS k, id AS v FROM range(5)")
+    spark.sql("INSERT INTO gh.db.t SELECT id AS k, id AS v FROM range(5, 8)")
+    spark.sql("INSERT OVERWRITE gh.db.t SELECT id AS k, id AS v FROM range(2)")
+    val h = spark.sql(
+      "SELECT version, n_parts, operation FROM gh.db.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(h.map(_._1) === Seq(1L, 2L, 3L), "one history row per snapshot, ordered")
+    assert(h.map(_._3) === Seq("append", "append", "overwrite"))
+    assert(h(1)._2 > h(0)._2, "append manifest lists prior parts plus its own")
+    // vacuum: expired versions vanish from history, current survives
+    graft.sources.KvSource.expireSnapshots(s"$root/db/t.gtdata", 1)
+    val h2 = spark.sql("SELECT version FROM gh.db.t.history")
+      .collect().map(_.getLong(0)).toSeq
+    assert(h2 === Seq(3L), "history lists only retained manifests")
+    // a REAL table named `history` shadows the metadata route
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gh.db.t2")
+    spark.sql("CREATE TABLE gh.db.t2.history USING graftkv")
+    spark.sql("INSERT INTO gh.db.t2.history SELECT 7 AS k, 8 AS v")
+    val shadow = spark.sql("SELECT k, v FROM gh.db.t2.history").collect()
+    assert(shadow.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 8L)))
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

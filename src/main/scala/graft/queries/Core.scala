@@ -728,6 +728,66 @@ object Core {
         |FROM graft.db.hist_demo.history ORDER BY version""".stripMargin)
   }
 
+  /** q37: SQL `MERGE INTO` on the graftkv connector (r14 verdict #2) —
+    * the week-one statement of a migrating warehouse user, driven
+    * through [[graft.sources.KvTable]]'s `SupportsRowLevelOperations`
+    * (group-based copy-on-write: Spark's RewriteMergeIntoTable plans
+    * the same FULL OUTER reconciliation x145 hand-builds in
+    * `ops/Merge.scala`, and the commit is one new manifest — concurrent
+    * readers serve old-or-new, never a mix). The change batch is
+    * x145's exact carve (11-tombstones, 7-updates at +150 cents,
+    * 13-inserts offset past max(k)), so the oracle is x145's
+    * reconciliation minus the status column the fixed (BIGINT, BIGINT)
+    * storage schema cannot hold — v carries the exact integer cents.
+    */
+  def q37SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.merge_t")
+    spark.sql("CREATE TABLE graft.db.merge_t USING graftkv")
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    t.select(col("k"), col("cents").as("v")).writeTo("graft.db.merge_t").append()
+    val off = t.agg((max(col("k")) + 1L).as("off"))
+    t.filter(col("k") % 11 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("v"))
+      .unionByName(t.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+        .select(col("k"), lit("U").as("op"), (col("cents") + 150L).as("v")))
+      .unionByName(t.filter(col("k") % 13 === 0).crossJoin(broadcast(off))
+        .select((col("k") + col("off")).as("k"), lit("I").as("op"),
+          col("cents").as("v")))
+      .createOrReplaceTempView("q37_src")
+    spark.sql(
+      """MERGE INTO graft.db.merge_t t USING q37_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    spark.sql("SELECT k, v FROM graft.db.merge_t ORDER BY k")
+  }
+
+  /** q38: SQL `DELETE FROM` + `UPDATE` on graftkv — the remaining two
+    * row-level statements, chained so the oracle composes both
+    * mutations over the base carve. Each statement publishes its own
+    * labeled snapshot (SourcesSpec pins the history and that the
+    * pre-mutation versions still serve).
+    */
+  def q38SqlDeleteUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rl_t")
+    spark.sql("CREATE TABLE graft.db.rl_t USING graftkv")
+    Tables.orders(spark, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      .writeTo("graft.db.rl_t").append()
+    spark.sql("DELETE FROM graft.db.rl_t WHERE k % 3 = 0")
+    spark.sql("UPDATE graft.db.rl_t SET v = v + 7 WHERE k % 5 = 0")
+    spark.sql("SELECT k, v FROM graft.db.rl_t ORDER BY k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -765,6 +825,8 @@ object Core {
     "q34_lateral_top_order"   -> (q34LateralTopOrder _),
     "q35_ts_travel"           -> (q35TimestampTravel _),
     "q36_history"             -> (q36History _),
+    "q37_sql_merge"           -> (q37SqlMerge _),
+    "q38_sql_delete_update"   -> (q38SqlDeleteUpdate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -881,6 +943,33 @@ object Core {
       """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
         |       COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // x145's FULL OUTER reconciliation (same carve: 11-tombstones,
+    // 7-updates +150, 13-inserts offset past max k), minus the status
+    // column the fixed BIGINT kv schema cannot hold — what SQL MERGE
+    // through the connector must reproduce byte-for-byte
+    "q37_sql_merge"           ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |                  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |           FROM orders),
+        |src AS (
+        |  SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS v FROM t WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', cents + 150 FROM t WHERE k % 7 = 0 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT MAX(k) + 1 FROM t), 'I', cents FROM t WHERE k % 13 = 0)
+        |SELECT COALESCE(t.k, src.k) AS k,
+        |       CAST(CASE WHEN src.op IN ('U', 'I') THEN src.v ELSE t.cents END AS BIGINT) AS v
+        |FROM t FULL OUTER JOIN src ON t.k = src.k
+        |WHERE src.op IS NULL OR src.op <> 'D'
+        |ORDER BY k""".stripMargin,
+    // DELETE then UPDATE composed over the base carve
+    "q38_sql_delete_update"   ->
+      """SELECT o_orderkey AS k,
+        |       CAST(CASE WHEN o_orderkey % 5 = 0
+        |                 THEN ROUND(o_totalprice * 100, 0) + 7
+        |                 ELSE ROUND(o_totalprice * 100, 0) END AS BIGINT) AS v
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |ORDER BY k""".stripMargin,
     // the snapshot log is deterministic given the commit sequence:
     // version order, per-manifest part counts (writer tasks are pinned
     // by repartition), operation labels, and monotone commit times —

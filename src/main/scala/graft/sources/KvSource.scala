@@ -6,10 +6,10 @@ import java.util.UUID
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -290,7 +290,8 @@ object KvSource {
 }
 
 private[sources] class KvTable(path: String, version: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations {
   override def name(): String =
     s"graftkv($path${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = KvSource.schema
@@ -307,20 +308,77 @@ private[sources] class KvTable(path: String, version: Option[Long] = None)
       s"graftkv writes exactly (BIGINT, BIGINT), got ${s.simpleString}")
     new KvWriteBuilder(path, truncate = false)
   }
+
+  /** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` (round-15, r14 verdict
+    * #2): GROUP-BASED copy-on-write at whole-table granularity. Spark's
+    * rewrite rules (RewriteDeleteFromTable / RewriteUpdateTable /
+    * RewriteMergeIntoTable) read the operation's scan, compute the
+    * surviving + mutated rows distributed (for MERGE: the same FULL
+    * OUTER reconciliation x145 implements by hand), and commit them
+    * through the write below — which publishes ONE new manifest listing
+    * only the rewrite's files (the replaced "group" is the whole
+    * table), labeled with the command. The snapshot protocol is what
+    * makes this safe: concurrent readers serve the old manifest until
+    * the new one renames in, and every pre-merge version stays
+    * readable via `VERSION AS OF` (SourcesSpec pins both). A
+    * production evolution would shrink the group to the file level
+    * (runtime-filter the scan to affected files, rewrite only those) —
+    * the manifest already carries per-file granularity; the
+    * whole-table group keeps the first cut honest and simple.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"graftkv: cannot modify snapshot $version of $path — snapshots are immutable")
+    () => new KvRowLevelOperation(path, info.command())
+  }
 }
 
-private class KvWriteBuilder(path: String, truncate: Boolean)
+private class KvRowLevelOperation(path: String,
+                                  cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graftkv $cmd $path"
+  // the operation reads the CURRENT snapshot (whole table = the one
+  // rewrite group) and replaces it with the rewrite's output
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvScan(path, None)
+  // NOTE the physical row layout: LogicalWriteInfo.schema() reports the
+  // bare (k, v), but vanilla Spark's ReplaceDataExec applies its row
+  // projection ONLY when the table demands metadata attributes (verified
+  // against 4.1.2 bytecode: writingTask falls to plain
+  // DataWritingSparkTask when metadataProjection is None), so our
+  // writers receive the UNPROJECTED rewrite output
+  // `[__row_operation, k, v]` — the data columns are the LAST two
+  // fields. KvWriter reads them tail-relative, which is exact under
+  // both layouts (a future Spark that projects would hand it plain
+  // (k, v) and nothing changes).
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.toSeq == Seq("k", "v") &&
+        s.fields.forall(_.dataType == LongType),
+      s"graftkv row-level write needs BIGINT k/v, got ${s.simpleString}")
+    new KvWriteBuilder(path, truncate = true,
+      op = Some(cmd.toString.toLowerCase(java.util.Locale.ROOT)))
+  }
+}
+
+private class KvWriteBuilder(path: String, truncate: Boolean,
+                             op: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = new KvWriteBuilder(path, truncate = true)
+  override def truncate(): WriteBuilder =
+    new KvWriteBuilder(path, truncate = true, op)
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new KvBatchWrite(path, truncate)
+    override def toBatch: BatchWrite = new KvBatchWrite(path, truncate,
+      op.getOrElse(if (truncate) "overwrite" else "append"))
   }
 }
 
 private[graft] case class KvCommit(staged: String, partition: Int, rows: Long)
   extends WriterCommitMessage
 
-private class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+private class KvBatchWrite(path: String, truncate: Boolean,
+                           op: String) extends BatchWrite {
   // one id per WRITE JOB — final names are unique across jobs, so append
   // never collides with an earlier job's parts (the real-connector naming
   // contract); re-commit of THIS job stays idempotent via delete+rename
@@ -345,8 +403,7 @@ private class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
       else KvSource.resolveParts(path, None).map(_.getName).filterNot(newParts.contains)
     // the manifest rename is the COMMIT POINT: parts land first, the
     // snapshot that names them becomes visible last and atomically
-    KvSource.publishSnapshot(path, prior ++ newParts,
-      if (truncate) "overwrite" else "append")
+    KvSource.publishSnapshot(path, prior ++ newParts, op)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -359,7 +416,8 @@ private class KvWriterFactory(path: String) extends DataWriterFactory {
     new KvWriter(path, partitionId)
 }
 
-private[graft] class KvWriter(path: String, partitionId: Int) extends DataWriter[InternalRow] {
+private[graft] class KvWriter(path: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
   private val staged = new Path(path,
     s"_staged-p$partitionId-${UUID.randomUUID().toString}")
   private val f = KvSource.fs(path)
@@ -369,7 +427,12 @@ private[graft] class KvWriter(path: String, partitionId: Int) extends DataWriter
   }
   private var rows = 0L
   override def write(r: InternalRow): Unit = {
-    out.write(s"${r.getLong(0)}\t${r.getLong(1)}\n".getBytes("UTF-8"))
+    // tail-relative field access: plain writes hand (k, v); the
+    // row-level rewrite path hands [__row_operation, k, v] unprojected
+    // (see KvRowLevelOperation.newWriteBuilder) — k/v are the last two
+    // fields under both layouts
+    val base = r.numFields - 2
+    out.write(s"${r.getLong(base)}\t${r.getLong(base + 1)}\n".getBytes("UTF-8"))
     rows += 1L
   }
   override def commit(): WriterCommitMessage = {

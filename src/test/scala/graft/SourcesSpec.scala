@@ -422,6 +422,49 @@ class SourcesSpec extends SparkSuite {
     assert(shadow.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 8L)))
   }
 
+  test("graftkv row-level SQL: MERGE/UPDATE/DELETE rewrite snapshots, old versions intact") {
+    val root = s"${graft.RunScoped.ioDir}/cat_rlo"
+    spark.conf.set("spark.sql.catalog.grl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grl.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grl.db")
+    spark.sql("DROP TABLE IF EXISTS grl.db.t")
+    spark.sql("CREATE TABLE grl.db.t USING graftkv")
+    spark.sql("INSERT INTO grl.db.t SELECT id AS k, id * 10 AS v FROM range(10)")
+    def rows() = spark.sql("SELECT k, v FROM grl.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // DELETE: drops multiples of 3
+    spark.sql("DELETE FROM grl.db.t WHERE k % 3 = 0")
+    assert(rows() === (0L until 10L).filter(_ % 3 != 0).map(k => (k, k * 10)))
+    // UPDATE: bump even keys
+    spark.sql("UPDATE grl.db.t SET v = v + 1 WHERE k % 2 = 0")
+    assert(rows() === (0L until 10L).filter(_ % 3 != 0)
+      .map(k => (k, k * 10 + (if (k % 2 == 0) 1 else 0))))
+    // MERGE: conditional delete + update + insert in one statement
+    spark.range(0, 14).selectExpr("id AS k", "id * 100 AS nv",
+      "CASE WHEN id = 1 THEN 'D' ELSE 'U' END AS op")
+      .createOrReplaceTempView("rlo_src")
+    spark.sql(
+      """MERGE INTO grl.db.t t USING rlo_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.nv)
+        |""".stripMargin)
+    val expect = ((0L until 10L).filter(k => k % 3 != 0 && k != 1) // survivors updated
+      .map(k => (k, k * 100)) ++
+      ((0L until 14L).filter(k => k % 3 == 0 || k >= 10).map(k => (k, k * 100))))
+      .sortBy(_._1)
+    assert(rows() === expect)
+    // every pre-mutation version still serves its exact rows (time travel
+    // across row-level ops), and history labels the operations
+    def vrows(v: Int) = spark.sql(s"SELECT k, v FROM grl.db.t VERSION AS OF $v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(vrows(1) === (0L until 10L).map(k => (k, k * 10)))
+    assert(vrows(2) === (0L until 10L).filter(_ % 3 != 0).map(k => (k, k * 10)))
+    val ops = spark.sql("SELECT operation FROM grl.db.t.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("append", "delete", "update", "merge"))
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

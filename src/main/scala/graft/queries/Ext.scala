@@ -361,6 +361,7 @@ object Ext {
     "s11_stream_left_join" -> ((s: SparkSession, d: String) => Streams.viewPurchaseLeftJoin(s, d)),
     "s14_stream_topk"      -> ((s: SparkSession, d: String) => Streams.streamingTopK(s, d)),
     "s15_stream_alerts"    -> ((s: SparkSession, d: String) => Streams.alertStream(s, d)),
+    "s23_stream_kv_sink"   -> ((s: SparkSession, d: String) => Streams.kvSinkStream(s, d)),
     "x165_purged_split"    -> ((s: SparkSession, d: String) => graft.ops.Sampling.purgedTemporalSplit(s, d)),
   )
 
@@ -543,6 +544,11 @@ object Ext {
     "s10_stream_gaps"      -> Streams.silentGapsOracle,
     "s17_stream_late_drop" -> Streams.lateDataDropOracle,
     "s18_stream_two_level" -> Streams.twoLevelOracle,
+    // s23: what the STREAM committed into graftkv (catalog read-back of
+    // the connector's StreamingWrite manifests) must equal the batch
+    // aggregate over the raw events - stream/batch equality through the
+    // storage layer, not the query plan
+    "s23_stream_kv_sink"   -> Streams.kvSinkOracle,
     "s19_stream_hll"       -> Streams.streamingHllOracle,
     // s21 rides s19's oracle VERBATIM: the state READER must reproduce
     // from RocksDB bytes exactly what the processor computed online —

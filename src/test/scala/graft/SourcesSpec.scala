@@ -465,6 +465,39 @@ class SourcesSpec extends SparkSuite {
     assert(ops === Seq("append", "delete", "update", "merge"))
   }
 
+  test("graftkv streaming write: epoch re-commit is dropped (exactly-once at the protocol level)") {
+    import graft.sources.{KvCommit, KvSource, KvStreamingWrite}
+    val dir = s"${graft.RunScoped.ioDir}/kv_stream_eo"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    def stage(tag: String, lines: Seq[String]): KvCommit = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"_staged-p0-$tag")
+      val out = f.create(p, true)
+      try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8"))) finally out.close()
+      KvCommit(p.toString, 0, lines.size.toLong)
+    }
+    val w = new KvStreamingWrite(dir, truncate = false)
+    w.commit(0L, Array(stage("a", Seq("1\t10", "2\t20"))))
+    // recovery replay: the engine re-runs epoch 0 after a restart — the
+    // duplicate staging must be dropped, not double-published
+    w.commit(0L, Array(stage("b", Seq("1\t10", "2\t20"))))
+    w.commit(1L, Array(stage("c", Seq("3\t30"))))
+    val vs = new java.io.File(dir).listFiles().map(_.getName)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".gts") =>
+        n.stripPrefix("snap-").stripSuffix(".gts").toLong }.sorted.toSeq
+    assert(vs === Seq(1L, 2L), "one snapshot per DISTINCT epoch")
+    assert(vs.map(v => KvSource.readSnapshotMeta(dir, v)._2) ===
+      Seq("stream-epoch-0", "stream-epoch-1"))
+    val rows = spark.read.format("graft.sources.KvSource").option("path", dir)
+      .load().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      "append epochs chain; the replayed epoch contributes once")
+    val staged = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_staged-p"))
+    assert(staged.isEmpty, s"replayed staging not cleaned: ${staged.toSeq}")
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

@@ -23,18 +23,18 @@ object ScaleGen {
     "stream", "table", "the", "value", "vector", "window")
 
   private val usage =
-    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] [skew] [hub] " +
+    "usage: ScaleGen <outDir> <multiplier> [dupBoost] [fixed|heaps] [skew] [hub] [wideK] " +
       "(trailing args are recognized BY VALUE — an integer is dupBoost, " +
-      "fixed/heaps is vocabMode, skew is keyMode, hub is graphMode — so " +
-      "`ScaleGen out 10 heaps` or `ScaleGen out 10 hub` works without " +
-      "passing the default dupBoost)"
+      "fixed/heaps is vocabMode, skew is keyMode, hub is graphMode, " +
+      "wide<K> is the node-domain dial — so `ScaleGen out 10 heaps` or " +
+      "`ScaleGen out 20 hub wide10` works without passing the default dupBoost)"
 
   def main(args: Array[String]): Unit = {
     // 2 positional + up to FOUR recognized trailing options (dupBoost,
     // fixed|heaps, skew, hub) — r14 ADVICE: the old <=5 bound rejected
     // `ScaleGen out 10 5 heaps skew hub` even though the by-value
     // parsing composes all four
-    require(args.length >= 2 && args.length <= 6, usage)
+    require(args.length >= 2 && args.length <= 7, usage)
     val out = args(0)
     val m = args(1).toInt
     // Trailing args parse BY VALUE, not by position: `heaps` in slot 3
@@ -73,10 +73,31 @@ object ScaleGen {
     // co-purchase rounds shuffle on NODE id, so one hub node is the
     // same one-key-serializes shape x275 exhibited on users. Default
     // keeps every prior corpus byte-identical.
+    // nodeDial "wide<K>" (round-15, r14 verdict #1): multiplies the PART
+    // key domain by K (20000·m → 20000·m·K) and switches l_partkey to a
+    // TEMPLATE co-occurrence draw — each order's 4 parts come from a
+    // shared basket template t = l_orderkey mod T (T = nOrd/4, so every
+    // template recurs in 4 orders and its 6 pairs clear the co-purchase
+    // support-≥2 bar), with the template parts hashed over the widened
+    // domain. A uniform draw over a widened domain would produce NO
+    // repeated pairs (the graph would collapse, not grow); the template
+    // draw grows the NODE set with the domain while fact rows stay at
+    // the multiplier's budget — e.g. `20 hub wide10` yields a ~2 M-node
+    // co-purchase graph (4·T draws into a 4 M domain, ≈ (1−e^{-0.75})·4 M
+    // occupied) from only 12 M lineitem rows, crossing BOTH scale
+    // thresholds the r14 floor identified: the per-round state frame
+    // (~16 B/node) is beyond Spark's 10 MB auto-broadcast, so the
+    // rank/alive joins are REAL node-keyed exchanges, and with `hub` the
+    // flipped lines (25% in wide mode) give part 0 a ≥1 M-edge adjacency
+    // — above HubDegreeBudget — so the routed channels finally execute
+    // in the band their premise assumes. Default absent: every prior
+    // corpus stays byte-identical.
     var dupBoost = Option.empty[Int]
     var vocabModeArg = Option.empty[String]
     var keyModeArg = Option.empty[String]
     var graphModeArg = Option.empty[String]
+    var wideArg = Option.empty[Int]
+    val WideRe = "^wide(\\d+)$".r
     args.drop(2).foreach {
       case v @ ("fixed" | "heaps") =>
         require(vocabModeArg.isEmpty, s"vocabMode given twice — $usage")
@@ -87,6 +108,9 @@ object ScaleGen {
       case v @ "hub" =>
         require(graphModeArg.isEmpty, s"graphMode given twice — $usage")
         graphModeArg = Some(v)
+      case WideRe(k) =>
+        require(wideArg.isEmpty, s"wide given twice — $usage")
+        wideArg = Some(k.toInt)
       case v if v.toIntOption.isDefined =>
         require(dupBoost.isEmpty, s"dupBoost given twice — $usage")
         dupBoost = v.toIntOption
@@ -96,6 +120,8 @@ object ScaleGen {
     val vocabMode = vocabModeArg.getOrElse("fixed")
     val skewKeys = keyModeArg.isDefined
     val hubGraph = graphModeArg.isDefined
+    val wide = wideArg.getOrElse(1)
+    require(wide >= 1 && wide <= 1000, s"wide $wide out of range 1..1000 — $usage")
     require(dupBoost.forall(b => b >= 1 && b <= 100),
       s"dupBoost ${dupBoost.get} out of range 1..100 — $usage")
     val boost = dupBoost.getOrElse(1)
@@ -159,12 +185,29 @@ object ScaleGen {
     // lineitem: partkey uniform over the scaled domain (k = floor(log2)
     // gives the zipf bucket sizes x45/x46 exercise), quantity 1–50
     val nLi = 600000L * m
+    val partDomain = 20000L * m * wide
+    val nOrdKeys = 150000L * m
+    // wide nodeDial: template co-occurrence (class comment at the arg
+    // parse) — order o's slot-s part is hash(o mod T, s) over the
+    // widened domain; every template recurs in 4 orders, so its 6 pairs
+    // clear the support-≥2 co-purchase bar and the graph's node set
+    // grows with the DOMAIN, not the fact volume. hub flips 25% of
+    // lines to part 0 (per-line coin independent of the template), the
+    // star center whose adjacency spans ~half the node set.
+    val templatePart = pmod(hash(
+      pmod(pmod(col("id"), lit(nOrdKeys)), lit(math.max(1L, nOrdKeys / 4))),
+      floor(col("id") / lit(nOrdKeys)).cast("int"), lit(37)), lit(partDomain))
     spark.range(nLi).select(
-        pmod(col("id"), lit(150000L * m)).as("l_orderkey"),
-        // graphMode hub: part 0 on 20% of lines, Zipf tail elsewhere —
-        // the co-purchase star center whose degree grows with the domain
-        (if (hubGraph) skewedKey(3, 103, 20000L * m)
-         else pmod(hash(col("id"), lit(3)), lit(20000L * m))).as("l_partkey"),
+        pmod(col("id"), lit(nOrdKeys)).as("l_orderkey"),
+        // graphMode hub (without wide): part 0 on 20% of lines, Zipf
+        // tail elsewhere — the co-purchase star center whose degree
+        // grows with the domain
+        (if (wide > 1 && hubGraph)
+           when(pmod(hash(col("id"), lit(31)), lit(100)) < 25, lit(0L))
+             .otherwise(templatePart)
+         else if (wide > 1) templatePart
+         else if (hubGraph) skewedKey(3, 103, partDomain)
+         else pmod(hash(col("id"), lit(3)), lit(partDomain))).as("l_partkey"),
         pmod(hash(col("id"), lit(4)), lit(2000L * m)).as("l_suppkey"),
         (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
         (pmod(hash(col("id"), lit(5)), lit(50)) + 1).cast("double").as("l_quantity"),
@@ -179,7 +222,7 @@ object ScaleGen {
           pmod(hash(col("id"), lit(11)), lit(86400000000L * 365))).as("l_shipdate"))
       .coalesce(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    spark.range(20000L * m)
+    spark.range(partDomain)
       .select(col("id").as("p_partkey"),
         concat(lit("part"), col("id")).as("p_name"),
         // 25-value brand domain like the testdata (Brand#1..25), hash-
@@ -288,7 +331,7 @@ object ScaleGen {
         pmod(col("id"), lit(10)).cast("int").as("label"))
       .coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${20000L * m} part / ${nEv} events / ${nOrd} orders / ${nVec} embeddings to $out")
+    println(s"[scalegen] wrote ${nDocs} docs / ${nLi} lineitem / ${partDomain} part / ${nEv} events / ${nOrd} orders / ${nVec} embeddings to $out")
     spark.stop()
   }
 }

@@ -110,12 +110,16 @@ object Graph {
     val out = sym.groupBy("src").agg(sum(col("w")).as("wout"))
     val nodes = sym.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count() // control-plane scalar, the x110 posture
-    // whole-rank-frame broadcast channel (round-14): under the node
-    // budget BOTH the static wout join and every per-round rank join
-    // take the |nodes|-row side as a broadcast — the edge frame never
-    // crosses an exchange at all; only the per-dst partial-agg output
-    // shuffles. Above the budget the r13 hub routing is the scale path.
-    val useBcast = n <= broadcastNodeBudget
+    // whole-rank-frame broadcast channel, BAND-GATED (r15): engages only
+    // where the per-round join is a REAL exchange (n above the routing
+    // floor — below it AQE auto-broadcasts and the explicit hint is
+    // measured pure overhead, r14) and the rank frame fits the budget —
+    // there BOTH the static wout join and every per-round rank join
+    // take the |nodes|-row side as a broadcast, the edge frame never
+    // crosses an exchange at all, and only the per-dst partial-agg
+    // output shuffles (measured best plan at 2 M nodes, SCALE.md r15).
+    // Above the budget the r13 hub routing is the scale path.
+    val useBcast = n > hubMinNodes && n <= broadcastNodeBudget
     lazy val hubs = if (n <= hubMinNodes) Seq.empty[Long] else served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "pagerank|src", hubBudget)(hubNodes(sym, "src", hubBudget))
@@ -413,11 +417,17 @@ object Graph {
     * k-core at gh100 (301 k nodes, 2 M-edge hub), matched canaries:
     * routed 88.0 s (1206 task | 52.9 max) vs unrouted 62.2 (801 |
     * 21.7) — the r13 "routing halves k-core" claim was an artifact of
-    * the endpoint-swapped plan doing less work. Above the floor the
-    * state join is a genuine shuffle and the r13 routing machinery
-    * (probe → channel split → broadcast hub slices) is the scale path;
-    * the planted-fixture laws keep it correct by forcing the floor to
-    * 0 in tests. Env dial: SPARK_GRAFT_HUB_MIN_NODES.
+    * the endpoint-swapped plan doing less work. ABOVE the floor the
+    * state join is a genuine shuffle, and round 15 finally MEASURED the
+    * machinery there (the wide-dial corpus, 2.03 M nodes / 1.48 M-edge
+    * hub): hub routing beat the uniform shuffle 1.4–1.7× at matched
+    * canaries (x200 44.8 vs 58.8–64.6 s, x231 33.1 vs 57–58, x283 20.7
+    * vs 27.4–33.0 with maxtask 10.1 → 2.6 s) — the r13 premise holds in
+    * its band. The full default ladder is now: n ≤ floor → plain joins
+    * + AQE; floor < n ≤ GraphBroadcastNodeBudget → whole-state-frame
+    * broadcast (measured better still); above → hub routing. The
+    * planted-fixture laws keep every channel correct by forcing the
+    * floor to 0 in tests. Env dial: SPARK_GRAFT_HUB_MIN_NODES.
     */
   private[graft] def HubRoutingMinNodes: Long =
     sys.env.get("SPARK_GRAFT_HUB_MIN_NODES").map(_.toLong)
@@ -478,11 +488,13 @@ object Graph {
     // two-join plan.
     var alive = sym.select(col("a").as("id")).distinct().localCheckpoint()
     var n = alive.count()
-    // whole-alive-set broadcast channel (round-14): the alive frame is
-    // one BIGINT per node and only SHRINKS, so under the node budget
-    // both per-round joins are map-side and the edge frame never
-    // crosses an exchange — decided once up front (n is monotone)
-    val useBcast = n <= broadcastNodeBudget
+    // whole-alive-set broadcast channel, BAND-GATED (r15: real exchange
+    // above the floor AND frame under budget — see the class note at
+    // GraphBroadcastNodeBudget): the alive frame is one BIGINT per node
+    // and only SHRINKS, so inside the band both per-round joins are
+    // map-side and the edge frame never crosses an exchange — decided
+    // once up front (n is monotone)
+    val useBcast = n > hubMinNodes && n <= broadcastNodeBudget
     lazy val hubs = if (n <= hubMinNodes) Seq.empty[Long] else served match {
       case Some((sp, dir)) =>
         hubNodesServed(sp, dir, "kcore|a", hubBudget)(hubNodes(sym, "a", hubBudget))
@@ -639,26 +651,38 @@ object Graph {
     * (the hub's rows skipped the join, everyone else's still crossed
     * the exchange).
     *
-    * MEASURED OFF BY DEFAULT (SCALE.md r14): at gh100 the per-node
-    * state frames are ~2.4 MB (301 k nodes) — UNDER Spark's 10 MB
-    * auto-broadcast threshold — so AQE already converts every
-    * per-round state join to a broadcast join at runtime, and the
-    * matched-canary A/B read the explicit hint 2.3× WORSE on k-core
-    * (2313 vs 936 task-s, maxtask 122 vs 37 s) and worse on LPA: the
-    * static hint duplicates what AQE does while discarding AQE's
-    * runtime re-planning of the downstream aggregate exchanges. The
-    * channel's real target is the band AQE cannot reach — state frames
-    * of ~10–64 MB (~0.6–4 M nodes), where the shuffle plan ships the
-    * full edge frame through a node-keyed exchange per round — and no
-    * corpus of that shape exists on this box to calibrate a default,
-    * so the budget defaults to 0 (channel off, AQE trusted) and the
-    * band is an explicit dial: SPARK_GRAFT_GRAPH_BCAST_BUDGET=<nodes>
-    * (the SPARK_GRAFT_PAIR_BUDGET precedent). Three-channel row-for-row
-    * equivalence is pinned in OpsSpec regardless of the dial.
+    * BAND-GATED, CALIBRATED FROM MEASUREMENT (SCALE.md r14+r15). Two
+    * measurements bound the channel from both sides:
+    *  - BELOW the routing floor (r14, gh100: 301 k nodes, state
+    *    ~2.4 MB) the state frame is under Spark's 10 MB auto-broadcast
+    *    threshold, AQE already converts every per-round join to a
+    *    broadcast at runtime, and the explicit hint measured 2.3×
+    *    WORSE on k-core (2313 vs 936 task-s) — it duplicates AQE's
+    *    decision while discarding AQE's runtime re-planning of the
+    *    downstream aggregate exchanges. The channel must stay OFF
+    *    there, which is why the gate requires n > hubMinNodes.
+    *  - ABOVE the floor (r15, the wide-dial corpus: 2.03 M nodes /
+    *    9.9 M sym edges / 1.48 M-edge hub — the first corpus in the
+    *    band the r14 comment said this box could not build) the
+    *    per-round join is a REAL node-keyed exchange and the channel
+    *    is the measured BEST plan: vs the uniform shuffle it read
+    *    x200 37.5 vs 58.8–64.6 s (task 298 vs 507–585 s), x231 36.2
+    *    vs 57–58 s, x283 19.1 vs 27.4–33.0 s with the hub straggler
+    *    gone (maxtask 1.5 vs 10.1 s) — and it matched-or-beat hub
+    *    routing on every query (routing: 44.8/33.1/20.7 s). Shuffle
+    *    volume tells the why: 102 M vs 247–268 M rows on k-core.
+    *
+    * Default 4 M nodes (~64 MB state frame): inside (floor, 4 M] the
+    * explicit broadcast is the plan; above it per-round re-broadcast
+    * cost and executor memory take over and HUB ROUTING is the scale
+    * path (measured winning 1.4–1.7× over unrouted at 2 M and 5 M
+    * nodes — SCALE.md r15). Env dial: SPARK_GRAFT_GRAPH_BCAST_BUDGET.
+    * Three-channel row-for-row equivalence is pinned in OpsSpec
+    * regardless of the dial.
     */
   private[graft] def GraphBroadcastNodeBudget: Long =
     sys.env.get("SPARK_GRAFT_GRAPH_BCAST_BUDGET").map(_.toLong)
-      .getOrElse(0L)
+      .getOrElse(4000000L)
 
   private[graft] def lpaLabels(edges: DataFrame, rounds: Int,
                                hubBudget: Long = HubDegreeBudget,
@@ -681,7 +705,10 @@ object Graph {
       else (edges.filter(col("dst").isin(hubs: _*)).localCheckpoint(),
         edges.filter(!col("dst").isin(hubs: _*)).localCheckpoint())
     def joined(labels: DataFrame): DataFrame =
-      if (nNodes <= broadcastNodeBudget)
+      // band-gated like kCoreOf/pagerankRanks (r15): explicit broadcast
+      // only where the exchange is real (above the floor) and the label
+      // frame fits the budget
+      if (nNodes > hubMinNodes && nNodes <= broadcastNodeBudget)
         edges.join(broadcast(labels), col("dst") === col("node"))
       else if (hubs.isEmpty) eRest.join(labels, col("dst") === col("node"))
       else eHub.join(broadcast(labels.filter(col("node").isin(hubs: _*))),

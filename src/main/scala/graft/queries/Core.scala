@@ -788,6 +788,33 @@ object Core {
     spark.sql("SELECT k, v FROM graft.db.rl_t ORDER BY k")
   }
 
+  /** q39: graftkv snapshot COMPACTION — six small appends (the shape a
+    * streaming sink's epochs leave behind: 12 tiny files) rewritten
+    * into 3 balanced parts through [[graft.sources.KvSource.compact]],
+    * then read back through the catalog: content must hash-match the
+    * plain aggregate, proving the rewrite is lossless while the
+    * manifest history gains a `compact` row and every pre-compaction
+    * version stays readable (structure pinned in SourcesSpec).
+    */
+  def q39Compaction(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.compact_t")
+    spark.sql("CREATE TABLE graft.db.compact_t USING graftkv")
+    val daily = Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+      .localCheckpoint() // six filtered appends re-read it; don't re-aggregate
+    (0 until 6).foreach { i =>
+      daily.filter(pmod(col("k"), lit(6)) === i).repartition(2)
+        .writeTo("graft.db.compact_t").append()
+    }
+    graft.sources.KvSource.compact(s"$ioDir/catalog/db/compact_t.gtdata", 3)
+    spark.sql("SELECT k, v FROM graft.db.compact_t ORDER BY k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -827,6 +854,7 @@ object Core {
     "q36_history"             -> (q36History _),
     "q37_sql_merge"           -> (q37SqlMerge _),
     "q38_sql_delete_update"   -> (q38SqlDeleteUpdate _),
+    "q39_compaction"          -> (q39Compaction _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -970,6 +998,12 @@ object Core {
         |                 ELSE ROUND(o_totalprice * 100, 0) END AS BIGINT) AS v
         |FROM orders WHERE o_orderkey % 3 <> 0
         |ORDER BY k""".stripMargin,
+    // compaction is a lossless rewrite: the post-compact read-back must
+    // be exactly the aggregate the six appends partitioned
+    "q39_compaction"          ->
+      """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+        |       COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     // the snapshot log is deterministic given the commit sequence:
     // version order, per-manifest part counts (writer tasks are pinned
     // by repartition), operation labels, and monotone commit times —

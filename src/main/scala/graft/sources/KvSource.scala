@@ -269,6 +269,56 @@ object KvSource {
     ok.last
   }
 
+  /** Snapshot compaction (round-15): rewrite the CURRENT snapshot's
+    * rows into `target` balanced part files and publish them as a new
+    * manifest labeled `compact` — the answer to the small-files problem
+    * the streaming sink creates (every epoch lands ≥1 file; a day of
+    * minutely epochs is ~1 440 files, and the file is this format's
+    * unit of read parallelism, so scans degrade into thousands of tiny
+    * tasks). Compaction is a LOGICAL rewrite through the same commit
+    * protocol as every other mutation: staged writes, claim-fenced
+    * manifest rename, prior snapshots untouched and still readable
+    * (`VERSION AS OF` across a compaction is pinned in SourcesSpec),
+    * history shows the `compact` row, and [[expireSnapshots]] later
+    * reclaims the superseded small files. Round-robin row placement
+    * keeps the output balanced regardless of input skew; k order
+    * within a file is irrelevant (the format is unordered).
+    *
+    * Driver-side streaming copy: this is an OPERATIONAL maintenance
+    * command for the connector (Iceberg's rewrite_data_files shape),
+    * not a query operator — at kv-table sizes (aggregate sinks) the
+    * copy is I/O-bound metadata work; a fact-scale table would lift
+    * the same protocol onto a distributed write job.
+    */
+  def compact(path: String, target: Int = 4): Long = {
+    require(target >= 1, s"compact target must be >= 1, got $target")
+    val f = fs(path)
+    val parts = resolveParts(path, None)
+    val commitId = UUID.randomUUID().toString.take(8)
+    val outs = (0 until target).map { i =>
+      val staged = new Path(path, s"_staged-compact-$commitId-$i")
+      (staged, f.create(staged, true))
+    }
+    try {
+      var i = 0
+      parts.foreach { p =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(f.open(p), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).foreach { line =>
+          outs(i % target)._2.write((line + "\n").getBytes("UTF-8"))
+          i += 1
+        } finally in.close()
+      }
+    } finally outs.foreach(_._2.close())
+    val names = outs.zipWithIndex.map { case ((staged, _), idx) =>
+      val fin = new Path(path, f"part-$commitId%s-$idx%05d.gkv")
+      f.delete(fin, false)
+      require(f.rename(staged, fin), s"graftkv compact: rename $staged -> $fin failed")
+      fin.getName
+    }
+    publishSnapshot(path, names, "compact")
+  }
+
   /** Retention vacuum: keep the newest `keep` manifests, delete older
     * manifests and every part file no RETAINED manifest references.
     * Reads of expired versions fail loudly with the remaining range;

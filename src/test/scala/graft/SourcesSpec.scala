@@ -498,6 +498,44 @@ class SourcesSpec extends SparkSuite {
     assert(staged.isEmpty, s"replayed staging not cleaned: ${staged.toSeq}")
   }
 
+  test("graftkv compaction: balanced rewrite, content identical, old versions intact, vacuum reclaims") {
+    import graft.sources.KvSource
+    val root = s"${graft.RunScoped.ioDir}/cat_compact"
+    spark.conf.set("spark.sql.catalog.gc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc.db")
+    spark.sql("CREATE TABLE gc.db.t USING graftkv")
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO gc.db.t SELECT id AS k, id * 2 AS v FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val dataDir = s"$root/db/t.gtdata"
+    def gkvFiles() = new java.io.File(dataDir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".gkv")).toSeq
+    val before = spark.sql("SELECT k, v FROM gc.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val nFilesBefore = gkvFiles().size
+    val v = KvSource.compact(dataDir, 2)
+    assert(v === 6L, "compaction publishes the next snapshot version")
+    val after = spark.sql("SELECT k, v FROM gc.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after === before, "compaction must be content-lossless")
+    // current snapshot scans exactly 2 files; superseded files remain on
+    // disk (prior versions reference them) until the vacuum
+    val hist = spark.sql(
+      "SELECT version, n_parts, operation FROM gc.db.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(hist.last === ((6L, 2L, "compact")))
+    assert(gkvFiles().size === nFilesBefore + 2)
+    // pre-compaction version still serves its exact rows
+    val v5 = spark.sql("SELECT k, v FROM gc.db.t VERSION AS OF 5").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(v5 === before)
+    // vacuum to the compacted snapshot alone: the small files go away
+    KvSource.expireSnapshots(dataDir, 1)
+    assert(gkvFiles().size === 2, "vacuum reclaims the superseded small files")
+    assert(spark.sql("SELECT k, v FROM gc.db.t").count() === before.size.toLong)
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

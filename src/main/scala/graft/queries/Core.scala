@@ -815,6 +815,36 @@ object Core {
     spark.sql("SELECT k, v FROM graft.db.compact_t ORDER BY k")
   }
 
+  /** q40: the graftkv maintenance cycle driven ENTIRELY from SQL `CALL`
+    * (round-15, SPARK-44167 DSv2 procedures): six small appends →
+    * `CALL graft.system.compact(table => …, target => 3)` →
+    * `CALL graft.system.expire_snapshots(table => …, keep => 1)` →
+    * read-back. Hash-matching the plain aggregate proves the whole
+    * procedure surface (parser → analyzer binding with named args and
+    * defaults → catalog resolution → compaction rewrite → vacuum) is
+    * content-lossless; the CALL result rows and refusal paths are
+    * pinned in SourcesSpec.
+    */
+  def q40CallProcedures(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.call_t")
+    spark.sql("CREATE TABLE graft.db.call_t USING graftkv")
+    val daily = Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+      .localCheckpoint()
+    (0 until 6).foreach { i =>
+      daily.filter(pmod(col("k"), lit(6)) === i).repartition(2)
+        .writeTo("graft.db.call_t").append()
+    }
+    spark.sql("CALL graft.system.compact(table => 'db.call_t', target => 3)").collect()
+    spark.sql("CALL graft.system.expire_snapshots(table => 'db.call_t', keep => 1)").collect()
+    spark.sql("SELECT k, v FROM graft.db.call_t ORDER BY k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -855,6 +885,7 @@ object Core {
     "q37_sql_merge"           -> (q37SqlMerge _),
     "q38_sql_delete_update"   -> (q38SqlDeleteUpdate _),
     "q39_compaction"          -> (q39Compaction _),
+    "q40_call_procedures"     -> (q40CallProcedures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1001,6 +1032,11 @@ object Core {
     // compaction is a lossless rewrite: the post-compact read-back must
     // be exactly the aggregate the six appends partitioned
     "q39_compaction"          ->
+      """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
+        |       COUNT(*) AS v
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // the CALL-driven compact+vacuum cycle is content-lossless
+    "q40_call_procedures"     ->
       """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
         |       COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,

@@ -7,9 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `GraftCatalog` — the [[TableCatalog]] + [[SupportsNamespaces]] plugin
@@ -43,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * providers already implement ([[KvScan]] partition-per-file reads,
   * [[KvBatchWrite]] staged-rename commits).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -70,6 +74,104 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def dataDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace()), ident.name() + ".gtdata")
+
+  // ---- procedures (round-15: SQL CALL, SPARK-44167) -----------------
+
+  /** The connector's maintenance commands as DSv2 STORED PROCEDURES —
+    * `CALL graft.system.compact(table => 'db.t', target => 3)` and
+    * `CALL graft.system.expire_snapshots(table => 'db.t', keep => 1)`
+    * — the operational surface a migrating warehouse user drives from
+    * SQL (Iceberg's `system.rewrite_data_files` /
+    * `system.expire_snapshots` shape). Each resolves the table string
+    * through THIS catalog (kv tables only), runs the maintenance
+    * command, and returns its result as a one-row LocalScan, so the
+    * caller sees (version, n_parts) / (kept_versions, files_remaining)
+    * in the CALL's result set. Binding validates arity/types in the
+    * analyzer (named and positional args both work; `target`/`keep`
+    * carry defaults).
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("compact", "expire_snapshots")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"catalog '$catalogName' keeps its procedures in the `system` " +
+        s"namespace, got ${ident.namespace().mkString(".")}.${ident.name()}")
+    def kvDataDir(tableArg: String): String = {
+      val parts = tableArg.split('.')
+      require(parts.length >= 2,
+        s"procedure table argument must be '<ns>.<table>', got '$tableArg'")
+      val tid = Identifier.of(parts.init, parts.last)
+      require(tableExists(tid), s"no such table $tableArg in catalog $catalogName")
+      require(readMeta(tid).getOrElse("provider", "graftkv") == "graftkv",
+        s"$tableArg is not a graftkv table — maintenance procedures " +
+          "operate on kv snapshots")
+      dataDir(tid).toString
+    }
+    ident.name() match {
+      case "compact" => new UnboundProcedure {
+        override def name(): String = "compact"
+        override def description(): String =
+          "rewrite the current snapshot into <target> balanced part files"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "compact"
+          override def description(): String =
+            "rewrite the current snapshot into <target> balanced part files"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("'<ns>.<table>' within this catalog").build(),
+            ProcedureParameter.in("target", IntegerType).defaultValue("4")
+              .comment("number of balanced output files").build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = kvDataDir(input.getString(0))
+            val target = input.getInt(1)
+            val v = KvSource.compact(dir, target)
+            java.util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = new StructType()
+                .add("version", LongType).add("n_parts", LongType)
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(v, target.toLong))
+            }).iterator()
+          }
+        }
+      }
+      case "expire_snapshots" => new UnboundProcedure {
+        override def name(): String = "expire_snapshots"
+        override def description(): String =
+          "keep the newest <keep> manifests; vacuum unreferenced part files"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = "expire_snapshots"
+          override def description(): String =
+            "keep the newest <keep> manifests; vacuum unreferenced part files"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("'<ns>.<table>' within this catalog").build(),
+            ProcedureParameter.in("keep", IntegerType).defaultValue("1")
+              .comment("number of newest snapshots to retain").build())
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = kvDataDir(input.getString(0))
+            KvSource.expireSnapshots(dir, input.getInt(1))
+            val kept = KvSource.snapVersions(dir).size.toLong
+            val files = KvSource.partFiles(dir).size.toLong
+            java.util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = new StructType()
+                .add("kept_versions", LongType).add("files_remaining", LongType)
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(kept, files))
+            }).iterator()
+          }
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"catalog '$catalogName' has no procedure system.$other " +
+          "(available: system.compact, system.expire_snapshots)")
+    }
+  }
 
   // ---- namespaces ---------------------------------------------------
 

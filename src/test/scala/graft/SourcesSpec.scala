@@ -536,6 +536,39 @@ class SourcesSpec extends SparkSuite {
     assert(spark.sql("SELECT k, v FROM gc.db.t").count() === before.size.toLong)
   }
 
+  test("SQL CALL procedures: system.compact and system.expire_snapshots end-to-end") {
+    val root = s"${graft.RunScoped.ioDir}/cat_proc"
+    spark.conf.set("spark.sql.catalog.gp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gp.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gp.db")
+    spark.sql("CREATE TABLE gp.db.t USING graftkv")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gp.db.t SELECT id AS k, id AS v FROM range(${i * 5}, ${i * 5 + 5})")
+    }
+    val before = spark.sql("SELECT k, v FROM gp.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // named args + default-carrying parameter
+    val res = spark.sql("CALL gp.system.compact(table => 'db.t', target => 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res === Seq((5L, 2L)), "CALL returns (new version, n_parts)")
+    assert(spark.sql("SELECT k, v FROM gp.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq === before)
+    // positional spelling, default keep=1 via named omission
+    val exp = spark.sql("CALL gp.system.expire_snapshots('db.t')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exp === Seq((1L, 2L)), "vacuum to 1 manifest, 2 compacted files")
+    assert(spark.sql("SELECT k, v FROM gp.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq === before)
+    // unknown procedure and non-kv table both refuse with clear messages
+    val e1 = intercept[Exception] { spark.sql("CALL gp.system.nope()").collect() }
+    assert(e1.getMessage.contains("no procedure") || e1.getMessage.contains("nope"))
+    spark.sql("CREATE TABLE gp.db.s USING graftseq OPTIONS (n '5', slices '1')")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gp.system.compact(table => 'db.s')").collect()
+    }
+    assert(e2.getMessage.contains("not a graftkv table"))
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

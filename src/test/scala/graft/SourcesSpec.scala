@@ -569,6 +569,52 @@ class SourcesSpec extends SparkSuite {
     assert(e2.getMessage.contains("not a graftkv table"))
   }
 
+  test("graftkv file-level COW groups: DELETE/UPDATE rewrite only the matched files") {
+    import graft.sources.KvSource
+    val root = s"${graft.RunScoped.ioDir}/cat_cow"
+    spark.conf.set("spark.sql.catalog.gf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gf.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gf.db")
+    spark.sql("CREATE TABLE gf.db.t USING graftkv")
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO gf.db.t SELECT /*+ REPARTITION(1) */ " +
+        s"id AS k, id * 10 AS v FROM range(${i * 5}, ${i * 5 + 5})")
+    }
+    val dataDir = s"$root/db/t.gtdata"
+    def currentParts() = KvSource.readSnapshotMeta(dataDir,
+      new java.io.File(dataDir).listFiles().map(_.getName)
+        .collect { case n if n.startsWith("snap-") && n.endsWith(".gts") =>
+          n.stripPrefix("snap-").stripSuffix(".gts").toLong }.max)._3.toSet
+    val before = currentParts()
+    assert(before.size === 4, s"four single-file inserts, got $before")
+    // SELECT _file: the metadata column is a real lineage surface
+    val fileOf7 = spark.sql("SELECT _file FROM gf.db.t WHERE k = 7")
+      .collect().map(_.getString(0)).toSeq
+    assert(fileOf7.size === 1 && before.contains(fileOf7.head))
+    // DELETE one key: the runtime group filter narrows the rewrite to
+    // the ONE file holding it — the other three carry forward BY NAME
+    spark.sql("DELETE FROM gf.db.t WHERE k = 7")
+    val afterDelete = currentParts()
+    assert((before - fileOf7.head).subsetOf(afterDelete),
+      "untouched files must carry forward by name")
+    assert(!afterDelete.contains(fileOf7.head), "the matched file is replaced")
+    assert(spark.sql("SELECT k FROM gf.db.t").collect().map(_.getLong(0)).sorted
+      === (0L until 20L).filterNot(_ == 7L).toArray)
+    // UPDATE one key: same surgical shape
+    val fileOf12 = spark.sql("SELECT _file FROM gf.db.t WHERE k = 12")
+      .collect().map(_.getString(0)).head
+    spark.sql("UPDATE gf.db.t SET v = 999 WHERE k = 12")
+    val afterUpdate = currentParts()
+    assert((afterDelete - fileOf12).subsetOf(afterUpdate))
+    assert(!afterUpdate.contains(fileOf12))
+    val rows = spark.sql("SELECT k, v FROM gf.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows === (0L until 20L).filterNot(_ == 7L)
+      .map(k => (k, if (k == 12L) 999L else k * 10)))
+    // prior versions still serve their exact pre-mutation rows
+    assert(spark.sql("SELECT k FROM gf.db.t VERSION AS OF 4").count() === 20L)
+  }
+
   test("write-audit-publish gates on real contract violations") {
     import spark.implicits._
     // the happy path publishes exactly the source aggregate

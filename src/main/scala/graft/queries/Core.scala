@@ -845,6 +845,42 @@ object Core {
     spark.sql("SELECT k, v FROM graft.db.call_t ORDER BY k")
   }
 
+  /** q41: manifest DATA SKIPPING on graftkv — four range-clustered
+    * appends (each commit records its file's k-range in the manifest
+    * line), then a BETWEEN read whose bounds cover only the middle two
+    * files: the scan intersects the pushed k-bounds with the per-part
+    * ranges and never opens the other files (SourcesSpec pins the
+    * planned-partition counts; this gate pins that the residual
+    * evaluation keeps the ANSWER exact — the skipping can only drop
+    * files proven empty of matches). The Iceberg-manifest read
+    * optimization: at 100 TB a point lookup touches one file, not the
+    * table.
+    */
+  def q41KvSkipping(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", s"$ioDir/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.skip_t")
+    spark.sql("CREATE TABLE graft.db.skip_t USING graftkv")
+    val daily = Tables.orders(spark, dir)
+      .select(coalesce(floor(unix_micros(col("o_orderdate")) / 86400000000L)
+        .cast("long"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("v"))
+      .localCheckpoint()
+    // range-clustered files: fixed day-quartile literals. The driver
+    // testdata's day domain is 9131–11535 (1995–2001); ScaleGen corpora
+    // start at 2024 (19723+) — the open-ended outer buckets absorb any
+    // domain, and the BETWEEN below always lands inside the driver span
+    Seq((Long.MinValue, 9700L), (9700L, 10300L), (10300L, 10900L),
+        (10900L, Long.MaxValue)).foreach { case (lo, hi) =>
+      daily.filter(col("k") >= lo && col("k") < hi).repartition(1)
+        .writeTo("graft.db.skip_t").append()
+    }
+    spark.sql(
+      """SELECT k, v FROM graft.db.skip_t
+        |WHERE k BETWEEN 9800 AND 10700 ORDER BY k""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"        -> (q01ScanProject _),
     "q02_ingest_orders"       -> (q02IngestOrders _),
@@ -886,6 +922,7 @@ object Core {
     "q38_sql_delete_update"   -> (q38SqlDeleteUpdate _),
     "q39_compaction"          -> (q39Compaction _),
     "q40_call_procedures"     -> (q40CallProcedures _),
+    "q41_kv_skipping"         -> (q41KvSkipping _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1040,6 +1077,14 @@ object Core {
       """SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k,
         |       COUNT(*) AS v
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    // the skipped read must equal the plain filtered aggregate — file
+    // skipping may only drop files proven empty of matches
+    "q41_kv_skipping"         ->
+      """WITH d AS (SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS k
+        |           FROM orders)
+        |SELECT k, COUNT(*) AS v FROM d
+        |WHERE k BETWEEN 9800 AND 10700
+        |GROUP BY k ORDER BY k""".stripMargin,
     // the snapshot log is deterministic given the commit sequence:
     // version order, per-manifest part counts (writer tasks are pinned
     // by repartition), operation labels, and monotone commit times —

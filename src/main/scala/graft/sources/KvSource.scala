@@ -166,14 +166,65 @@ object KvSource {
     * list, or — when the directory has never been committed through the
     * manifest protocol — the legacy part listing.
     */
-  private[sources] def resolveParts(path: String, version: Option[Long]): Seq[Path] =
+  // ---- per-part key statistics (round-15: manifest data skipping) ----
+  //
+  // A manifest part line is either a bare file name (legacy / unknown
+  // stats) or `name\tminK\tmaxK` — the k-range of the file's rows,
+  // recorded by the writer that produced it and CARRIED FORWARD line-
+  // for-line by every commit that retains the file. Tab-separated, so
+  // the `=`-header / part-line split in [[readSnapshotMeta]] is
+  // untouched. Stats power FILE SKIPPING: a filtered scan intersects
+  // its k-bounds with each part's range and never opens a file that
+  // cannot contain a match — the Iceberg-manifest read optimization,
+  // which at 100 TB is the difference between a point lookup touching
+  // one file and touching all of them. Statless lines are never
+  // skipped (correctness over speed).
+
+  /** File name of a manifest part line (strips the stats columns). */
+  private[sources] def partName(line: String): String = {
+    val t = line.indexOf('\t')
+    if (t < 0) line else line.substring(0, t)
+  }
+
+  /** Part line for a freshly written file: stats when the writer saw
+    * any row, bare name otherwise.
+    */
+  private[sources] def partLine(name: String, rows: Long,
+                                minK: Long, maxK: Long): String =
+    if (rows > 0L) s"$name\t$minK\t$maxK" else name
+
+  /** k-range per part NAME for the resolved snapshot (absent = no
+    * stats recorded; such files are always scanned).
+    */
+  private[sources] def partRanges(path: String,
+                                  version: Option[Long]): Map[String, (Long, Long)] =
+    resolvePartLines(path, version).flatMap { l =>
+      l.split('\t') match {
+        case Array(n, lo, hi) =>
+          (lo.toLongOption, hi.toLongOption) match {
+            case (Some(a), Some(b)) => Some(n -> (a, b))
+            case _ => None
+          }
+        case _ => None
+      }
+    }.toMap
+
+  /** Raw part LINES (names + stats) a read at `version` resolves —
+    * commits that carry files forward must retain these lines verbatim
+    * so the stats survive append/COW/stream chains.
+    */
+  private[graft] def resolvePartLines(path: String,
+                                        version: Option[Long]): Seq[String] =
     version match {
-      case Some(v) => readSnapshot(path, v)._2.map(n => new Path(path, n))
+      case Some(v) => readSnapshot(path, v)._2
       case None =>
         val vs = snapVersions(path)
-        if (vs.isEmpty) partFiles(path)
-        else readSnapshot(path, vs.last)._2.map(n => new Path(path, n))
+        if (vs.isEmpty) partFiles(path).map(_.getName)
+        else readSnapshot(path, vs.last)._2
     }
+
+  private[sources] def resolveParts(path: String, version: Option[Long]): Seq[Path] =
+    resolvePartLines(path, version).map(l => new Path(path, partName(l)))
 
   private[sources] def claimPath(path: String, v: Long): Path =
     new Path(path, f"_claim-$v%08d")
@@ -314,24 +365,34 @@ object KvSource {
       val staged = new Path(path, s"_staged-compact-$commitId-$i")
       (staged, f.create(staged, true))
     }
+    // per-output k-range stats tracked through the round-robin copy (r15
+    // data skipping — the compacted files keep skippable manifests)
+    val rowsOut = Array.fill(target)(0L)
+    val minOut = Array.fill(target)(Long.MaxValue)
+    val maxOut = Array.fill(target)(Long.MinValue)
     try {
       var i = 0
       parts.foreach { p =>
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(f.open(p), "UTF-8"))
         try Iterator.continually(in.readLine()).takeWhile(_ != null).foreach { line =>
-          outs(i % target)._2.write((line + "\n").getBytes("UTF-8"))
+          val slot = i % target
+          outs(slot)._2.write((line + "\n").getBytes("UTF-8"))
+          val k = line.substring(0, line.indexOf('\t')).toLong
+          if (k < minOut(slot)) minOut(slot) = k
+          if (k > maxOut(slot)) maxOut(slot) = k
+          rowsOut(slot) += 1L
           i += 1
         } finally in.close()
       }
     } finally outs.foreach(_._2.close())
-    val names = outs.zipWithIndex.map { case ((staged, _), idx) =>
+    val lines = outs.zipWithIndex.map { case ((staged, _), idx) =>
       val fin = new Path(path, f"part-$commitId%s-$idx%05d.gkv")
       f.delete(fin, false)
       require(f.rename(staged, fin), s"graftkv compact: rename $staged -> $fin failed")
-      fin.getName
+      partLine(fin.getName, rowsOut(idx), minOut(idx), maxOut(idx))
     }
-    publishSnapshot(path, names, "compact")
+    publishSnapshot(path, lines, "compact")
   }
 
   /** Retention vacuum: keep the newest `keep` manifests, delete older
@@ -344,7 +405,7 @@ object KvSource {
     val vs = snapVersions(path)
     if (vs.size <= keep) return
     val (old, kept) = vs.splitAt(vs.size - keep)
-    val referenced = kept.flatMap(v => readSnapshot(path, v)._2).toSet
+    val referenced = kept.flatMap(v => readSnapshot(path, v)._2.map(partName)).toSet
     val f = fs(path)
     old.foreach { v =>
       f.delete(snapPath(path, v), false)
@@ -498,18 +559,16 @@ private class KvCowBatchWrite(path: String, op: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val f = KvSource.fs(path)
-    val newParts = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).map { m =>
-      val fin = new Path(path, f"part-$jobId%s-${m.partition}%05d.gkv")
-      f.delete(fin, false)
-      require(f.rename(new Path(m.staged), fin),
-        s"graftkv cow commit: rename ${m.staged} -> $fin failed")
-      fin.getName
-    }
+    val newLines = KvCommits.finalize(path, messages, jobId)
+    val newNames = newLines.map(KvSource.partName).toSet
     val gone = replaced().toSet
-    val carried = KvSource.resolveParts(path, None).map(_.getName)
-      .filterNot(n => gone.contains(n) || newParts.contains(n))
-    KvSource.publishSnapshot(path, carried ++ newParts, op)
+    // untouched files carry their LINES forward — names AND stats
+    val carried = KvSource.resolvePartLines(path, None)
+      .filterNot { l =>
+        val n = KvSource.partName(l)
+        gone.contains(n) || newNames.contains(n)
+      }
+    KvSource.publishSnapshot(path, carried ++ newLines, op)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -564,18 +623,14 @@ private[graft] class KvStreamingWrite(path: String, truncate: Boolean)
       messages.collect { case m: KvCommit => f.delete(new Path(m.staged), false) }
       return
     }
-    val commitId = UUID.randomUUID().toString.take(8)
-    val newParts = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).map { m =>
-      val fin = new Path(path, f"part-$commitId%s-${m.partition}%05d.gkv")
-      f.delete(fin, false)
-      require(f.rename(new Path(m.staged), fin),
-        s"graftkv stream commit: rename ${m.staged} -> $fin failed")
-      fin.getName
-    }
+    val newLines = KvCommits.finalize(path, messages,
+      UUID.randomUUID().toString.take(8))
+    val newNames = newLines.map(KvSource.partName).toSet
     val prior =
       if (truncate) Seq.empty
-      else KvSource.resolveParts(path, None).map(_.getName).filterNot(newParts.contains)
-    KvSource.publishSnapshot(path, prior ++ newParts, label)
+      else KvSource.resolvePartLines(path, None)
+        .filterNot(l => newNames.contains(KvSource.partName(l)))
+    KvSource.publishSnapshot(path, prior ++ newLines, label)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -583,8 +638,28 @@ private[graft] class KvStreamingWrite(path: String, truncate: Boolean)
   }
 }
 
-private[graft] case class KvCommit(staged: String, partition: Int, rows: Long)
+private[graft] case class KvCommit(staged: String, partition: Int, rows: Long,
+                                   minK: Long = Long.MaxValue,
+                                   maxK: Long = Long.MinValue)
   extends WriterCommitMessage
+
+private object KvCommits {
+  /** Rename every staged file to its final `part-<tag>-<n>.gkv` name and
+    * return the MANIFEST LINES (name + the writer's k-range stats) —
+    * shared by the batch, streaming, and copy-on-write commit paths.
+    */
+  def finalize(path: String, messages: Array[WriterCommitMessage],
+               tag: String): Seq[String] = {
+    val f = KvSource.fs(path)
+    messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).map { m =>
+      val fin = new Path(path, f"part-$tag%s-${m.partition}%05d.gkv")
+      f.delete(fin, false) // idempotent re-commit
+      require(f.rename(new Path(m.staged), fin),
+        s"graftkv commit: rename ${m.staged} -> $fin failed")
+      KvSource.partLine(fin.getName, m.rows, m.minK, m.maxK)
+    }.toSeq
+  }
+}
 
 private class KvBatchWrite(path: String, truncate: Boolean,
                            op: String) extends BatchWrite {
@@ -595,24 +670,21 @@ private class KvBatchWrite(path: String, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val f = KvSource.fs(path)
     // round-13: truncate no longer DELETES prior parts — earlier
     // snapshots reference them (expireSnapshots is the vacuum). The mode
     // lives in the manifest: truncate's snapshot lists only this job's
-    // files, append's lists the prior snapshot's plus them.
-    val newParts = messages.map(_.asInstanceOf[KvCommit]).sortBy(_.partition).map { m =>
-      val fin = new Path(path, f"part-$jobId%s-${m.partition}%05d.gkv")
-      f.delete(fin, false)                      // idempotent re-commit
-      require(f.rename(new Path(m.staged), fin),
-        s"graftkv commit: rename ${m.staged} -> $fin failed")
-      fin.getName
-    }
+    // files, append's lists the prior snapshot's plus them. Lines carry
+    // the per-part k-range stats (r15 data skipping) — prior lines
+    // verbatim, new lines from the writers' observed ranges.
+    val newLines = KvCommits.finalize(path, messages, jobId)
+    val newNames = newLines.map(KvSource.partName).toSet
     val prior =
       if (truncate) Seq.empty
-      else KvSource.resolveParts(path, None).map(_.getName).filterNot(newParts.contains)
+      else KvSource.resolvePartLines(path, None)
+        .filterNot(l => newNames.contains(KvSource.partName(l)))
     // the manifest rename is the COMMIT POINT: parts land first, the
     // snapshot that names them becomes visible last and atomically
-    KvSource.publishSnapshot(path, prior ++ newParts, op)
+    KvSource.publishSnapshot(path, prior ++ newLines, op)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = KvSource.fs(path)
@@ -642,18 +714,23 @@ private[graft] class KvWriter(path: String, partitionId: Int)
     f.create(staged, true)
   }
   private var rows = 0L
+  private var minK = Long.MaxValue
+  private var maxK = Long.MinValue
   override def write(r: InternalRow): Unit = {
     // tail-relative field access: plain writes hand (k, v); the
     // row-level rewrite path hands [__row_operation, k, v] unprojected
     // (see KvRowLevelOperation.newWriteBuilder) — k/v are the last two
     // fields under both layouts
     val base = r.numFields - 2
-    out.write(s"${r.getLong(base)}\t${r.getLong(base + 1)}\n".getBytes("UTF-8"))
+    val k = r.getLong(base)
+    if (k < minK) minK = k
+    if (k > maxK) maxK = k
+    out.write(s"$k\t${r.getLong(base + 1)}\n".getBytes("UTF-8"))
     rows += 1L
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvCommit(staged.toString, partitionId, rows)
+    KvCommit(staged.toString, partitionId, rows, minK, maxK)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -662,33 +739,82 @@ private[graft] class KvWriter(path: String, partitionId: Int)
   override def close(): Unit = ()
 }
 
-/** Scan builder with COLUMN PRUNING (round-15): `pruneColumns` keeps any
-  * subset of {k, v, _file} — `_file` is the table's metadata column
-  * (the part file a row came from), the group identity the row-level
-  * runtime filtering needs and a lineage column a user can SELECT. A
-  * `SELECT v` scan parses only v; ReadSchema in the plan shows the
-  * pruned set.
+/** Scan builder with COLUMN PRUNING and FILTER-DRIVEN FILE SKIPPING
+  * (round-15): `pruneColumns` keeps any subset of {k, v, _file} (a
+  * `SELECT v` scan parses only v; `_file` is the metadata/lineage
+  * column), and `pushFilters` folds every k-comparison filter into one
+  * [lo, hi] bound the scan intersects with each manifest part's
+  * recorded k-range — a point lookup on a compacted table opens ONE
+  * file. All filters are returned as residuals (Spark re-applies them
+  * above the scan), so skipping can only drop files PROVEN empty of
+  * matches; statless legacy parts are never skipped. The row-level COW
+  * scan ([[KvCowScan]]) deliberately ignores these bounds: its group
+  * must carry SURVIVOR rows of matched files, so only the runtime
+  * `_file` group filter may narrow it.
   */
-private[sources] class KvScanBuilder(path: String, version: Option[Long])
+private[graft] class KvScanBuilder(path: String, version: Option[Long])
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   protected var required: StructType = KvSource.schema
+  protected var loBound: Long = Long.MinValue
+  protected var hiBound: Long = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KvScan(path, version, required)
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case EqualTo("k", v) => asLong(v).exists { l =>
+        loBound = math.max(loBound, l); hiBound = math.min(hiBound, l); true }
+      case GreaterThan("k", v) => asLong(v).exists { l =>
+        if (l < Long.MaxValue) loBound = math.max(loBound, l + 1); true }
+      case GreaterThanOrEqual("k", v) => asLong(v).exists { l =>
+        loBound = math.max(loBound, l); true }
+      case LessThan("k", v) => asLong(v).exists { l =>
+        if (l > Long.MinValue) hiBound = math.min(hiBound, l - 1); true }
+      case LessThanOrEqual("k", v) => asLong(v).exists { l =>
+        hiBound = math.min(hiBound, l); true }
+      case In("k", vs) if vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
+        val ls = vs.flatMap(asLong)
+        loBound = math.max(loBound, ls.min); hiBound = math.min(hiBound, ls.max)
+        true
+      case _ => false
+    }
+    filters // everything stays residual: skipping, not evaluation
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan =
+    new KvScan(path, version, required, loBound, hiBound)
 }
 
-private class KvScan(path: String, version: Option[Long],
-                     schema: StructType) extends Scan with Batch {
+private class KvScan(path: String, version: Option[Long], schema: StructType,
+                     lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+    extends Scan with Batch {
   def this(path: String, version: Option[Long]) =
     this(path, version, KvSource.schema)
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftkv $path${version.fold("")(v => s" version $v")} ${schema.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
+    s"graftkv $path${version.fold("")(v => s" version $v")} " +
+      s"${schema.fieldNames.mkString(",")}" +
+      (if (lo != Long.MinValue || hi != Long.MaxValue) s" skip k∈[$lo,$hi]" else "")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ranges = KvSource.partRanges(path, version)
     KvSource.resolveParts(path, version)
+      .filter(p => ranges.get(p.getName) match {
+        case Some((a, b)) => b >= lo && a <= hi // range intersects bound
+        case None => true                        // no stats: never skip
+      })
       .map(p => KvFilePartition(p.toString): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     KvReaderFactory(schema.fieldNames)
 }

@@ -584,7 +584,8 @@ class SourcesSpec extends SparkSuite {
     def currentParts() = KvSource.readSnapshotMeta(dataDir,
       new java.io.File(dataDir).listFiles().map(_.getName)
         .collect { case n if n.startsWith("snap-") && n.endsWith(".gts") =>
-          n.stripPrefix("snap-").stripSuffix(".gts").toLong }.max)._3.toSet
+          n.stripPrefix("snap-").stripSuffix(".gts").toLong }.max)
+      ._3.map(_.split('\t')(0)).toSet // manifest lines carry k-range stats (r15)
     val before = currentParts()
     assert(before.size === 4, s"four single-file inserts, got $before")
     // SELECT _file: the metadata column is a real lineage surface
@@ -613,6 +614,54 @@ class SourcesSpec extends SparkSuite {
       .map(k => (k, if (k == 12L) 999L else k * 10)))
     // prior versions still serve their exact pre-mutation rows
     assert(spark.sql("SELECT k FROM gf.db.t VERSION AS OF 4").count() === 20L)
+  }
+
+  test("graftkv data skipping: manifest k-ranges prune files; stats survive COW; statless never skipped") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    import graft.sources.{KvScanBuilder, KvSource}
+    val root = s"${graft.RunScoped.ioDir}/cat_skip"
+    spark.conf.set("spark.sql.catalog.gs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+    spark.sql("CREATE TABLE gs.db.t USING graftkv")
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO gs.db.t SELECT /*+ REPARTITION(1) */ " +
+        s"id AS k, id * 10 AS v FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val dataDir = s"$root/db/t.gtdata"
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val b = new KvScanBuilder(dataDir, None)
+      val residual = b.pushFilters(filters.toArray)
+      assert(residual.length === filters.length, "all filters stay residual")
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(planned() === 4, "no filter: all files")
+    assert(planned(EqualTo("k", 25L)) === 1, "point lookup opens ONE file")
+    assert(planned(GreaterThanOrEqual("k", 10L), LessThan("k", 30L)) === 2,
+      "range scan opens the two covering files")
+    assert(planned(EqualTo("k", 999L)) === 0, "out-of-range opens none")
+    // end-to-end: residual evaluation keeps answers exact
+    assert(spark.sql("SELECT v FROM gs.db.t WHERE k = 25").collect()
+      .map(_.getLong(0)).toSeq === Seq(250L))
+    assert(spark.sql("SELECT COUNT(*) FROM gs.db.t WHERE k >= 10 AND k < 30")
+      .head().getLong(0) === 20L)
+    // stats SURVIVE a file-level COW delete: untouched files keep their
+    // ranges (carried line-for-line), so the point lookup still prunes
+    spark.sql("DELETE FROM gs.db.t WHERE k = 15")
+    assert(planned(EqualTo("k", 25L)) === 1, "stats carried across COW")
+    assert(spark.sql("SELECT COUNT(*) FROM gs.db.t").head().getLong(0) === 39L)
+    // a legacy statless manifest line is NEVER skipped
+    val f = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val legacy = new org.apache.hadoop.fs.Path(dataDir, "part-legacy-00000.gkv")
+    val out = f.create(legacy, true)
+    try out.write("100\t1000\n".getBytes("UTF-8")) finally out.close()
+    val lines = KvSource.resolvePartLines(dataDir, None) :+ "part-legacy-00000.gkv"
+    KvSource.publishSnapshot(dataDir, lines, "append")
+    assert(planned(EqualTo("k", 25L)) === 2,
+      "statless legacy file must always be scanned")
+    assert(spark.sql("SELECT v FROM gs.db.t WHERE k = 100").collect()
+      .map(_.getLong(0)).toSeq === Seq(1000L))
   }
 
   test("write-audit-publish gates on real contract violations") {
